@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the settings this engine assumes.
+  *
+  * Tuned for the driver's local[N] harness but written for cluster scale:
+  * AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+  * shuffle partitions sized to the local core count (on a real cluster this
+  * would be ~2-3x total executor cores or left to AQE).
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cores: String = "*"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", cores)
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", if (cpus == "*") "32" else cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries INT64 TIMESTAMP(NANOS) which vanilla Spark
+      // rejects; read as long and convert in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+}
+
+/** Loaders for the driver-provided parquet tables (see TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Nano timestamps arrive as long (see GraftSession); surface them as
+    // microsecond timestamps so downstream time functions behave uniformly.
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+      else d
+    }
+  }
+}

@@ -1,13 +1,468 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import scala.collection.immutable.ListMap
+
+import graft.operators.IntervalJoin
+import graft.graph.GraphOps
+import graft.dedup.Dedup
+import graft.enrich.Resolution
+import graft.similarity.Ann
+import graft.text.TextAnalysis
+
+/** Driver contract — every operator from SURVEY.md §2 exposed as a named
+  * query over the driver's parquet tables, each paired (where ANSI-SQL
+  * expressible) with a DuckDB oracle in [[oracleSql]].
+  *
+  * Determinism rules used throughout (so DuckDB hash-compare is stable):
+  * output columns are integers, strings, or doubles that are either read
+  * unmodified from parquet or exact-integer-valued; float math appears only
+  * in predicates with safe margins; every computed column is aliased
+  * identically here and in the oracle SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * Pricing-summary style aggregate with an exact-cents revenue sum. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q01_agg(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  /** A1/Q6: grouped aggregation with exact sums (sum of integer-valued
+    * doubles + an exact-cents trick for the price sum). */
+  private def q01_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"))
+
+  /** Q1/Q5: filter + projection, pushed down to the parquet scan. */
+  private def q02_filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** Q2: multi-way equi-join with broadcast dims (nation/region tiny). */
+  private def q03_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").alias("o")
+      .join(t(s, dir, "customer").alias("c"), col("o.o_custkey") === col("c.c_custkey"))
+      .join(broadcast(t(s, dir, "nation").alias("n")),
+        col("c.c_nationkey") === col("n.n_nationkey"))
+      .groupBy(col("n.n_name").as("n_name"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** J6/Q10: left-semi join (EXISTS). */
+  private def q04_semi_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(
+        t(s, dir, "lineitem").where(col("l_quantity") > 49).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  /** J5: left-anti join (NOT EXISTS) — the negation-guard shape. */
+  private def q05_anti_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").where(col("o_totalprice") > 490000).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Q4/W5: UNION (bag semantics) then aggregate. */
+  private def q06_union(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .union(o.where(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+      .groupBy("custkey").agg(count(lit(1)).as("n"))
+  }
+
+  /** W3/A5: top-k per group via row_number window (deterministic tiebreak). */
+  private def q07_topk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+  }
+
+  /** W2/J7: lag over an ordered window — adjacent-row deltas (exact days). */
+  private def q08_lag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("prev", lag(col("l_shipdate"), 1).over(w))
+      .withColumn("gap_days",
+        (unix_seconds(col("l_shipdate").cast("timestamp")) - unix_seconds(col("prev").cast("timestamp"))) / 86400L)
+      .where(col("prev").isNotNull)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("gap_days").cast("long").as("gap_days"))
+  }
+
+  /** J1: point-in-interval range join via time-binning (no cartesian). */
+  private def q09_range_join(s: SparkSession, dir: String): DataFrame = {
+    val points = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    val intervals = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+    IntervalJoin.pointInInterval(points, "l_shipdate", intervals,
+        "o_orderdate", "o_end", bucketSeconds = 7L * 86400L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"))
+  }
+
+  /** A1/Q6 + HAVING on events. */
+  private def q10_having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= 5)
+
+  /** Q14/A10: DISTINCT projection. */
+  private def q11_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  /** Q7/W1: global order-by + limit (totalprice read unmodified → exact). */
+  private def q12_orderby_limit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(10)
+
+  /** Q9/G2: transitive closure by semi-naive fixpoint iteration. */
+  private def q13_closure(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select(
+      concat(lit("S"), col("s_suppkey").cast("string")).as("src"),
+      concat(lit("N"), col("s_nationkey").cast("string")).as("dst"))
+    val nat = t(s, dir, "nation").select(
+      concat(lit("N"), col("n_nationkey").cast("string")).as("src"),
+      concat(lit("R"), col("n_regionkey").cast("string")).as("dst"))
+    GraphOps.transitiveClosure(sup.union(nat))
+  }
+
+  /** G1: connected components (min-label + pointer jumping) over per-user
+    * event chains; isolated events keep their own id as component. */
+  private def q14_components(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = ev.withColumn("prev", lag(col("event_id"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("prev").as("src"), col("event_id").as("dst"))
+    GraphOps.connectedComponents(edges,
+        vertices = Some(ev.select(col("event_id").as("id"))))
+      .select(col("id").as("event_id"), col("component"))
+  }
+
+  /** J4: inverse-functional-property pairs (shared (brand,size) ⇒ same). */
+  private def q15_ifp_pairs(s: SparkSession, dir: String): DataFrame =
+    Resolution.ifpPairs(t(s, dir, "part"), Seq("p_brand", "p_size"), "p_partkey")
+
+  /** Dedup (exact): hash-group identical texts, keep min doc_id. */
+  private def q16_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+
+  /** Text analysis: exact token counts (whitespace/punct tokenizer). */
+  private def q17_token_count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+
+  /** Text fingerprinting: md5 of normalized text (exact string). */
+  private def q18_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  /** Dedup (n-gram Jaccard, exact): word-2-shingles, integer-exact
+    * threshold jaccard > 1/3. */
+  private def q19_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+      k = 2, num = 1, den = 3)
+
+  /** W2 + sessionization: 30-minute-gap sessions per user. */
+  private def q20_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev"))) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("event_id"), col("user_id"), col("sess_id"))
+  }
+
+  /** Similarity search: exact brute-force cosine top-1 for a probe set. */
+  private def q21_ann_top1(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 100), "vec_id", "embedding", k = 1)
+      .select(col("probe_id"), col("neighbor_id"))
+  }
+
+  /** String functions: regex extraction from customer names. */
+  private def q22_regex_extract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("cust_num"))
+
+  /** F2 durationInMillis: exact epoch-millis difference across a join. */
+  private def q23_duration_ms(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").alias("l")
+      .join(t(s, dir, "orders").alias("o"), col("l.l_orderkey") === col("o.o_orderkey"))
+      .select(col("l.l_orderkey").as("l_orderkey"), col("l.l_linenumber").as("l_linenumber"),
+        (unix_millis(col("l.l_shipdate").cast("timestamp")) - unix_millis(col("o.o_orderdate").cast("timestamp"))).as("dur_ms"))
+
+  /** F8: Levenshtein distance pairs over nation names (exact ints). */
+  private def q24_levenshtein(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    n.select(col("n_name").as("name1"))
+      .crossJoin(n.select(col("n_name").as("name2")))
+      .where(col("name1") < col("name2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2")))
+      .where(col("dist") <= 4)
+  }
+
+  /** Dedup (MinHash+LSH): banded signatures, candidates verified with
+    * exact Jaccard. Hash-family dependent → rows-only check (no oracle). */
+  private def q25_minhash_lsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+      k = 2, numHashes = 32, bands = 8, num = 1, den = 3)
+
+  /** Dedup (SimHash): 64-bit fingerprint, chunk-blocked Hamming pairs.
+    * Hash-family dependent → rows-only check (no oracle). */
+  private def q26_simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+
+  /** Embedding near-dup: cosine-threshold pairs (exact, margin-safe). */
+  private def q27_cosine_pairs(s: SparkSession, dir: String): DataFrame =
+    Ann.thresholdPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+
+  /** A3: IDF table over documents (log on exact ints; round to 9 places). */
+  private def q28_idf(s: SparkSession, dir: String): DataFrame =
+    Resolution.idf(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("tok"), col("df"), round(col("idf"), 9).as("idf"))
+
+  /** A6: histogram — 10-minute event-time buckets (exact bucket index). */
+  private def q29_histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy((floor(unix_seconds(col("ts")) / 600L) * 600L).as("bucket_start"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("value_cents"))
+
+  /** J3: token-blocking similarity candidates over part names; tokens in
+    * more than 20% of rows are pruned (the IDF/skew guard), so candidate
+    * fan-out stays bounded as data grows. Exact semantics → SQL oracle. */
+  private def q30_token_blocking(s: SparkSession, dir: String): DataFrame =
+    Resolution.tokenBlockingCandidatesFrac(t(s, dir, "part"), "p_name", "p_partkey",
+      maxDocFreqFraction = 0.2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_agg" -> (q01_agg _),
+    "q02_filter" -> (q02_filter _),
+    "q03_join" -> (q03_join _),
+    "q04_semi_join" -> (q04_semi_join _),
+    "q05_anti_join" -> (q05_anti_join _),
+    "q06_union" -> (q06_union _),
+    "q07_topk" -> (q07_topk _),
+    "q08_lag" -> (q08_lag _),
+    "q09_range_join" -> (q09_range_join _),
+    "q10_having" -> (q10_having _),
+    "q11_distinct" -> (q11_distinct _),
+    "q12_orderby_limit" -> (q12_orderby_limit _),
+    "q13_closure" -> (q13_closure _),
+    "q14_components" -> (q14_components _),
+    "q15_ifp_pairs" -> (q15_ifp_pairs _),
+    "q16_dedup_exact" -> (q16_dedup_exact _),
+    "q17_token_count" -> (q17_token_count _),
+    "q18_fingerprint" -> (q18_fingerprint _),
+    "q19_ngram_jaccard" -> (q19_ngram_jaccard _),
+    "q20_sessionize" -> (q20_sessionize _),
+    "q21_ann_top1" -> (q21_ann_top1 _),
+    "q22_regex_extract" -> (q22_regex_extract _),
+    "q23_duration_ms" -> (q23_duration_ms _),
+    "q24_levenshtein" -> (q24_levenshtein _),
+    "q25_minhash_lsh" -> (q25_minhash_lsh _),
+    "q26_simhash" -> (q26_simhash _),
+    "q27_cosine_pairs" -> (q27_cosine_pairs _),
+    "q28_idf" -> (q28_idf _),
+    "q29_histogram" -> (q29_histogram _),
+    "q30_token_blocking" -> (q30_token_blocking _)
+  )
+
+  val oracleSql: Map[String, String] = ListMap(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity > 45""".stripMargin,
+    "q03_join" ->
+      """SELECT n_name, count(*) AS n_orders FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 490000)""".stripMargin,
+    "q06_union" ->
+      """SELECT custkey, count(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |) GROUP BY custkey""".stripMargin,
+    "q07_topk" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders
+        |) WHERE rk <= 3""".stripMargin,
+    "q08_lag" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST((epoch(l_shipdate) - epoch(prev)) / 86400 AS BIGINT) AS gap_days
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |    lag(l_shipdate) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev
+        |  FROM lineitem
+        |) WHERE prev IS NOT NULL""".stripMargin,
+    "q09_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_shipped FROM orders
+        |JOIN lineitem ON l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+        |GROUP BY o_orderkey""".stripMargin,
+    "q10_having" ->
+      """SELECT user_id, count(*) AS n FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id HAVING count(*) >= 5""".stripMargin,
+    "q11_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q12_orderby_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q13_closure" ->
+      """WITH RECURSIVE edges(src, dst) AS (
+        |  SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+        |  UNION ALL
+        |  SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |) SELECT src, dst FROM reach""".stripMargin,
+    "q14_components" ->
+      """SELECT event_id, min(event_id) OVER (PARTITION BY user_id) AS component
+        |FROM events""".stripMargin,
+    "q15_ifp_pairs" ->
+      """SELECT a.p_partkey AS s1, b.p_partkey AS s2 FROM part a JOIN part b
+        |ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |AND a.p_partkey < b.p_partkey""".stripMargin,
+    "q16_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dups
+        |FROM documents GROUP BY text""".stripMargin,
+    "q17_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0)) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q18_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "q19_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |  FROM toks WHERE len(ts) >= 2
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle FROM idx
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT id1, id2 FROM inter
+        |JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |WHERE 3 * inter > 1 * (sa.n + sb.n - inter)""".stripMargin,
+    "q20_sessionize" ->
+      """SELECT event_id, user_id,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |)""".stripMargin,
+    "q21_ann_top1" ->
+      """SELECT probe_id, neighbor_id FROM (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) DESC, b.vec_id) AS rk
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 100
+        |) WHERE rk = 1""".stripMargin,
+    "q22_regex_extract" ->
+      """SELECT c_custkey, coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS cust_num
+        |FROM customer""".stripMargin,
+    "q23_duration_ms" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  epoch_ms(l_shipdate) - epoch_ms(o_orderdate) AS dur_ms
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "q24_levenshtein" ->
+      """SELECT a.n_name AS name1, b.n_name AS name2,
+        |  levenshtein(a.n_name, b.n_name) AS dist
+        |FROM nation a JOIN nation b ON a.n_name < b.n_name
+        |WHERE levenshtein(a.n_name, b.n_name) <= 4""".stripMargin,
+    "q27_cosine_pairs" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.4""".stripMargin,
+    "q28_idf" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[\s[:punct:]]+'), x -> len(x) > 0)) AS tok
+        |  FROM documents
+        |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT tok, count(*) AS df, round(ln(n_docs / count(*)), 9) AS idf
+        |FROM toks, n GROUP BY tok, n_docs""".stripMargin,
+    "q29_histogram" ->
+      """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_start,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1""".stripMargin,
+    "q30_token_blocking" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT p_partkey, unnest(list_filter(regexp_split_to_array(lower(p_name), '[\s[:punct:]]+'), x -> len(x) > 0)) AS tok
+        |  FROM part
+        |), rare AS (
+        |  SELECT tok FROM toks GROUP BY tok
+        |  HAVING count(*) <= 0.2 * (SELECT count(*) FROM part)
+        |), pruned AS (
+        |  SELECT p_partkey, toks.tok FROM toks JOIN rare ON toks.tok = rare.tok
+        |)
+        |SELECT a.p_partkey AS id1, b.p_partkey AS id2, count(*) AS shared_tokens
+        |FROM pruned a JOIN pruned b ON a.tok = b.tok AND a.p_partkey < b.p_partkey
+        |GROUP BY a.p_partkey, b.p_partkey""".stripMargin
+  )
+
+  /** Headline queries timed by [[Bench]] at sf0.1. */
+  val benchQueries: Seq[String] = Seq(
+    "q01_agg", "q03_join", "q07_topk", "q09_range_join", "q13_closure",
+    "q14_components", "q16_dedup_exact", "q19_ngram_jaccard", "q21_ann_top1",
+    "q25_minhash_lsh", "q26_simhash", "q28_idf", "q30_token_blocking")
 }

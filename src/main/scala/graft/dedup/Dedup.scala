@@ -1,0 +1,141 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for a 100 TB-scale document pipeline.
+  *
+  * All variants follow the same scalable shape: per-row signature columns
+  * (codegen'd expressions, no UDFs) -> candidate generation via equi-join on
+  * a blocking key (never an all-pairs product) -> exact verification on the
+  * candidate set only. This keeps every stage a hash shuffle that AQE can
+  * re-plan, with skew handled by the blocking key's natural spread.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical values of `keyCol`, keep the minimum id.
+    * Output: (keep_id, dups) one row per distinct key. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
+      .select(col("keep_id"), col("dups"))
+
+  /** Distinct word-shingle sets per doc, the shared substrate of the
+    * Jaccard-family dedupers. */
+  private def shingled(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.wordShingles(col(textCol), k).as("shingles"))
+      .where(size(col("shingles")) > 0)
+
+  /** Exact n-gram Jaccard near-dup pairs, threshold as a rational num/den so
+    * the comparison is exact integer arithmetic (`den*inter > num*union`):
+    * no float boundary flakiness in differential tests.
+    * Output: (id1, id2) with id1 < id2 and jaccard > num/den. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      num: Int,
+      den: Int): DataFrame = {
+    val s = shingled(df, textCol, idCol, k)
+    val sizes = s.select(col("id"), size(col("shingles")).as("n"))
+    val tok = s.select(col("id"), explode(col("shingles")).as("sh"))
+    val inter = tok.alias("a")
+      .join(tok.alias("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
+      // jaccard > num/den  <=>  den*inter > num*(n1+n2-inter)
+      .where(lit(den) * col("inter") > lit(num) * (col("n1") + col("n2") - col("inter")))
+      .select(col("id1"), col("id2"))
+  }
+
+  /** MinHash signature: numHashes independent 64-bit hash family members via
+    * seeded xxhash64; signature[j] = min over shingles of h_j(shingle). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingles, s => xxhash64(lit(j), s)))
+    }: _*)
+
+  /** MinHash + LSH banding near-dup pairs (the scale path for Jaccard
+    * dedup): signature -> band hashes -> equi-join on (band, bandHash) ->
+    * exact Jaccard verification of the candidates only.
+    * Candidate volume is O(collisions), never O(n^2).
+    * Output: (id1, id2) candidate-verified pairs with jaccard > num/den. */
+  def minhashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 2,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      num: Int = 1,
+      den: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val s = shingled(df, textCol, idCol, k)
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .localCheckpoint() // reused by candidate gen AND verification
+    val banded = s.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))
+      }: _*)).as(Seq("band", "bandHash")))
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandHash") === col("b.bandHash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    // exact verification on candidates only
+    candidates
+      .join(s.select(col("id").as("id1"), col("shingles").as("sh1")), "id1")
+      .join(s.select(col("id").as("id2"), col("shingles").as("sh2")), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("uni", size(col("sh1")) + size(col("sh2")) - col("inter"))
+      .where(lit(den) * col("inter") > lit(num) * col("uni"))
+      .select(col("id1"), col("id2"))
+  }
+
+  /** 64-bit SimHash fingerprint of a token multiset: per-bit weighted vote
+    * of token hashes. Built from 64 conditional sums (codegen'd, no UDF). */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { i =>
+      val bitVotes = aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, lit(1L)).otherwise(lit(-1L)))
+      when(bitVotes > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs: block on 4 x 16-bit fingerprint chunks (a pair
+    * within Hamming distance <= 3 must agree on at least one chunk), verify
+    * Hamming distance on candidates. Output: (id1, id2, hamming). */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val s = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp")).localCheckpoint()
+    val chunked = s.select(
+      col("id"), col("fp"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("chunk", "chunkVal")))
+    chunked.alias("a")
+      .join(chunked.alias("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunkVal") === col("b.chunkVal") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

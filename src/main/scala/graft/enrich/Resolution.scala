@@ -1,0 +1,90 @@
+package graft.enrich
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution building blocks, Spark-first.
+  *
+  * Mirrors the semantics of the reference's inverse-functional-property
+  * inferencer (`core/src/main/com/thymeflow/enricher/InverseFunctionalPropertyInferencer.scala:17-53`:
+  * two entities sharing an email/phone/url value are the same) and the
+  * candidate-generation stage of its fuzzy agent matcher
+  * (`thymeflow/src/main/com/thymeflow/enricher/entityresolution/AgentMatchEnricher.scala:232-267`,
+  * which delegates blocking to an Elasticsearch `minimum_should_match`
+  * query). Here blocking is a token equi-join with IDF pruning — the
+  * standard distributed replacement for a search-engine candidate pass.
+  */
+object Resolution {
+
+  /** Inverse-functional-property pairs: ids agreeing on all `keyCols`.
+    * A plain self-equi-join on the shared value — Catalyst plans a shuffle
+    * hash join keyed on the value, and AQE splits skewed keys (hot values
+    * like a shared provider domain). Output: (s1, s2), s1 < s2. */
+  def ifpPairs(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val a = df.select((keyCols :+ idCol).map(col): _*)
+    val b = df.select((keyCols :+ idCol).map(c => col(c).as(s"__$c")): _*)
+    a.join(b, keyCols.map(c => col(c) === col(s"__$c")).reduce(_ && _) &&
+        col(idCol) < col(s"__$idCol"))
+      .select(col(idCol).as("s1"), col(s"__$idCol").as("s2"))
+  }
+
+  /** Token-blocking candidate join (SURVEY J3): explode normalized name
+    * tokens, drop tokens appearing in more than `maxDocFreq` records (the
+    * IDF-prune that replaces `minimum_should_match`; it is also the skew
+    * guard — frequent tokens are exactly the skewed join keys), self-join on
+    * token, dedupe pairs. Output: (id1, id2, shared_tokens). */
+  def tokenBlockingCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDocFreq: Long): DataFrame =
+    tokenBlockingCandidatesBy(df, textCol, idCol, lit(maxDocFreq))
+
+  /** Same, with the doc-frequency cutoff as a fraction of the corpus size,
+    * so the prune scales with the data instead of being an absolute knob. */
+  def tokenBlockingCandidatesFrac(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDocFreqFraction: Double): DataFrame = {
+    val n = df.select(count(lit(1)).as("__n"))
+    tokenBlockingCandidatesBy(df.crossJoin(broadcast(n)), textCol, idCol,
+      (col("__n") * maxDocFreqFraction))
+  }
+
+  private def tokenBlockingCandidatesBy(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      cutoff: org.apache.spark.sql.Column): DataFrame = {
+    val toks = df.select(
+        col(idCol).as("id"),
+        explode(array_distinct(graft.text.TextAnalysis.tokens(lower(col(textCol))))).as("tok"),
+        cutoff.as("__cutoff"))
+    val rare = toks.groupBy("tok", "__cutoff").agg(count(lit(1)).as("df"))
+      .where(col("df") <= col("__cutoff"))
+    val pruned = toks.drop("__cutoff").join(rare.select("tok"), Seq("tok"))
+    pruned.alias("a")
+      .join(pruned.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("shared_tokens"))
+  }
+
+  /** IDF weights per token over a corpus: idf = ln(N / df). N is joined in
+    * as a broadcast scalar, not collected per-row. (Reference:
+    * `EntityResolution.scala:133-140`.) */
+  def idf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(graft.text.TextAnalysis.tokens(lower(col(textCol))))).as("tok"))
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("tok"), col("df"), log(col("n_docs").cast("double") / col("df")).as("idf"))
+  }
+
+  /** Levenshtein similarity 1 - dist/maxLen (reference
+    * `EntityResolution.scala:188-194`), as a Column. */
+  def levenshteinSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    lit(1.0) - levenshtein(a, b).cast("double") /
+      greatest(length(a), length(b)).cast("double")
+}

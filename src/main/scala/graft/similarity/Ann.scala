@@ -1,0 +1,150 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k for a bounded probe set (exact,
+  * O(|probes| * n) — the right plan when probes are few and broadcastable).
+  * Scale path: sign-random-projection LSH bucketing (`lshTopK`) and a
+  * centroid-routed IVF variant (`ivfTopK`) so the candidate set per probe is
+  * a small bucket, not the full corpus. All vector math is codegen'd
+  * `aggregate`/`zip_with` over array columns in double precision.
+  */
+object Ann {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0d), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0d), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k cosine neighbors for each probe row. `probes` should be
+    * small (it is broadcast); ranking is on similarity rounded to 9 places
+    * with id tiebreak, so results are deterministic across engines.
+    * Output: (probe_id, neighbor_id, rank). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("pvec"), col("cvec")), 9))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** All pairs with cosine similarity above `threshold` — embedding-based
+    * near-duplicate detection. Exact but O(n^2): use only at small n or
+    * after blocking; `lshPairs` is the scale path. Output: (id1, id2). */
+  def thresholdPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .where(cosine(col("v1"), col("v2")) > threshold)
+      .select(col("id1"), col("id2"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane `p`, dim
+    * `d`: xxhash64 folded to [-1, 1]. No RNG state — reproducible across
+    * runs and engines. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-random-projection bucket id: `numPlanes` sign bits packed into a
+    * long. Vectors in the same bucket are candidate neighbors. */
+  def srpBucket(vec: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0d), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  /** LSH near-dup pairs: bucket by SRP signature under several independent
+    * plane sets, verify cosine on bucket collisions only. */
+  def lshPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int = 12,
+      tables: Int = 4): DataFrame = {
+    val withBuckets = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(array((0 until tables).map(t =>
+        srpBucket(transform(col(vecCol), x => x + lit(t) * lit(0d)), numPlanes + t)): _*))
+        .as(Seq("table", "bucket")))
+      .localCheckpoint()
+    val cands = withBuckets.alias("a")
+      .join(withBuckets.alias("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.vec").as("v1"), col("b.vec").as("v2"))
+      .dropDuplicates("id1", "id2")
+    cands.where(cosine(col("v1"), col("v2")) > threshold).select(col("id1"), col("id2"))
+  }
+
+  /** IVF-style ANN: assign every corpus vector to its nearest of `nlist`
+    * deterministic centroids (hash-seeded corpus sample), probe only the
+    * `nprobe` closest lists per query. Approximate; the 100 TB plan — the
+    * corpus shuffles once by centroid, each probe touches nprobe/nlist of
+    * the data. Output: (probe_id, neighbor_id, rank). */
+  def ivfTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    // deterministic "centroids": the nlist corpus vectors with smallest
+    // xxhash64(id) — a seedless reproducible sample standing in for k-means.
+    val cents = corpus
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(nlist)
+      .select(col("cent_id"), col("cent_vec"))
+      .localCheckpoint()
+    def nearestLists(df: DataFrame, id: String, vec: String, n: Int, rename: String) = {
+      val scored = df.select(col(id).as(rename), col(vec).as(s"${rename}_vec"))
+        .join(broadcast(cents))
+        .withColumn("csim", cosine(col(s"${rename}_vec"), col("cent_vec")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(rename)).orderBy(col("csim").desc, col("cent_id"))
+      scored.withColumn("crank", row_number().over(w)).where(col("crank") <= n)
+        .select(col(rename), col(s"${rename}_vec"), col("cent_id"))
+    }
+    val assigned = nearestLists(corpus, idCol, vecCol, 1, "neighbor_id")
+    val probed = nearestLists(probes, idCol, vecCol, nprobe, "probe_id")
+    val scored = probed.join(assigned, Seq("cent_id"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .dropDuplicates("probe_id", "neighbor_id")
+      .withColumn("sim", round(cosine(col("probe_id_vec"), col("neighbor_id_vec")), 9))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+  }
+}

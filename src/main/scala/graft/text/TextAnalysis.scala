@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for a large-scale document pipeline: tokenizing,
+  * counting, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no Scala UDFs on the hot path), so whole-stage codegen spans the full
+  * pipeline and the work distributes with the scan. Normalization semantics
+  * follow the reference's text utilities
+  * (`utilities/src/main/com/thymeflow/utilities/text/Normalization.scala:14-33`:
+  * lowercase + diacritic strip + whitespace collapse) and its tokenizer
+  * (`thymeflow/src/main/com/thymeflow/enricher/entityresolution/EntityResolution.scala:39-40`:
+  * split on punctuation/space).
+  */
+object TextAnalysis {
+
+  /** Tokens: split on whitespace/punctuation runs, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(text, "[\\s\\p{Punct}]+"), t => length(t) > 0)
+
+  /** Whitespace token count (exact, integer — safe for differential tests). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word-k-shingles of a text (for Jaccard/minhash dedup). */
+  def wordShingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      filter(
+        transform(
+          sequence(lit(0), greatest(size(t) - k, lit(0))),
+          i => concat_ws(" ", slice(t, i + 1, lit(k)))),
+        s => length(s) > 0))
+  }
+
+  /** Character-k-shingles (for near-dup detection on short texts). */
+  def charShingles(text: Column, k: Int): Column = {
+    val n = length(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(n - (k - 1), lit(1))),
+        i => text.substr(i, lit(k))))
+  }
+
+  /** Lowercase, collapse whitespace, trim (reference Normalization.scala). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** BPE-ish sub-word token count: words plus punctuation marks counted
+    * separately, long words counted as ceil(len/4) pieces — a deterministic
+    * stand-in for a real tokenizer's piece count. */
+  def bpeishTokenCount(text: Column): Column = {
+    val words = tokens(text)
+    val wordPieces = aggregate(
+      transform(words, w => ceil(length(w).cast("double") / 4d).cast("long")),
+      lit(0L),
+      (acc, x) => acc + x)
+    val punct = size(filter(split(text, ""), c => c.rlike("\\p{Punct}")))
+    wordPieces + punct.cast("long")
+  }
+
+  /** Stopword hit count (exact int) — building block of quality scores. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(sw, t)))
+  }
+
+  /** Document quality heuristics (exact integer counts so results are
+    * stable across engines): chars, tokens, distinct tokens, stopword hits,
+    * punctuation chars, digit chars, max token length. */
+  def qualityMetrics(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = Seq(
+    "n_chars_measured" -> length(text),
+    "n_tokens" -> tokenCount(text),
+    "n_distinct_tokens" -> size(array_distinct(tokens(lower(text)))),
+    "n_stopwords" -> stopwordCount(text, stopwords),
+    "n_punct" -> (length(text) - length(regexp_replace(text, "\\p{Punct}", ""))),
+    "n_digits" -> (length(text) - length(regexp_replace(text, "[0-9]", ""))),
+    "max_token_len" -> coalesce(array_max(transform(tokens(text), t => length(t))), lit(0))
+  )
+
+  /** Quality score in [0,1]: penalizes very short docs, low lexical
+    * diversity, and stopword-free (likely non-linguistic) text. Ratios are
+    * computed per-row from exact ints (deterministic IEEE ops). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val diversity = size(array_distinct(tokens(lower(text)))).cast("double") / greatest(nTok, lit(1d))
+    val stopRatio = stopwordCount(text, stopwords).cast("double") / greatest(nTok, lit(1d))
+    val lenOk = when(nTok >= 5, lit(1d)).otherwise(nTok / 5d)
+    round(lenOk * (lit(0.5) + lit(0.5) * diversity) * (lit(0.5) + least(stopRatio * 5d, lit(0.5))), 6)
+  }
+
+  /** N-gram-profile language ID heuristic: scores text against small
+    * per-language marker-token sets, returns best language or 'und'.
+    * Deterministic and cheap (no model); markers chosen for the synthetic
+    * corpus + common English/Spanish/German/French function words. */
+  def langIdHeuristic(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val toks = tokens(lower(text))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val sw = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(sw, t))).as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint for exact dedup: md5 of the normalized text.
+    * (Reference mints SHA1-based IRIs — UUIDConverter.scala:10-42; md5 is
+    * used here because both Spark and the DuckDB oracle implement it.) */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Rolling-hash document fingerprint: xxhash64 over the shingle set,
+    * combined order-independently (bitwise XOR via aggregate). */
+  def rollingFingerprint(text: Column, k: Int = 3): Column =
+    aggregate(
+      transform(wordShingles(text, k), s => xxhash64(s)),
+      lit(0L),
+      (acc, h) => acc.bitwiseXOR(h))
+}
