@@ -264,6 +264,89 @@ object SparkEntry {
     Resolution.tokenBlockingCandidatesFrac(t(s, dir, "part"), "p_name", "p_partkey",
       maxDocFreqFraction = 0.2)
 
+  // ------------------------------------------------------------- RDF layer
+
+  import graft.rdf.{Bgp, QuadStore, TpchQuads}
+  import graft.rdf.Bgp.Pattern
+
+  /** Q1/Q2: BGP chain over the quad view — customer name + nation name via
+    * a 3-pattern join (the AgentMatchEnricher query shape). */
+  private def q31_bgp(s: SparkSession, dir: String): DataFrame = {
+    val quads = TpchQuads.quads(s, dir)
+    Bgp.bgp(quads,
+        Pattern("?c", "name", "?cname"),
+        Pattern("?c", "nation", "?nat"),
+        Pattern("?nat", "name", "?nname"))
+      .select(col("c"), col("cname"), col("nname"))
+  }
+
+  /** Q3: OPTIONAL — all customers, left-joined to their orders; count
+    * matched orders per customer (nulls count 0). */
+  private def q32_optional(s: SparkSession, dir: String): DataFrame = {
+    val quads = TpchQuads.quads(s, dir)
+    val custs = Bgp.bgp(quads, Pattern("?c", "name", "?cname", g = Some("customer")))
+    Bgp.optional(custs, quads, Pattern("?o", "cust", "?c"), Pattern("?o", "status", "F"))
+      .groupBy(col("c"), col("cname"))
+      .agg(count(col("o")).as("n_f_orders"))
+  }
+
+  /** Q11: GRAPH scoping — count statements per named graph. */
+  private def q33_graph_count(s: SparkSession, dir: String): DataFrame =
+    TpchQuads.quads(s, dir).groupBy(col("g")).agg(count(lit(1)).as("n"))
+
+  /** W6/T2: replace-graph diff — old customer graph vs a new version where
+    * customers of nations 0-11 changed segment case; added/removed tagged. */
+  private def q34_store_diff(s: SparkSession, dir: String): DataFrame = {
+    val old = TpchQuads.quads(s, dir)
+    val cust = t(s, dir, "customer")
+    val newSeg = cust.select(
+      concat(lit("c:"), col("c_custkey").cast("string")).as("s"),
+      lit("segment").as("p"),
+      when(col("c_nationkey") < 12, lower(col("c_mktsegment")))
+        .otherwise(col("c_mktsegment")).as("o"),
+      lit(graft.rdf.Quad.LITERAL).as("oKind"),
+      lit(null).cast("string").as("oDt"),
+      lit(null).cast("string").as("oLang"),
+      lit("customer").as("g"))
+    val newGraph = old.where(col("g") === "customer" && col("p") =!= "segment")
+      .unionByName(newSeg)
+    val d = QuadStore.replaceGraphDiff(old, newGraph, "customer")
+    d.added.select(col("s"), col("p"), col("o"), lit("added").as("op"))
+      .union(d.removed.select(col("s"), col("p"), col("o"), lit("removed").as("op")))
+  }
+
+  /** J5: negation guard — inserting name quads is suppressed where a
+    * negation statement exists (here: customers with custkey % 10 = 0). */
+  private def q35_negation_guard(s: SparkSession, dir: String): DataFrame = {
+    val quads = TpchQuads.quads(s, dir)
+    val toAdd = quads.where(col("g") === "customer" && col("p") === "name")
+    val negations = toAdd.where(expr("CAST(substr(s, 3) AS BIGINT) % 10 = 0"))
+      .select(col("s"), col("p"), col("o"))
+    QuadStore.guardAgainstNegations(toAdd, negations).select(col("s"), col("o"))
+  }
+
+  /** A5: primary-facet election — per nation, the customer with the most
+    * orders (argmax via row_number; deterministic custkey tiebreak). */
+  private def q36_primary_facet(s: SparkSession, dir: String): DataFrame = {
+    val quads = TpchQuads.quads(s, dir)
+    val counts = Bgp.bgp(quads,
+        Pattern("?o", "cust", "?c"),
+        Pattern("?c", "nation", "?nat"))
+      .groupBy(col("nat"), col("c"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("nat")).orderBy(col("n_orders").desc, col("c"))
+    counts.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("nat"), col("c").as("primary_c"), col("n_orders"))
+  }
+
+  /** Q4 over quads: UNION of two binding sets with var padding. */
+  private def q37_bgp_union(s: SparkSession, dir: String): DataFrame = {
+    val quads = TpchQuads.quads(s, dir)
+    val f = Bgp.bgp(quads, Pattern("?o", "status", "F"), Pattern("?o", "cust", "?c"))
+    val p = Bgp.bgp(quads, Pattern("?o", "priority", "1-URGENT"))
+    Bgp.union(f, p).groupBy(col("c")).agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -294,7 +377,14 @@ object SparkEntry {
     "q27_cosine_pairs" -> (q27_cosine_pairs _),
     "q28_idf" -> (q28_idf _),
     "q29_histogram" -> (q29_histogram _),
-    "q30_token_blocking" -> (q30_token_blocking _)
+    "q30_token_blocking" -> (q30_token_blocking _),
+    "q31_bgp" -> (q31_bgp _),
+    "q32_optional" -> (q32_optional _),
+    "q33_graph_count" -> (q33_graph_count _),
+    "q34_store_diff" -> (q34_store_diff _),
+    "q35_negation_guard" -> (q35_negation_guard _),
+    "q36_primary_facet" -> (q36_primary_facet _),
+    "q37_bgp_union" -> (q37_bgp_union _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -457,7 +547,47 @@ object SparkEntry {
         |)
         |SELECT a.p_partkey AS id1, b.p_partkey AS id2, count(*) AS shared_tokens
         |FROM pruned a JOIN pruned b ON a.tok = b.tok AND a.p_partkey < b.p_partkey
-        |GROUP BY a.p_partkey, b.p_partkey""".stripMargin
+        |GROUP BY a.p_partkey, b.p_partkey""".stripMargin,
+    "q31_bgp" ->
+      """SELECT 'c:' || c_custkey AS c, c_name AS cname, n_name AS nname
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q32_optional" ->
+      """SELECT 'c:' || c_custkey AS c, c_name AS cname,
+        |  count(o_orderkey) AS n_f_orders
+        |FROM customer LEFT JOIN orders
+        |  ON o_custkey = c_custkey AND o_orderstatus = 'F'
+        |GROUP BY 1, 2""".stripMargin,
+    "q33_graph_count" ->
+      """SELECT 'customer' AS g, 3 * count(*) AS n FROM customer
+        |UNION ALL SELECT 'nation', 2 * count(*) FROM nation
+        |UNION ALL SELECT 'orders', 3 * count(*) FROM orders""".stripMargin,
+    "q34_store_diff" ->
+      """SELECT 'c:' || c_custkey AS s, 'segment' AS p,
+        |  lower(c_mktsegment) AS o, 'added' AS op
+        |FROM customer WHERE c_nationkey < 12
+        |UNION ALL
+        |SELECT 'c:' || c_custkey, 'segment', c_mktsegment, 'removed'
+        |FROM customer WHERE c_nationkey < 12""".stripMargin,
+    "q35_negation_guard" ->
+      """SELECT 'c:' || c_custkey AS s, c_name AS o FROM customer
+        |WHERE c_custkey % 10 <> 0""".stripMargin,
+    "q36_primary_facet" ->
+      """SELECT nat, c AS primary_c, n_orders FROM (
+        |  SELECT 'n:' || c_nationkey AS nat, 'c:' || c_custkey AS c,
+        |    count(*) AS n_orders,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY count(*) DESC, 'c:' || c_custkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey, c_custkey
+        |) WHERE rk = 1""".stripMargin,
+    "q37_bgp_union" ->
+      """SELECT c, count(*) AS n FROM (
+        |  SELECT 'o:' || o_orderkey AS o, 'c:' || o_custkey AS c
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT 'o:' || o_orderkey, NULL FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |) GROUP BY c""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

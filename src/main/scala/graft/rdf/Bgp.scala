@@ -1,0 +1,73 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SPARQL-semantics query layer over a quads DataFrame: basic graph
+  * patterns, OPTIONAL, UNION, GRAPH scoping — the relational surface every
+  * reference enricher uses (SURVEY §2.2, Q1–Q14).
+  *
+  * A term starting with '?' is a variable; anything else is a constant.
+  * Each triple pattern compiles to a filtered scan of `quads` (constant
+  * positions become pushed-down predicates on the columnar store — the
+  * Spark analogue of RDF4J's SPOC statement indexes); chained patterns
+  * equi-join on their shared variables. Catalyst then reorders/broadcasts
+  * as usual — the BGP builder stays declarative.
+  */
+object Bgp {
+
+  final case class Pattern(s: String, p: String, o: String, g: Option[String] = None)
+
+  private def isVar(t: String) = t.startsWith("?")
+
+  /** Compile one triple pattern: filter on constants, project variables. */
+  def scan(quads: DataFrame, pat: Pattern): DataFrame = {
+    val bindings = Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o) ++
+      pat.g.map(g => Seq("g" -> g)).getOrElse(Nil)
+    val filtered = bindings.foldLeft(quads) { case (df, (colName, term)) =>
+      if (isVar(term)) df else df.where(col(colName) === term)
+    }
+    val projections = bindings.collect {
+      case (colName, term) if isVar(term) => col(colName).as(term.drop(1))
+    }
+    // a variable used twice inside one pattern (e.g. ?x p ?x) needs a
+    // self-equality filter; handled by grouping projections by var name
+    val dup = bindings.collect { case (c, t) if isVar(t) => (t, c) }
+      .groupBy(_._1).filter(_._2.size > 1)
+    val selfFiltered = dup.values.foldLeft(filtered) { (df, occurrences) =>
+      occurrences.map(_._2).sliding(2).foldLeft(df) {
+        case (d, Seq(a, b)) => d.where(col(a) === col(b))
+        case (d, _) => d
+      }
+    }
+    selfFiltered.select(projections.distinct: _*)
+  }
+
+  /** Join a chain of patterns on their shared variables (natural join). */
+  def bgp(quads: DataFrame, patterns: Pattern*): DataFrame =
+    patterns.map(scan(quads, _)).reduceLeft { (acc, next) =>
+      val shared = acc.columns.intersect(next.columns).toSeq
+      if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
+    }
+
+  /** OPTIONAL: left-outer join of a BGP onto an existing binding set
+    * (SURVEY Q3; e.g. `AgentMatchEnricher.scala:105-111`). */
+  def optional(left: DataFrame, quads: DataFrame, patterns: Pattern*): DataFrame = {
+    val right = bgp(quads, patterns: _*)
+    val shared = left.columns.intersect(right.columns).toSeq
+    left.join(right, shared, "left_outer")
+  }
+
+  /** UNION of two binding sets (bag semantics, SURVEY Q4): columns are
+    * aligned by name, missing vars become nulls. */
+  def union(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = (a.columns ++ b.columns).distinct.toSeq
+    def pad(df: DataFrame) = df.select(cols.map(c =>
+      if (df.columns.contains(c)) col(c) else lit(null).cast("string").as(c)): _*)
+    pad(a).union(pad(b))
+  }
+
+  /** ASK: does the pattern have any solution? (SURVEY Q10) */
+  def ask(quads: DataFrame, patterns: Pattern*): Boolean =
+    !bgp(quads, patterns: _*).isEmpty
+}
