@@ -24,6 +24,11 @@ object GraftSession {
       // events.parquet carries INT64 TIMESTAMP(NANOS) which vanilla Spark
       // rejects; read as long and convert in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Unions over localCheckpoint lineage (our fixpoint loops) trip
+      // Catalyst's Union constraint rewrite (stale attribute refs); the
+      // engine states its filters explicitly, so inferred constraints are
+      // dispensable.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

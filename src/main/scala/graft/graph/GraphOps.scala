@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Re-alias every column so the plan's output attributes get fresh
+    * expression ids. Unions of plans that share attribute ids (which happens
+    * when both sides descend from the same localCheckpoint) trip Catalyst's
+    * Union constraint rewriting — fresh aliases keep the children disjoint. */
+  private def refreshed(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).as(c)): _*)
+
   /** Transitive closure of a directed edge set (`src`, `dst`): all pairs
     * (a, b) such that b is reachable from a in >= 1 step. Semi-naive
     * evaluation: only the newly-discovered frontier is re-joined per round.
@@ -38,7 +45,7 @@ object GraphOps {
         .localCheckpoint()
       if (next.isEmpty) done = true
       else {
-        closure = closure.union(next).localCheckpoint()
+        closure = refreshed(closure).union(refreshed(next)).localCheckpoint()
         frontier = next
       }
       i += 1

@@ -27,9 +27,13 @@ object Bgp {
     val filtered = bindings.foldLeft(quads) { case (df, (colName, term)) =>
       if (isVar(term)) df else df.where(col(colName) === term)
     }
-    val projections = bindings.collect {
-      case (colName, term) if isVar(term) => col(colName).as(term.drop(1))
-    }
+    // first occurrence of each variable wins (a later duplicate would
+    // produce an ambiguous output column)
+    val varCols = bindings.collect { case (c, t) if isVar(t) => (t.drop(1), c) }
+      .foldLeft(Vector.empty[(String, String)]) { (acc, p) =>
+        if (acc.exists(_._1 == p._1)) acc else acc :+ p
+      }
+    val projections = varCols.map { case (v, c) => col(c).as(v) }
     // a variable used twice inside one pattern (e.g. ?x p ?x) needs a
     // self-equality filter; handled by grouping projections by var name
     val dup = bindings.collect { case (c, t) if isVar(t) => (t, c) }

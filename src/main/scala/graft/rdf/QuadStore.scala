@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 case class QuadDiff(added: DataFrame, removed: DataFrame) {
   def isEmpty: Boolean = added.isEmpty && removed.isEmpty
   def union(other: QuadDiff): QuadDiff =
-    QuadDiff(added.union(other.added), removed.union(other.removed))
+    QuadDiff(added.unionByName(other.added), removed.unionByName(other.removed))
 }
 
 /** Quad-store operations with the reference's replace-graph and negation
@@ -48,9 +48,14 @@ object QuadStore {
   def guardAgainstNegations(added: DataFrame, negations: DataFrame): DataFrame =
     added.join(negations.select("s", "p", "o").distinct(), Seq("s", "p", "o"), "left_anti")
 
-  /** Apply a diff to a store snapshot (batch MERGE semantics of T2). */
-  def applyDiff(store: DataFrame, d: QuadDiff): DataFrame =
-    store.join(d.removed, key, "left_anti").union(d.added.select(store.columns.map(col): _*))
+  /** Apply a diff to a store snapshot (batch MERGE semantics of T2).
+    * NB: a using-columns join reorders output columns (keys first), so both
+    * union inputs are re-projected to the store's column order explicitly. */
+  def applyDiff(store: DataFrame, d: QuadDiff): DataFrame = {
+    val cols = store.columns.map(col).toSeq
+    store.join(d.removed, key, "left_anti").select(cols: _*)
+      .unionByName(d.added.select(cols: _*))
+  }
 
   /** Persist a store partitioned by graph; a later replace of one graph is
     * a dynamic partition overwrite touching only that directory. */

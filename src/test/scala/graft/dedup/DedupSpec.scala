@@ -1,0 +1,50 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup of 1
+    (4L, "completely different text about spark engines"),
+    (5L, "spark engines are completely different text about")).toDF("doc_id", "text")
+
+  "exact" should "group identical texts keeping the min id" in {
+    val res = Dedup.exact(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    res shouldBe Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L))
+  }
+
+  "ngramJaccardPairs" should "find near-dups above an exact rational threshold" in {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 2, num = 1, den = 3)
+      .as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L)) // identical: jaccard 1
+    pairs should contain((1L, 3L)) // one word differs: high overlap
+    pairs should not contain ((1L, 4L))
+  }
+
+  "minhashLshPairs" should "recover exact and near dups after verification" in {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      k = 2, numHashes = 32, bands = 16, num = 1, den = 3)
+      .as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 4L))
+  }
+
+  "simhash" should "be identical for identical text and differ for unrelated text" in {
+    val fps = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    fps(1L) shouldBe fps(2L)
+    fps(1L) should not be fps(4L)
+  }
+
+  "simhashPairs" should "pair exact duplicates at hamming 0" in {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+  }
+}

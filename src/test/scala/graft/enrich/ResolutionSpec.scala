@@ -1,0 +1,45 @@
+package graft.enrich
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  "ifpPairs" should "pair ids sharing all key columns" in {
+    val df = Seq(
+      (1L, "a@x.com", "555"),
+      (2L, "a@x.com", "555"),
+      (3L, "a@x.com", "666"),
+      (4L, "b@y.com", "555")).toDF("id", "email", "phone")
+    Resolution.ifpPairs(df, Seq("email", "phone"), "id")
+      .as[(Long, Long)].collect().toSet shouldBe Set((1L, 2L))
+  }
+
+  "tokenBlockingCandidates" should "pair records sharing rare tokens only" in {
+    val df = Seq(
+      (1L, "john smith"),
+      (2L, "john doe"),
+      (3L, "jane smith"),
+      (4L, "common common")).toDF("id", "name")
+    // every token has df <= 2 except none; cap 1 prunes everything shared
+    val all = Resolution.tokenBlockingCandidates(df, "name", "id", maxDocFreq = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    all shouldBe Set((1L, 2L), (1L, 3L))
+  }
+
+  "idf" should "compute ln(N/df) over distinct doc tokens" in {
+    val df = Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("id", "text")
+    val m = Resolution.idf(df, "text", "id")
+      .select("tok", "idf").as[(String, Double)].collect().toMap
+    m("a") shouldBe 0.0 +- 1e-12
+    m("b") shouldBe math.log(3.0 / 2) +- 1e-12
+    m("c") shouldBe math.log(3.0) +- 1e-12
+  }
+
+  "levenshteinSim" should "be 1 for equal strings and scale with distance" in {
+    val df = Seq(("kitten", "sitting")).toDF("a", "b")
+    df.select(Resolution.levenshteinSim($"a", $"b")).as[Double].head() shouldBe
+      (1.0 - 3.0 / 7) +- 1e-12
+  }
+}

@@ -1,0 +1,49 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1f, 0f, 0f, 0f)),
+    (2L, Array(0.9f, 0.1f, 0f, 0f)), // near 1
+    (3L, Array(0f, 1f, 0f, 0f)),
+    (4L, Array(0f, 0f, 1f, 0f)),
+    (5L, Array(-1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+
+  "cosine" should "be 1 for identical directions and 0 for orthogonal" in {
+    val df = Seq((Array(1f, 2f, 3f), Array(2f, 4f, 6f), Array(3f, -1.5f, 0f)))
+      .toDF("a", "b", "c")
+    df.select(Ann.cosine($"a", $"b")).as[Double].head() shouldBe 1.0 +- 1e-12
+    df.select(Ann.cosine($"a", $"c")).as[Double].head() shouldBe 0.0 +- 1e-12
+  }
+
+  "bruteForceTopK" should "rank the nearest vector first" in {
+    val top1 = Ann.bruteForceTopK(vecs, vecs.where($"vec_id" === 1), "vec_id", "embedding", 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    top1 shouldBe Set((1L, 2L))
+    val top2 = Ann.bruteForceTopK(vecs, vecs.where($"vec_id" === 3), "vec_id", "embedding", 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    top2.head shouldBe 2L // cos(3,2) ≈ 0.11 is the only positive sim
+  }
+
+  "thresholdPairs" should "find only the near-duplicate pair" in {
+    Ann.thresholdPairs(vecs, "vec_id", "embedding", 0.95)
+      .as[(Long, Long)].collect().toSet shouldBe Set((1L, 2L))
+  }
+
+  "lshPairs" should "recover the near-duplicate pair via bucketing" in {
+    Ann.lshPairs(vecs, "vec_id", "embedding", 0.95, numPlanes = 8, tables = 4)
+      .as[(Long, Long)].collect().toSet should contain((1L, 2L))
+  }
+
+  "ivfTopK" should "return a ranked neighbor list per probe" in {
+    val res = Ann.ivfTopK(vecs, vecs.where($"vec_id" === 1), "vec_id", "embedding",
+      k = 2, nlist = 2, nprobe = 2)
+      .select("probe_id", "neighbor_id", "rank").collect()
+    res.length should be >= 1
+    res.map(_.getInt(2)).min shouldBe 1
+  }
+}

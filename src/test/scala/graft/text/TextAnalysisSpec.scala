@@ -1,0 +1,71 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  "tokens" should "split on whitespace and punctuation, dropping empties" in {
+    val res = Seq("Hello, world!  foo-bar").toDF("t")
+      .select(TextAnalysis.tokens($"t")).as[Seq[String]].head()
+    res shouldBe Seq("Hello", "world", "foo", "bar")
+  }
+
+  "wordShingles" should "produce distinct k-shingles" in {
+    val res = Seq("a b c b c").toDF("t")
+      .select(TextAnalysis.wordShingles($"t", 2)).as[Seq[String]].head()
+    res.toSet shouldBe Set("a b", "b c", "c b")
+  }
+
+  it should "handle texts shorter than k" in {
+    val res = Seq("single").toDF("t")
+      .select(TextAnalysis.wordShingles($"t", 2)).as[Seq[String]].head()
+    res shouldBe Seq("single")
+  }
+
+  "charShingles" should "slide over characters" in {
+    val res = Seq("abcd").toDF("t")
+      .select(TextAnalysis.charShingles($"t", 3)).as[Seq[String]].head()
+    res shouldBe Seq("abc", "bcd")
+  }
+
+  "normalize" should "lowercase and collapse whitespace" in {
+    Seq("  Foo   BAR  ").toDF("t").select(TextAnalysis.normalize($"t"))
+      .as[String].head() shouldBe "foo bar"
+  }
+
+  "qualityMetrics" should "produce exact integer counts" in {
+    val df = Seq("The quick brown fox! 42 times.").toDF("t")
+    val m = TextAnalysis.qualityMetrics($"t", Seq("the", "a", "of")).toMap
+    val row = df.select(m("n_tokens").as("nt"), m("n_stopwords").as("ns"),
+      m("n_punct").as("np"), m("n_digits").as("nd")).head()
+    row.getInt(0) shouldBe 6
+    row.getInt(1) shouldBe 1
+    row.getInt(2) shouldBe 2 // ! and .
+    row.getInt(3) shouldBe 2 // 4 and 2
+  }
+
+  "langIdHeuristic" should "pick the language with most marker hits" in {
+    val markers = Map(
+      "en" -> Seq("the", "and", "of"),
+      "de" -> Seq("der", "und", "das"),
+      "es" -> Seq("el", "y", "de"))
+    val res = Seq("der Hund und das Haus", "the cat and the hat", "zzz qqq")
+      .toDF("t").select(TextAnalysis.langIdHeuristic($"t", markers))
+      .as[String].collect().toSeq
+    res shouldBe Seq("de", "en", "und")
+  }
+
+  "fingerprint" should "be stable under whitespace normalization" in {
+    val fps = Seq("foo  bar", "foo bar ").toDF("t")
+      .select(TextAnalysis.fingerprint($"t")).as[String].collect()
+    fps(0) shouldBe fps(1)
+  }
+
+  "bpeishTokenCount" should "count sub-word pieces deterministically" in {
+    // "internationalization" = 20 chars -> 5 pieces; "a" -> 1; plus 1 punct
+    Seq("internationalization a.").toDF("t")
+      .select(TextAnalysis.bpeishTokenCount($"t")).as[Long].head() shouldBe 7L
+  }
+}
