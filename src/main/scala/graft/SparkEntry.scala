@@ -347,6 +347,50 @@ object SparkEntry {
     Bgp.union(f, p).groupBy(col("c")).agg(count(lit(1)).as("n"))
   }
 
+  // ---------------------------------------------------------------- spatial
+
+  /** Synthetic lat/lon derived deterministically from events (the test data
+    * has no GPS traces): 4 distinct "places" per the value bucket. */
+  private def eventsAsObservations(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id").as("user"), col("ts"),
+      (lit(40.0) + floor(col("value") / 50) * 0.05).as("lat"),
+      (lit(-74.0) + floor(col("value") / 50) * 0.05).as("lon"),
+      lit(25.0).as("accuracy"))
+
+  /** F3: codegen'd haversine expression in a margin-safe predicate. */
+  private def q38_haversine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoTimeFunctions.register(s)
+    eventsAsObservations(s, dir)
+      .where(graft.functions.GeoTimeFunctions.haversineMeters(
+        col("lat"), col("lon"), lit(40.0), lit(-74.0)) < 9000.0)
+      .select(col("event_id"))
+  }
+
+  /** A8/A9: time-sequential stay extraction (order-dependent stateful
+    * clustering — implementation-defined, rows-only check; semantics are
+    * unit-tested against crafted fixtures). */
+  private def q39_stays(s: SparkSession, dir: String): DataFrame =
+    graft.spatial.StayExtraction.extractStaysDf(
+      eventsAsObservations(s, dir), minStayMs = 10L * 60 * 1000)
+
+  /** J1+J2: event-stay interval+distance matching over the extracted stays
+    * (depends on q39's operator output — rows-only check). */
+  private def q40_event_stay_match(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoTimeFunctions.register(s)
+    val stays = q39_stays(s, dir).select(
+      concat(col("user"), lit("_"), col("start_ms")).as("stay_id"),
+      timestamp_millis(col("start_ms")).as("s_start"),
+      timestamp_millis(col("end_ms")).as("s_end"),
+      col("lat").as("s_lat"), col("lon").as("s_lon"))
+    val events = eventsAsObservations(s, dir).select(
+      col("event_id"), col("ts").as("e_start"),
+      (col("ts") + expr("INTERVAL 30 MINUTES")).as("e_end"),
+      col("lat").as("e_lat"), col("lon").as("e_lon"))
+    graft.enrich.EventStayMatch.matchEvents(events, stays, bucketSeconds = 3600)
+      .select(col("event_id"), col("stay_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -384,7 +428,10 @@ object SparkEntry {
     "q34_store_diff" -> (q34_store_diff _),
     "q35_negation_guard" -> (q35_negation_guard _),
     "q36_primary_facet" -> (q36_primary_facet _),
-    "q37_bgp_union" -> (q37_bgp_union _)
+    "q37_bgp_union" -> (q37_bgp_union _),
+    "q38_haversine" -> (q38_haversine _),
+    "q39_stays" -> (q39_stays _),
+    "q40_event_stay_match" -> (q40_event_stay_match _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -587,7 +634,12 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'o:' || o_orderkey, NULL FROM orders
         |  WHERE o_orderpriority = '1-URGENT'
-        |) GROUP BY c""".stripMargin
+        |) GROUP BY c""".stripMargin,
+    // haversine predicate: derived places sit at ~0/7.2/14.4/21.6 km from
+    // the anchor; the 9 km cut keeps exactly value-buckets 0 and 1, which
+    // the oracle states directly (margin-safe independent of trig libm).
+    "q38_haversine" ->
+      "SELECT event_id FROM events WHERE floor(value / 50) <= 1"
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -1,0 +1,79 @@
+package graft.spatial
+
+import graft.SparkSpec
+import graft.functions.{GeoTimeFunctions, Haversine}
+import org.apache.spark.sql.functions._
+
+class StaySpec extends SparkSpec {
+  import spark.implicits._
+
+  "Haversine.distanceMeters" should "match known city distances" in {
+    // Paris -> London ≈ 344 km
+    val d = Haversine.distanceMeters(48.8566, 2.3522, 51.5074, -0.1278)
+    d shouldBe 343.5e3 +- 2e3
+    Haversine.distanceMeters(10, 20, 10, 20) shouldBe 0.0
+  }
+
+  "haversineMeters column" should "run through codegen after registration" in {
+    GeoTimeFunctions.register(spark)
+    val d = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("la1", "lo1", "la2", "lo2")
+      .select(GeoTimeFunctions.haversineMeters($"la1", $"lo1", $"la2", $"lo2").as("d"))
+      .as[Double].head()
+    d shouldBe 343.5e3 +- 2e3
+    // and via SQL
+    spark.sql("SELECT haversine_m(0D, 0D, 0D, 1D) AS d").as[Double].head() shouldBe
+      111.19e3 +- 0.2e3
+  }
+
+  "durationMillis" should "be an exact epoch difference" in {
+    GeoTimeFunctions.register(spark)
+    spark.sql(
+      "SELECT duration_ms(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:01') AS d")
+      .as[Long].head() shouldBe 1000L
+  }
+
+  "extractStays" should "find a stay and ignore brief visits" in {
+    val minute = 60000L
+    // user 1: 20 observations over 20+ min near the same point -> one stay;
+    // then a quick far-away excursion (2 min) -> no stay
+    val obsHome = (0 until 20).map(i =>
+      StayExtraction.Obs(1L, i * minute, 40.0 + (i % 3) * 1e-5, -74.0, 20.0))
+    val obsTrip = Seq(
+      StayExtraction.Obs(1L, 30 * minute, 41.0, -75.0, 20.0),
+      StayExtraction.Obs(1L, 32 * minute, 41.0, -75.0, 20.0))
+    // user 2: two obs far apart in space every minute -> no stay
+    val obsJumpy = (0 until 20).map(i =>
+      StayExtraction.Obs(2L, i * minute, 40.0 + i * 0.5, -74.0, 20.0))
+    val ds = spark.createDataset(obsHome ++ obsTrip ++ obsJumpy)
+    val stays = StayExtraction.extractStays(ds).collect()
+    stays.map(_.user).toSet shouldBe Set(1L)
+    stays.length shouldBe 1
+    stays.head.n_obs shouldBe 20
+    stays.head.end_ms - stays.head.start_ms shouldBe 19 * minute
+    stays.head.lat shouldBe 40.0 +- 1e-3
+  }
+
+  it should "split stays at the minStay boundary" in {
+    val minute = 60000L
+    // 10-minute presence only: below the 15-minute default
+    val obs = (0 until 10).map(i => StayExtraction.Obs(1L, i * minute, 40.0, -74.0, 20.0))
+    StayExtraction.extractStays(spark.createDataset(obs)).count() shouldBe 0
+  }
+
+  "EventStayMatch" should "match only overlapping nearby pairs" in {
+    import graft.enrich.EventStayMatch
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"), 40.0, -74.0),
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"), 45.0, -74.0), // far
+      (3L, ts("2024-01-03 10:00:00"), ts("2024-01-03 12:00:00"), 40.0, -74.0)) // no overlap
+      .toDF("event_id", "e_start", "e_end", "e_lat", "e_lon")
+    val stays = Seq(
+      (10L, ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00"), 40.001, -74.0))
+      .toDF("stay_id", "s_start", "s_end", "s_lat", "s_lon")
+    GeoTimeFunctions.register(spark)
+    val m = EventStayMatch.matchEvents(events, stays)
+      .select("event_id", "stay_id").as[(Long, Long)].collect().toSet
+    m shouldBe Set((1L, 10L))
+  }
+}
