@@ -1,0 +1,103 @@
+package graft.enrich
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.rdf.QuadDiff
+
+/** Forward-chaining OWL-subset inference to fixpoint — the reference's
+  * `core/src/main/com/thymeflow/rdf/sail/inferencer/
+  * ForwardChainingSimpleOWLInferencerConnection.scala:23-129`: inverseOf,
+  * symmetric, and transitive property rules applied to newly-asserted
+  * statements until nothing new derives.
+  *
+  * Expressed as a semi-naive DataFrame fixpoint: per round only the
+  * frontier (statements derived last round) joins the rule schema, new
+  * conclusions are anti-joined against everything known, lineage is cut
+  * per iteration. Inferred quads land in a dedicated graph so they can be
+  * retracted wholesale (reference G4's counting retraction simplifies to
+  * graph replacement under re-derivation — recompute-and-swap, T6).
+  */
+object Inference {
+
+  final case class Rules(
+      inverseOf: Map[String, String] = Map.empty, // p -> q and q -> p both applied
+      symmetric: Set[String] = Set.empty,
+      transitive: Set[String] = Set.empty)
+
+  val InferredGraph = "graft:inferred"
+
+  /** Close `quads` under the rules; returns ONLY the newly inferred quads
+    * (tagged with [[InferredGraph]]). */
+  def infer(quads: DataFrame, rules: Rules, maxIterations: Int = 30): DataFrame = {
+    val spark = quads.sparkSession
+    val base = quads.select("s", "p", "o").distinct().localCheckpoint()
+
+    def applyRules(frontier: DataFrame, all: DataFrame): DataFrame = {
+      val inv = rules.inverseOf.toSeq.map { case (p, q) =>
+        frontier.where(col("p") === p)
+          .select(col("o").as("s"), lit(q).as("p"), col("s").as("o"))
+      }
+      val sym = rules.symmetric.toSeq.map { p =>
+        frontier.where(col("p") === p)
+          .select(col("o").as("s"), col("p"), col("s").as("o"))
+      }
+      // transitive: frontier ⋈ all (both directions through the frontier)
+      val trans = rules.transitive.toSeq.flatMap { p =>
+        val f = frontier.where(col("p") === p)
+        val a = all.where(col("p") === p)
+        Seq(
+          f.alias("x").join(a.alias("y"), col("x.o") === col("y.s"))
+            .select(col("x.s").as("s"), lit(p).as("p"), col("y.o").as("o")),
+          a.alias("x").join(f.alias("y"), col("x.o") === col("y.s"))
+            .select(col("x.s").as("s"), lit(p).as("p"), col("y.o").as("o")))
+      }
+      val derived = (inv ++ sym ++ trans).reduceOption(_ unionByName _)
+        .getOrElse(frontier.limit(0))
+      derived.where(col("s") =!= col("o") || !col("p").isin(
+        (rules.symmetric ++ rules.transitive).toSeq: _*)).distinct()
+    }
+
+    var all = base
+    var frontier = base
+    var inferred = base.limit(0)
+    var i = 0
+    var done = false
+    while (!done && i < maxIterations) {
+      val next = applyRules(frontier, all)
+        .join(all, Seq("s", "p", "o"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        all = all.unionByName(next).localCheckpoint()
+        inferred = inferred.unionByName(next)
+        frontier = next
+      }
+      i += 1
+    }
+    inferred.select(col("s"), col("p"), col("o"),
+      lit(graft.rdf.Quad.IRI).as("oKind"),
+      lit(null).cast("string").as("oDt"), lit(null).cast("string").as("oLang"),
+      lit(InferredGraph).as("g"))
+  }
+
+  /** sameAs-closure equivalence classes with the reference's differentFrom
+    * guard (`core/src/main/com/thymeflow/enricher/AbstractEnricher.scala:17-23`):
+    * sameAs edges whose endpoints are transitively declared different are
+    * dropped before closing. Returns (id, component). */
+  def sameAsClasses(
+      sameAs: DataFrame, // (s1, s2)
+      differentFrom: DataFrame // (s1, s2)
+  ): DataFrame = {
+    val guarded = sameAs
+      .join(differentFrom.select(col("s1"), col("s2")),
+        Seq("s1", "s2"), "left_anti")
+      .join(differentFrom.select(col("s2").as("s1"), col("s1").as("s2")),
+        Seq("s1", "s2"), "left_anti")
+    val vertices = sameAs.select(col("s1").as("id"))
+      .union(sameAs.select(col("s2").as("id"))).distinct()
+    graft.graph.GraphOps.connectedComponents(
+      guarded.select(col("s1").as("src"), col("s2").as("dst")),
+      vertices = Some(vertices))
+  }
+}
