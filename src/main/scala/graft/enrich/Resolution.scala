@@ -41,29 +41,48 @@ object Resolution {
     tokenBlockingCandidatesBy(df, textCol, idCol, lit(maxDocFreq))
 
   /** Same, with the doc-frequency cutoff as a fraction of the corpus size,
-    * so the prune scales with the data instead of being an absolute knob. */
+    * so the prune scales with the data instead of being an absolute knob.
+    * `maxBlockSize` additionally caps each token's block (reference
+    * searchSize semantics) — pass None for exhaustive candidates. */
   def tokenBlockingCandidatesFrac(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxDocFreqFraction: Double): DataFrame = {
+      maxDocFreqFraction: Double,
+      maxBlockSize: Option[Int] = None): DataFrame = {
     val n = df.select(count(lit(1)).as("__n"))
     tokenBlockingCandidatesBy(df.crossJoin(broadcast(n)), textCol, idCol,
-      (col("__n") * maxDocFreqFraction))
+      (col("__n") * maxDocFreqFraction), maxBlockSize)
   }
 
   private def tokenBlockingCandidatesBy(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      cutoff: org.apache.spark.sql.Column): DataFrame = {
+      cutoff: org.apache.spark.sql.Column,
+      maxBlockSize: Option[Int] = None): DataFrame = {
     val toks = df.select(
         col(idCol).as("id"),
         explode(array_distinct(graft.text.TextAnalysis.tokens(lower(col(textCol))))).as("tok"),
         cutoff.as("__cutoff"))
     val rare = toks.groupBy("tok", "__cutoff").agg(count(lit(1)).as("df"))
       .where(col("df") <= col("__cutoff"))
-    val pruned = toks.drop("__cutoff").join(rare.select("tok"), Seq("tok"))
+    // repartition post-explode (see Dedup.ngramJaccardPairs) so the
+    // quadratic per-token expansion is spread across tasks, not stuck in
+    // the input's partitioning.
+    val joined = toks.drop("__cutoff").join(rare.select("tok"), Seq("tok"))
+    // optional per-token block cap — the distributed analogue of the
+    // reference's searchSize=10000 candidate bound (AgentMatchEnricher
+    // .scala:68): deterministically keep the lowest ids per token so the
+    // pair fan-out is bounded even for hot tokens.
+    val pruned = (maxBlockSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tok")).orderBy(col("id"))
+        joined.withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= cap).drop("__rk")
+      case None => joined
+    }).repartition(df.sparkSession.sparkContext.defaultParallelism * 2, col("tok"))
     pruned.alias("a")
       .join(pruned.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
