@@ -401,6 +401,133 @@ object SparkEntry {
       .select(col("event_id"), col("stay_id"))
   }
 
+  // ----------------------------------------------- resolution / inference
+
+  /** J3+F9+F10+G6: full fuzzy agent matching over part names. At threshold
+    * 0.999 only identical (lowercased) names survive: a pair differing in
+    * one token scores at most idf_shared²/(idf²+idf_min²) — bounded well
+    * under 0.999 — while identical token sets score exactly 1. The oracle
+    * states that fixpoint directly; the operator still runs the whole
+    * block → align (Hungarian) → soft-TF-IDF path. */
+  private def q41_agent_match(s: SparkSession, dir: String): DataFrame =
+    graft.enrich.AgentMatch.sameAsPairs(
+        t(s, dir, "part"), "p_partkey", "p_name",
+        threshold = 0.999, maxDocFreqFraction = 0.25,
+        maxBlockSize = Some(200))
+      .select(col("id1"), col("id2"))
+
+  /** G3: forward-chaining inference — inverseOf + symmetric rules over the
+    * orders 'cust' predicate (linear output, SQL-stated oracle). */
+  private def q42_inference(s: SparkSession, dir: String): DataFrame = {
+    val quads = graft.rdf.TpchQuads.quads(s, dir)
+    graft.enrich.Inference.infer(quads,
+        graft.enrich.Inference.Rules(inverseOf = Map("cust" -> "hasOrder")))
+      .where(col("p") === "hasOrder")
+      .select(col("s"), col("o"))
+  }
+
+  /** Q8: sub-select — orders above their customer's average price, compared
+    * in exact cents (price_cents * n_orders > sum_cents). */
+  private def q43_subselect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val per = o.groupBy(col("o_custkey").as("ck"))
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
+    o.join(per, col("o_custkey") === col("ck"))
+      .where(col("cents") * col("n") > col("sum_cents"))
+      .select(col("o_orderkey"))
+  }
+
+  /** Q12: scalar COUNT(*) — one-row result. */
+  private def q44_scalar_count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
+
+  /** A4: max-per-unordered-pair via least/greatest grouping. */
+  private def q45_max_pair(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(
+        least(col("l_suppkey"), col("l_partkey")).as("a"),
+        greatest(col("l_suppkey"), col("l_partkey")).as("b"))
+      .agg(max(col("l_quantity")).as("max_qty"))
+
+  /** A2: per-user event-type distribution re-normalized to sum 1 (window
+    * normalization; per-row IEEE division of exact ints -> deterministic). */
+  private def q46_weighted_dist(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+    counts
+      .withColumn("weight",
+        round(col("n").cast("double") / sum(col("n")).over(w).cast("double"), 9))
+      .select(col("user_id"), col("event_type"), col("n"), col("weight"))
+  }
+
+  /** F11/F15: address fabrication + parse — local part and lowercased
+    * domain split, exact strings. */
+  private def q47_email_parse(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("email",
+        concat(regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "."),
+          lit("@Example"), col("c_nationkey") % 3, lit(".COM")))
+      .select(col("c_custkey"),
+        split(col("email"), "@").getItem(0).as("local_part"),
+        lower(split(col("email"), "@").getItem(1)).as("domain"))
+
+  /** Text quality metrics: exact integer counts + BPE-ish piece count. */
+  private def q48_quality(s: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.qualityMetrics(col("text"),
+      Seq("the", "a", "of", "and")).toMap
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      m("n_tokens").as("n_tokens"),
+      m("n_distinct_tokens").as("n_distinct_tokens"),
+      m("n_stopwords").as("n_stopwords"),
+      m("max_token_len").as("max_token_len"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_pieces"))
+  }
+
+  /** Multimodal plumbing: text bytes as the opaque binary column, feature
+    * extraction via the partition-batched kernel; byte count is the
+    * oracle-checkable surface. */
+  private def q49_multimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"), lit("text").as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"), lit("text/plain").as("mime"),
+        lit(-1).as("width"), lit(-1).as("height"), lit(-1L).as("duration_ms"))
+      .as[graft.multimodal.Multimodal.MediaRow]
+    graft.multimodal.Multimodal.extractFeatures(media, dim = 8)
+      .select(col("media_id").as("doc_id"), col("n_bytes"))
+  }
+
+  /** ANN scale path: IVF-routed top-3 (approximate, rows-only check). */
+  private def q50_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfTopK(emb, emb.where(col("vec_id") < 50), "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 4)
+  }
+
+  /** Embedding LSH near-dup path (rows-only: bucketing is hash-defined). */
+  private def q51_lsh_pairs(s: SparkSession, dir: String): DataFrame =
+    Ann.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.3, numPlanes = 10, tables = 4)
+
+  /** G10/A7: PARIS alignment of the customer statement set against itself
+    * (functional name evidence dominates; rows-only check, semantics
+    * unit-tested). */
+  private def q52_paris(s: SparkSession, dir: String): DataFrame = {
+    val stmts = t(s, dir, "customer").select(
+        concat(lit("c:"), col("c_custkey")).as("s"), lit("name").as("p"),
+        col("c_name").as("o"))
+      .union(t(s, dir, "customer").select(
+        concat(lit("c:"), col("c_custkey")).as("s"), lit("nation").as("p"),
+        col("c_nationkey").cast("string").as("o")))
+    graft.enrich.Paris.align(stmts, stmts, iterations = 2, threshold = 0.8)
+      .where(col("s1") <= col("s2"))
+      .select(col("s1"), col("s2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -441,7 +568,19 @@ object SparkEntry {
     "q37_bgp_union" -> (q37_bgp_union _),
     "q38_haversine" -> (q38_haversine _),
     "q39_stays" -> (q39_stays _),
-    "q40_event_stay_match" -> (q40_event_stay_match _)
+    "q40_event_stay_match" -> (q40_event_stay_match _),
+    "q41_agent_match" -> (q41_agent_match _),
+    "q42_inference" -> (q42_inference _),
+    "q43_subselect" -> (q43_subselect _),
+    "q44_scalar_count" -> (q44_scalar_count _),
+    "q45_max_pair" -> (q45_max_pair _),
+    "q46_weighted_dist" -> (q46_weighted_dist _),
+    "q47_email_parse" -> (q47_email_parse _),
+    "q48_quality" -> (q48_quality _),
+    "q49_multimodal" -> (q49_multimodal _),
+    "q50_ann_ivf" -> (q50_ann_ivf _),
+    "q51_lsh_pairs" -> (q51_lsh_pairs _),
+    "q52_paris" -> (q52_paris _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -653,12 +792,86 @@ object SparkEntry {
     // the anchor; the 9 km cut keeps exactly value-buckets 0 and 1, which
     // the oracle states directly (margin-safe independent of trig libm).
     "q38_haversine" ->
-      "SELECT event_id FROM events WHERE floor(value / 50) <= 1"
+      "SELECT event_id FROM events WHERE floor(value / 50) <= 1",
+    // identical-name pairs, but only those surviving the blocking prune:
+    // tokens in more than 25% of parts generate no candidates, so a name
+    // whose BOTH tokens are that frequent cannot be paired.
+    "q41_agent_match" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT p_partkey, unnest(list_filter(regexp_split_to_array(lower(p_name), '[\s[:punct:]]+'), x -> len(x) > 0)) AS tok
+        |  FROM part
+        |), rare AS (
+        |  SELECT tok FROM toks GROUP BY tok
+        |  HAVING count(*) <= 0.25 * (SELECT count(*) FROM part)
+        |), pruned AS (
+        |  SELECT p_partkey, tok FROM (
+        |    SELECT p_partkey, toks.tok,
+        |      row_number() OVER (PARTITION BY toks.tok ORDER BY p_partkey) AS rk
+        |    FROM toks JOIN rare ON toks.tok = rare.tok
+        |  ) WHERE rk <= 200
+        |), blocked AS (
+        |  SELECT DISTINCT a.p_partkey AS id1, b.p_partkey AS id2
+        |  FROM pruned a JOIN pruned b ON a.tok = b.tok AND a.p_partkey < b.p_partkey
+        |)
+        |SELECT id1, id2 FROM blocked
+        |JOIN part pa ON pa.p_partkey = id1
+        |JOIN part pb ON pb.p_partkey = id2
+        |WHERE lower(pa.p_name) = lower(pb.p_name)""".stripMargin,
+    "q42_inference" ->
+      "SELECT 'c:' || o_custkey AS s, 'o:' || o_orderkey AS o FROM orders",
+    "q43_subselect" ->
+      """SELECT o_orderkey FROM (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey) AS BIGINT) AS sum_cents,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders
+        |) WHERE cents * n > sum_cents""".stripMargin,
+    "q44_scalar_count" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+    "q45_max_pair" ->
+      """SELECT least(l_suppkey, l_partkey) AS a, greatest(l_suppkey, l_partkey) AS b,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q46_weighted_dist" ->
+      """SELECT user_id, event_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE), 9) AS weight
+        |FROM (
+        |  SELECT user_id, event_type, count(*) AS n FROM events
+        |  GROUP BY user_id, event_type
+        |)""".stripMargin,
+    "q47_email_parse" ->
+      """SELECT c_custkey,
+        |  string_split(email, '@')[1] AS local_part,
+        |  lower(string_split(email, '@')[2]) AS domain
+        |FROM (
+        |  SELECT c_custkey,
+        |    regexp_replace(lower(c_name), '[^a-z0-9]+', '.', 'g')
+        |      || '@Example' || (c_nationkey % 3) || '.COM' AS email
+        |  FROM customer
+        |)""".stripMargin,
+    "q48_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(ts) AS n_tokens,
+        |  len(list_distinct(list_transform(ts, x -> lower(x)))) AS n_distinct_tokens,
+        |  len(list_filter(list_transform(ts, x -> lower(x)),
+        |    x -> x IN ('the', 'a', 'of', 'and'))) AS n_stopwords,
+        |  coalesce(list_max(list_transform(ts, x -> len(x))), 0) AS max_token_len,
+        |  CAST(list_sum(list_transform(ts, w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT)
+        |    + len(regexp_extract_all(text, '[[:punct:]]')) AS n_pieces
+        |FROM toks""".stripMargin,
+    "q49_multimodal" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
   val benchQueries: Seq[String] = Seq(
     "q01_agg", "q03_join", "q07_topk", "q09_range_join", "q13_closure",
     "q14_components", "q16_dedup_exact", "q19_ngram_jaccard", "q21_ann_top1",
-    "q25_minhash_lsh", "q26_simhash", "q28_idf", "q30_token_blocking")
+    "q25_minhash_lsh", "q26_simhash", "q28_idf", "q30_token_blocking",
+    "q39_stays", "q41_agent_match", "q49_multimodal")
 }

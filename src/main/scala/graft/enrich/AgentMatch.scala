@@ -31,7 +31,8 @@ object AgentMatch {
       nameCol: String,
       threshold: Double = 0.9,
       maxDocFreqFraction: Double = 0.5,
-      simThreshold: Double = 0.9): DataFrame = {
+      simThreshold: Double = 0.9,
+      maxBlockSize: Option[Int] = Some(10000)): DataFrame = {
     val spark = records.sparkSession
     val idf = Resolution.idf(records, nameCol, idCol)
       .select(col("tok"), col("idf"))
@@ -43,7 +44,7 @@ object AgentMatch {
       .groupBy("id")
       .agg(collect_list(col("tok")).as("toks"), collect_list(col("idf")).as("ws"))
     val candidates = Resolution.tokenBlockingCandidatesFrac(
-      records, nameCol, idCol, maxDocFreqFraction)
+      records, nameCol, idCol, maxDocFreqFraction, maxBlockSize)
     val score = udf((t1: Seq[String], w1: Seq[Double], t2: Seq[String], w2: Seq[Double]) =>
       Similarity.softTfIdf(t1, w1, t2, w2, simThreshold))
     candidates

@@ -26,7 +26,8 @@ object Paris {
     * value pins down its subject (email) scores near 1; a broad one
     * (country) near 0. */
   def inverseFunctionality(statements: DataFrame): DataFrame =
-    statements.groupBy("p")
+    statements.select("s", "p", "o").distinct() // duplicated assertions are not extra evidence
+      .groupBy("p")
       .agg((countDistinct(col("o")).cast("double") / count(lit(1))).as("inv_fun"))
 
   /** @param left  statements (s, p, o) of the first instance set

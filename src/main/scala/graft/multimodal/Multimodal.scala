@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: media as opaque
+  * `binary` columns plus typed metadata, processed batch-at-a-time in
+  * distributed partition functions.
+  *
+  * The container has no image/audio codecs, so the decode kernels are
+  * STUBS — deterministic fakes clearly marked below. Everything around them
+  * is real and load-bearing: the schema contract, the mapPartitions batch
+  * shape (one buffer in, feature struct out, no driver collect), the
+  * partition sizing note (media rows are MBs, so partitions must be sized
+  * by bytes not rows — spark.sql.files.maxPartitionBytes governs scans,
+  * and `repartitionForMedia` rebalances by accumulated payload size).
+  */
+object Multimodal {
+
+  /** Typed media row: the engine's canonical multimodal schema. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      bytes: Array[Byte],
+      mime: String,
+      width: Int, // -1 when unknown/not applicable
+      height: Int,
+      duration_ms: Long)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: Long,
+      feature: Array[Float]) // fixed-dim embedding slot
+
+  /** STUB decode kernel: a real implementation would wrap an image/audio
+    * library here (one call per row, vectorized per partition). The fake is
+    * deterministic in the bytes so tests are stable. */
+  private[multimodal] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    var j = 0
+    while (j < dim) {
+      h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+      out(j) = (h.toDouble / Long.MaxValue).toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** Batch feature extraction: runs once per partition, streams rows,
+    * allocates nothing per-row beyond the feature vector. */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        var checksum = 0L
+        var i = 0
+        while (i < r.bytes.length) { checksum = checksum * 131 + (r.bytes(i) & 0xff); i += 1 }
+        MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, checksum,
+          decodeStub(r.bytes, dim))
+      }
+    }
+  }
+
+  /** Rebalance media rows into partitions of roughly `targetBytes` payload
+    * each — row-count partitioning is wrong when rows are megabytes. */
+  def repartitionForMedia(df: DataFrame, bytesCol: String, targetBytes: Long): DataFrame = {
+    val spark = df.sparkSession
+    val totalBytes = df.select(sum(length(col(bytesCol)).cast("long"))).head().getLong(0)
+    val parts = math.max(1, math.min(200000, totalBytes / math.max(1, targetBytes))).toInt
+    df.repartition(parts)
+  }
+
+  /** Frame-sample stand-in for video rows: deterministic frame offsets at a
+    * fixed stride (the real kernel would decode; offsets are the real,
+    * testable logic). */
+  def frameOffsets(durationMs: Long, strideMs: Long, maxFrames: Int): Seq[Long] =
+    (0L until durationMs by math.max(1, strideMs)).take(maxFrames)
+}
