@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.ZipInputStream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.rdf.Quad
+
+/** File/directory ingestion — the reference's FileSynchronizer
+  * (`core/src/main/com/thymeflow/sync/FileSynchronizer.scala:31-345`):
+  * recursive directory walk, zip expansion, extension/MIME dispatch to the
+  * format converters.
+  *
+  * Spark-first shape: `spark.read.format("binaryFile")` gives the
+  * distributed recursive scan (with partition sizing by bytes for free);
+  * zip expansion happens inside the partition as a streamed flatMap (no
+  * temp files, no driver involvement); dispatch keys on the lowercased
+  * extension. The reference's demand-driven scroll publisher maps to
+  * Spark's own partition iteration.
+  */
+object FileIngest {
+
+  final case class RawDoc(path: String, content: String)
+
+  /** Distributed scan of a directory tree; zips are expanded to their
+    * entries (entry path appended as `zipPath!entryName`). Only text-like
+    * payloads are surfaced as strings (the converter formats are textual). */
+  def scan(spark: SparkSession, dir: String, glob: String = "*"): Dataset[RawDoc] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        if (path.toLowerCase.endsWith(".zip")) {
+          val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+          Iterator.continually(zis.getNextEntry)
+            .takeWhile(_ != null)
+            .filterNot(_.isDirectory)
+            .map { entry =>
+              RawDoc(s"$path!${entry.getName}",
+                new String(zis.readAllBytes(), StandardCharsets.UTF_8))
+            }.toList
+        } else {
+          List(RawDoc(path, new String(bytes, StandardCharsets.UTF_8)))
+        }
+      }
+  }
+
+  private def ext(path: String): String = {
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot < 0) "" else base.substring(dot + 1).toLowerCase
+  }
+
+  /** Extension dispatch to the format converters (S2-S4); unknown
+    * extensions are skipped, mirroring the reference's MIME dispatch. */
+  def toQuads(docs: Dataset[RawDoc]): Dataset[Quad] = {
+    import docs.sparkSession.implicits._
+    val typed = docs.map(d => (ext(d.path), d.path, d.content))
+    val emails = typed.filter(_._1 == "eml").map(t => (t._2, t._3))
+    val icals = typed.filter(t => t._1 == "ics" || t._1 == "ical").map(t => (t._2, t._3))
+    val vcards = typed.filter(t => t._1 == "vcf" || t._1 == "vcard").map(t => (t._2, t._3))
+    graft.convert.Converters.email(emails)
+      .union(graft.convert.Converters.ical(icals))
+      .union(graft.convert.Converters.vcard(vcards))
+  }
+}

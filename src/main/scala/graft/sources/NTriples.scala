@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.rdf.Quad
+
+/** RDF text serialization (reference S10: Turtle load/save of the user
+  * graph, `core/src/main/com/thymeflow/rdf/repository/RepositoryFactory
+  * .scala:222-266` and `FileSynchronization.scala`). N-Quads/N-Triples is
+  * the line-oriented member of the RDF family, which makes it the natural
+  * distributed format: one statement per line, `spark.read.text` scans it
+  * in parallel, serialization is a per-row format expression. */
+object NTriples {
+
+  private def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+  private def fmtTerm(value: String, kind: Byte, dt: String, lang: String): String =
+    kind match {
+      case Quad.IRI => s"<$value>"
+      case Quad.BNODE => if (value.startsWith("_:")) value else s"_:$value"
+      case _ =>
+        val base = "\"" + escape(value) + "\""
+        if (lang != null && lang.nonEmpty) s"$base@$lang"
+        else if (dt != null && dt.nonEmpty && dt != Quad.Xsd.string) s"$base^^<$dt>"
+        else base
+    }
+
+  /** Serialize quads to N-Quads lines (graph as 4th term). */
+  def serialize(quads: Dataset[Quad]): Dataset[String] = {
+    import quads.sparkSession.implicits._
+    quads.map { q =>
+      val s = if (q.s.startsWith("_:")) q.s else s"<${q.s}>"
+      s"$s <${q.p}> ${fmtTerm(q.o, q.oKind, q.oDt, q.oLang)} <${q.g}> ."
+    }
+  }
+
+  def write(quads: Dataset[Quad], path: String): Unit =
+    serialize(quads).write.mode("overwrite").text(path)
+
+  private val Line =
+    """^(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.+?)\s+(?:<([^>]*)>\s+)?\.\s*$""".r
+
+  private def unescape(s: String): String =
+    s.replace("\\t", "\t").replace("\\r", "\r").replace("\\n", "\n")
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Parse one N-Quads line (graph term optional → default graph). */
+  private[sources] def parseLine(line: String, defaultGraph: String): Option[Quad] =
+    line.trim match {
+      case "" => None
+      case l if l.startsWith("#") => None
+      case Line(subj, pred, objTerm, graph) =>
+        val s = if (subj.startsWith("<")) subj.substring(1, subj.length - 1) else subj
+        val g = Option(graph).getOrElse(defaultGraph)
+        val obj = objTerm.trim
+        if (obj.startsWith("<"))
+          Some(Quad(s, pred, obj.substring(1, obj.length - 1), Quad.IRI, null, null, g))
+        else if (obj.startsWith("_:"))
+          Some(Quad(s, pred, obj, Quad.BNODE, null, null, g))
+        else {
+          val m = """^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$""".r
+          obj match {
+            case m(lex, lang, dt) =>
+              Some(Quad(s, pred, unescape(lex), Quad.LITERAL,
+                Option(dt).getOrElse(Quad.Xsd.string), lang, g))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+
+  /** Distributed parse of an N-Quads/N-Triples file. */
+  def read(spark: SparkSession, path: String,
+      defaultGraph: String = "graft:default"): Dataset[Quad] = {
+    import spark.implicits._
+    spark.read.textFile(path).flatMap(parseLine(_, defaultGraph))
+  }
+}

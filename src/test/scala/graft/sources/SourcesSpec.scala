@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.SparkSpec
+import graft.rdf.Quad
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  "FileIngest" should "scan a tree, expand zips and dispatch by extension" in {
+    val dir = Files.createTempDirectory("graft-ingest")
+    val sub = Files.createDirectory(dir.resolve("sub"))
+    Files.writeString(dir.resolve("a.eml"),
+      "From: a@x.com\nSubject: Hi\n\nbody")
+    Files.writeString(sub.resolve("c.vcf"),
+      "BEGIN:VCARD\nFN:Jo\nEND:VCARD")
+    Files.writeString(dir.resolve("skip.bin"), "xxxx")
+    val zos = new ZipOutputStream(Files.newOutputStream(dir.resolve("z.zip")))
+    zos.putNextEntry(new ZipEntry("inner.ics"))
+    zos.write("BEGIN:VEVENT\nUID:e9\nSUMMARY:Zipped\nEND:VEVENT".getBytes)
+    zos.closeEntry(); zos.close()
+
+    val docs = FileIngest.scan(spark, dir.toString).collect()
+    docs.map(_.path).count(_.contains("!")) shouldBe 1 // zip entry
+    docs.length shouldBe 4
+
+    val quads = FileIngest.toQuads(FileIngest.scan(spark, dir.toString)).collect()
+    quads.map(_.p) should contain("http://schema.org/headline") // email
+    quads.filter(_.p == "http://schema.org/name").map(_.o) should
+      contain allOf ("Jo", "Zipped") // vcard + zipped ical
+  }
+
+  "NTriples" should "round-trip quads through serialization" in {
+    val quads = Seq(
+      Quad("http://ex/s", "http://ex/p", "http://ex/o", Quad.IRI, null, null, "g1"),
+      Quad("_:b0", "http://ex/p", "plain \"quoted\"\nline", Quad.LITERAL,
+        Quad.Xsd.string, null, "g1"),
+      Quad("http://ex/s", "http://ex/p", "bonjour", Quad.LITERAL,
+        Quad.Xsd.string, "fr", "g2"),
+      Quad("http://ex/s", "http://ex/p", "42", Quad.LITERAL,
+        "http://www.w3.org/2001/XMLSchema#long", null, "g2"))
+    val ds = spark.createDataset(quads)
+    val dir = Files.createTempDirectory("graft-nq").resolve("out").toString
+    NTriples.write(ds, dir)
+    val back = NTriples.read(spark, dir).collect().toSet
+    back shouldBe quads.toSet
+  }
+
+  it should "parse triples without a graph into the default graph" in {
+    NTriples.parseLine("<http://a> <http://p> \"v\" .", "dg")
+      .get.g shouldBe "dg"
+    NTriples.parseLine("# comment", "dg") shouldBe None
+    NTriples.parseLine("", "dg") shouldBe None
+  }
+
+  "CachedLookup" should "call the lookup only for misses" in {
+    import graft.enrich.CachedLookup
+    val calls = spark.sparkContext.collectionAccumulator[String]("calls")
+    val input = Seq("paris", "london", "paris", "tokyo").toDF("city")
+    val cache = Seq(("paris", "FR")).toDF("key", "value")
+    val res = CachedLookup.lookup(input, "city", cache,
+      k => { calls.add(k); k.toUpperCase })
+    val resolved = res.resolved.select("city", "value")
+      .as[(String, String)].collect().toSet
+    resolved shouldBe Set(("paris", "FR"), ("london", "LONDON"), ("tokyo", "TOKYO"))
+    res.newCacheRows.count() shouldBe 2
+    calls.value.size shouldBe 2 // paris cached, never called
+  }
+}
