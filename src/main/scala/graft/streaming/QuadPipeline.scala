@@ -84,10 +84,12 @@ object QuadPipeline {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val path = new org.apache.hadoop.fs.Path(storePath)
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
         val store =
-          try spark.read.schema(Quad.schema).parquet(storePath)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Quad.schema) }
+          if (fs.exists(path)) spark.read.schema(Quad.schema).parquet(storePath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Quad.schema)
         val (next, _) = processBatch(store, batch, negations, enrichers)
         QuadStore.write(next.localCheckpoint(), storePath)
       }
