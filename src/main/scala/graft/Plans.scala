@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.functions._
+/** Dumps formatted physical plans for headline queries (plan-quality audit). */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = new java.io.PrintStream(new java.io.FileOutputStream("/tmp/plans.txt"))
+    val spark = GraftSession.builder("plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- Seq("q01_agg", "q02_filter", "q03_join", "q07_topk",
+        "q09_range_join", "q21_ann_top1", "q30_token_blocking", "q38_haversine")) {
+      out.println(s"===== $name =====")
+      out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    out.close(); spark.stop()
+  }
+}

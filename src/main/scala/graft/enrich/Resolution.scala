@@ -83,6 +83,9 @@ object Resolution {
           .where(col("__rk") <= cap).drop("__rk")
       case None => joined
     }).repartition(df.sparkSession.sparkContext.defaultParallelism * 2, col("tok"))
+      // materialize once: both sides of the self-join read this plan, and
+      // the prune involves a window — recomputing it doubles the stage
+      .localCheckpoint()
     pruned.alias("a")
       .join(pruned.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
