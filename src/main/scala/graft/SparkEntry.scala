@@ -528,6 +528,28 @@ object SparkEntry {
       .select(col("s1"), col("s2"))
   }
 
+  /** G1+A5 composition: equivalence classes from IFP pairs (shared
+    * brand+size ⇒ same), then primary-facet election inside each class by
+    * lineitem reference count (the PrimaryFacetEnricher shape over a real
+    * sameAs closure). */
+  private def q53_class_primary(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val pairs = Resolution.ifpPairs(part, Seq("p_brand", "p_size"), "p_partkey")
+    val classes = GraphOps.connectedComponents(
+      pairs.select(col("s1").as("src"), col("s2").as("dst")),
+      vertices = Some(part.select(col("p_partkey").as("id"))))
+    val refs = t(s, dir, "lineitem").groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_refs"))
+    val scored = classes
+      .join(refs, col("id") === col("l_partkey"), "left_outer")
+      .select(col("id"), col("component"),
+        coalesce(col("n_refs"), lit(0L)).as("n_refs"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_refs").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("component"), col("id").as("primary_id"), col("n_refs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -580,7 +602,8 @@ object SparkEntry {
     "q49_multimodal" -> (q49_multimodal _),
     "q50_ann_ivf" -> (q50_ann_ivf _),
     "q51_lsh_pairs" -> (q51_lsh_pairs _),
-    "q52_paris" -> (q52_paris _)
+    "q52_paris" -> (q52_paris _),
+    "q53_class_primary" -> (q53_class_primary _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -865,7 +888,23 @@ object SparkEntry {
         |    + len(regexp_extract_all(text, '[[:punct:]]')) AS n_pieces
         |FROM toks""".stripMargin,
     "q49_multimodal" ->
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents",
+    // IFP pairs over (brand,size) form cliques, so the component of a part
+    // is min(p_partkey) within its (brand,size) group — stated directly.
+    "q53_class_primary" ->
+      """WITH classes AS (
+        |  SELECT p_partkey AS id,
+        |    min(p_partkey) OVER (PARTITION BY p_brand, p_size) AS component
+        |  FROM part
+        |), refs AS (
+        |  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey
+        |), scored AS (
+        |  SELECT component, id, coalesce(n, 0) AS n_refs,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY coalesce(n, 0) DESC, id) AS rk
+        |  FROM classes LEFT JOIN refs ON id = l_partkey
+        |)
+        |SELECT component, id AS primary_id, n_refs FROM scored WHERE rk = 1""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

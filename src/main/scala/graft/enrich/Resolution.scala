@@ -104,6 +104,42 @@ object Resolution {
       .select(col("tok"), col("df"), log(col("n_docs").cast("double") / col("df")).as("idf"))
   }
 
+  /** Blended per-entity name distribution (reference A2,
+    * `AgentMatchEnricher.scala:961-1003`): an entity's candidate names come
+    * from two evidence sources — explicit contact records and message
+    * occurrences. Contact evidence is trusted: when present it receives at
+    * least `contactFloor` (default 0.5) of the probability mass; the rest
+    * goes to message evidence proportionally. Weights sum to 1 per entity.
+    *
+    * Inputs: (id, name, n) counts per source. Output: (id, name, weight).
+    */
+  def blendedNameWeights(
+      contactCounts: DataFrame,
+      messageCounts: DataFrame,
+      contactFloor: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val c = contactCounts.select(col("id"), col("name"), col("n"))
+      .withColumn("src_weight", col("n").cast("double") / sum(col("n")).over(w))
+      .withColumn("src", lit("contact"))
+    val m = messageCounts.select(col("id"), col("name"), col("n"))
+      .withColumn("src_weight", col("n").cast("double") / sum(col("n")).over(w))
+      .withColumn("src", lit("message"))
+    val both = c.unionByName(m)
+    // contact share: contactFloor when both sources exist, 1 when only
+    // contacts, 0 when only messages
+    val hasContact = max(when(col("src") === "contact", 1).otherwise(0)).over(w)
+    val hasMessage = max(when(col("src") === "message", 1).otherwise(0)).over(w)
+    both
+      .withColumn("contact_share",
+        when(hasContact === 1 && hasMessage === 1, lit(contactFloor))
+          .when(hasContact === 1, lit(1.0)).otherwise(lit(0.0)))
+      .withColumn("weight",
+        when(col("src") === "contact", col("src_weight") * col("contact_share"))
+          .otherwise(col("src_weight") * (lit(1.0) - col("contact_share"))))
+      .groupBy(col("id"), col("name"))
+      .agg(sum(col("weight")).as("weight"))
+  }
+
   /** Levenshtein similarity 1 - dist/maxLen (reference
     * `EntityResolution.scala:188-194`), as a Column. */
   def levenshteinSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

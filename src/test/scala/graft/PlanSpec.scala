@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-shape regression guards: the scale properties claimed in README
+  * (pushdown, pruning, broadcast) must be visible in the physical plans. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  "q02 filter" should "push predicates into the parquet scan" in {
+    val p = plan("q02_filter")
+    p should include("PushedFilters")
+    p should include regex "PushedFilters: \\[[^]]*GreaterThan\\(l_quantity,45.0\\)"
+  }
+
+  "q01 agg" should "prune the scan to the referenced columns only" in {
+    val p = plan("q01_agg")
+    p should include("ReadSchema")
+    p should not include "l_orderkey" // untouched column stays unread
+  }
+
+  "q03 join" should "broadcast the dimension tables" in {
+    plan("q03_join") should include("BroadcastHashJoin")
+  }
+
+  "q09 range join" should "stay an equi-join (no nested-loop cartesian)" in {
+    val p = plan("q09_range_join")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  "q30 token blocking" should "avoid cartesian products" in {
+    plan("q30_token_blocking") should not include "CartesianProduct"
+  }
+}
