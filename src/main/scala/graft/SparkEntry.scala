@@ -550,6 +550,16 @@ object SparkEntry {
       .select(col("component"), col("id").as("primary_id"), col("n_refs"))
   }
 
+  /** Skew pattern: two-stage salted aggregation — identical result to a
+    * plain GROUP BY (the oracle), with hot keys spread over 16 partial
+    * reducers. Exact cents so the double-summation order is irrelevant. */
+  private def q54_salted_agg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewedAgg.saltedSum(
+        t(s, dir, "lineitem")
+          .withColumn("qty_c", round(col("l_quantity") * 100).cast("long")),
+        "l_returnflag", "qty_c", salts = 16)
+      .select(col("l_returnflag"), col("sum").as("qty_cents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -603,7 +613,8 @@ object SparkEntry {
     "q50_ann_ivf" -> (q50_ann_ivf _),
     "q51_lsh_pairs" -> (q51_lsh_pairs _),
     "q52_paris" -> (q52_paris _),
-    "q53_class_primary" -> (q53_class_primary _)
+    "q53_class_primary" -> (q53_class_primary _),
+    "q54_salted_agg" -> (q54_salted_agg _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -904,7 +915,11 @@ object SparkEntry {
         |      ORDER BY coalesce(n, 0) DESC, id) AS rk
         |  FROM classes LEFT JOIN refs ON id = l_partkey
         |)
-        |SELECT component, id AS primary_id, n_refs FROM scored WHERE rk = 1""".stripMargin
+        |SELECT component, id AS primary_id, n_refs FROM scored WHERE rk = 1""".stripMargin,
+    "q54_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

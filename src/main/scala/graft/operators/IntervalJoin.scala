@@ -5,6 +5,33 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.types.TimestampType
 
+/** Salted two-stage aggregation for skewed keys (SURVEY §4: "salting for
+  * skew"): a hot grouping key funnels its rows through one reducer; adding
+  * a salt column spreads the partial aggregation over `salts` reducers and
+  * a cheap second stage combines the partials. Exact for decomposable
+  * aggregates (count/sum/min/max). */
+object SkewedAgg {
+  import org.apache.spark.sql.functions._
+
+  /** count(*) per key with salt-spread partials. */
+  def saltedCount(df: DataFrame, keyCol: String, salts: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__partial")).as("n"))
+
+  /** sum(valueCol) per key with salt-spread partials (exact for integral
+    * values; for doubles the reduction order differs from a single-stage
+    * sum, as with any distributed aggregation). */
+  def saltedSum(df: DataFrame, keyCol: String, valueCol: String, salts: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__partial")).as("sum"))
+}
+
 /** Interval-overlap / point-in-interval joins without a cartesian product.
   *
   * Semantics mirror the reference's event-stay interval matching

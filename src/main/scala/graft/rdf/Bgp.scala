@@ -74,4 +74,21 @@ object Bgp {
   /** ASK: does the pattern have any solution? (SURVEY Q10) */
   def ask(quads: DataFrame, patterns: Pattern*): Boolean =
     !bgp(quads, patterns: _*).isEmpty
+
+  /** FILTER: restrict a binding set with an arbitrary boolean Column over
+    * the bound variables (SPARQL FILTER, SURVEY Q5). */
+  def filterBindings(bindings: DataFrame, condition: Column): DataFrame =
+    bindings.where(condition)
+
+  /** BIND: extend each solution with a computed variable. */
+  def bind(bindings: DataFrame, varName: String, value: Column): DataFrame =
+    bindings.withColumn(varName, value)
+
+  /** VALUES: constrain a variable to an inline set of values (SPARQL
+    * VALUES clause — an inner join against a broadcast literal table). */
+  def values(bindings: DataFrame, varName: String, allowed: Seq[String]): DataFrame =
+    bindings.join(
+      broadcast(bindings.sparkSession.createDataFrame(
+        allowed.map(Tuple1(_))).toDF(varName)),
+      Seq(varName))
 }
