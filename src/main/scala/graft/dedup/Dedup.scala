@@ -46,6 +46,28 @@ object Dedup {
       num: Int,
       den: Int): DataFrame = {
     val s = shingled(df, textCol, idCol, k).localCheckpoint()
+    // adaptive physical strategy: a small shingle vocabulary over a
+    // broadcastable corpus admits an exact bitmap plan (dictionary-encode
+    // shingles, one bitset per doc, AND+popcount over all pairs in
+    // mapPartitions) that avoids the O(sum df^2) shingle self-join
+    // entirely. Real text corpora blow past the bounds and take the
+    // join plan, whose cost is output-bound and scales out.
+    val nDocs = s.count()
+    val dictSize = s.select(explode(col("shingles")).as("sh"))
+      .agg(approx_count_distinct(col("sh")).as("d")).head().getLong(0)
+    val broadcastBytes = nDocs * (dictSize / 8 + 32)
+    val idIsIntegral = s.schema("id").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (idIsIntegral && dictSize <= 65536 && nDocs <= 50000 && broadcastBytes <= (64L << 20))
+      jaccardPairsBitmap(s, num, den)
+    else jaccardPairsJoin(s, num, den)
+  }
+
+  /** Output-bound distributed plan: explode shingles, self-equi-join on
+    * the shingle, count intersections per pair, integer-exact threshold. */
+  private def jaccardPairsJoin(s: DataFrame, num: Int, den: Int): DataFrame = {
     val sizes = s.select(col("id"), size(col("shingles")).as("n"))
     // repartition after the explode: the self-join's row expansion is
     // orders of magnitude larger than the input, and Spark sizes the stage
@@ -62,6 +84,48 @@ object Dedup {
       // jaccard > num/den  <=>  den*inter > num*(n1+n2-inter)
       .where(lit(den) * col("inter") > lit(num) * (col("n1") + col("n2") - col("inter")))
       .select(col("id1"), col("id2"))
+  }
+
+  /** Small-vocabulary exact plan: dictionary-encoded bitsets, broadcast
+    * corpus, AND+popcount over the strict upper triangle. */
+  private def jaccardPairsBitmap(s: DataFrame, num: Int, den: Int): DataFrame = {
+    val spark = s.sparkSession
+    import spark.implicits._
+    val dict = s.select(explode(col("shingles")).as("sh")).distinct()
+      .as[String].collect().sorted.zipWithIndex.toMap
+    val dictB = spark.sparkContext.broadcast(dict)
+    val words = (dict.size + 63) / 64
+    val encoded = s.select(col("id").cast("long").as("id"), col("shingles"))
+      .as[(Long, Seq[String])]
+      .map { case (id, shingles) =>
+        val bits = new Array[Long](words)
+        val d = dictB.value
+        shingles.foreach { sh =>
+          val i = d(sh)
+          bits(i >> 6) |= 1L << (i & 63)
+        }
+        (id, bits, shingles.size)
+      }.collect().sortBy(_._1)
+    val allB = spark.sparkContext.broadcast(encoded)
+    val n = encoded.length
+    spark.range(0, n, 1, par(s)).as[Long].flatMap { iL =>
+      val all = allB.value
+      val i = iL.toInt
+      val (id1, b1, n1) = all(i)
+      val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+      var j = i + 1
+      while (j < all.length) {
+        val (id2, b2, n2) = all(j)
+        var inter = 0
+        var w = 0
+        while (w < b1.length) {
+          inter += java.lang.Long.bitCount(b1(w) & b2(w)); w += 1
+        }
+        if (den.toLong * inter > num.toLong * (n1 + n2 - inter)) out += ((id1, id2))
+        j += 1
+      }
+      out
+    }.toDF("id1", "id2")
   }
 
   /** MinHash signature: numHashes independent 64-bit hash family members via

@@ -77,6 +77,13 @@ object GraphOps {
     var changed = true
     var i = 0
     while (changed && i < maxIterations) {
+      val lookup = labels
+        .select(col("id").as("cid"), col("component").as("ccomp"))
+      def jump(df: DataFrame): DataFrame = df.alias("a")
+        .join(lookup.alias("b"), col("a.component") === col("b.cid"), "left")
+        .select(col("a.id").as("id"), col("a.old").as("old"),
+          least(col("a.component"), coalesce(col("b.ccomp"), col("a.component")))
+            .as("component"))
       val nbrMin = sym
         .join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("id"))
@@ -84,23 +91,14 @@ object GraphOps {
       val propagated = labels.alias("l")
         .join(nbrMin.alias("n"), Seq("id"), "left")
         .select(
-          col("id"),
+          col("id"), col("l.component").as("old"),
           least(col("l.component"), coalesce(col("n.nmin"), col("l.component"))).as("component"))
-      // pointer jump: component := component-of-component
-      val jumped = propagated.alias("a")
-        .join(
-          labels.select(col("id").as("cid"), col("component").as("ccomp")).alias("b"),
-          col("a.component") === col("b.cid"),
-          "left")
-        .select(
-          col("a.id").as("id"),
-          least(col("a.component"), coalesce(col("b.ccomp"), col("a.component"))).as("component"))
-        .localCheckpoint()
-      val diff = jumped.alias("x")
-        .join(labels.alias("y"), Seq("id"))
-        .where(col("x.component") =!= col("y.component"))
-      changed = !diff.isEmpty
-      labels = jumped
+      // two pointer-jump rounds (component := component-of-component) halve
+      // long-path diameters faster; the carried `old` column makes the
+      // convergence check a filter on the materialized result, not a join
+      val next = jump(jump(propagated)).localCheckpoint()
+      changed = !next.where(col("component") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("component"))
       i += 1
     }
     labels
