@@ -16,6 +16,9 @@ object GraftSession {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // Catalyst integration: custom expressions as SQL functions plus the
+      // haversine-radius bounding-band optimizer rule.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", if (cpus == "*") "32" else cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

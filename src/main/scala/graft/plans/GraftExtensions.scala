@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, ExpressionInfo, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.{DurationMillis, Haversine}
+
+/** Session extensions (`spark.sql.extensions=graft.plans.GraftExtensions`):
+  * the engine's Catalyst integration point, mirroring the reference's
+  * global FunctionRegistry additions (`core/src/main/com/thymeflow/rdf/
+  * repository/RepositoryFactory.scala:248-251`) plus one optimizer rule.
+  *
+  * [[HaversineRadiusPrefilter]] rewrites `haversine_m(lat, lon, LAT0, LON0)
+  * <= R` (literal anchor/radius) by conjoining a latitude band
+  * `lat BETWEEN LAT0 ± R/earth` — a *necessary* condition of the distance
+  * bound, so results are unchanged. When `lat` is a scan column the band is
+  * a plain comparison that pushes into the parquet reader and prunes row
+  * groups before any trigonometry runs — the classic bounding-box trick as
+  * a `Rule[LogicalPlan]` (SURVEY §7.3's custom-Catalyst path).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("haversine_m"),
+      new ExpressionInfo(classOf[Haversine].getName, "haversine_m"),
+      (exprs: Seq[Expression]) => Haversine(exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
+      FunctionIdentifier("duration_ms"),
+      new ExpressionInfo(classOf[DurationMillis].getName, "duration_ms"),
+      (exprs: Seq[Expression]) => DurationMillis(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => HaversineRadiusPrefilter)
+  }
+}
+
+object HaversineRadiusPrefilter extends Rule[LogicalPlan] {
+
+  /** Conservative latitude half-band in degrees for a radius in meters:
+    * the meridian arc is the shortest way to change latitude, padded 0.1%. */
+  private def latBandDegrees(radiusMeters: Double): Double =
+    math.toDegrees(radiusMeters / Haversine.EarthRadiusMeters) * 1.001
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The two band conjuncts implied by one haversine-radius conjunct. */
+  private def bandFor(conjunct: Expression): Seq[Expression] = conjunct match {
+    case LessThanOrEqual(Haversine(lat, _, Literal(lat0: Double, DoubleType),
+        Literal(_, DoubleType)), Literal(radius: Double, DoubleType)) =>
+      val d = latBandDegrees(radius)
+      Seq(GreaterThanOrEqual(lat, Literal(lat0 - d)), LessThanOrEqual(lat, Literal(lat0 + d)))
+    case LessThan(Haversine(lat, _, Literal(lat0: Double, DoubleType),
+        Literal(_, DoubleType)), Literal(radius: Double, DoubleType)) =>
+      val d = latBandDegrees(radius)
+      Seq(GreaterThanOrEqual(lat, Literal(lat0 - d)), LessThanOrEqual(lat, Literal(lat0 + d)))
+    case _ => Seq.empty
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjuncts(cond)
+      val wanted = conjuncts.flatMap(bandFor)
+      // idempotent: only add band conjuncts not already present
+      val missing = wanted.filterNot(b => conjuncts.exists(_.semanticEquals(b)))
+      if (missing.isEmpty) f
+      else Filter(And(missing.reduce(And), cond), child)
+  }
+}
