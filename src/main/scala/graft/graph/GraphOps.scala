@@ -30,8 +30,16 @@ object GraphOps {
     * Mirrors SPARQL property-path `p*` semantics (SURVEY Q9/G2) minus the
     * reflexive pairs (add them trivially if needed).
     */
-  def transitiveClosure(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def transitiveClosure(
+      edges: DataFrame,
+      maxIterations: Int = 50,
+      smallGraphThreshold: Long = 100000): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    // adaptive: small edge sets are solved exactly on the driver (the
+    // reference's own regime — SURVEY G1: "for <=1e5 nodes, driver BFS is
+    // acceptable and exact"); the distributed fixpoint pays ~0.5s of job
+    // scheduling per iteration, which only amortizes on big graphs.
+    if (e.count() <= smallGraphThreshold) return closureOnDriver(e)
     var closure = e
     var frontier = e
     var i = 0
@@ -63,11 +71,17 @@ object GraphOps {
   def connectedComponents(
       edges: DataFrame,
       vertices: Option[DataFrame] = None,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50,
+      smallGraphThreshold: Long = 1000000): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    // adaptive small-graph fast path: exact union-find on the driver
+    // (reference G1 regime); the distributed label loop is for graphs that
+    // do not fit one machine.
+    if (sym.count() <= smallGraphThreshold)
+      return componentsOnDriver(sym, vertices)
     val edgeVerts = sym.select(col("src").as("id")).distinct()
     val allVerts = vertices
       .map(v => edgeVerts.union(v.select(col("id"))).distinct())
@@ -102,5 +116,73 @@ object GraphOps {
       i += 1
     }
     labels
+  }
+
+  /** Exact driver-side closure (semi-naive BFS per source). */
+  private def closureOnDriver(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edgePairs = e.select(col("src").cast("string"), col("dst").cast("string"))
+      .as[(String, String)].collect()
+    val adj = edgePairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (src <- adj.keys) {
+      val seen = scala.collection.mutable.HashSet[String]()
+      var frontier: List[String] = adj(src).toList.distinct
+      frontier.foreach(seen.add)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[String]))
+          .filterNot(seen)
+          .distinct
+        frontier.foreach(seen.add)
+      }
+      seen.foreach(d => out += ((src, d)))
+    }
+    val t = e.schema("src").dataType
+    spark.createDataset(out.toSeq).toDF("src", "dst")
+      .select(col("src").cast(t).as("src"), col("dst").cast(t).as("dst"))
+  }
+
+  /** Exact driver-side components (union-find with path compression). */
+  private def componentsOnDriver(sym: DataFrame, vertices: Option[DataFrame]): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val edgePairs = sym.select(col("src").cast("string"), col("dst").cast("string"))
+      .as[(String, String)].collect()
+    val extraVerts = vertices.map(
+      _.select(col("id").cast("string")).as[String].collect()).getOrElse(Array.empty)
+    val parent = scala.collection.mutable.HashMap[String, String]()
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: String, b: String): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // min-label root so components get the minimum member id
+        if (Ordering[String].lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    edgePairs.foreach { case (a, b) => union(a, b) }
+    val allIds = (edgePairs.flatMap(p => Seq(p._1, p._2)) ++ extraVerts).distinct
+    // string min-label differs from typed min for numeric ids ("10" < "9"):
+    // resolve the representative per component as the typed-min member
+    val typedExample = vertices.map(_.schema("id").dataType)
+      .getOrElse(sym.schema("src").dataType)
+    val rows = allIds.map(id => (id, find(id)))
+    val byRoot = rows.groupBy(_._2)
+    val repr: Map[String, String] = typedExample match {
+      case t if t == org.apache.spark.sql.types.LongType ||
+          t == org.apache.spark.sql.types.IntegerType =>
+        byRoot.view.mapValues(_.map(_._1).minBy(_.toLong).toString).toMap
+      case _ => byRoot.view.mapValues(_.map(_._1).min).toMap
+    }
+    val out = rows.map { case (id, root) => (id, repr(root)) }
+    spark.createDataset(out.toSeq).toDF("id", "component")
+      .select(col("id").cast(typedExample).as("id"),
+        col("component").cast(typedExample).as("component"))
   }
 }
