@@ -31,8 +31,17 @@ object Dedup {
 
   private def shingled(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     df.repartition(par(df))
-      .select(col(idCol).as("id"), TextAnalysis.wordShingles(col(textCol), k).as("shingles"))
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      // checkpoint so the token array is materialized once: CollapseProject
+      // would otherwise re-inline tokens() into every shingle-lambda element
+      .localCheckpoint()
+      .select(col("id"),
+        TextAnalysis.wordShinglesFromTokens(col("__toks"), k).as("shingles"))
       .where(size(col("shingles")) > 0)
+      // materialize the shingle arrays: downstream signature expressions
+      // reference the column many times (once per hash/aggregate), which
+      // would re-run the shingle transform per reference otherwise
+      .localCheckpoint()
 
   /** Exact n-gram Jaccard near-dup pairs, threshold as a rational num/den so
     * the comparison is exact integer arithmetic (`den*inter > num*union`):
@@ -45,7 +54,7 @@ object Dedup {
       k: Int,
       num: Int,
       den: Int): DataFrame = {
-    val s = shingled(df, textCol, idCol, k).localCheckpoint()
+    val s = shingled(df, textCol, idCol, k)
     // adaptive physical strategy: a small shingle vocabulary over a
     // broadcastable corpus admits an exact bitmap plan (dictionary-encode
     // shingles, one bitset per doc, AND+popcount over all pairs in
@@ -177,9 +186,13 @@ object Dedup {
 
   /** 64-bit SimHash fingerprint of a token multiset: per-bit weighted vote
     * of token hashes. Built from 64 conditional sums (codegen'd, no UDF). */
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    val hashes = transform(toks, t => xxhash64(t))
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t)))
+
+  /** SimHash from a bound token-hash array column (prefer on hot paths:
+    * each of the 64 per-bit aggregates references the array once, so pass
+    * a materialized column, not an inline expression). */
+  def simhashFromHashes(hashes: Column): Column =
     (0 until 64).map { i =>
       val bitVotes = aggregate(
         hashes,
@@ -187,7 +200,6 @@ object Dedup {
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, lit(1L)).otherwise(lit(-1L)))
       when(bitVotes > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
 
   /** SimHash near-dup pairs: block on 4 x 16-bit fingerprint chunks (a pair
     * within Hamming distance <= 3 must agree on at least one chunk), verify
@@ -197,8 +209,14 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // two-step: hash array materialized once, then the 64 per-bit vote
+    // aggregates read the bound column instead of re-hashing per bit
     val s = df.repartition(par(df))
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("fp")).localCheckpoint()
+      .select(col(idCol).as("id"),
+        transform(TextAnalysis.tokens(lower(col(textCol))), t => xxhash64(t)).as("__hashes"))
+      .localCheckpoint()
+      .select(col("id"), simhashFromHashes(col("__hashes")).as("fp"))
+      .localCheckpoint()
     val chunked = s.select(
       col("id"), col("fp"),
       posexplode(array((0 until 4).map { c =>

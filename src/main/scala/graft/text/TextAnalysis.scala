@@ -24,16 +24,26 @@ object TextAnalysis {
   /** Whitespace token count (exact, integer — safe for differential tests). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Distinct word-k-shingles of a text (for Jaccard/minhash dedup). */
-  def wordShingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
+  /** Distinct word-k-shingles from a precomputed token array.
+    *
+    * IMPORTANT: take a *bound* token column, not `tokens(text)` inline —
+    * an expression argument referenced inside a higher-order-function
+    * lambda is re-evaluated per element (no common-subexpression
+    * elimination in expression eval), which turns one regex split per row
+    * into one per token. Callers should project the token array first. */
+  def wordShinglesFromTokens(t: Column, k: Int): Column =
     array_distinct(
       filter(
         transform(
           sequence(lit(0), greatest(size(t) - k, lit(0))),
           i => concat_ws(" ", slice(t, i + 1, lit(k)))),
         s => length(s) > 0))
-  }
+
+  /** Distinct word-k-shingles of a text (convenience; see the note on
+    * [[wordShinglesFromTokens]] — prefer the two-step projection on hot
+    * paths). */
+  def wordShingles(text: Column, k: Int): Column =
+    wordShinglesFromTokens(tokens(text), k)
 
   /** Character-k-shingles (for near-dup detection on short texts). */
   def charShingles(text: Column, k: Int): Column = {
