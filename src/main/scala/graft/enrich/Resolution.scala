@@ -21,8 +21,10 @@ object Resolution {
     * hash join keyed on the value, and AQE splits skewed keys (hot values
     * like a shared provider domain). Output: (s1, s2), s1 < s2. */
   def ifpPairs(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
-    val a = df.select((keyCols :+ idCol).map(col): _*)
-    val b = df.select((keyCols :+ idCol).map(c => col(c).as(s"__$c")): _*)
+    // statement-set semantics: a re-asserted (id, value) row is the same
+    // evidence, not more of it
+    val a = df.select((keyCols :+ idCol).map(col): _*).distinct()
+    val b = df.select((keyCols :+ idCol).map(c => col(c).as(s"__$c")): _*).distinct()
     a.join(b, keyCols.map(c => col(c) === col(s"__$c")).reduce(_ && _) &&
         col(idCol) < col(s"__$idCol"))
       .select(col(idCol).as("s1"), col(s"__$idCol").as("s2"))
