@@ -134,6 +134,47 @@ object Ann {
     * `nprobe` closest lists per query. Approximate; the 100 TB plan — the
     * corpus shuffles once by centroid, each probe touches nprobe/nlist of
     * the data. Output: (probe_id, neighbor_id, rank). */
+  /** Distributed k-means centroids with deterministic hash-sample init
+    * (no RNG state → reproducible): Lloyd iterations of assign + per-list
+    * element-wise mean, means computed via posexplode + groupBy (one
+    * shuffle per round, centroids collected only — nlist·dim values). */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iterations: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = corpus
+      .select(col(idCol).cast("long").as("cent_id"),
+        col(vecCol).cast("array<double>").as("cent_vec"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(nlist)
+      .select(col("cent_id"), col("cent_vec"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val scored = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+        .join(broadcast(cents))
+        .withColumn("csim", cosine(col("v"), col("cent_vec")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vid")).orderBy(col("csim").desc, col("cent_id"))
+      val assigned = scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("cent_id"), col("v"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cent_id"), col("i"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
+        .select(col("cent_id"),
+          transform(col("pairs"), p => p.getField("m")).as("cent_vec"))
+      cents = means.localCheckpoint()
+    }
+    cents
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       probes: DataFrame,
@@ -141,15 +182,9 @@ object Ann {
       vecCol: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
-    // deterministic "centroids": the nlist corpus vectors with smallest
-    // xxhash64(id) — a seedless reproducible sample standing in for k-means.
-    val cents = corpus
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
-        xxhash64(col(idCol)).as("h"))
-      .orderBy(col("h")).limit(nlist)
-      .select(col("cent_id"), col("cent_vec"))
-      .localCheckpoint()
+      nprobe: Int = 4,
+      kmeansIterations: Int = 1): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIterations)
     def nearestLists(df: DataFrame, id: String, vec: String, n: Int, rename: String) = {
       val scored = df.select(col(id).as(rename), col(vec).as(s"${rename}_vec"))
         .join(broadcast(cents))

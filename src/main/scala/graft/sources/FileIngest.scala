@@ -52,6 +52,30 @@ object FileIngest {
       }
   }
 
+  /** Incremental file-drop source (the Spark analogue of the reference's
+    * IMAP/DAV incremental synchronizers, SURVEY S6/S7: etag/UID change
+    * tracking ≈ the file-stream source's processed-files log). Each new
+    * file in `dir` arrives as one RawDoc in a micro-batch; feed through
+    * [[toQuads]] into `streaming.QuadPipeline.run` for the full
+    * incremental ingestion path. `maxFilesPerTrigger` is the demand bound
+    * (reference T7). */
+  def streamScan(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "*",
+      maxFilesPerTrigger: Int = 512): Dataset[RawDoc] = {
+    import spark.implicits._
+    spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(input_file_name().as("path"), col("value").as("content"))
+      .as[RawDoc]
+  }
+
   private def ext(path: String): String = {
     val base = path.substring(path.lastIndexOf('/') + 1)
     val dot = base.lastIndexOf('.')

@@ -56,6 +56,44 @@ class SourcesSpec extends SparkSpec {
     NTriples.parseLine("", "dg") shouldBe None
   }
 
+  "FileIngest.streamScan" should "ingest dropped files incrementally into quads" in {
+    val dir = Files.createTempDirectory("graft-stream-in")
+    val out = Files.createTempDirectory("graft-stream-out").resolve("quads").toString
+    val chk = Files.createTempDirectory("graft-stream-chk").toString
+    Files.writeString(dir.resolve("a.eml"),
+      "From: a@x.com\nSubject: First\n\nbody")
+
+    val quads = FileIngest.toQuads(FileIngest.streamScan(spark, dir.toString, "*.eml"))
+    val q = quads.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val first = spark.read.parquet(out)
+    first.where($"p" === "http://schema.org/headline")
+      .select("o").as[String].collect().toSeq shouldBe Seq("First")
+
+    // drop a second file: only the new one is processed (incremental log)
+    Files.writeString(dir.resolve("b.eml"),
+      "From: b@x.com\nSubject: Second\n\nbody")
+    val q2 = quads.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+
+    val all = spark.read.parquet(out)
+    all.where($"p" === "http://schema.org/headline")
+      .select("o").as[String].collect().toSet shouldBe Set("First", "Second")
+    // "First" ingested exactly once across both runs
+    all.where($"o" === "First").count() shouldBe 1
+  }
+
   "CachedLookup" should "call the lookup only for misses" in {
     import graft.enrich.CachedLookup
     val calls = spark.sparkContext.collectionAccumulator[String]("calls")
