@@ -81,6 +81,36 @@ object Inference {
       lit(InferredGraph).as("g"))
   }
 
+  /** G4: reference-counted inference retraction (reference
+    * `core/src/main/com/thymeflow/enricher/InferenceCountingInferencer
+    * .scala:12-52`): a derived statement stays asserted while its
+    * derivation count is positive; when removals drive the count to zero
+    * the statement is retracted.
+    *
+    * @param counts     current (s, p, o, cnt) table
+    * @param derivations newly derived statements (bag: one row per
+    *                    derivation)
+    * @param retractions removed derivations (bag)
+    * @return (updated counts table, statements whose count reached zero) */
+  def updateInferenceCounts(
+      counts: DataFrame,
+      derivations: DataFrame,
+      retractions: DataFrame): (DataFrame, DataFrame) = {
+    val key = Seq("s", "p", "o")
+    val delta = derivations.select(key.map(col): _*).withColumn("d", lit(1L))
+      .unionByName(retractions.select(key.map(col): _*).withColumn("d", lit(-1L)))
+      .groupBy(key.map(col): _*).agg(sum(col("d")).as("d"))
+    val merged = counts.select(col("s"), col("p"), col("o"), col("cnt"))
+      .join(delta, key, "full_outer")
+      .select(col("s"), col("p"), col("o"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("cnt"),
+        coalesce(col("cnt"), lit(0L)).as("prev"))
+    val retracted = merged.where(col("cnt") <= 0 && col("prev") > 0)
+      .select(col("s"), col("p"), col("o"))
+    (merged.where(col("cnt") > 0).select(col("s"), col("p"), col("o"), col("cnt")),
+      retracted)
+  }
+
   /** sameAs-closure equivalence classes with the reference's differentFrom
     * guard (`core/src/main/com/thymeflow/enricher/AbstractEnricher.scala:17-23`):
     * sameAs edges whose endpoints are transitively declared different are
