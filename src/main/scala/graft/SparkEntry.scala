@@ -560,6 +560,19 @@ object SparkEntry {
         "l_returnflag", "qty_c", salts = 16)
       .select(col("l_returnflag"), col("sum").as("qty_cents"))
 
+  /** COUNT(DISTINCT) — the expand-based distinct aggregation path. */
+  private def q55_count_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** ROLLUP grouping sets (beyond reference scope; native Catalyst). */
+  private def q56_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -614,7 +627,9 @@ object SparkEntry {
     "q51_lsh_pairs" -> (q51_lsh_pairs _),
     "q52_paris" -> (q52_paris _),
     "q53_class_primary" -> (q53_class_primary _),
-    "q54_salted_agg" -> (q54_salted_agg _)
+    "q54_salted_agg" -> (q54_salted_agg _),
+    "q55_count_distinct" -> (q55_count_distinct _),
+    "q56_rollup" -> (q56_rollup _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -919,7 +934,15 @@ object SparkEntry {
     "q54_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q55_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q56_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -55,6 +55,67 @@ object StayExtraction {
     extractStays(typed, minStayMs, lambda).toDF()
   }
 
+  /** Carry-over state for incremental extraction: the currently-open
+    * candidate cluster per user. */
+  final case class OpenCluster(
+      lat: Double, lon: Double, sigmaMeters: Double, weight: Double,
+      n: Int, firstTimeMs: Long, lastTimeMs: Long) {
+    def toEstimate: Geo.PositionEstimate =
+      Geo.PositionEstimate(lat, lon, sigmaMeters, weight, n, firstTimeMs, lastTimeMs)
+  }
+  object OpenCluster {
+    def from(e: Geo.PositionEstimate): OpenCluster =
+      OpenCluster(e.lat, e.lon, e.sigmaMeters, e.weight, e.n, e.firstTimeMs, e.lastTimeMs)
+  }
+
+  /** Incremental (Structured Streaming) stay extraction: the stateful
+    * variant of [[extractStays]] — SURVEY T9's optional incremental path.
+    * State per user = the open candidate cluster; each micro-batch's
+    * observations are processed in event-time order and completed stays
+    * are emitted as soon as a cluster breaks. Assumes per-user in-order
+    * delivery across batches (the reference re-runs from scratch per
+    * trigger instead — both semantics are available here).
+    *
+    * Usage: `observations.groupByKey(_.user)` is applied internally; call
+    * on a streaming Dataset[Obs] and write the result with update mode.
+    */
+  def extractStaysIncremental(
+      obs: org.apache.spark.sql.Dataset[Obs],
+      minStayMs: Long = DefaultMinStayMs,
+      lambda: Double = DefaultLambda): org.apache.spark.sql.Dataset[Stay] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.groupByKey(_.user)
+      .flatMapGroupsWithState[OpenCluster, Stay](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Obs], state: GroupState[OpenCluster]) =>
+          val sorted = rows.toSeq.sortBy(o => (o.timeMs, o.lat, o.lon))
+          var current = state.getOption.map(_.toEstimate)
+          val out = scala.collection.mutable.ListBuffer[Stay]()
+          def flush(c: Geo.PositionEstimate): Unit =
+            if (c.lastTimeMs - c.firstTimeMs >= minStayMs)
+              out += Stay(user, c.firstTimeMs, c.lastTimeMs, c.lat, c.lon, c.n)
+          sorted.foreach { o =>
+            current match {
+              case Some(c) if Geo.hellingerSq(c.lat, c.lon, c.sigmaMeters,
+                  o.lat, o.lon, math.max(o.accuracy, 1.0)) <= lambda =>
+                current = Some(Geo.merge(c, o.lat, o.lon, o.accuracy, o.timeMs))
+              case Some(c) =>
+                flush(c)
+                current = Some(Geo.PositionEstimate.single(o.lat, o.lon, o.accuracy, o.timeMs))
+              case None =>
+                current = Some(Geo.PositionEstimate.single(o.lat, o.lon, o.accuracy, o.timeMs))
+            }
+          }
+          current match {
+            case Some(c) => state.update(OpenCluster.from(c))
+            case None => state.remove()
+          }
+          out.iterator
+      }
+  }
+
   /** Single streaming pass over a (user, time)-sorted partition. */
   private final class StayIterator(
       rows: Iterator[Obs], minStayMs: Long, lambda: Double) extends Iterator[Stay] {
