@@ -573,6 +573,15 @@ object SparkEntry {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
 
+  /** The SPARQL front end end-to-end: parsed text → BGP plan → Catalyst.
+    * Same semantics as q31, stated in SPARQL. */
+  private def q57_sparql(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.select(TpchQuads.quads(s, dir),
+      """SELECT ?c ?cname ?nname WHERE {
+        |  GRAPH <customer> { ?c <name> ?cname . ?c <nation> ?nat }
+        |  GRAPH <nation> { ?nat <name> ?nname }
+        |}""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -629,7 +638,8 @@ object SparkEntry {
     "q53_class_primary" -> (q53_class_primary _),
     "q54_salted_agg" -> (q54_salted_agg _),
     "q55_count_distinct" -> (q55_count_distinct _),
-    "q56_rollup" -> (q56_rollup _)
+    "q56_rollup" -> (q56_rollup _),
+    "q57_sparql" -> (q57_sparql _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -942,7 +952,10 @@ object SparkEntry {
     "q56_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  sum(l_quantity) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q57_sparql" ->
+      """SELECT 'c:' || c_custkey AS c, c_name AS cname, n_name AS nname
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
