@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scaling probes: run the stateful/iterative operators on inputs 1-2
+  * orders of magnitude past sf0.1 (derived by replicating the driver's
+  * tables with shifted keys) and print one JSON line of timings. Not part
+  * of the correctness gate — evidence that the operator shapes survive
+  * scale-up (SCALING.md records results). */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.builder("graft-scaling")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // 1) stays over ~10M observations: events replicated 100x with
+    // per-replica user offset (so state cardinality grows too)
+    val ev = Tables(spark, dir, "events")
+    val bigObs = ev.crossJoin(spark.range(100).toDF("rep"))
+      .select(
+        (col("user_id") + col("rep") * 1000).as("user"),
+        unix_millis(col("ts").cast("timestamp")).as("timeMs"),
+        (lit(40.0) + floor(col("value") / 50) * 0.05).as("lat"),
+        (lit(-74.0) + floor(col("value") / 50) * 0.05).as("lon"),
+        lit(25.0).as("accuracy"))
+      .as[graft.spatial.StayExtraction.Obs]
+    val (tStays, nStays) = time {
+      graft.spatial.StayExtraction.extractStays(bigObs).count()
+    }
+
+    // 2) minhash LSH over 50k docs (documents replicated 10x, ids shifted)
+    val docs = Tables(spark, dir, "documents")
+    val bigDocs = docs.crossJoin(spark.range(10).toDF("rep"))
+      .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+    val (tMinhash, nMinhash) = time {
+      graft.dedup.Dedup.minhashLshPairs(bigDocs, "text", "doc_id").count()
+    }
+
+    // 3) distributed connected components on ~600k-edge bipartite graph
+    // (orderkey <-> partkey from lineitem), forcing the distributed loop
+    val li = Tables(spark, dir, "lineitem")
+    val edges = li.select(col("l_orderkey").as("src"),
+      (col("l_partkey") + 10000000L).as("dst"))
+    val (tCc, nCc) = time {
+      graft.graph.GraphOps.connectedComponents(edges, None,
+        maxIterations = 50, smallGraphThreshold = 0).count()
+    }
+
+    // 4) token blocking at 200k records (part replicated 10x)
+    val part = Tables(spark, dir, "part")
+    val bigPart = part.crossJoin(spark.range(10).toDF("rep"))
+      .select((col("p_partkey") + col("rep") * 1000000).as("p_partkey"), col("p_name"))
+    val (tBlock, nBlock) = time {
+      graft.enrich.Resolution.tokenBlockingCandidatesFrac(
+        bigPart, "p_name", "p_partkey", 0.2, Some(100)).count()
+    }
+
+    println(
+      s"""{"probe":"scaling","stays":{"sec":$tStays,"rows":$nStays},""" +
+      s""""minhash50k":{"sec":$tMinhash,"rows":$nMinhash},""" +
+      s""""cc600k":{"sec":$tCc,"rows":$nCc},""" +
+      s""""blocking200k":{"sec":$tBlock,"rows":$nBlock}}""")
+    spark.stop()
+  }
+}
