@@ -49,8 +49,10 @@ object Tables {
     // microsecond timestamps so downstream time functions behave uniformly.
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        // integral division: `/` on longs is double division, which loses
+        // exactness at epoch-nanos magnitude (~1e18)
         d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
       else d
     }
   }

@@ -582,6 +582,16 @@ object SparkEntry {
         |  GRAPH <nation> { ?nat <name> ?nname }
         |}""".stripMargin)
 
+  /** A9 oracle-checked: on this synthetic geometry (4 distant sites, equal
+    * per-site coordinates, 25 m sigma) the Hellinger clusterer provably
+    * reduces to maximal same-site runs per user — which SQL states as a
+    * gaps-and-islands query. The operator still runs the full
+    * repartition+sort+stateful-scan path. */
+  private def q58_stays_oracle(s: SparkSession, dir: String): DataFrame =
+    graft.spatial.StayExtraction.extractStaysDf(
+        eventsAsObservations(s, dir), minStayMs = 10L * 60 * 1000)
+      .select(col("user"), col("start_ms"), col("end_ms"), col("n_obs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -639,7 +649,8 @@ object SparkEntry {
     "q54_salted_agg" -> (q54_salted_agg _),
     "q55_count_distinct" -> (q55_count_distinct _),
     "q56_rollup" -> (q56_rollup _),
-    "q57_sparql" -> (q57_sparql _)
+    "q57_sparql" -> (q57_sparql _),
+    "q58_stays_oracle" -> (q58_stays_oracle _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -955,7 +966,25 @@ object SparkEntry {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q57_sparql" ->
       """SELECT 'c:' || c_custkey AS c, c_name AS cname, n_name AS nname
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q58_stays_oracle" ->
+      """WITH obs AS (
+        |  SELECT user_id AS u, epoch_ms(ts) AS t, floor(value / 50) AS b
+        |  FROM events
+        |), ord AS (
+        |  SELECT u, t, b,
+        |    CASE WHEN lag(b) OVER (PARTITION BY u ORDER BY t) = b
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM obs
+        |), isl AS (
+        |  SELECT u, t, sum(brk) OVER (PARTITION BY u ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM ord
+        |)
+        |SELECT u AS user, min(t) AS start_ms, max(t) AS end_ms,
+        |  count(*) AS n_obs
+        |FROM isl GROUP BY u, island
+        |HAVING max(t) - min(t) >= 600000""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
