@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DurationMillis].getName, "duration_ms"),
       (exprs: Seq[Expression]) => DurationMillis(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => HaversineRadiusPrefilter)
+    ext.injectOptimizerRule(_ => BinnedRangeJoinRewrite)
   }
 }
 
