@@ -592,6 +592,16 @@ object SparkEntry {
         eventsAsObservations(s, dir), minStayMs = 10L * 60 * 1000)
       .select(col("user"), col("start_ms"), col("end_ms"), col("n_obs"))
 
+  /** W3 via a bounded typed Aggregator instead of a window sort: shuffle
+    * volume O(groups*k), not O(rows) — same result as q07's window. */
+  private def q59_topk_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopK.topK(3, col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("o_custkey"), col("e._2").as("o_orderkey"),
+        (col("pos") + 1).cast("int").as("rk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -650,7 +660,8 @@ object SparkEntry {
     "q55_count_distinct" -> (q55_count_distinct _),
     "q56_rollup" -> (q56_rollup _),
     "q57_sparql" -> (q57_sparql _),
-    "q58_stays_oracle" -> (q58_stays_oracle _)
+    "q58_stays_oracle" -> (q58_stays_oracle _),
+    "q59_topk_agg" -> (q59_topk_agg _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -984,7 +995,13 @@ object SparkEntry {
         |SELECT u AS user, min(t) AS start_ms, max(t) AS end_ms,
         |  count(*) AS n_obs
         |FROM isl GROUP BY u, island
-        |HAVING max(t) - min(t) >= 600000""".stripMargin
+        |HAVING max(t) - min(t) >= 600000""".stripMargin,
+    "q59_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders
+        |) WHERE rk <= 3""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -209,13 +209,19 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // two-step: hash array materialized once, then the 64 per-bit vote
-    // aggregates read the bound column instead of re-hashing per bit
-    val s = df.repartition(par(df))
+    // single-pass native expression over the hash array (the HOF
+    // formulation walks the array 64 times interpreted); falls back to the
+    // column expression when the session lacks the graft extensions
+    val haveNative = df.sparkSession.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"))
+    val hashes = df.repartition(par(df))
       .select(col(idCol).as("id"),
         transform(TextAnalysis.tokens(lower(col(textCol))), t => xxhash64(t)).as("__hashes"))
-      .localCheckpoint()
-      .select(col("id"), simhashFromHashes(col("__hashes")).as("fp"))
+    val fpCol =
+      if (haveNative) call_function("simhash64", col("__hashes"))
+      else simhashFromHashes(col("__hashes"))
+    val s = (if (haveNative) hashes else hashes.localCheckpoint())
+      .select(col("id"), fpCol.as("fp"))
       .localCheckpoint()
     val chunked = s.select(
       col("id"), col("fp"),

@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("duration_ms"),
       new ExpressionInfo(classOf[DurationMillis].getName, "duration_ms"),
       (exprs: Seq[Expression]) => DurationMillis(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
     ext.injectOptimizerRule(_ => HaversineRadiusPrefilter)
     ext.injectOptimizerRule(_ => BinnedRangeJoinRewrite)
   }
