@@ -46,24 +46,44 @@ object Ann {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val p = probes.select(col(idCol).as("probe_id"),
-        l2norm(col(vecCol)).as("pn"),
-        posexplode(col(vecCol)).as(Seq("i", "pv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        l2norm(col(vecCol)).as("cn"),
-        posexplode(col(vecCol)).as(Seq("i", "cv")))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2,
-        col("neighbor_id"))
-    val sims = c.join(broadcast(p), Seq("i"))
-      .where(col("probe_id") =!= col("neighbor_id"))
-      .groupBy(col("probe_id"), col("neighbor_id"))
-      .agg(round(
-        sum(col("pv").cast("double") * col("cv").cast("double")) /
-          (first(col("pn")) * first(col("cn"))), 9).as("sim"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // broadcast the probe matrix; one partition-local kernel pass computes
+    // every (corpus row x probe) dot product in index order — no row
+    // explosion, plain JVM float loops inside the scan stage
+    val probeRows = probes.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val probeB = spark.sparkContext.broadcast(probeRows)
+    val scored = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ps = probeB.value
+        val pNorms = ps.map { case (_, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(s)
+        }
+        it.flatMap { case (nid, cv) =>
+          var s = 0.0
+          var i = 0
+          while (i < cv.length) { s += cv(i).toDouble * cv(i).toDouble; i += 1 }
+          val cNorm = math.sqrt(s)
+          ps.indices.iterator.filter(j => ps(j)._1 != nid).map { j =>
+            val pv = ps(j)._2
+            var dot = 0.0
+            var d = 0
+            while (d < pv.length) { dot += pv(d).toDouble * cv(d).toDouble; d += 1 }
+            (ps(j)._1, nid,
+              BigDecimal(dot / (pNorms(j) * cNorm))
+                .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      }.toDF("probe_id", "neighbor_id", "sim")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    sims
+    scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
