@@ -602,6 +602,20 @@ object SparkEntry {
       .select(col("o_custkey"), col("e._2").as("o_orderkey"),
         (col("pos") + 1).cast("int").as("rk"))
 
+  /** W7: INTERSECT — customers appearing in both order-status populations. */
+  private def q60_intersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .intersect(o.where(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+  }
+
+  /** W6: EXCEPT — custkeys with F orders but no P orders. */
+  private def q61_except(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .except(o.where(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -661,7 +675,9 @@ object SparkEntry {
     "q56_rollup" -> (q56_rollup _),
     "q57_sparql" -> (q57_sparql _),
     "q58_stays_oracle" -> (q58_stays_oracle _),
-    "q59_topk_agg" -> (q59_topk_agg _)
+    "q59_topk_agg" -> (q59_topk_agg _),
+    "q60_intersect" -> (q60_intersect _),
+    "q61_except" -> (q61_except _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1001,7 +1017,15 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders
-        |) WHERE rk <= 3""".stripMargin
+        |) WHERE rk <= 3""".stripMargin,
+    "q60_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q61_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
