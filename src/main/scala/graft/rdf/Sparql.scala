@@ -83,6 +83,8 @@ object Sparql {
       ops: List[String]) extends Element
   private final case class Graphed(g: String, group: List[Element]) extends Element
   private final case class Union(left: List[Element], right: List[Element]) extends Element
+  private final case class Bind(value: String, varName: String) extends Element
+  private final case class Values(varName: String, values: List[String]) extends Element
 
   private final case class Query(
       distinct: Boolean, vars: Seq[String], group: List[Element],
@@ -131,6 +133,20 @@ object Sparql {
         else if (peek.equalsIgnoreCase("FILTER")) { next(); elems += filter() }
         else if (peek.equalsIgnoreCase("GRAPH")) {
           next(); val g = term(); elems += Graphed(g, block())
+        }
+        else if (peek.equalsIgnoreCase("BIND")) {
+          next(); expect("(")
+          val v = term(); expect("AS"); val name = term(); expect(")")
+          elems += Bind(v, name.stripPrefix("?"))
+        }
+        else if (peek.equalsIgnoreCase("VALUES")) {
+          next()
+          val name = term().stripPrefix("?")
+          expect("{")
+          val vals = scala.collection.mutable.ListBuffer[String]()
+          while (peek != "}") vals += term()
+          expect("}")
+          elems += Values(name, vals.toList)
         }
         else if (peek == "{") {
           val left = block()
@@ -204,6 +220,13 @@ object Sparql {
       case f: FilterCond =>
         val df = current.getOrElse(sys.error("FILTER without bindings"))
         current = Some(df.where(filterColumn(f)))
+      case Bind(v, name) =>
+        val df = current.getOrElse(sys.error("BIND without bindings"))
+        val value = if (v.startsWith("?")) col(v.drop(1)) else lit(termValue(v))
+        current = Some(Bgp.bind(df, name, value))
+      case Values(name, vals) =>
+        val df = current.getOrElse(sys.error("VALUES without bindings"))
+        current = Some(Bgp.values(df, name, vals.map(termValue)))
       case _: Triple => () // already handled
     }
     current.getOrElse(sys.error("empty group"))

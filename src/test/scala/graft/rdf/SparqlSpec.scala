@@ -60,6 +60,16 @@ class SparqlSpec extends SparkSpec {
       .as[String].collect().toSeq shouldBe Seq("alice")
   }
 
+  it should "support BIND and VALUES" in {
+    val res = Sparql.select(quads,
+      """SELECT ?x ?tag WHERE {
+        |  ?x <name> ?n . BIND("person" AS ?tag)
+        |  VALUES ?x { <alice> <bob> }
+        |}""".stripMargin)
+      .as[(String, String)].collect().toSet
+    res shouldBe Set(("alice", "person"), ("bob", "person"))
+  }
+
   "Sparql.ask" should "answer existence queries" in {
     Sparql.ask(quads, "ASK { <alice> <knows> ?y }") shouldBe true
     Sparql.ask(quads, "ASK { <carol> <knows> ?y }") shouldBe false
