@@ -616,6 +616,26 @@ object SparkEntry {
       .except(o.where(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey")))
   }
 
+  /** String-function breadth: case, pad, substring, concat — exact. */
+  private def q62_string_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").select(
+      col("n_nationkey"),
+      upper(col("n_name")).as("uname"),
+      lower(col("n_name")).as("lname"),
+      substring(col("n_name"), 1, 3).as("prefix3"),
+      length(col("n_name")).as("len"),
+      lpad(col("n_nationkey").cast("string"), 4, "0").as("padded"),
+      concat_ws("-", col("n_name"), col("n_regionkey").cast("string")).as("tagged"))
+
+  /** Date-function breadth: year/month/day extraction + month truncation. */
+  private def q63_date_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      unix_seconds(date_trunc("month", col("o_orderdate")).cast("timestamp")).as("month_start_s"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -677,7 +697,9 @@ object SparkEntry {
     "q58_stays_oracle" -> (q58_stays_oracle _),
     "q59_topk_agg" -> (q59_topk_agg _),
     "q60_intersect" -> (q60_intersect _),
-    "q61_except" -> (q61_except _)
+    "q61_except" -> (q61_except _),
+    "q62_string_funcs" -> (q62_string_funcs _),
+    "q63_date_funcs" -> (q63_date_funcs _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1025,7 +1047,18 @@ object SparkEntry {
     "q61_except" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT
-        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+    "q62_string_funcs" ->
+      """SELECT n_nationkey, upper(n_name) AS uname, lower(n_name) AS lname,
+        |  substring(n_name, 1, 3) AS prefix3, length(n_name) AS len,
+        |  lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+        |  concat_ws('-', n_name, CAST(n_regionkey AS VARCHAR)) AS tagged
+        |FROM nation""".stripMargin,
+    "q63_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d,
+        |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_s
+        |FROM orders""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
