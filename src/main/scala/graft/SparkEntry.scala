@@ -636,6 +636,16 @@ object SparkEntry {
       dayofmonth(col("o_orderdate")).as("d"),
       unix_seconds(date_trunc("month", col("o_orderdate")).cast("timestamp")).as("month_start_s"))
 
+  /** Running (cumulative) aggregates over an ordered frame — exact ints. */
+  private def q64_running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("running_n"),
+      sum(round(col("value") * 100).cast("long")).over(w).as("running_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -699,7 +709,8 @@ object SparkEntry {
     "q60_intersect" -> (q60_intersect _),
     "q61_except" -> (q61_except _),
     "q62_string_funcs" -> (q62_string_funcs _),
-    "q63_date_funcs" -> (q63_date_funcs _)
+    "q63_date_funcs" -> (q63_date_funcs _),
+    "q64_running" -> (q64_running _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1058,7 +1069,14 @@ object SparkEntry {
       """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
         |  day(o_orderdate) AS d,
         |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_s
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "q64_running" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS running_n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS running_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
