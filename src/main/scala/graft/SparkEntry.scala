@@ -646,6 +646,15 @@ object SparkEntry {
       sum(round(col("value") * 100).cast("long")).over(w).as("running_cents"))
   }
 
+  /** Dedup decision step: near-dup pairs -> clusters -> representative per
+    * document (min id; itself when unpaired). Composes q19's exact pairs
+    * with connected components; oracle closes the pair graph recursively. */
+  private def q65_dedup_keep(s: SparkSession, dir: String): DataFrame =
+    Dedup.representatives(
+      t(s, dir, "documents").select(col("doc_id")),
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        k = 2, num = 1, den = 3))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -710,7 +719,8 @@ object SparkEntry {
     "q61_except" -> (q61_except _),
     "q62_string_funcs" -> (q62_string_funcs _),
     "q63_date_funcs" -> (q63_date_funcs _),
-    "q64_running" -> (q64_running _)
+    "q64_running" -> (q64_running _),
+    "q65_dedup_keep" -> (q65_dedup_keep _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1076,7 +1086,38 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS running_cents
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q65_dedup_keep" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |  FROM toks WHERE len(ts) >= 2
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle FROM idx
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |  WHERE 3 * inter > 1 * (sa.n + sb.n - inter)
+        |), sym AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        |)
+        |SELECT d.doc_id AS id,
+        |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS keep_id
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

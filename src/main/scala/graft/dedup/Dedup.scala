@@ -184,6 +184,16 @@ object Dedup {
       .select(col("id1"), col("id2"))
   }
 
+  /** The dedup decision step: collapse near-dup pairs into clusters
+    * (connected components) and elect the minimum id as each cluster's
+    * representative; every record maps to its keeper (itself when
+    * unpaired). Output: (id, keep_id). */
+  def representatives(allIds: DataFrame, pairs: DataFrame): DataFrame =
+    graft.graph.GraphOps.connectedComponents(
+        pairs.select(col("id1").as("src"), col("id2").as("dst")),
+        vertices = Some(allIds.select(col(allIds.columns.head).as("id"))))
+      .select(col("id"), col("component").as("keep_id"))
+
   /** 64-bit SimHash fingerprint of a token multiset: per-bit weighted vote
     * of token hashes. Built from 64 conditional sums (codegen'd, no UDF). */
   def simhash(text: Column): Column =
