@@ -826,12 +826,15 @@ object SparkEntry {
         |WHERE 3 * inter > 1 * (sa.n + sb.n - inter)""".stripMargin,
     "q20_sessionize" ->
       """SELECT event_id, user_id,
-        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         |FROM (
-        |  SELECT event_id, user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |  -- compare at micros precision to match the engine's storage
+        |  -- resolution (events.parquet is TIMESTAMP(NANOS); the engine
+        |  -- stores micros, so ordering and the gap test truncate ns -> us)
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus,
+        |    CASE WHEN lag(epoch_ns(ts)//1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id) IS NULL
+        |      OR epoch_ns(ts)//1000 - lag(epoch_ns(ts)//1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id) > 1800000000
         |      THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |)""".stripMargin,

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis
 
@@ -11,6 +12,15 @@ import graft.text.TextAnalysis
   * a blocking key (never an all-pairs product) -> exact verification on the
   * candidate set only. This keeps every stage a hash shuffle that AQE can
   * re-plan, with skew handled by the blocking key's natural spread.
+  *
+  * When the graft session extensions are installed (the default —
+  * [[graft.GraftSession]] sets `spark.sql.extensions`), the signature
+  * pipelines run on single-pass native expressions
+  * ([[graft.functions.TextHash]]) inside whole-stage codegen with NO
+  * materialization barriers: scan -> narrow compute -> one tiny
+  * (id, signature) shuffle -> blocked join. Without the extensions they
+  * fall back to the column-level formulations (interpreted higher-order
+  * functions) with localCheckpoints to stop expression re-inlining.
   */
 object Dedup {
 
@@ -21,27 +31,35 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
       .select(col("keep_id"), col("dups"))
 
-  /** Distinct word-shingle sets per doc, the shared substrate of the
-    * Jaccard-family dedupers. */
   /** Explicit partition count for compute-heavy / expansion stages: AQE
     * sizes stages by input bytes, which starves post-explode expansions and
     * per-row hash loops of parallelism when the input table is small. */
   private def par(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism * 2
 
+  private def haveFn(df: DataFrame, name: String): Boolean =
+    df.sparkSession.sessionState.functionRegistry
+      .functionExists(FunctionIdentifier(name))
+
+  /** Distinct word-shingle sets per doc, the shared substrate of the
+    * Jaccard-family dedupers. Native path: one codegen'd pass per row, no
+    * barriers. Fallback: HOF formulation + checkpoints (see class doc). */
   private def shingled(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    df.repartition(par(df))
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      // checkpoint so the token array is materialized once: CollapseProject
-      // would otherwise re-inline tokens() into every shingle-lambda element
-      .localCheckpoint()
-      .select(col("id"),
-        TextAnalysis.wordShinglesFromTokens(col("__toks"), k).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      // materialize the shingle arrays: downstream signature expressions
-      // reference the column many times (once per hash/aggregate), which
-      // would re-run the shingle transform per reference otherwise
-      .localCheckpoint()
+    if (haveFn(df, "word_shingles"))
+      df.repartition(par(df))
+        .select(col(idCol).as("id"),
+          call_function("word_shingles", col(textCol), lit(k)).as("shingles"))
+        .where(size(col("shingles")) > 0)
+    else
+      df.repartition(par(df))
+        .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+        // checkpoint so the token array is materialized once: CollapseProject
+        // would otherwise re-inline tokens() into every shingle-lambda element
+        .localCheckpoint()
+        .select(col("id"),
+          TextAnalysis.wordShinglesFromTokens(col("__toks"), k).as("shingles"))
+        .where(size(col("shingles")) > 0)
+        .localCheckpoint()
 
   /** Exact n-gram Jaccard near-dup pairs, threshold as a rational num/den so
     * the comparison is exact integer arithmetic (`den*inter > num*union`):
@@ -138,7 +156,10 @@ object Dedup {
   }
 
   /** MinHash signature: numHashes independent 64-bit hash family members via
-    * seeded xxhash64; signature[j] = min over shingles of h_j(shingle). */
+    * seeded xxhash64; signature[j] = min over shingles of h_j(shingle).
+    * Column formulation (interpreted HOFs) — the native
+    * `minhash_sigs` expression computes the identical signature in one
+    * codegen'd pass; prefer it on hot paths. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { j =>
       array_min(transform(shingles, s => xxhash64(lit(j), s)))
@@ -159,9 +180,21 @@ object Dedup {
       num: Int = 1,
       den: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val s = shingled(df, textCol, idCol, k)
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-      .localCheckpoint() // reused by candidate gen AND verification
+    val native = haveFn(df, "minhash_sigs")
+    val sRaw = shingled(df, textCol, idCol, k)
+    val s =
+      if (native)
+        // (id, shingles, sig) materialized by the exchange below: signature
+        // computed exactly once per row on the shuffle's map side, then the
+        // banding/verification stages read the shuffled rows. The two
+        // consumers (banding, verification) produce identical exchanges, so
+        // ReuseExchange evaluates the pipeline once.
+        sRaw.withColumn("sig",
+            call_function("minhash_sigs", col("shingles"), lit(numHashes)))
+          .repartition(par(df), col("id"))
+      else
+        sRaw.withColumn("sig", minhashSignature(col("shingles"), numHashes))
+          .localCheckpoint() // reused by candidate gen AND verification
     val banded = s.select(
       col("id"),
       posexplode(array((0 until bands).map { b =>
@@ -211,37 +244,81 @@ object Dedup {
       when(bitVotes > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** SimHash near-dup pairs: block on 4 x 16-bit fingerprint chunks (a pair
-    * within Hamming distance <= 3 must agree on at least one chunk), verify
-    * Hamming distance on candidates. Output: (id1, id2, hamming). */
+  /** Blocking table for [[simhashPairs]]: number of fingerprint chunks as a
+    * function of corpus size. A pair within Hamming distance h agrees on at
+    * least (chunks - h) chunks, so blocking on every (chunks - h)-subset of
+    * chunks (Manku-style combinatorial blocking) guarantees recall while
+    * the per-key population shrinks as 2^(-combined chunk bits):
+    *   4 chunks  -> block on single 16-bit chunks,  n/2^16 per bucket
+    *   7 chunks  -> block on 4-chunk combos (35),  n/2^37 per bucket
+    *   10 chunks -> block on 7-chunk combos (120), n/2^44 per bucket
+    * (bucket sizes quoted for maxHamming=3 on uniformly spread hashes). */
+  private[dedup] def chunksFor(nDocs: Long): Int =
+    if (nDocs <= 500000L) 4
+    else if (nDocs <= 500000000L) 7
+    else 10
+
+  /** Bit offsets/widths splitting the 64-bit fingerprint into `c` chunks
+    * (remainder bits spread over the leading chunks). */
+  private[dedup] def chunkBounds(c: Int): Seq[(Int, Int)] = {
+    val base = 64 / c
+    val extra = 64 % c
+    val widths = Seq.tabulate(c)(i => if (i < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths).take(c)
+  }
+
+  /** SimHash near-dup pairs with combinatorial chunk blocking: a pair
+    * within Hamming distance <= maxHamming must agree on at least
+    * (chunks - maxHamming) chunks, so every such subset of chunks is a
+    * blocking key; Hamming distance is verified exactly on candidates.
+    * Output is therefore EXACTLY the pairs at Hamming <= maxHamming,
+    * independent of the chunk count — `chunks` only tunes bucket sizes
+    * (see [[chunksFor]]; `chunks = 0` picks from the corpus size).
+    * Output: (id1, id2, hamming). */
   def simhashPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // single-pass native expression over the hash array (the HOF
-    // formulation walks the array 64 times interpreted); falls back to the
-    // column expression when the session lacks the graft extensions
-    val haveNative = df.sparkSession.sessionState.functionRegistry
-      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"))
-    val hashes = df.repartition(par(df))
-      .select(col(idCol).as("id"),
-        transform(TextAnalysis.tokens(lower(col(textCol))), t => xxhash64(t)).as("__hashes"))
-    val fpCol =
-      if (haveNative) call_function("simhash64", col("__hashes"))
-      else simhashFromHashes(col("__hashes"))
-    val s = (if (haveNative) hashes else hashes.localCheckpoint())
-      .select(col("id"), fpCol.as("fp"))
-      .localCheckpoint()
-    val chunked = s.select(
-      col("id"), col("fp"),
-      posexplode(array((0 until 4).map { c =>
-        shiftright(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))
-      }: _*)).as(Seq("chunk", "chunkVal")))
-    chunked.alias("a")
-      .join(chunked.alias("b"),
-        col("a.chunk") === col("b.chunk") &&
-          col("a.chunkVal") === col("b.chunkVal") &&
+      maxHamming: Int = 3,
+      chunks: Int = 0): DataFrame = {
+    val c = if (chunks > 0) chunks else chunksFor(df.count())
+    require(c > maxHamming, s"need more chunks ($c) than maxHamming ($maxHamming)")
+    // single-pass native tokenize+hash+simhash (the HOF formulation walks
+    // the array 64 times interpreted); falls back to the column expression
+    // when the session lacks the graft extensions
+    val haveNative = haveFn(df, "simhash64") && haveFn(df, "xxhash64_tokens")
+    val s =
+      if (haveNative)
+        // fingerprint computed once on the exchange's map side (see
+        // minhashLshPairs note), then fanned out to the combo keys
+        df.repartition(par(df))
+          .select(col(idCol).as("id"),
+            call_function("simhash64",
+              call_function("xxhash64_tokens", lower(col(textCol)))).as("fp"))
+          .repartition(par(df), col("id"))
+      else {
+        val hashes = df.repartition(par(df))
+          .select(col(idCol).as("id"),
+            transform(TextAnalysis.tokens(lower(col(textCol))), t => xxhash64(t)).as("__hashes"))
+          .localCheckpoint()
+        hashes.select(col("id"), simhashFromHashes(col("__hashes")).as("fp"))
+          .localCheckpoint()
+      }
+    val bounds = chunkBounds(c)
+    def chunkVal(i: Int): Column = {
+      val (off, w) = bounds(i)
+      shiftright(col("fp"), off).bitwiseAND(lit((1L << w) - 1))
+    }
+    val agree = c - maxHamming
+    val comboKeys = (0 until c).combinations(agree).toSeq.map { m =>
+      xxhash64(m.map(chunkVal): _*)
+    }
+    val keyed = s.select(col("id"), col("fp"),
+      posexplode(array(comboKeys: _*)).as(Seq("combo", "key")))
+    keyed.alias("a")
+      .join(keyed.alias("b"),
+        col("a.combo") === col("b.combo") &&
+          col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))

@@ -1,0 +1,167 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass text-hashing expressions for the dedup hot paths.
+  *
+  * The column-level formulations (`split` + `transform(_, xxhash64)` +
+  * per-band `array_min` lambdas) evaluate higher-order functions
+  * interpreted — once per element per hash seed — which made the MinHash /
+  * SimHash pipelines the two most environment-sensitive queries in the
+  * benchmark (cold JIT + three eager localCheckpoints per call). Each
+  * expression here makes ONE pass in JVM code and participates in
+  * whole-stage codegen (and its common-subexpression elimination), so the
+  * dedup pipelines need no materialization barriers at all.
+  *
+  * Hash family compatibility: all hashing goes through Spark's own
+  * [[XXH64]] with the same seeding as the built-in `xxhash64` expression
+  * (seed 42, fold left over arguments), so fingerprints are bit-identical
+  * to the column formulations in [[graft.dedup.Dedup]].
+  */
+object TextHash {
+
+  /** Same token semantics as [[graft.text.TextAnalysis.tokens]]:
+    * split on whitespace/punctuation runs, drop empties. */
+  private val Sep = Pattern.compile("[\\s\\p{Punct}]+")
+
+  private[functions] def splitTokens(text: UTF8String): Array[String] =
+    Sep.split(text.toString, -1).filter(_.nonEmpty)
+
+  /** xxhash64(token) for each token of `text`, one pass. */
+  def tokenHashes(text: UTF8String): ArrayData = {
+    val toks = splitTokens(text)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct word-k-shingles, matching
+    * [[graft.text.TextAnalysis.wordShinglesFromTokens]] exactly:
+    * indices 0..max(n-k, 0), space-joined windows (shorter at the tail),
+    * empties dropped, first-occurrence order kept. */
+  def wordShingles(text: UTF8String, k: Int): ArrayData = {
+    val toks = splitTokens(text)
+    val n = toks.length
+    val last = math.max(n - k, 0)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + k, n)
+      if (end > i) {
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        if (sb.length > 0) seen.add(sb.toString)
+      }
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature over a shingle array: sig(j) = min over shingles of
+    * xxhash64(j, shingle) — bit-identical to
+    * [[graft.dedup.Dedup.minhashSignature]] (seed chain
+    * `hashInt(j, 42)` then `hashUTF8String(s, seed)`). */
+  def minhashSigs(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val seeds = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) { seeds(j) = XXH64.hashInt(j, 42L); j += 1 }
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        var j = 0
+        while (j < numHashes) {
+          val h = XXH64.hashUTF8String(s, seeds(j))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var p = 0
+    while (p < numHashes) { out(p) = sig(p); p += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `xxhash64_tokens(text)` → array<bigint>: tokenize + hash in one pass. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"xxhash64_tokens needs string, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.tokenHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.tokenHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `word_shingles(text, k)` → array<string>: distinct word-k-shingles. */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles needs string, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.wordShingles(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_sigs(shingles, numHashes)` → array<bigint>. */
+case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sigs needs array<string>, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhashSigs(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minhashSigs($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -36,6 +36,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("xxhash64_tokens"),
+      new ExpressionInfo(classOf[graft.functions.TokenHashes].getName, "xxhash64_tokens"),
+      (exprs: Seq[Expression]) => graft.functions.TokenHashes(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => graft.functions.WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => graft.functions.MinHashSigs(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
     ext.injectOptimizerRule(_ => HaversineRadiusPrefilter)
     ext.injectOptimizerRule(_ => BinnedRangeJoinRewrite)
   }

@@ -58,4 +58,59 @@ class DedupStrategySpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     pairs should contain((0L, 2000L))
   }
+
+  "simhash combinatorial blocking" should
+    "return the identical pair set for every chunk-table entry" in {
+    // the output is exactly {pairs : hamming <= maxHamming} regardless of
+    // the blocking granularity — 4 chunks (single-chunk keys), 7 chunks
+    // (C(7,4)=35 combo keys) and 10 chunks (C(10,7)=120) must agree
+    val by4 = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3, chunks = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val by7 = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3, chunks = 7)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val by10 = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3, chunks = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    by7 shouldBe by4
+    by10 shouldBe by4
+  }
+
+  "simhash pairs" should "verify the Hamming bound on every returned pair" in {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3, chunks = 7)
+      .select("hamming").as[Long].collect()
+    all(pairs) should be <= 3L
+  }
+
+  "native text-hash expressions" should "match the column formulations bit-for-bit" in {
+    // word_shingles vs wordShinglesFromTokens(tokens(...))
+    val colShingles = docs
+      .select($"doc_id", graft.text.TextAnalysis.tokens($"text").as("t"))
+      .localCheckpoint()
+      .select($"doc_id",
+        graft.text.TextAnalysis.wordShinglesFromTokens($"t", 2).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val natShingles = docs
+      .select($"doc_id", call_function("word_shingles", $"text", lit(2)).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    natShingles.view.mapValues(_.toSet).toMap shouldBe
+      colShingles.view.mapValues(_.toSet).toMap
+
+    // minhash_sigs vs minhashSignature on the same shingle arrays
+    val base = docs.select($"doc_id",
+      call_function("word_shingles", $"text", lit(2)).as("sh")).localCheckpoint()
+    val colSig = base.select($"doc_id", Dedup.minhashSignature($"sh", 8).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val natSig = base.select($"doc_id",
+        call_function("minhash_sigs", $"sh", lit(8)).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    natSig shouldBe colSig
+
+    // simhash64(xxhash64_tokens(lower(text))) vs the HOF simhash(text)
+    val colFp = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val natFp = docs.select($"doc_id",
+        call_function("simhash64",
+          call_function("xxhash64_tokens", lower($"text"))).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    natFp shouldBe colFp
+  }
 }
