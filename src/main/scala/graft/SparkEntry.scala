@@ -655,6 +655,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
         k = 2, num = 1, den = 3))
 
+  /** A9 full fidelity: windowed multi-candidate stay extraction + trellis
+    * smoothing (candidate clusters in a 60-min lookup window; Stationary
+    * observations dropped by the min-cost state path; greedy re-cluster).
+    * Order-dependent stateful semantics — rows-only check; the divergence
+    * from the greedy pass is fixture-tested in WindowedStaysSpec. */
+  private def q66_windowed_stays(s: SparkSession, dir: String): DataFrame =
+    graft.spatial.WindowedStays.extractStaysDf(
+      eventsAsObservations(s, dir), minFinalStayMs = 10L * 60 * 1000)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -720,7 +729,8 @@ object SparkEntry {
     "q62_string_funcs" -> (q62_string_funcs _),
     "q63_date_funcs" -> (q63_date_funcs _),
     "q64_running" -> (q64_running _),
-    "q65_dedup_keep" -> (q65_dedup_keep _)
+    "q65_dedup_keep" -> (q65_dedup_keep _),
+    "q66_windowed_stays" -> (q66_windowed_stays _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
