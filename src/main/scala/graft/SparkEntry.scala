@@ -655,6 +655,52 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
         k = 2, num = 1, den = 3))
 
+  /** SPARQL front end, aggregate form (the AgentMatchEnricher message-count
+    * shape, `AgentMatchEnricher.scala:101-112`): GROUP BY + COUNT over an
+    * OPTIONAL-UNION group, parsed from SPARQL text and compiled onto the
+    * aggregate builders. COUNT skips unbound (OPTIONAL-null) bindings. */
+  private def q67_sparql_agg(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.select(TpchQuads.quads(s, dir),
+      """SELECT ?c ?cname (COUNT(?o) AS ?n_orders) WHERE {
+        |  GRAPH <customer> { ?c <name> ?cname . }
+        |  OPTIONAL {
+        |    { ?o <cust> ?c . ?o <status> "F" } UNION { ?o <cust> ?c . ?o <status> "O" }
+        |  }
+        |} GROUP BY ?c ?cname""".stripMargin)
+
+  /** SPARQL front end, property-path + sub-SELECT form (the
+    * PrimaryFacetEnricher shape, `PrimaryFacetEnricher.scala:18-28`):
+    * `succ*` reflexive-transitive closure inside a sub-select, outer
+    * GROUP BY + COUNT. The succ chain links each nation to the next key in
+    * its region, so the closure into n:24 is exactly the same-region
+    * nations with key <= 24 — SQL-stateable without recursion. */
+  private def q68_sparql_path(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+    val succ = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+      .withColumn("nxt", lead(col("n_nationkey"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(
+        concat(lit("n:"), col("n_nationkey").cast("string")).as("s"),
+        lit("succ").as("p"),
+        concat(lit("n:"), col("nxt").cast("string")).as("o"),
+        lit(graft.rdf.Quad.IRI).as("oKind"),
+        lit(null).cast("string").as("oDt"),
+        lit(null).cast("string").as("oLang"),
+        lit("succ").as("g"))
+    val quads = TpchQuads.quads(s, dir).unionByName(succ)
+    graft.rdf.Sparql.select(quads,
+      """SELECT ?n (COUNT(?c) AS ?ncust) WHERE {
+        |  {
+        |    SELECT ?n ?start {
+        |      ?n <succ>* ?start .
+        |    }
+        |  }
+        |  VALUES ?start { <n:24> }
+        |  ?c <nation> ?n .
+        |} GROUP BY ?n""".stripMargin)
+  }
+
   /** A9 full fidelity: windowed multi-candidate stay extraction + trellis
     * smoothing (candidate clusters in a 60-min lookup window; Stationary
     * observations dropped by the min-cost state path; greedy re-cluster).
@@ -730,7 +776,9 @@ object SparkEntry {
     "q63_date_funcs" -> (q63_date_funcs _),
     "q64_running" -> (q64_running _),
     "q65_dedup_keep" -> (q65_dedup_keep _),
-    "q66_windowed_stays" -> (q66_windowed_stays _)
+    "q66_windowed_stays" -> (q66_windowed_stays _),
+    "q67_sparql_agg" -> (q67_sparql_agg _),
+    "q68_sparql_path" -> (q68_sparql_path _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1130,7 +1178,19 @@ object SparkEntry {
         |SELECT d.doc_id AS id,
         |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS keep_id
         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        |GROUP BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id""".stripMargin,
+    "q67_sparql_agg" ->
+      """SELECT 'c:' || c_custkey AS c, c_name AS cname,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus IN ('F', 'O'))
+        |    AS n_orders
+        |FROM customer c""".stripMargin,
+    "q68_sparql_path" ->
+      """SELECT 'n:' || n.n_nationkey AS n, count(*) AS ncust
+        |FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |WHERE n.n_regionkey = (SELECT n_regionkey FROM nation WHERE n_nationkey = 24)
+        |  AND n.n_nationkey <= 24
+        |GROUP BY 1""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -5,22 +5,36 @@ import org.apache.spark.sql.functions._
 
 /** SPARQL-subset front end: parses the SELECT fragment every reference
   * enricher uses (SURVEY §2.2 — BGPs, OPTIONAL, UNION, GRAPH scoping,
-  * FILTER comparisons, DISTINCT, ORDER BY, LIMIT) and compiles it onto the
-  * [[Bgp]] DataFrame builders, so Catalyst optimizes the resulting plan
-  * like any other query (reference lifecycle §3.1: parse → algebra →
-  * evaluate, with RDF4J's evaluator replaced by Spark).
+  * FILTER comparisons, DISTINCT, ORDER BY, LIMIT, and the aggregate /
+  * property-path / sub-SELECT forms of the reference's enricher queries)
+  * and compiles it onto the [[Bgp]] DataFrame builders, so Catalyst
+  * optimizes the resulting plan like any other query (reference lifecycle
+  * §3.1: parse → algebra → evaluate, with RDF4J's evaluator replaced by
+  * Spark).
+  *
+  * Aggregates target the reference's message-count query
+  * (`thymeflow/src/main/com/thymeflow/enricher/entityresolution/
+  * AgentMatchEnricher.scala:101-112`); `p*` paths and sub-SELECT target
+  * the primary-facet query (`core/src/main/com/thymeflow/enricher/
+  * PrimaryFacetEnricher.scala:18-28`); `p1/p2` sequence paths target the
+  * email-address query (`AgentMatchEnricher.scala:95-99`).
   *
   * Grammar (hand-rolled recursive descent, no dependencies):
   * {{{
-  * SELECT [DISTINCT] (?v... | *) WHERE { group } [ORDER BY ?v [DESC]] [LIMIT n]
+  * SELECT [DISTINCT] (?v | (AGG(?v|*) AS ?alias) | *)... [WHERE] { group }
+  *   [GROUP BY ?v...] [ORDER BY key [DESC]] [LIMIT n]
   * group   := element*
-  * element := triple '.'?
+  * element := triples '.'?                 (with ';' and ',' lists)
   *          | OPTIONAL { group }
   *          | FILTER ( cond [&&/|| cond]* )
   *          | GRAPH term { group }
   *          | { group } UNION { group }
-  * triple  := term term term
+  *          | { SELECT ... }               (sub-select)
+  * triple  := term path term
+  * path    := pterm ('/' pterm)* | pterm '*'
+  * pterm   := <iri> | bareword | 'a' (→ rdf:type)
   * term    := ?var | <iri> | "literal" | bareword
+  * key     := ?v | DESC(?v) | DESC(AGG(?v))
   * cond    := ?var (=|!=|<|<=|>|>=) term-or-number
   * }}}
   */
@@ -53,7 +67,7 @@ object Sparql {
         }
         out += sb.append('"').toString; i += 1
       }
-      else if ("{}().".contains(c)) { out += c.toString; i += 1 }
+      else if ("{}().;,/".contains(c)) { out += c.toString; i += 1 }
       else if (c == '&' || c == '|') { out += q.substring(i, i + 2); i += 2 }
       else if ("=<>!".contains(c)) {
         if (i + 1 < n && q(i + 1) == '=') { out += q.substring(i, i + 2); i += 2 }
@@ -61,7 +75,7 @@ object Sparql {
       }
       else {
         var j = i
-        while (j < n && !q(j).isWhitespace && !"{}()<>=!&|.".contains(q(j))) j += 1
+        while (j < n && !q(j).isWhitespace && !"{}()<>=!&|.;,/".contains(q(j))) j += 1
         // allow dots inside numbers and prefixed names (e.g. 0.5)
         if (j < n && q(j) == '.' && j + 1 < n && q(j + 1).isDigit) {
           var k = j + 1
@@ -78,6 +92,8 @@ object Sparql {
 
   private sealed trait Element
   private final case class Triple(s: String, p: String, o: String) extends Element
+  /** `s p* o` — zero-or-more closure over predicate `p`. */
+  private final case class StarPath(s: String, p: String, o: String) extends Element
   private final case class Opt(group: List[Element]) extends Element
   private final case class FilterCond(conds: List[(String, String, String)],
       ops: List[String]) extends Element
@@ -85,51 +101,139 @@ object Sparql {
   private final case class Union(left: List[Element], right: List[Element]) extends Element
   private final case class Bind(value: String, varName: String) extends Element
   private final case class Values(varName: String, values: List[String]) extends Element
+  private final case class SubSelect(query: Query) extends Element
+
+  private sealed trait SelectItem
+  private final case class PlainVar(name: String) extends SelectItem
+  /** e.g. (COUNT(?msg) AS ?msgCount); arg "*" for COUNT(*). */
+  private final case class AggItem(fn: String, arg: String, distinct: Boolean,
+      alias: String) extends SelectItem
+
+  private sealed trait OrderKey
+  private final case class VarKey(name: String) extends OrderKey
+  private final case class AggKey(fn: String, arg: String) extends OrderKey
 
   private final case class Query(
-      distinct: Boolean, vars: Seq[String], group: List[Element],
-      orderBy: Option[(String, Boolean)], limit: Option[Int])
+      distinct: Boolean, items: Seq[SelectItem], group: List[Element],
+      groupBy: Seq[String], orderBy: Option[(OrderKey, Boolean)], limit: Option[Int])
+
+  private val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
 
   private class P(var tokens: List[String]) {
     def peek: String = tokens.headOption.getOrElse("")
+    def peek2: String = tokens.drop(1).headOption.getOrElse("")
     def next(): String = { val h = tokens.head; tokens = tokens.tail; h }
     def expect(t: String): Unit = {
       val h = next()
       require(h.equalsIgnoreCase(t), s"expected $t, got $h")
     }
 
+    private def aggExpr(): (String, String, Boolean) = {
+      val fn = next().toUpperCase
+      require(AggFns.contains(fn), s"unsupported aggregate $fn")
+      expect("(")
+      val distinct = peek.equalsIgnoreCase("DISTINCT") && { next(); true }
+      val arg = next() // ?var or *
+      expect(")")
+      (fn, arg, distinct)
+    }
+
     def query(): Query = {
       expect("SELECT")
       val distinct = peek.equalsIgnoreCase("DISTINCT") && { next(); true }
-      val vars = scala.collection.mutable.ListBuffer[String]()
+      val items = scala.collection.mutable.ListBuffer[SelectItem]()
       var star = false
-      while (peek.startsWith("?") || peek == "*") {
-        val t = next()
-        if (t == "*") star = true else vars += t.drop(1)
+      while (peek.startsWith("?") || peek == "*" || peek == "(") {
+        if (peek == "(") {
+          next()
+          val (fn, arg, dist) = aggExpr()
+          expect("AS")
+          val alias = next().stripPrefix("?")
+          expect(")")
+          items += AggItem(fn, arg, dist, alias)
+        } else {
+          val t = next()
+          if (t == "*") star = true else items += PlainVar(t.drop(1))
+        }
       }
-      expect("WHERE")
+      if (peek.equalsIgnoreCase("WHERE")) next() // WHERE is optional
       val g = block()
-      var order: Option[(String, Boolean)] = None
+      var order: Option[(OrderKey, Boolean)] = None
       var limit: Option[Int] = None
-      while (tokens.nonEmpty) {
-        if (peek.equalsIgnoreCase("ORDER")) {
+      val groupVars = scala.collection.mutable.ListBuffer[String]()
+      while (tokens.nonEmpty && peek != "}") {
+        if (peek.equalsIgnoreCase("GROUP")) {
           next(); expect("BY")
-          val v = next().stripPrefix("?")
-          val desc = peek.equalsIgnoreCase("DESC") && { next(); true }
-          if (peek.equalsIgnoreCase("ASC")) next()
-          order = Some((v, desc))
+          while (peek.startsWith("?")) groupVars += next().drop(1)
+        } else if (peek.equalsIgnoreCase("ORDER")) {
+          next(); expect("BY")
+          var desc = false
+          val key: OrderKey =
+            if (peek.equalsIgnoreCase("DESC") || peek.equalsIgnoreCase("ASC")) {
+              desc = next().equalsIgnoreCase("DESC")
+              expect("(")
+              val k =
+                if (peek.startsWith("?")) VarKey(next().drop(1))
+                else { val (fn, arg, _) = aggExpr(); AggKey(fn, arg) }
+              expect(")")
+              k
+            } else if (AggFns.contains(peek.toUpperCase)) {
+              val (fn, arg, _) = aggExpr(); AggKey(fn, arg)
+            } else VarKey(next().stripPrefix("?"))
+          if (peek.equalsIgnoreCase("DESC")) { desc = true; next() }
+          else if (peek.equalsIgnoreCase("ASC")) next()
+          order = Some((key, desc))
         } else if (peek.equalsIgnoreCase("LIMIT")) {
           next(); limit = Some(next().toInt)
         } else sys.error(s"unexpected token ${peek}")
       }
-      Query(distinct, if (star) Seq.empty else vars.toSeq, g, order, limit)
+      Query(distinct, if (star) Seq.empty else items.toSeq, g,
+        groupVars.toSeq, order, limit)
+    }
+
+    private var freshId = 0
+    private def fresh(): String = { freshId += 1; s"?__path$freshId" }
+
+    /** Parse the triples after one subject: `s path o (, o)* (; path o...)*` */
+    private def triples(elems: scala.collection.mutable.ListBuffer[Element]): Unit = {
+      val s = term()
+      var done = false
+      while (!done) {
+        // predicate path: pterm ('/' pterm)* | pterm '*'
+        val steps = scala.collection.mutable.ListBuffer(pterm())
+        while (peek == "/") { next(); steps += pterm() }
+        val isStar = peek == "*" && { next(); true }
+        require(!isStar || steps.size == 1, "p* supported on a single predicate")
+        var moreObjects = true
+        while (moreObjects) {
+          val o = term()
+          if (isStar) elems += StarPath(s, steps.head, o)
+          else if (steps.size == 1) elems += Triple(s, steps.head, o)
+          else {
+            // sequence path: chain through fresh intermediate variables
+            var subj = s
+            steps.toList.zipWithIndex.foreach { case (p, i) =>
+              val obj = if (i == steps.size - 1) o else fresh()
+              elems += Triple(subj, p, obj)
+              subj = obj
+            }
+          }
+          moreObjects = peek == "," && { next(); true }
+        }
+        if (peek == ";") { next(); done = peek == "." || peek == "}" }
+        else done = true
+      }
+      if (peek == ".") next()
     }
 
     def block(): List[Element] = {
       expect("{")
       val elems = scala.collection.mutable.ListBuffer[Element]()
       while (peek != "}") {
-        if (peek.equalsIgnoreCase("OPTIONAL")) { next(); elems += Opt(block()) }
+        if (peek.equalsIgnoreCase("OPTIONAL")) {
+          next(); elems += Opt(block())
+          if (peek == ".") next()
+        }
         else if (peek.equalsIgnoreCase("FILTER")) { next(); elems += filter() }
         else if (peek.equalsIgnoreCase("GRAPH")) {
           next(); val g = term(); elems += Graphed(g, block())
@@ -149,15 +253,18 @@ object Sparql {
           elems += Values(name, vals.toList)
         }
         else if (peek == "{") {
-          val left = block()
-          expect("UNION")
-          val right = block()
-          elems += Union(left, right)
+          if (peek2.equalsIgnoreCase("SELECT")) {
+            next()
+            elems += SubSelect(query())
+            expect("}")
+          } else {
+            val left = block()
+            expect("UNION")
+            val right = block()
+            elems += Union(left, right)
+          }
         }
-        else {
-          elems += Triple(term(), term(), term())
-          if (peek == ".") next()
-        }
+        else triples(elems)
       }
       expect("}")
       elems.toList
@@ -181,6 +288,13 @@ object Sparql {
     }
 
     def term(): String = next()
+
+    /** Predicate term: 'a' abbreviates rdf:type (as this repo's converters
+      * spell it). */
+    def pterm(): String = {
+      val t = next()
+      if (t == "a") "rdf:type" else t
+    }
   }
 
   // --------------------------------------------------------------- compile
@@ -195,6 +309,29 @@ object Sparql {
     Bgp.Pattern(cv(t.s), cv(t.p), cv(t.o), g.map(termValue))
   }
 
+  /** `?x p* ?y`: reflexive-transitive closure of predicate p — the plus-
+    * closure via [[graft.graph.GraphOps.transitiveClosure]] union the
+    * zero-length identity over every term of the (graph-scoped) store
+    * (SPARQL: a zero-length path matches each graph term with itself). */
+  private def starPath(quads: DataFrame, sp: StarPath, graph: Option[String]): DataFrame = {
+    val scoped = graph.map(g => quads.where(col("g") === termValue(g))).getOrElse(quads)
+    val pred = termValue(sp.p)
+    val edges = scoped.where(col("p") === pred)
+      .select(col("s").as("src"), col("o").as("dst"))
+    val plus = graft.graph.GraphOps.transitiveClosure(edges)
+      .select(col("src"), col("dst"))
+    val identity = scoped.select(col("s").as("src"))
+      .union(scoped.select(col("o").as("src")))
+      .distinct()
+      .select(col("src"), col("src").as("dst"))
+    val pairs = plus.union(identity).distinct()
+    val withS =
+      if (sp.s.startsWith("?")) pairs.withColumnRenamed("src", sp.s.drop(1))
+      else pairs.where(col("src") === termValue(sp.s)).drop("src")
+    if (sp.o.startsWith("?")) withS.withColumnRenamed("dst", sp.o.drop(1))
+    else withS.where(col("dst") === termValue(sp.o)).drop("dst")
+  }
+
   private def compileGroup(
       quads: DataFrame, group: List[Element], graph: Option[String]): DataFrame = {
     var current: Option[DataFrame] = None
@@ -204,19 +341,32 @@ object Sparql {
         val shared = acc.columns.intersect(df.columns).toSeq
         Some(if (shared.nonEmpty) acc.join(df, shared) else acc.crossJoin(df))
     }
-    // triples first (they define bindings), then graph/union groups, then
-    // OPTIONAL, then FILTER — SPARQL group semantics for this subset
+    // triples first (they define bindings), then paths/graph/union/sub-
+    // select groups, then OPTIONAL, then FILTER — SPARQL group semantics
+    // for this subset
     val (triples, rest) = group.partition(_.isInstanceOf[Triple])
     if (triples.nonEmpty)
       join(Bgp.bgp(quads, triples.map(t => toPattern(t.asInstanceOf[Triple], graph)): _*))
     rest.foreach {
+      case sp: StarPath => join(starPath(quads, sp, graph))
+      case SubSelect(q) => join(compileQuery(quads, q))
       case Graphed(g, inner) => join(compileGroup(quads, inner, Some(g)))
       case Union(l, r) =>
         join(Bgp.union(compileGroup(quads, l, graph), compileGroup(quads, r, graph)))
       case Opt(inner) =>
         val left = current.getOrElse(sys.error("OPTIONAL without preceding bindings"))
-        current = Some(Bgp.optional(left, quads,
-          inner.collect { case t: Triple => toPattern(t, graph) }: _*))
+        val innerIsPlainBgp = inner.forall(_.isInstanceOf[Triple])
+        if (innerIsPlainBgp)
+          current = Some(Bgp.optional(left, quads,
+            inner.collect { case t: Triple => toPattern(t, graph) }: _*))
+        else {
+          // general OPTIONAL group (e.g. a UNION inside OPTIONAL,
+          // AgentMatchEnricher.scala:105-111): left-outer join on the
+          // shared variables
+          val right = compileGroup(quads, inner, graph)
+          val shared = left.columns.intersect(right.columns).toSeq
+          current = Some(left.join(right, shared, "left_outer"))
+        }
       case f: FilterCond =>
         val df = current.getOrElse(sys.error("FILTER without bindings"))
         current = Some(df.where(filterColumn(f)))
@@ -258,17 +408,63 @@ object Sparql {
     }
   }
 
+  private def aggColumn(fn: String, arg: String, distinct: Boolean): Column = {
+    val c = if (arg == "*") None else Some(col(arg.stripPrefix("?")))
+    fn match {
+      case "COUNT" if c.isEmpty => count(lit(1))
+      case "COUNT" if distinct => countDistinct(c.get)
+      case "COUNT" => count(c.get) // skips unbound (null) — SPARQL semantics
+      case "SUM" => sum(c.get)
+      case "MIN" => min(c.get)
+      case "MAX" => max(c.get)
+      case "AVG" => avg(c.get)
+    }
+  }
+
+  private def compileQuery(quads: DataFrame, q: Query): DataFrame = {
+    var df = compileGroup(quads, q.group, None)
+    val aggItems = q.items.collect { case a: AggItem => a }
+    val hasAggs = aggItems.nonEmpty || q.groupBy.nonEmpty
+    val orderAggKey = q.orderBy.collect { case (k: AggKey, _) => k }
+    if (hasAggs) {
+      val hiddenOrd = orderAggKey.filterNot(k =>
+        aggItems.exists(a => a.fn == k.fn && a.arg == k.arg && !a.distinct))
+        .map(k => aggColumn(k.fn, k.arg, distinct = false).as("__ord"))
+      val aggCols = aggItems.map(a =>
+        aggColumn(a.fn, a.arg, a.distinct).as(a.alias)) ++ hiddenOrd
+      require(aggCols.nonEmpty, "GROUP BY without aggregates in SELECT or ORDER BY")
+      df = df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    }
+    // projection before ordering (hidden order columns are kept until after
+    // the sort, then dropped)
+    val projected: Seq[String] = q.items.map {
+      case PlainVar(v) => v
+      case AggItem(_, _, _, alias) => alias
+    }
+    if (projected.nonEmpty) {
+      val keep = projected ++ (if (hasAggs && orderAggKey.isDefined &&
+        df.columns.contains("__ord")) Seq("__ord") else Nil)
+      df = df.select(keep.distinct.map(col): _*)
+    }
+    if (q.distinct) df = df.distinct()
+    q.orderBy.foreach { case (key, desc) =>
+      val c = key match {
+        case VarKey(v) => col(v)
+        case k: AggKey =>
+          aggItems.find(a => a.fn == k.fn && a.arg == k.arg && !a.distinct)
+            .map(a => col(a.alias)).getOrElse(col("__ord"))
+      }
+      df = df.orderBy(if (desc) c.desc else c.asc)
+    }
+    if (df.columns.contains("__ord")) df = df.drop("__ord")
+    q.limit.foreach(l => df = df.limit(l))
+    df
+  }
+
   /** Parse and run a SPARQL SELECT over a quads DataFrame. */
   def select(quads: DataFrame, queryText: String): DataFrame = {
     val q = new P(tokenize(queryText)).query()
-    var df = compileGroup(quads, q.group, None)
-    if (q.vars.nonEmpty) df = df.select(q.vars.map(col): _*)
-    if (q.distinct) df = df.distinct()
-    q.orderBy.foreach { case (v, desc) =>
-      df = df.orderBy(if (desc) col(v).desc else col(v).asc)
-    }
-    q.limit.foreach(l => df = df.limit(l))
-    df
+    compileQuery(quads, q)
   }
 
   /** ASK variant. */

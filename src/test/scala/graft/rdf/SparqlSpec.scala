@@ -74,4 +74,94 @@ class SparqlSpec extends SparkSpec {
     Sparql.ask(quads, "ASK { <alice> <knows> ?y }") shouldBe true
     Sparql.ask(quads, "ASK { <carol> <knows> ?y }") shouldBe false
   }
+
+  // ------------------------- reference enricher query forms (round 2) ----
+
+  private lazy val agentQuads = Seq(
+    quad("a1", "rdf:type", "personal:Agent"),
+    quad("a1", "schema:name", "Ann"),
+    quad("a2", "rdf:type", "personal:Agent"),
+    quad("a2", "schema:name", "Bob"),
+    quad("a3", "rdf:type", "personal:Agent"),
+    quad("a3", "schema:name", "Cid"),
+    quad("m1", "schema:recipient", "a1"),
+    quad("m2", "schema:recipient", "a1"),
+    quad("m3", "schema:sender", "a1"),
+    quad("m3", "schema:recipient", "a2"),
+    quad("a1", "schema:email", "e1"),
+    quad("e1", "schema:name", "ann@example.org"),
+    quad("f1", "personal:sameAs", "f2"),
+    quad("f2", "personal:sameAs", "f3"),
+    quad("f1", "schema:name", "Facet One"),
+    quad("f2", "schema:name", "Facet Two"),
+    quad("f2", "schema:tel", "+331"),
+    quad("f2", "schema:url", "http://x"),
+    quad("f3", "schema:name", "Facet Three"))
+    .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+
+  "aggregates" should
+    "run the AgentMatchEnricher message-count query (GROUP BY + COUNT over OPTIONAL-UNION)" in {
+    // AgentMatchEnricher.scala:101-112 verbatim shape
+    val res = Sparql.select(agentQuads,
+      """SELECT ?agent ?name (COUNT(?msg) as ?msgCount) WHERE {
+        |  ?agent a <personal:Agent> ;
+        |           <schema:name> ?name .
+        |  OPTIONAL {
+        |    {
+        |      ?msg <schema:recipient> ?agent .
+        |    } UNION {
+        |      ?msg <schema:sender> ?agent .
+        |    }
+        |  }
+        |} GROUP BY ?agent ?name""".stripMargin)
+      .as[(String, String, Long)].collect().toSet
+    res shouldBe Set(("a1", "Ann", 3L), ("a2", "Bob", 1L), ("a3", "Cid", 0L))
+  }
+
+  "sequence paths" should "traverse email/name (AgentMatchEnricher.scala:96-99)" in {
+    val res = Sparql.select(agentQuads,
+      """SELECT ?agent ?emailAddress WHERE {
+        |  ?agent a <personal:Agent> ;
+        |         <schema:email>/<schema:name> ?emailAddress .
+        |}""".stripMargin)
+      .as[(String, String)].collect().toSet
+    res shouldBe Set(("a1", "ann@example.org"))
+  }
+
+  "star paths + sub-select" should
+    "run the PrimaryFacetEnricher query (sameAs* then description-count ordering)" in {
+    // PrimaryFacetEnricher.scala:18-28 shape, with ?startFacet bound via
+    // VALUES (the reference binds it as a prepared-query parameter)
+    val res = Sparql.select(agentQuads,
+      """SELECT ?facet WHERE {
+        |  {
+        |    SELECT ?facet ?startFacet {
+        |      ?facet <personal:sameAs>* ?startFacet .
+        |    }
+        |  }
+        |  VALUES ?startFacet { <f3> }
+        |  ?facet ?descriptionProperty ?descriptionValue .
+        |} GROUP BY ?facet ORDER BY DESC(COUNT(?descriptionProperty))""".stripMargin)
+      .as[String].collect().toSeq
+    // f1 -> f3 and f2 -> f3 through the closure, f3 via zero-length;
+    // f2 has 4 description triples, f1 has 2 (sameAs counts), f3 has 1
+    res shouldBe Seq("f2", "f1", "f3")
+  }
+
+  it should "include zero-length matches for terms without edges" in {
+    val res = Sparql.select(agentQuads,
+      """SELECT ?x WHERE { ?x <personal:sameAs>* <a1> . }""")
+      .as[String].collect().toSeq
+    res shouldBe Seq("a1") // no sameAs edges into a1: identity only
+  }
+
+  "count distinct" should "honor DISTINCT inside COUNT" in {
+    val res = Sparql.select(agentQuads,
+      """SELECT ?agent (COUNT(DISTINCT ?p) AS ?np) WHERE {
+        |  ?agent ?p ?v .
+        |  VALUES ?agent { <a1> }
+        |} GROUP BY ?agent""".stripMargin)
+      .as[(String, Long)].collect().toSet
+    res shouldBe Set(("a1", 3L)) // rdf:type, schema:name, schema:email
+  }
 }
