@@ -517,15 +517,28 @@ object SparkEntry {
     * (functional name evidence dominates; rows-only check, semantics
     * unit-tested). */
   private def q52_paris(s: SparkSession, dir: String): DataFrame = {
-    val stmts = t(s, dir, "customer").select(
-        concat(lit("c:"), col("c_custkey")).as("s"), lit("name").as("p"),
-        col("c_name").as("o"))
-      .union(t(s, dir, "customer").select(
-        concat(lit("c:"), col("c_custkey")).as("s"), lit("nation").as("p"),
-        col("c_nationkey").cast("string").as("o")))
-    graft.enrich.Paris.align(stmts, stmts, iterations = 2, threshold = 0.8)
-      .where(col("s1") <= col("s2"))
-      .select(col("s1"), col("s2"))
+    // Full PARIS fixpoint (inv-functionality priors, positive AND negative
+    // evidence, 10 iterations) on a dyadic-rational fixture whose result is
+    // SQL-stateable: two "shared id" properties, grp (10-groups) and par
+    // (20-groups, a superset), with fun/inv_fun in {1/4, 1/2, 3/4}. All
+    // probability products stay exact dyadic doubles, so the DuckDB oracle
+    // states the closed-form CASE result and hash-matches bit-for-bit.
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val stmts = cust.select(
+        concat(lit("c:"), col("c_custkey")).as("x"), lit("grp").as("p"),
+        concat(lit("g"), expr("c_custkey div 10")).as("o"),
+        lit(false).as("oIsInstance"))
+      .union(cust.select(
+        concat(lit("c:"), col("c_custkey")).as("x"), lit("par").as("p"),
+        concat(lit("q"), expr("c_custkey div 20")).as("o"),
+        lit(false).as("oIsInstance")))
+    val props = Seq(("grp", 0.5, 0.5), ("par", 0.75, 0.25))
+      .toDF("p", "fun", "inv_fun")
+    val noLitEq = Seq.empty[(String, String, Double)].toDF("o1", "o2", "prob")
+    graft.enrich.Paris.resolve(stmts, noLitEq, props, iterations = 10)
+      .where(col("x1") < col("x2"))
+      .select(col("x1"), col("x2"), col("prob"))
   }
 
   /** G1+A5 composition: equivalence classes from IFP pairs (shared
@@ -1179,6 +1192,13 @@ object SparkEntry {
         |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS keep_id
         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
+    "q52_paris" ->
+      """SELECT 'c:' || a.c_custkey AS x1, 'c:' || b.c_custkey AS x2,
+        |  CAST(CASE WHEN a.c_custkey // 10 = b.c_custkey // 10
+        |    THEN 0.625 ELSE 0.125 END AS DOUBLE) AS prob
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey // 20 = b.c_custkey // 20
+        |  AND 'c:' || a.c_custkey < 'c:' || b.c_custkey""".stripMargin,
     "q67_sparql_agg" ->
       """SELECT 'c:' || c_custkey AS c, c_name AS cname,
         |  (SELECT count(*) FROM orders o

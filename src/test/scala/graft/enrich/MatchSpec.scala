@@ -63,6 +63,108 @@ class MatchSpec extends SparkSpec {
     aligned should not contain (("a2", "b2")) // only low-functionality evidence
   }
 
+  "Paris.resolve" should "compute the exact evidence products (dyadic fixture)" in {
+    // x1/x2 share grp AND par; x1/x3 share par only.
+    // pos(x1,x2) = (1-0.5)(1-0.25) = 0.375 -> P+ = 0.625; neg = 1
+    // pos(x1,x3) = (1-0.25) -> P+ = 0.25; neg = (1-0.5*1)(1-0.75*0) = 0.5
+    val stmts = Seq(
+      ("x1", "grp", "gA", false), ("x1", "par", "qA", false),
+      ("x2", "grp", "gA", false), ("x2", "par", "qA", false),
+      ("x3", "grp", "gB", false), ("x3", "par", "qA", false))
+      .toDF("x", "p", "o", "oIsInstance")
+    val props = Seq(("grp", 0.5, 0.5), ("par", 0.75, 0.25))
+      .toDF("p", "fun", "inv_fun")
+    val noEq = Seq.empty[(String, String, Double)].toDF("o1", "o2", "prob")
+    val res = Paris.resolve(stmts, noEq, props, iterations = 10)
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, p) => ((a, b), p) }.toMap
+    res(("x1", "x2")) shouldBe 0.625
+    res(("x2", "x1")) shouldBe 0.625
+    res(("x1", "x3")) shouldBe 0.125
+    res(("x3", "x1")) shouldBe 0.125
+  }
+
+  it should "propagate equality through instance-valued objects one hop per iteration" in {
+    // b1 ≈ b2 via a shared inverse-functional email (round 1); a1 ≈ a2
+    // only via the instance-valued spouse property, which needs b1 ≈ b2
+    // from the previous round — so it appears in round 2, not round 1.
+    val stmts = Seq(
+      ("a1", "spouse", "b1", true), ("a2", "spouse", "b2", true),
+      ("b1", "email", "e@x.org", false), ("b2", "email", "e@x.org", false))
+      .toDF("x", "p", "o", "oIsInstance")
+    val props = Seq(("spouse", 0.0, 0.5), ("email", 0.0, 0.75))
+      .toDF("p", "fun", "inv_fun")
+    val noEq = Seq.empty[(String, String, Double)].toDF("o1", "o2", "prob")
+    def pairs(iters: Int) =
+      Paris.resolve(stmts, noEq, props, iterations = iters)
+        .select("x1", "x2").as[(String, String)].collect().toSet
+    val r1 = pairs(1)
+    r1 should contain(("b1", "b2"))
+    r1 should not contain (("a1", "a2"))
+    val r2 = pairs(2)
+    r2 should contain(("b1", "b2"))
+    r2 should contain(("a1", "a2"))
+    // fixpoint: more rounds change nothing on this fixture
+    val r10 = Paris.resolve(stmts, noEq, props, iterations = 10)
+      .as[(String, String, Double)].collect().toSet
+    val r3 = Paris.resolve(stmts, noEq, props, iterations = 3)
+      .as[(String, String, Double)].collect().toSet
+    r10 shouldBe r3
+  }
+
+  "NameStructure.alignOne" should "decompose a local-part into a pattern with matched slots" in {
+    val (pattern, slots) = NameStructure.alignOne("john.smith",
+      Seq(("John", Seq("givenName")), ("Smith", Seq("familyName"))))
+    pattern shouldBe "<v>.<v>"
+    slots shouldBe Seq((1, "john", Seq("givenName")), (2, "smith", Seq("familyName")))
+  }
+
+  it should "turn unmatched alphanumeric runs into unqualified slots" in {
+    val (pattern, slots) = NameStructure.alignOne("jdoe42",
+      Seq(("Zelda", Seq("givenName"))))
+    pattern shouldBe "<v>"
+    slots shouldBe Seq((1, "jdoe42", Seq.empty))
+    // approximate match still aligns (>= 70% chars: one substitution in 8)
+    val (p2, s2) = NameStructure.alignOne("jonathen-smith",
+      Seq(("jonathan", Seq.empty), ("smith", Seq.empty)))
+    p2 shouldBe "<v>-<v>"
+    s2.map(_._2) shouldBe Seq("jonathan", "smith")
+  }
+
+  "NameStructure.inferNamePartTypes" should
+    "propagate types through domain patterns and shared name parts" in {
+    // corp.example uses given.family: A is fully typed; B learns its slot
+    // types through the shared domain pattern; C (other domain) learns
+    // "smith" is a family name through the shared name-part node.
+    val names = Seq(
+      ("A", "John", Seq("givenName")), ("A", "Smith", Seq("familyName")),
+      ("B", "Jane", Seq.empty[String]), ("B", "Doe", Seq.empty[String]),
+      ("C", "Smith", Seq.empty[String]))
+      .toDF("agent", "part", "types")
+    val emails = Seq(
+      ("A", "john.smith", "corp.example"),
+      ("B", "jane.doe", "corp.example"),
+      ("C", "smith", "other.example"))
+      .toDF("agent", "localPart", "domain")
+    val aligned = NameStructure.alignEmailLocalParts(names, emails)
+    val inferred = NameStructure.inferNamePartTypes(aligned)
+      .as[(String, String, String, Double)].collect()
+      .map { case (a, p, t, w) => ((a, p), (t, w)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toMap).toMap
+    inferred(("B", "jane")) shouldBe Map("givenName" -> 1.0)
+    inferred(("B", "doe")) shouldBe Map("familyName" -> 1.0)
+    inferred(("C", "smith")) shouldBe Map("familyName" -> 1.0)
+  }
+
+  it should "skip public mailbox domains" in {
+    val names = Seq(("A", "John", Seq("givenName")), ("B", "Jane", Seq.empty[String]))
+      .toDF("agent", "part", "types")
+    val emails = Seq(
+      ("A", "john", "gmail.com"), ("B", "jane", "gmail.com"))
+      .toDF("agent", "localPart", "domain")
+    NameStructure.alignEmailLocalParts(names, emails).count() shouldBe 0L
+  }
+
   "Inference.infer" should "close inverseOf, symmetric and transitive rules" in {
     val quads = Seq(
       ("a", "parentOf", "b", 0.toByte, null: String, null: String, "g"),
