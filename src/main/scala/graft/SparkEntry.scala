@@ -714,6 +714,28 @@ object SparkEntry {
         |} GROUP BY ?n""".stripMargin)
   }
 
+  /** Multimodal REAL header decode: synthesize spec-valid PNG/JPEG/GIF
+    * binaries per document (dimensions derived from doc_id), parse them
+    * back with the pure-JVM header readers, and oracle-check the
+    * round-trip closed-form. The parser itself is additionally pinned to
+    * known byte fixtures in MultimodalSpec. */
+  private def q69_image_meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.ImageHeaders
+    val imgs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val w = (id % 64 + 1).toInt
+        val h = ((id * 7) % 64 + 1).toInt
+        val bytes = (id % 3) match {
+          case 0 => ImageHeaders.synthPng(w, h)
+          case 1 => ImageHeaders.synthJpeg(w, h)
+          case _ => ImageHeaders.synthGif(w, h)
+        }
+        (id, bytes)
+      }.toDF("doc_id", "bytes")
+    graft.multimodal.Multimodal.describeImages(imgs, "doc_id", "bytes")
+  }
+
   /** A9 full fidelity: windowed multi-candidate stay extraction + trellis
     * smoothing (candidate clusters in a 60-min lookup window; Stationary
     * observations dropped by the min-cost state path; greedy re-cluster).
@@ -791,7 +813,8 @@ object SparkEntry {
     "q65_dedup_keep" -> (q65_dedup_keep _),
     "q66_windowed_stays" -> (q66_windowed_stays _),
     "q67_sparql_agg" -> (q67_sparql_agg _),
-    "q68_sparql_path" -> (q68_sparql_path _)
+    "q68_sparql_path" -> (q68_sparql_path _),
+    "q69_image_meta" -> (q69_image_meta _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1210,7 +1233,14 @@ object SparkEntry {
         |FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
         |WHERE n.n_regionkey = (SELECT n_regionkey FROM nation WHERE n_nationkey = 24)
         |  AND n.n_nationkey <= 24
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q69_image_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+        |    WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END AS mime,
+        |  CAST(doc_id % 64 + 1 AS INT) AS width,
+        |  CAST((doc_id * 7) % 64 + 1 AS INT) AS height
+        |FROM documents""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

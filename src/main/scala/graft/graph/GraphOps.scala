@@ -24,6 +24,28 @@ object GraphOps {
   private def refreshed(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c).as(c)): _*)
 
+  /** Thrown by the closure circuit breaker (SURVEY §7.4 risk 2): a dense
+    * graph's transitive closure is O(n²) pairs, and a runaway closure must
+    * fail fast with a named budget instead of filling the cluster. */
+  final class ClosureBudgetExceeded(pairs: Long, budget: Long) extends
+    RuntimeException(
+      s"transitive closure exceeded $pairs pairs (budget $budget); " +
+        "raise maxPairs or pre-filter the edge set")
+
+  /** Sampled estimate of the materialized byte size of `df` (`rows` total):
+    * driver fast paths must gate on BYTES, not row counts — 1M short longs
+    * collect fine, 1M long IRIs may not. */
+  private def approxBytes(df: DataFrame, rows: Long, sampleN: Int = 1000): Long = {
+    if (rows <= 0) return 0L
+    val sample = df.take(math.min(sampleN.toLong, rows).toInt)
+    if (sample.isEmpty) return 0L
+    val avg = sample.map { r =>
+      (0 until r.length).map(i =>
+        Option(r.get(i)).map(_.toString.length).getOrElse(0) + 16).sum
+    }.sum.toDouble / sample.length
+    (avg * rows).toLong
+  }
+
   /** Transitive closure of a directed edge set (`src`, `dst`): all pairs
     * (a, b) such that b is reachable from a in >= 1 step. Semi-naive
     * evaluation: only the newly-discovered frontier is re-joined per round.
@@ -33,15 +55,22 @@ object GraphOps {
   def transitiveClosure(
       edges: DataFrame,
       maxIterations: Int = 50,
-      smallGraphThreshold: Long = 100000): DataFrame = {
+      smallGraphThreshold: Long = 100000,
+      maxPairs: Long = 50000000L,
+      maxDriverBytes: Long = 256L << 20): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     // adaptive: small edge sets are solved exactly on the driver (the
     // reference's own regime — SURVEY G1: "for <=1e5 nodes, driver BFS is
     // acceptable and exact"); the distributed fixpoint pays ~0.5s of job
-    // scheduling per iteration, which only amortizes on big graphs.
-    if (e.count() <= smallGraphThreshold) return closureOnDriver(e)
+    // scheduling per iteration, which only amortizes on big graphs. The
+    // gate is rows AND estimated bytes — wide IRI ids flip to distributed
+    // long before the row threshold.
+    val n = e.count()
+    if (n <= smallGraphThreshold && approxBytes(e, n) <= maxDriverBytes)
+      return closureOnDriver(e, maxPairs)
     var closure = e
     var frontier = e
+    var total = n
     var i = 0
     var done = false
     while (!done && i < maxIterations) {
@@ -51,8 +80,12 @@ object GraphOps {
         .distinct()
         .join(closure, Seq("src", "dst"), "left_anti")
         .localCheckpoint()
-      if (next.isEmpty) done = true
+      val added = next.count()
+      if (added == 0) done = true
       else {
+        total += added
+        // circuit breaker: fail fast before materializing a quadratic blowup
+        if (total > maxPairs) throw new ClosureBudgetExceeded(total, maxPairs)
         closure = refreshed(closure).union(refreshed(next)).localCheckpoint()
         frontier = next
       }
@@ -72,15 +105,18 @@ object GraphOps {
       edges: DataFrame,
       vertices: Option[DataFrame] = None,
       maxIterations: Int = 50,
-      smallGraphThreshold: Long = 1000000): DataFrame = {
+      smallGraphThreshold: Long = 1000000,
+      maxDriverBytes: Long = 256L << 20): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     // adaptive small-graph fast path: exact union-find on the driver
-    // (reference G1 regime); the distributed label loop is for graphs that
-    // do not fit one machine.
-    if (sym.count() <= smallGraphThreshold)
+    // (reference G1 regime), gated on rows AND estimated bytes (wide IRI
+    // ids flip to distributed early); the distributed label loop is for
+    // graphs that do not fit one machine.
+    val m = sym.count()
+    if (m <= smallGraphThreshold && approxBytes(sym, m) <= maxDriverBytes)
       return componentsOnDriver(sym, vertices)
     val edgeVerts = sym.select(col("src").as("id")).distinct()
     val allVerts = vertices
@@ -118,8 +154,9 @@ object GraphOps {
     labels
   }
 
-  /** Exact driver-side closure (semi-naive BFS per source). */
-  private def closureOnDriver(e: DataFrame): DataFrame = {
+  /** Exact driver-side closure (semi-naive BFS per source), with the same
+    * pair budget as the distributed loop. */
+  private def closureOnDriver(e: DataFrame, maxPairs: Long): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val edgePairs = e.select(col("src").cast("string"), col("dst").cast("string"))
@@ -136,6 +173,8 @@ object GraphOps {
           .distinct
         frontier.foreach(seen.add)
       }
+      if (out.length + seen.size > maxPairs)
+        throw new ClosureBudgetExceeded(out.length + seen.size, maxPairs)
       seen.foreach(d => out += ((src, d)))
     }
     val t = e.schema("src").dataType

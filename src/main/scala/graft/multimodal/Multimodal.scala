@@ -66,6 +66,24 @@ object Multimodal {
     }
   }
 
+  /** REAL image metadata decode (not the stub): mime/width/height parsed
+    * from PNG/JPEG/GIF/BMP headers per the public format specs
+    * ([[ImageHeaders]]). Unrecognized payloads yield (null, -1, -1).
+    * Runs as a per-partition stream — no driver collect, no codecs. */
+  def describeImages(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageHeaders.parse(bytes) match {
+          case Some(m) => (id, m.mime, m.width, m.height)
+          case None => (id, null: String, -1, -1)
+        }
+      })
+      .toDF(idCol, "mime", "width", "height")
+  }
+
   /** Rebalance media rows into partitions of roughly `targetBytes` payload
     * each — row-count partitioning is wrong when rows are megabytes. */
   def repartitionForMedia(df: DataFrame, bytesCol: String, targetBytes: Long): DataFrame = {

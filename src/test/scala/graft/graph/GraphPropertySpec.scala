@@ -42,4 +42,33 @@ class GraphPropertySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     driver shouldBe dist
   }
+
+  "the closure circuit breaker" should "fail fast on both driver and distributed paths" in {
+    // K_20 directed both ways: closure is ~400 pairs, budget is 50
+    val dense = (for (a <- 1L to 20L; b <- 1L to 20L if a != b) yield (a, b))
+      .toDF("src", "dst")
+    a[GraphOps.ClosureBudgetExceeded] should be thrownBy
+      GraphOps.transitiveClosure(dense, maxPairs = 50)
+    a[GraphOps.ClosureBudgetExceeded] should be thrownBy
+      GraphOps.transitiveClosure(dense, smallGraphThreshold = 0, maxPairs = 50)
+    // a comfortable budget passes on both paths with identical results
+    val ok = GraphOps.transitiveClosure(dense, maxPairs = 1000)
+      .as[(Long, Long)].collect().toSet
+    val okDist = GraphOps.transitiveClosure(dense, smallGraphThreshold = 0, maxPairs = 1000)
+      .as[(Long, Long)].collect().toSet
+    okDist shouldBe ok
+  }
+
+  "the driver fast-path gate" should "be bytes-aware, not just row-count-aware" in {
+    // few rows but very wide ids: a tiny maxDriverBytes must force the
+    // distributed path; results agree with the driver path either way
+    val wide = Seq.tabulate(8)(i =>
+      ("node-" + ("x" * 200) + i, "node-" + ("x" * 200) + (i + 1)))
+      .toDF("src", "dst")
+    val viaDriver = GraphOps.connectedComponents(wide)
+      .as[(String, String)].collect().toMap
+    val viaDistributed = GraphOps.connectedComponents(wide, maxDriverBytes = 64)
+      .as[(String, String)].collect().toMap
+    viaDistributed shouldBe viaDriver
+  }
 }
