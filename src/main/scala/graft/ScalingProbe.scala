@@ -63,11 +63,38 @@ object ScalingProbe {
         bigPart, "p_name", "p_partkey", 0.2, Some(100)).count()
     }
 
+    // 5) combinatorial SimHash blocking at 500k docs (documents replicated
+    // 100x, texts perturbed per replica), chunk table forced to the 7-chunk
+    // C(7,4)=35-combo regime — the 100 TB blocking shape
+    val docs500k = docs.crossJoin(spark.range(100).toDF("rep"))
+      .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+    val (tSimhash, nSimhash) = time {
+      graft.dedup.Dedup.simhashPairs(docs500k, "text", "doc_id",
+        maxHamming = 3, chunks = 7).count()
+    }
+
+    // 6) windowed multi-candidate stays + trellis over ~6M observations
+    // (events replicated 10x with shifted users)
+    val bigObs10 = ev.crossJoin(spark.range(10).toDF("rep"))
+      .select(
+        (col("user_id") + col("rep") * 1000).as("user"),
+        unix_millis(col("ts").cast("timestamp")).as("timeMs"),
+        (lit(40.0) + floor(col("value") / 50) * 0.05).as("lat"),
+        (lit(-74.0) + floor(col("value") / 50) * 0.05).as("lon"),
+        lit(25.0).as("accuracy"))
+      .as[graft.spatial.StayExtraction.Obs]
+    val (tWindowed, nWindowed) = time {
+      graft.spatial.WindowedStays.extractStays(bigObs10).count()
+    }
+
     println(
       s"""{"probe":"scaling","stays":{"sec":$tStays,"rows":$nStays},""" +
       s""""minhash50k":{"sec":$tMinhash,"rows":$nMinhash},""" +
       s""""cc600k":{"sec":$tCc,"rows":$nCc},""" +
-      s""""blocking200k":{"sec":$tBlock,"rows":$nBlock}}""")
+      s""""blocking200k":{"sec":$tBlock,"rows":$nBlock},""" +
+      s""""simhash500k":{"sec":$tSimhash,"rows":$nSimhash},""" +
+      s""""windowedStays6M":{"sec":$tWindowed,"rows":$nWindowed}}""")
     spark.stop()
   }
 }

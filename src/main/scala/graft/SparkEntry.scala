@@ -736,6 +736,15 @@ object SparkEntry {
     graft.multimodal.Multimodal.describeImages(imgs, "doc_id", "bytes")
   }
 
+  /** Language identification (trigram-profile classifier, LangId): language
+    * distribution over the documents corpus. Profile-defined output —
+    * rows-only check; the classifier itself is pinned to 8-language
+    * fixtures in TextAnalysisSpec. */
+  private def q70_langid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(graft.text.TextAnalysis.langId(col("text")).as("lang"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+
   /** A9 full fidelity: windowed multi-candidate stay extraction + trellis
     * smoothing (candidate clusters in a 60-min lookup window; Stationary
     * observations dropped by the min-cost state path; greedy re-cluster).
@@ -814,7 +823,8 @@ object SparkEntry {
     "q66_windowed_stays" -> (q66_windowed_stays _),
     "q67_sparql_agg" -> (q67_sparql_agg _),
     "q68_sparql_path" -> (q68_sparql_path _),
-    "q69_image_meta" -> (q69_image_meta _)
+    "q69_image_meta" -> (q69_image_meta _),
+    "q70_langid" -> (q70_langid _)
   )
 
   val oracleSql: Map[String, String] = ListMap(

@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "minhash_sigs"),
       (exprs: Seq[Expression]) => graft.functions.MinHashSigs(exprs(0),
         exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[graft.text.LangIdExpr].getName, "lang_id"),
+      (exprs: Seq[Expression]) => graft.text.LangIdExpr(exprs.head)))
     ext.injectOptimizerRule(_ => HaversineRadiusPrefilter)
     ext.injectOptimizerRule(_ => BinnedRangeJoinRewrite)
   }

@@ -105,6 +105,11 @@ object TextAnalysis {
     * per-language marker-token sets, returns best language or 'und'.
     * Deterministic and cheap (no model); markers chosen for the synthetic
     * corpus + common English/Spanish/German/French function words. */
+  /** Trigram-profile language ID ([[LangId]], Cavnar-Trenkle) as a native
+    * codegen expression; requires the graft session extensions. Supersedes
+    * [[langIdHeuristic]] (kept as the dependency-free fallback). */
+  def langId(text: Column): Column = call_function("lang_id", text)
+
   def langIdHeuristic(text: Column, markers: Map[String, Seq[String]]): Column = {
     val toks = tokens(lower(text))
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>

@@ -57,6 +57,31 @@ class TextAnalysisSpec extends SparkSpec {
     res shouldBe Seq("de", "en", "und")
   }
 
+  "langId (trigram profiles)" should "classify sentences in eight languages" in {
+    val samples = Seq(
+      ("The quick brown fox jumps over the lazy dog and runs into the woods", "en"),
+      ("Der schnelle braune Fuchs springt über den faulen Hund und läuft in den Wald", "de"),
+      ("Le renard brun rapide saute par-dessus le chien paresseux dans les bois", "fr"),
+      ("El rápido zorro marrón salta sobre el perro perezoso en el bosque", "es"),
+      ("La volpe marrone salta sopra il cane pigro e corre per il bosco", "it"),
+      ("A rápida raposa marrom salta sobre o cão preguiçoso que está na floresta", "pt"),
+      ("De snelle bruine vos springt over de luie hond en rent het bos in", "nl"),
+      ("Den snabba bruna räven hoppar över den lata hunden och springer in i skogen", "sv"))
+    samples.foreach { case (text, expected) =>
+      withClue(s"'$text': ") { LangId.detect(text) shouldBe expected }
+    }
+    LangId.detect("zzzz qqqq xxxx") shouldBe "und"
+    LangId.detect("") shouldBe "und"
+    LangId.detect(null) shouldBe "und"
+  }
+
+  it should "run as the lang_id codegen expression over a column" in {
+    val res = Seq("the cat and the dog was in the house",
+        "der Hund und die Katze in dem Haus")
+      .toDF("t").select(TextAnalysis.langId($"t")).as[String].collect().toSeq
+    res shouldBe Seq("en", "de")
+  }
+
   "fingerprint" should "be stable under whitespace normalization" in {
     val fps = Seq("foo  bar", "foo bar ").toDF("t")
       .select(TextAnalysis.fingerprint($"t")).as[String].collect()
