@@ -79,15 +79,19 @@ object Dedup {
     // mapPartitions) that avoids the O(sum df^2) shingle self-join
     // entirely. Real text corpora blow past the bounds and take the
     // join plan, whose cost is output-bound and scales out.
-    val nDocs = s.count()
-    val dictSize = s.select(explode(col("shingles")).as("sh"))
-      .agg(approx_count_distinct(col("sh")).as("d")).head().getLong(0)
+    // Both stats come from ONE aggregation pass (approximate is fine —
+    // they only pick between two correct plans).
+    val st = s.select(explode(col("shingles")).as("sh"), col("id"))
+      .agg(approx_count_distinct(col("sh")).as("d"),
+        approx_count_distinct(col("id")).as("n")).head()
+    val dictSize = st.getLong(0)
+    val nDocs = st.getLong(1)
     val broadcastBytes = nDocs * (dictSize / 8 + 32)
     val idIsIntegral = s.schema("id").dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
       case _ => false
     }
-    if (idIsIntegral && dictSize <= 65536 && nDocs <= 50000 && broadcastBytes <= (64L << 20))
+    if (idIsIntegral && dictSize <= 80000 && nDocs <= 50000 && broadcastBytes <= (64L << 20))
       jaccardPairsBitmap(s, num, den)
     else jaccardPairsJoin(s, num, den)
   }
@@ -114,25 +118,24 @@ object Dedup {
   }
 
   /** Small-vocabulary exact plan: dictionary-encoded bitsets, broadcast
-    * corpus, AND+popcount over the strict upper triangle. */
+    * corpus, AND+popcount over the strict upper triangle. ONE collect of
+    * the (id, shingles) rows feeds both the dictionary and the bitsets
+    * (the gate bounded the corpus, so the driver copy is small). */
   private def jaccardPairsBitmap(s: DataFrame, num: Int, den: Int): DataFrame = {
     val spark = s.sparkSession
     import spark.implicits._
-    val dict = s.select(explode(col("shingles")).as("sh")).distinct()
-      .as[String].collect().sorted.zipWithIndex.toMap
-    val dictB = spark.sparkContext.broadcast(dict)
+    val rows = s.select(col("id").cast("long").as("id"), col("shingles"))
+      .as[(Long, Seq[String])].collect()
+    val dict = rows.iterator.flatMap(_._2).toArray.distinct.sorted.zipWithIndex.toMap
     val words = (dict.size + 63) / 64
-    val encoded = s.select(col("id").cast("long").as("id"), col("shingles"))
-      .as[(Long, Seq[String])]
-      .map { case (id, shingles) =>
+    val encoded = rows.map { case (id, shingles) =>
         val bits = new Array[Long](words)
-        val d = dictB.value
         shingles.foreach { sh =>
-          val i = d(sh)
+          val i = dict(sh)
           bits(i >> 6) |= 1L << (i & 63)
         }
         (id, bits, shingles.size)
-      }.collect().sortBy(_._1)
+      }.sortBy(_._1)
     val allB = spark.sparkContext.broadcast(encoded)
     val n = encoded.length
     spark.range(0, n, 1, par(s)).as[Long].flatMap { iL =>

@@ -112,12 +112,30 @@ object GraphOps {
       .distinct()
       .localCheckpoint()
     // adaptive small-graph fast path: exact union-find on the driver
-    // (reference G1 regime), gated on rows AND estimated bytes (wide IRI
-    // ids flip to distributed early); the distributed label loop is for
-    // graphs that do not fit one machine.
-    val m = sym.count()
-    if (m <= smallGraphThreshold && approxBytes(sym, m) <= maxDriverBytes)
-      return componentsOnDriver(sym, vertices)
+    // (reference G1 regime), gated on rows AND bytes (wide IRI ids flip
+    // to distributed early); the distributed label loop is for graphs
+    // that do not fit one machine. The gate is two cheap steps — a
+    // 1000-row width sample, then ONE bounded collect that doubles as the
+    // union-find input (no separate count job): if the sampled width says
+    // even `smallGraphThreshold` rows might blow the byte budget, skip
+    // the collect entirely.
+    val strSym = sym.select(col("src").cast("string"), col("dst").cast("string"))
+    val sample = strSym.take(1000)
+    def width(r: org.apache.spark.sql.Row): Long =
+      r.getString(0).length.toLong + r.getString(1).length + 32
+    val avgW = if (sample.isEmpty) 0L else sample.map(width).sum / sample.length
+    // clamp to int range BEFORE arithmetic (callers pass Long.MaxValue to
+    // mean "always driver")
+    val cap = math.min(smallGraphThreshold, Int.MaxValue.toLong - 2)
+    if (sample.length < 1000 || avgW * cap <= maxDriverBytes) {
+      // take() scans partitions incrementally and collects in parallel —
+      // limit().collect() would funnel through a single-partition shuffle
+      val probe = strSym.take((cap + 1).toInt)
+      if (probe.length <= smallGraphThreshold &&
+          probe.iterator.map(width).sum <= maxDriverBytes)
+        return componentsOnDriver(
+          probe.map(r => (r.getString(0), r.getString(1))), sym, vertices)
+    }
     val edgeVerts = sym.select(col("src").as("id")).distinct()
     val allVerts = vertices
       .map(v => edgeVerts.union(v.select(col("id"))).distinct())
@@ -182,12 +200,13 @@ object GraphOps {
       .select(col("src").cast(t).as("src"), col("dst").cast(t).as("dst"))
   }
 
-  /** Exact driver-side components (union-find with path compression). */
-  private def componentsOnDriver(sym: DataFrame, vertices: Option[DataFrame]): DataFrame = {
+  /** Exact driver-side components (union-find with path compression) over
+    * pre-collected string edge pairs; `sym` supplies only type metadata. */
+  private def componentsOnDriver(
+      edgePairs: Array[(String, String)], sym: DataFrame,
+      vertices: Option[DataFrame]): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._
-    val edgePairs = sym.select(col("src").cast("string"), col("dst").cast("string"))
-      .as[(String, String)].collect()
     val extraVerts = vertices.map(
       _.select(col("id").cast("string")).as[String].collect()).getOrElse(Array.empty)
     val parent = scala.collection.mutable.HashMap[String, String]()
