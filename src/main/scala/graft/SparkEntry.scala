@@ -247,10 +247,14 @@ object SparkEntry {
     Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
       k = 2, numHashes = 32, bands = 8, num = 1, den = 3)
 
-  /** Dedup (SimHash): 64-bit fingerprint, chunk-blocked Hamming pairs.
-    * Hash-family dependent → rows-only check (no oracle). */
+  /** Dedup (SimHash): 64-bit fingerprint, combinatorially chunk-blocked
+    * Hamming pairs. Hash-family dependent → rows-only check (no oracle).
+    * chunks pinned to the ≤500k-doc table entry (what auto-detection picks
+    * at every driver SF) to skip the sizing count on the bench path; the
+    * auto table is exercised by DedupStrategySpec and the 500k probe. */
   private def q26_simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3,
+      chunks = 4)
 
   /** Embedding near-dup: cosine-threshold pairs (exact, margin-safe). */
   private def q27_cosine_pairs(s: SparkSession, dir: String): DataFrame =

@@ -31,11 +31,12 @@ import org.apache.spark.sql.functions._
   *          | { group } UNION { group }
   *          | { SELECT ... }               (sub-select)
   * triple  := term path term
-  * path    := pterm ('/' pterm)* | pterm '*'
+  * path    := pterm ('/' pterm)* | pterm ('*'|'+'|'?')
   * pterm   := <iri> | bareword | 'a' (→ rdf:type)
   * term    := ?var | <iri> | "literal" | bareword
   * key     := ?v | DESC(?v) | DESC(AGG(?v))
   * cond    := ?var (=|!=|<|<=|>|>=) term-or-number
+  *          | [!] (REGEX|STRSTARTS|STRENDS|CONTAINS)(?v, "s") | [!] BOUND(?v)
   * }}}
   */
 object Sparql {
@@ -92,8 +93,9 @@ object Sparql {
 
   private sealed trait Element
   private final case class Triple(s: String, p: String, o: String) extends Element
-  /** `s p* o` — zero-or-more closure over predicate `p`. */
-  private final case class StarPath(s: String, p: String, o: String) extends Element
+  /** `s p* o` (mod='*'), `s p+ o` (mod='+'), `s p? o` (mod='?'). */
+  private final case class StarPath(s: String, p: String, o: String,
+      mod: Char = '*') extends Element
   private final case class Opt(group: List[Element]) extends Element
   private final case class FilterCond(conds: List[(String, String, String)],
       ops: List[String]) extends Element
@@ -199,15 +201,17 @@ object Sparql {
       val s = term()
       var done = false
       while (!done) {
-        // predicate path: pterm ('/' pterm)* | pterm '*'
+        // predicate path: pterm ('/' pterm)* | pterm ('*'|'+'|'?')
         val steps = scala.collection.mutable.ListBuffer(pterm())
         while (peek == "/") { next(); steps += pterm() }
-        val isStar = peek == "*" && { next(); true }
-        require(!isStar || steps.size == 1, "p* supported on a single predicate")
+        val mod: Option[Char] =
+          if (peek == "*" || peek == "+" || peek == "?") Some(next().head) else None
+        require(mod.isEmpty || steps.size == 1,
+          "path modifiers supported on a single predicate")
         var moreObjects = true
         while (moreObjects) {
           val o = term()
-          if (isStar) elems += StarPath(s, steps.head, o)
+          if (mod.isDefined) elems += StarPath(s, steps.head, o, mod.get)
           else if (steps.size == 1) elems += Triple(s, steps.head, o)
           else {
             // sequence path: chain through fresh intermediate variables
@@ -270,17 +274,37 @@ object Sparql {
       elems.toList
     }
 
+    private val FilterFns = Set("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND")
+
+    /** One filter condition: a comparison, a builtin call
+      * (REGEX/STRSTARTS/STRENDS/CONTAINS/BOUND), or !BOUND(...). Encoded in
+      * the (lhs, op, rhs) triple with op = the function name ('!fn' when
+      * negated) so FilterCond stays one shape. */
+    private def filterCondition(): (String, String, String) = {
+      val negated = peek == "!" && { next(); true }
+      if (FilterFns.contains(peek.toUpperCase)) {
+        val fn = next().toUpperCase
+        expect("(")
+        val arg1 = next()
+        val arg2 = if (peek == ",") { next(); next() } else ""
+        expect(")")
+        ((arg1, (if (negated) "!" else "") + fn, arg2))
+      } else {
+        require(!negated, "'!' only supported on filter builtins")
+        val lhs = next()
+        val op = next()
+        require(Seq("=", "!=", "<", "<=", ">", ">=").contains(op), s"bad operator $op")
+        ((lhs, op, next()))
+      }
+    }
+
     def filter(): FilterCond = {
       expect("(")
       val conds = scala.collection.mutable.ListBuffer[(String, String, String)]()
       val ops = scala.collection.mutable.ListBuffer[String]()
       var done = false
       while (!done) {
-        val lhs = next()
-        val op = next()
-        require(Seq("=", "!=", "<", "<=", ">", ">=").contains(op), s"bad operator $op")
-        val rhs = next()
-        conds += ((lhs, op, rhs))
+        conds += filterCondition()
         if (peek == "&&" || peek == "||") ops += next() else done = true
       }
       expect(")")
@@ -309,22 +333,26 @@ object Sparql {
     Bgp.Pattern(cv(t.s), cv(t.p), cv(t.o), g.map(termValue))
   }
 
-  /** `?x p* ?y`: reflexive-transitive closure of predicate p — the plus-
-    * closure via [[graft.graph.GraphOps.transitiveClosure]] union the
-    * zero-length identity over every term of the (graph-scoped) store
-    * (SPARQL: a zero-length path matches each graph term with itself). */
+  /** Path-modifier pairs: `p*` = closure ∪ zero-length identity over every
+    * term of the (graph-scoped) store (SPARQL: a zero-length path matches
+    * each graph term with itself); `p+` = closure only; `p?` = direct
+    * edges ∪ identity. Closure via
+    * [[graft.graph.GraphOps.transitiveClosure]]. */
   private def starPath(quads: DataFrame, sp: StarPath, graph: Option[String]): DataFrame = {
     val scoped = graph.map(g => quads.where(col("g") === termValue(g))).getOrElse(quads)
     val pred = termValue(sp.p)
     val edges = scoped.where(col("p") === pred)
       .select(col("s").as("src"), col("o").as("dst"))
-    val plus = graft.graph.GraphOps.transitiveClosure(edges)
-      .select(col("src"), col("dst"))
-    val identity = scoped.select(col("s").as("src"))
+    val reach =
+      if (sp.mod == '?') edges.distinct()
+      else graft.graph.GraphOps.transitiveClosure(edges).select(col("src"), col("dst"))
+    lazy val identity = scoped.select(col("s").as("src"))
       .union(scoped.select(col("o").as("src")))
       .distinct()
       .select(col("src"), col("src").as("dst"))
-    val pairs = plus.union(identity).distinct()
+    val pairs =
+      if (sp.mod == '+') reach.distinct()
+      else reach.union(identity).distinct()
     val withS =
       if (sp.s.startsWith("?")) pairs.withColumnRenamed("src", sp.s.drop(1))
       else pairs.where(col("src") === termValue(sp.s)).drop("src")
@@ -385,6 +413,18 @@ object Sparql {
   private def filterColumn(f: FilterCond): Column = {
     def one(c: (String, String, String)): Column = {
       val (lhs, op, rhs) = c
+      val fn = op.stripPrefix("!")
+      if (Seq("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND").contains(fn)) {
+        val l0 = col(lhs.stripPrefix("?"))
+        val base = fn match {
+          case "REGEX" => l0.rlike(termValue(rhs)) // partial match, as SPARQL
+          case "STRSTARTS" => l0.startsWith(termValue(rhs))
+          case "STRENDS" => l0.endsWith(termValue(rhs))
+          case "CONTAINS" => l0.contains(termValue(rhs))
+          case "BOUND" => l0.isNotNull
+        }
+        return if (op.startsWith("!")) !base else base
+      }
       val l = col(lhs.stripPrefix("?"))
       val r: Column =
         if (rhs.startsWith("?")) col(rhs.drop(1))

@@ -100,12 +100,12 @@ object WindowedStays {
 
   /** One member observation of a candidate cluster (enough to re-check the
     * Hellinger acceptance against a tentatively merged cluster). */
-  private final case class Member(lat: Double, lon: Double, sigma: Double, idx: Int)
+  private[spatial] final case class Member(lat: Double, lon: Double, sigma: Double, idx: Int)
 
   /** An open candidate cluster. `seq` orders candidates most-recently-
     * updated-first (the reference's (t desc, index desc) SortedSet order).
     * Mean is precision-weighted; variance is n/precSum (see class doc). */
-  private final case class Cand(
+  private[spatial] final case class Cand(
       lat: Double, lon: Double, precSum: Double, n: Int,
       fromMs: Long, toMs: Long, members: List[Member], seq: Long) {
     def sigma: Double = math.sqrt(n / precSum)
@@ -142,6 +142,51 @@ object WindowedStays {
     math.sqrt(Geo.hellingerSq(clusterLat, clusterLon, clusterSigma,
       m.lat, m.lon, m.sigma))
 
+  /** One estimator step shared by the batch pass and the incremental
+    * (streaming) variant: feed observation `o` into the candidate list,
+    * returning (updated candidates most-recent-first, clusters closed by
+    * this step, next seq). */
+  private[spatial] def stepObs(
+      cands0: List[Cand], o: Obs, idx: Int, seq0: Long,
+      lookupMs: Long, lambda: Double): (List[Cand], List[Cand], Long) = {
+    var cands = cands0
+    var seq = seq0
+    var closed = List.empty[Cand]
+    def insert(c: Cand): Unit = {
+      val (before, after) = cands.span(x =>
+        x.toMs > c.toMs || (x.toMs == c.toMs && x.seq > c.seq))
+      cands = before ::: c :: after
+    }
+    val (within, outside) = cands.partition(c => math.abs(c.toMs - o.timeMs) <= lookupMs)
+    if (within.isEmpty && cands.nonEmpty) {
+      // keep the most recent candidate even though it is out of window
+      cands = List(cands.head)
+      closed = outside.drop(1)
+    } else {
+      cands = within
+      closed = outside
+    }
+    // most-recent-first merge attempt with the full-membership check
+    val accepted = cands.iterator.zipWithIndex.flatMap { case (c, pos) =>
+      seq += 1
+      val merged = mergeCand(c, o, idx, seq)
+      val sig = merged.sigma
+      val ok = memberDistance(merged.lat, merged.lon, sig,
+          Member(o.lat, o.lon, math.max(o.accuracy, 1.0), idx)) <= lambda &&
+        c.members.forall(m => memberDistance(merged.lat, merged.lon, sig, m) <= lambda)
+      if (ok) Some((pos, merged)) else None
+    }.take(1).toList.headOption
+    accepted match {
+      case Some((pos, merged)) =>
+        cands = cands.patch(pos, Nil, 1)
+        insert(merged)
+      case None =>
+        seq += 1
+        insert(newCand(o, idx, seq))
+    }
+    (cands, closed, seq)
+  }
+
   /** The candidate-window clustering pass. Returns closed clusters in
     * closing order. `lookupMs = 0` degenerates to the greedy single-cluster
     * chain (the reference's stage-3 parametrization). */
@@ -156,39 +201,11 @@ object WindowedStays {
         c.members.reverseIterator.map(_.idx).toVector)
       nextId += 1
     }
-    def insert(c: Cand): Unit = {
-      val (before, after) = cands.span(x =>
-        x.toMs > c.toMs || (x.toMs == c.toMs && x.seq > c.seq))
-      cands = before ::: c :: after
-    }
     obs.zipWithIndex.foreach { case (o, idx) =>
-      val (within, outside) = cands.partition(c => math.abs(c.toMs - o.timeMs) <= lookupMs)
-      if (within.isEmpty && cands.nonEmpty) {
-        // keep the most recent candidate even though it is out of window
-        cands = List(cands.head)
-        outside.drop(1).foreach(close)
-      } else {
-        cands = within
-        outside.foreach(close)
-      }
-      // most-recent-first merge attempt with the full-membership check
-      val accepted = cands.iterator.zipWithIndex.flatMap { case (c, pos) =>
-        seq += 1
-        val merged = mergeCand(c, o, idx, seq)
-        val sig = merged.sigma
-        val ok = memberDistance(merged.lat, merged.lon, sig,
-            Member(o.lat, o.lon, math.max(o.accuracy, 1.0), idx)) <= lambda &&
-          c.members.forall(m => memberDistance(merged.lat, merged.lon, sig, m) <= lambda)
-        if (ok) Some((pos, merged)) else None
-      }.take(1).toList.headOption
-      accepted match {
-        case Some((pos, merged)) =>
-          cands = cands.patch(pos, Nil, 1)
-          insert(merged)
-        case None =>
-          seq += 1
-          insert(newCand(o, idx, seq))
-      }
+      val (nextCands, closedNow, nextSeq) = stepObs(cands, o, idx, seq, lookupMs, lambda)
+      cands = nextCands
+      seq = nextSeq
+      closedNow.foreach(close)
     }
     cands.foreach(close)
     closed.result()
@@ -376,6 +393,64 @@ object WindowedStays {
     clusterPass(kept, 0L, lambda).iterator
       .filter(c => c.toMs - c.fromMs >= minFinalStayMs)
       .map(c => Stay(user, c.fromMs, c.toMs, c.lat, c.lon, c.memberIdx.size))
+  }
+
+  // ---------------------------------------------------------- streaming
+
+  /** Serializable per-user streaming state: the open candidate clusters
+    * (members as (lat, lon, sigma) triples) and the running seq counter. */
+  final case class OpenCand(lat: Double, lon: Double, precSum: Double, n: Int,
+      fromMs: Long, toMs: Long, members: Seq[(Double, Double, Double)], seq: Long)
+  final case class UserWindowState(cands: Seq[OpenCand], nextSeq: Long, nextIdx: Int)
+
+  private def toOpen(c: Cand): OpenCand =
+    OpenCand(c.lat, c.lon, c.precSum, c.n, c.fromMs, c.toMs,
+      c.members.map(m => (m.lat, m.lon, m.sigma)), c.seq)
+  private def fromOpen(o: OpenCand): Cand =
+    Cand(o.lat, o.lon, o.precSum, o.n, o.fromMs, o.toMs,
+      o.members.map(m => Member(m._1, m._2, m._3, 0)).toList, o.seq)
+
+  /** Incremental (Structured Streaming) candidate-window stay extraction —
+    * the stateful stage-1 counterpart of [[extractStays]] (the reference
+    * re-runs its trellis stages in batch after this stream, and so does
+    * this engine: trellis smoothing needs lookahead over closed clusters).
+    * State per user = the open candidate set, bounded by the lookup
+    * window; each micro-batch's observations are processed in event-time
+    * order and candidate clusters are emitted as stays the moment they
+    * fall out of the window and pass `minStayMs`. Assumes per-user
+    * in-order delivery across batches (same contract as
+    * [[StayExtraction.extractStaysIncremental]]). */
+  def extractStaysIncremental(
+      obs: Dataset[Obs],
+      minStayMs: Long = DefaultMinStayMs,
+      lookupMs: Long = DefaultLookupMs,
+      lambda: Double = DefaultLambda): Dataset[Stay] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.groupByKey(_.user)
+      .flatMapGroupsWithState[UserWindowState, Stay](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Obs], state: GroupState[UserWindowState]) =>
+          val st = state.getOption.getOrElse(UserWindowState(Seq.empty, 0L, 0))
+          var cands = st.cands.map(fromOpen).toList
+          var seq = st.nextSeq
+          var idx = st.nextIdx
+          val out = scala.collection.mutable.ListBuffer[Stay]()
+          def emit(c: Cand): Unit =
+            if (c.toMs - c.fromMs >= minStayMs)
+              out += Stay(user, c.fromMs, c.toMs, c.lat, c.lon, c.members.size)
+          rows.toSeq.sortBy(o => (o.timeMs, o.lat, o.lon)).foreach { o =>
+            val (nextCands, closedNow, nextSeq) =
+              stepObs(cands, o, idx, seq, lookupMs, lambda)
+            cands = nextCands
+            seq = nextSeq
+            idx += 1
+            closedNow.foreach(emit)
+          }
+          state.update(UserWindowState(cands.map(toOpen), seq, idx))
+          out.iterator
+      }
   }
 
   /** Groups a (user, time)-sorted row iterator into per-user chunks and

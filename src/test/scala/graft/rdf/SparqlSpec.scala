@@ -155,6 +155,43 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq("a1") // no sameAs edges into a1: identity only
   }
 
+  "path modifiers" should "distinguish p+ (no zero-length) from p* and p?" in {
+    val plus = Sparql.select(agentQuads,
+      "SELECT ?x WHERE { ?x <personal:sameAs>+ <f3> . }")
+      .as[String].collect().toSet
+    plus shouldBe Set("f1", "f2") // closure only, no identity
+    val opt = Sparql.select(agentQuads,
+      "SELECT ?x WHERE { ?x <personal:sameAs>? <f3> . }")
+      .as[String].collect().toSet
+    opt shouldBe Set("f2", "f3") // direct edge + identity, no 2-hop f1
+  }
+
+  "filter builtins" should "support REGEX, STRSTARTS, CONTAINS and BOUND" in {
+    Sparql.select(agentQuads,
+      """SELECT ?a WHERE { ?a <schema:name> ?n . FILTER(REGEX(?n, "^Facet .w")) }""")
+      .as[String].collect().toSet shouldBe Set("f2") // "Facet Two"
+    Sparql.select(agentQuads,
+      """SELECT ?a WHERE { ?a <schema:name> ?n . FILTER(STRSTARTS(?n, "Facet")) }""")
+      .as[String].collect().toSet shouldBe Set("f1", "f2", "f3")
+    Sparql.select(agentQuads,
+      """SELECT ?a WHERE { ?a <schema:name> ?n . FILTER(CONTAINS(?n, "hree") && STRSTARTS(?n, "Facet")) }""")
+      .as[String].collect().toSet shouldBe Set("f3")
+    val bound = Sparql.select(agentQuads,
+      """SELECT ?a WHERE {
+        |  ?a <rdf:type> <personal:Agent> .
+        |  OPTIONAL { ?a <schema:email> ?e }
+        |  FILTER(BOUND(?e))
+        |}""".stripMargin).as[String].collect().toSet
+    bound shouldBe Set("a1")
+    val unbound = Sparql.select(agentQuads,
+      """SELECT ?a WHERE {
+        |  ?a <rdf:type> <personal:Agent> .
+        |  OPTIONAL { ?a <schema:email> ?e }
+        |  FILTER(!BOUND(?e))
+        |}""".stripMargin).as[String].collect().toSet
+    unbound shouldBe Set("a2", "a3")
+  }
+
   "count distinct" should "honor DISTINCT inside COUNT" in {
     val res = Sparql.select(agentQuads,
       """SELECT ?agent (COUNT(DISTINCT ?p) AS ?np) WHERE {
