@@ -46,7 +46,7 @@ object AgentMatch {
     val candidates = Resolution.tokenBlockingCandidatesFrac(
       records, nameCol, idCol, maxDocFreqFraction, maxBlockSize)
     val score = udf((t1: Seq[String], w1: Seq[Double], t2: Seq[String], w2: Seq[Double]) =>
-      Similarity.softTfIdf(t1, w1, t2, w2, simThreshold))
+      Similarity.softTfIdf(t1, w1, t2, w2, simThreshold, pruneBelow = threshold))
     candidates
       .join(toks.select(col("id").as("id1"), col("toks").as("t1"), col("ws").as("w1")), "id1")
       .join(toks.select(col("id").as("id2"), col("toks").as("t2"), col("ws").as("w2")), "id2")

@@ -79,11 +79,27 @@ object Similarity {
     * sim * w1 * w2; normalized by the weight-vector norms (cosine shape).
     * The bipartite refinement mirrors the reference's
     * BipartiteMatchingDistance used inside its soft-TF-IDF. */
+  /** @param pruneBelow scores provably below this bound short-circuit to 0
+    *                    BEFORE the similarity matrix / Hungarian alignment:
+    *                    num <= best weight pairing (descending sort, since
+    *                    every per-pair similarity <= 1), so
+    *                    ub = sorted(w1)·sorted(w2) / (|w1||w2|) is a sound
+    *                    upper bound — pairs with ub < pruneBelow cannot
+    *                    pass a >= pruneBelow filter. */
   def softTfIdf(
       tokens1: Seq[String], weights1: Seq[Double],
       tokens2: Seq[String], weights2: Seq[Double],
-      simThreshold: Double = 0.9): Double = {
+      simThreshold: Double = 0.9,
+      pruneBelow: Double = 0.0): Double = {
     if (tokens1.isEmpty || tokens2.isEmpty) return 0.0
+    if (pruneBelow > 0.0) {
+      val s1 = weights1.sorted(Ordering[Double].reverse)
+      val s2 = weights2.sorted(Ordering[Double].reverse)
+      val ub = s1.zip(s2).map { case (a, b) => a * b }.sum /
+        (math.sqrt(weights1.map(w => w * w).sum) *
+          math.sqrt(weights2.map(w => w * w).sum))
+      if (ub < pruneBelow) return 0.0
+    }
     val (small, smallW, large, largeW, flipped) =
       if (tokens1.size <= tokens2.size) (tokens1, weights1, tokens2, weights2, false)
       else (tokens2, weights2, tokens1, weights1, true)
