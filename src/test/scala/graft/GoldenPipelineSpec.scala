@@ -91,87 +91,11 @@ class GoldenPipelineSpec extends SparkSpec {
     s"""{"locations":[${(officePts ++ movePts ++ dwell2Pts).mkString(",")}]}"""
   }
 
-  // ------------------------------------------------------------- enrichers
-
-  /** IFP: agents sharing an email object are the same (J4 → sameAs quads). */
-  private val ifpEnricher: QuadPipeline.Enricher = (store, _) => {
-    val emails = store.where(col("p") === (S + "email"))
-      .select(col("s").as("agent"), col("o").as("email"))
-    val pairs = Resolution.ifpPairs(emails, Seq("email"), "agent")
-    val added = pairs.select(col("s1").as("s"), lit("personal:sameAs").as("p"),
-      col("s2").as("o"), lit(0).cast("byte").as("oKind"),
-      lit(null).cast("string").as("oDt"), lit(null).cast("string").as("oLang"),
-      lit("graft:ifp").as("g"))
-    QuadDiff(added, added.limit(0))
-  }
-
-  /** Stays: Location view → sequential clustering → stay quads. */
-  private val stayEnricher: QuadPipeline.Enricher = (store, _) => {
-    val loc = Views.locations(store)
-      .select(
-        lit(1L).as("user"),
-        col("time").cast("timestamp").as("ts"),
-        regexp_extract(col("geo"), "geo:([^,]+),(.+)", 1).cast("double").as("lat"),
-        regexp_extract(col("geo"), "geo:([^,]+),(.+)", 2).cast("double").as("lon"),
-        col("uncertainty").cast("double").as("accuracy"))
-    val stays = StayExtraction.extractStaysDf(loc)
-    val stayIri = concat(lit("urn:stay:"), col("start_ms"))
-    val added =
-      stays.select(explode(array(
-        struct(stayIri.as("s"), lit("rdf:type").as("p"),
-          lit("personal:Stay").as("o"), lit(0).cast("byte").as("oKind"),
-          lit(null).cast("string").as("oDt"), lit(null).cast("string").as("oLang"),
-          lit("graft:stays").as("g")),
-        struct(stayIri.as("s"), lit("personal:start").as("p"),
-          col("start_ms").cast("string").as("o"), lit(2).cast("byte").as("oKind"),
-          lit(null).cast("string").as("oDt"), lit(null).cast("string").as("oLang"),
-          lit("graft:stays").as("g")),
-        struct(stayIri.as("s"), lit("personal:end").as("p"),
-          col("end_ms").cast("string").as("o"), lit(2).cast("byte").as("oKind"),
-          lit(null).cast("string").as("oDt"), lit(null).cast("string").as("oLang"),
-          lit("graft:stays").as("g")),
-        struct(stayIri.as("s"), lit("personal:geo").as("p"),
-          concat(lit("geo:"), col("lat"), lit(","), col("lon")).as("o"),
-          lit(0).cast("byte").as("oKind"),
-          lit(null).cast("string").as("oDt"), lit(null).cast("string").as("oLang"),
-          lit("graft:stays").as("g")))).as("q"))
-        .select(col("q.*"))
-    QuadDiff(added, added.limit(0))
-  }
-
-  /** Event-stay matching: interval overlap + distance ≤ 1 km → link quads. */
-  private val eventStayEnricher: QuadPipeline.Enricher = (store, _) => {
-    graft.functions.GeoTimeFunctions.register(spark)
-    val parseTs = (c: org.apache.spark.sql.Column) =>
-      to_timestamp(c, "yyyyMMdd'T'HHmmss'Z'")
-    val events = store.where(col("p") === (S + "startDate")).select(col("s").as("ev"),
-        parseTs(col("o")).as("e_start"))
-      .join(store.where(col("p") === (S + "endDate")).select(col("s").as("ev"),
-        parseTs(col("o")).as("e_end")), "ev")
-      .join(store.where(col("p") === (S + "geo") &&
-          col("g").startsWith("doc:")).select(col("s").as("ev"),
-        regexp_extract(col("o"), "geo:([^,]+),(.+)", 1).cast("double").as("e_lat"),
-        regexp_extract(col("o"), "geo:([^,]+),(.+)", 2).cast("double").as("e_lon")), "ev")
-      .withColumnRenamed("ev", "event_id")
-    val stays = store.where(col("g") === "graft:stays" && col("p") === "personal:start")
-      .select(col("s").as("stay_id"), timestamp_millis(col("o").cast("long")).as("s_start"))
-      .join(store.where(col("p") === "personal:end")
-        .select(col("s").as("stay_id"), timestamp_millis(col("o").cast("long")).as("s_end")), "stay_id")
-      .join(store.where(col("g") === "graft:stays" && col("p") === "personal:geo")
-        .select(col("s").as("stay_id"),
-          regexp_extract(col("o"), "geo:([^,]+),(.+)", 1).cast("double").as("s_lat"),
-          regexp_extract(col("o"), "geo:([^,]+),(.+)", 2).cast("double").as("s_lon")), "stay_id")
-    val matched = EventStayMatch.matchEvents(
-      events.select(col("event_id"), col("e_start"), col("e_end"), col("e_lat"), col("e_lon")),
-      stays.select(col("stay_id"), col("s_start"), col("s_end"), col("s_lat"), col("s_lon")),
-      bucketSeconds = 3600)
-    val added = matched.select(col("event_id").as("s"),
-      lit("personal:tookPlaceAt").as("p"),
-      col("stay_id").as("o"), lit(0).cast("byte").as("oKind"),
-      lit(null).cast("string").as("oDt"), lit(null).cast("string").as("oLang"),
-      lit("graft:eventStay").as("g"))
-    QuadDiff(added, added.limit(0))
-  }
+  // enrichers come from the library (graft.enrich.Enrichers) — the spec
+  // runs the reference-ordered chain and checks the golden outputs
+  private val ifpEnricher = graft.enrich.Enrichers.ifpSameAs(S + "email")
+  private val stayEnricher = graft.enrich.Enrichers.stays()
+  private val eventStayEnricher = graft.enrich.Enrichers.eventStayLinks(S)
 
   "the full pipeline" should "produce the golden stays, merges and event links" in {
     // author fixture files (B2-B5)
@@ -218,5 +142,17 @@ class GoldenPipelineSpec extends SparkSpec {
 
     // the flowing diff accumulated every enricher's additions
     diff.added.count() should be >= quads.where(col("g").startsWith("graft:")).count()
+
+    // the windowed (full-fidelity) stay enricher produces the same two
+    // golden stays on this clean trace — multi-candidate clustering only
+    // diverges on interleaved noise (WindowedStaysSpec covers that)
+    val (storeW, _) = QuadPipeline.processBatch(
+      empty, batch, empty, Seq(graft.enrich.Enrichers.stays(windowed = true)))
+    val staysW = storeW.where(col("g") === "graft:stays" && col("p") === "rdf:type")
+    staysW.count() shouldBe 2
+    storeW.where(col("g") === "graft:stays" && col("p") === "personal:start")
+      .select("o").as[String].collect().toSet shouldBe
+      quads.where(col("g") === "graft:stays" && col("p") === "personal:start")
+        .select("o").as[String].collect().toSet
   }
 }
