@@ -51,6 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.MinHashSigs(exprs(0),
         exprs(1).eval().asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("vincenty_m"),
+      new ExpressionInfo(classOf[graft.functions.Vincenty].getName, "vincenty_m"),
+      (exprs: Seq[Expression]) => graft.functions.Vincenty(
+        exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
       FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[graft.text.LangIdExpr].getName, "lang_id"),
       (exprs: Seq[Expression]) => graft.text.LangIdExpr(exprs.head)))

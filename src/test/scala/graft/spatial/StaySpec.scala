@@ -14,6 +14,35 @@ class StaySpec extends SparkSpec {
     Haversine.distanceMeters(10, 20, 10, 20) shouldBe 0.0
   }
 
+  "Vincenty.distanceMeters" should "match the canonical 1975 test line and WGS84 geodesics" in {
+    // Vincenty's own test case (Survey Review 1975): Flinders Peak ->
+    // Buninyong on the Australian geodetic datum geometry; on WGS84 the
+    // published geodesic distance is 54 972.271 m (mm-level agreement)
+    val flindersLat = -(37.0 + 57.0 / 60 + 3.72030 / 3600)
+    val flindersLon = 144.0 + 25.0 / 60 + 29.52440 / 3600
+    val buninyongLat = -(37.0 + 39.0 / 60 + 10.15610 / 3600)
+    val buninyongLon = 143.0 + 55.0 / 60 + 35.38390 / 3600
+    graft.functions.Vincenty.distanceMeters(
+      flindersLat, flindersLon, buninyongLat, buninyongLon) shouldBe
+      54972.271 +- 0.01
+    // one degree of longitude on the equator: a/180*pi = 111 319.491 m
+    graft.functions.Vincenty.distanceMeters(0, 0, 0, 1) shouldBe 111319.491 +- 0.01
+    // one degree of latitude from the equator: 110 574.389 m on WGS84
+    graft.functions.Vincenty.distanceMeters(0, 0, 1, 0) shouldBe 110574.389 +- 0.01
+    graft.functions.Vincenty.distanceMeters(10, 20, 10, 20) shouldBe 0.0
+    // ellipsoid vs sphere stays within ~0.6% on mid-latitude lines
+    val v = graft.functions.Vincenty.distanceMeters(48.8566, 2.3522, 51.5074, -0.1278)
+    val h = Haversine.distanceMeters(48.8566, 2.3522, 51.5074, -0.1278)
+    math.abs(v - h) / v should be < 0.006
+    // near-antipodal falls back instead of diverging
+    graft.functions.Vincenty.distanceMeters(0, 0, 0.5, 179.7) should be > 1.9e7
+  }
+
+  it should "evaluate through codegen as vincenty_m" in {
+    spark.sql("SELECT vincenty_m(0D, 0D, 0D, 1D) AS d").as[Double].head() shouldBe
+      111319.491 +- 0.01
+  }
+
   "haversineMeters column" should "run through codegen after registration" in {
     GeoTimeFunctions.register(spark)
     val d = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("la1", "lo1", "la2", "lo2")
