@@ -740,6 +740,20 @@ object SparkEntry {
     graft.multimodal.Multimodal.describeImages(imgs, "doc_id", "bytes")
   }
 
+  /** Gopher-style quality filter signals + decision (public rule set) —
+    * exact integer counts and an integer-arithmetic pass flag, fully
+    * SQL-stateable. */
+  private def q71_gopher_quality(s: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.gopherCounts(col("text")).toMap
+    val stops = TextAnalysis.stopwordCount(col("text"),
+      Seq("the", "a", "of", "and")).cast("long")
+    t(s, dir, "documents").select(
+      (Seq(col("doc_id")) ++
+        TextAnalysis.gopherCounts(col("text")).map { case (n, c) => c.as(n) } ++
+        Seq(stops.as("n_stop_hits"),
+          TextAnalysis.gopherPasses(m, stops).as("passes"))): _*)
+  }
+
   /** Language identification (trigram-profile classifier, LangId): language
     * distribution over the documents corpus. Profile-defined output —
     * rows-only check; the classifier itself is pinned to 8-language
@@ -828,7 +842,8 @@ object SparkEntry {
     "q67_sparql_agg" -> (q67_sparql_agg _),
     "q68_sparql_path" -> (q68_sparql_path _),
     "q69_image_meta" -> (q69_image_meta _),
-    "q70_langid" -> (q70_langid _)
+    "q70_langid" -> (q70_langid _),
+    "q71_gopher_quality" -> (q71_gopher_quality _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1254,7 +1269,38 @@ object SparkEntry {
         |    WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END AS mime,
         |  CAST(doc_id % 64 + 1 AS INT) AS width,
         |  CAST((doc_id * 7) % 64 + 1 AS INT) AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q71_gopher_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS words,
+        |    string_split(text, chr(10)) AS lines,
+        |    list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS BIGINT) AS sum_word_len,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(words, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS n_symbol_words,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '•')
+        |      OR starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(len(list_filter(list_transform(ts, x -> lower(x)),
+        |      x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop_hits
+        |  FROM w
+        |)
+        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_symbol_words,
+        |  n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_hits,
+        |  CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+        |    AND n_symbol_words * 10 <= n_words
+        |    AND n_bullet_lines * 10 <= n_lines
+        |    AND n_ellipsis_lines * 10 <= n_lines * 3
+        |    AND n_alpha_words * 5 >= n_words * 4
+        |    AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS passes
+        |FROM c""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -120,6 +120,45 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Gopher-style quality-filter signals (Rae et al., "Scaling Language
+    * Models: ... Gopher", 2021, Appendix A — the public rule set): all
+    * outputs are exact integers so the pass/fail decision is stated in
+    * integer arithmetic (`3·n ≤ Σlen ≤ 10·n` for the mean-word-length
+    * band, etc.) and differential-testable against a SQL oracle.
+    * Words are whitespace tokens (Gopher's definition), lines are
+    * newline-separated. */
+  def gopherCounts(text: Column): Seq[(String, Column)] = {
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val lines = split(text, "\n")
+    Seq(
+      "n_words" -> size(words).cast("long"),
+      "sum_word_len" ->
+        aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("long"),
+      "n_alpha_words" ->
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long"),
+      "n_symbol_words" ->
+        size(filter(words, w => w.contains("#") || w.contains("..."))).cast("long"),
+      "n_lines" -> size(lines).cast("long"),
+      "n_bullet_lines" ->
+        size(filter(lines, l =>
+          ltrim(l).startsWith("•") || ltrim(l).startsWith("- ") ||
+            ltrim(l).startsWith("* "))).cast("long"),
+      "n_ellipsis_lines" ->
+        size(filter(lines, l => l.endsWith("..."))).cast("long"))
+  }
+
+  /** The Gopher pass/fail decision from [[gopherCounts]] plus a stopword
+    * presence count, in pure integer arithmetic. */
+  def gopherPasses(m: Map[String, Column], nStopHits: Column): Column =
+    (m("n_words") >= 50 && m("n_words") <= 100000 &&
+      m("sum_word_len") >= m("n_words") * 3 &&
+      m("sum_word_len") <= m("n_words") * 10 &&
+      m("n_symbol_words") * 10 <= m("n_words") &&
+      m("n_bullet_lines") * 10 <= m("n_lines") &&
+      m("n_ellipsis_lines") * 10 <= m("n_lines") * 3 &&
+      m("n_alpha_words") * 5 >= m("n_words") * 4 &&
+      nStopHits >= 2).cast("int")
+
   /** Content fingerprint for exact dedup: md5 of the normalized text.
     * (Reference mints SHA1-based IRIs — UUIDConverter.scala:10-42; md5 is
     * used here because both Spark and the DuckDB oracle implement it.) */

@@ -82,6 +82,27 @@ class TextAnalysisSpec extends SparkSpec {
     res shouldBe Seq("en", "de")
   }
 
+  "gopher rules" should "pass clean prose and fail rule violations" in {
+    val goodDoc = (("the quick brown fox jumps over a lazy dog and then " * 6).trim)
+    val bulletDoc = (1 to 60).map(i => s"- item $i of the list").mkString("\n")
+    val symbolDoc = ("tag#" * 60) + " the a of and"
+    val shortDoc = "the a of and tiny"
+    def evalDoc(text: String): (Long, Int) = {
+      val df = Seq(text).toDF("text")
+      val m = TextAnalysis.gopherCounts($"text").toMap
+      val stops = TextAnalysis.stopwordCount($"text",
+        Seq("the", "a", "of", "and")).cast("long")
+      df.select(m("n_words").as("n"),
+          TextAnalysis.gopherPasses(m, stops).as("p"))
+        .as[(Long, Int)].head()
+    }
+    evalDoc(goodDoc)._2 shouldBe 1
+    evalDoc(goodDoc)._1 shouldBe 66L
+    evalDoc(bulletDoc)._2 shouldBe 0 // every line is a bullet
+    evalDoc(symbolDoc)._2 shouldBe 0 // symbol-word ratio over 10%
+    evalDoc(shortDoc)._2 shouldBe 0 // under 50 words
+  }
+
   "fingerprint" should "be stable under whitespace normalization" in {
     val fps = Seq("foo  bar", "foo bar ").toDF("t")
       .select(TextAnalysis.fingerprint($"t")).as[String].collect()
