@@ -1,11 +1,20 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times SparkEntry's headline queries on
   * SPARK_GRAFT_SF_DIR, prints one JSON line for the driver. Queries are
   * executed end-to-end with a noop sink (full plan runs, nothing
-  * materializes on the driver). */
+  * materializes on the driver).
+  *
+  * Noise robustness: each query is run twice — the first (cold) timing
+  * feeds the headline `total`/`queries` fields (driver contract), and a
+  * second in-process repeat is reported under `queries_repeat` /
+  * `total_repeat` so load spikes on a shared host are visible as
+  * cold-vs-repeat divergence instead of silently poisoning the headline.
+  * The full metrics JSON is also written to BENCH_OUT.json (bare file,
+  * no sbt log decoration) so the driver never has to scrape logs. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,7 +26,7 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.benchQueries.map { name =>
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -25,12 +34,22 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val cold = SparkEntry.benchQueries.map(name => name -> runOnce(name))
+    val repeat = SparkEntry.benchQueries.map(name => name -> runOnce(name))
+
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+
+    val total = cold.map(_._2).sum
+    val totalRepeat = repeat.map(_._2).sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(cold)},"total_repeat":$totalRepeat%.3f,"queries_repeat":${jmap(repeat)},"sf":"$sfDir"}"""
+    println(json)
+    try Files.write(Paths.get("BENCH_OUT.json"), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_OUT.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -949,8 +949,8 @@ object SparkEntry {
         |WHERE 3 * inter > 1 * (sa.n + sb.n - inter)""".stripMargin,
     "q20_sessionize" ->
       """SELECT event_id, user_id,
-        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |FROM (
         |  -- compare at micros precision to match the engine's storage
         |  -- resolution (events.parquet is TIMESTAMP(NANOS); the engine

@@ -187,14 +187,15 @@ object Dedup {
     val sRaw = shingled(df, textCol, idCol, k)
     val s =
       if (native)
-        // (id, shingles, sig) materialized by the exchange below: signature
-        // computed exactly once per row on the shuffle's map side, then the
-        // banding/verification stages read the shuffled rows. The two
-        // consumers (banding, verification) produce identical exchanges, so
-        // ReuseExchange evaluates the pipeline once.
+        // (id, shingles, sig) materialized ONCE: the self-join's two sides
+        // and the verification all read the checkpointed blocks, so the
+        // scan + signature pipeline runs exactly one time. (A repartition
+        // was tried first on the theory that ReuseExchange dedups the two
+        // identical exchanges — it does not fire across the self-join's
+        // re-aliased subtrees, and the plan showed two full scans.)
         sRaw.withColumn("sig",
             call_function("minhash_sigs", col("shingles"), lit(numHashes)))
-          .repartition(par(df), col("id"))
+          .localCheckpoint()
       else
         sRaw.withColumn("sig", minhashSignature(col("shingles"), numHashes))
           .localCheckpoint() // reused by candidate gen AND verification
@@ -292,13 +293,14 @@ object Dedup {
     val haveNative = haveFn(df, "simhash64") && haveFn(df, "xxhash64_tokens")
     val s =
       if (haveNative)
-        // fingerprint computed once on the exchange's map side (see
-        // minhashLshPairs note), then fanned out to the combo keys
+        // fingerprint computed once, checkpointed as tiny (id, fp) rows;
+        // both self-join sides read the blocks (ReuseExchange does NOT
+        // dedup the re-aliased self-join exchanges — see minhashLshPairs)
         df.repartition(par(df))
           .select(col(idCol).as("id"),
             call_function("simhash64",
               call_function("xxhash64_tokens", lower(col(textCol)))).as("fp"))
-          .repartition(par(df), col("id"))
+          .localCheckpoint()
       else {
         val hashes = df.repartition(par(df))
           .select(col(idCol).as("id"),

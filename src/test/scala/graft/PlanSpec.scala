@@ -36,4 +36,20 @@ class PlanSpec extends SparkSpec {
   "q30 token blocking" should "avoid cartesian products" in {
     plan("q30_token_blocking") should not include "CartesianProduct"
   }
+
+  // the dedup signature pipelines materialize (id, signature) ONCE; the
+  // self-join's two sides and the verification read the checkpointed
+  // blocks, so the final plan contains ZERO parquet scans (the one scan
+  // ran inside the checkpoint job). Guards the 100 TB double-scan bug.
+  "q25 minhash" should "scan the source exactly once (checkpointed signatures)" in {
+    val p = plan("q25_minhash_lsh")
+    p should not include "Scan parquet"
+    p should include("ExistingRDD")
+  }
+
+  "q26 simhash" should "scan the source exactly once (checkpointed fingerprints)" in {
+    val p = plan("q26_simhash")
+    p should not include "Scan parquet"
+    p should include("ExistingRDD")
+  }
 }

@@ -15,6 +15,22 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def kind_class(dtype) -> str:
+    """Map a pandas dtype to a coarse class the driver's hash distinguishes."""
+    k = dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "obj"
+
+def dtype_kinds(df: pd.DataFrame) -> dict:
+    return {c: kind_class(df[c].dtype) for c in df.columns}
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # canonicalize dtypes
@@ -54,9 +70,17 @@ def main():
             duck_df = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}"); n_fail += 1; continue
+        # dtype-strict: the driver hashes typed values, so an int64 1 vs a
+        # float64 1.0 fails there even though pandas == coerces. Compare
+        # dtype *kinds* BEFORE normalize() canonicalizes them away.
+        ka, kb = dtype_kinds(spark_df), dtype_kinds(duck_df)
         a, b = normalize(spark_df), normalize(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: cols spark={list(a.columns)} duck={list(b.columns)}"); n_fail += 1; continue
+        kind_bad = [c for c in a.columns if ka.get(c) != kb.get(c)]
+        if kind_bad:
+            det = ", ".join(f"{c}: spark={ka.get(c)} duck={kb.get(c)}" for c in kind_bad)
+            print(f"FAIL {name}: dtype-kind mismatch ({det})"); n_fail += 1; continue
         if len(a) != len(b):
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}"); n_fail += 1; continue
         eq = True
