@@ -772,6 +772,44 @@ object SparkEntry {
     graft.spatial.WindowedStays.extractStaysDf(
       eventsAsObservations(s, dir), minFinalStayMs = 10L * 60 * 1000)
 
+  /** SPARQL CONSTRUCT end-to-end: template instantiation over a BGP join,
+    * the reference's GraphQuery front-door path
+    * (`core/src/main/com/thymeflow/api/SparqlService.scala:107-112`). */
+  private def q72_construct(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.construct(TpchQuads.quads(s, dir),
+      """CONSTRUCT { ?c <inNation> ?nname } WHERE {
+        |  ?c <nation> ?n . ?n <name> ?nname
+        |}""".stripMargin)
+      .select(col("s"), col("p"), col("o"))
+
+  /** FILTER NOT EXISTS + inverse path — the reference guard's negation
+    * shape (`AbstractEnricher.scala:17-23`): customers with no finished
+    * order pointing at them, stated with `^<cust>`. */
+  private def q73_not_exists(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.select(TpchQuads.quads(s, dir),
+      """SELECT ?c ?cname WHERE {
+        |  GRAPH <customer> { ?c <name> ?cname }
+        |  FILTER NOT EXISTS { ?c ^<cust> ?ord . ?ord <status> "F" }
+        |}""".stripMargin)
+
+  /** Negated property set: every customer edge that is neither the name
+    * nor the segment — exactly the nation edges. */
+  private def q74_neg_prop(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.select(TpchQuads.quads(s, dir),
+      """SELECT ?c ?o WHERE { GRAPH <customer> { ?c !(<name>|<segment>) ?o } }""")
+
+  /** SPARQL UPDATE text end-to-end: DELETE/INSERT WHERE parsed, evaluated
+    * to a QuadDiff, applied via QuadStore.applyDiff (the reference's
+    * prepareUpdate→execute, `SparqlService.scala:144-158`); inserts land
+    * in the user graph per the write-back routing. */
+  private def q75_sparql_update(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.update(TpchQuads.quads(s, dir),
+      """DELETE { ?c <segment> ?seg } INSERT { ?c <bucket> ?seg } WHERE {
+        |  ?c <segment> ?seg . FILTER(?seg = "BUILDING")
+        |}""".stripMargin)
+      .where(col("p").isin("segment", "bucket"))
+      .select(col("s"), col("p"), col("o"), col("g"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -843,7 +881,11 @@ object SparkEntry {
     "q68_sparql_path" -> (q68_sparql_path _),
     "q69_image_meta" -> (q69_image_meta _),
     "q70_langid" -> (q70_langid _),
-    "q71_gopher_quality" -> (q71_gopher_quality _)
+    "q71_gopher_quality" -> (q71_gopher_quality _),
+    "q72_construct" -> (q72_construct _),
+    "q73_not_exists" -> (q73_not_exists _),
+    "q74_neg_prop" -> (q74_neg_prop _),
+    "q75_sparql_update" -> (q75_sparql_update _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1300,7 +1342,23 @@ object SparkEntry {
         |    AND n_ellipsis_lines * 10 <= n_lines * 3
         |    AND n_alpha_words * 5 >= n_words * 4
         |    AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS passes
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "q72_construct" ->
+      """SELECT 'c:' || c_custkey AS s, 'inNation' AS p, n_name AS o
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q73_not_exists" ->
+      """SELECT 'c:' || c_custkey AS c, c_name AS cname FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q74_neg_prop" ->
+      """SELECT 'c:' || c_custkey AS c, 'n:' || c_nationkey AS o FROM customer""".stripMargin,
+    "q75_sparql_update" ->
+      """SELECT 'c:' || c_custkey AS s, 'segment' AS p, c_mktsegment AS o,
+        |  'customer' AS g
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'
+        |UNION ALL
+        |SELECT 'c:' || c_custkey, 'bucket', c_mktsegment, 'graft:user'
+        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

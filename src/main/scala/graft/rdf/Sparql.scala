@@ -68,15 +68,20 @@ object Sparql {
         }
         out += sb.append('"').toString; i += 1
       }
-      else if ("{}().;,/".contains(c)) { out += c.toString; i += 1 }
-      else if (c == '&' || c == '|') { out += q.substring(i, i + 2); i += 2 }
+      else if ("{}().;,/^".contains(c)) { out += c.toString; i += 1 }
+      else if (c == '&' || c == '|') {
+        // '&&'/'||' are the boolean connectives; a single '|' separates
+        // the members of a negated property set !(p1|p2)
+        if (i + 1 < n && q(i + 1) == c) { out += q.substring(i, i + 2); i += 2 }
+        else { out += c.toString; i += 1 }
+      }
       else if ("=<>!".contains(c)) {
         if (i + 1 < n && q(i + 1) == '=') { out += q.substring(i, i + 2); i += 2 }
         else { out += c.toString; i += 1 }
       }
       else {
         var j = i
-        while (j < n && !q(j).isWhitespace && !"{}()<>=!&|.;,/".contains(q(j))) j += 1
+        while (j < n && !q(j).isWhitespace && !"{}()<>=!&|.;,/^".contains(q(j))) j += 1
         // allow dots inside numbers and prefixed names (e.g. 0.5)
         if (j < n && q(j) == '.' && j + 1 < n && q(j + 1).isDigit) {
           var k = j + 1
@@ -104,6 +109,12 @@ object Sparql {
   private final case class Bind(value: String, varName: String) extends Element
   private final case class Values(varName: String, values: List[String]) extends Element
   private final case class SubSelect(query: Query) extends Element
+  /** `s !(p1|p2) o` — any predicate NOT in the set (SPARQL negated
+    * property set). */
+  private final case class NegPropSet(s: String, preds: List[String], o: String) extends Element
+  /** FILTER EXISTS { group } / FILTER NOT EXISTS { group } — semi/anti
+    * join of the current bindings against the inner group. */
+  private final case class Exists(group: List[Element], negated: Boolean) extends Element
 
   private sealed trait SelectItem
   private final case class PlainVar(name: String) extends SelectItem
@@ -196,33 +207,58 @@ object Sparql {
     private var freshId = 0
     private def fresh(): String = { freshId += 1; s"?__path$freshId" }
 
-    /** Parse the triples after one subject: `s path o (, o)* (; path o...)*` */
+    /** Parse the triples after one subject: `s path o (, o)* (; path o...)*`
+      * A path step may be inverted (`^p`); a predicate position may be a
+      * negated property set (`!p` / `!(p1|p2)`). */
     private def triples(elems: scala.collection.mutable.ListBuffer[Element]): Unit = {
       val s = term()
       var done = false
       while (!done) {
-        // predicate path: pterm ('/' pterm)* | pterm ('*'|'+'|'?')
-        val steps = scala.collection.mutable.ListBuffer(pterm())
-        while (peek == "/") { next(); steps += pterm() }
-        val mod: Option[Char] =
-          if (peek == "*" || peek == "+" || peek == "?") Some(next().head) else None
-        require(mod.isEmpty || steps.size == 1,
-          "path modifiers supported on a single predicate")
-        var moreObjects = true
-        while (moreObjects) {
-          val o = term()
-          if (mod.isDefined) elems += StarPath(s, steps.head, o, mod.get)
-          else if (steps.size == 1) elems += Triple(s, steps.head, o)
-          else {
-            // sequence path: chain through fresh intermediate variables
+        if (peek == "!") {
+          // negated property set: !p or !(p1|p2) — no modifiers/sequences
+          next()
+          val preds = scala.collection.mutable.ListBuffer[String]()
+          if (peek == "(") {
+            next(); preds += pterm()
+            while (peek == "|") { next(); preds += pterm() }
+            expect(")")
+          } else preds += pterm()
+          var moreObjects = true
+          while (moreObjects) {
+            elems += NegPropSet(s, preds.toList, term())
+            moreObjects = peek == "," && { next(); true }
+          }
+        } else {
+          // predicate path: step ('/' step)*, step := ['^'] pterm ['*'|'+'|'?']
+          // — per-step modifiers, as the reference's guard query uses
+          // (`AbstractEnricher.scala:17-23`: sameAs*/differentFrom/sameAs*)
+          def modded(): (String, Boolean, Option[Char]) = {
+            val (p, inv) = pstep()
+            val mod =
+              if (peek == "*" || peek == "+" || peek == "?") Some(next().head) else None
+            (p, inv, mod)
+          }
+          val steps = scala.collection.mutable.ListBuffer(modded())
+          while (peek == "/") { next(); steps += modded() }
+          var moreObjects = true
+          while (moreObjects) {
+            val o = term()
+            // chain through fresh intermediate variables; each step is a
+            // plain triple or a closure, inverted in place (p1/^p2*/...)
+            // — `?s (^p)* ?o` ≡ `?o p* ?s`: closures swap endpoints too
             var subj = s
-            steps.toList.zipWithIndex.foreach { case (p, i) =>
+            steps.toList.zipWithIndex.foreach { case ((p, inv, mod), i) =>
               val obj = if (i == steps.size - 1) o else fresh()
-              elems += Triple(subj, p, obj)
+              elems += ((inv, mod) match {
+                case (false, None) => Triple(subj, p, obj)
+                case (true, None) => Triple(obj, p, subj)
+                case (false, Some(m)) => StarPath(subj, p, obj, m)
+                case (true, Some(m)) => StarPath(obj, p, subj, m)
+              })
               subj = obj
             }
+            moreObjects = peek == "," && { next(); true }
           }
-          moreObjects = peek == "," && { next(); true }
         }
         if (peek == ";") { next(); done = peek == "." || peek == "}" }
         else done = true
@@ -238,7 +274,16 @@ object Sparql {
           next(); elems += Opt(block())
           if (peek == ".") next()
         }
-        else if (peek.equalsIgnoreCase("FILTER")) { next(); elems += filter() }
+        else if (peek.equalsIgnoreCase("FILTER")) {
+          next()
+          if (peek.equalsIgnoreCase("EXISTS")) {
+            next(); elems += Exists(block(), negated = false)
+            if (peek == ".") next()
+          } else if (peek.equalsIgnoreCase("NOT")) {
+            next(); expect("EXISTS"); elems += Exists(block(), negated = true)
+            if (peek == ".") next()
+          } else elems += filter()
+        }
         else if (peek.equalsIgnoreCase("GRAPH")) {
           next(); val g = term(); elems += Graphed(g, block())
         }
@@ -319,6 +364,11 @@ object Sparql {
       val t = next()
       if (t == "a") "rdf:type" else t
     }
+
+    /** One path step: a predicate term, optionally inverted with '^'. */
+    def pstep(): (String, Boolean) =
+      if (peek == "^") { next(); val (p, inv) = pstep(); (p, !inv) }
+      else (pterm(), false)
   }
 
   // --------------------------------------------------------------- compile
@@ -360,6 +410,25 @@ object Sparql {
     else withS.where(col("dst") === termValue(sp.o)).drop("dst")
   }
 
+  /** `s !(p1|p2) o`: a filtered scan excluding the listed predicates —
+    * the exclusion pushes down to the columnar store like any constant. */
+  private def negPropSet(quads: DataFrame, s: String, preds: List[String],
+      o: String, graph: Option[String]): DataFrame = {
+    val scoped = graph.map(g => quads.where(col("g") === termValue(g))).getOrElse(quads)
+    val base = scoped.where(!col("p").isin(preds.map(termValue): _*))
+    val withS = if (s.startsWith("?")) base else base.where(col("s") === termValue(s))
+    val withO = if (o.startsWith("?")) withS else withS.where(col("o") === termValue(o))
+    val selfEq = if (s.startsWith("?") && s == o) withO.where(col("s") === col("o")) else withO
+    val projections = Seq(s -> "s", o -> "o")
+      .collect { case (t, c) if t.startsWith("?") => (t.drop(1), c) }
+      .foldLeft(Vector.empty[(String, String)]) { (acc, p) =>
+        if (acc.exists(_._1 == p._1)) acc else acc :+ p
+      }
+      .map { case (v, c) => col(c).as(v) }
+    require(projections.nonEmpty, "negated property set binds no variables")
+    selfEq.select(projections: _*)
+  }
+
   private def compileGroup(
       quads: DataFrame, group: List[Element], graph: Option[String]): DataFrame = {
     var current: Option[DataFrame] = None
@@ -377,6 +446,13 @@ object Sparql {
       join(Bgp.bgp(quads, triples.map(t => toPattern(t.asInstanceOf[Triple], graph)): _*))
     rest.foreach {
       case sp: StarPath => join(starPath(quads, sp, graph))
+      case NegPropSet(s, preds, o) => join(negPropSet(quads, s, preds, o, graph))
+      case Exists(inner, negated) =>
+        val left = current.getOrElse(sys.error("FILTER EXISTS without preceding bindings"))
+        val right = compileGroup(quads, inner, graph)
+        val shared = left.columns.intersect(right.columns).toSeq
+        require(shared.nonEmpty, "FILTER EXISTS shares no variables with the group")
+        current = Some(left.join(right, shared, if (negated) "left_anti" else "left_semi"))
       case SubSelect(q) => join(compileQuery(quads, q))
       case Graphed(g, inner) => join(compileGroup(quads, inner, Some(g)))
       case Union(l, r) =>
@@ -512,4 +588,156 @@ object Sparql {
     val body = queryText.trim.replaceFirst("(?i)^ASK", "SELECT * WHERE")
     !select(quads, body).isEmpty
   }
+
+  // ---------------------------------------------------- CONSTRUCT / UPDATE
+
+  /** Graph names for statements minted by the front end (the reference
+    * routes front-door writes to its user graph,
+    * `core/src/main/com/thymeflow/update/Updater.scala:26-45` — same
+    * constant as [[graft.streaming.Updater.UserGraph]]). */
+  val UserGraph = "graft:user"
+  val ConstructedGraph = "graft:constructed"
+
+  /** Template/data quad: positions may be variables in templates; the
+    * graph is None for the default graph. */
+  private type TemplQuad = (String, String, String, Option[String])
+
+  private def templQuads(elems: List[Element]): List[TemplQuad] = elems.flatMap {
+    case Triple(s, p, o) => List((s, p, o, None))
+    case Graphed(g, inner) => inner.collect { case Triple(s, p, o) => (s, p, o, Some(termValue(g))) }
+    case _ => sys.error("quad templates support triples and GRAPH blocks only")
+  }
+
+  /** Object-term kind for statements minted by the front end: explicit
+    * <iri> / "literal" syntax decides; bare tokens are IRIs when they
+    * carry a scheme prefix (`c:42`, `http://...`) — the store's converters
+    * mint exactly such IRIs — and literals otherwise. Variable bindings
+    * use the same scheme test on the bound value. */
+  private def groundKind(tok: String): Byte =
+    if (tok.startsWith("<")) Quad.IRI
+    else if (tok.startsWith("\"")) Quad.LITERAL
+    else if (tok.matches("[A-Za-z][A-Za-z0-9+.-]*:.*")) Quad.IRI
+    else Quad.LITERAL
+
+  private def tExpr(t: String): Column =
+    if (t.startsWith("?")) col(t.drop(1)).cast("string") else lit(termValue(t))
+
+  private def kindExpr(o: String): Column =
+    (if (!o.startsWith("?")) lit(groundKind(o))
+     else when(col(o.drop(1)).cast("string").rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
+       lit(Quad.IRI)).otherwise(lit(Quad.LITERAL))).cast("byte")
+
+  /** Instantiate quad templates against a binding set; solutions leaving a
+    * template position unbound (OPTIONAL) are skipped, per SPARQL. */
+  private def instantiate(bindings: DataFrame, templ: List[TemplQuad],
+      defaultGraph: String): DataFrame =
+    templ.map { case (s, p, o, g) =>
+      bindings.select(
+        tExpr(s).as("s"), tExpr(p).as("p"), tExpr(o).as("o"),
+        kindExpr(o).as("oKind"),
+        lit(null).cast("string").as("oDt"), lit(null).cast("string").as("oLang"),
+        lit(g.getOrElse(defaultGraph)).as("g"))
+    }.reduceLeft(_.unionByName(_)).na.drop(Seq("s", "p", "o")).distinct()
+
+  /** Parse and run a SPARQL CONSTRUCT: instantiate the template per
+    * solution of the WHERE group; returns quads (set semantics). Template
+    * GRAPH blocks name the output graph; the default is
+    * [[ConstructedGraph]]. */
+  def construct(quads: DataFrame, queryText: String): DataFrame = {
+    val p = new P(tokenize(queryText))
+    p.expect("CONSTRUCT")
+    val templ = templQuads(p.block())
+    require(templ.nonEmpty, "empty CONSTRUCT template")
+    if (p.peek.equalsIgnoreCase("WHERE")) p.next()
+    val group = p.block()
+    instantiate(compileGroup(quads, group, None), templ, ConstructedGraph)
+  }
+
+  /** Parse a SPARQL UPDATE (`INSERT DATA` / `DELETE DATA` /
+    * `DELETE [{t}] [INSERT {t}] WHERE {g}` / `DELETE WHERE {g}`) and
+    * evaluate it against a store snapshot into a [[QuadDiff]]
+    * (reference front door: `core/src/main/com/thymeflow/api/
+    * SparqlService.scala:144-158` prepares updates the same way; the
+    * resulting diff feeds [[QuadStore.applyDiff]] or the write-back
+    * routing in [[graft.streaming.Updater]]).
+    *
+    * Semantics against the partitioned store: WHERE matches the union of
+    * all graphs (the reference advertises union-default-graph); DELETE
+    * templates without an explicit GRAPH remove every graph's copy;
+    * INSERTs without a GRAPH land in [[UserGraph]]. The returned diff is
+    * already set-normalized: adds exclude statements present in the
+    * store, removals are actual store rows. */
+  def updateDiff(store: DataFrame, updateText: String): QuadDiff = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    val storeCols = store.columns.map(col).toSeq
+    def empty = store.limit(0)
+    def ground(ts: List[TemplQuad]): DataFrame = {
+      val qs = ts.map { case (s, p, o, g) =>
+        require(!s.startsWith("?") && !p.startsWith("?") && !o.startsWith("?"),
+          "DATA blocks must be ground")
+        Quad(termValue(s), termValue(p), termValue(o), groundKind(o), null, null,
+          g.getOrElse(UserGraph))
+      }
+      qs.toDF().select(storeCols: _*)
+    }
+    def dedupAdds(added: DataFrame): DataFrame =
+      added.join(store, Seq("s", "p", "o", "g"), "left_anti").select(storeCols: _*)
+    /** Store rows matching instantiated delete keys; a template without a
+      * GRAPH matches any graph. */
+    def matchRemovals(keys: DataFrame, withGraph: Boolean): DataFrame =
+      store.join(keys, Seq("s", "p", "o") ++ (if (withGraph) Seq("g") else Nil), "left_semi")
+        .select(storeCols: _*)
+
+    val p = new P(tokenize(updateText))
+    if (p.peek.equalsIgnoreCase("INSERT")) {
+      p.next(); p.expect("DATA")
+      QuadDiff(dedupAdds(ground(templQuads(p.block()))), empty)
+    } else {
+      p.expect("DELETE")
+      if (p.peek.equalsIgnoreCase("DATA")) {
+        p.next()
+        val keys = ground(templQuads(p.block()))
+        QuadDiff(empty, matchRemovals(keys.select("s", "p", "o", "g"), withGraph = true))
+      } else {
+        val delTempl = if (p.peek == "{") templQuads(p.block()) else Nil
+        val insTempl =
+          if (p.peek.equalsIgnoreCase("INSERT")) { p.next(); templQuads(p.block()) } else Nil
+        p.expect("WHERE")
+        val group = p.block()
+        val bindings = compileGroup(store, group, None)
+        // DELETE WHERE { g } shorthand: the pattern is its own template
+        val del = if (delTempl.isEmpty && insTempl.isEmpty) templQuads(group.filter {
+          case _: Triple | _: Graphed => true
+          case _ => false
+        }) else delTempl
+        val removed =
+          if (del.isEmpty) empty
+          else {
+            val (scoped, global) = del.partition(_._4.isDefined)
+            val parts =
+              (if (global.nonEmpty)
+                Seq(matchRemovals(
+                  instantiate(bindings, global, UserGraph).select("s", "p", "o"),
+                  withGraph = false))
+              else Nil) ++
+              (if (scoped.nonEmpty)
+                Seq(matchRemovals(
+                  instantiate(bindings, scoped, UserGraph).select("s", "p", "o", "g"),
+                  withGraph = true))
+              else Nil)
+            parts.reduceLeft(_.unionByName(_)).distinct()
+          }
+        val added =
+          if (insTempl.isEmpty) empty
+          else dedupAdds(instantiate(bindings, insTempl, UserGraph))
+        QuadDiff(added, removed)
+      }
+    }
+  }
+
+  /** Convenience: parse an update, evaluate, apply — returns the new
+    * store snapshot. */
+  def update(store: DataFrame, updateText: String): DataFrame =
+    QuadStore.applyDiff(store, updateDiff(store, updateText))
 }

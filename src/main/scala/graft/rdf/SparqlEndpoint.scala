@@ -3,6 +3,7 @@ package graft.rdf
 import java.io.OutputStream
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicReference
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.DataFrame
@@ -12,11 +13,21 @@ import org.apache.spark.sql.DataFrame
   * (`core/src/main/com/thymeflow/api/SparqlService.scala:38-201`) on the
   * JDK's built-in HTTP server (zero dependencies).
   *
-  * Supported: GET `/sparql?query=...` and POST with
+  * Queries: GET `/sparql?query=...` and POST with
   * `application/x-www-form-urlencoded` (`query=...`) or
-  * `application/sparql-query` bodies; SELECT and ASK forms; results as
-  * SPARQL JSON (`application/sparql-results+json`, the default) or CSV
-  * (`text/csv` via Accept). Malformed queries → 400 with the parse error.
+  * `application/sparql-query` bodies; SELECT, ASK and CONSTRUCT forms.
+  * SELECT results negotiate SPARQL JSON (default), XML
+  * (`application/sparql-results+xml`), CSV (`text/csv`) or TSV
+  * (`text/tab-separated-values`) via Accept — the reference resolves the
+  * writer the same way (`SparqlService.scala:170-201`). CONSTRUCT streams
+  * N-Quads lines. Malformed queries → 400 with the parse error.
+  *
+  * Updates: POST with `update=...` form data or an
+  * `application/sparql-update` body (`INSERT DATA` / `DELETE DATA` /
+  * `DELETE/INSERT WHERE`) — parsed by [[Sparql.updateDiff]] and applied
+  * to the served snapshot through [[QuadStore.applyDiff]], exactly the
+  * reference's prepareUpdate→execute path
+  * (`SparqlService.scala:144-158`); 200 with an empty body on success.
   *
   * Results STREAM: rows are serialized from `toLocalIterator` — one
   * partition in flight at a time, chunked transfer encoding, no driver
@@ -25,17 +36,20 @@ import org.apache.spark.sql.DataFrame
   */
 object SparqlEndpoint {
 
-  final case class Server(http: HttpServer) {
+  final case class Server(http: HttpServer, ref: AtomicReference[DataFrame]) {
     def port: Int = http.getAddress.getPort
     def stop(): Unit = http.stop(0)
+    /** Current store snapshot (reflects applied updates). */
+    def store: DataFrame = ref.get
   }
 
   def start(quads: DataFrame, port: Int = 0): Server = {
+    val ref = new AtomicReference[DataFrame](quads)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/sparql", new Handler(quads))
+    server.createContext("/sparql", new Handler(ref))
     server.setExecutor(null) // serial — one query at a time per endpoint
     server.start()
-    Server(server)
+    Server(server, ref)
   }
 
   private def parseParams(s: String): Map[String, String] =
@@ -67,28 +81,47 @@ object SparqlEndpoint {
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 
-  private final class Handler(quads: DataFrame) extends HttpHandler {
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  private final class Handler(ref: AtomicReference[DataFrame]) extends HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
-        val query = ex.getRequestMethod.toUpperCase match {
-          case "GET" => parseParams(ex.getRequestURI.getRawQuery).get("query")
+        val (query, update) = ex.getRequestMethod.toUpperCase match {
+          case "GET" =>
+            (parseParams(ex.getRequestURI.getRawQuery).get("query"), None)
           case "POST" =>
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
             val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
-            if (ct.startsWith("application/sparql-query")) Some(body)
-            else parseParams(body).get("query")
+            if (ct.startsWith("application/sparql-query")) (Some(body), None)
+            else if (ct.startsWith("application/sparql-update")) (None, Some(body))
+            else {
+              val params = parseParams(body)
+              (params.get("query"), params.get("update"))
+            }
           case _ =>
             ex.sendResponseHeaders(405, -1); ex.close(); return
         }
-        query match {
-          case None => respond(ex, 400, "text/plain", "missing query parameter")
-          case Some(q) if q.trim.toUpperCase.startsWith("ASK") =>
-            val result = Sparql.ask(quads, q)
+        (query, update) match {
+          case (_, Some(u)) => runUpdate(ex, u)
+          case (None, None) => respond(ex, 400, "text/plain", "missing query parameter")
+          case (Some(q), _) if q.trim.toUpperCase.startsWith("ASK") =>
+            val result = Sparql.ask(ref.get, q)
             respond(ex, 200, "application/sparql-results+json",
               s"""{"head":{},"boolean":$result}""")
-          case Some(q) =>
+          case (Some(q), _) if q.trim.toUpperCase.startsWith("CONSTRUCT") =>
             val df =
-              try Sparql.select(quads, q)
+              try Sparql.construct(ref.get, q)
+              catch {
+                case e: Exception =>
+                  respond(ex, 400, "text/plain", s"parse error: ${e.getMessage}")
+                  return
+              }
+            streamNQuads(ex, df)
+          case (Some(q), _) =>
+            val df =
+              try Sparql.select(ref.get, q)
               catch {
                 case e: Exception =>
                   respond(ex, 400, "text/plain", s"parse error: ${e.getMessage}")
@@ -96,6 +129,8 @@ object SparqlEndpoint {
               }
             val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
             if (accept.contains("text/csv")) streamCsv(ex, df)
+            else if (accept.contains("text/tab-separated-values")) streamTsv(ex, df)
+            else if (accept.contains("application/sparql-results+xml")) streamXml(ex, df)
             else streamJson(ex, df)
         }
       } catch {
@@ -104,11 +139,25 @@ object SparqlEndpoint {
           catch { case _: Exception => () }
       } finally ex.close()
 
+    private def runUpdate(ex: HttpExchange, updateText: String): Unit = {
+      val diff =
+        try Sparql.updateDiff(ref.get, updateText)
+        catch {
+          case e: Exception =>
+            respond(ex, 400, "text/plain", s"malformed update: ${e.getMessage}")
+            return
+        }
+      // materialize the new snapshot's diff inputs before swapping so a
+      // later update's WHERE doesn't re-evaluate a deep applyDiff chain
+      ref.set(QuadStore.applyDiff(ref.get, diff).localCheckpoint())
+      respond(ex, 200, "text/plain", "")
+    }
+
     private def respond(ex: HttpExchange, code: Int, ct: String, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", ct)
-      ex.sendResponseHeaders(code, bytes.length)
-      ex.getResponseBody.write(bytes)
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     }
 
     /** SPARQL results JSON, streamed row by row (chunked). */
@@ -140,6 +189,31 @@ object SparqlEndpoint {
       out.flush()
     }
 
+    /** SPARQL results XML (the reference's second tuple format), streamed. */
+    private def streamXml(ex: HttpExchange, df: DataFrame): Unit = {
+      val cols = df.columns
+      ex.getResponseHeaders.set("Content-Type", "application/sparql-results+xml")
+      ex.sendResponseHeaders(200, 0)
+      val out = ex.getResponseBody
+      def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.UTF_8))
+      w("""<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#"><head>""")
+      cols.foreach(c => w(s"""<variable name="${xmlEscape(c)}"/>"""))
+      w("</head><results>")
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        w("<result>")
+        cols.indices.foreach { i =>
+          Option(row.get(i)).foreach { v =>
+            w(s"""<binding name="${xmlEscape(cols(i))}"><literal>${xmlEscape(v.toString)}</literal></binding>""")
+          }
+        }
+        w("</result>")
+      }
+      w("</results></sparql>")
+      out.flush()
+    }
+
     /** SPARQL results CSV (RFC 4180-ish), streamed. */
     private def streamCsv(ex: HttpExchange, df: DataFrame): Unit = {
       val cols = df.columns
@@ -154,6 +228,51 @@ object SparqlEndpoint {
         w(cols.indices.map(i =>
           Option(row.get(i)).map(v => csvEscape(v.toString)).getOrElse(""))
           .mkString(",") + "\r\n")
+      }
+      out.flush()
+    }
+
+    /** SPARQL results TSV, streamed. */
+    private def streamTsv(ex: HttpExchange, df: DataFrame): Unit = {
+      val cols = df.columns
+      ex.getResponseHeaders.set("Content-Type", "text/tab-separated-values; charset=utf-8")
+      ex.sendResponseHeaders(200, 0)
+      val out = ex.getResponseBody
+      def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.UTF_8))
+      w(cols.map("?" + _).mkString("\t") + "\n")
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        w(cols.indices.map(i =>
+          Option(row.get(i)).map(v =>
+            v.toString.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n"))
+            .getOrElse(""))
+          .mkString("\t") + "\n")
+      }
+      out.flush()
+    }
+
+    /** CONSTRUCT results as N-Quads lines, streamed. Expects the
+      * (s, p, o, oKind, ..., g) layout [[Sparql.construct]] produces. */
+    private def streamNQuads(ex: HttpExchange, df: DataFrame): Unit = {
+      ex.getResponseHeaders.set("Content-Type", "application/n-quads; charset=utf-8")
+      ex.sendResponseHeaders(200, 0)
+      val out = ex.getResponseBody
+      def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.UTF_8))
+      val idx = df.columns.zipWithIndex.toMap
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val s = row.getString(idx("s"))
+        val p = row.getString(idx("p"))
+        val o = row.getString(idx("o"))
+        val g = row.getString(idx("g"))
+        val kind = idx.get("oKind").map(row.getByte).getOrElse(Quad.LITERAL)
+        val oTerm =
+          if (kind == Quad.IRI) s"<$o>"
+          else "\"" + o.replace("\\", "\\\\").replace("\"", "\\\"")
+            .replace("\n", "\\n") + "\""
+        w(s"<$s> <$p> $oTerm <$g> .\n")
       }
       out.flush()
     }

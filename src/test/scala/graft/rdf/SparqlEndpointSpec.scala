@@ -66,6 +66,79 @@ class SparqlEndpointSpec extends SparkSpec {
       """{"head":{},"boolean":false}"""
   }
 
+  private def postForm(server: SparqlEndpoint.Server, key: String, value: String,
+      accept: String = "*/*"): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:${server.port}/sparql"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .header("Accept", accept)
+        .POST(HttpRequest.BodyPublishers.ofString(
+          key + "=" + URLEncoder.encode(value, "UTF-8")))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  it should "negotiate SPARQL XML and TSV result formats" in withServer { server =>
+    val xml = get(server, "SELECT ?n WHERE { <alice> <name> ?n }",
+      accept = "application/sparql-results+xml")
+    xml.statusCode() shouldBe 200
+    xml.body() should include("""<variable name="n"/>""")
+    xml.body() should include("""<binding name="n"><literal>Alice</literal></binding>""")
+    val tsv = get(server, "SELECT ?x ?n WHERE { ?x <name> ?n } ORDER BY ?x",
+      accept = "text/tab-separated-values")
+    tsv.body().split("\n").toSeq.take(2) shouldBe Seq("?x\t?n", "alice\tAlice")
+  }
+
+  it should "round-trip a SPARQL UPDATE (insert -> query -> delete -> negation check)" in
+    withServer { server =>
+      // insert through the front door
+      postForm(server,
+        "update", """INSERT DATA { <dave> <name> "Dave" }""").statusCode() shouldBe 200
+      get(server, """SELECT ?x WHERE { ?x <name> "Dave" }""").body() should
+        include(""""value":"dave"""")
+      // rewrite via DELETE/INSERT WHERE
+      postForm(server, "update",
+        """DELETE { ?x <name> ?n } INSERT { ?x <nick> ?n } WHERE {
+          |  ?x <name> ?n . FILTER(?n = "Dave")
+          |}""".stripMargin).statusCode() shouldBe 200
+      get(server, """SELECT ?n WHERE { <dave> <nick> ?n }""").body() should
+        include(""""value":"Dave"""")
+      // delete and verify gone (ASK negation)
+      postForm(server, "update",
+        """DELETE DATA { GRAPH <graft:user> { <dave> <nick> "Dave" } }""")
+        .statusCode() shouldBe 200
+      get(server, """ASK { <dave> ?p ?o }""").body() shouldBe
+        """{"head":{},"boolean":false}"""
+      // the served snapshot reflects the applied updates
+      server.store.count() shouldBe quads.count()
+    }
+
+  it should "serve CONSTRUCT results as N-Quads" in withServer { server =>
+    val resp = get(server,
+      """CONSTRUCT { ?y <knownBy> ?x } WHERE { ?x <knows> ?y }""",
+      accept = "application/n-quads")
+    resp.statusCode() shouldBe 200
+    resp.headers().firstValue("Content-Type").get() should include("application/n-quads")
+    resp.body().trim shouldBe
+      s"""<bob> <knownBy> "alice" <${Sparql.ConstructedGraph}> ."""
+  }
+
+  it should "accept application/sparql-update bodies" in withServer { server =>
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:${server.port}/sparql"))
+        .header("Content-Type", "application/sparql-update")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """INSERT DATA { <erin> <name> "Erin" }"""))
+        .build(),
+      HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() shouldBe 200
+    get(server, """SELECT ?x WHERE { ?x <name> "Erin" }""").body() should
+      include(""""value":"erin"""")
+  }
+
+  it should "reject malformed updates with 400" in withServer { server =>
+    postForm(server, "update", "FROB THE STORE").statusCode() shouldBe 400
+  }
+
   it should "reject malformed queries with 400" in withServer { server =>
     get(server, "SELECT WHERE oops").statusCode() shouldBe 400
     client.send(

@@ -192,6 +192,123 @@ class SparqlSpec extends SparkSpec {
     unbound shouldBe Set("a2", "a3")
   }
 
+  // --------------------- round-3: inverse/negated paths, EXISTS, UPDATE --
+
+  "inverse paths" should "swap subject and object (^p)" in {
+    Sparql.select(quads, "SELECT ?x WHERE { ?x ^<knows> <alice> }")
+      .as[String].collect().toSeq shouldBe Seq("bob")
+  }
+
+  it should "compose with sequence steps (^p1/p2)" in {
+    val res = Sparql.select(agentQuads,
+      "SELECT ?e ?n WHERE { ?e ^<schema:email>/<schema:name> ?n . ?e <schema:name> ?en }")
+      .as[(String, String)].collect().toSet
+    // e1's agent is a1 (via inverse email), whose names include "Ann"
+    res should contain(("e1", "Ann"))
+  }
+
+  "negated property sets" should "match any predicate outside the set" in {
+    Sparql.select(agentQuads,
+      "SELECT ?o WHERE { <f2> !(<personal:sameAs>|<schema:name>) ?o }")
+      .as[String].collect().toSet shouldBe Set("+331", "http://x")
+    Sparql.select(agentQuads,
+      "SELECT ?o WHERE { <f2> !<personal:sameAs> ?o }")
+      .as[String].collect().toSet shouldBe Set("Facet Two", "+331", "http://x")
+  }
+
+  "FILTER EXISTS / NOT EXISTS" should "keep or drop solutions by pattern existence" in {
+    Sparql.select(agentQuads,
+      """SELECT ?a WHERE {
+        |  ?a a <personal:Agent> .
+        |  FILTER EXISTS { ?a <schema:email> ?e }
+        |}""".stripMargin).as[String].collect().toSet shouldBe Set("a1")
+    Sparql.select(agentQuads,
+      """SELECT ?a WHERE {
+        |  ?a a <personal:Agent> .
+        |  FILTER NOT EXISTS { ?a <schema:email> ?e }
+        |}""".stripMargin).as[String].collect().toSet shouldBe Set("a2", "a3")
+  }
+
+  // the reference's differentFrom guard, stated verbatim
+  // (core/src/main/com/thymeflow/enricher/AbstractEnricher.scala:17-23)
+  private lazy val guardQuads = Seq(
+    quad("d1", "personal:sameAs", "d2"),
+    quad("d2", "personal:differentFrom", "d3"),
+    quad("d3", "personal:sameAs", "d4"),
+    quad("d1", "schema:name", "One"),
+    quad("d4", "schema:name", "Four"))
+    .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+
+  "the differentFrom guard" should
+    "run the AbstractEnricher ASK with starred sequence steps" in {
+    Sparql.ask(guardQuads,
+      """ASK {
+        |  ?facet1 <personal:sameAs>*/<personal:differentFrom>/<personal:sameAs>* ?facet2
+        |}""".stripMargin) shouldBe true
+    // pair-scoped, as the enricher binds ?facet1/?facet2
+    val pairs = Sparql.select(guardQuads,
+      """SELECT ?facet1 ?facet2 WHERE {
+        |  ?facet1 <personal:sameAs>*/<personal:differentFrom>/<personal:sameAs>* ?facet2 .
+        |  VALUES ?facet1 { <d1> }
+        |}""".stripMargin).as[(String, String)].collect().toSet
+    pairs shouldBe Set(("d1", "d3"), ("d1", "d4"))
+    // no differentFrom edge anywhere -> guard is false
+    Sparql.ask(agentQuads,
+      """ASK {
+        |  ?facet1 <personal:sameAs>*/<personal:differentFrom>/<personal:sameAs>* ?facet2
+        |}""".stripMargin) shouldBe false
+  }
+
+  "Sparql.construct" should "instantiate templates per solution with set semantics" in {
+    val g = Sparql.construct(quads,
+      """CONSTRUCT { ?y <knownBy> ?x . ?x <tag> "person" } WHERE { ?x <knows> ?y }""")
+    g.select("s", "p", "o", "g").as[(String, String, String, String)].collect().toSet shouldBe
+      Set(("bob", "knownBy", "alice", Sparql.ConstructedGraph),
+        ("alice", "tag", "person", Sparql.ConstructedGraph))
+  }
+
+  it should "route template GRAPH blocks and skip unbound OPTIONAL solutions" in {
+    val g = Sparql.construct(quads,
+      """CONSTRUCT { GRAPH <out> { ?x <friend> ?y } } WHERE {
+        |  ?x <name> ?n . OPTIONAL { ?x <knows> ?y }
+        |}""".stripMargin)
+    g.select("s", "p", "o", "g").as[(String, String, String, String)].collect().toSet shouldBe
+      Set(("alice", "friend", "bob", "out")) // bob/carol have no ?y binding
+  }
+
+  "Sparql.update" should "apply INSERT DATA / DELETE DATA with graph routing" in {
+    val s1 = Sparql.update(quads,
+      """INSERT DATA { <dave> <name> "Dave" . GRAPH <g9> { <dave> <age> "4" } }""")
+    s1.count() shouldBe quads.count() + 2
+    s1.where($"s" === "dave" && $"p" === "name").select("g")
+      .as[String].collect().toSeq shouldBe Seq(Sparql.UserGraph)
+    s1.where($"s" === "dave" && $"p" === "age").select("g")
+      .as[String].collect().toSeq shouldBe Seq("g9")
+    // re-inserting an existing statement is a no-op (set semantics)
+    Sparql.update(s1, """INSERT DATA { <dave> <name> "Dave" }""").count() shouldBe s1.count()
+    val s2 = Sparql.update(s1, """DELETE DATA { <dave> <name> "Dave" }""")
+    s2.where($"s" === "dave").count() shouldBe 1 // only the g9 quad remains
+  }
+
+  it should "apply DELETE/INSERT WHERE as one atomic diff" in {
+    val s1 = Sparql.update(quads,
+      """DELETE { ?x <name> ?n } INSERT { ?x <label> ?n } WHERE {
+        |  ?x <name> ?n . FILTER(?n = "Alice")
+        |}""".stripMargin)
+    s1.where($"p" === "name").select("o").as[String].collect().toSet shouldBe
+      Set("Bob", "Carol") // Alice renamed
+    s1.where($"p" === "label").select("s", "o", "g")
+      .as[(String, String, String)].collect().toSeq shouldBe
+      Seq(("alice", "Alice", Sparql.UserGraph))
+  }
+
+  it should "support the DELETE WHERE shorthand across graphs" in {
+    val s1 = Sparql.update(quads, "DELETE WHERE { ?x <name> ?n }")
+    // removes names in g1 AND g2 (union default graph)
+    s1.where($"p" === "name").count() shouldBe 0
+    s1.count() shouldBe 3 // the age/knows rows survive
+  }
+
   "count distinct" should "honor DISTINCT inside COUNT" in {
     val res = Sparql.select(agentQuads,
       """SELECT ?agent (COUNT(DISTINCT ?p) AS ?np) WHERE {
