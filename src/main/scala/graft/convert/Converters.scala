@@ -32,61 +32,190 @@ object Converters {
 
   // ------------------------------------------------------------------ email
 
-  /** Unfold RFC 5322 folded headers, return header map (first value wins
-    * except address lists which append). */
-  private def parseHeaders(raw: String): Map[String, List[String]] = {
-    val headerPart = raw.split("\r?\n\r?\n", 2)(0)
-    val unfolded = headerPart.replaceAll("\r?\n[ \t]+", " ")
-    unfolded.split("\r?\n").toList
-      .flatMap { line =>
-        val idx = line.indexOf(':')
-        if (idx <= 0) None
-        else Some(line.substring(0, idx).trim.toLowerCase -> line.substring(idx + 1).trim)
-      }
-      .groupMap(_._1)(_._2)
+  /** Split an address-list header at top-level commas (quoted display
+    * names may contain commas: `"Doe, Jane" <j@d>`). */
+  private def splitAddressList(v: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    val sb = new StringBuilder
+    var inQuote = false
+    v.foreach {
+      case '"' => inQuote = !inQuote; sb += '"'
+      case ',' if !inQuote => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  private def addresses(v: String): Seq[String] =
-    v.split(",").toSeq.flatMap { part =>
-      val angled = "<([^>]+)>".r.findFirstMatchIn(part).map(_.group(1))
-      val cand = angled.getOrElse(part.trim)
-      Iri.splitEmail(cand).map { case (l, d) => s"$l@$d" }
+  /** Parse one address-list header value into (address, display name)
+    * pairs; display names are RFC 2047-decoded and dropped when they just
+    * repeat the address (the reference's EmailAddressNameConverter
+    * filtering). */
+  private def addresses(v: String): Seq[(String, Option[String])] =
+    splitAddressList(v).flatMap { part =>
+      val angled = "<([^>]+)>".r.findFirstMatchIn(part)
+      val cand = angled.map(_.group(1)).getOrElse(part.trim)
+      Iri.splitEmail(cand).map { case (l, d) =>
+        val addr = s"$l@$d"
+        val name = angled.map(m => part.substring(0, m.start)).map { raw =>
+          Mime.decodeEncodedWords(raw).trim.stripPrefix("\"").stripSuffix("\"").trim
+        }.filter(n => n.nonEmpty && !n.equalsIgnoreCase(addr))
+        (addr, name)
+      }
     }
 
-  /** (docId, rawMessage) → quads: message node + agents per address role. */
+  /** (docId, rawMessage) → quads: message node, agents per address role
+    * (with decoded display names), decoded text/plain body parts, nested
+    * message/rfc822 parts via schema:hasPart — the reference's full MIME
+    * walk (`EmailMessageConverter.scala:40-158`: header statements,
+    * per-address agents, multipart recursion, attachment skip, text
+    * extraction), on the hand-rolled [[Mime]] parser. */
   def email(docs: Dataset[(String, String)]): Dataset[Quad] = {
     import docs.sparkSession.implicits._
     docs.flatMap { case (docId, raw) =>
-      val g = s"doc:$docId"
-      val h = parseHeaders(raw)
-      def first(k: String) = h.get(k).flatMap(_.headOption)
-      val msgIri = first("message-id").map(Iri.mid)
-        .getOrElse(Iri.entity("email", docId))
-      val base = Seq(
-        Some(quad(msgIri, "rdf:type", schemaOrg + "EmailMessage", Quad.IRI, g)),
-        first("subject").map(s => quad(msgIri, schemaOrg + "headline", s, Quad.LITERAL, g)),
-        first("date").map(d => quad(msgIri, schemaOrg + "dateSent", d, Quad.LITERAL, g)),
-        first("in-reply-to").map(r =>
-          quad(msgIri, "personal:inReplyTo", Iri.mid(r), Quad.IRI, g))).flatten
-      val roles = Seq(
-        "from" -> (schemaOrg + "sender"),
-        "to" -> (schemaOrg + "recipient"),
-        "cc" -> "personal:copyRecipient",
-        "bcc" -> "personal:blindCopyRecipient")
-      val agents = roles.flatMap { case (header, pred) =>
-        h.getOrElse(header, Nil).flatMap(addresses).flatMap { addr =>
-          val agentIri = Iri.entity("agent", addr.toLowerCase)
-          Seq(
-            quad(msgIri, pred, agentIri, Quad.IRI, g),
-            quad(agentIri, "rdf:type", "personal:Agent", Quad.IRI, g),
-            quad(agentIri, schemaOrg + "email", Iri.mailto(addr).get, Quad.IRI, g))
-        }
-      }
-      base ++ agents
+      convertEmailMessage(Mime.parseMessage(raw), s"doc:$docId", docId, depth = 0)._2
     }
   }
 
+  /** One message entity → (message IRI, quads); recurses into nested
+    * message/rfc822 parts (depth-capped — pathological nesting shouldn't
+    * recurse unboundedly inside an executor task). */
+  private def convertEmailMessage(
+      msg: Mime.Part, g: String, fallbackKey: String, depth: Int): (String, Seq[Quad]) = {
+    val h = msg.headers
+    def first(k: String) = h.get(k).flatMap(_.headOption)
+    val msgIri = first("message-id").map(Iri.mid)
+      .getOrElse(Iri.entity("email", fallbackKey))
+    val base = Seq(
+      Some(quad(msgIri, "rdf:type", schemaOrg + "EmailMessage", Quad.IRI, g)),
+      first("subject").map(s =>
+        quad(msgIri, schemaOrg + "headline", Mime.decodeEncodedWords(s), Quad.LITERAL, g)),
+      first("date").map(d => quad(msgIri, schemaOrg + "dateSent", d, Quad.LITERAL, g)),
+      first("content-language").map(l =>
+        quad(msgIri, schemaOrg + "inLanguage", l, Quad.LITERAL, g)),
+      first("in-reply-to").map(r =>
+        quad(msgIri, "personal:inReplyTo", Iri.mid(r), Quad.IRI, g))).flatten
+    val roles = Seq(
+      "from" -> (schemaOrg + "sender"),
+      "to" -> (schemaOrg + "recipient"),
+      "cc" -> "personal:copyRecipient",
+      "bcc" -> "personal:blindCopyRecipient")
+    val agents = roles.flatMap { case (header, pred) =>
+      h.getOrElse(header, Nil).flatMap(addresses).flatMap { case (addr, name) =>
+        val agentIri = Iri.entity("agent", addr.toLowerCase)
+        Seq(
+          quad(msgIri, pred, agentIri, Quad.IRI, g),
+          quad(agentIri, "rdf:type", "personal:Agent", Quad.IRI, g),
+          quad(agentIri, schemaOrg + "email", Iri.mailto(addr).get, Quad.IRI, g)) ++
+          name.map(n => quad(agentIri, schemaOrg + "name", n, Quad.LITERAL, g))
+      }
+    }
+    // decoded body text (multipart-aware, attachments skipped)
+    val bodyText = Mime.plainTextParts(msg)
+      .map(_.trim).filter(_.nonEmpty)
+      .map(t => quad(msgIri, schemaOrg + "text", t, Quad.LITERAL, g))
+    // nested message/rfc822 parts → hasPart + recursive conversion
+    val nested =
+      if (depth >= 3) Nil
+      else Mime.nestedMessages(msg).zipWithIndex.flatMap { case (inner, i) =>
+        val (innerIri, innerQuads) =
+          convertEmailMessage(inner, g, s"$fallbackKey/part$i", depth + 1)
+        quad(msgIri, schemaOrg + "hasPart", innerIri, Quad.IRI, g) +: innerQuads
+      }
+    (msgIri, base ++ agents ++ bodyText ++ nested)
+  }
+
   // ------------------------------------------------------------------- ical
+
+  import java.time.{DayOfWeek, Duration => JDuration, LocalDate, LocalDateTime, ZonedDateTime, ZoneId, ZoneOffset}
+  import java.time.format.DateTimeFormatter
+  import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+
+  private val IcalDateTime = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
+
+  /** TZID-aware iCalendar date-time parse (RFC 5545 §3.3.5): the `Z` form
+    * is UTC, the local form is resolved through the TZID parameter's zone
+    * (DST-correct via java.time), a bare date is midnight in that zone.
+    * The reference gets this from ical4j/biweekly (`ICalConverter.scala:
+    * 139-160`); unknown zones and malformed values → None (tolerant). */
+  private[convert] def parseIcalInstant(
+      value: String, params: Map[String, String]): Option[ZonedDateTime] = {
+    val zone: ZoneId = params.get("TZID").flatMap { z =>
+      try Some(ZoneId.of(z)) catch { case _: Exception => None }
+    }.getOrElse(ZoneOffset.UTC)
+    val v = value.trim
+    try {
+      if (v.matches("\\d{8}T\\d{6}Z"))
+        Some(LocalDateTime.parse(v.dropRight(1), IcalDateTime).atZone(ZoneOffset.UTC))
+      else if (v.matches("\\d{8}T\\d{6}"))
+        Some(LocalDateTime.parse(v, IcalDateTime).atZone(zone))
+      else if (v.matches("\\d{8}"))
+        Some(LocalDate.parse(v, DateTimeFormatter.BASIC_ISO_DATE).atStartOfDay(zone))
+      else None
+    } catch { case _: Exception => None }
+  }
+
+  private def fmtInstant(z: ZonedDateTime): String =
+    DateTimeFormatter.ISO_INSTANT.format(z.toInstant.truncatedTo(ChronoUnit.SECONDS))
+
+  /** RFC 5545 duration (supports the P<n>W week form Duration.parse lacks). */
+  private[convert] def parseIcalDuration(v: String): Option[JDuration] =
+    try Some(JDuration.parse(v)) catch {
+      case _: Exception =>
+        "^[+-]?P(\\d+)W$".r.findFirstMatchIn(v.trim)
+          .map(m => JDuration.ofDays(m.group(1).toLong * 7))
+    }
+
+  private[convert] def parseRrule(v: String): Map[String, String] =
+    v.split(";").toSeq.flatMap(_.split("=", 2) match {
+      case Array(k, x) => Some(k.trim.toUpperCase -> x.trim)
+      case _ => None
+    }).toMap
+
+  private val ByDayNames = Map(
+    "MO" -> DayOfWeek.MONDAY, "TU" -> DayOfWeek.TUESDAY, "WE" -> DayOfWeek.WEDNESDAY,
+    "TH" -> DayOfWeek.THURSDAY, "FR" -> DayOfWeek.FRIDAY, "SA" -> DayOfWeek.SATURDAY,
+    "SU" -> DayOfWeek.SUNDAY)
+
+  /** Bounded RRULE expansion (FREQ daily/weekly/monthly/yearly, INTERVAL,
+    * COUNT, UNTIL, BYDAY for weekly): instance start times from DTSTART,
+    * zone-aware (a weekly 09:00 Paris event stays 09:00 across DST).
+    * Expansion is always capped by `maxInstances` and `horizonDays` so a
+    * COUNT-less infinite rule cannot blow up an executor task. DTSTART is
+    * always the first instance (RFC 5545 §3.8.5.3 note). */
+  private[convert] def expandRrule(
+      start: ZonedDateTime,
+      rule: Map[String, String],
+      maxInstances: Int = 100,
+      horizonDays: Int = 730): Seq[ZonedDateTime] = {
+    val interval = math.max(1, rule.get("INTERVAL").flatMap(_.toIntOption).getOrElse(1))
+    val count = math.min(maxInstances,
+      rule.get("COUNT").flatMap(_.toIntOption).getOrElse(Int.MaxValue))
+    val until = rule.get("UNTIL").flatMap(u => parseIcalInstant(u, Map.empty)).map(_.toInstant)
+    val horizon = start.plusDays(horizonDays.toLong).toInstant
+    val byday = rule.get("BYDAY").map(_.split(",").toSeq.flatMap(d => ByDayNames.get(d.trim.toUpperCase)))
+      .getOrElse(Nil)
+    val candidates: Iterator[ZonedDateTime] = rule.getOrElse("FREQ", "").toUpperCase match {
+      case "DAILY" => Iterator.from(0).map(k => start.plusDays(k.toLong * interval))
+      case "WEEKLY" if byday.isEmpty =>
+        Iterator.from(0).map(k => start.plusWeeks(k.toLong * interval))
+      case "WEEKLY" =>
+        val startMonday = start.toLocalDate.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        Iterator.from(0).map(d => start.plusDays(d.toLong)).filter { z =>
+          val weekIdx = ChronoUnit.WEEKS.between(startMonday,
+            z.toLocalDate.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY)))
+          (z.isEqual(start) || byday.contains(z.getDayOfWeek)) && weekIdx % interval == 0
+        }
+      case "MONTHLY" => Iterator.from(0).map(k => start.plusMonths(k.toLong * interval))
+      case "YEARLY" => Iterator.from(0).map(k => start.plusYears(k.toLong * interval))
+      case _ => Iterator.single(start)
+    }
+    candidates
+      .takeWhile(z => !z.toInstant.isAfter(horizon) &&
+        until.forall(u => !z.toInstant.isAfter(u)))
+      .take(count)
+      .toList
+  }
 
   private def icalProps(block: String): Seq[(String, Map[String, String], String)] = {
     val unfolded = block.replaceAll("\r?\n[ \t]", "")
@@ -108,54 +237,124 @@ object Converters {
     }
   }
 
-  /** (docId, icsText) → Event/Place quads per VEVENT. */
+  /** Typed xsd:dateTime literal quad. */
+  private def dtQuad(s: String, p: String, o: String, g: String): Quad =
+    Quad(s, p, o, Quad.LITERAL, Quad.Xsd.dateTime, null, g)
+
+  /** (docId, icsText) → Event/Place quads per VEVENT. TZID-parameterized
+    * date-times are normalized to UTC xsd:dateTime; an RRULE expands to
+    * its instances (bounded horizon), each a full Event keyed by
+    * (uid, recurrence index) — the reference keys event resources by
+    * (uid, recurrence-id, sequence) the same way
+    * (`ICalConverter.scala:219-224`). */
   def ical(docs: Dataset[(String, String)]): Dataset[Quad] = {
     import docs.sparkSession.implicits._
     docs.flatMap { case (docId, raw) =>
       val g = s"doc:$docId"
       "(?s)BEGIN:VEVENT(.*?)END:VEVENT".r.findAllMatchIn(raw).toSeq.flatMap { m =>
         val props = icalProps(m.group(1))
-        def firstVal(name: String) = props.find(_._1 == name).map(_._3)
+        def firstProp(name: String) = props.find(_._1 == name)
+        def firstVal(name: String) = firstProp(name).map(_._3)
         val uid = firstVal("UID").getOrElse(Iri.nameUuid(m.group(1)))
-        val ev = Iri.entity("event", uid)
-        val base = Seq(
-          Some(quad(ev, "rdf:type", schemaOrg + "Event", Quad.IRI, g)),
-          firstVal("SUMMARY").map(s => quad(ev, schemaOrg + "name", s, Quad.LITERAL, g)),
-          firstVal("DESCRIPTION").map(s => quad(ev, schemaOrg + "description", s, Quad.LITERAL, g)),
-          firstVal("DTSTART").map(s => quad(ev, schemaOrg + "startDate", s, Quad.LITERAL, g)),
-          firstVal("DTEND").map(s => quad(ev, schemaOrg + "endDate", s, Quad.LITERAL, g))).flatten
-        val loc = firstVal("LOCATION").toSeq.flatMap { l =>
-          val place = Iri.entity("place", l)
-          Seq(quad(ev, schemaOrg + "location", place, Quad.IRI, g),
-            quad(place, "rdf:type", schemaOrg + "Place", Quad.IRI, g),
-            quad(place, schemaOrg + "name", l, Quad.LITERAL, g))
-        }
-        val geo = firstVal("GEO").toSeq.flatMap { gv =>
-          gv.split(";") match {
-            case Array(lat, lon) =>
-              Seq(quad(ev, schemaOrg + "geo", Iri.geo(lat.toDouble, lon.toDouble), Quad.IRI, g))
-            case _ => Nil
+        val startZ = firstProp("DTSTART").flatMap(p => parseIcalInstant(p._3, p._2))
+        val endZ = firstProp("DTEND").flatMap(p => parseIcalInstant(p._3, p._2))
+        val duration = firstVal("DURATION").flatMap(parseIcalDuration)
+          .orElse(for (s0 <- startZ; e0 <- endZ) yield JDuration.between(s0, e0))
+        val starts: Seq[ZonedDateTime] =
+          (firstVal("RRULE").map(parseRrule), startZ) match {
+            case (Some(rule), Some(s0)) => expandRrule(s0, rule)
+            case _ => startZ.toSeq
           }
-        }
-        val people = props.filter(p => p._1 == "ORGANIZER" || p._1 == "ATTENDEE")
-          .flatMap { case (name, params, value) =>
-            Iri.splitEmail(value).toSeq.flatMap { case (l, d) =>
-              val agent = Iri.entity("agent", s"$l@$d")
-              val pred = if (name == "ORGANIZER") schemaOrg + "organizer"
-                         else schemaOrg + "attendee"
-              Seq(quad(ev, pred, agent, Quad.IRI, g),
-                quad(agent, "rdf:type", "personal:Agent", Quad.IRI, g)) ++
-                params.get("CN").map(cn => quad(agent, schemaOrg + "name", cn, Quad.LITERAL, g))
+
+        /** The property quads, targeted at one event instance IRI. */
+        def instanceQuads(ev: String, start: Option[ZonedDateTime]): Seq[Quad] = {
+          val base = Seq(
+            Some(quad(ev, "rdf:type", schemaOrg + "Event", Quad.IRI, g)),
+            firstVal("SUMMARY").map(s => quad(ev, schemaOrg + "name", s, Quad.LITERAL, g)),
+            firstVal("DESCRIPTION").map(s => quad(ev, schemaOrg + "description", s, Quad.LITERAL, g)),
+            start.map(s0 => dtQuad(ev, schemaOrg + "startDate", fmtInstant(s0), g))
+              .orElse(firstVal("DTSTART").map(s =>
+                quad(ev, schemaOrg + "startDate", s, Quad.LITERAL, g))),
+            (start, duration) match {
+              case (Some(s0), Some(d)) =>
+                Some(dtQuad(ev, schemaOrg + "endDate", fmtInstant(s0.plus(d)), g))
+              case _ => firstVal("DTEND").map(e =>
+                quad(ev, schemaOrg + "endDate", e, Quad.LITERAL, g))
+            }).flatten
+          val loc = firstVal("LOCATION").toSeq.flatMap { l =>
+            val place = Iri.entity("place", l)
+            Seq(quad(ev, schemaOrg + "location", place, Quad.IRI, g),
+              quad(place, "rdf:type", schemaOrg + "Place", Quad.IRI, g),
+              quad(place, schemaOrg + "name", l, Quad.LITERAL, g))
+          }
+          val geo = firstVal("GEO").toSeq.flatMap { gv =>
+            gv.split(";") match {
+              case Array(lat, lon) =>
+                Seq(quad(ev, schemaOrg + "geo", Iri.geo(lat.toDouble, lon.toDouble), Quad.IRI, g))
+              case _ => Nil
             }
           }
-        base ++ loc ++ geo ++ people
+          val people = props.filter(p => p._1 == "ORGANIZER" || p._1 == "ATTENDEE")
+            .flatMap { case (name, params, value) =>
+              Iri.splitEmail(value).toSeq.flatMap { case (l, d) =>
+                val agent = Iri.entity("agent", s"$l@$d")
+                val pred = if (name == "ORGANIZER") schemaOrg + "organizer"
+                           else schemaOrg + "attendee"
+                Seq(quad(ev, pred, agent, Quad.IRI, g),
+                  quad(agent, "rdf:type", "personal:Agent", Quad.IRI, g)) ++
+                  params.get("CN").map(cn => quad(agent, schemaOrg + "name", cn, Quad.LITERAL, g))
+              }
+            }
+          base ++ loc ++ geo ++ people
+        }
+
+        if (starts.isEmpty) instanceQuads(Iri.entity("event", uid), None)
+        else starts.zipWithIndex.flatMap { case (s0, i) =>
+          val ev =
+            if (i == 0) Iri.entity("event", uid)
+            else Iri.entity("event", s"$uid#rec$i")
+          instanceQuads(ev, Some(s0))
+        }
       }
     }
   }
 
   // ------------------------------------------------------------------ vcard
 
-  /** (docId, vcfText) → Agent quads per vCard. */
+  /** The reference's TEL-type → class mapping
+    * (`VCardConverter.scala:252-263`). */
+  private val TelTypeClass = Map(
+    "CELL" -> "personal:CellphoneNumber",
+    "FAX" -> "personal:FaxNumber",
+    "HOME" -> "personal:HomeAddress",
+    "PREF" -> "personal:PreferredAddress",
+    "WORK" -> "personal:WorkAddress")
+
+  /** Decode one PHOTO property to (mediaType, bytes): inline base64
+    * (ENCODING=b / ENCODING=BASE64 with a TYPE subtype, vCard 3.0) or a
+    * data: URI (vCard 4.0). HTTP(S) URL photos are reference-only — no
+    * bytes. The reference resolves the same three forms
+    * (`VCardConverter.scala:214-230`). */
+  private[convert] def photoData(
+      params: Map[String, String], value: String): Option[(String, Array[Byte])] = {
+    def b64(s: String): Option[Array[Byte]] =
+      try Some(java.util.Base64.getMimeDecoder.decode(s.replaceAll("\\s", "")))
+      catch { case _: IllegalArgumentException => None }
+    if (value.startsWith("data:")) {
+      "^data:([^;,]+)(;base64)?,(.*)$".r.findFirstMatchIn(value).flatMap { m =>
+        if (m.group(2) == null) None else b64(m.group(3)).map((m.group(1), _))
+      }
+    } else if (params.get("ENCODING").exists(e =>
+        e.equalsIgnoreCase("b") || e.equalsIgnoreCase("base64"))) {
+      val mime = "image/" + params.getOrElse("TYPE", "jpeg").toLowerCase
+      b64(value).map((mime, _))
+    } else None
+  }
+
+  /** (docId, vcfText) → Agent quads per vCard: names, emails, typed
+    * phones, photos (inline photos become ImageObject nodes keyed by
+    * content; their bytes are exposed to the multimodal pipeline via
+    * [[vcardPhotos]]). */
   def vcard(docs: Dataset[(String, String)]): Dataset[Quad] = {
     import docs.sparkSession.implicits._
     docs.flatMap { case (docId, raw) =>
@@ -179,11 +378,49 @@ object Converters {
         }
         val emails = props.filter(_._1 == "EMAIL").flatMap(p => Iri.mailto(p._3))
           .map(m2 => quad(agent, schemaOrg + "email", m2, Quad.IRI, g))
-        val tels = props.filter(_._1 == "TEL").flatMap(p => Iri.tel(p._3))
-          .map(t => quad(agent, schemaOrg + "telephone", t, Quad.IRI, g))
-        base ++ n ++ emails ++ tels
+        val tels = props.filter(_._1 == "TEL").flatMap { case (_, params, value) =>
+          Iri.tel(value).toSeq.flatMap { t =>
+            val types = params.get("TYPE").toSeq
+              .flatMap(_.split(",").toSeq).map(_.trim.toUpperCase)
+            Seq(quad(agent, schemaOrg + "telephone", t, Quad.IRI, g),
+              quad(t, "rdf:type", "personal:PhoneNumber", Quad.IRI, g)) ++
+              types.flatMap(TelTypeClass.get)
+                .map(cls => quad(t, "rdf:type", cls, Quad.IRI, g))
+          }
+        }
+        val photos = props.filter(_._1 == "PHOTO").flatMap { case (_, params, value) =>
+          photoData(params, value) match {
+            case Some((mime, bytes)) =>
+              val photoIri = Iri.entity("photo", java.util.Base64.getEncoder.encodeToString(bytes))
+              Seq(quad(agent, schemaOrg + "image", photoIri, Quad.IRI, g),
+                quad(photoIri, "rdf:type", schemaOrg + "ImageObject", Quad.IRI, g),
+                quad(photoIri, schemaOrg + "encodingFormat", mime, Quad.LITERAL, g))
+            case None if value.startsWith("http") =>
+              Seq(quad(agent, schemaOrg + "image", value, Quad.IRI, g),
+                quad(value, "rdf:type", schemaOrg + "ImageObject", Quad.IRI, g))
+            case None => Nil
+          }
+        }
+        base ++ n ++ emails ++ tels ++ photos
       }
     }
+  }
+
+  /** Inline vCard photo bytes for the multimodal pipeline: one row per
+    * decodable PHOTO, keyed by the same content-derived IRI the quads
+    * carry — join on it to land decoded image features back on agents.
+    * Feeds [[graft.multimodal.Multimodal.describeImages]] directly. */
+  def vcardPhotos(docs: Dataset[(String, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { case (_, raw) =>
+      "(?s)BEGIN:VCARD(.*?)END:VCARD".r.findAllMatchIn(raw).toSeq.flatMap { m =>
+        icalProps(m.group(1)).filter(_._1 == "PHOTO").flatMap { case (_, params, value) =>
+          photoData(params, value).map { case (mime, bytes) =>
+            (Iri.entity("photo", java.util.Base64.getEncoder.encodeToString(bytes)), mime, bytes)
+          }
+        }
+      }
+    }.toDF("photo", "mime", "bytes")
   }
 
   // ------------------------------------------- Google location history JSON

@@ -75,7 +75,10 @@ object Enrichers {
       staysGraph: String = "graft:stays",
       docGraphPrefix: String = "doc:"): Enricher = (store, _) => {
     graft.functions.GeoTimeFunctions.register(store.sparkSession)
-    val parseTs = (c: Column) => to_timestamp(c, "yyyyMMdd'T'HHmmss'Z'")
+    // events carry ISO xsd:dateTime (TZID-normalized converter output) or
+    // the raw iCal basic form when unparseable — accept both
+    val parseTs = (c: Column) => coalesce(
+      try_to_timestamp(c, lit("yyyyMMdd'T'HHmmss'Z'")), try_to_timestamp(c))
     val events = store.where(col("p") === (schemaPrefix + "startDate"))
       .select(col("s").as("ev"), parseTs(col("o")).as("e_start"))
       .join(store.where(col("p") === (schemaPrefix + "endDate"))

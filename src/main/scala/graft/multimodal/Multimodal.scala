@@ -73,8 +73,11 @@ object Multimodal {
   def describeImages(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("bytes"))
-      .as[(Long, Array[Byte])]
+    // ids ride through as strings (exact for integral and IRI keys alike)
+    // and are cast back to the caller's type at the end
+    val idType = df.schema(idCol).dataType
+    df.select(col(idCol).cast("string").as("id"), col(bytesCol).as("bytes"))
+      .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         ImageHeaders.parse(bytes) match {
           case Some(m) => (id, m.mime, m.width, m.height)
@@ -82,6 +85,7 @@ object Multimodal {
         }
       })
       .toDF(idCol, "mime", "width", "height")
+      .withColumn(idCol, col(idCol).cast(idType))
   }
 
   /** Rebalance media rows into partitions of roughly `targetBytes` payload

@@ -39,7 +39,27 @@ class GoldenPipelineSpec extends SparkSpec {
         |In-Reply-To: <m1@host>
         |Date: Mon, 1 Jan 2024 09:30:00 +0000
         |
-        |ok!""".stripMargin))
+        |ok!""".stripMargin),
+    // nested multipart + base64 — exercises the full MIME walk end-to-end
+    ("m3", List(
+      "Message-ID: <m3@host>",
+      "From: =?UTF-8?B?QsOpYXRyaWNl?= <bea@example.com>",
+      "To: alice@example.com",
+      "Subject: agenda",
+      "Date: Mon, 1 Jan 2024 10:00:00 +0000",
+      "Content-Type: multipart/alternative; boundary=\"p\"",
+      "",
+      "--p",
+      "Content-Type: text/plain; charset=utf-8",
+      "Content-Transfer-Encoding: base64",
+      "",
+      java.util.Base64.getEncoder.encodeToString(
+        "menu: café + tartines".getBytes("UTF-8")),
+      "--p",
+      "Content-Type: text/html",
+      "",
+      "<p>html alternative (must not be emitted)</p>",
+      "--p--").mkString("\r\n")))
 
   // ---- B4: vCard sharing alice's email (drives the IFP merge)
   private val vcard =
@@ -102,6 +122,7 @@ class GoldenPipelineSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-golden")
     Files.writeString(dir.resolve("m1.eml"), emails(0)._2)
     Files.writeString(dir.resolve("m2.eml"), emails(1)._2)
+    Files.writeString(dir.resolve("m3.eml"), emails(2)._2)
     Files.writeString(dir.resolve("alice.vcf"), vcard)
     Files.writeString(dir.resolve("cal.ics"), ics)
     val locFile = dir.resolve("locations.json")
@@ -135,6 +156,15 @@ class GoldenPipelineSpec extends SparkSpec {
       .select("s", "o").as[(String, String)].collect()
     links.length shouldBe 1
     links.head._1 shouldBe graft.convert.Iri.entity("event", "ev-lunch")
+
+    // golden MIME depth: m3's base64 plain body decoded (html alternative
+    // dropped), display name decoded from the RFC 2047 word
+    quads.where(col("s") === "mid:m3%40host" && col("p") === (S + "text"))
+      .select("o").as[String].collect().toSeq shouldBe Seq("menu: café + tartines")
+    val beaAgent = quads.where(col("s") === "mid:m3%40host" && col("p") === (S + "sender"))
+      .select("o").as[String].head()
+    quads.where(col("s") === beaAgent && col("p") === (S + "name"))
+      .select("o").as[String].collect().toSeq shouldBe Seq("Béatrice")
 
     // provenance graphs all present
     quads.select("g").distinct().as[String].collect().toSet should contain allOf (

@@ -63,11 +63,197 @@ class ConvertersSpec extends SparkSpec {
     val quads = Converters.ical(Seq(("c1", raw)).toDS()).collect()
     val byPred = quads.groupBy(_.p).view.mapValues(_.map(_.o).toSet).toMap
     byPred("http://schema.org/name") should contain("Standup")
-    byPred("http://schema.org/startDate") shouldBe Set("20240101T100000Z")
+    byPred("http://schema.org/startDate") shouldBe Set("2024-01-01T10:00:00Z")
+    byPred("http://schema.org/endDate") shouldBe Set("2024-01-01T10:15:00Z")
     byPred("http://schema.org/geo") shouldBe Set("geo:48.85,2.35")
     byPred("http://schema.org/organizer").size shouldBe 1
     byPred("http://schema.org/attendee").size shouldBe 1
     byPred.keySet should contain("http://schema.org/location")
+  }
+
+  // ------------------- round-3 depth: MIME, RRULE/TZID, PHOTO/TEL types --
+
+  "email converter" should "decode nested multipart with base64 and quoted-printable" in {
+    // outer: multipart/mixed(text, multipart/alternative(plain-qp, html),
+    // base64 text, attachment-to-skip); subject is an RFC 2047 word
+    val raw = List(
+      "Message-ID: <mm@host>",
+      "From: =?UTF-8?B?QsOpYXRyaWNl?= <bea@example.com>",
+      "Subject: =?UTF-8?Q?caf=C3=A9_plans?=",
+      "Content-Type: multipart/mixed; boundary=\"outer\"",
+      "",
+      "preamble to ignore",
+      "--outer",
+      "Content-Type: multipart/alternative; boundary=\"inner\"",
+      "",
+      "--inner",
+      "Content-Type: text/plain; charset=utf-8",
+      "Content-Transfer-Encoding: quoted-printable",
+      "",
+      "Caf=C3=A9 at noon=",
+      "?",
+      "--inner",
+      "Content-Type: text/html",
+      "",
+      "<b>Cafe at noon</b>",
+      "--inner--",
+      "--outer",
+      "Content-Type: text/plain",
+      "Content-Transfer-Encoding: base64",
+      "",
+      java.util.Base64.getEncoder.encodeToString(
+        "see you there".getBytes("UTF-8")),
+      "--outer",
+      "Content-Type: text/plain",
+      "Content-Disposition: attachment; filename=\"skip.txt\"",
+      "",
+      "attachment text must not appear",
+      "--outer--",
+      "epilogue").mkString("\r\n")
+    val quads = Converters.email(Seq(("mm", raw)).toDS()).collect()
+    val byPred = quads.groupBy(_.p).view.mapValues(_.map(_.o).toSet).toMap
+    byPred("http://schema.org/headline") shouldBe Set("café plans") // decoded 2047
+    // decoded body parts: the qp plain alternative (html skipped) + base64;
+    // the attachment's text does not leak
+    byPred("http://schema.org/text") shouldBe Set("Café at noon?", "see you there")
+    // sender display name decoded from the encoded word
+    byPred("http://schema.org/name") shouldBe Set("Béatrice")
+  }
+
+  it should "convert nested message/rfc822 parts via hasPart" in {
+    val inner = List(
+      "Message-ID: <orig@host>",
+      "From: carol@example.com",
+      "Subject: original",
+      "",
+      "the original text").mkString("\r\n")
+    val raw = List(
+      "Message-ID: <fwd@host>",
+      "From: dave@example.com",
+      "Subject: Fwd: original",
+      "Content-Type: multipart/mixed; boundary=\"b\"",
+      "",
+      "--b",
+      "Content-Type: text/plain",
+      "",
+      "see below",
+      "--b",
+      "Content-Type: message/rfc822",
+      "",
+      inner,
+      "--b--").mkString("\r\n")
+    val quads = Converters.email(Seq(("fw", raw)).toDS()).collect()
+    val byPred = quads.groupBy(_.p).view.mapValues(_.map(_.o).toSet).toMap
+    byPred("http://schema.org/hasPart") shouldBe Set("mid:orig%40host")
+    byPred("http://schema.org/headline") shouldBe Set("Fwd: original", "original")
+    byPred("http://schema.org/text") shouldBe Set("see below", "the original text")
+    // the nested message's sender agent exists
+    quads.filter(q => q.s == "mid:orig%40host" && q.p == "http://schema.org/sender")
+      .length shouldBe 1
+  }
+
+  "ical converter" should "normalize TZID-local datetimes to UTC" in {
+    val raw =
+      """BEGIN:VEVENT
+        |UID:tz1
+        |SUMMARY:Paris morning
+        |DTSTART;TZID=Europe/Paris:20240312T093000
+        |DTEND;TZID=Europe/Paris:20240312T103000
+        |END:VEVENT""".stripMargin
+    val quads = Converters.ical(Seq(("tz", raw)).toDS()).collect()
+    val byPred = quads.groupBy(_.p).view.mapValues(_.map(_.o).toSet).toMap
+    // CET (+01:00) in March before DST
+    byPred("http://schema.org/startDate") shouldBe Set("2024-03-12T08:30:00Z")
+    byPred("http://schema.org/endDate") shouldBe Set("2024-03-12T09:30:00Z")
+    quads.find(_.p == "http://schema.org/startDate").get.oDt shouldBe
+      graft.rdf.Quad.Xsd.dateTime
+  }
+
+  it should "expand RRULE into bounded instances with shifted start/end" in {
+    val raw =
+      """BEGIN:VEVENT
+        |UID:rec1
+        |SUMMARY:Weekly sync
+        |DTSTART:20240101T100000Z
+        |DTEND:20240101T103000Z
+        |RRULE:FREQ=WEEKLY;COUNT=4
+        |LOCATION:Room 1
+        |END:VEVENT""".stripMargin
+    val quads = Converters.ical(Seq(("rr", raw)).toDS()).collect()
+    val starts = quads.filter(_.p == "http://schema.org/startDate").map(_.o).toSet
+    starts shouldBe Set(
+      "2024-01-01T10:00:00Z", "2024-01-08T10:00:00Z",
+      "2024-01-15T10:00:00Z", "2024-01-22T10:00:00Z")
+    val ends = quads.filter(_.p == "http://schema.org/endDate").map(_.o).toSet
+    ends should contain("2024-01-22T10:30:00Z") // duration carried to instances
+    // 4 distinct event IRIs, each typed and located
+    quads.filter(_.p == "rdf:type").count(_.o == "http://schema.org/Event") shouldBe 4
+    quads.filter(_.p == "http://schema.org/location").map(_.s).distinct.length shouldBe 4
+    // the base instance keeps the plain uid IRI
+    quads.map(_.s) should contain(Iri.entity("event", "rec1"))
+  }
+
+  it should "honor INTERVAL, UNTIL, BYDAY and the DST boundary" in {
+    // biweekly: 3 instances until Feb 1
+    val biweekly = Converters.ical(Seq(("i1",
+      """BEGIN:VEVENT
+        |UID:r2
+        |DTSTART:20240102T090000Z
+        |RRULE:FREQ=WEEKLY;INTERVAL=2;UNTIL=20240201T000000Z
+        |END:VEVENT""".stripMargin)).toDS()).collect()
+    biweekly.filter(_.p == "http://schema.org/startDate").map(_.o).toSet shouldBe
+      Set("2024-01-02T09:00:00Z", "2024-01-16T09:00:00Z", "2024-01-30T09:00:00Z")
+    // BYDAY Mon+Thu weekly
+    val byday = Converters.ical(Seq(("i2",
+      """BEGIN:VEVENT
+        |UID:r3
+        |DTSTART:20240101T080000Z
+        |RRULE:FREQ=WEEKLY;BYDAY=MO,TH;COUNT=4
+        |END:VEVENT""".stripMargin)).toDS()).collect()
+    byday.filter(_.p == "http://schema.org/startDate").map(_.o).toSet shouldBe
+      Set("2024-01-01T08:00:00Z", "2024-01-04T08:00:00Z",
+        "2024-01-08T08:00:00Z", "2024-01-11T08:00:00Z")
+    // zone-local recurrence across the DST switch keeps 09:00 Paris time:
+    // +01:00 before Mar 31, +02:00 after -> UTC start shifts 08:00 -> 07:00
+    val dst = Converters.ical(Seq(("i3",
+      """BEGIN:VEVENT
+        |UID:r4
+        |DTSTART;TZID=Europe/Paris:20240325T090000
+        |RRULE:FREQ=WEEKLY;COUNT=2
+        |END:VEVENT""".stripMargin)).toDS()).collect()
+    dst.filter(_.p == "http://schema.org/startDate").map(_.o).toSet shouldBe
+      Set("2024-03-25T08:00:00Z", "2024-04-01T07:00:00Z")
+  }
+
+  "vcard converter" should "type TEL numbers and decode inline PHOTOs" in {
+    val png = graft.multimodal.ImageHeaders.synthPng(12, 8)
+    val b64 = java.util.Base64.getEncoder.encodeToString(png)
+    val raw =
+      s"""BEGIN:VCARD
+         |VERSION:3.0
+         |UID:card-p
+         |FN:Pat Photo
+         |TEL;TYPE=cell,voice:+1 555 000 2222
+         |TEL;TYPE=work:+1 555 000 3333
+         |PHOTO;ENCODING=b;TYPE=PNG:$b64
+         |END:VCARD""".stripMargin
+    val quads = Converters.vcard(Seq(("vp", raw)).toDS()).collect()
+    val types = quads.filter(_.p == "rdf:type").groupBy(_.s).view
+      .mapValues(_.map(_.o).toSet).toMap
+    types("tel:+15550002222") shouldBe Set("personal:PhoneNumber", "personal:CellphoneNumber")
+    types("tel:+15550003333") shouldBe Set("personal:PhoneNumber", "personal:WorkAddress")
+    val photoIri = quads.find(_.p == "http://schema.org/image").get.o
+    types(photoIri) should contain("http://schema.org/ImageObject")
+    quads.find(q => q.s == photoIri && q.p == "http://schema.org/encodingFormat")
+      .get.o shouldBe "image/png"
+    // the photo bytes feed the multimodal pipeline and decode for real
+    val photos = Converters.vcardPhotos(Seq(("vp", raw)).toDS())
+    val desc = graft.multimodal.Multimodal.describeImages(photos, "photo", "bytes")
+    val row = desc.collect().head
+    row.getAs[String]("mime") shouldBe "image/png"
+    row.getAs[Int]("width") shouldBe 12
+    row.getAs[Int]("height") shouldBe 8
+    row.getAs[String]("photo") shouldBe photoIri
   }
 
   "vcard converter" should "extract agent facets" in {
