@@ -810,6 +810,27 @@ object SparkEntry {
       .where(col("p").isin("segment", "bucket"))
       .select(col("s"), col("p"), col("o"), col("g"))
 
+  /** Multimodal → ANN end-to-end: REAL grayscale PNGs (zlib-encoded pixel
+    * patterns parameterized by doc_id) → [[graft.multimodal.ImagePixels]]
+    * pixel decode → grid-luminance embeddings → IVF top-k neighbors.
+    * Kernel-defined output → rows-only check; the embedding geometry is
+    * pinned in MultimodalSpec. */
+  private def q76_image_embed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val freq = (id % 7 + 1).toInt
+        val phase = (id % 11).toInt
+        (id, graft.multimodal.ImagePixels.encodeGrayPng(32, 32, (x, y) =>
+          128 + (100 * math.sin((x + phase) * freq * 0.2) *
+            math.cos(y * freq * 0.2)).toInt))
+      }.toDF("doc_id", "bytes")
+    val emb = graft.multimodal.Multimodal.embedImages(imgs, "doc_id", "bytes", dim = 64)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -885,7 +906,8 @@ object SparkEntry {
     "q72_construct" -> (q72_construct _),
     "q73_not_exists" -> (q73_not_exists _),
     "q74_neg_prop" -> (q74_neg_prop _),
-    "q75_sparql_update" -> (q75_sparql_update _)
+    "q75_sparql_update" -> (q75_sparql_update _),
+    "q76_image_embed" -> (q76_image_embed _)
   )
 
   val oracleSql: Map[String, String] = ListMap(

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` columns plus typed metadata, processed batch-at-a-time in
   * distributed partition functions.
   *
-  * The container has no image/audio codecs, so the decode kernels are
-  * STUBS — deterministic fakes clearly marked below. Everything around them
-  * is real and load-bearing: the schema contract, the mapPartitions batch
-  * shape (one buffer in, feature struct out, no driver collect), the
-  * partition sizing note (media rows are MBs, so partitions must be sized
-  * by bytes not rows — spark.sql.files.maxPartitionBytes governs scans,
-  * and `repartitionForMedia` rebalances by accumulated payload size).
+  * The embedding kernel is REAL for PNG and BMP ([[ImagePixels]]: zlib
+  * inflate + scanline defilter, grid-luminance features, dHash) and falls
+  * back to byte-histogram statistics for codec-needing formats (JPEG
+  * entropy decode stays out — no codec libraries in the container).
+  * Everything around it is the load-bearing Spark shape: the schema
+  * contract, the mapPartitions batch path (one buffer in, feature struct
+  * out, no driver collect), the partition sizing note (media rows are
+  * MBs, so partitions must be sized by bytes not rows —
+  * spark.sql.files.maxPartitionBytes governs scans, and
+  * `repartitionForMedia` rebalances by accumulated payload size).
   */
 object Multimodal {
 
@@ -34,25 +37,10 @@ object Multimodal {
       checksum: Long,
       feature: Array[Float]) // fixed-dim embedding slot
 
-  /** STUB decode kernel: a real implementation would wrap an image/audio
-    * library here (one call per row, vectorized per partition). The fake is
-    * deterministic in the bytes so tests are stable. */
-  private[multimodal] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    var j = 0
-    while (j < dim) {
-      h ^= h << 13; h ^= h >>> 7; h ^= h << 17
-      out(j) = (h.toDouble / Long.MaxValue).toFloat
-      j += 1
-    }
-    out
-  }
-
   /** Batch feature extraction: runs once per partition, streams rows,
-    * allocates nothing per-row beyond the feature vector. */
+    * allocates nothing per-row beyond the feature vector. The feature is
+    * [[ImagePixels.embed]] — real pixels for PNG/BMP, byte-histogram
+    * statistics otherwise (`dim` must be a square). */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -61,9 +49,29 @@ object Multimodal {
         var i = 0
         while (i < r.bytes.length) { checksum = checksum * 131 + (r.bytes(i) & 0xff); i += 1 }
         MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, checksum,
-          decodeStub(r.bytes, dim))
+          ImagePixels.embed(r.bytes, dim))
       }
     }
+  }
+
+  /** Image embeddings + perceptual hash as a DataFrame stage: per-row JVM
+    * kernel inside mapPartitions, output ready for [[graft.similarity.Ann]]
+    * (`embedding` is cosine-comparable; `dhash` is Hamming-comparable and
+    * null-free — undecodable rows hash their byte histogram's zero vector
+    * as 0L with decoded=false). */
+  def embedImages(df: DataFrame, idCol: String, bytesCol: String, dim: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idType = df.schema(idCol).dataType
+    df.select(col(idCol).cast("string").as("id"), col(bytesCol).as("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val decoded = ImagePixels.decode(bytes)
+        (id, ImagePixels.embed(bytes, dim),
+          decoded.map(ImagePixels.dhash64).getOrElse(0L), decoded.isDefined)
+      })
+      .toDF(idCol, "embedding", "dhash", "decoded")
+      .withColumn(idCol, col(idCol).cast(idType))
   }
 
   /** REAL image metadata decode (not the stub): mime/width/height parsed

@@ -69,6 +69,100 @@ class MultimodalSpec extends SparkSpec {
       Some(ImageHeaders.ImageMeta("image/bmp", 12, 34))
   }
 
+  // ---------------- round-3: REAL pixel decode + embedding kernel --------
+
+  "ImagePixels" should "round-trip encodeGrayPng through the real decoder" in {
+    val img = ImagePixels.encodeGrayPng(7, 5, (x, y) => x * 30 + y * 11)
+    ImageHeaders.parse(img) shouldBe Some(ImageHeaders.ImageMeta("image/png", 7, 5))
+    val g = ImagePixels.decode(img).get
+    g.width shouldBe 7
+    g.height shouldBe 5
+    // exact pixel values survive deflate + filter round-trip
+    for (y <- 0 until 5; x <- 0 until 7)
+      g.pix(y * 7 + x) shouldBe (((x * 30 + y * 11) & 0xff) / 255f)
+  }
+
+  it should "decode an independently-encoded RGBA PNG (reference zlib)" in {
+    // 2x2 RGBA (red, green / blue, white) produced by a reference encoder
+    // (CPython zlib), NOT by encodeGrayPng — cross-implementation check.
+    // (The ubiquitous 1x1 "transparent PNG" base64 is NOT used: its pixel
+    // stream is truncated — 3 bytes where RGBA needs 5 — and this decoder
+    // correctly rejects it where lenient browser decoders do not.)
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAIAAAACCAYAAABytg0kAAAAEklEQVR4nGP4z8DwHwyBNBgAAEnICff5q7YNAAAAAElFTkSuQmCC")
+    val g = ImagePixels.decode(png).get
+    (g.width, g.height) shouldBe ((2, 2))
+    g.pix(0) shouldBe 0.299f +- 1e-3f // red
+    g.pix(1) shouldBe 0.587f +- 1e-3f // green
+    g.pix(2) shouldBe 0.114f +- 1e-3f // blue
+    g.pix(3) shouldBe 1.0f +- 1e-3f // white
+  }
+
+  it should "decode 24-bit BMP rows bottom-up with padding" in {
+    // hand-built 2x2 BMP: bottom row black+white, top row mid-grays
+    val rowSize = 8 // 2 px * 3 B = 6, padded to 8
+    val bytes = new Array[Byte](54 + rowSize * 2)
+    bytes(0) = 'B'; bytes(1) = 'M'
+    def w32(i: Int, v: Int): Unit = {
+      bytes(i) = (v & 0xff).toByte; bytes(i + 1) = ((v >> 8) & 0xff).toByte
+      bytes(i + 2) = ((v >> 16) & 0xff).toByte; bytes(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    w32(2, bytes.length); w32(10, 54); w32(14, 40); w32(18, 2); w32(22, 2)
+    bytes(26) = 1; bytes(28) = 24
+    // file row 0 = image BOTTOM: black (0,0,0), white (255,255,255)
+    bytes(54 + 3) = -1; bytes(54 + 4) = -1; bytes(54 + 5) = -1
+    // file row 1 = image TOP: two mid-grays 100 and 200
+    for (k <- 0 until 3) bytes(54 + rowSize + k) = 100
+    for (k <- 0 until 3) bytes(54 + rowSize + 3 + k) = (200 & 0xff).toByte
+    val g = ImagePixels.decode(bytes).get
+    (g.width, g.height) shouldBe ((2, 2))
+    g.pix(0) shouldBe (100 / 255f) +- 1e-4f // top-left
+    g.pix(1) shouldBe (200 / 255f) +- 1e-4f
+    g.pix(2) shouldBe 0f +- 1e-4f // bottom-left black
+    g.pix(3) shouldBe 1f +- 1e-4f
+  }
+
+  it should "hash duplicates equal and distinct patterns apart (dhash64)" in {
+    def grad(x: Int, y: Int) = (x * 8) & 0xff
+    def checker(x: Int, y: Int) = if (((x / 4) + (y / 4)) % 2 == 0) 0 else 255
+    val a1 = ImagePixels.decode(ImagePixels.encodeGrayPng(32, 32, grad)).get
+    val a2 = ImagePixels.decode(ImagePixels.encodeGrayPng(32, 32, grad)).get
+    val b = ImagePixels.decode(ImagePixels.encodeGrayPng(32, 32, checker)).get
+    ImagePixels.dhash64(a1) shouldBe ImagePixels.dhash64(a2)
+    java.lang.Long.bitCount(
+      ImagePixels.dhash64(a1) ^ ImagePixels.dhash64(b)) should be > 8
+  }
+
+  it should "embed noisy copies close and distinct patterns far (cosine)" in {
+    def pat(x: Int, y: Int) = 128 + (100 * math.sin(x * 0.4) * math.cos(y * 0.3)).toInt
+    def noisy(x: Int, y: Int) = pat(x, y) + ((x * 31 + y * 17) % 5 - 2)
+    def other(x: Int, y: Int) = 128 + (100 * math.sin(y * 0.7)).toInt
+    def cos(u: Array[Float], v: Array[Float]) =
+      u.zip(v).map { case (a, b) => a * b }.sum.toDouble
+    val e1 = ImagePixels.embed(ImagePixels.encodeGrayPng(40, 40, pat), 64)
+    val e2 = ImagePixels.embed(ImagePixels.encodeGrayPng(40, 40, noisy), 64)
+    val e3 = ImagePixels.embed(ImagePixels.encodeGrayPng(40, 40, other), 64)
+    cos(e1, e2) should be > 0.98
+    cos(e1, e3) should be < 0.5
+    // undecodable bytes fall back to byte-histogram features (normalized)
+    val fb = ImagePixels.embed(ImageHeaders.synthJpeg(8, 8), 64)
+    math.sqrt(fb.map(v => v.toDouble * v).sum) shouldBe 1.0 +- 1e-6
+  }
+
+  "embedImages" should "produce ANN-ready vectors with dhash flags" in {
+    val df = Seq(
+      (1L, ImagePixels.encodeGrayPng(16, 16, (x, _) => x * 16)),
+      (2L, ImagePixels.encodeGrayPng(16, 16, (x, _) => x * 16)),
+      (3L, "not an image".getBytes))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.embedImages(df, "media_id", "bytes", dim = 16)
+      .orderBy("media_id").collect()
+    out(0).getAs[Long]("dhash") shouldBe out(1).getAs[Long]("dhash")
+    out(0).getAs[Boolean]("decoded") shouldBe true
+    out(2).getAs[Boolean]("decoded") shouldBe false
+    out(0).getAs[Seq[Float]]("embedding").length shouldBe 16
+  }
+
   "describeImages" should "decode a mixed-format binary column" in {
     val df = Seq(
       (1L, ImageHeaders.synthPng(10, 20)),
