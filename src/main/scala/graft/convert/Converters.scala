@@ -72,9 +72,11 @@ object Converters {
     * extraction), on the hand-rolled [[Mime]] parser. */
   def email(docs: Dataset[(String, String)]): Dataset[Quad] = {
     import docs.sparkSession.implicits._
+    // statement-SET semantics, like the reference's StatementSet: the same
+    // agent described from many messages collapses to one copy
     docs.flatMap { case (docId, raw) =>
       convertEmailMessage(Mime.parseMessage(raw), s"doc:$docId", docId, depth = 0)._2
-    }
+    }.dropDuplicates()
   }
 
   /** One message entity → (message IRI, quads); recurses into nested
@@ -100,14 +102,19 @@ object Converters {
       "to" -> (schemaOrg + "recipient"),
       "cc" -> "personal:copyRecipient",
       "bcc" -> "personal:blindCopyRecipient")
+    // agent-describing statements live in the AGENT's own graph (the
+    // reference adds them with context = personResource,
+    // `EmailMessageConverter.scala:97-105`): the same address seen from
+    // many messages converges on identical quads instead of per-document
+    // copies that would duplicate BGP solutions
     val agents = roles.flatMap { case (header, pred) =>
       h.getOrElse(header, Nil).flatMap(addresses).flatMap { case (addr, name) =>
         val agentIri = Iri.entity("agent", addr.toLowerCase)
         Seq(
           quad(msgIri, pred, agentIri, Quad.IRI, g),
-          quad(agentIri, "rdf:type", "personal:Agent", Quad.IRI, g),
-          quad(agentIri, schemaOrg + "email", Iri.mailto(addr).get, Quad.IRI, g)) ++
-          name.map(n => quad(agentIri, schemaOrg + "name", n, Quad.LITERAL, g))
+          quad(agentIri, "rdf:type", "personal:Agent", Quad.IRI, agentIri),
+          quad(agentIri, schemaOrg + "email", Iri.mailto(addr).get, Quad.IRI, agentIri)) ++
+          name.map(n => quad(agentIri, schemaOrg + "name", n, Quad.LITERAL, agentIri))
       }
     }
     // decoded body text (multipart-aware, attachments skipped)

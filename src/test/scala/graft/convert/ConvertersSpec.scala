@@ -38,7 +38,10 @@ class ConvertersSpec extends SparkSpec {
     byPred("http://schema.org/recipient").size shouldBe 2
     byPred("personal:copyRecipient").size shouldBe 1
     byPred("personal:inReplyTo") shouldBe Set("mid:m0%40host")
-    quads.map(_.g).toSet shouldBe Set("doc:d1")
+    // message statements in the doc graph; agent descriptions in each
+    // agent's own graph (reference context = personResource)
+    quads.filter(_.s.startsWith("mid:")).map(_.g).toSet shouldBe Set("doc:d1")
+    quads.filter(_.o == "personal:Agent").foreach(q => q.g shouldBe q.s)
     // same address in another message mints the same agent IRI
     val quads2 = Converters.email(Seq(("d2", "From: alice@example.com\n\n")).toDS()).collect()
     val senderIri1 = quads.find(_.p == "http://schema.org/sender").get.o
