@@ -361,8 +361,17 @@ object Converters {
   /** (docId, vcfText) → Agent quads per vCard: names, emails, typed
     * phones, photos (inline photos become ImageObject nodes keyed by
     * content; their bytes are exposed to the multimodal pipeline via
-    * [[vcardPhotos]]). */
-  def vcard(docs: Dataset[(String, String)]): Dataset[Quad] = {
+    * [[vcardPhotos]]).
+    * @param defaultRegion region for national-format TEL values
+    *        ([[Phone.telUri]]; the reference passes libphonenumber a
+    *        configured default region the same way) */
+  def vcard(docs: Dataset[(String, String)], defaultRegion: String): Dataset[Quad] =
+    vcardImpl(docs, defaultRegion)
+
+  def vcard(docs: Dataset[(String, String)]): Dataset[Quad] =
+    vcardImpl(docs, "US")
+
+  private def vcardImpl(docs: Dataset[(String, String)], defaultRegion: String): Dataset[Quad] = {
     import docs.sparkSession.implicits._
     docs.flatMap { case (docId, raw) =>
       val g = s"doc:$docId"
@@ -386,7 +395,7 @@ object Converters {
         val emails = props.filter(_._1 == "EMAIL").flatMap(p => Iri.mailto(p._3))
           .map(m2 => quad(agent, schemaOrg + "email", m2, Quad.IRI, g))
         val tels = props.filter(_._1 == "TEL").flatMap { case (_, params, value) =>
-          Iri.tel(value).toSeq.flatMap { t =>
+          Phone.telUri(value, defaultRegion).orElse(Iri.tel(value)).toSeq.flatMap { t =>
             val types = params.get("TYPE").toSeq
               .flatMap(_.split(",").toSeq).map(_.trim.toUpperCase)
             Seq(quad(agent, schemaOrg + "telephone", t, Quad.IRI, g),

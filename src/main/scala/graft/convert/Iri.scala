@@ -41,13 +41,15 @@ object Iri {
     else Some((trimmed.substring(0, at), trimmed.substring(at + 1).toLowerCase))
   }
 
-  /** tel: IRI — digits (plus leading +) only; minimal stand-in for the
-    * reference's libphonenumber normalization (the container has no such
-    * dependency; semantics: strip separators, preserve country prefix). */
+  /** tel: IRI. International (+cc) numbers validate through [[Phone]]'s
+    * E.164 region rules; bare digit strings keep the legacy permissive
+    * form (no region context here — [[Phone.telUri]] is the region-aware
+    * entry the converters use). */
   def tel(number: String): Option[String] = {
     val cleaned = number.trim.replaceAll("[\\s().-]", "")
-    val ok = cleaned.matches("\\+?[0-9]{3,15}")
-    if (ok) Some(s"tel:$cleaned") else None
+    if (cleaned.startsWith("+")) Phone.telUri(cleaned, "ZZ")
+    else if (cleaned.matches("[0-9]{3,15}")) Some(s"tel:$cleaned")
+    else None
   }
 
   /** mid: IRI from an RFC 2392-style Message-ID. */

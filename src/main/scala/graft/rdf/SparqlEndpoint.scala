@@ -81,6 +81,20 @@ object SparqlEndpoint {
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 
+  private val Sd = "http://www.w3.org/ns/sparql-service-description#"
+
+  private val serviceDescription: String = Seq(
+    s"_:service <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <${Sd}Service> .",
+    s"_:service <${Sd}feature> <${Sd}UnionDefaultGraph> .",
+    s"_:service <${Sd}supportedLanguage> <${Sd}SPARQL11Query> .",
+    s"_:service <${Sd}supportedLanguage> <${Sd}SPARQL11Update> .",
+    s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/SPARQL_Results_JSON> .",
+    s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/SPARQL_Results_XML> .",
+    s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/SPARQL_Results_CSV> .",
+    s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/SPARQL_Results_TSV> .",
+    s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/N-Quads> .")
+    .mkString("", "\n", "\n")
+
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
@@ -105,6 +119,11 @@ object SparqlEndpoint {
         }
         (query, update) match {
           case (_, Some(u)) => runUpdate(ex, u)
+          case (None, None) if ex.getRequestMethod.equalsIgnoreCase("GET") =>
+            // SPARQL 1.1 Service Description for query-less GETs — the
+            // reference serves the same document (sd:Service with
+            // sd:UnionDefaultGraph, `SparqlService.scala:158-168,225-239`)
+            respond(ex, 200, "application/n-triples", serviceDescription)
           case (None, None) => respond(ex, 400, "text/plain", "missing query parameter")
           case (Some(q), _) if q.trim.toUpperCase.startsWith("ASK") =>
             val result = Sparql.ask(ref.get, q)

@@ -141,9 +141,17 @@ class SparqlEndpointSpec extends SparkSpec {
 
   it should "reject malformed queries with 400" in withServer { server =>
     get(server, "SELECT WHERE oops").statusCode() shouldBe 400
-    client.send(
-      HttpRequest.newBuilder(URI.create(s"http://localhost:${server.port}/sparql"))
-        .GET().build(),
-      HttpResponse.BodyHandlers.ofString()).statusCode() shouldBe 400
   }
+
+  it should "serve the SPARQL service description on query-less GETs" in
+    withServer { server =>
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${server.port}/sparql"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() shouldBe 200
+      resp.body() should include("sparql-service-description#Service")
+      resp.body() should include("UnionDefaultGraph")
+      resp.body() should include("SPARQL11Update")
+    }
 }
