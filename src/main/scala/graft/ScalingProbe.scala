@@ -88,13 +88,30 @@ object ScalingProbe {
       graft.spatial.WindowedStays.extractStays(bigObs10).count()
     }
 
+    // 7) real PNG decode + embed over 500k images (documents replicated
+    // 100x; 32x32 grayscale PNGs zlib-encoded then fully decoded and
+    // embedded by the pure-JVM kernel) — the multimodal scan-speed claim
+    val imgs500k = docs.crossJoin(spark.range(100).toDF("rep"))
+      .select((col("doc_id") + col("rep") * 1000000).as("doc_id"))
+      .as[Long]
+      .map { id =>
+        val freq = (id % 7 + 1).toInt
+        (id, graft.multimodal.ImagePixels.encodeGrayPng(32, 32, (x, y) =>
+          128 + (100 * math.sin(x * freq * 0.2) * math.cos(y * freq * 0.2)).toInt))
+      }.toDF("doc_id", "bytes")
+    val (tEmbed, nEmbed) = time {
+      graft.multimodal.Multimodal.embedImages(imgs500k, "doc_id", "bytes", dim = 64)
+        .where(col("decoded")).count()
+    }
+
     println(
       s"""{"probe":"scaling","stays":{"sec":$tStays,"rows":$nStays},""" +
       s""""minhash50k":{"sec":$tMinhash,"rows":$nMinhash},""" +
       s""""cc600k":{"sec":$tCc,"rows":$nCc},""" +
       s""""blocking200k":{"sec":$tBlock,"rows":$nBlock},""" +
       s""""simhash500k":{"sec":$tSimhash,"rows":$nSimhash},""" +
-      s""""windowedStays6M":{"sec":$tWindowed,"rows":$nWindowed}}""")
+      s""""windowedStays6M":{"sec":$tWindowed,"rows":$nWindowed},""" +
+      s""""imageEmbed500k":{"sec":$tEmbed,"rows":$nEmbed}}""")
     spark.stop()
   }
 }
