@@ -56,6 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.Vincenty(
         exprs(0), exprs(1), exprs(2), exprs(3))))
     ext.injectFunction((
+      FunctionIdentifier("geodesic_m"),
+      new ExpressionInfo(classOf[graft.functions.GeodesicExact].getName, "geodesic_m"),
+      (exprs: Seq[Expression]) => graft.functions.GeodesicExact(
+        exprs(0), exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
       FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[graft.text.LangIdExpr].getName, "lang_id"),
       (exprs: Seq[Expression]) => graft.text.LangIdExpr(exprs.head)))

@@ -17,6 +17,17 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getLong(0) shouldBe 2000L
   }
 
+  it should "expose the exact geodesic (vincenty_m and geodesic_m) in SQL" in {
+    val Seq(v, g) = spark.sql(
+      "SELECT vincenty_m(48.8566D, 2.3522D, 40.7128D, -74.006D) AS v, " +
+        "geodesic_m(48.8566D, 2.3522D, 40.7128D, -74.006D) AS g")
+      .collect().head.toSeq.map(_.asInstanceOf[Double])
+    math.abs(v - g) should be < 1e-3
+    // the antipodal case Vincenty's iteration cannot solve
+    spark.sql("SELECT geodesic_m(0D, 0D, 0.5D, 179.5D) AS g")
+      .collect().head.getDouble(0) shouldBe 19936288.579 +- 0.5
+  }
+
   "HaversineRadiusPrefilter" should "push a latitude band into the scan without changing results" in {
     val dir = Files.createTempDirectory("graft-geo").resolve("pts").toString
     val rows = (0 until 1000).map { i =>
