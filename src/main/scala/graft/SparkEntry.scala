@@ -831,6 +831,21 @@ object SparkEntry {
       k = 3, nlist = 8, nprobe = 3)
   }
 
+  /** Corpus-trained character-trigram LM statistics (the CCNet-style
+    * quality dimension): exact rare-trigram counts per doc; the float
+    * avg-logprob stays out of the oracle columns. */
+  private def q77_lm_score(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = graft.text.CorpusLm.trigramCounts(docs, "text")
+    graft.text.CorpusLm.scoreDocs(docs, "doc_id", "text", model, rareMax = 2)
+      .select(col("doc_id"), col("n_tri"), col("n_distinct_tri"), col("n_rare"))
+  }
+
+  /** Gopher repetition signals: duplicate-line counts/chars + top word
+    * bigram frequency — integer-exact. */
+  private def q78_repetition(s: SparkSession, dir: String): DataFrame =
+    graft.text.Repetition.signals(t(s, dir, "documents"), "doc_id", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -907,7 +922,9 @@ object SparkEntry {
     "q73_not_exists" -> (q73_not_exists _),
     "q74_neg_prop" -> (q74_neg_prop _),
     "q75_sparql_update" -> (q75_sparql_update _),
-    "q76_image_embed" -> (q76_image_embed _)
+    "q76_image_embed" -> (q76_image_embed _),
+    "q77_lm_score" -> (q77_lm_score _),
+    "q78_repetition" -> (q78_repetition _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1380,7 +1397,58 @@ object SparkEntry {
         |FROM customer WHERE c_mktsegment <> 'BUILDING'
         |UNION ALL
         |SELECT 'c:' || c_custkey, 'bucket', c_mktsegment, 'graft:user'
-        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
+        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q77_lm_score" ->
+      """WITH src AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    list_transform(generate_series(1, greatest(len(s) - 2, 1)),
+        |      i -> substr(s, i, 3)),
+        |    x -> len(x) = 3)) AS tri
+        |  FROM src
+        |), m AS (SELECT tri, count(*) AS cnt FROM t GROUP BY tri)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |  CAST(count(DISTINCT t.tri) AS BIGINT) AS n_distinct_tri,
+        |  CAST(sum(CASE WHEN m.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |FROM t JOIN m USING (tri) GROUP BY t.doc_id""".stripMargin,
+    "q78_repetition" ->
+      """WITH l AS (
+        |  SELECT doc_id, trim(unnest(str_split(text, chr(10)))) AS line
+        |  FROM documents
+        |), lc AS (
+        |  SELECT doc_id, line, count(*) AS c FROM l WHERE len(line) > 0
+        |  GROUP BY doc_id, line
+        |), ls AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        |    CAST(sum(CASE WHEN c > 1 THEN c * len(line) ELSE 0 END) AS BIGINT)
+        |      AS n_chars_dup_lines
+        |  FROM lc GROUP BY doc_id
+        |), w AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[\s[:punct:]]+'),
+        |    x -> len(x) > 0) AS ws
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |  FROM w WHERE len(ws) >= 2
+        |), bc AS (
+        |  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+        |), bs AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(max(c) AS BIGINT) AS top_bigram_n
+        |  FROM bc GROUP BY doc_id
+        |)
+        |SELECT doc_id,
+        |  coalesce(n_lines, 0) AS n_lines,
+        |  coalesce(n_dup_lines, 0) AS n_dup_lines,
+        |  coalesce(n_chars_dup_lines, 0) AS n_chars_dup_lines,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(top_bigram_n, 0) AS top_bigram_n
+        |FROM ls FULL JOIN bs USING (doc_id)""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
