@@ -107,20 +107,17 @@ object GraphOps {
       maxIterations: Int = 50,
       smallGraphThreshold: Long = 1000000,
       maxDriverBytes: Long = 256L << 20): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
     // adaptive small-graph fast path: exact union-find on the driver
     // (reference G1 regime), gated on rows AND bytes (wide IRI ids flip
     // to distributed early); the distributed label loop is for graphs
-    // that do not fit one machine. The gate is two cheap steps — a
-    // 1000-row width sample, then ONE bounded collect that doubles as the
-    // union-find input (no separate count job): if the sampled width says
-    // even `smallGraphThreshold` rows might blow the byte budget, skip
-    // the collect entirely.
-    val strSym = sym.select(col("src").cast("string"), col("dst").cast("string"))
-    val sample = strSym.take(1000)
+    // that do not fit one machine. The gate operates on the RAW edge
+    // stream — no symmetrize/distinct shuffle, union-find absorbs
+    // duplicates for free and the raw row count only over-estimates
+    // (flipping to distributed early, the safe direction). Two cheap
+    // steps: a 1000-row width sample, then ONE bounded collect that
+    // doubles as the union-find input (no separate count job).
+    val strRaw = edges.select(col("src").cast("string"), col("dst").cast("string"))
+    val sample = strRaw.take(1000)
     def width(r: org.apache.spark.sql.Row): Long =
       r.getString(0).length.toLong + r.getString(1).length + 32
     val avgW = if (sample.isEmpty) 0L else sample.map(width).sum / sample.length
@@ -130,12 +127,18 @@ object GraphOps {
     if (sample.length < 1000 || avgW * cap <= maxDriverBytes) {
       // take() scans partitions incrementally and collects in parallel —
       // limit().collect() would funnel through a single-partition shuffle
-      val probe = strSym.take((cap + 1).toInt)
+      val probe = strRaw.take((cap + 1).toInt)
       if (probe.length <= smallGraphThreshold &&
           probe.iterator.map(width).sum <= maxDriverBytes)
         return componentsOnDriver(
-          probe.map(r => (r.getString(0), r.getString(1))), sym, vertices)
+          probe.map(r => (r.getString(0), r.getString(1))), edges, vertices)
     }
+    // distributed path: the label loop reads the symmetrized edge set every
+    // round — materialize it once
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
     val edgeVerts = sym.select(col("src").as("id")).distinct()
     val allVerts = vertices
       .map(v => edgeVerts.union(v.select(col("id"))).distinct())
