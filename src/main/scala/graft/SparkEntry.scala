@@ -846,6 +846,25 @@ object SparkEntry {
   private def q78_repetition(s: SparkSession, dir: String): DataFrame =
     graft.text.Repetition.signals(t(s, dir, "documents"), "doc_id", "text")
 
+  /** Benchmark decontamination (GPT-3 §C n-gram rule, n=3 at test scale):
+    * training docs (doc_id >= 20) flagged by distinct shingle collisions
+    * with the benchmark slice (doc_id < 20). */
+  private def q79_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.dedup.Decontamination.overlapReport(
+      docs.where(col("doc_id") >= 20), "doc_id", "text",
+      docs.where(col("doc_id") < 20), "doc_id", "text", n = 3)
+  }
+
+  /** GPT-style concat-and-chunk sequence packing: token cumsum over
+    * doc_id order, 512-token chunks, span/boundary bookkeeping — exact
+    * integers via the distributed two-pass prefix sum. */
+  private def q80_packing(s: SparkSession, dir: String): DataFrame =
+    graft.text.Packing.concatChunks(
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok")),
+      "doc_id", "n_tok", capacity = 512)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -924,7 +943,9 @@ object SparkEntry {
     "q75_sparql_update" -> (q75_sparql_update _),
     "q76_image_embed" -> (q76_image_embed _),
     "q77_lm_score" -> (q77_lm_score _),
-    "q78_repetition" -> (q78_repetition _)
+    "q78_repetition" -> (q78_repetition _),
+    "q79_decontaminate" -> (q79_decontaminate _),
+    "q80_packing" -> (q80_packing _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1448,7 +1469,45 @@ object SparkEntry {
         |  coalesce(n_chars_dup_lines, 0) AS n_chars_dup_lines,
         |  coalesce(n_bigrams, 0) AS n_bigrams,
         |  coalesce(top_bigram_n, 0) AS top_bigram_n
-        |FROM ls FULL JOIN bs USING (doc_id)""".stripMargin
+        |FROM ls FULL JOIN bs USING (doc_id)""".stripMargin,
+    "q79_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(text), '[\s[:punct:]]+'),
+        |    x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS sh
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS i
+        |        FROM d WHERE len(ts) > 0)
+        |  WHERE len(array_to_string(ts[i:i+2], ' ')) > 0
+        |), tr AS (SELECT * FROM sh WHERE doc_id >= 20),
+        |be AS (SELECT * FROM sh WHERE doc_id < 20)
+        |SELECT tr.doc_id,
+        |  CAST(count(DISTINCT tr.sh) AS BIGINT) AS n_hits,
+        |  CAST(count(DISTINCT be.doc_id) AS BIGINT) AS n_bench_docs
+        |FROM tr JOIN be ON tr.sh = be.sh
+        |GROUP BY tr.doc_id""".stripMargin,
+    "q80_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    regexp_split_to_array(text, '[\s[:punct:]]+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tok_end
+        |  FROM d WHERE n_tok > 0
+        |)
+        |SELECT doc_id,
+        |  CAST(tok_end - n_tok AS BIGINT) AS tok_start,
+        |  tok_end,
+        |  CAST((tok_end - n_tok) // 512 AS BIGINT) AS first_chunk,
+        |  CAST((tok_end - 1) // 512 AS BIGINT) AS last_chunk,
+        |  CAST((tok_end - 1) // 512 - (tok_end - n_tok) // 512 + 1 AS BIGINT) AS n_chunks
+        |FROM c""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -44,7 +44,7 @@ object Dedup {
   /** Distinct word-shingle sets per doc, the shared substrate of the
     * Jaccard-family dedupers. Native path: one codegen'd pass per row, no
     * barriers. Fallback: HOF formulation + checkpoints (see class doc). */
-  private def shingled(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+  private[dedup] def shingled(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     if (haveFn(df, "word_shingles"))
       df.repartition(par(df))
         .select(col(idCol).as("id"),
