@@ -128,7 +128,36 @@ object Sparql {
 
   private final case class Query(
       distinct: Boolean, items: Seq[SelectItem], group: List[Element],
-      groupBy: Seq[String], orderBy: Option[(OrderKey, Boolean)], limit: Option[Int])
+      groupBy: Seq[String], orderBy: Option[(OrderKey, Boolean)],
+      limit: Option[Int], offset: Option[Int] = None)
+
+  /** Strip PREFIX declarations and expand declared prefixed names into
+    * full <iri> tokens (SPARQL 1.1 §4.1.1). Only prefixes the query
+    * declares are expanded — bare `ns:local` tokens with no declaration
+    * pass through untouched (this engine's stores use them as literal
+    * IRI strings). */
+  private def expandPrefixes(tokens: List[String]): List[String] = {
+    val prefixes = scala.collection.mutable.HashMap[String, String]()
+    val rest = scala.collection.mutable.ListBuffer[String]()
+    var ts = tokens
+    while (ts.nonEmpty) {
+      ts match {
+        case p :: decl :: iri :: tail if p.equalsIgnoreCase("PREFIX") &&
+            decl.endsWith(":") && iri.startsWith("<") =>
+          prefixes(decl.dropRight(1)) = iri.substring(1, iri.length - 1)
+          ts = tail
+        case h :: tail => rest += h; ts = tail
+        case Nil => ()
+      }
+    }
+    val Pname = "^([A-Za-z][A-Za-z0-9_-]*):(.*)$".r
+    rest.toList.map {
+      case t @ Pname(p, local) if prefixes.contains(p) &&
+          !t.startsWith("<") && !t.startsWith("\"") =>
+        "<" + prefixes(p) + local + ">"
+      case t => t
+    }
+  }
 
   private val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
 
@@ -173,11 +202,14 @@ object Sparql {
       val g = block()
       var order: Option[(OrderKey, Boolean)] = None
       var limit: Option[Int] = None
+      var offset: Option[Int] = None
       val groupVars = scala.collection.mutable.ListBuffer[String]()
       while (tokens.nonEmpty && peek != "}") {
         if (peek.equalsIgnoreCase("GROUP")) {
           next(); expect("BY")
           while (peek.startsWith("?")) groupVars += next().drop(1)
+        } else if (peek.equalsIgnoreCase("OFFSET")) {
+          next(); offset = Some(next().toInt)
         } else if (peek.equalsIgnoreCase("ORDER")) {
           next(); expect("BY")
           var desc = false
@@ -201,7 +233,7 @@ object Sparql {
         } else sys.error(s"unexpected token ${peek}")
       }
       Query(distinct, if (star) Seq.empty else items.toSeq, g,
-        groupVars.toSeq, order, limit)
+        groupVars.toSeq, order, limit, offset)
     }
 
     private var freshId = 0
@@ -573,20 +605,25 @@ object Sparql {
       df = df.orderBy(if (desc) c.desc else c.asc)
     }
     if (df.columns.contains("__ord")) df = df.drop("__ord")
+    q.offset.foreach(o => df = df.offset(o))
     q.limit.foreach(l => df = df.limit(l))
     df
   }
 
   /** Parse and run a SPARQL SELECT over a quads DataFrame. */
   def select(quads: DataFrame, queryText: String): DataFrame = {
-    val q = new P(tokenize(queryText)).query()
+    val q = new P(expandPrefixes(tokenize(queryText))).query()
     compileQuery(quads, q)
   }
 
-  /** ASK variant. */
+  /** ASK variant (PREFIX headers allowed before the ASK keyword). */
   def ask(quads: DataFrame, queryText: String): Boolean = {
-    val body = queryText.trim.replaceFirst("(?i)^ASK", "SELECT * WHERE")
-    !select(quads, body).isEmpty
+    val toks = expandPrefixes(tokenize(queryText))
+    val body =
+      if (toks.headOption.exists(_.equalsIgnoreCase("ASK")))
+        "SELECT" :: "*" :: "WHERE" :: toks.tail
+      else toks
+    !compileQuery(quads, new P(body).query()).isEmpty
   }
 
   // ---------------------------------------------------- CONSTRUCT / UPDATE
@@ -644,7 +681,7 @@ object Sparql {
     * GRAPH blocks name the output graph; the default is
     * [[ConstructedGraph]]. */
   def construct(quads: DataFrame, queryText: String): DataFrame = {
-    val p = new P(tokenize(queryText))
+    val p = new P(expandPrefixes(tokenize(queryText)))
     p.expect("CONSTRUCT")
     val templ = templQuads(p.block())
     require(templ.nonEmpty, "empty CONSTRUCT template")
@@ -689,7 +726,7 @@ object Sparql {
       store.join(keys, Seq("s", "p", "o") ++ (if (withGraph) Seq("g") else Nil), "left_semi")
         .select(storeCols: _*)
 
-    val p = new P(tokenize(updateText))
+    val p = new P(expandPrefixes(tokenize(updateText)))
     if (p.peek.equalsIgnoreCase("INSERT")) {
       p.next(); p.expect("DATA")
       QuadDiff(dedupAdds(ground(templQuads(p.block()))), empty)

@@ -117,6 +117,10 @@ object SparqlEndpoint {
           case _ =>
             ex.sendResponseHeaders(405, -1); ex.close(); return
         }
+        // query form, looking through any PREFIX header block
+        def form(q: String): String =
+          "(?is)^(?:\\s*PREFIX\\s+\\S+\\s+<[^>]*>)*\\s*(SELECT|ASK|CONSTRUCT)".r
+            .findFirstMatchIn(q).map(_.group(1).toUpperCase).getOrElse("SELECT")
         (query, update) match {
           case (_, Some(u)) => runUpdate(ex, u)
           case (None, None) if ex.getRequestMethod.equalsIgnoreCase("GET") =>
@@ -125,11 +129,11 @@ object SparqlEndpoint {
             // sd:UnionDefaultGraph, `SparqlService.scala:158-168,225-239`)
             respond(ex, 200, "application/n-triples", serviceDescription)
           case (None, None) => respond(ex, 400, "text/plain", "missing query parameter")
-          case (Some(q), _) if q.trim.toUpperCase.startsWith("ASK") =>
+          case (Some(q), _) if form(q) == "ASK" =>
             val result = Sparql.ask(ref.get, q)
             respond(ex, 200, "application/sparql-results+json",
               s"""{"head":{},"boolean":$result}""")
-          case (Some(q), _) if q.trim.toUpperCase.startsWith("CONSTRUCT") =>
+          case (Some(q), _) if form(q) == "CONSTRUCT" =>
             val df =
               try Sparql.construct(ref.get, q)
               catch {

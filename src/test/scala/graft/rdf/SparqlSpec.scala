@@ -309,6 +309,31 @@ class SparqlSpec extends SparkSpec {
     s1.count() shouldBe 3 // the age/knows rows survive
   }
 
+  "PREFIX declarations" should "expand declared prefixed names only" in {
+    // agentQuads store raw 'schema:name'-style IRI strings; a query
+    // declaring s: against a full base reaches them after expansion
+    val expanded = Sparql.select(agentQuads,
+      """PREFIX s: <schema:>
+        |PREFIX p: <personal:>
+        |SELECT ?a ?n WHERE { ?a a p:Agent ; s:name ?n }""".stripMargin)
+      .as[(String, String)].collect().toSet
+    expanded shouldBe Set(("a1", "Ann"), ("a2", "Bob"), ("a3", "Cid"))
+    // undeclared prefixed names pass through as literal IRI strings
+    Sparql.select(agentQuads,
+      "SELECT ?a WHERE { ?a <rdf:type> <personal:Agent> }")
+      .as[String].collect().toSet shouldBe Set("a1", "a2", "a3")
+    // PREFIX headers in front of ASK
+    Sparql.ask(agentQuads,
+      """PREFIX p: <personal:>
+        |ASK { ?f p:sameAs ?g }""".stripMargin) shouldBe true
+  }
+
+  "OFFSET" should "skip ordered solutions before LIMIT" in {
+    Sparql.select(quads,
+      """SELECT ?n WHERE { ?x <name> ?n } ORDER BY ?n OFFSET 1 LIMIT 1""")
+      .as[String].collect().toSeq shouldBe Seq("Bob")
+  }
+
   "count distinct" should "honor DISTINCT inside COUNT" in {
     val res = Sparql.select(agentQuads,
       """SELECT ?agent (COUNT(DISTINCT ?p) AS ?np) WHERE {
