@@ -865,6 +865,14 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok")),
       "doc_id", "n_tok", capacity = 512)
 
+  /** Property alternation + PREFIX through the SPARQL front end: every
+    * order edge that is a status or a priority, one path pattern. */
+  private def q81_alternation(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.select(TpchQuads.quads(s, dir),
+      """SELECT ?o ?v WHERE {
+        |  GRAPH <orders> { ?o (<status>|<priority>) ?v }
+        |}""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -945,7 +953,8 @@ object SparkEntry {
     "q77_lm_score" -> (q77_lm_score _),
     "q78_repetition" -> (q78_repetition _),
     "q79_decontaminate" -> (q79_decontaminate _),
-    "q80_packing" -> (q80_packing _)
+    "q80_packing" -> (q80_packing _),
+    "q81_alternation" -> (q81_alternation _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1507,7 +1516,11 @@ object SparkEntry {
         |  CAST((tok_end - n_tok) // 512 AS BIGINT) AS first_chunk,
         |  CAST((tok_end - 1) // 512 AS BIGINT) AS last_chunk,
         |  CAST((tok_end - 1) // 512 - (tok_end - n_tok) // 512 + 1 AS BIGINT) AS n_chunks
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "q81_alternation" ->
+      """SELECT 'o:' || o_orderkey AS o, o_orderstatus AS v FROM orders
+        |UNION ALL
+        |SELECT 'o:' || o_orderkey, o_orderpriority FROM orders""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -21,17 +21,24 @@ import org.apache.spark.sql.functions._
   *
   * Grammar (hand-rolled recursive descent, no dependencies):
   * {{{
-  * SELECT [DISTINCT] (?v | (AGG(?v|*) AS ?alias) | *)... [WHERE] { group }
-  *   [GROUP BY ?v...] [ORDER BY key [DESC]] [LIMIT n]
+  * query   := (PREFIX ns: <iri>)*
+  *            SELECT [DISTINCT] (?v | (AGG(?v|*) AS ?alias) | *)... [WHERE] { group }
+  *            [GROUP BY ?v...] [ORDER BY key [DESC]] [OFFSET n] [LIMIT n]
+  *          | (PREFIX...)* ASK { group }
+  *          | (PREFIX...)* CONSTRUCT { template } WHERE { group }
+  * update  := INSERT DATA { quads } | DELETE DATA { quads }
+  *          | DELETE [{t}] [INSERT {t}] WHERE { group } | DELETE WHERE { group }
   * group   := element*
   * element := triples '.'?                 (with ';' and ',' lists)
   *          | OPTIONAL { group }
   *          | FILTER ( cond [&&/|| cond]* )
+  *          | FILTER [NOT] EXISTS { group }
   *          | GRAPH term { group }
   *          | { group } UNION { group }
   *          | { SELECT ... }               (sub-select)
-  * triple  := term path term
-  * path    := pterm ('/' pterm)* | pterm ('*'|'+'|'?')
+  * triple  := term path term | term ('!' pterm | '!(' pterm ('|' pterm)* ')') term
+  * path    := step ('/' step)*
+  * step    := ['^'] (pterm | '(' pterm ('|' pterm)* ')') ['*'|'+'|'?']
   * pterm   := <iri> | bareword | 'a' (→ rdf:type)
   * term    := ?var | <iri> | "literal" | bareword
   * key     := ?v | DESC(?v) | DESC(AGG(?v))
@@ -98,8 +105,12 @@ object Sparql {
 
   private sealed trait Element
   private final case class Triple(s: String, p: String, o: String) extends Element
-  /** `s p* o` (mod='*'), `s p+ o` (mod='+'), `s p? o` (mod='?'). */
-  private final case class StarPath(s: String, p: String, o: String,
+  /** `s (p1|p2) o` — property alternation (one hop, any listed predicate). */
+  private final case class AltTriple(s: String, preds: List[String], o: String) extends Element
+  /** `s p* o` (mod='*'), `s p+ o` (mod='+'), `s p? o` (mod='?');
+    * `preds.size > 1` closes over the union of the edge relations
+    * (`(p1|p2)*`). */
+  private final case class StarPath(s: String, preds: List[String], o: String,
       mod: Char = '*') extends Element
   private final case class Opt(group: List[Element]) extends Element
   private final case class FilterCond(conds: List[(String, String, String)],
@@ -261,14 +272,16 @@ object Sparql {
             moreObjects = peek == "," && { next(); true }
           }
         } else {
-          // predicate path: step ('/' step)*, step := ['^'] pterm ['*'|'+'|'?']
+          // predicate path: step ('/' step)*,
+          // step := ['^'] (pterm | '(' pterm ('|' pterm)* ')') ['*'|'+'|'?']
           // — per-step modifiers, as the reference's guard query uses
-          // (`AbstractEnricher.scala:17-23`: sameAs*/differentFrom/sameAs*)
-          def modded(): (String, Boolean, Option[Char]) = {
-            val (p, inv) = pstep()
+          // (`AbstractEnricher.scala:17-23`: sameAs*/differentFrom/sameAs*);
+          // alternation sets close over the union relation ((p1|p2)*)
+          def modded(): (List[String], Boolean, Option[Char]) = {
+            val (ps, inv) = pstepSet()
             val mod =
               if (peek == "*" || peek == "+" || peek == "?") Some(next().head) else None
-            (p, inv, mod)
+            (ps, inv, mod)
           }
           val steps = scala.collection.mutable.ListBuffer(modded())
           while (peek == "/") { next(); steps += modded() }
@@ -276,16 +289,17 @@ object Sparql {
           while (moreObjects) {
             val o = term()
             // chain through fresh intermediate variables; each step is a
-            // plain triple or a closure, inverted in place (p1/^p2*/...)
-            // — `?s (^p)* ?o` ≡ `?o p* ?s`: closures swap endpoints too
+            // plain/alternation triple or a closure, inverted in place
+            // (p1/^p2*/...) — `?s (^p)* ?o` ≡ `?o p* ?s`: closures and
+            // alternations swap endpoints too
             var subj = s
-            steps.toList.zipWithIndex.foreach { case ((p, inv, mod), i) =>
+            steps.toList.zipWithIndex.foreach { case ((ps, inv, mod), i) =>
               val obj = if (i == steps.size - 1) o else fresh()
-              elems += ((inv, mod) match {
-                case (false, None) => Triple(subj, p, obj)
-                case (true, None) => Triple(obj, p, subj)
-                case (false, Some(m)) => StarPath(subj, p, obj, m)
-                case (true, Some(m)) => StarPath(obj, p, subj, m)
+              val (from, to) = if (inv) (obj, subj) else (subj, obj)
+              elems += ((ps, mod) match {
+                case (p :: Nil, None) => Triple(from, p, to)
+                case (many, None) => AltTriple(from, many, to)
+                case (many, Some(m)) => StarPath(from, many, to, m)
               })
               subj = obj
             }
@@ -397,10 +411,17 @@ object Sparql {
       if (t == "a") "rdf:type" else t
     }
 
-    /** One path step: a predicate term, optionally inverted with '^'. */
-    def pstep(): (String, Boolean) =
-      if (peek == "^") { next(); val (p, inv) = pstep(); (p, !inv) }
-      else (pterm(), false)
+    /** One path step: a predicate term or an alternation set
+      * `(p1|p2|...)`, optionally inverted with '^'. */
+    def pstepSet(): (List[String], Boolean) =
+      if (peek == "^") { next(); val (ps, inv) = pstepSet(); (ps, !inv) }
+      else if (peek == "(") {
+        next()
+        val ps = scala.collection.mutable.ListBuffer(pterm())
+        while (peek == "|") { next(); ps += pterm() }
+        expect(")")
+        (ps.toList, false)
+      } else (List(pterm()), false)
   }
 
   // --------------------------------------------------------------- compile
@@ -422,8 +443,9 @@ object Sparql {
     * [[graft.graph.GraphOps.transitiveClosure]]. */
   private def starPath(quads: DataFrame, sp: StarPath, graph: Option[String]): DataFrame = {
     val scoped = graph.map(g => quads.where(col("g") === termValue(g))).getOrElse(quads)
-    val pred = termValue(sp.p)
-    val edges = scoped.where(col("p") === pred)
+    val preds = sp.preds.map(termValue)
+    val edges = scoped.where(
+        if (preds.size == 1) col("p") === preds.head else col("p").isin(preds: _*))
       .select(col("s").as("src"), col("o").as("dst"))
     val reach =
       if (sp.mod == '?') edges.distinct()
@@ -442,12 +464,14 @@ object Sparql {
     else withS.where(col("dst") === termValue(sp.o)).drop("dst")
   }
 
-  /** `s !(p1|p2) o`: a filtered scan excluding the listed predicates —
-    * the exclusion pushes down to the columnar store like any constant. */
-  private def negPropSet(quads: DataFrame, s: String, preds: List[String],
-      o: String, graph: Option[String]): DataFrame = {
+  /** `s (p1|p2) o` / `s !(p1|p2) o`: a filtered scan over (or excluding)
+    * the listed predicates — the predicate set pushes down to the
+    * columnar store like any constant. */
+  private def predSetScan(quads: DataFrame, s: String, preds: List[String],
+      o: String, graph: Option[String], negated: Boolean): DataFrame = {
     val scoped = graph.map(g => quads.where(col("g") === termValue(g))).getOrElse(quads)
-    val base = scoped.where(!col("p").isin(preds.map(termValue): _*))
+    val in = col("p").isin(preds.map(termValue): _*)
+    val base = scoped.where(if (negated) !in else in)
     val withS = if (s.startsWith("?")) base else base.where(col("s") === termValue(s))
     val withO = if (o.startsWith("?")) withS else withS.where(col("o") === termValue(o))
     val selfEq = if (s.startsWith("?") && s == o) withO.where(col("s") === col("o")) else withO
@@ -457,7 +481,7 @@ object Sparql {
         if (acc.exists(_._1 == p._1)) acc else acc :+ p
       }
       .map { case (v, c) => col(c).as(v) }
-    require(projections.nonEmpty, "negated property set binds no variables")
+    require(projections.nonEmpty, "property set pattern binds no variables")
     selfEq.select(projections: _*)
   }
 
@@ -478,7 +502,8 @@ object Sparql {
       join(Bgp.bgp(quads, triples.map(t => toPattern(t.asInstanceOf[Triple], graph)): _*))
     rest.foreach {
       case sp: StarPath => join(starPath(quads, sp, graph))
-      case NegPropSet(s, preds, o) => join(negPropSet(quads, s, preds, o, graph))
+      case AltTriple(s, preds, o) => join(predSetScan(quads, s, preds, o, graph, negated = false))
+      case NegPropSet(s, preds, o) => join(predSetScan(quads, s, preds, o, graph, negated = true))
       case Exists(inner, negated) =>
         val left = current.getOrElse(sys.error("FILTER EXISTS without preceding bindings"))
         val right = compileGroup(quads, inner, graph)

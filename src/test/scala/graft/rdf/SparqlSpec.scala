@@ -328,6 +328,25 @@ class SparqlSpec extends SparkSpec {
         |ASK { ?f p:sameAs ?g }""".stripMargin) shouldBe true
   }
 
+  "property alternation" should "match any listed predicate, incl. under closure" in {
+    // the AgentMatchEnricher OPTIONAL-UNION stated as a path alternation
+    val counts = Sparql.select(agentQuads,
+      """SELECT ?agent (COUNT(?msg) AS ?n) WHERE {
+        |  ?agent a <personal:Agent> .
+        |  OPTIONAL { ?msg (<schema:recipient>|<schema:sender>) ?agent }
+        |} GROUP BY ?agent""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    counts shouldBe Map("a1" -> 3L, "a2" -> 1L, "a3" -> 0L)
+    // closure over the union relation: sameAs and differentFrom edges mix
+    Sparql.select(guardQuads,
+      "SELECT ?y WHERE { <d1> (<personal:sameAs>|<personal:differentFrom>)+ ?y }")
+      .as[String].collect().toSet shouldBe Set("d2", "d3", "d4")
+    // inverted alternation
+    Sparql.select(agentQuads,
+      "SELECT ?m WHERE { <a1> ^(<schema:recipient>|<schema:sender>) ?m }")
+      .as[String].collect().toSet shouldBe Set("m1", "m2", "m3")
+  }
+
   "OFFSET" should "skip ordered solutions before LIMIT" in {
     Sparql.select(quads,
       """SELECT ?n WHERE { ?x <name> ?n } ORDER BY ?n OFFSET 1 LIMIT 1""")
