@@ -330,6 +330,13 @@ object Sparql {
             if (peek == ".") next()
           } else elems += filter()
         }
+        else if (peek.equalsIgnoreCase("MINUS")) {
+          // SPARQL MINUS: drop solutions compatible with the inner group
+          // on their shared variables — for the var-sharing patterns this
+          // engine serves, an anti-join (like NOT EXISTS)
+          next(); elems += Exists(block(), negated = true)
+          if (peek == ".") next()
+        }
         else if (peek.equalsIgnoreCase("GRAPH")) {
           next(); val g = term(); elems += Graphed(g, block())
         }
@@ -708,11 +715,24 @@ object Sparql {
   def construct(quads: DataFrame, queryText: String): DataFrame = {
     val p = new P(expandPrefixes(tokenize(queryText)))
     p.expect("CONSTRUCT")
-    val templ = templQuads(p.block())
-    require(templ.nonEmpty, "empty CONSTRUCT template")
-    if (p.peek.equalsIgnoreCase("WHERE")) p.next()
-    val group = p.block()
-    instantiate(compileGroup(quads, group, None), templ, ConstructedGraph)
+    if (p.peek.equalsIgnoreCase("WHERE")) {
+      // CONSTRUCT WHERE { pattern } shorthand: the pattern is its own
+      // template (SPARQL 1.1 §10.2.2)
+      p.next()
+      val group = p.block()
+      val templ = templQuads(group.filter {
+        case _: Triple | _: Graphed => true
+        case _ => false
+      })
+      require(templ.nonEmpty, "empty CONSTRUCT WHERE pattern")
+      instantiate(compileGroup(quads, group, None), templ, ConstructedGraph)
+    } else {
+      val templ = templQuads(p.block())
+      require(templ.nonEmpty, "empty CONSTRUCT template")
+      if (p.peek.equalsIgnoreCase("WHERE")) p.next()
+      val group = p.block()
+      instantiate(compileGroup(quads, group, None), templ, ConstructedGraph)
+    }
   }
 
   /** Parse a SPARQL UPDATE (`INSERT DATA` / `DELETE DATA` /

@@ -347,6 +347,21 @@ class SparqlSpec extends SparkSpec {
       .as[String].collect().toSet shouldBe Set("m1", "m2", "m3")
   }
 
+  "MINUS" should "drop solutions compatible with the inner group" in {
+    Sparql.select(agentQuads,
+      """SELECT ?a WHERE {
+        |  ?a a <personal:Agent> .
+        |  MINUS { ?a <schema:email> ?e }
+        |}""".stripMargin).as[String].collect().toSet shouldBe Set("a2", "a3")
+  }
+
+  "CONSTRUCT WHERE" should "use the pattern as its own template" in {
+    val g = Sparql.construct(quads,
+      "CONSTRUCT WHERE { ?x <knows> ?y }")
+    g.select("s", "p", "o").as[(String, String, String)].collect().toSet shouldBe
+      Set(("alice", "knows", "bob"))
+  }
+
   "OFFSET" should "skip ordered solutions before LIMIT" in {
     Sparql.select(quads,
       """SELECT ?n WHERE { ?x <name> ?n } ORDER BY ?n OFFSET 1 LIMIT 1""")
