@@ -130,10 +130,17 @@ object Mime {
       val children = params.get("boundary") match {
         case None => Nil
         case Some(b) =>
-          // split at delimiter lines; preamble (index 0) and the epilogue
-          // after the --b-- close are dropped per RFC 2046 §5.1.1
+          // the close delimiter --b-- ENDS the multipart: cut the body at
+          // its first occurrence so the epilogue can never become a
+          // header-less extra part, then split the remainder at plain
+          // delimiter lines; preamble (index 0) is dropped too
+          // (RFC 2046 §5.1.1)
           val delim = "--" + b
-          val segments = body.split("(?m)^" + java.util.regex.Pattern.quote(delim) + "(--)?[ \t]*\r?\n?")
+          val quoted = java.util.regex.Pattern.quote(delim)
+          val effective = ("(?m)^" + quoted + "--").r
+            .findFirstMatchIn(body).map(m => body.substring(0, m.start))
+            .getOrElse(body)
+          val segments = effective.split("(?m)^" + quoted + "[ \t]*\r?\n?")
           segments.drop(1).toList.filter(_.nonEmpty).map { seg =>
             val split = seg.split("\r?\n\r?\n", 2)
             val h = parseHeaders(split(0))

@@ -80,10 +80,19 @@ object Phone {
         r.intl.find(p => c.startsWith(p) && c.length > p.length + 6) match {
           case Some(p) => validateE164(c.drop(p.length))
           case None =>
-            // national format: strip the trunk prefix, prepend the cc
+            // national format: strip the trunk prefix, prepend the cc.
+            // A leading 0 on the remaining NSN is invalid only where the
+            // region's trunk prefix IS 0 (it would mean a doubled trunk);
+            // regions without one keep it — Italian landline NSNs
+            // legitimately start with 0 ("06..." Rome).
             val nsn = r.trunk.filter(c.startsWith).map(t => c.drop(t.length)).getOrElse(c)
-            if (nsn.length >= r.nsnMin && nsn.length <= r.nsnMax &&
-              !nsn.startsWith("0")) Some("+" + r.cc + nsn)
+            val doubledTrunk = r.trunk.contains("0") && nsn.startsWith("0")
+            if (nsn.length >= r.nsnMin && nsn.length <= r.nsnMax && !doubledTrunk)
+              Some("+" + r.cc + nsn)
+            // cc-prefixed domestic form ("1 800 555 0199" under US): the
+            // number already carries the region's own country code — try
+            // it as E.164 before rejecting on NSN bounds
+            else if (c.startsWith(r.cc)) validateE164(c)
             else None
         }
     }

@@ -124,8 +124,12 @@ object Sparql {
     * property set). */
   private final case class NegPropSet(s: String, preds: List[String], o: String) extends Element
   /** FILTER EXISTS { group } / FILTER NOT EXISTS { group } — semi/anti
-    * join of the current bindings against the inner group. */
-  private final case class Exists(group: List[Element], negated: Boolean) extends Element
+    * join of the current bindings against the inner group. `minus` marks
+    * the MINUS form, whose no-shared-variable semantics differ (SPARQL
+    * 1.1 §8.3.3: solutions with disjoint domains are NOT compatible, so
+    * MINUS removes nothing — NOT EXISTS would remove everything). */
+  private final case class Exists(group: List[Element], negated: Boolean,
+      minus: Boolean = false) extends Element
 
   private sealed trait SelectItem
   private final case class PlainVar(name: String) extends SelectItem
@@ -332,9 +336,10 @@ object Sparql {
         }
         else if (peek.equalsIgnoreCase("MINUS")) {
           // SPARQL MINUS: drop solutions compatible with the inner group
-          // on their shared variables — for the var-sharing patterns this
-          // engine serves, an anti-join (like NOT EXISTS)
-          next(); elems += Exists(block(), negated = true)
+          // on their shared variables — an anti-join when variables are
+          // shared; with NO shared variables MINUS keeps every solution
+          // (§8.3.3), handled at compile time via the `minus` flag
+          next(); elems += Exists(block(), negated = true, minus = true)
           if (peek == ".") next()
         }
         else if (peek.equalsIgnoreCase("GRAPH")) {
@@ -511,12 +516,23 @@ object Sparql {
       case sp: StarPath => join(starPath(quads, sp, graph))
       case AltTriple(s, preds, o) => join(predSetScan(quads, s, preds, o, graph, negated = false))
       case NegPropSet(s, preds, o) => join(predSetScan(quads, s, preds, o, graph, negated = true))
-      case Exists(inner, negated) =>
+      case Exists(inner, negated, minus) =>
         val left = current.getOrElse(sys.error("FILTER EXISTS without preceding bindings"))
         val right = compileGroup(quads, inner, graph)
         val shared = left.columns.intersect(right.columns).toSeq
-        require(shared.nonEmpty, "FILTER EXISTS shares no variables with the group")
-        current = Some(left.join(right, shared, if (negated) "left_anti" else "left_semi"))
+        // Caveat: null bindings from OPTIONAL follow SQL join-key
+        // semantics here (a null never matches), whereas SPARQL
+        // compatibility treats an UNBOUND variable as compatible with
+        // anything — OPTIONAL-inside-MINUS patterns may keep rows SPARQL
+        // would drop. The reference's guard queries never combine them.
+        if (shared.isEmpty)
+          // MINUS with disjoint variable domains removes nothing: keep
+          // `left` untouched. FILTER (NOT) EXISTS without shared
+          // variables stays unsupported (would need a scalar emptiness
+          // probe, which no reference query uses).
+          require(minus, "FILTER EXISTS shares no variables with the group")
+        else
+          current = Some(left.join(right, shared, if (negated) "left_anti" else "left_semi"))
       case SubSelect(q) => join(compileQuery(quads, q))
       case Graphed(g, inner) => join(compileGroup(quads, inner, Some(g)))
       case Union(l, r) =>
@@ -677,36 +693,76 @@ object Sparql {
     case _ => sys.error("quad templates support triples and GRAPH blocks only")
   }
 
-  /** Object-term kind for statements minted by the front end: explicit
-    * <iri> / "literal" syntax decides; bare tokens are IRIs when they
-    * carry a scheme prefix (`c:42`, `http://...`) — the store's converters
-    * mint exactly such IRIs — and literals otherwise. Variable bindings
-    * use the same scheme test on the bound value. */
+  /** Object-term kind for GROUND tokens in templates/DATA blocks:
+    * explicit <iri> / "literal" syntax decides; bare tokens are IRIs when
+    * they carry a scheme prefix (`c:42`, `http://...`) — the store's
+    * converters mint exactly such IRIs (a bare token can't contain
+    * whitespace, the tokenizer split it) — and literals otherwise.
+    * VARIABLE bindings do NOT use this loose test: see [[instantiate]]. */
   private def groundKind(tok: String): Byte =
     if (tok.startsWith("<")) Quad.IRI
     else if (tok.startsWith("\"")) Quad.LITERAL
     else if (tok.matches("[A-Za-z][A-Za-z0-9+.-]*:.*")) Quad.IRI
     else Quad.LITERAL
 
+  /** Strict IRI shape test for values the store has never seen (e.g.
+    * BIND-computed): no whitespace anywhere and a scheme this engine's
+    * converters actually mint (graft.convert.Iri) or the common web
+    * schemes. A free-text literal like `"Re: lunch"` must NEVER pass —
+    * it would be emitted as `<Re: lunch>` (invalid N-Quads) and inserted
+    * as a dangling bogus IRI by [[updateDiff]]. */
+  private[rdf] val IriShapeRegex =
+    "^(?:https?|mailto|urn|tel|geo|mid|file|ftp|graft):\\S+$"
+  def looksLikeIri(v: String): Boolean = v != null && v.matches(IriShapeRegex)
+
   private def tExpr(t: String): Column =
     if (t.startsWith("?")) col(t.drop(1)).cast("string") else lit(termValue(t))
 
-  private def kindExpr(o: String): Column =
-    (if (!o.startsWith("?")) lit(groundKind(o))
-     else when(col(o.drop(1)).cast("string").rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
-       lit(Quad.IRI)).otherwise(lit(Quad.LITERAL))).cast("byte")
-
   /** Instantiate quad templates against a binding set; solutions leaving a
-    * template position unbound (OPTIONAL) are skipped, per SPARQL. */
+    * template position unbound (OPTIONAL) are skipped, per SPARQL.
+    *
+    * Object-term kinds: ground template tokens are classified by syntax
+    * ([[groundKind]]). Variable-bound values carry their kind FROM THE
+    * STORE — a single join against the store's distinct IRI terms (every
+    * subject/predicate, plus objects with oKind=IRI) resolves any value
+    * the store knows; novel values (BIND results) fall back to the strict
+    * [[looksLikeIri]] shape test. The join-back runs only when a template
+    * object is a variable, and the IRI-term side is distinct-deduped, so
+    * at scale it costs one hash join keyed on the term string — the same
+    * order as the WHERE evaluation that produced the bindings. */
   private def instantiate(bindings: DataFrame, templ: List[TemplQuad],
-      defaultGraph: String): DataFrame =
-    templ.map { case (s, p, o, g) =>
+      defaultGraph: String, store: DataFrame,
+      resolveKinds: Boolean = true): DataFrame = {
+    val raw = templ.map { case (s, p, o, g) =>
       bindings.select(
         tExpr(s).as("s"), tExpr(p).as("p"), tExpr(o).as("o"),
-        kindExpr(o).as("oKind"),
+        (if (o.startsWith("?")) lit(null) else lit(groundKind(o)))
+          .cast("byte").as("__groundKind"),
         lit(null).cast("string").as("oDt"), lit(null).cast("string").as("oLang"),
         lit(g.getOrElse(defaultGraph)).as("g"))
-    }.reduceLeft(_.unionByName(_)).na.drop(Seq("s", "p", "o")).distinct()
+    }.reduceLeft(_.unionByName(_)).na.drop(Seq("s", "p", "o"))
+    val needResolve = resolveKinds && templ.exists(_._3.startsWith("?"))
+    val kinded =
+      if (!needResolve)
+        raw.withColumn("oKind",
+          coalesce(col("__groundKind"), lit(Quad.LITERAL)).cast("byte"))
+      else {
+        val iriTerms = store.select(col("s").as("__iriTerm"))
+          .unionByName(store.select(col("p").as("__iriTerm")))
+          .unionByName(store.where(col("oKind") === lit(Quad.IRI))
+            .select(col("o").as("__iriTerm")))
+          .distinct()
+        raw.join(iriTerms, raw("o") === iriTerms("__iriTerm"), "left")
+          .withColumn("oKind",
+            coalesce(col("__groundKind"),
+              when(col("__iriTerm").isNotNull, lit(Quad.IRI))
+                .when(col("o").rlike(IriShapeRegex), lit(Quad.IRI))
+                .otherwise(lit(Quad.LITERAL))).cast("byte"))
+          .drop("__iriTerm")
+      }
+    kinded.select(col("s"), col("p"), col("o"), col("oKind"), col("oDt"),
+      col("oLang"), col("g")).distinct()
+  }
 
   /** Parse and run a SPARQL CONSTRUCT: instantiate the template per
     * solution of the WHERE group; returns quads (set semantics). Template
@@ -725,13 +781,13 @@ object Sparql {
         case _ => false
       })
       require(templ.nonEmpty, "empty CONSTRUCT WHERE pattern")
-      instantiate(compileGroup(quads, group, None), templ, ConstructedGraph)
+      instantiate(compileGroup(quads, group, None), templ, ConstructedGraph, quads)
     } else {
       val templ = templQuads(p.block())
       require(templ.nonEmpty, "empty CONSTRUCT template")
       if (p.peek.equalsIgnoreCase("WHERE")) p.next()
       val group = p.block()
-      instantiate(compileGroup(quads, group, None), templ, ConstructedGraph)
+      instantiate(compileGroup(quads, group, None), templ, ConstructedGraph, quads)
     }
   }
 
@@ -800,19 +856,22 @@ object Sparql {
             val parts =
               (if (global.nonEmpty)
                 Seq(matchRemovals(
-                  instantiate(bindings, global, UserGraph).select("s", "p", "o"),
+                  // removal keys never use oKind — skip the kind join
+                  instantiate(bindings, global, UserGraph, store,
+                    resolveKinds = false).select("s", "p", "o"),
                   withGraph = false))
               else Nil) ++
               (if (scoped.nonEmpty)
                 Seq(matchRemovals(
-                  instantiate(bindings, scoped, UserGraph).select("s", "p", "o", "g"),
+                  instantiate(bindings, scoped, UserGraph, store,
+                    resolveKinds = false).select("s", "p", "o", "g"),
                   withGraph = true))
               else Nil)
             parts.reduceLeft(_.unionByName(_)).distinct()
           }
         val added =
           if (insTempl.isEmpty) empty
-          else dedupAdds(instantiate(bindings, insTempl, UserGraph))
+          else dedupAdds(instantiate(bindings, insTempl, UserGraph, store))
         QuadDiff(added, removed)
       }
     }

@@ -201,9 +201,15 @@ object SparqlEndpoint {
         first = false
         val fields = cols.indices.flatMap { i =>
           Option(row.get(i)).map { v =>
+            val s = v.toString
+            // SELECT bindings arrive as bare strings (kind column pruned
+            // by projection); classify by the engine's minted-IRI shape
+            // so conforming clients get the right term type — same rule
+            // as the XML writer below
+            val tpe = if (Sparql.looksLikeIri(s)) "uri" else "literal"
             "\"" + jsonEscape(cols(i)) +
-              "\":{\"type\":\"literal\",\"value\":\"" +
-              jsonEscape(v.toString) + "\"}"
+              "\":{\"type\":\"" + tpe + "\",\"value\":\"" +
+              jsonEscape(s) + "\"}"
           }
         }
         w("{" + fields.mkString(",") + "}")
@@ -228,7 +234,9 @@ object SparqlEndpoint {
         w("<result>")
         cols.indices.foreach { i =>
           Option(row.get(i)).foreach { v =>
-            w(s"""<binding name="${xmlEscape(cols(i))}"><literal>${xmlEscape(v.toString)}</literal></binding>""")
+            val s = v.toString
+            val tag = if (Sparql.looksLikeIri(s)) "uri" else "literal"
+            w(s"""<binding name="${xmlEscape(cols(i))}"><$tag>${xmlEscape(s)}</$tag></binding>""")
           }
         }
         w("</result>")

@@ -155,6 +155,25 @@ class ConvertersSpec extends SparkSpec {
       .length shouldBe 1
   }
 
+  it should "drop the multipart epilogue after the close delimiter" in {
+    val raw = List(
+      "Message-ID: <ep@host>",
+      "From: eve@example.com",
+      "Subject: epilogue",
+      "Content-Type: multipart/mixed; boundary=\"b\"",
+      "",
+      "preamble to be ignored",
+      "--b",
+      "Content-Type: text/plain",
+      "",
+      "real body",
+      "--b--",
+      "this epilogue must not leak into schema:text",
+      "").mkString("\r\n")
+    val quads = Converters.email(Seq(("ep", raw)).toDS()).collect()
+    quads.filter(_.p == "http://schema.org/text").map(_.o).toSet shouldBe Set("real body")
+  }
+
   "ical converter" should "normalize TZID-local datetimes to UTC" in {
     val raw =
       """BEGIN:VEVENT

@@ -39,6 +39,19 @@ class PhoneSpec extends AnyFlatSpec with Matchers {
     Phone.normalize("+12", "US") shouldBe None
   }
 
+  it should "accept leading-0 NSNs where the region has no 0 trunk prefix" in {
+    // Italian landlines keep their leading 0 as part of the NSN
+    Phone.normalize("06 6982 1234", "IT") shouldBe Some("+390669821234")
+    Phone.normalize("00 39 06 6982 1234", "FR") shouldBe Some("+390669821234")
+    // a doubled trunk prefix is still invalid where trunk IS 0
+    Phone.normalize("00 1234 5678", "JP") shouldBe None
+  }
+
+  it should "accept cc-prefixed domestic forms" in {
+    Phone.normalize("1 800 555 0199", "US") shouldBe Some("+18005550199")
+    Phone.normalize("44 20 7946 0958", "GB") shouldBe Some("+442079460958")
+  }
+
   it should "fall back to the E.164 envelope for unlisted regions/codes" in {
     Phone.normalize("+299 123456", "US") shouldBe Some("+299123456") // Greenland
     Phone.normalize("12345678", "ZZ") shouldBe Some("+12345678")

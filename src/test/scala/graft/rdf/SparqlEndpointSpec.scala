@@ -14,7 +14,8 @@ class SparqlEndpointSpec extends SparkSpec {
   private lazy val quads = Seq(
     ("alice", "name", "Alice", 2.toByte, null: String, null: String, "g1"),
     ("alice", "knows", "bob", 0.toByte, null: String, null: String, "g1"),
-    ("bob", "name", "Bob, \"Bobby\"", 2.toByte, null: String, null: String, "g1"))
+    ("bob", "name", "Bob, \"Bobby\"", 2.toByte, null: String, null: String, "g1"),
+    ("alice", "mbox", "mailto:alice@example.com", 0.toByte, null: String, null: String, "g1"))
     .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
 
   private def withServer[A](f: SparqlEndpoint.Server => A): A = {
@@ -88,6 +89,18 @@ class SparqlEndpointSpec extends SparkSpec {
     tsv.body().split("\n").toSeq.take(2) shouldBe Seq("?x\t?n", "alice\tAlice")
   }
 
+  it should "type IRI-shaped bindings as uri in JSON and XML results" in withServer { server =>
+    val json = get(server, "SELECT ?m WHERE { <alice> <mbox> ?m }")
+    json.body() should include(""""m":{"type":"uri","value":"mailto:alice@example.com"}""")
+    val xml = get(server, "SELECT ?m WHERE { <alice> <mbox> ?m }",
+      accept = "application/sparql-results+xml")
+    xml.body() should include(
+      """<binding name="m"><uri>mailto:alice@example.com</uri></binding>""")
+    // plain literals keep their term type
+    get(server, "SELECT ?n WHERE { <alice> <name> ?n }").body() should
+      include(""""n":{"type":"literal","value":"Alice"}""")
+  }
+
   it should "round-trip a SPARQL UPDATE (insert -> query -> delete -> negation check)" in
     withServer { server =>
       // insert through the front door
@@ -118,8 +131,10 @@ class SparqlEndpointSpec extends SparkSpec {
       accept = "application/n-quads")
     resp.statusCode() shouldBe 200
     resp.headers().firstValue("Content-Type").get() should include("application/n-quads")
+    // "alice" is a subject of the store, so the kind join-back types the
+    // bound object as an IRI (pre-fix this emitted the literal "alice")
     resp.body().trim shouldBe
-      s"""<bob> <knownBy> "alice" <${Sparql.ConstructedGraph}> ."""
+      s"""<bob> <knownBy> <alice> <${Sparql.ConstructedGraph}> ."""
   }
 
   it should "accept application/sparql-update bodies" in withServer { server =>

@@ -355,6 +355,51 @@ class SparqlSpec extends SparkSpec {
         |}""".stripMargin).as[String].collect().toSet shouldBe Set("a2", "a3")
   }
 
+  it should "keep every solution when MINUS shares no variables (SPARQL 1.1 §8.3.3)" in {
+    // disjoint domains -> no solution is compatible -> MINUS removes nothing
+    Sparql.select(agentQuads,
+      """SELECT ?a WHERE {
+        |  ?a a <personal:Agent> .
+        |  MINUS { ?m <schema:email> ?e }
+        |}""".stripMargin).as[String].collect().toSet shouldBe Set("a1", "a2", "a3")
+    // FILTER NOT EXISTS keeps its shared-variable requirement (it WOULD
+    // remove everything here, which this subset does not serve)
+    an[IllegalArgumentException] should be thrownBy Sparql.select(agentQuads,
+      """SELECT ?a WHERE {
+        |  ?a a <personal:Agent> .
+        |  FILTER NOT EXISTS { ?m <schema:email> ?e }
+        |}""".stripMargin)
+  }
+
+  "CONSTRUCT/UPDATE term kinds" should "come from the store for variable bindings" in {
+    val store = Seq(
+      ("mid:m1", "schema:headline", "Re: lunch", Quad.LITERAL, null: String, null: String, "g1"),
+      ("mid:m1", "schema:sender", "c:alice", Quad.IRI, null: String, null: String, "g1"))
+      .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+    val g = Sparql.construct(store,
+      """CONSTRUCT { ?m <p:head> ?h . ?m <p:who> ?s } WHERE {
+        |  ?m <schema:headline> ?h . ?m <schema:sender> ?s
+        |}""".stripMargin)
+    val kinds = g.select("p", "oKind").as[(String, Byte)].collect().toMap
+    // a free-text literal that LOOKS scheme-prefixed ("Re: ...") must not
+    // become <Re: lunch>; a term the store knows as an IRI stays one even
+    // though "c:" is no minted scheme
+    kinds("p:head") shouldBe Quad.LITERAL
+    kinds("p:who") shouldBe Quad.IRI
+  }
+
+  it should "fall back to the strict IRI shape for values the store never saw" in {
+    val g = Sparql.construct(quads,
+      """CONSTRUCT { ?x <p:mail> ?m } WHERE {
+        |  ?x <name> ?n . BIND("mailto:x@y.example" AS ?m)
+        |}""".stripMargin)
+    g.select("oKind").distinct().as[Byte].collect().toSeq shouldBe Seq(Quad.IRI)
+    Sparql.looksLikeIri("Re: lunch") shouldBe false
+    Sparql.looksLikeIri("foo:bar") shouldBe false // unknown scheme
+    Sparql.looksLikeIri("urn:graft:agent:x") shouldBe true
+    Sparql.looksLikeIri("mailto:a b@c") shouldBe false // whitespace
+  }
+
   "CONSTRUCT WHERE" should "use the pattern as its own template" in {
     val g = Sparql.construct(quads,
       "CONSTRUCT WHERE { ?x <knows> ?y }")
