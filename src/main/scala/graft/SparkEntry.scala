@@ -865,6 +865,14 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok")),
       "doc_id", "n_tok", capacity = 512)
 
+  /** Exact-substring dedup profile at window granularity (Lee et al.
+    * 2022): per document, distinct 8-token windows and how many also
+    * occur verbatim in another document — one codegen shingle pass and
+    * one hash-keyed shuffle, no self-join. */
+  private def q82_span_dedup(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.spanDuplication(t(s, dir, "documents"), "text", "doc_id", w = 8)
+      .select(col("id").as("doc_id"), col("total_windows"), col("dup_windows"))
+
   /** Property alternation + PREFIX through the SPARQL front end: every
     * order edge that is a status or a priority, one path pattern. */
   private def q81_alternation(s: SparkSession, dir: String): DataFrame =
@@ -954,7 +962,8 @@ object SparkEntry {
     "q78_repetition" -> (q78_repetition _),
     "q79_decontaminate" -> (q79_decontaminate _),
     "q80_packing" -> (q80_packing _),
-    "q81_alternation" -> (q81_alternation _)
+    "q81_alternation" -> (q81_alternation _),
+    "q82_span_dedup" -> (q82_span_dedup _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1520,7 +1529,28 @@ object SparkEntry {
     "q81_alternation" ->
       """SELECT 'o:' || o_orderkey AS o, o_orderstatus AS v FROM orders
         |UNION ALL
-        |SELECT 'o:' || o_orderkey, o_orderpriority FROM orders""".stripMargin
+        |SELECT 'o:' || o_orderkey, o_orderpriority FROM orders""".stripMargin,
+    "q82_span_dedup" ->
+      // window semantics mirror word_shingles: indices 1..max(n-8,0)+1,
+      // slice capped at the tail (short docs emit one short window),
+      // DISTINCT per doc; the engine groups by xxhash64(window) instead
+      // of the window text (same partition modulo 2^-64 collisions)
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 8, 0) + 1)) AS i
+        |  FROM toks WHERE len(ts) >= 1
+        |), wins AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ts[i:least(i + 7, len(ts))], ' ') AS win FROM idx
+        |), nd AS (
+        |  SELECT win, count(*) AS n FROM wins GROUP BY win
+        |)
+        |SELECT w.doc_id,
+        |  CAST(count(*) AS BIGINT) AS total_windows,
+        |  CAST(sum(CASE WHEN nd.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+        |FROM wins w JOIN nd USING (win)
+        |GROUP BY w.doc_id""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

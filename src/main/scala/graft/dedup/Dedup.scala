@@ -330,4 +330,41 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Duplicated-span profile per document — the window-granularity form of
+    * EXACT SUBSTRING deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): any token span of
+    * length >= w duplicated verbatim across two documents necessarily
+    * shares all its w-token windows, so the fraction of a document's
+    * distinct w-token windows that also occur in ANOTHER document bounds
+    * its duplicated-span mass. Output per doc:
+    * (id, total_windows, dup_windows) — exact integers.
+    *
+    * Scale shape: one codegen'd shingle pass per row, then a single
+    * shuffle. With `hashWindows` (the default, the 100 TB path) the
+    * shuffle key is the 8-byte xxhash64 of the window instead of the
+    * window text itself — at w=8 that shrinks shuffle width ~10x; a
+    * cross-doc window-hash collision (probability ~(#windows)^2 / 2^64)
+    * is the only divergence from the exact-string grouping. No driver
+    * state, no self-join: cost is linear in corpus size plus one
+    * hash-aggregate, unlike the suffix-array construction the original
+    * paper uses single-node. */
+  def spanDuplication(df: DataFrame, textCol: String, idCol: String, w: Int,
+      hashWindows: Boolean = true): DataFrame = {
+    val s = shingled(df, textCol, idCol, w)
+    val winExpr = explode(col("shingles")).as("win")
+    val wins = s.select(col("id"), winExpr)
+      .select(col("id"),
+        (if (hashWindows) xxhash64(col("win")) else col("win")).as("wkey"))
+    // shingled() already emits DISTINCT windows per doc, so (id, wkey) is
+    // unique and the per-window doc count is a plain count
+    val sharedCounts = wins
+      .groupBy(col("wkey"))
+      .agg(count(lit(1)).as("nd"))
+    wins.join(sharedCounts, "wkey")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("total_windows"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup_windows"))
+      .select(col("id"), col("total_windows"), col("dup_windows"))
+  }
 }

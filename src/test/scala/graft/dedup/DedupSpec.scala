@@ -47,4 +47,21 @@ class DedupSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     pairs should contain((1L, 2L))
   }
+
+  "spanDuplication" should "count cross-document duplicated windows exactly" in {
+    // w=3 over the fixture: docs 1/2 share all 7 windows; doc 3 shares 4
+    // with them; docs 4/5 share "completely different text" and
+    // "different text about"
+    val expected = Map(
+      1L -> (7L, 7L), 2L -> (7L, 7L), 3L -> (7L, 4L),
+      4L -> (4L, 2L), 5L -> (5L, 2L))
+    val hashed = Dedup.spanDuplication(docs, "text", "doc_id", w = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    hashed shouldBe expected
+    // the string-keyed variant (no window hashing) partitions identically
+    val exact = Dedup.spanDuplication(docs, "text", "doc_id", w = 3,
+      hashWindows = false)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    exact shouldBe expected
+  }
 }
