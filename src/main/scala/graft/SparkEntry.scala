@@ -873,6 +873,14 @@ object SparkEntry {
     graft.dedup.Dedup.spanDuplication(t(s, dir, "documents"), "text", "doc_id", w = 8)
       .select(col("id").as("doc_id"), col("total_windows"), col("dup_windows"))
 
+  /** SPARQL DESCRIBE through the front end: symmetric concise
+    * description (subject rows + incoming IRI links) of every nation a
+    * BUILDING-segment customer points at. */
+  private def q83_describe(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.describe(TpchQuads.quads(s, dir),
+      """DESCRIBE ?n WHERE { ?c <segment> "BUILDING" . ?c <nation> ?n }""")
+      .select(col("s"), col("p"), col("o"), col("g"))
+
   /** Property alternation + PREFIX through the SPARQL front end: every
     * order edge that is a status or a priority, one path pattern. */
   private def q81_alternation(s: SparkSession, dir: String): DataFrame =
@@ -963,7 +971,8 @@ object SparkEntry {
     "q79_decontaminate" -> (q79_decontaminate _),
     "q80_packing" -> (q80_packing _),
     "q81_alternation" -> (q81_alternation _),
-    "q82_span_dedup" -> (q82_span_dedup _)
+    "q82_span_dedup" -> (q82_span_dedup _),
+    "q83_describe" -> (q83_describe _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1550,7 +1559,23 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS total_windows,
         |  CAST(sum(CASE WHEN nd.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
         |FROM wins w JOIN nd USING (win)
-        |GROUP BY w.doc_id""".stripMargin
+        |GROUP BY w.doc_id""".stripMargin,
+    "q83_describe" ->
+      // symmetric concise description of the target nations: their
+      // subject rows (name, region) plus every incoming IRI link
+      // (customer nation edges from ANY segment)
+      """WITH res AS (
+        |  SELECT DISTINCT 'n:' || c_nationkey AS r FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |)
+        |SELECT 'n:' || n_nationkey AS s, 'name' AS p, n_name AS o, 'nation' AS g
+        |FROM nation JOIN res ON 'n:' || n_nationkey = r
+        |UNION ALL
+        |SELECT 'n:' || n_nationkey, 'region', 'r:' || n_regionkey, 'nation'
+        |FROM nation JOIN res ON 'n:' || n_nationkey = r
+        |UNION ALL
+        |SELECT 'c:' || c_custkey, 'nation', 'n:' || c_nationkey, 'customer'
+        |FROM customer JOIN res ON 'n:' || c_nationkey = r""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -764,6 +764,55 @@ object Sparql {
       col("oLang"), col("g")).distinct()
   }
 
+  /** Parse and run a SPARQL DESCRIBE: returns the store quads describing
+    * each target resource — every statement where the resource stands as
+    * subject or as an IRI-kind object (the symmetric concise description
+    * RDF4J serves behind the reference's front door, which delegates
+    * DESCRIBE to the sail; `core/src/main/com/thymeflow/api/
+    * SparqlService.scala:100-158` routes it as a graph query). Targets
+    * are the listed ground IRIs plus the bindings of the listed
+    * variables (`DESCRIBE *` takes every variable) over the optional
+    * WHERE group; union default graph, original graph names kept.
+    *
+    * Scale shape: the target set joins the store as two semi-joins (on s
+    * and on o) — broadcastable whenever the WHERE group is selective,
+    * full hash joins otherwise; no driver materialization. */
+  def describe(quads: DataFrame, queryText: String): DataFrame = {
+    val p = new P(expandPrefixes(tokenize(queryText)))
+    p.expect("DESCRIBE")
+    val targets = scala.collection.mutable.ListBuffer[String]()
+    var star = false
+    while (p.peek.nonEmpty && !p.peek.equalsIgnoreCase("WHERE") && p.peek != "{")
+      if (p.peek == "*") { star = true; p.next() } else targets += p.next()
+    if (p.peek.equalsIgnoreCase("WHERE")) p.next()
+    val group = if (p.peek == "{") Some(p.block()) else None
+    val (ground, vars) = targets.toList.partition(!_.startsWith("?"))
+    require(ground.nonEmpty || vars.nonEmpty || star, "DESCRIBE needs a target")
+    val spark = quads.sparkSession
+    import spark.implicits._
+    val fromVars: Option[DataFrame] = group.map { g =>
+      val bindings = compileGroup(quads, g, None)
+      val names =
+        if (star) bindings.columns.toSeq
+        else vars.map(_.stripPrefix("?")).filter(bindings.columns.contains)
+      require(names.nonEmpty || ground.nonEmpty,
+        "DESCRIBE variables unbound in the WHERE group")
+      if (names.isEmpty) Seq.empty[String].toDF("res")
+      else names.map(n => bindings.select(col(n).cast("string").as("res")))
+        .reduceLeft(_.unionByName(_)).na.drop().distinct()
+    }
+    val groundDf =
+      if (ground.isEmpty) None
+      else Some(ground.map(termValue).toDF("res").distinct())
+    val resources = (fromVars.toSeq ++ groundDf.toSeq)
+      .reduceLeftOption(_.unionByName(_).distinct())
+      .getOrElse(sys.error("DESCRIBE needs a target"))
+    val asSubject = quads.join(resources, quads("s") === resources("res"), "left_semi")
+    val asObject = quads.where(col("oKind") === lit(Quad.IRI))
+      .join(resources, quads("o") === resources("res"), "left_semi")
+    asSubject.unionByName(asObject).distinct()
+  }
+
   /** Parse and run a SPARQL CONSTRUCT: instantiate the template per
     * solution of the WHERE group; returns quads (set semantics). Template
     * GRAPH blocks name the output graph; the default is

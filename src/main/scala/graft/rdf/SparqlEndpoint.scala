@@ -119,7 +119,7 @@ object SparqlEndpoint {
         }
         // query form, looking through any PREFIX header block
         def form(q: String): String =
-          "(?is)^(?:\\s*PREFIX\\s+\\S+\\s+<[^>]*>)*\\s*(SELECT|ASK|CONSTRUCT)".r
+          "(?is)^(?:\\s*PREFIX\\s+\\S+\\s+<[^>]*>)*\\s*(SELECT|ASK|CONSTRUCT|DESCRIBE)".r
             .findFirstMatchIn(q).map(_.group(1).toUpperCase).getOrElse("SELECT")
         (query, update) match {
           case (_, Some(u)) => runUpdate(ex, u)
@@ -133,9 +133,11 @@ object SparqlEndpoint {
             val result = Sparql.ask(ref.get, q)
             respond(ex, 200, "application/sparql-results+json",
               s"""{"head":{},"boolean":$result}""")
-          case (Some(q), _) if form(q) == "CONSTRUCT" =>
+          case (Some(q), _) if form(q) == "CONSTRUCT" || form(q) == "DESCRIBE" =>
+            // both are graph-result forms: serve N-Quads
             val df =
-              try Sparql.construct(ref.get, q)
+              try if (form(q) == "CONSTRUCT") Sparql.construct(ref.get, q)
+                  else Sparql.describe(ref.get, q)
               catch {
                 case e: Exception =>
                   respond(ex, 400, "text/plain", s"parse error: ${e.getMessage}")

@@ -137,6 +137,16 @@ class SparqlEndpointSpec extends SparkSpec {
       s"""<bob> <knownBy> <alice> <${Sparql.ConstructedGraph}> ."""
   }
 
+  it should "serve DESCRIBE results as N-Quads" in withServer { server =>
+    val resp = get(server, "DESCRIBE <alice>", accept = "application/n-quads")
+    resp.statusCode() shouldBe 200
+    resp.headers().firstValue("Content-Type").get() should include("application/n-quads")
+    resp.body().trim.split("\n").toSet shouldBe Set(
+      """<alice> <name> "Alice" <g1> .""",
+      """<alice> <knows> <bob> <g1> .""",
+      """<alice> <mbox> <mailto:alice@example.com> <g1> .""")
+  }
+
   it should "accept application/sparql-update bodies" in withServer { server =>
     val resp = client.send(
       HttpRequest.newBuilder(URI.create(s"http://localhost:${server.port}/sparql"))

@@ -400,6 +400,27 @@ class SparqlSpec extends SparkSpec {
     Sparql.looksLikeIri("mailto:a b@c") shouldBe false // whitespace
   }
 
+  "Sparql.describe" should "describe ground IRIs and WHERE-bound variables" in {
+    val store = Seq(
+      ("c:1", "name", "Ann", Quad.LITERAL, null: String, null: String, "g1"),
+      ("c:1", "nation", "n:7", Quad.IRI, null: String, null: String, "g1"),
+      ("n:7", "name", "GERMANY", Quad.LITERAL, null: String, null: String, "g1"),
+      ("c:2", "nation", "n:7", Quad.IRI, null: String, null: String, "g1"),
+      ("n:8", "name", "FRANCE", Quad.LITERAL, null: String, null: String, "g1"))
+      .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+    // symmetric concise description: subject rows + incoming IRI links
+    Sparql.describe(store, "DESCRIBE <n:7>")
+      .select("s", "p", "o").as[(String, String, String)].collect().toSet shouldBe
+      Set(("n:7", "name", "GERMANY"), ("c:1", "nation", "n:7"), ("c:2", "nation", "n:7"))
+    Sparql.describe(store, "DESCRIBE ?n WHERE { <c:1> <nation> ?n }")
+      .select("s", "p", "o").as[(String, String, String)].collect().toSet shouldBe
+      Set(("n:7", "name", "GERMANY"), ("c:1", "nation", "n:7"), ("c:2", "nation", "n:7"))
+    // DESCRIBE * takes every variable of the group
+    Sparql.describe(store, "DESCRIBE * WHERE { ?c <nation> ?n }")
+      .select("s").distinct().as[String].collect().toSet shouldBe
+      Set("c:1", "c:2", "n:7")
+  }
+
   "CONSTRUCT WHERE" should "use the pattern as its own template" in {
     val g = Sparql.construct(quads,
       "CONSTRUCT WHERE { ?x <knows> ?y }")
