@@ -352,10 +352,15 @@ object Dedup {
   def spanDuplication(df: DataFrame, textCol: String, idCol: String, w: Int,
       hashWindows: Boolean = true): DataFrame = {
     val s = shingled(df, textCol, idCol, w)
-    val winExpr = explode(col("shingles")).as("win")
-    val wins = s.select(col("id"), winExpr)
+    // (id, wkey) materialized ONCE: both consumers below (the per-window
+    // doc counts and the per-doc rollup join) read the checkpointed
+    // blocks — without the barrier Catalyst plans two independent
+    // scan+shingle pipelines (same re-aliased-subtree miss as
+    // minhashLshPairs above; ReuseExchange does not fire)
+    val wins = s.select(col("id"), explode(col("shingles")).as("win"))
       .select(col("id"),
         (if (hashWindows) xxhash64(col("win")) else col("win")).as("wkey"))
+      .localCheckpoint()
     // shingled() already emits DISTINCT windows per doc, so (id, wkey) is
     // unique and the per-window doc count is a plain count
     val sharedCounts = wins

@@ -52,4 +52,10 @@ class PlanSpec extends SparkSpec {
     p should not include "Scan parquet"
     p should include("ExistingRDD")
   }
+
+  "q82 span dedup" should "scan the source exactly once (checkpointed windows)" in {
+    val p = plan("q82_span_dedup")
+    p should not include "Scan parquet"
+    p should include("ExistingRDD")
+  }
 }
