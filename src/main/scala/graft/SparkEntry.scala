@@ -873,6 +873,13 @@ object SparkEntry {
     graft.dedup.Dedup.spanDuplication(t(s, dir, "documents"), "text", "doc_id", w = 8)
       .select(col("id").as("doc_id"), col("total_windows"), col("dup_windows"))
 
+  /** SemDeDup semantic dedup over the embeddings table (rows-only:
+    * the k-means clustering is hash-seeded, not SQL-expressible; the
+    * within-cluster threshold logic is spec-covered in AnnSpec). */
+  private def q84_semantic_dedup(s: SparkSession, dir: String): DataFrame =
+    Ann.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, nlist = 16)
+
   /** SPARQL DESCRIBE through the front end: symmetric concise
     * description (subject rows + incoming IRI links) of every nation a
     * BUILDING-segment customer points at. */
@@ -972,7 +979,8 @@ object SparkEntry {
     "q80_packing" -> (q80_packing _),
     "q81_alternation" -> (q81_alternation _),
     "q82_span_dedup" -> (q82_span_dedup _),
-    "q83_describe" -> (q83_describe _)
+    "q83_describe" -> (q83_describe _),
+    "q84_semantic_dedup" -> (q84_semantic_dedup _)
   )
 
   val oracleSql: Map[String, String] = ListMap(

@@ -225,4 +225,46 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus once with the deterministic
+    * k-means, compare embeddings ONLY within a cluster, and elect the
+    * minimum id of each over-threshold near-duplicate group as keeper.
+    * Output: (id, keep_id, cent_id) — one row per document, keep_id ==
+    * id for semantic uniques.
+    *
+    * Scale shape: a broadcast-centroid assignment pass, then the
+    * quadratic comparison confined to each cluster (~n/nlist rows),
+    * co-located by one cent_id shuffle — the paper's trick for making
+    * all-pairs cosine tractable at web scale; representatives via the
+    * shared connected-components reducer. The assignment is
+    * checkpointed so both sides of the within-cluster self-join read
+    * one materialization (same ReuseExchange miss as the text dedups). */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      kmeansIterations: Int = 1): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIterations)
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(cents))
+      .withColumn("csim", cosine(col("v"), col("cent_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("csim").desc, col("cent_id"))
+    val assigned = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("cent_id"), col("id"), col("v"))
+      .repartition(col("cent_id"))
+      .localCheckpoint()
+    val pairs = assigned.alias("a")
+      .join(assigned.alias("b"),
+        col("a.cent_id") === col("b.cent_id") && col("a.id") < col("b.id"))
+      .where(cosine(col("a.v"), col("b.v")) > threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    graft.dedup.Dedup.representatives(assigned.select(col("id")), pairs)
+      .join(assigned.select(col("id"), col("cent_id")), "id")
+  }
 }

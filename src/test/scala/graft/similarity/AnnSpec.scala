@@ -46,4 +46,20 @@ class AnnSpec extends SparkSpec {
     res.length should be >= 1
     res.map(_.getInt(2)).min shouldBe 1
   }
+
+  "semanticDedup" should "collapse over-threshold groups to min-id keepers" in {
+    // two tight cosine groups plus one isolated vector: the grouping is
+    // invariant to how k-means splits them (pairs only need co-location,
+    // and near-identical vectors share a nearest centroid)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.01f, 0.999f)),
+      (5L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val res = Ann.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.99, nlist = 2)
+      .select("id", "keep_id").as[(Long, Long)].collect().toMap
+    res shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L)
+  }
 }
