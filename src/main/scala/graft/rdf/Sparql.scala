@@ -747,18 +747,39 @@ object Sparql {
         raw.withColumn("oKind",
           coalesce(col("__groundKind"), lit(Quad.LITERAL)).cast("byte"))
       else {
-        val iriTerms = store.select(col("s").as("__iriTerm"))
-          .unionByName(store.select(col("p").as("__iriTerm")))
-          .unionByName(store.where(col("oKind") === lit(Quad.IRI))
-            .select(col("o").as("__iriTerm")))
+        // term-metadata join-back: any value the store uses as a subject
+        // or predicate is an IRI; object occurrences carry their full
+        // (kind, datatype, language) so CONSTRUCTed literals keep
+        // ^^datatype / @lang in N-Quads output. One deterministic
+        // metadata row per term (IRI reading preferred, then smallest
+        // datatype/language).
+        val asIri = (c: String) => store.select(col(c).as("__term"),
+          lit(Quad.IRI).cast("byte").as("__mKind"),
+          lit(null).cast("string").as("__mDt"),
+          lit(null).cast("string").as("__mLang"))
+        val mw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__term"))
+          .orderBy(col("__mKind").asc, col("__mDt").asc_nulls_first,
+            col("__mLang").asc_nulls_first)
+        val termMeta = store.select(col("o").as("__term"),
+            col("oKind").as("__mKind"), col("oDt").as("__mDt"),
+            col("oLang").as("__mLang"))
+          .unionByName(asIri("s")).unionByName(asIri("p"))
           .distinct()
-        raw.join(iriTerms, raw("o") === iriTerms("__iriTerm"), "left")
+          .withColumn("__rk", row_number().over(mw)).where(col("__rk") === 1)
+          .drop("__rk")
+        val bound = col("__groundKind").isNull && col("__term").isNotNull
+        raw.join(termMeta, raw("o") === termMeta("__term"), "left")
           .withColumn("oKind",
             coalesce(col("__groundKind"),
-              when(col("__iriTerm").isNotNull, lit(Quad.IRI))
+              when(col("__term").isNotNull, col("__mKind"))
                 .when(col("o").rlike(IriShapeRegex), lit(Quad.IRI))
                 .otherwise(lit(Quad.LITERAL))).cast("byte"))
-          .drop("__iriTerm")
+          .withColumn("oDt",
+            when(bound, col("__mDt")).otherwise(lit(null).cast("string")))
+          .withColumn("oLang",
+            when(bound, col("__mLang")).otherwise(lit(null).cast("string")))
+          .drop("__term", "__mKind", "__mDt", "__mLang")
       }
     kinded.select(col("s"), col("p"), col("o"), col("oKind"), col("oDt"),
       col("oLang"), col("g")).distinct()

@@ -301,10 +301,10 @@ object SparqlEndpoint {
         val o = row.getString(idx("o"))
         val g = row.getString(idx("g"))
         val kind = idx.get("oKind").map(row.getByte).getOrElse(Quad.LITERAL)
-        val oTerm =
-          if (kind == Quad.IRI) s"<$o>"
-          else "\"" + o.replace("\\", "\\\\").replace("\"", "\\\"")
-            .replace("\n", "\\n") + "\""
+        def strCol(c: String): String =
+          idx.get(c).map(i => if (row.isNullAt(i)) null else row.getString(i)).orNull
+        // shared N-Triples term rule: ^^datatype / @lang survive
+        val oTerm = graft.sources.NTriples.fmtTerm(o, kind, strCol("oDt"), strCol("oLang"))
         w(s"<$s> <$p> $oTerm <$g> .\n")
       }
       out.flush()

@@ -17,7 +17,8 @@ object NTriples {
     s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
 
-  private def fmtTerm(value: String, kind: Byte, dt: String, lang: String): String =
+  /** Shared by the SPARQL endpoint's N-Quads writer. */
+  private[graft] def fmtTerm(value: String, kind: Byte, dt: String, lang: String): String =
     kind match {
       case Quad.IRI => s"<$value>"
       case Quad.BNODE => if (value.startsWith("_:")) value else s"_:$value"

@@ -388,6 +388,23 @@ class SparqlSpec extends SparkSpec {
     kinds("p:who") shouldBe Quad.IRI
   }
 
+  it should "carry literal datatype and language tags through CONSTRUCT" in {
+    val store = Seq(
+      ("e1", "schema:startDate", "2024-03-12T08:30:00Z", Quad.LITERAL,
+        Quad.Xsd.dateTime, null: String, "g1"),
+      ("e1", "schema:name", "Fete", Quad.LITERAL, null: String, "fr", "g1"))
+      .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+    val g = Sparql.construct(store,
+      """CONSTRUCT { ?e <p:when> ?d . ?e <p:label> ?n } WHERE {
+        |  ?e <schema:startDate> ?d . ?e <schema:name> ?n
+        |}""".stripMargin)
+    val rows = g.select("p", "o", "oDt", "oLang").collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.getString(2)), Option(r.getString(3))))).toMap
+    rows("p:when") shouldBe (("2024-03-12T08:30:00Z", Some(Quad.Xsd.dateTime), None))
+    rows("p:label") shouldBe (("Fete", None, Some("fr")))
+  }
+
   it should "fall back to the strict IRI shape for values the store never saw" in {
     val g = Sparql.construct(quads,
       """CONSTRUCT { ?x <p:mail> ?m } WHERE {
