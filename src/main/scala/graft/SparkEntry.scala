@@ -873,6 +873,20 @@ object SparkEntry {
     graft.dedup.Dedup.spanDuplication(t(s, dir, "documents"), "text", "doc_id", w = 8)
       .select(col("id").as("doc_id"), col("total_windows"), col("dup_windows"))
 
+  /** Deterministic stratified corpus sampling (mixture weights): token-
+    * count buckets sampled at 25%/50%/100% via the engine-independent
+    * Knuth draw — kept set and uniforms are exact integers. */
+  private def q85_stratified_sample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .withColumn("bucket",
+        when(col("n_tok") < 40, "short")
+          .when(col("n_tok") < 70, "medium").otherwise("long"))
+    graft.text.Sampling.stratifiedSample(d, "doc_id", "bucket",
+        Map("short" -> 0.25, "medium" -> 0.5))
+      .select(col("doc_id"), col("bucket"), col("u"))
+  }
+
   /** SemDeDup semantic dedup over the embeddings table (rows-only:
     * the k-means clustering is hash-seeded, not SQL-expressible; the
     * within-cluster threshold logic is spec-covered in AnnSpec). */
@@ -980,7 +994,8 @@ object SparkEntry {
     "q81_alternation" -> (q81_alternation _),
     "q82_span_dedup" -> (q82_span_dedup _),
     "q83_describe" -> (q83_describe _),
-    "q84_semantic_dedup" -> (q84_semantic_dedup _)
+    "q84_semantic_dedup" -> (q84_semantic_dedup _),
+    "q85_stratified_sample" -> (q85_stratified_sample _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1583,7 +1598,22 @@ object SparkEntry {
         |FROM nation JOIN res ON 'n:' || n_nationkey = r
         |UNION ALL
         |SELECT 'c:' || c_custkey, 'nation', 'n:' || c_nationkey, 'customer'
-        |FROM customer JOIN res ON 'n:' || c_nationkey = r""".stripMargin
+        |FROM customer JOIN res ON 'n:' || c_nationkey = r""".stripMargin,
+    "q85_stratified_sample" ->
+      // the Knuth draw is plain integer arithmetic, identical across
+      // engines — both the kept set and the uniforms compare exactly
+      """WITH d AS (
+        |  SELECT doc_id, len(list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0)) AS n_tok
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tok < 40 THEN 'short' WHEN n_tok < 70 THEN 'medium' ELSE 'long' END AS bucket,
+        |    (doc_id * 2654435761) % 4294967296 AS u
+        |  FROM d
+        |)
+        |SELECT doc_id, bucket, CAST(u AS BIGINT) AS u FROM b
+        |WHERE u < CASE bucket WHEN 'short' THEN 1073741824
+        |  WHEN 'medium' THEN 2147483648 ELSE 4294967296 END""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

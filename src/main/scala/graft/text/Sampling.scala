@@ -1,0 +1,35 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified corpus sampling — the "mixture weights" step
+  * of training-data pipelines (per-source / per-quality sampling rates:
+  * The Pile's per-subset epochs, Dolma's source mixing). Each document
+  * draws a reproducible uniform from a Knuth multiplicative hash of its
+  * integer id — plain 64-bit arithmetic `(id * 2654435761) mod 2^32`, so
+  * the draw is identical in ANY engine (no RNG state, no hash-function
+  * coupling), and differential tests against a SQL oracle are exact.
+  * A document is kept iff its draw < rate(bucket)·2^32.
+  *
+  * Scale shape: per-row projection + filter, shuffle-free; safe for ids
+  * up to ~3.4e9 before the multiply would overflow signed 64-bit (use a
+  * pre-folded id column beyond that). */
+object Sampling {
+
+  /** Knuth multiplicative draw in [0, 2^32). */
+  val Modulus: Long = 1L << 32
+  def draw(id: Column): Column = pmod(id.cast("long") * lit(2654435761L), lit(Modulus))
+
+  /** Keep each row iff draw(id) < rates(bucket)·2^32; unlisted buckets
+    * keep everything (rate 1.0). Output: input columns + `u` (the draw,
+    * exact integer — lets differential tests compare the kept set AND
+    * the uniforms). */
+  def stratifiedSample(df: DataFrame, idCol: String, bucketCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val thr = rates.foldLeft(lit(Modulus)) { case (acc, (b, r)) =>
+      when(col(bucketCol) === b, lit((r * Modulus).toLong)).otherwise(acc)
+    }
+    df.withColumn("u", draw(col(idCol))).where(col("u") < thr)
+  }
+}
