@@ -104,6 +104,28 @@ object ScalingProbe {
         .where(col("decoded")).count()
     }
 
+    // 9) SemDeDup at 20k vectors (embeddings replicated 10x, dim 64,
+    // nlist 64 -> ~300-vector clusters): the quadratic cosine pass is
+    // cluster-confined and fully codegen (posexplode + equi-join + sum,
+    // ~200M joined component rows through map-side partial aggregation).
+    // The operator's cost model is d*k^2 per cluster — at larger n you
+    // grow nlist proportionally, keeping k bounded.
+    val emb = Tables(spark, dir, "embeddings")
+    val bigEmb = emb.crossJoin(spark.range(10).toDF("rep"))
+      .select((col("vec_id") + col("rep") * 1000000).as("vec_id"), col("embedding"))
+    val (tSem, nSem) = time {
+      graft.similarity.Ann.semanticDedup(bigEmb, "vec_id", "embedding",
+        threshold = 0.95, nlist = 64).count()
+    }
+
+    // 8) exact-substring window dedup at 500k docs (documents replicated
+    // 100x; each replica appends a distinct suffix, so all but the tail
+    // windows duplicate across replicas — worst-case dup mass, ~45M
+    // window rows through one hash-keyed shuffle)
+    val (tSpan, nSpan) = time {
+      graft.dedup.Dedup.spanDuplication(docs500k, "text", "doc_id", w = 8).count()
+    }
+
     println(
       s"""{"probe":"scaling","stays":{"sec":$tStays,"rows":$nStays},""" +
       s""""minhash50k":{"sec":$tMinhash,"rows":$nMinhash},""" +
@@ -111,7 +133,9 @@ object ScalingProbe {
       s""""blocking200k":{"sec":$tBlock,"rows":$nBlock},""" +
       s""""simhash500k":{"sec":$tSimhash,"rows":$nSimhash},""" +
       s""""windowedStays6M":{"sec":$tWindowed,"rows":$nWindowed},""" +
-      s""""imageEmbed500k":{"sec":$tEmbed,"rows":$nEmbed}}""")
+      s""""imageEmbed500k":{"sec":$tEmbed,"rows":$nEmbed},""" +
+      s""""spanDedup500k":{"sec":$tSpan,"rows":$nSpan},""" +
+      s""""semanticDedup100k":{"sec":$tSem,"rows":$nSem}}""")
     spark.stop()
   }
 }

@@ -873,6 +873,20 @@ object SparkEntry {
     graft.dedup.Dedup.spanDuplication(t(s, dir, "documents"), "text", "doc_id", w = 8)
       .select(col("id").as("doc_id"), col("total_windows"), col("dup_windows"))
 
+  /** Corpus vocabulary statistics: top-50 word bigrams by occurrence
+    * count (every occurrence, not per-doc distinct), deterministic
+    * tie-break — executes as TakeOrderedAndProject, no global sort. */
+  private def q86_top_bigrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2) // sequence(0, n) descends when n < 0
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(50)
+
   /** Deterministic stratified corpus sampling (mixture weights): token-
     * count buckets sampled at 25%/50%/100% via the engine-independent
     * Knuth draw — kept set and uniforms are exact integers. */
@@ -995,7 +1009,8 @@ object SparkEntry {
     "q82_span_dedup" -> (q82_span_dedup _),
     "q83_describe" -> (q83_describe _),
     "q84_semantic_dedup" -> (q84_semantic_dedup _),
-    "q85_stratified_sample" -> (q85_stratified_sample _)
+    "q85_stratified_sample" -> (q85_stratified_sample _),
+    "q86_top_bigrams" -> (q86_top_bigrams _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1613,7 +1628,17 @@ object SparkEntry {
         |)
         |SELECT doc_id, bucket, CAST(u AS BIGINT) AS u FROM b
         |WHERE u < CASE bucket WHEN 'short' THEN 1073741824
-        |  WHEN 'medium' THEN 2147483648 ELSE 4294967296 END""".stripMargin
+        |  WHEN 'medium' THEN 2147483648 ELSE 4294967296 END""".stripMargin,
+    "q86_top_bigrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), bg AS (
+        |  SELECT ts[i] || ' ' || ts[i+1] AS bigram
+        |  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks WHERE len(ts) >= 2)
+        |)
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

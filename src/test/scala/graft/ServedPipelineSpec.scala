@@ -127,6 +127,15 @@ class ServedPipelineSpec extends SparkSpec {
            |}""".stripMargin, accept = "application/n-quads")
       constructed.statusCode() shouldBe 200
       constructed.body() should include("<personal:mergedWith>")
+
+      // DESCRIBE the resolved agent through the front door: its own
+      // statements plus the incoming sameAs/sender/recipient links
+      val described = get(server, s"DESCRIBE <$aliceAgent>",
+        accept = "application/n-quads")
+      described.statusCode() shouldBe 200
+      described.body() should include(s"<$aliceAgent> <${S}name>")
+      described.body() should include(s"<personal:sameAs> <$aliceAgent>")
+      described.body() should include(s"<${S}sender> <$aliceAgent>")
     } finally server.stop()
   }
 }
