@@ -135,7 +135,7 @@ object ScalingProbe {
       s""""windowedStays6M":{"sec":$tWindowed,"rows":$nWindowed},""" +
       s""""imageEmbed500k":{"sec":$tEmbed,"rows":$nEmbed},""" +
       s""""spanDedup500k":{"sec":$tSpan,"rows":$nSpan},""" +
-      s""""semanticDedup100k":{"sec":$tSem,"rows":$nSem}}""")
+      s""""semanticDedup20k":{"sec":$tSem,"rows":$nSem}}""")
     spark.stop()
   }
 }

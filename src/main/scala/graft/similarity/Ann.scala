@@ -158,6 +158,51 @@ object Ann {
     * (no RNG state → reproducible): Lloyd iterations of assign + per-list
     * element-wise mean, means computed via posexplode + groupBy (one
     * shuffle per round, centroids collected only — nlist·dim values). */
+  /** Nearest-centroid assignment via a broadcast JVM kernel: the
+    * centroid matrix (nlist x dim doubles — tiny) is collected and
+    * broadcast, and one partition-local pass computes every argmax in
+    * plain JVM loops — no row explosion, no interpreted lambdas (the
+    * HOF-cosine-per-(vector, centroid) formulation this replaces was the
+    * dominant cost of the SemDeDup scaling probe). Ties go to the
+    * smallest cent_id, matching the windowed formulation. Output:
+    * (cent_id, id, v, norm). */
+  private def assignNearest(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centRows = cents.select(col("cent_id").cast("long"), col("cent_vec"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val centB = spark.sparkContext.broadcast(centRows)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = centB.value
+        val cNorms = cs.map { case (_, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          math.sqrt(s)
+        }
+        it.map { case (id, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          val norm = math.sqrt(s)
+          var best = 0; var bestSim = Double.NegativeInfinity
+          var j = 0
+          while (j < cs.length) {
+            val cv = cs(j)._2
+            var dot = 0.0; var d = 0
+            val n = math.min(cv.length, v.length)
+            while (d < n) { dot += cv(d) * v(d).toDouble; d += 1 }
+            val sim = if (norm == 0 || cNorms(j) == 0) 0.0 else dot / (norm * cNorms(j))
+            if (sim > bestSim) { bestSim = sim; best = j }
+            j += 1
+          }
+          (cs(best)._1, id, v, norm)
+        }
+      }.toDF("cent_id", "id", "v", "norm")
+  }
+
   def kmeansCentroids(
       corpus: DataFrame,
       idCol: String,
@@ -174,13 +219,7 @@ object Ann {
       .select(col("cent_id"), col("cent_vec"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val scored = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
-        .join(broadcast(cents))
-        .withColumn("csim", cosine(col("v"), col("cent_vec")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vid")).orderBy(col("csim").desc, col("cent_id"))
-      val assigned = scored.withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
+      val assigned = assignNearest(corpus, idCol, vecCol, cents)
         .select(col("cent_id"), col("v"))
       val means = assigned
         .select(col("cent_id"), posexplode(col("v")).as(Seq("i", "x")))
@@ -249,14 +288,7 @@ object Ann {
       nlist: Int = 16,
       kmeansIterations: Int = 1): DataFrame = {
     val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIterations)
-    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .join(broadcast(cents))
-      .withColumn("csim", cosine(col("v"), col("cent_vec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("csim").desc, col("cent_id"))
-    val assigned = scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("cent_id"), col("id"), col("v"), l2norm(col("v")).as("norm"))
+    val assigned = assignNearest(corpus, idCol, vecCol, cents)
       .repartition(col("cent_id"))
       .localCheckpoint()
     // within-cluster cosine via posexplode + equi-join + sum: the pair
