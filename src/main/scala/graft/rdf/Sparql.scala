@@ -272,7 +272,7 @@ object Sparql {
           } else preds += pterm()
           var moreObjects = true
           while (moreObjects) {
-            elems += NegPropSet(s, preds.toList, term())
+            elems += NegPropSet(s, preds.toList, objTerm())
             moreObjects = peek == "," && { next(); true }
           }
         } else {
@@ -291,7 +291,7 @@ object Sparql {
           while (peek == "/") { next(); steps += modded() }
           var moreObjects = true
           while (moreObjects) {
-            val o = term()
+            val o = objTerm()
             // chain through fresh intermediate variables; each step is a
             // plain/alternation triple or a closure, inverted in place
             // (p1/^p2*/...) — `?s (^p)* ?o` ≡ `?o p* ?s`: closures and
@@ -416,6 +416,18 @@ object Sparql {
 
     def term(): String = next()
 
+    /** Object-position term: a quoted literal may carry `^^<datatype>`
+      * or `@lang` (SPARQL typed/tagged literals); the suffix is folded
+      * into the token and split back by [[Sparql.literalParts]]. */
+    def objTerm(): String = {
+      val t = term()
+      if (t.startsWith("\"")) {
+        if (peek == "^" && peek2 == "^") { next(); next(); t + "^^" + next() }
+        else if (peek.length > 1 && peek.startsWith("@")) t + next()
+        else t
+      } else t
+    }
+
     /** Predicate term: 'a' abbreviates rdf:type (as this repo's converters
       * spell it). */
     def pterm(): String = {
@@ -438,9 +450,18 @@ object Sparql {
 
   // --------------------------------------------------------------- compile
 
+  /** Split a (possibly `^^<dt>`/`@lang`-suffixed) literal token into
+    * (value, datatype, lang) — datatype/lang null when absent. Non-quoted
+    * tokens pass through with null metadata. */
+  private val LitSuffix = """(?s)^"(.*)"(?:\^\^<([^>]*)>|@([A-Za-z0-9-]+))?$""".r
+  private[rdf] def literalParts(tok: String): (String, String, String) = tok match {
+    case LitSuffix(v, dt, lang) => (v, dt, lang)
+    case _ => (tok, null, null)
+  }
+
   private def termValue(t: String): String =
     if (t.startsWith("<")) t.substring(1, t.length - 1)
-    else if (t.startsWith("\"")) t.substring(1, t.length - 1)
+    else if (t.startsWith("\"")) literalParts(t)._1
     else t
 
   private def toPattern(t: Triple, g: Option[String]): Bgp.Pattern = {
@@ -734,11 +755,14 @@ object Sparql {
       defaultGraph: String, store: DataFrame,
       resolveKinds: Boolean = true): DataFrame = {
     val raw = templ.map { case (s, p, o, g) =>
+      val (_, gDt, gLang) =
+        if (o.startsWith("\"")) literalParts(o) else (o, null, null)
       bindings.select(
         tExpr(s).as("s"), tExpr(p).as("p"), tExpr(o).as("o"),
         (if (o.startsWith("?")) lit(null) else lit(groundKind(o)))
           .cast("byte").as("__groundKind"),
-        lit(null).cast("string").as("oDt"), lit(null).cast("string").as("oLang"),
+        lit(gDt).cast("string").as("oDt"),
+        lit(gLang).cast("string").as("oLang"),
         lit(g.getOrElse(defaultGraph)).as("g"))
     }.reduceLeft(_.unionByName(_)).na.drop(Seq("s", "p", "o"))
     val needResolve = resolveKinds && templ.exists(_._3.startsWith("?"))
@@ -776,9 +800,9 @@ object Sparql {
                 .when(col("o").rlike(IriShapeRegex), lit(Quad.IRI))
                 .otherwise(lit(Quad.LITERAL))).cast("byte"))
           .withColumn("oDt",
-            when(bound, col("__mDt")).otherwise(lit(null).cast("string")))
+            when(bound, col("__mDt")).otherwise(col("oDt")))
           .withColumn("oLang",
-            when(bound, col("__mLang")).otherwise(lit(null).cast("string")))
+            when(bound, col("__mLang")).otherwise(col("oLang")))
           .drop("__term", "__mKind", "__mDt", "__mLang")
       }
     kinded.select(col("s"), col("p"), col("o"), col("oKind"), col("oDt"),
@@ -884,7 +908,9 @@ object Sparql {
       val qs = ts.map { case (s, p, o, g) =>
         require(!s.startsWith("?") && !p.startsWith("?") && !o.startsWith("?"),
           "DATA blocks must be ground")
-        Quad(termValue(s), termValue(p), termValue(o), groundKind(o), null, null,
+        val (ov, dt, lang) =
+          if (o.startsWith("\"")) literalParts(o) else (termValue(o), null, null)
+        Quad(termValue(s), termValue(p), ov, groundKind(o), dt, lang,
           g.getOrElse(UserGraph))
       }
       qs.toDF().select(storeCols: _*)

@@ -253,7 +253,12 @@ object Ann {
       scored.withColumn("crank", row_number().over(w)).where(col("crank") <= n)
         .select(col(rename), col(s"${rename}_vec"), col("cent_id"))
     }
-    val assigned = nearestLists(corpus, idCol, vecCol, 1, "neighbor_id")
+    // corpus side: single-list assignment through the broadcast JVM
+    // kernel (no interpreted per-(vector, centroid) lambdas); the probe
+    // side keeps the column formulation for its nprobe-list expansion
+    val assigned = assignNearest(corpus, idCol, vecCol, cents)
+      .select(col("id").as("neighbor_id"), col("v").as("neighbor_id_vec"),
+        col("cent_id"))
     val probed = nearestLists(probes, idCol, vecCol, nprobe, "probe_id")
     val scored = probed.join(assigned, Seq("cent_id"))
       .where(col("probe_id") =!= col("neighbor_id"))

@@ -405,6 +405,25 @@ class SparqlSpec extends SparkSpec {
     rows("p:label") shouldBe (("Fete", None, Some("fr")))
   }
 
+  it should "parse typed and language-tagged literals in DATA blocks and templates" in {
+    val s1 = Sparql.update(quads,
+      """INSERT DATA {
+        |  <e1> <date> "2024-01-01"^^<http://www.w3.org/2001/XMLSchema#date> .
+        |  <e1> <greet> "bonjour"@fr
+        |}""".stripMargin)
+    val r = s1.where($"s" === "e1").select("p", "o", "oDt", "oLang").collect()
+      .map(x => x.getString(0) ->
+        ((x.getString(1), Option(x.getString(2)), Option(x.getString(3))))).toMap
+    r("date") shouldBe
+      (("2024-01-01", Some("http://www.w3.org/2001/XMLSchema#date"), None))
+    r("greet") shouldBe (("bonjour", None, Some("fr")))
+    // ground template literals carry the suffix through CONSTRUCT too
+    val g = Sparql.construct(s1,
+      """CONSTRUCT { ?x <tag> "fixed"@en } WHERE { ?x <greet> ?g }""")
+    g.select("o", "oLang").as[(String, String)].collect().toSet shouldBe
+      Set(("fixed", "en"))
+  }
+
   it should "fall back to the strict IRI shape for values the store never saw" in {
     val g = Sparql.construct(quads,
       """CONSTRUCT { ?x <p:mail> ?m } WHERE {
