@@ -873,6 +873,14 @@ object SparkEntry {
     graft.dedup.Dedup.spanDuplication(t(s, dir, "documents"), "text", "doc_id", w = 8)
       .select(col("id").as("doc_id"), col("total_windows"), col("dup_windows"))
 
+  /** GROUP_CONCAT through the SPARQL front end: nation names per region,
+    * deterministic (sorted) concatenation. */
+  private def q87_group_concat(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.select(TpchQuads.quads(s, dir),
+      """SELECT ?r (GROUP_CONCAT(?n; SEPARATOR="|") AS ?nations) WHERE {
+        |  GRAPH <nation> { ?x <region> ?r . ?x <name> ?n }
+        |} GROUP BY ?r""".stripMargin)
+
   /** Corpus vocabulary statistics: top-50 word bigrams by occurrence
     * count (every occurrence, not per-doc distinct), deterministic
     * tie-break — executes as TakeOrderedAndProject, no global sort. */
@@ -1010,7 +1018,8 @@ object SparkEntry {
     "q83_describe" -> (q83_describe _),
     "q84_semantic_dedup" -> (q84_semantic_dedup _),
     "q85_stratified_sample" -> (q85_stratified_sample _),
-    "q86_top_bigrams" -> (q86_top_bigrams _)
+    "q86_top_bigrams" -> (q86_top_bigrams _),
+    "q87_group_concat" -> (q87_group_concat _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1638,7 +1647,11 @@ object SparkEntry {
         |  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks WHERE len(ts) >= 2)
         |)
         |SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg
-        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "q87_group_concat" ->
+      """SELECT 'r:' || n_regionkey AS r,
+        |  string_agg(n_name, '|' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY 1""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

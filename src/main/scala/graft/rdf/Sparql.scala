@@ -135,7 +135,7 @@ object Sparql {
   private final case class PlainVar(name: String) extends SelectItem
   /** e.g. (COUNT(?msg) AS ?msgCount); arg "*" for COUNT(*). */
   private final case class AggItem(fn: String, arg: String, distinct: Boolean,
-      alias: String) extends SelectItem
+      alias: String, sep: Option[String] = None) extends SelectItem
 
   private sealed trait OrderKey
   private final case class VarKey(name: String) extends OrderKey
@@ -174,7 +174,8 @@ object Sparql {
     }
   }
 
-  private val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
+  private val AggFns =
+    Set("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE")
 
   private class P(var tokens: List[String]) {
     def peek: String = tokens.headOption.getOrElse("")
@@ -185,14 +186,20 @@ object Sparql {
       require(h.equalsIgnoreCase(t), s"expected $t, got $h")
     }
 
-    private def aggExpr(): (String, String, Boolean) = {
+    private def aggExpr(): (String, String, Boolean, Option[String]) = {
       val fn = next().toUpperCase
       require(AggFns.contains(fn), s"unsupported aggregate $fn")
       expect("(")
       val distinct = peek.equalsIgnoreCase("DISTINCT") && { next(); true }
       val arg = next() // ?var or *
+      // GROUP_CONCAT(?x; SEPARATOR="..") — SPARQL 1.1 §11.4.7
+      val sep =
+        if (peek == ";") {
+          next(); expect("SEPARATOR"); expect("=")
+          Some(termValue(next()))
+        } else None
       expect(")")
-      (fn, arg, distinct)
+      (fn, arg, distinct, sep)
     }
 
     def query(): Query = {
@@ -203,11 +210,11 @@ object Sparql {
       while (peek.startsWith("?") || peek == "*" || peek == "(") {
         if (peek == "(") {
           next()
-          val (fn, arg, dist) = aggExpr()
+          val (fn, arg, dist, sep) = aggExpr()
           expect("AS")
           val alias = next().stripPrefix("?")
           expect(")")
-          items += AggItem(fn, arg, dist, alias)
+          items += AggItem(fn, arg, dist, alias, sep)
         } else {
           val t = next()
           if (t == "*") star = true else items += PlainVar(t.drop(1))
@@ -234,11 +241,11 @@ object Sparql {
               expect("(")
               val k =
                 if (peek.startsWith("?")) VarKey(next().drop(1))
-                else { val (fn, arg, _) = aggExpr(); AggKey(fn, arg) }
+                else { val (fn, arg, _, _) = aggExpr(); AggKey(fn, arg) }
               expect(")")
               k
             } else if (AggFns.contains(peek.toUpperCase)) {
-              val (fn, arg, _) = aggExpr(); AggKey(fn, arg)
+              val (fn, arg, _, _) = aggExpr(); AggKey(fn, arg)
             } else VarKey(next().stripPrefix("?"))
           if (peek.equalsIgnoreCase("DESC")) { desc = true; next() }
           else if (peek.equalsIgnoreCase("ASC")) next()
@@ -625,7 +632,8 @@ object Sparql {
     }
   }
 
-  private def aggColumn(fn: String, arg: String, distinct: Boolean): Column = {
+  private def aggColumn(fn: String, arg: String, distinct: Boolean,
+      sep: Option[String] = None): Column = {
     val c = if (arg == "*") None else Some(col(arg.stripPrefix("?")))
     fn match {
       case "COUNT" if c.isEmpty => count(lit(1))
@@ -635,6 +643,13 @@ object Sparql {
       case "MIN" => min(c.get)
       case "MAX" => max(c.get)
       case "AVG" => avg(c.get)
+      case "GROUP_CONCAT" =>
+        // SPARQL leaves concatenation order undefined; sort for a
+        // deterministic (and differential-testable) result
+        val vals = collect_list(c.get.cast("string"))
+        array_join(array_sort(if (distinct) array_distinct(vals) else vals),
+          sep.getOrElse(" "))
+      case "SAMPLE" => min(c.get) // any value is conformant; min is stable
     }
   }
 
@@ -648,7 +663,7 @@ object Sparql {
         aggItems.exists(a => a.fn == k.fn && a.arg == k.arg && !a.distinct))
         .map(k => aggColumn(k.fn, k.arg, distinct = false).as("__ord"))
       val aggCols = aggItems.map(a =>
-        aggColumn(a.fn, a.arg, a.distinct).as(a.alias)) ++ hiddenOrd
+        aggColumn(a.fn, a.arg, a.distinct, a.sep).as(a.alias)) ++ hiddenOrd
       require(aggCols.nonEmpty, "GROUP BY without aggregates in SELECT or ORDER BY")
       df = df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
     }
@@ -656,7 +671,7 @@ object Sparql {
     // the sort, then dropped)
     val projected: Seq[String] = q.items.map {
       case PlainVar(v) => v
-      case AggItem(_, _, _, alias) => alias
+      case AggItem(_, _, _, alias, _) => alias
     }
     if (projected.nonEmpty) {
       val keep = projected ++ (if (hasAggs && orderAggKey.isDefined &&

@@ -470,6 +470,18 @@ class SparqlSpec extends SparkSpec {
       .as[String].collect().toSeq shouldBe Seq("Bob")
   }
 
+  "GROUP_CONCAT and SAMPLE" should "aggregate with deterministic order/choice" in {
+    val res = Sparql.select(quads,
+      """SELECT ?x (GROUP_CONCAT(?v; SEPARATOR=", ") AS ?vals) (SAMPLE(?v) AS ?one)
+        |WHERE { ?x ?p ?v . FILTER(?p != "knows") } GROUP BY ?x
+        |ORDER BY ?x""".stripMargin)
+      .as[(String, String, String)].collect().toSeq
+    res shouldBe Seq(
+      ("alice", "31, Alice", "31"), // sorted concat; SAMPLE = stable min
+      ("bob", "7, Bob", "7"),
+      ("carol", "Carol", "Carol"))
+  }
+
   "count distinct" should "honor DISTINCT inside COUNT" in {
     val res = Sparql.select(agentQuads,
       """SELECT ?agent (COUNT(DISTINCT ?p) AS ?np) WHERE {
