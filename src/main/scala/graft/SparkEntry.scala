@@ -873,6 +873,13 @@ object SparkEntry {
     graft.dedup.Dedup.spanDuplication(t(s, dir, "documents"), "text", "doc_id", w = 8)
       .select(col("id").as("doc_id"), col("total_windows"), col("dup_windows"))
 
+  /** Okapi BM25 scoring of every document against a fixed term set —
+    * reproducible float math, rounded to 6 places on both sides. */
+  private def q88_bm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(t(s, dir, "documents"), "text", "doc_id",
+      Seq("spark", "table", "query"))
+      .select(col("id").as("doc_id"), col("score"))
+
   /** GROUP_CONCAT through the SPARQL front end: nation names per region,
     * deterministic (sorted) concatenation. */
   private def q87_group_concat(s: SparkSession, dir: String): DataFrame =
@@ -1019,7 +1026,8 @@ object SparkEntry {
     "q84_semantic_dedup" -> (q84_semantic_dedup _),
     "q85_stratified_sample" -> (q85_stratified_sample _),
     "q86_top_bigrams" -> (q86_top_bigrams _),
-    "q87_group_concat" -> (q87_group_concat _)
+    "q87_group_concat" -> (q87_group_concat _),
+    "q88_bm25" -> (q88_bm25 _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1651,7 +1659,32 @@ object SparkEntry {
     "q87_group_concat" ->
       """SELECT 'r:' || n_regionkey AS r,
         |  string_agg(n_name, '|' ORDER BY n_name) AS nations
-        |FROM nation GROUP BY 1""".stripMargin
+        |FROM nation GROUP BY 1""".stripMargin,
+    "q88_bm25" ->
+      // expression shapes mirror the engine exactly (same literals, same
+      // association) so the double math agrees to the last ulp; round(6)
+      // absorbs any residual libm difference
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, len(ts) AS dl, ts FROM toks WHERE len(ts) > 0
+        |), stats AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl FROM d
+        |), tf AS (
+        |  SELECT doc_id, dl, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS tok FROM d)
+        |  WHERE tok IN ('spark', 'table', 'query')
+        |  GROUP BY doc_id, dl, tok
+        |), dfreq AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+        |)
+        |SELECT tf.doc_id,
+        |  round(sum(
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        |FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+        |GROUP BY tf.doc_id""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

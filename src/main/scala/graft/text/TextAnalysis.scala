@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis columns for a large-scale document pipeline: tokenizing,
@@ -171,4 +171,35 @@ object TextAnalysis {
       transform(wordShingles(text, k), s => xxhash64(s)),
       lit(0L),
       (acc, h) => acc.bitwiseXOR(h))
+
+  /** Okapi BM25 relevance of every document against a fixed term set
+    * (Robertson & Zaragoza 2009) — the retrieval-side sibling of the IDF
+    * table. tf/dl are exact integers; avgdl is a sum-of-integers mean
+    * (exact in double), so the float math is reproducible across engines
+    * and the score is rounded to 6 places for differential comparison.
+    *
+    * Scale shape: one token pass (checkpointed — corpus stats and term
+    * frequencies read the same materialization), per-term df and the
+    * (n, avgdl) scalar broadcast; no shuffle wider than the matched
+    * (doc, term) pairs. Output: (id, score), matched docs only. */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .withColumn("dl", size(col("ts")))
+      .where(col("dl") > 0)
+      .localCheckpoint()
+    val stats = toks.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("id"), col("dl"), explode(col("ts")).as("tok"))
+      .where(col("tok").isin(terms: _*))
+      .groupBy(col("id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(countDistinct(col("id")).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id")).agg(round(sum(col("w")), 6).as("score"))
+  }
 }

@@ -114,4 +114,17 @@ class TextAnalysisSpec extends SparkSpec {
     Seq("internationalization a.").toDF("t")
       .select(TextAnalysis.bpeishTokenCount($"t")).as[Long].head() shouldBe 7L
   }
+
+  "bm25" should "score only matching docs, more query-term mass ranking higher" in {
+    val docs = Seq(
+      (1L, "spark table query spark runs"),
+      (2L, "spark alone in this one here"),
+      (3L, "nothing relevant at all")).toDF("doc_id", "text")
+    val res = TextAnalysis.bm25(docs, "text", "doc_id",
+        Seq("spark", "table", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    res.keySet shouldBe Set(1L, 2L)
+    res(1L) should be > res(2L)
+    res.values.foreach(_ should be > 0.0)
+  }
 }
