@@ -40,4 +40,34 @@ class StreamingDedupSpec extends SparkSpec {
     out.intersect(Set(1L, 3L, 4L)) should have size 1
     out should contain(2L)
   }
+
+  "streaming span dedup" should "pass only never-seen windows across micro-batches" in {
+    // the ingestion-time face of exact-substring dedup: window hashes
+    // keyed in streaming state, so a span already seen in ANY earlier
+    // micro-batch is dropped and only novel windows flow downstream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val wins = stream.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.wordShingles(col("text"), 3)).as("win"))
+      .withColumn("wkey", xxhash64(col("win")))
+      .dropDuplicates("wkey")
+    val query = wins.writeStream
+      .format("memory").queryName("span_out")
+      .outputMode("append")
+      .start()
+
+    stream.addData((1L, "one two three four five")) // 3 windows, all novel
+    query.processAllAvailable()
+    // doc 2 repeats the "one two three four" span; only its leading
+    // window is new
+    stream.addData((2L, "zero one two three four"))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("span_out").select("doc_id", "win")
+      .as[(Long, String)].collect()
+    rows.count(_._1 == 1L) shouldBe 3
+    rows.filter(_._1 == 2L).map(_._2).toSeq shouldBe Seq("zero one two")
+  }
 }
