@@ -873,6 +873,15 @@ object SparkEntry {
     graft.dedup.Dedup.spanDuplication(t(s, dir, "documents"), "text", "doc_id", w = 8)
       .select(col("id").as("doc_id"), col("total_windows"), col("dup_windows"))
 
+  /** HAVING + multi-key ORDER BY through the SPARQL front end: nations
+    * with at least 60 customers, most-populated first. */
+  private def q89_having(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.select(TpchQuads.quads(s, dir),
+      """SELECT ?nat (COUNT(?c) AS ?n) WHERE {
+        |  GRAPH <customer> { ?c <nation> ?nat }
+        |} GROUP BY ?nat HAVING (COUNT(?c) >= 60)
+        |ORDER BY DESC(COUNT(?c)) ?nat""".stripMargin)
+
   /** Okapi BM25 scoring of every document against a fixed term set —
     * reproducible float math, rounded to 6 places on both sides. */
   private def q88_bm25(s: SparkSession, dir: String): DataFrame =
@@ -1027,7 +1036,8 @@ object SparkEntry {
     "q85_stratified_sample" -> (q85_stratified_sample _),
     "q86_top_bigrams" -> (q86_top_bigrams _),
     "q87_group_concat" -> (q87_group_concat _),
-    "q88_bm25" -> (q88_bm25 _)
+    "q88_bm25" -> (q88_bm25 _),
+    "q89_having" -> (q89_having _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1684,7 +1694,11 @@ object SparkEntry {
         |    ln((n - df + 0.5) / (df + 0.5) + 1.0) *
         |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
         |FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
-        |GROUP BY tf.doc_id""".stripMargin
+        |GROUP BY tf.doc_id""".stripMargin,
+    "q89_having" ->
+      """SELECT 'n:' || c_nationkey AS nat, count(*) AS n
+        |FROM customer GROUP BY 1 HAVING count(*) >= 60
+        |ORDER BY n DESC, nat""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -141,10 +141,15 @@ object Sparql {
   private final case class VarKey(name: String) extends OrderKey
   private final case class AggKey(fn: String, arg: String) extends OrderKey
 
+  /** HAVING (AGG(?v) op value) — filter on an aggregated group. */
+  private final case class Having(fn: String, arg: String, op: String,
+      value: String)
+
   private final case class Query(
       distinct: Boolean, items: Seq[SelectItem], group: List[Element],
-      groupBy: Seq[String], orderBy: Option[(OrderKey, Boolean)],
-      limit: Option[Int], offset: Option[Int] = None)
+      groupBy: Seq[String], orderBy: Seq[(OrderKey, Boolean)],
+      limit: Option[Int], offset: Option[Int] = None,
+      having: Option[Having] = None)
 
   /** Strip PREFIX declarations and expand declared prefixed names into
     * full <iri> tokens (SPARQL 1.1 §4.1.1). Only prefixes the query
@@ -222,7 +227,8 @@ object Sparql {
       }
       if (peek.equalsIgnoreCase("WHERE")) next() // WHERE is optional
       val g = block()
-      var order: Option[(OrderKey, Boolean)] = None
+      val order = scala.collection.mutable.ListBuffer[(OrderKey, Boolean)]()
+      var having: Option[Having] = None
       var limit: Option[Int] = None
       var offset: Option[Int] = None
       val groupVars = scala.collection.mutable.ListBuffer[String]()
@@ -230,32 +236,48 @@ object Sparql {
         if (peek.equalsIgnoreCase("GROUP")) {
           next(); expect("BY")
           while (peek.startsWith("?")) groupVars += next().drop(1)
+        } else if (peek.equalsIgnoreCase("HAVING")) {
+          next(); expect("(")
+          val (fn, arg, _, _) = aggExpr()
+          val op = next()
+          val v = next()
+          expect(")")
+          having = Some(Having(fn, arg, op, v))
         } else if (peek.equalsIgnoreCase("OFFSET")) {
           next(); offset = Some(next().toInt)
         } else if (peek.equalsIgnoreCase("ORDER")) {
           next(); expect("BY")
-          var desc = false
-          val key: OrderKey =
-            if (peek.equalsIgnoreCase("DESC") || peek.equalsIgnoreCase("ASC")) {
-              desc = next().equalsIgnoreCase("DESC")
-              expect("(")
-              val k =
-                if (peek.startsWith("?")) VarKey(next().drop(1))
-                else { val (fn, arg, _, _) = aggExpr(); AggKey(fn, arg) }
-              expect(")")
-              k
-            } else if (AggFns.contains(peek.toUpperCase)) {
-              val (fn, arg, _, _) = aggExpr(); AggKey(fn, arg)
-            } else VarKey(next().stripPrefix("?"))
-          if (peek.equalsIgnoreCase("DESC")) { desc = true; next() }
-          else if (peek.equalsIgnoreCase("ASC")) next()
-          order = Some((key, desc))
+          def oneKey(): (OrderKey, Boolean) = {
+            var desc = false
+            val key: OrderKey =
+              if (peek.equalsIgnoreCase("DESC") || peek.equalsIgnoreCase("ASC")) {
+                desc = next().equalsIgnoreCase("DESC")
+                expect("(")
+                val k =
+                  if (peek.startsWith("?")) VarKey(next().drop(1))
+                  else { val (fn, arg, _, _) = aggExpr(); AggKey(fn, arg) }
+                expect(")")
+                k
+              } else if (AggFns.contains(peek.toUpperCase)) {
+                val (fn, arg, _, _) = aggExpr(); AggKey(fn, arg)
+              } else VarKey(next().stripPrefix("?"))
+            // postfix DESC/ASC — but not when it opens the NEXT key's
+            // prefix form (DESC(?v))
+            if (peek.equalsIgnoreCase("DESC") && peek2 != "(") { desc = true; next() }
+            else if (peek.equalsIgnoreCase("ASC") && peek2 != "(") next()
+            (key, desc)
+          }
+          order += oneKey()
+          // further sort keys until a non-key token (LIMIT/OFFSET/...)
+          while (peek.startsWith("?") || AggFns.contains(peek.toUpperCase) ||
+            peek.equalsIgnoreCase("DESC") || peek.equalsIgnoreCase("ASC"))
+            order += oneKey()
         } else if (peek.equalsIgnoreCase("LIMIT")) {
           next(); limit = Some(next().toInt)
         } else sys.error(s"unexpected token ${peek}")
       }
       Query(distinct, if (star) Seq.empty else items.toSeq, g,
-        groupVars.toSeq, order, limit, offset)
+        groupVars.toSeq, order.toList, limit, offset, having)
     }
 
     private var freshId = 0
@@ -657,15 +679,39 @@ object Sparql {
     var df = compileGroup(quads, q.group, None)
     val aggItems = q.items.collect { case a: AggItem => a }
     val hasAggs = aggItems.nonEmpty || q.groupBy.nonEmpty
-    val orderAggKey = q.orderBy.collect { case (k: AggKey, _) => k }
+    def inSelect(k: AggKey): Option[AggItem] =
+      aggItems.find(a => a.fn == k.fn && a.arg == k.arg && !a.distinct)
+    // order keys on aggregates not projected in SELECT get hidden columns
+    val hiddenOrd: Map[AggKey, String] =
+      q.orderBy.collect { case (k: AggKey, _) => k }.distinct
+        .filter(inSelect(_).isEmpty)
+        .zipWithIndex.map { case (k, i) => k -> s"__ord$i" }.toMap
     if (hasAggs) {
-      val hiddenOrd = orderAggKey.filterNot(k =>
-        aggItems.exists(a => a.fn == k.fn && a.arg == k.arg && !a.distinct))
-        .map(k => aggColumn(k.fn, k.arg, distinct = false).as("__ord"))
       val aggCols = aggItems.map(a =>
-        aggColumn(a.fn, a.arg, a.distinct, a.sep).as(a.alias)) ++ hiddenOrd
+        aggColumn(a.fn, a.arg, a.distinct, a.sep).as(a.alias)) ++
+        hiddenOrd.map { case (k, n) =>
+          aggColumn(k.fn, k.arg, distinct = false).as(n) }.toSeq ++
+        q.having.map(h =>
+          aggColumn(h.fn, h.arg, distinct = false).as("__having")).toSeq
       require(aggCols.nonEmpty, "GROUP BY without aggregates in SELECT or ORDER BY")
       df = df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    }
+    // HAVING filters the aggregated groups before projection
+    q.having.foreach { h =>
+      val c = col("__having")
+      val v: Column =
+        if (h.value.matches("-?\\d+")) lit(h.value.toLong)
+        else if (h.value.matches("-?\\d*\\.\\d+")) lit(h.value.toDouble)
+        else lit(termValue(h.value))
+      df = (h.op match {
+        case ">" => df.where(c > v)
+        case ">=" => df.where(c >= v)
+        case "<" => df.where(c < v)
+        case "<=" => df.where(c <= v)
+        case "=" => df.where(c === v)
+        case "!=" => df.where(c =!= v)
+        case other => sys.error(s"unsupported HAVING operator $other")
+      }).drop("__having")
     }
     // projection before ordering (hidden order columns are kept until after
     // the sort, then dropped)
@@ -674,21 +720,23 @@ object Sparql {
       case AggItem(_, _, _, alias, _) => alias
     }
     if (projected.nonEmpty) {
-      val keep = projected ++ (if (hasAggs && orderAggKey.isDefined &&
-        df.columns.contains("__ord")) Seq("__ord") else Nil)
+      val keep = projected ++ hiddenOrd.values.filter(df.columns.contains)
       df = df.select(keep.distinct.map(col): _*)
     }
     if (q.distinct) df = df.distinct()
-    q.orderBy.foreach { case (key, desc) =>
-      val c = key match {
-        case VarKey(v) => col(v)
-        case k: AggKey =>
-          aggItems.find(a => a.fn == k.fn && a.arg == k.arg && !a.distinct)
-            .map(a => col(a.alias)).getOrElse(col("__ord"))
+    if (q.orderBy.nonEmpty) {
+      val sortCols = q.orderBy.map { case (key, desc) =>
+        val c = key match {
+          case VarKey(v) => col(v)
+          case k: AggKey =>
+            inSelect(k).map(a => col(a.alias)).getOrElse(col(hiddenOrd(k)))
+        }
+        if (desc) c.desc else c.asc
       }
-      df = df.orderBy(if (desc) c.desc else c.asc)
+      df = df.orderBy(sortCols: _*)
     }
-    if (df.columns.contains("__ord")) df = df.drop("__ord")
+    hiddenOrd.values.foreach(n =>
+      if (df.columns.contains(n)) df = df.drop(n))
     q.offset.foreach(o => df = df.offset(o))
     q.limit.foreach(l => df = df.limit(l))
     df

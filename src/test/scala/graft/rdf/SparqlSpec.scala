@@ -482,6 +482,22 @@ class SparqlSpec extends SparkSpec {
       ("carol", "Carol", "Carol"))
   }
 
+  "HAVING and multi-key ORDER BY" should "filter groups and sort on several keys" in {
+    val res = Sparql.select(agentQuads,
+      """SELECT ?agent (COUNT(?msg) AS ?n) WHERE {
+        |  ?agent a <personal:Agent> .
+        |  OPTIONAL { ?msg (<schema:recipient>|<schema:sender>) ?agent }
+        |} GROUP BY ?agent HAVING (COUNT(?msg) > 0)
+        |ORDER BY DESC(COUNT(?msg)) ?agent""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    res shouldBe Seq(("a1", 3L), ("a2", 1L)) // a3 (0 messages) filtered out
+    // multi-key: ties on the first key break on the second
+    Sparql.select(quads,
+      "SELECT ?x ?v WHERE { ?x ?p ?v } ORDER BY ?x DESC(?v) LIMIT 2")
+      .as[(String, String)].collect().toSeq shouldBe
+      Seq(("alice", "bob"), ("alice", "Alice"))
+  }
+
   "count distinct" should "honor DISTINCT inside COUNT" in {
     val res = Sparql.select(agentQuads,
       """SELECT ?agent (COUNT(DISTINCT ?p) AS ?np) WHERE {
