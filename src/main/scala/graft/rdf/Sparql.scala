@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   * {{{
   * query   := (PREFIX ns: <iri>)*
   *            SELECT [DISTINCT] (?v | (AGG(?v|*) AS ?alias) | *)... [WHERE] { group }
-  *            [GROUP BY ?v...] [ORDER BY key [DESC]] [OFFSET n] [LIMIT n]
+  *            [GROUP BY ?v...] [HAVING (AGG(?v) op value)]
+  *            [ORDER BY key...] [OFFSET n] [LIMIT n]
   *          | (PREFIX...)* ASK { group }
   *          | (PREFIX...)* CONSTRUCT { template } WHERE { group }
+  *          | (PREFIX...)* DESCRIBE (<iri>|?v|*)... [WHERE { group }]
+  * AGG     := COUNT | SUM | MIN | MAX | AVG
+  *          | GROUP_CONCAT[(x; SEPARATOR="s")] | SAMPLE
   * update  := INSERT DATA { quads } | DELETE DATA { quads }
   *          | DELETE [{t}] [INSERT {t}] WHERE { group } | DELETE WHERE { group }
   * group   := element*
@@ -41,7 +45,8 @@ import org.apache.spark.sql.functions._
   * step    := ['^'] (pterm | '(' pterm ('|' pterm)* ')') ['*'|'+'|'?']
   * pterm   := <iri> | bareword | 'a' (→ rdf:type)
   * term    := ?var | <iri> | "literal" | bareword
-  * key     := ?v | DESC(?v) | DESC(AGG(?v))
+  * object  := term ["^^"<dt> | "@"lang]     (typed/tagged literals)
+  * key     := ?v | AGG(?v) | DESC(...) | ASC(...)   (several keys allowed)
   * cond    := ?var (=|!=|<|<=|>|>=) term-or-number
   *          | [!] (REGEX|STRSTARTS|STRENDS|CONTAINS)(?v, "s") | [!] BOUND(?v)
   * }}}
