@@ -123,7 +123,9 @@ object Sparql {
   private final case class Graphed(g: String, group: List[Element]) extends Element
   private final case class Union(left: List[Element], right: List[Element]) extends Element
   private final case class Bind(value: String, varName: String) extends Element
-  private final case class Values(varName: String, values: List[String]) extends Element
+  /** VALUES ?v { t... } or VALUES (?a ?b) { (t t)... } — inline data. */
+  private final case class Values(names: List[String],
+      rows: List[List[String]]) extends Element
   private final case class SubSelect(query: Query) extends Element
   /** `s !(p1|p2) o` — any predicate NOT in the set (SPARQL negated
     * property set). */
@@ -386,12 +388,25 @@ object Sparql {
         }
         else if (peek.equalsIgnoreCase("VALUES")) {
           next()
-          val name = term().stripPrefix("?")
+          val names = scala.collection.mutable.ListBuffer[String]()
+          if (peek == "(") {
+            next(); while (peek != ")") names += term().stripPrefix("?")
+            expect(")")
+          } else names += term().stripPrefix("?")
           expect("{")
-          val vals = scala.collection.mutable.ListBuffer[String]()
-          while (peek != "}") vals += term()
+          val rows = scala.collection.mutable.ListBuffer[List[String]]()
+          while (peek != "}") {
+            if (peek == "(") {
+              next()
+              val r = scala.collection.mutable.ListBuffer[String]()
+              while (peek != ")") r += objTerm()
+              expect(")")
+              require(r.size == names.size, "VALUES row arity mismatch")
+              rows += r.toList
+            } else rows += List(objTerm())
+          }
           expect("}")
-          elems += Values(name, vals.toList)
+          elems += Values(names.toList, rows.toList)
         }
         else if (peek == "{") {
           if (peek2.equalsIgnoreCase("SELECT")) {
@@ -613,9 +628,25 @@ object Sparql {
         val df = current.getOrElse(sys.error("BIND without bindings"))
         val value = if (v.startsWith("?")) col(v.drop(1)) else lit(termValue(v))
         current = Some(Bgp.bind(df, name, value))
-      case Values(name, vals) =>
+      case Values(names, rows) =>
         val df = current.getOrElse(sys.error("VALUES without bindings"))
-        current = Some(Bgp.values(df, name, vals.map(termValue)))
+        if (names.size == 1)
+          current = Some(Bgp.values(df, names.head, rows.map(r => termValue(r.head))))
+        else {
+          // multi-variable inline table: a LocalRelation joined on the
+          // variables the group already binds (broadcast-trivial)
+          val spark = df.sparkSession
+          val schema = org.apache.spark.sql.types.StructType(names.map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType)))
+          val data = new java.util.ArrayList[org.apache.spark.sql.Row]()
+          rows.foreach(r => data.add(
+            org.apache.spark.sql.Row.fromSeq(r.map(termValue))))
+          val tdf = spark.createDataFrame(data, schema)
+          val shared = names.filter(df.columns.contains)
+          current = Some(
+            if (shared.nonEmpty) df.join(tdf, shared) else df.crossJoin(tdf))
+        }
       case _: Triple => () // already handled
     }
     current.getOrElse(sys.error("empty group"))

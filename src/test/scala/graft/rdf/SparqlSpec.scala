@@ -70,6 +70,15 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Set(("alice", "person"), ("bob", "person"))
   }
 
+  it should "support multi-variable VALUES rows" in {
+    val res = Sparql.select(quads,
+      """SELECT ?x ?n WHERE {
+        |  ?x <name> ?n .
+        |  VALUES (?x ?n) { (<alice> "Alice") (<bob> "nope") }
+        |}""".stripMargin).as[(String, String)].collect().toSet
+    res shouldBe Set(("alice", "Alice")) // bob binds "Bob", not "nope"
+  }
+
   "Sparql.ask" should "answer existence queries" in {
     Sparql.ask(quads, "ASK { <alice> <knows> ?y }") shouldBe true
     Sparql.ask(quads, "ASK { <carol> <knows> ?y }") shouldBe false
