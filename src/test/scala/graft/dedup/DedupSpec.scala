@@ -48,7 +48,33 @@ class DedupSpec extends SparkSpec {
     pairs should contain((1L, 2L))
   }
 
-  "spanDuplication" should "count cross-document duplicated windows exactly" in {
+  "spanDuplication" should "match a brute-force oracle on randomized corpora" in {
+    // seeded random corpora over a tiny vocabulary (maximizes window
+    // collisions), checked against an independent in-memory computation
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val w = 3
+    for (_ <- 1 to 3) {
+      val corpus = (1L to 8L).map(i =>
+        (i, Seq.fill(rnd.nextInt(12) + 1)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      def windows(text: String): Set[String] = {
+        val t = text.split("[\\s\\p{Punct}]+").filter(_.nonEmpty)
+        val last = math.max(t.length - w, 0)
+        (0 to last).map(i => t.slice(i, math.min(i + w, t.length)).mkString(" "))
+          .filter(_.nonEmpty).toSet
+      }
+      val wmap = corpus.map { case (id, tx) => id -> windows(tx) }.toMap
+      val expected = wmap.map { case (id, ws) =>
+        id -> ((ws.size.toLong,
+          ws.count(win => wmap.exists { case (o, ows) => o != id && ows(win) }).toLong))
+      }
+      val got = Dedup.spanDuplication(corpus.toDF("doc_id", "text"), "text", "doc_id", w)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      got shouldBe expected
+    }
+  }
+
+  it should "count cross-document duplicated windows exactly" in {
     // w=3 over the fixture: docs 1/2 share all 7 windows; doc 3 shares 4
     // with them; docs 4/5 share "completely different text" and
     // "different text about"
