@@ -264,7 +264,7 @@ object Dedup {
 
   /** Bit offsets/widths splitting the 64-bit fingerprint into `c` chunks
     * (remainder bits spread over the leading chunks). */
-  private[dedup] def chunkBounds(c: Int): Seq[(Int, Int)] = {
+  private[graft] def chunkBounds(c: Int): Seq[(Int, Int)] = {
     val base = 64 / c
     val extra = 64 % c
     val widths = Seq.tabulate(c)(i => if (i < extra) base + 1 else base)
@@ -309,17 +309,30 @@ object Dedup {
         hashes.select(col("id"), simhashFromHashes(col("__hashes")).as("fp"))
           .localCheckpoint()
       }
-    val bounds = chunkBounds(c)
-    def chunkVal(i: Int): Column = {
-      val (off, w) = bounds(i)
-      shiftright(col("fp"), off).bitwiseAND(lit((1L << w) - 1))
-    }
+    // combo keys: one key per (c - maxHamming)-subset of chunks. The
+    // native expression emits the whole key array from ONE generated call
+    // (combo table as reference objects); the inline column formulation is
+    // the fallback — identical keys (same xxhash64 fold), but at the
+    // 10-chunk tier its 120 inlined xxhash64 calls exceed janino's method
+    // limit and the projection silently drops out of whole-stage codegen —
+    // exactly on the >500 M-doc path the tier exists for (PlanSpec pins
+    // the native path compiling cleanly at all tiers).
     val agree = c - maxHamming
-    val comboKeys = (0 until c).combinations(agree).toSeq.map { m =>
-      xxhash64(m.map(chunkVal): _*)
-    }
+    val comboKeyArray: Column =
+      if (haveFn(df, "simhash_combo_keys"))
+        call_function("simhash_combo_keys", col("fp"), lit(c), lit(maxHamming))
+      else {
+        val bounds = chunkBounds(c)
+        def chunkVal(i: Int): Column = {
+          val (off, w) = bounds(i)
+          shiftright(col("fp"), off).bitwiseAND(lit((1L << w) - 1))
+        }
+        array((0 until c).combinations(agree).toSeq.map { m =>
+          xxhash64(m.map(chunkVal): _*)
+        }: _*)
+      }
     val keyed = s.select(col("id"), col("fp"),
-      posexplode(array(comboKeys: _*)).as(Seq("combo", "key")))
+      posexplode(comboKeyArray).as(Seq("combo", "key")))
     keyed.alias("a")
       .join(keyed.alias("b"),
         col("a.combo") === col("b.combo") &&

@@ -73,6 +73,11 @@ object Resolution {
     // quadratic per-token expansion is spread across tasks, not stuck in
     // the input's partitioning.
     val joined = toks.drop("__cutoff").join(rare.select("tok"), Seq("tok"))
+      // repartition BY TOK before the optional block-cap window: the
+      // window's required distribution (tok) is then already satisfied, so
+      // the cap adds only a per-partition sort — not a second exchange —
+      // and the post-explode expansion is spread across tasks either way
+      .repartition(df.sparkSession.sparkContext.defaultParallelism * 2, col("tok"))
     // optional per-token block cap — the distributed analogue of the
     // reference's searchSize=10000 candidate bound (AgentMatchEnricher
     // .scala:68): deterministically keep the lowest ids per token so the
@@ -84,7 +89,7 @@ object Resolution {
         joined.withColumn("__rk", row_number().over(w))
           .where(col("__rk") <= cap).drop("__rk")
       case None => joined
-    }).repartition(df.sparkSession.sparkContext.defaultParallelism * 2, col("tok"))
+    })
       // materialize once: both sides of the self-join read this plan, and
       // the prune involves a window — recomputing it doubles the stage
       .localCheckpoint()

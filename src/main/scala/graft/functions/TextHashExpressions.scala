@@ -76,6 +76,38 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** SimHash combinatorial blocking keys (see
+    * [[graft.dedup.Dedup.simhashPairs]]): one xxhash64-chained key per
+    * (chunks - maxHamming)-subset of fingerprint chunks, bit-identical to
+    * the column formulation `xxhash64(chunkVal(m0), chunkVal(m1), ...)`
+    * (seed 42, fold `hashLong` left over the chunk values — exactly what
+    * Spark's multi-argument `xxhash64` does for long inputs).
+    *
+    * The flattened (offsets, masks, starts) encoding keeps the generated
+    * code ONE method call regardless of the combo count — the inline
+    * column formulation at the 10-chunk tier emits 120 xxhash64 calls and
+    * blows janino's 64 KB method limit, silently dropping the whole
+    * projection out of whole-stage codegen exactly on the >500 M-doc path
+    * the tier exists for. */
+  def simhashComboKeys(fp: Long, offsets: Array[Int], masks: Array[Long],
+      starts: Array[Int]): ArrayData = {
+    val nCombos = starts.length - 1
+    val out = new Array[Any](nCombos)
+    var c = 0
+    while (c < nCombos) {
+      var h = 42L
+      var i = starts(c)
+      val end = starts(c + 1)
+      while (i < end) {
+        h = XXH64.hashLong((fp >>> offsets(i)) & masks(i), h)
+        i += 1
+      }
+      out(c) = h
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature over a shingle array: sig(j) = min over shingles of
     * xxhash64(j, shingle) — bit-identical to
     * [[graft.dedup.Dedup.minhashSignature]] (seed chain
@@ -142,6 +174,57 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
     TextHash.wordShingles(input.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash_combo_keys(fp, chunks, maxHamming)` → array<bigint>: every
+  * (chunks - maxHamming)-subset blocking key of the fingerprint, one
+  * compact generated call (combo table passed as reference objects, never
+  * inlined into the generated source). */
+case class SimHashComboKeys(child: Expression, chunks: Int, maxHamming: Int)
+    extends UnaryExpression {
+  require(chunks > maxHamming && chunks <= 64,
+    s"need 64 >= chunks ($chunks) > maxHamming ($maxHamming)")
+
+  // flattened combo table: combo c covers flat positions
+  // starts(c) until starts(c+1), each an (offset, mask) chunk extraction
+  private val (flatOffsets, flatMasks, comboStarts) = {
+    val bounds = graft.dedup.Dedup.chunkBounds(chunks)
+    val combos = (0 until chunks).combinations(chunks - maxHamming).toArray
+    val offs = scala.collection.mutable.ArrayBuffer[Int]()
+    val masks = scala.collection.mutable.ArrayBuffer[Long]()
+    val starts = scala.collection.mutable.ArrayBuffer[Int](0)
+    combos.foreach { m =>
+      m.foreach { i =>
+        val (off, w) = bounds(i)
+        offs += off
+        masks += (if (w == 64) -1L else (1L << w) - 1)
+      }
+      starts += offs.length
+    }
+    (offs.toArray, masks.toArray, starts.toArray)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_combo_keys needs bigint, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhashComboKeys(input.asInstanceOf[Long], flatOffsets, flatMasks,
+      comboStarts)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val offs = ctx.addReferenceObj("comboOffsets", flatOffsets, "int[]")
+    val masks = ctx.addReferenceObj("comboMasks", flatMasks, "long[]")
+    val starts = ctx.addReferenceObj("comboStarts", comboStarts, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.simhashComboKeys($c, $offs, $masks, $starts)")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -51,6 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.MinHashSigs(exprs(0),
         exprs(1).eval().asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("simhash_combo_keys"),
+      new ExpressionInfo(classOf[graft.functions.SimHashComboKeys].getName,
+        "simhash_combo_keys"),
+      (exprs: Seq[Expression]) => graft.functions.SimHashComboKeys(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier("vincenty_m"),
       new ExpressionInfo(classOf[graft.functions.Vincenty].getName, "vincenty_m"),
       (exprs: Seq[Expression]) => graft.functions.Vincenty(

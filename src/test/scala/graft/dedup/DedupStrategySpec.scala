@@ -74,6 +74,44 @@ class DedupStrategySpec extends SparkSpec {
     by10 shouldBe by4
   }
 
+  "simhash 10-chunk blocking" should "stay inside whole-stage codegen" in {
+    // the inline column formulation's 120 xxhash64 calls at chunks=10 blow
+    // janino's method limit and silently fall back to interpreted eval —
+    // exactly on the >500 M-doc tier. The native simhash_combo_keys
+    // expression must compile cleanly: with codegen fallback disabled a
+    // janino failure throws instead of degrading, so a plain run IS the
+    // assertion.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val by10 = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3, chunks = 10)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val by4 = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3, chunks = 4)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      by10 shouldBe by4
+      by10 should not be empty
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  "simhash_combo_keys" should "match the inline xxhash64 column formulation bit-for-bit" in {
+    val fps = docs.select($"doc_id",
+        call_function("simhash64",
+          call_function("xxhash64_tokens", lower($"text"))).as("fp"))
+      .localCheckpoint()
+    val bounds = Dedup.chunkBounds(7)
+    def chunkVal(i: Int) = {
+      val (off, w) = bounds(i)
+      shiftright($"fp", off).bitwiseAND(lit((1L << w) - 1))
+    }
+    val colKeys = fps.select($"doc_id",
+        array((0 until 7).combinations(4).toSeq.map(m => xxhash64(m.map(chunkVal): _*)): _*)
+          .as("keys"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val natKeys = fps.select($"doc_id",
+        call_function("simhash_combo_keys", $"fp", lit(7), lit(3)).as("keys"))
+      .as[(Long, Seq[Long])].collect().toMap
+    natKeys shouldBe colKeys
+  }
+
   "simhash pairs" should "verify the Hamming bound on every returned pair" in {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3, chunks = 7)
       .select("hamming").as[Long].collect()
