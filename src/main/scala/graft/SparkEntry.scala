@@ -242,18 +242,28 @@ object SparkEntry {
   }
 
   /** Dedup (MinHash+LSH): banded signatures, candidates verified with
-    * exact Jaccard. Hash-family dependent → rows-only check (no oracle). */
+    * exact Jaccard. The verified output is exact; the banding only
+    * bounds RECALL — and on this corpus (planted near-dups carry high
+    * Jaccard, so every true pair collides in some band) recall is 1, so
+    * the oracle states the FULL exact-Jaccard pair set (q19's). The
+    * hash-compare therefore also guards the banding's recall: a silent
+    * recall loss now fails the gate instead of hiding in a rows-only
+    * count. */
   private def q25_minhash_lsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
       k = 2, numHashes = 32, bands = 8, num = 1, den = 3)
 
-  /** Dedup (SimHash): 64-bit fingerprint, combinatorially chunk-blocked
-    * Hamming pairs. Hash-family dependent → rows-only check (no oracle).
-    * chunks pinned to the ≤500k-doc table entry (what auto-detection picks
-    * at every driver SF) to skip the sizing count on the bench path; the
-    * auto table is exercised by DedupStrategySpec and the 500k probe. */
+  /** Dedup (SimHash): 60-bit md5-family fingerprint, combinatorially
+    * chunk-blocked Hamming pairs. Blocking guarantees full recall at
+    * hamming <= maxHamming and verification is exact, so the output is
+    * EXACTLY the Hamming ball — and with the md5 hash family the oracle
+    * restates the whole fingerprint pipeline in SQL (DuckDB md5 + bit
+    * ops) and hash-compares it. chunks pinned to the ≤500k-doc table
+    * entry (what auto-detection picks at every driver SF) to skip the
+    * sizing count on the bench path; the auto table and the xxhash64
+    * family are exercised by DedupStrategySpec and the 500k probe. */
   private def q26_simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3,
+    Dedup.simhashPairsMd5(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3,
       chunks = 4)
 
   /** Embedding near-dup: cosine-threshold pairs (exact, margin-safe). */
@@ -388,8 +398,14 @@ object SparkEntry {
     graft.spatial.StayExtraction.extractStaysDf(
       eventsAsObservations(s, dir), minStayMs = 10L * 60 * 1000)
 
-  /** J1+J2: event-stay interval+distance matching over the extracted stays
-    * (depends on q39's operator output — rows-only check). */
+  /** J1+J2: event-stay interval+distance matching over the extracted
+    * stays. Oracle-stated end-to-end: on this geometry the stays are
+    * q58's gaps-and-islands, the 1000 m distance gate reduces to site
+    * equality (sites are ~5 km apart, a stay centroid of identical
+    * coordinates is exact), and the overlap predicate/ratio are exact
+    * integer epoch arithmetic restated verbatim (timestamp comparison at
+    * micros, ratio on floor-second endpoints — identical IEEE division
+    * in both engines). */
   private def q40_event_stay_match(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GeoTimeFunctions.register(s)
     val stays = q39_stays(s, dir).select(
@@ -512,7 +528,10 @@ object SparkEntry {
       k = 3, nlist = 16, nprobe = 4)
   }
 
-  /** Embedding LSH near-dup path (rows-only: bucketing is hash-defined). */
+  /** Embedding LSH near-dup path. The LCG-seeded hyperplanes are plain
+    * integer arithmetic, so the oracle re-derives every bucket in SQL and
+    * hash-compares the verified pair set exactly (sign margins on this
+    * corpus: min |dot| ~1e-4, far above cross-engine summation error). */
   private def q51_lsh_pairs(s: SparkSession, dir: String): DataFrame =
     Ann.lshPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.3, numPlanes = 10, tables = 4)
@@ -766,11 +785,17 @@ object SparkEntry {
   /** A9 full fidelity: windowed multi-candidate stay extraction + trellis
     * smoothing (candidate clusters in a 60-min lookup window; Stationary
     * observations dropped by the min-cost state path; greedy re-cluster).
-    * Order-dependent stateful semantics — rows-only check; the divergence
-    * from the greedy pass is fixture-tested in WindowedStaysSpec. */
+    * On q58's synthetic geometry (4 distant sites, identical per-site
+    * coordinates, 25 m sigma) the windowed/Viterbi pass provably agrees
+    * with the greedy clusterer — no observation is ever ambiguous, so the
+    * trellis decode is the identity — and the q58 gaps-and-islands SQL
+    * states the result exactly (float centroids stay out of the oracle
+    * columns). Divergence between the two passes on ambiguous traces is
+    * fixture-tested in WindowedStaysSpec. */
   private def q66_windowed_stays(s: SparkSession, dir: String): DataFrame =
     graft.spatial.WindowedStays.extractStaysDf(
-      eventsAsObservations(s, dir), minFinalStayMs = 10L * 60 * 1000)
+        eventsAsObservations(s, dir), minFinalStayMs = 10L * 60 * 1000)
+      .select(col("user"), col("start_ms"), col("end_ms"), col("n_obs"))
 
   /** SPARQL CONSTRUCT end-to-end: template instantiation over a BGP join,
     * the reference's GraphQuery front-door path
@@ -925,12 +950,21 @@ object SparkEntry {
       .select(col("doc_id"), col("bucket"), col("u"))
   }
 
-  /** SemDeDup semantic dedup over the embeddings table (rows-only:
-    * the k-means clustering is hash-seeded, not SQL-expressible; the
-    * within-cluster threshold logic is spec-covered in AnnSpec). */
+  /** SemDeDup semantic dedup over the embeddings table, in the EXACT
+    * configuration (nlist = 1: the whole corpus is one cluster, so the
+    * confined quadratic pass IS the all-pairs comparison) — the full
+    * operator path still runs (centroid fit, broadcast-kernel
+    * assignment, posexplode dot-product join, connected-components
+    * representatives), and the oracle brute-forces the quadratic cosine
+    * + min-id closure in SQL. This corpus is NOT cluster-separable at
+    * threshold 0.4 (cross-cluster near-dup pairs exist at nlist = 16),
+    * so the approximate configuration is deliberately not the oracle
+    * query; cluster-confinement semantics are spec-covered in AnnSpec
+    * and measured by the scaling probe. */
   private def q84_semantic_dedup(s: SparkSession, dir: String): DataFrame =
     Ann.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.4, nlist = 16)
+      threshold = 0.4, nlist = 1)
+      .select(col("id"), col("keep_id"))
 
   /** SPARQL DESCRIBE through the front end: symmetric concise
     * description (subject rows + incoming IRI links) of every nation a
@@ -1175,6 +1209,52 @@ object SparkEntry {
         |  levenshtein(a.n_name, b.n_name) AS dist
         |FROM nation a JOIN nation b ON a.n_name < b.n_name
         |WHERE levenshtein(a.n_name, b.n_name) <= 4""".stripMargin,
+    // q25: the LSH-banded pairs equal the full exact-Jaccard pair set on
+    // this corpus (recall 1 — planted near-dups carry high Jaccard), so
+    // the oracle is q19's; a banding recall loss now FAILS the gate.
+    "q25_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |  FROM toks WHERE len(ts) >= 2
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle FROM idx
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT id1, id2 FROM inter
+        |JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |WHERE 3 * inter > 1 * (sa.n + sb.n - inter)""".stripMargin,
+    // q26: full md5-family simhash restated in SQL — token hash = top 60
+    // bits of md5 (first 15 hex chars), per-bit majority vote, exact
+    // Hamming ball over the fingerprints (blocking guarantees recall).
+    "q26_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(ts) AS t FROM toks
+        |), th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+        |), votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, generate_series(0, 59) g(b)
+        |  GROUP BY doc_id, b
+        |), fp AS (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS fp
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  bit_count(xor(a.fp, b.fp)) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
     "q27_cosine_pairs" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1326,6 +1406,32 @@ object SparkEntry {
         |FROM toks""".stripMargin,
     "q49_multimodal" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents",
+    // q51: the LCG hyperplane family (31-bit mix, exact integer ops) is
+    // restated verbatim; buckets agree bit-for-bit and the verified pair
+    // set hash-compares. Sign margins: min |dot| ~1e-4 on this corpus.
+    "q51_lsh_pairs" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), comp AS (
+        |  SELECT t, p, d,
+        |    (((1103515245::BIGINT * (t*1000003 + p*10007 + d) + 12345) % 2147483648)
+        |      / 2147483648.0) * 2 - 1 AS c
+        |  FROM generate_series(0, 3) gt(t), generate_series(0, 9) gp(p),
+        |       generate_series(0, 63) gd(d)
+        |), dots AS (
+        |  SELECT vec_id, t, p, sum(e[d+1] * c) AS s
+        |  FROM v, comp GROUP BY vec_id, t, p
+        |), buckets AS (
+        |  SELECT vec_id, t, sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS b
+        |  FROM dots GROUP BY vec_id, t
+        |), cands AS (
+        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM buckets a JOIN buckets b
+        |    ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
+        |)
+        |SELECT id1, id2 FROM cands
+        |JOIN v va ON va.vec_id = id1 JOIN v vb ON vb.vec_id = id2
+        |WHERE list_cosine_similarity(va.e, vb.e) > 0.3""".stripMargin,
     // IFP pairs over (brand,size) form cliques, so the component of a part
     // is min(p_partkey) within its (brand,size) group — stated directly.
     "q53_class_primary" ->
@@ -1358,6 +1464,57 @@ object SparkEntry {
       """SELECT 'c:' || c_custkey AS c, c_name AS cname, n_name AS nname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "q58_stays_oracle" ->
+      """WITH obs AS (
+        |  SELECT user_id AS u, epoch_ms(ts) AS t, floor(value / 50) AS b
+        |  FROM events
+        |), ord AS (
+        |  SELECT u, t, b,
+        |    CASE WHEN lag(b) OVER (PARTITION BY u ORDER BY t) = b
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM obs
+        |), isl AS (
+        |  SELECT u, t, sum(brk) OVER (PARTITION BY u ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM ord
+        |)
+        |SELECT u AS user, min(t) AS start_ms, max(t) AS end_ms,
+        |  count(*) AS n_obs
+        |FROM isl GROUP BY u, island
+        |HAVING max(t) - min(t) >= 600000""".stripMargin,
+    // q40: stays = q58's islands; distance gate = site equality; overlap
+    // ratio = exact integer epoch arithmetic (see q40's scaladoc).
+    "q40_event_stay_match" ->
+      """WITH obs AS (
+        |  SELECT user_id AS u, epoch_ms(ts) AS t, floor(value / 50) AS b
+        |  FROM events
+        |), ord AS (
+        |  SELECT u, t, b,
+        |    CASE WHEN lag(b) OVER (PARTITION BY u ORDER BY t) = b
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM obs
+        |), isl AS (
+        |  SELECT u, t, b, sum(brk) OVER (PARTITION BY u ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM ord
+        |), stays AS (
+        |  SELECT u, min(t) AS start_ms, max(t) AS end_ms, min(b) AS b
+        |  FROM isl GROUP BY u, island
+        |  HAVING max(t) - min(t) >= 600000
+        |), ev AS (
+        |  SELECT event_id, epoch_us(ts) AS es_us,
+        |    epoch_us(ts) + 1800000000 AS ee_us, floor(value / 50) AS b
+        |  FROM events
+        |)
+        |SELECT e.event_id, s.u || '_' || s.start_ms AS stay_id
+        |FROM ev e JOIN stays s ON e.b = s.b
+        |  AND e.es_us <= s.end_ms * 1000 AND s.start_ms * 1000 <= e.ee_us
+        |WHERE CAST((least(e.ee_us, s.end_ms*1000) // 1000000)
+        |      - (greatest(e.es_us, s.start_ms*1000) // 1000000) AS DOUBLE)
+        |    / CAST((e.ee_us // 1000000) - (e.es_us // 1000000) AS DOUBLE) > 0.2""".stripMargin,
+    // q66: on this geometry the windowed/Viterbi extractor provably
+    // reduces to the greedy clusterer (see q66's scaladoc) — same
+    // gaps-and-islands statement as q58.
+    "q66_windowed_stays" ->
       """WITH obs AS (
         |  SELECT user_id AS u, epoch_ms(ts) AS t, floor(value / 50) AS b
         |  FROM events
@@ -1625,6 +1782,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN nd.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
         |FROM wins w JOIN nd USING (win)
         |GROUP BY w.doc_id""".stripMargin,
+    // q84: brute-force SemDeDup parity — quadratic cosine pairs at the
+    // threshold, min-id reachability closure, identity for uniques
+    // (nlist = 1 makes the operator's confined pass exactly all-pairs).
+    "q84_semantic_dedup" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) > 0.4
+        |), edges AS (
+        |  SELECT id1 AS s, id2 AS d FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s
+        |)
+        |SELECT id, min(r) AS keep_id FROM reach GROUP BY id""".stripMargin,
     "q83_describe" ->
       // symmetric concise description of the target nations: their
       // subject rows (name, region) plus every incoming IRI link

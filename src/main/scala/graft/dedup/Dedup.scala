@@ -309,6 +309,49 @@ object Dedup {
         hashes.select(col("id"), simhashFromHashes(col("__hashes")).as("fp"))
           .localCheckpoint()
       }
+    simhashPairsOfFp(s, c, maxHamming)
+  }
+
+  /** SimHash near-dup pairs over an ORACLE-STATABLE hash family: each
+    * token hashes to the top 60 bits of its md5 (the first 15 hex chars —
+    * any engine with an md5 builtin can restate the whole fingerprint in
+    * SQL, which is how the DuckDB differential oracle checks this
+    * operator end-to-end; xxhash64 is Spark-internal and cannot be). Vote
+    * semantics identical to [[simhashFromHashes]] — bits 60-63 never set.
+    * Same combinatorial blocking and exact Hamming verification as
+    * [[simhashPairs]]; prefer the xxhash64 family when differential
+    * testability is not needed (no per-token digest allocation).
+    * Output: (id1, id2, hamming). */
+  def simhashPairsMd5(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      chunks: Int = 0): DataFrame = {
+    val c = if (chunks > 0) chunks else chunksFor(df.count())
+    require(c > maxHamming, s"need more chunks ($c) than maxHamming ($maxHamming)")
+    val s =
+      if (haveFn(df, "simhash_md5"))
+        df.repartition(par(df))
+          .select(col(idCol).as("id"),
+            call_function("simhash_md5", lower(col(textCol))).as("fp"))
+          .localCheckpoint()
+      else {
+        // column fallback: conv(substr(md5(tok), 1, 15), 16, 10) is the
+        // same 60-bit value the native expression extracts byte-wise
+        val hashes = df.repartition(par(df))
+          .select(col(idCol).as("id"),
+            transform(TextAnalysis.tokens(lower(col(textCol))),
+              t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__hashes"))
+          .localCheckpoint()
+        hashes.select(col("id"), simhashFromHashes(col("__hashes")).as("fp"))
+          .localCheckpoint()
+      }
+    simhashPairsOfFp(s, c, maxHamming)
+  }
+
+  /** Shared blocking + verification over a checkpointed (id, fp) table. */
+  private def simhashPairsOfFp(s: DataFrame, c: Int, maxHamming: Int): DataFrame = {
     // combo keys: one key per (c - maxHamming)-subset of chunks. The
     // native expression emits the whole key array from ONE generated call
     // (combo table as reference objects); the inline column formulation is
@@ -319,7 +362,7 @@ object Dedup {
     // the native path compiling cleanly at all tiers).
     val agree = c - maxHamming
     val comboKeyArray: Column =
-      if (haveFn(df, "simhash_combo_keys"))
+      if (haveFn(s, "simhash_combo_keys"))
         call_function("simhash_combo_keys", col("fp"), lit(c), lit(maxHamming))
       else {
         val bounds = chunkBounds(c)

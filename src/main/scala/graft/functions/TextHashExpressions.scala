@@ -108,6 +108,42 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5-family SimHash of the token multiset — the
+    * oracle-statable fingerprint behind
+    * [[graft.dedup.Dedup.simhashPairsMd5]]. Per token the hash is the top
+    * 60 bits of md5 (big-endian first 8 digest bytes >>> 4 == the first
+    * 15 hex chars == `conv(substr(md5(tok), 1, 15), 16, 10)`), votes as
+    * in [[graft.dedup.Dedup.simhashFromHashes]]; bits 60-63 stay 0. */
+  def md5SimHash(text: UTF8String): Long = {
+    val toks = splitTokens(text)
+    val votes = new Array[Int](60)
+    val md = Md5.get()
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val dig = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+      h = h >>> 4
+      var bit = 0
+      while (bit < 60) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var bit = 0
+    while (bit < 60) { if (votes(bit) > 0) fp |= 1L << bit; bit += 1 }
+    fp
+  }
+
   /** MinHash signature over a shingle array: sig(j) = min over shingles of
     * xxhash64(j, shingle) — bit-identical to
     * [[graft.dedup.Dedup.minhashSignature]] (seed chain
@@ -174,6 +210,27 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
     TextHash.wordShingles(input.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash_md5(text)` → bigint: one-pass 60-bit md5-family SimHash
+  * (tokenize + digest + vote in JVM code; the column formulation walks
+  * the token array 64 times through interpreted HOF aggregates). */
+case class Md5SimHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_md5 needs string, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.md5SimHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.md5SimHash($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

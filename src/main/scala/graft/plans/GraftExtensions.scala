@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.MinHashSigs(exprs(0),
         exprs(1).eval().asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[graft.functions.Md5SimHash].getName, "simhash_md5"),
+      (exprs: Seq[Expression]) => graft.functions.Md5SimHash(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("simhash_combo_keys"),
       new ExpressionInfo(classOf[graft.functions.SimHashComboKeys].getName,
         "simhash_combo_keys"),

@@ -104,25 +104,32 @@ object Ann {
       .select(col("id1"), col("id2"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for plane `p`, dim
-    * `d`: xxhash64 folded to [-1, 1]. No RNG state — reproducible across
-    * runs and engines. */
-  private def planeComponent(p: Int, d: Column): Column =
-    (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
+  /** Deterministic pseudo-random hyperplane component for table `t`,
+    * plane `p`, dim `d`: a 31-bit linear-congruential mix folded to
+    * [-1, 1). No RNG state — reproducible across runs, and STATABLE IN
+    * PLAIN SQL (integer multiply/mod + one exact power-of-two division),
+    * so a differential oracle in any engine can re-derive the buckets
+    * exactly — which xxhash64-seeded planes cannot. Mix quality is ample
+    * for sign buckets (only the sign of a 64-term dot product survives). */
+  private def planeComponent(t: Int, p: Int, d: Column): Column =
+    ((lit(1103515245L) * (lit(t * 1000003L + p * 10007L) + d) + lit(12345L))
+      % lit(2147483648L)).cast("double") / lit(2147483648d) * 2 - 1
 
   /** Sign-random-projection bucket id: `numPlanes` sign bits packed into a
-    * long. Vectors in the same bucket are candidate neighbors. */
-  def srpBucket(vec: Column, numPlanes: Int): Column =
+    * long. Vectors in the same bucket are candidate neighbors. `table`
+    * seeds an independent plane set per hash table. */
+  def srpBucket(vec: Column, numPlanes: Int, table: Int = 0): Column =
     (0 until numPlanes).map { p =>
       val dot = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+          (x, i) => x.cast("double") * planeComponent(table, p, i)),
         lit(0d), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
 
-  /** LSH near-dup pairs: bucket by SRP signature under several independent
-    * plane sets, verify cosine on bucket collisions only. */
+  /** LSH near-dup pairs: bucket by SRP signature under `tables`
+    * independent plane sets (seeded by table index), verify cosine on
+    * bucket collisions only. */
   def lshPairs(
       corpus: DataFrame,
       idCol: String,
@@ -135,7 +142,7 @@ object Ann {
       .select(
       col(idCol).as("id"), col(vecCol).as("vec"),
       posexplode(array((0 until tables).map(t =>
-        srpBucket(transform(col(vecCol), x => x + lit(t) * lit(0d)), numPlanes + t)): _*))
+        srpBucket(col(vecCol), numPlanes, t)): _*))
         .as(Seq("table", "bucket")))
       .localCheckpoint()
     val cands = withBuckets.alias("a")
@@ -173,7 +180,9 @@ object Ann {
     val centRows = cents.select(col("cent_id").cast("long"), col("cent_vec"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val centB = spark.sparkContext.broadcast(centRows)
-    corpus.select(col(idCol).cast("long"), col(vecCol))
+    // cast up front so array<double> (or integer-typed) embedding columns
+    // work through the typed conversion instead of failing in the encoder
+    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .repartition(spark.sparkContext.defaultParallelism * 2)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -191,9 +200,11 @@ object Ann {
           var j = 0
           while (j < cs.length) {
             val cv = cs(j)._2
+            // a dimension mismatch must fail, not silently score a prefix
+            require(cv.length == v.length,
+              s"embedding dim ${v.length} != centroid dim ${cv.length}")
             var dot = 0.0; var d = 0
-            val n = math.min(cv.length, v.length)
-            while (d < n) { dot += cv(d) * v(d).toDouble; d += 1 }
+            while (d < cv.length) { dot += cv(d) * v(d).toDouble; d += 1 }
             val sim = if (norm == 0 || cNorms(j) == 0) 0.0 else dot / (norm * cNorms(j))
             if (sim > bestSim) { bestSim = sim; best = j }
             j += 1
@@ -202,6 +213,14 @@ object Ann {
         }
       }.toDF("cent_id", "id", "v", "norm")
   }
+
+  /** Default IVF/SemDeDup list count for a corpus of `n` vectors: ~sqrt(n)
+    * (the FAISS guideline — balances list length n/nlist against the
+    * nlist-term scan of the coarse quantizer), clamped to [16, 65536].
+    * Callers pass an explicit nlist to pin output for differential tests;
+    * nlist <= 0 selects this. */
+  def autoNlist(n: Long): Int =
+    math.max(16, math.min(65536, math.round(math.sqrt(n.toDouble)).toInt))
 
   def kmeansCentroids(
       corpus: DataFrame,
@@ -240,10 +259,11 @@ object Ann {
       idCol: String,
       vecCol: String,
       k: Int,
-      nlist: Int = 16,
+      nlist: Int = 0,
       nprobe: Int = 4,
       kmeansIterations: Int = 1): DataFrame = {
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIterations)
+    val lists = if (nlist > 0) nlist else autoNlist(corpus.count())
+    val cents = kmeansCentroids(corpus, idCol, vecCol, lists, kmeansIterations)
     def nearestLists(df: DataFrame, id: String, vec: String, n: Int, rename: String) = {
       val scored = df.select(col(id).as(rename), col(vec).as(s"${rename}_vec"))
         .join(broadcast(cents))
@@ -290,9 +310,10 @@ object Ann {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nlist: Int = 16,
+      nlist: Int = 0,
       kmeansIterations: Int = 1): DataFrame = {
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIterations)
+    val lists = if (nlist > 0) nlist else autoNlist(corpus.count())
+    val cents = kmeansCentroids(corpus, idCol, vecCol, lists, kmeansIterations)
     val assigned = assignNearest(corpus, idCol, vecCol, cents)
       .repartition(col("cent_id"))
       .localCheckpoint()

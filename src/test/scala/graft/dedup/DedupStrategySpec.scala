@@ -112,6 +112,22 @@ class DedupStrategySpec extends SparkSpec {
     natKeys shouldBe colKeys
   }
 
+  "simhash_md5" should "match the conv(md5) column formulation bit-for-bit" in {
+    val natFp = docs.select($"doc_id",
+        call_function("simhash_md5", lower($"text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val colFp = docs
+      .select($"doc_id",
+        transform(graft.text.TextAnalysis.tokens(lower($"text")),
+          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("hs"))
+      .localCheckpoint()
+      .select($"doc_id", Dedup.simhashFromHashes($"hs").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    natFp shouldBe colFp
+    // 60-bit family: the top nibble never sets
+    all(natFp.values) should be < (1L << 60)
+  }
+
   "simhash pairs" should "verify the Hamming bound on every returned pair" in {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3, chunks = 7)
       .select("hamming").as[Long].collect()
