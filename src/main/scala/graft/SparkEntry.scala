@@ -982,6 +982,52 @@ object SparkEntry {
         |  GRAPH <orders> { ?o (<status>|<priority>) ?v }
         |}""".stripMargin)
 
+  /** SPARQL expression surface end-to-end: language-tagged labels
+    * (customer names, @en when custkey % 3 = 0, @fr otherwise), a
+    * LANGMATCHES/LANG filter, and expression projections with STRLEN,
+    * STRAFTER, arithmetic, FLOOR and IF — the §17.4 builtin remainder an
+    * endpoint user hits first. */
+  private def q90_sparql_expr(s: SparkSession, dir: String): DataFrame = {
+    val labels = t(s, dir, "customer").select(
+      concat(lit("c:"), col("c_custkey").cast("string")).as("s"),
+      lit("label").as("p"),
+      col("c_name").as("o"),
+      lit(graft.rdf.Quad.LITERAL).as("oKind"),
+      lit(null).cast("string").as("oDt"),
+      when(col("c_custkey") % 3 === 0, "en").otherwise("fr").as("oLang"),
+      lit("labels").as("g"))
+    val quads = TpchQuads.quads(s, dir).unionByName(labels)
+    graft.rdf.Sparql.select(quads,
+      """SELECT ?c (STRLEN(?n) AS ?len) (STRAFTER(?c, ":") AS ?num)
+        |  (IF(STRAFTER(?c, ":") / 2 - FLOOR(STRAFTER(?c, ":") / 2) = 0,
+        |      "even", "odd") AS ?parity)
+        |WHERE {
+        |  GRAPH <labels> { ?c <label> ?n }
+        |  FILTER(LANGMATCHES(LANG(?n), "en") && STRLEN(?n) + 2 > 10)
+        |}""".stripMargin)
+  }
+
+  /** `{n,m}` path range quantifiers through the front end: nations within
+    * 1..3 `succ` hops (the per-region key chain from q68), expanded
+    * structurally into plain + optional steps. */
+  private def q91_path_quant(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+    val succ = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+      .withColumn("nxt", lead(col("n_nationkey"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(
+        concat(lit("n:"), col("n_nationkey").cast("string")).as("s"),
+        lit("succ").as("p"),
+        concat(lit("n:"), col("nxt").cast("string")).as("o"),
+        lit(graft.rdf.Quad.IRI).as("oKind"),
+        lit(null).cast("string").as("oDt"),
+        lit(null).cast("string").as("oLang"),
+        lit("succ").as("g"))
+    graft.rdf.Sparql.select(TpchQuads.quads(s, dir).unionByName(succ),
+      """SELECT ?n ?m WHERE { GRAPH <succ> { ?n <succ>{1,3} ?m } }""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1071,7 +1117,9 @@ object SparkEntry {
     "q86_top_bigrams" -> (q86_top_bigrams _),
     "q87_group_concat" -> (q87_group_concat _),
     "q88_bm25" -> (q88_bm25 _),
-    "q89_having" -> (q89_having _)
+    "q89_having" -> (q89_having _),
+    "q90_sparql_expr" -> (q90_sparql_expr _),
+    "q91_path_quant" -> (q91_path_quant _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1873,7 +1921,22 @@ object SparkEntry {
     "q89_having" ->
       """SELECT 'n:' || c_nationkey AS nat, count(*) AS n
         |FROM customer GROUP BY 1 HAVING count(*) >= 60
-        |ORDER BY n DESC, nat""".stripMargin
+        |ORDER BY n DESC, nat""".stripMargin,
+    "q90_sparql_expr" ->
+      """SELECT 'c:' || c_custkey AS c, CAST(length(c_name) AS INT) AS len,
+        |  CAST(c_custkey AS VARCHAR) AS num,
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+        |FROM customer
+        |WHERE c_custkey % 3 = 0 AND length(c_name) + 2 > 10""".stripMargin,
+    "q91_path_quant" ->
+      """WITH r AS (
+        |  SELECT n_nationkey, n_regionkey,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rk
+        |  FROM nation
+        |)
+        |SELECT 'n:' || a.n_nationkey AS n, 'n:' || b.n_nationkey AS m
+        |FROM r a JOIN r b ON a.n_regionkey = b.n_regionkey
+        |  AND b.rk - a.rk BETWEEN 1 AND 3""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

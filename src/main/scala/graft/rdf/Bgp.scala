@@ -21,7 +21,15 @@ object Bgp {
   private def isVar(t: String) = t.startsWith("?")
 
   /** Compile one triple pattern: filter on constants, project variables. */
-  def scan(quads: DataFrame, pat: Pattern): DataFrame = {
+  def scan(quads: DataFrame, pat: Pattern): DataFrame = scanMeta(quads, pat, None)
+
+  /** [[scan]], optionally carrying the OBJECT term's metadata columns
+    * (`__dt_v`, `__lang_v`, `__kind_v`) for a variable `v` bound in object
+    * position — the substrate for SPARQL's LANG()/DATATYPE()/isIRI()
+    * builtins, which need more than the lexical form. Projected only on
+    * demand (the compiler asks for exactly the variables those builtins
+    * mention) so ordinary BGPs keep their narrow column pruning. */
+  def scanMeta(quads: DataFrame, pat: Pattern, objMeta: Option[String]): DataFrame = {
     val bindings = Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o) ++
       pat.g.map(g => Seq("g" -> g)).getOrElse(Nil)
     val filtered = bindings.foldLeft(quads) { case (df, (colName, term)) =>
@@ -44,15 +52,36 @@ object Bgp {
         case (d, _) => d
       }
     }
-    selfFiltered.select(projections.distinct: _*)
+    val metaCols = objMeta match {
+      case Some(v) if pat.o == "?" + v =>
+        Seq(col("oDt").as(s"__dt_$v"), col("oLang").as(s"__lang_$v"),
+          col("oKind").as(s"__kind_$v"))
+      case _ => Nil
+    }
+    selfFiltered.select(projections.distinct ++ metaCols: _*)
   }
 
   /** Join a chain of patterns on their shared variables (natural join). */
   def bgp(quads: DataFrame, patterns: Pattern*): DataFrame =
-    patterns.map(scan(quads, _)).reduceLeft { (acc, next) =>
+    bgpMeta(quads, patterns, Set.empty)
+
+  /** [[bgp]] with term metadata carried for the listed variables: the
+    * FIRST pattern binding such a variable in object position projects
+    * its metadata (later duplicates join on the lexical value only, as
+    * this engine does everywhere). */
+  def bgpMeta(quads: DataFrame, patterns: Seq[Pattern],
+      metaVars: Set[String]): DataFrame = {
+    val claimed = scala.collection.mutable.Set[String]()
+    patterns.map { p =>
+      val mv = Option(p.o).filter(_.startsWith("?")).map(_.drop(1))
+        .filter(v => metaVars(v) && !claimed(v))
+      mv.foreach(claimed += _)
+      scanMeta(quads, p, mv)
+    }.reduceLeft { (acc, next) =>
       val shared = acc.columns.intersect(next.columns).toSeq
       if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
     }
+  }
 
   /** OPTIONAL: left-outer join of a BGP onto an existing binding set
     * (SURVEY Q3; e.g. `AgentMatchEnricher.scala:105-111`). */

@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   * Grammar (hand-rolled recursive descent, no dependencies):
   * {{{
   * query   := (PREFIX ns: <iri>)*
-  *            SELECT [DISTINCT] (?v | (AGG(?v|*) AS ?alias) | *)... [WHERE] { group }
-  *            [GROUP BY ?v...] [HAVING (AGG(?v) op value)]
+  *            SELECT [DISTINCT] (?v | (AGG([DISTINCT] ?v|*) AS ?alias)
+  *                               | (expr AS ?alias) | *)... [WHERE] { group }
+  *            [GROUP BY ?v...] [HAVING (AGG([DISTINCT] ?v) op value)]
   *            [ORDER BY key...] [OFFSET n] [LIMIT n]
   *          | (PREFIX...)* ASK { group }
   *          | (PREFIX...)* CONSTRUCT { template } WHERE { group }
@@ -42,13 +43,22 @@ import org.apache.spark.sql.functions._
   *          | { SELECT ... }               (sub-select)
   * triple  := term path term | term ('!' pterm | '!(' pterm ('|' pterm)* ')') term
   * path    := step ('/' step)*
-  * step    := ['^'] (pterm | '(' pterm ('|' pterm)* ')') ['*'|'+'|'?']
+  * step    := ['^'] (pterm | '(' pterm ('|' pterm)* ')') ['*'|'+'|'?'|'{n[,[m]]}']
   * pterm   := <iri> | bareword | 'a' (→ rdf:type)
   * term    := ?var | <iri> | "literal" | bareword
   * object  := term ["^^"<dt> | "@"lang]     (typed/tagged literals)
   * key     := ?v | AGG(?v) | DESC(...) | ASC(...)   (several keys allowed)
-  * cond    := ?var (=|!=|<|<=|>|>=) term-or-number
-  *          | [!] (REGEX|STRSTARTS|STRENDS|CONTAINS)(?v, "s") | [!] BOUND(?v)
+  * expr    := full boolean/comparison/arithmetic grammar (||, &&, =/!=/
+  *            </<=/>/>=, +,-,*,/ with standard precedence, unary !/-) over
+  *            ?vars, literals, numbers and the builtin calls STR LANG
+  *            LANGMATCHES DATATYPE IF COALESCE BOUND REGEX STRSTARTS
+  *            STRENDS CONTAINS STRLEN UCASE LCASE SUBSTR CONCAT REPLACE
+  *            ABS ROUND CEIL FLOOR STRBEFORE STRAFTER isIRI isLiteral
+  *            isBlank — used by FILTER(expr), BIND(expr AS ?v) and
+  *            SELECT (expr AS ?v). Subtraction needs spaces (`?a - ?b`):
+  *            '-' stays inside tokens so negative numbers and hyphenated
+  *            barewords lex whole. LANG/DATATYPE/isIRI read term metadata
+  *            carried from triple object positions ([[Bgp.bgpMeta]]).
   * }}}
   */
 object Sparql {
@@ -80,7 +90,7 @@ object Sparql {
         }
         out += sb.append('"').toString; i += 1
       }
-      else if ("{}().;,/^".contains(c)) { out += c.toString; i += 1 }
+      else if ("{}().;,/^*+".contains(c)) { out += c.toString; i += 1 }
       else if (c == '&' || c == '|') {
         // '&&'/'||' are the boolean connectives; a single '|' separates
         // the members of a negated property set !(p1|p2)
@@ -93,7 +103,7 @@ object Sparql {
       }
       else {
         var j = i
-        while (j < n && !q(j).isWhitespace && !"{}()<>=!&|.;,/^".contains(q(j))) j += 1
+        while (j < n && !q(j).isWhitespace && !"{}()<>=!&|.;,/^*+".contains(q(j))) j += 1
         // allow dots inside numbers and prefixed names (e.g. 0.5)
         if (j < n && q(j) == '.' && j + 1 < n && q(j + 1).isDigit) {
           var k = j + 1
@@ -117,12 +127,15 @@ object Sparql {
     * (`(p1|p2)*`). */
   private final case class StarPath(s: String, preds: List[String], o: String,
       mod: Char = '*') extends Element
+  /** `s p{lo,hi} o` range quantifier (hi None = unbounded): the DISTINCT
+    * union of exact-k-hop pairs for k in [lo, hi]. */
+  private final case class QuantPath(s: String, preds: List[String], o: String,
+      lo: Int, hi: Option[Int]) extends Element
   private final case class Opt(group: List[Element]) extends Element
-  private final case class FilterCond(conds: List[(String, String, String)],
-      ops: List[String]) extends Element
+  private final case class FilterCond(e: Expr) extends Element
   private final case class Graphed(g: String, group: List[Element]) extends Element
   private final case class Union(left: List[Element], right: List[Element]) extends Element
-  private final case class Bind(value: String, varName: String) extends Element
+  private final case class Bind(value: Expr, varName: String) extends Element
   /** VALUES ?v { t... } or VALUES (?a ?b) { (t t)... } — inline data. */
   private final case class Values(names: List[String],
       rows: List[List[String]]) extends Element
@@ -138,19 +151,39 @@ object Sparql {
   private final case class Exists(group: List[Element], negated: Boolean,
       minus: Boolean = false) extends Element
 
+  /** SPARQL expression AST (FILTER conditions, BIND values, SELECT
+    * expression projections). Terms are stored as raw tokens — compiled
+    * to Columns by [[Sparql.exprColumn]]. */
+  private sealed trait Expr
+  private final case class EVar(name: String) extends Expr
+  private final case class ETerm(token: String) extends Expr
+  private final case class ECall(fn: String, args: List[Expr]) extends Expr
+  private final case class EBin(op: String, l: Expr, r: Expr) extends Expr
+  private final case class ENot(e: Expr) extends Expr
+  private final case class ENeg(e: Expr) extends Expr
+  /** An aggregate call inside a SELECT expression, e.g.
+    * `(COUNT(?v) * 2 AS ?d)` — compiled to a hidden aggregate column the
+    * surrounding expression references. Only legal in SELECT position. */
+  private final case class EAgg(fn: String, arg: String, distinct: Boolean,
+      sep: Option[String]) extends Expr
+
   private sealed trait SelectItem
   private final case class PlainVar(name: String) extends SelectItem
   /** e.g. (COUNT(?msg) AS ?msgCount); arg "*" for COUNT(*). */
   private final case class AggItem(fn: String, arg: String, distinct: Boolean,
       alias: String, sep: Option[String] = None) extends SelectItem
+  /** Non-aggregate expression projection `(expr AS ?alias)` (SPARQL 1.1
+    * §16.1.2); evaluated over the (possibly grouped) solution. */
+  private final case class ExprItem(e: Expr, alias: String) extends SelectItem
 
   private sealed trait OrderKey
   private final case class VarKey(name: String) extends OrderKey
   private final case class AggKey(fn: String, arg: String) extends OrderKey
 
-  /** HAVING (AGG(?v) op value) — filter on an aggregated group. */
+  /** HAVING (AGG([DISTINCT] ?v) op value) — filter on an aggregated
+    * group; the DISTINCT modifier is honored (or rejected loudly). */
   private final case class Having(fn: String, arg: String, op: String,
-      value: String)
+      value: String, distinct: Boolean = false)
 
   private final case class Query(
       distinct: Boolean, items: Seq[SelectItem], group: List[Element],
@@ -221,12 +254,18 @@ object Sparql {
       var star = false
       while (peek.startsWith("?") || peek == "*" || peek == "(") {
         if (peek == "(") {
+          // (expr AS ?alias) — a bare aggregate call stays an AggItem
+          // (ORDER BY matching, HAVING reuse); anything else, aggregates
+          // included, is an expression projection
           next()
-          val (fn, arg, dist, sep) = aggExpr()
+          val e = expr()
           expect("AS")
           val alias = next().stripPrefix("?")
           expect(")")
-          items += AggItem(fn, arg, dist, alias, sep)
+          items += (e match {
+            case EAgg(fn, arg, dist, sep) => AggItem(fn, arg, dist, alias, sep)
+            case other => ExprItem(other, alias)
+          })
         } else {
           val t = next()
           if (t == "*") star = true else items += PlainVar(t.drop(1))
@@ -245,11 +284,11 @@ object Sparql {
           while (peek.startsWith("?")) groupVars += next().drop(1)
         } else if (peek.equalsIgnoreCase("HAVING")) {
           next(); expect("(")
-          val (fn, arg, _, _) = aggExpr()
+          val (fn, arg, dist, _) = aggExpr()
           val op = next()
           val v = next()
           expect(")")
-          having = Some(Having(fn, arg, op, v))
+          having = Some(Having(fn, arg, op, v, dist))
         } else if (peek.equalsIgnoreCase("OFFSET")) {
           next(); offset = Some(next().toInt)
         } else if (peek.equalsIgnoreCase("ORDER")) {
@@ -317,11 +356,33 @@ object Sparql {
           // — per-step modifiers, as the reference's guard query uses
           // (`AbstractEnricher.scala:17-23`: sameAs*/differentFrom/sameAs*);
           // alternation sets close over the union relation ((p1|p2)*)
-          def modded(): (List[String], Boolean, Option[Char]) = {
+          // a step may carry a `{n[,m]}` range quantifier (SPARQL 1.1
+          // draft syntax). Quantifiers equivalent to an existing modifier
+          // normalize to it ({0,} = *, {1,} = +, {0,1} = ?, {1} = plain);
+          // the rest compile to QuantPath (distinct pair semantics, like
+          // the other path operators).
+          def modded(): (List[String], Boolean, Either[Option[Char], (Int, Option[Int])]) = {
             val (ps, inv) = pstepSet()
-            val mod =
-              if (peek == "*" || peek == "+" || peek == "?") Some(next().head) else None
-            (ps, inv, mod)
+            if (peek == "*" || peek == "+" || peek == "?")
+              (ps, inv, Left(Some(next().head)))
+            else if (peek == "{") {
+              next()
+              val lo = next().toInt
+              val hi: Option[Int] =
+                if (peek == ",") { next(); if (peek == "}") None else Some(next().toInt) }
+                else Some(lo)
+              expect("}")
+              require(lo >= 0, s"bad path quantifier lower bound $lo")
+              hi.foreach(h => require(h >= lo && h >= 1, s"bad path quantifier {$lo,$h}"))
+              (lo, hi) match {
+                case (0, None) => (ps, inv, Left(Some('*')))
+                case (1, None) => (ps, inv, Left(Some('+')))
+                case (0, Some(1)) => (ps, inv, Left(Some('?')))
+                case (1, Some(1)) => (ps, inv, Left(None))
+                case _ => (ps, inv, Right((lo, hi)))
+              }
+            }
+            else (ps, inv, Left(None))
           }
           val steps = scala.collection.mutable.ListBuffer(modded())
           while (peek == "/") { next(); steps += modded() }
@@ -337,9 +398,10 @@ object Sparql {
               val obj = if (i == steps.size - 1) o else fresh()
               val (from, to) = if (inv) (obj, subj) else (subj, obj)
               elems += ((ps, mod) match {
-                case (p :: Nil, None) => Triple(from, p, to)
-                case (many, None) => AltTriple(from, many, to)
-                case (many, Some(m)) => StarPath(from, many, to, m)
+                case (p :: Nil, Left(None)) => Triple(from, p, to)
+                case (many, Left(None)) => AltTriple(from, many, to)
+                case (many, Left(Some(m))) => StarPath(from, many, to, m)
+                case (many, Right((lo, hi))) => QuantPath(from, many, to, lo, hi)
               })
               subj = obj
             }
@@ -383,8 +445,8 @@ object Sparql {
         }
         else if (peek.equalsIgnoreCase("BIND")) {
           next(); expect("(")
-          val v = term(); expect("AS"); val name = term(); expect(")")
-          elems += Bind(v, name.stripPrefix("?"))
+          val e = expr(); expect("AS"); val name = term(); expect(")")
+          elems += Bind(e, name.stripPrefix("?"))
         }
         else if (peek.equalsIgnoreCase("VALUES")) {
           next()
@@ -402,8 +464,18 @@ object Sparql {
               while (peek != ")") r += objTerm()
               expect(")")
               require(r.size == names.size, "VALUES row arity mismatch")
+              // SPARQL 1.1 §10.2 UNDEF marks an unbound position whose
+              // per-row join-key exclusion this engine does not implement;
+              // fail loudly rather than join the literal string "UNDEF"
+              require(!r.contains("UNDEF"),
+                "UNDEF in VALUES rows is not supported (per-row unbound positions)")
               rows += r.toList
-            } else rows += List(objTerm())
+            } else {
+              val v = objTerm()
+              require(v != "UNDEF",
+                "UNDEF in VALUES rows is not supported (per-row unbound positions)")
+              rows += List(v)
+            }
           }
           expect("}")
           elems += Values(names.toList, rows.toList)
@@ -426,42 +498,71 @@ object Sparql {
       elems.toList
     }
 
-    private val FilterFns = Set("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND")
-
-    /** One filter condition: a comparison, a builtin call
-      * (REGEX/STRSTARTS/STRENDS/CONTAINS/BOUND), or !BOUND(...). Encoded in
-      * the (lhs, op, rhs) triple with op = the function name ('!fn' when
-      * negated) so FilterCond stays one shape. */
-    private def filterCondition(): (String, String, String) = {
-      val negated = peek == "!" && { next(); true }
-      if (FilterFns.contains(peek.toUpperCase)) {
-        val fn = next().toUpperCase
-        expect("(")
-        val arg1 = next()
-        val arg2 = if (peek == ",") { next(); next() } else ""
-        expect(")")
-        ((arg1, (if (negated) "!" else "") + fn, arg2))
-      } else {
-        require(!negated, "'!' only supported on filter builtins")
-        val lhs = next()
-        val op = next()
-        require(Seq("=", "!=", "<", "<=", ">", ">=").contains(op), s"bad operator $op")
-        ((lhs, op, next()))
-      }
-    }
-
     def filter(): FilterCond = {
       expect("(")
-      val conds = scala.collection.mutable.ListBuffer[(String, String, String)]()
-      val ops = scala.collection.mutable.ListBuffer[String]()
-      var done = false
-      while (!done) {
-        conds += filterCondition()
-        if (peek == "&&" || peek == "||") ops += next() else done = true
-      }
+      val e = expr()
       expect(")")
-      FilterCond(conds.toList, ops.toList)
+      FilterCond(e)
     }
+
+    // ------------------------------------------------------ expressions
+    // Precedence: || < && < comparison < additive < multiplicative <
+    // unary (!/-) < primary. Subtraction of variables needs surrounding
+    // whitespace (`?a - ?b`) — '-' stays inside tokens so negative
+    // numbers and hyphenated barewords lex whole.
+
+    def expr(): Expr = {
+      var e = andExpr()
+      while (peek == "||") { next(); e = EBin("||", e, andExpr()) }
+      e
+    }
+    private def andExpr(): Expr = {
+      var e = relExpr()
+      while (peek == "&&") { next(); e = EBin("&&", e, relExpr()) }
+      e
+    }
+    private def relExpr(): Expr = {
+      val l = addExpr()
+      if (Seq("=", "!=", "<", "<=", ">", ">=").contains(peek))
+        EBin(next(), l, addExpr())
+      else l
+    }
+    private def addExpr(): Expr = {
+      var e = mulExpr()
+      while (peek == "+" || peek == "-") { e = EBin(next(), e, mulExpr()) }
+      e
+    }
+    private def mulExpr(): Expr = {
+      var e = unaryExpr()
+      while (peek == "*" || peek == "/") { e = EBin(next(), e, unaryExpr()) }
+      e
+    }
+    private def unaryExpr(): Expr =
+      if (peek == "!") { next(); ENot(unaryExpr()) }
+      else if (peek == "-") { next(); ENeg(unaryExpr()) }
+      else if (peek == "+") { next(); unaryExpr() }
+      else primaryExpr()
+    private def primaryExpr(): Expr =
+      if (peek == "(") { next(); val e = expr(); expect(")"); e }
+      else if (AggFns.contains(peek.toUpperCase) && peek2 == "(") {
+        val (fn, arg, dist, sep) = aggExpr()
+        EAgg(fn, arg, dist, sep)
+      }
+      else if (Sparql.ExprFns.contains(peek.toUpperCase) && peek2 == "(") {
+        val fn = next().toUpperCase
+        expect("(")
+        val args = scala.collection.mutable.ListBuffer[Expr]()
+        if (peek != ")") {
+          args += expr()
+          while (peek == ",") { next(); args += expr() }
+        }
+        expect(")")
+        ECall(fn, args.toList)
+      }
+      else {
+        val t = objTerm() // absorbs "lit"^^<dt> / "lit"@lang suffixes
+        if (t.startsWith("?")) EVar(t.drop(1)) else ETerm(t)
+      }
 
     def term(): String = next()
 
@@ -539,11 +640,55 @@ object Sparql {
     val pairs =
       if (sp.mod == '+') reach.distinct()
       else reach.union(identity).distinct()
+    bindPathEnds(pairs, sp.s, sp.o)
+  }
+
+  private def bindPathEnds(pairs: DataFrame, s: String, o: String): DataFrame = {
     val withS =
-      if (sp.s.startsWith("?")) pairs.withColumnRenamed("src", sp.s.drop(1))
-      else pairs.where(col("src") === termValue(sp.s)).drop("src")
-    if (sp.o.startsWith("?")) withS.withColumnRenamed("dst", sp.o.drop(1))
-    else withS.where(col("dst") === termValue(sp.o)).drop("dst")
+      if (s.startsWith("?")) pairs.withColumnRenamed("src", s.drop(1))
+      else pairs.where(col("src") === termValue(s)).drop("src")
+    if (o.startsWith("?")) withS.withColumnRenamed("dst", o.drop(1))
+    else withS.where(col("dst") === termValue(o)).drop("dst")
+  }
+
+  /** `s p{lo,hi} o`: distinct union of exact-k-hop pairs, k in [lo, hi].
+    * Bounded ranges iterate a join per level (hi is a small constant in
+    * any real query — each level is one hash join Catalyst plans like any
+    * other); unbounded tails reuse the budgeted transitive closure.
+    * Normalized forms ({0,}, {1,}, {0,1}, {1}) never reach here. */
+  private def quantPath(quads: DataFrame, qp: QuantPath, graph: Option[String]): DataFrame = {
+    val scoped = graph.map(g => quads.where(col("g") === termValue(g))).getOrElse(quads)
+    val preds = qp.preds.map(termValue)
+    val edges = scoped.where(
+        if (preds.size == 1) col("p") === preds.head else col("p").isin(preds: _*))
+      .select(col("s").as("src"), col("o").as("dst")).distinct()
+    def step(acc: DataFrame): DataFrame = acc.alias("a")
+      .join(edges.alias("e"), col("a.dst") === col("e.src"))
+      .select(col("a.src").as("src"), col("e.dst").as("dst")).distinct()
+    val levels = scala.collection.mutable.ListBuffer[DataFrame]()
+    var cur = edges
+    var k = 1
+    while (k < qp.lo) { cur = step(cur); k += 1 } // cur = exact-max(lo,1) hops
+    qp.hi match {
+      case Some(h) =>
+        levels += cur
+        while (k < h) { cur = step(cur); k += 1; levels += cur }
+      case None =>
+        // lo >= 2 here: exact-lo hops, plus lo..infinity via the closure
+        val closure = graft.graph.GraphOps.transitiveClosure(edges)
+          .select(col("src"), col("dst"))
+        levels += cur
+        levels += cur.alias("a")
+          .join(closure.alias("c"), col("a.dst") === col("c.src"))
+          .select(col("a.src").as("src"), col("c.dst").as("dst"))
+    }
+    val base = levels.reduceLeft(_ union _)
+    val withZero = // lo == 0: the zero-length path matches each term with itself
+      if (qp.lo > 0) base
+      else base.union(scoped.select(col("s").as("src"))
+        .union(scoped.select(col("o").as("src"))).distinct()
+        .select(col("src"), col("src").as("dst")))
+    bindPathEnds(withZero.distinct(), qp.s, qp.o)
   }
 
   /** `s (p1|p2) o` / `s !(p1|p2) o`: a filtered scan over (or excluding)
@@ -568,7 +713,8 @@ object Sparql {
   }
 
   private def compileGroup(
-      quads: DataFrame, group: List[Element], graph: Option[String]): DataFrame = {
+      quads: DataFrame, group: List[Element], graph: Option[String],
+      metaVars: Set[String] = Set.empty): DataFrame = {
     var current: Option[DataFrame] = None
     def join(df: DataFrame): Unit = current = current match {
       case None => Some(df)
@@ -581,14 +727,16 @@ object Sparql {
     // for this subset
     val (triples, rest) = group.partition(_.isInstanceOf[Triple])
     if (triples.nonEmpty)
-      join(Bgp.bgp(quads, triples.map(t => toPattern(t.asInstanceOf[Triple], graph)): _*))
+      join(Bgp.bgpMeta(quads,
+        triples.map(t => toPattern(t.asInstanceOf[Triple], graph)), metaVars))
     rest.foreach {
       case sp: StarPath => join(starPath(quads, sp, graph))
+      case qp: QuantPath => join(quantPath(quads, qp, graph))
       case AltTriple(s, preds, o) => join(predSetScan(quads, s, preds, o, graph, negated = false))
       case NegPropSet(s, preds, o) => join(predSetScan(quads, s, preds, o, graph, negated = true))
       case Exists(inner, negated, minus) =>
         val left = current.getOrElse(sys.error("FILTER EXISTS without preceding bindings"))
-        val right = compileGroup(quads, inner, graph)
+        val right = compileGroup(quads, inner, graph, metaVars)
         val shared = left.columns.intersect(right.columns).toSeq
         // Caveat: null bindings from OPTIONAL follow SQL join-key
         // semantics here (a null never matches), whereas SPARQL
@@ -604,12 +752,17 @@ object Sparql {
         else
           current = Some(left.join(right, shared, if (negated) "left_anti" else "left_semi"))
       case SubSelect(q) => join(compileQuery(quads, q))
-      case Graphed(g, inner) => join(compileGroup(quads, inner, Some(g)))
+      case Graphed(g, inner) => join(compileGroup(quads, inner, Some(g), metaVars))
       case Union(l, r) =>
-        join(Bgp.union(compileGroup(quads, l, graph), compileGroup(quads, r, graph)))
+        join(Bgp.union(compileGroup(quads, l, graph, metaVars),
+          compileGroup(quads, r, graph, metaVars)))
       case Opt(inner) =>
         val left = current.getOrElse(sys.error("OPTIONAL without preceding bindings"))
-        val innerIsPlainBgp = inner.forall(_.isInstanceOf[Triple])
+        val innerIsPlainBgp = inner.forall(_.isInstanceOf[Triple]) &&
+          !inner.exists { // object vars needing metadata take the general path
+            case Triple(_, _, o) => o.startsWith("?") && metaVars(o.drop(1))
+            case _ => false
+          }
         if (innerIsPlainBgp)
           current = Some(Bgp.optional(left, quads,
             inner.collect { case t: Triple => toPattern(t, graph) }: _*))
@@ -617,17 +770,16 @@ object Sparql {
           // general OPTIONAL group (e.g. a UNION inside OPTIONAL,
           // AgentMatchEnricher.scala:105-111): left-outer join on the
           // shared variables
-          val right = compileGroup(quads, inner, graph)
+          val right = compileGroup(quads, inner, graph, metaVars)
           val shared = left.columns.intersect(right.columns).toSeq
           current = Some(left.join(right, shared, "left_outer"))
         }
       case f: FilterCond =>
         val df = current.getOrElse(sys.error("FILTER without bindings"))
-        current = Some(df.where(filterColumn(f)))
-      case Bind(v, name) =>
+        current = Some(df.where(exprColumn(f.e, df)))
+      case Bind(e, name) =>
         val df = current.getOrElse(sys.error("BIND without bindings"))
-        val value = if (v.startsWith("?")) col(v.drop(1)) else lit(termValue(v))
-        current = Some(Bgp.bind(df, name, value))
+        current = Some(Bgp.bind(df, name, exprColumn(e, df)))
       case Values(names, rows) =>
         val df = current.getOrElse(sys.error("VALUES without bindings"))
         if (names.size == 1)
@@ -652,41 +804,167 @@ object Sparql {
     current.getOrElse(sys.error("empty group"))
   }
 
-  private def filterColumn(f: FilterCond): Column = {
-    def one(c: (String, String, String)): Column = {
-      val (lhs, op, rhs) = c
-      val fn = op.stripPrefix("!")
-      if (Seq("REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND").contains(fn)) {
-        val l0 = col(lhs.stripPrefix("?"))
-        val base = fn match {
-          case "REGEX" => l0.rlike(termValue(rhs)) // partial match, as SPARQL
-          case "STRSTARTS" => l0.startsWith(termValue(rhs))
-          case "STRENDS" => l0.endsWith(termValue(rhs))
-          case "CONTAINS" => l0.contains(termValue(rhs))
-          case "BOUND" => l0.isNotNull
-        }
-        return if (op.startsWith("!")) !base else base
-      }
-      val l = col(lhs.stripPrefix("?"))
-      val r: Column =
-        if (rhs.startsWith("?")) col(rhs.drop(1))
-        else if (rhs.matches("-?[0-9]+(\\.[0-9]+)?")) lit(rhs.toDouble)
-        else lit(termValue(rhs))
-      val lc = if (rhs.matches("-?[0-9]+(\\.[0-9]+)?")) l.cast("double") else l
+  /** Builtins the expression grammar recognizes as calls (SPARQL 1.1
+    * §17.4 subset). Aggregates are NOT here — they live in SELECT/HAVING
+    * position only. */
+  private[rdf] val ExprFns = Set(
+    "STR", "LANG", "LANGMATCHES", "DATATYPE", "IF", "COALESCE", "BOUND",
+    "REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "STRLEN", "UCASE", "LCASE",
+    "SUBSTR", "CONCAT", "REPLACE", "ABS", "ROUND", "CEIL", "FLOOR",
+    "STRBEFORE", "STRAFTER", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK")
+
+  private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
+  private val RdfLangString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+  /** Variables whose term METADATA (datatype/lang/kind) an expression
+    * needs — LANG/DATATYPE/isIRI-family arguments. The group compiler
+    * projects exactly these through [[Bgp.bgpMeta]]. */
+  private val MetaFns = Set("LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK")
+  private def metaVarsOf(e: Expr): Set[String] = e match {
+    case ECall(fn, List(EVar(v))) if MetaFns(fn) => Set(v)
+    case ECall(_, args) => args.flatMap(metaVarsOf).toSet
+    case EBin(_, l, r) => metaVarsOf(l) ++ metaVarsOf(r)
+    case ENot(x) => metaVarsOf(x)
+    case ENeg(x) => metaVarsOf(x)
+    case _ => Set.empty
+  }
+  private def metaVarsOfElems(elems: List[Element]): Set[String] = elems.flatMap {
+    case FilterCond(e) => metaVarsOf(e)
+    case Bind(e, _) => metaVarsOf(e)
+    case Opt(g) => metaVarsOfElems(g)
+    case Graphed(_, g) => metaVarsOfElems(g)
+    case Union(l, r) => metaVarsOfElems(l) ++ metaVarsOfElems(r)
+    case Exists(g, _, _) => metaVarsOfElems(g)
+    case SubSelect(q) => metaVarsOfQuery(q)
+    case _ => Set.empty[String]
+  }.toSet
+  private def metaVarsOfQuery(q: Query): Set[String] =
+    metaVarsOfElems(q.group) ++
+      q.items.collect { case ExprItem(e, _) => metaVarsOf(e) }.flatten
+
+  private def isNumericTok(t: String) = t.matches("-?[0-9]+(\\.[0-9]+)?")
+
+  /** Statically numeric expressions force a double comparison (store
+    * values are strings; `?price > 100` must compare numerically). */
+  private def staticNumeric(e: Expr): Boolean = e match {
+    case ETerm(t) => isNumericTok(t)
+    case EBin(op, _, _) => Set("+", "-", "*", "/")(op)
+    case ENeg(_) => true
+    case ECall(fn, _) => Set("STRLEN", "ABS", "ROUND", "CEIL", "FLOOR")(fn)
+    case EAgg(fn, _, _, _) => Set("COUNT", "SUM", "AVG")(fn)
+    case _ => false
+  }
+
+  private def litArg(e: Expr, fn: String): String = e match {
+    case ETerm(t) => termValue(t)
+    case other => sys.error(s"$fn needs a literal argument, got $other")
+  }
+
+  /** Compile an expression against the current binding set. `df` supplies
+    * column existence checks for the metadata-backed builtins. */
+  private def exprColumn(e: Expr, df: DataFrame,
+      aggEnv: Map[EAgg, String] = Map.empty): Column = e match {
+    case EVar(v) => col(v)
+    case a: EAgg =>
+      col(aggEnv.getOrElse(a,
+        sys.error(s"aggregate ${a.fn} used outside a SELECT expression")))
+    case ETerm(t) => if (isNumericTok(t)) lit(t.toDouble) else lit(termValue(t))
+    case ENot(x) => !exprColumn(x, df, aggEnv)
+    case ENeg(x) => -exprColumn(x, df, aggEnv).cast("double")
+    case EBin("&&", l, r) => exprColumn(l, df, aggEnv) && exprColumn(r, df, aggEnv)
+    case EBin("||", l, r) => exprColumn(l, df, aggEnv) || exprColumn(r, df, aggEnv)
+    case EBin(op, l, r) if Set("+", "-", "*", "/")(op) =>
+      val lc = exprColumn(l, df, aggEnv).cast("double")
+      val rc = exprColumn(r, df, aggEnv).cast("double")
       op match {
-        case "=" => lc === r
-        case "!=" => lc =!= r
-        case "<" => lc < r
-        case "<=" => lc <= r
-        case ">" => lc > r
-        case ">=" => lc >= r
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
       }
-    }
-    val cols = f.conds.map(one)
-    f.ops.zip(cols.tail).foldLeft(cols.head) {
-      case (acc, ("&&", c)) => acc && c
-      case (acc, ("||", c)) => acc || c
-      case (acc, _) => acc
+    case EBin(op, l, r) =>
+      val numeric = staticNumeric(l) || staticNumeric(r)
+      val lc0 = exprColumn(l, df, aggEnv)
+      val rc0 = exprColumn(r, df, aggEnv)
+      val (lc, rc) =
+        if (numeric) (lc0.cast("double"), rc0.cast("double")) else (lc0, rc0)
+      op match {
+        case "=" => lc === rc
+        case "!=" => lc =!= rc
+        case "<" => lc < rc
+        case "<=" => lc <= rc
+        case ">" => lc > rc
+        case ">=" => lc >= rc
+      }
+    case ECall(fn, args) => callColumn(fn, args, df, aggEnv)
+  }
+
+  private def metaCol(df: DataFrame, prefix: String, v: String, fn: String): Column = {
+    require(df.columns.contains(s"__${prefix}_$v"),
+      s"$fn(?$v): term metadata unavailable — ?$v is not bound by a triple object " +
+        "position (paths and computed bindings carry no datatype/lang/kind)")
+    col(s"__${prefix}_$v")
+  }
+
+  private def callColumn(fn: String, args: List[Expr], df: DataFrame,
+      aggEnv: Map[EAgg, String]): Column = {
+    def ec(e: Expr): Column = exprColumn(e, df, aggEnv)
+    (fn, args) match {
+      // STR: lexical form — this store keeps IRIs and literals as their
+      // lexical form already, so STR is the string cast
+      case ("STR", List(a)) => ec(a).cast("string")
+      case ("LANG", List(EVar(v))) =>
+        coalesce(metaCol(df, "lang", v, "LANG"), lit("")) // "" for plain literals, per spec
+      case ("DATATYPE", List(EVar(v))) =>
+        when(metaCol(df, "lang", v, "DATATYPE").isNotNull, lit(RdfLangString))
+          .when(metaCol(df, "dt", v, "DATATYPE").isNotNull, metaCol(df, "dt", v, "DATATYPE"))
+          .when(metaCol(df, "kind", v, "DATATYPE") === lit(Quad.LITERAL), lit(XsdString))
+          .otherwise(lit(null).cast("string")) // DATATYPE of an IRI is an error -> unbound
+      case ("LANGMATCHES", List(l, r)) =>
+        val lang = ec(l)
+        val range = ec(r)
+        // RFC 4647 basic filtering: '*' matches any non-empty tag; else
+        // case-insensitive exact tag or prefix-up-to-subtag-boundary
+        when(range === "*", lang =!= "")
+          .otherwise(lower(lang) === lower(range) ||
+            lower(lang).startsWith(concat(lower(range), lit("-"))))
+      case ("IF", List(c, t, f)) =>
+        when(ec(c), ec(t)).otherwise(ec(f))
+      case ("COALESCE", as) if as.nonEmpty => coalesce(as.map(ec(_)): _*)
+      case ("BOUND", List(EVar(v))) => col(v).isNotNull
+      case ("REGEX", List(a, p)) => ec(a).rlike(litArg(p, fn))
+      case ("STRSTARTS", List(a, b)) => ec(a).startsWith(ec(b))
+      case ("STRENDS", List(a, b)) => ec(a).endsWith(ec(b))
+      case ("CONTAINS", List(a, b)) => ec(a).contains(ec(b))
+      case ("STRLEN", List(a)) => length(ec(a))
+      case ("UCASE", List(a)) => upper(ec(a))
+      case ("LCASE", List(a)) => lower(ec(a))
+      case ("SUBSTR", List(a, st)) => // SPARQL is 1-based like SQL
+        ec(a).substr(ec(st).cast("int"), lit(Int.MaxValue))
+      case ("SUBSTR", List(a, st, ln)) =>
+        ec(a).substr(ec(st).cast("int"),
+          ec(ln).cast("int"))
+      case ("CONCAT", as) if as.nonEmpty =>
+        concat(as.map(ec(_).cast("string")): _*)
+      case ("REPLACE", List(a, p, r)) =>
+        regexp_replace(ec(a), litArg(p, fn), litArg(r, fn))
+      case ("ABS", List(a)) => abs(ec(a).cast("double"))
+      case ("ROUND", List(a)) => round(ec(a).cast("double"), 0)
+      case ("CEIL", List(a)) => ceil(ec(a).cast("double"))
+      case ("FLOOR", List(a)) => floor(ec(a).cast("double"))
+      case ("STRBEFORE", List(a, b)) => // "" when the separator is absent, per spec
+        val (ac, sep) = (ec(a), litArg(b, fn))
+        when(instr(ac, sep) > 0, substring_index(ac, sep, 1)).otherwise(lit(""))
+      case ("STRAFTER", List(a, b)) =>
+        val (ac, sep) = (ec(a), litArg(b, fn))
+        when(instr(ac, sep) > 0, substring_index(ac, sep, -1)).otherwise(lit(""))
+      case ("ISIRI" | "ISURI", List(EVar(v))) =>
+        metaCol(df, "kind", v, fn) === lit(Quad.IRI)
+      case ("ISLITERAL", List(EVar(v))) =>
+        metaCol(df, "kind", v, fn) === lit(Quad.LITERAL)
+      case ("ISBLANK", List(EVar(v))) =>
+        metaCol(df, "kind", v, fn) === lit(Quad.BNODE)
+      case _ => sys.error(s"unsupported builtin $fn/${args.size}")
     }
   }
 
@@ -697,10 +975,13 @@ object Sparql {
       case "COUNT" if c.isEmpty => count(lit(1))
       case "COUNT" if distinct => countDistinct(c.get)
       case "COUNT" => count(c.get) // skips unbound (null) — SPARQL semantics
+      case "SUM" if distinct => sum_distinct(c.get)
       case "SUM" => sum(c.get)
-      case "MIN" => min(c.get)
+      case "MIN" => min(c.get) // DISTINCT is a no-op for MIN/MAX
       case "MAX" => max(c.get)
-      case "AVG" => avg(c.get)
+      case "AVG" =>
+        require(!distinct, "AVG(DISTINCT) is not supported — would silently mis-average")
+        avg(c.get)
       case "GROUP_CONCAT" =>
         // SPARQL leaves concatenation order undefined; sort for a
         // deterministic (and differential-testable) result
@@ -712,9 +993,22 @@ object Sparql {
   }
 
   private def compileQuery(quads: DataFrame, q: Query): DataFrame = {
-    var df = compileGroup(quads, q.group, None)
+    var df = compileGroup(quads, q.group, None, metaVarsOfQuery(q))
     val aggItems = q.items.collect { case a: AggItem => a }
-    val hasAggs = aggItems.nonEmpty || q.groupBy.nonEmpty
+    // aggregates nested inside SELECT expressions become hidden agg
+    // columns the expression references after grouping
+    def aggsIn(e: Expr): Seq[EAgg] = e match {
+      case a: EAgg => Seq(a)
+      case ECall(_, args) => args.flatMap(aggsIn)
+      case EBin(_, l, r) => aggsIn(l) ++ aggsIn(r)
+      case ENot(x) => aggsIn(x)
+      case ENeg(x) => aggsIn(x)
+      case _ => Nil
+    }
+    val exprAggs: Map[EAgg, String] = q.items
+      .collect { case ExprItem(e, _) => aggsIn(e) }.flatten.distinct
+      .zipWithIndex.map { case (a, i) => a -> s"__eagg$i" }.toMap
+    val hasAggs = aggItems.nonEmpty || q.groupBy.nonEmpty || exprAggs.nonEmpty
     def inSelect(k: AggKey): Option[AggItem] =
       aggItems.find(a => a.fn == k.fn && a.arg == k.arg && !a.distinct)
     // order keys on aggregates not projected in SELECT get hidden columns
@@ -725,10 +1019,12 @@ object Sparql {
     if (hasAggs) {
       val aggCols = aggItems.map(a =>
         aggColumn(a.fn, a.arg, a.distinct, a.sep).as(a.alias)) ++
+        exprAggs.map { case (a, n) =>
+          aggColumn(a.fn, a.arg, a.distinct, a.sep).as(n) }.toSeq ++
         hiddenOrd.map { case (k, n) =>
           aggColumn(k.fn, k.arg, distinct = false).as(n) }.toSeq ++
         q.having.map(h =>
-          aggColumn(h.fn, h.arg, distinct = false).as("__having")).toSeq
+          aggColumn(h.fn, h.arg, distinct = h.distinct).as("__having")).toSeq
       require(aggCols.nonEmpty, "GROUP BY without aggregates in SELECT or ORDER BY")
       df = df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
     }
@@ -749,16 +1045,27 @@ object Sparql {
         case other => sys.error(s"unsupported HAVING operator $other")
       }).drop("__having")
     }
+    // expression projections evaluate over the (possibly grouped)
+    // solution — after aggregation they may reference group vars and agg
+    // aliases (earlier SELECT items included)
+    q.items.foreach {
+      case ExprItem(e, alias) =>
+        df = df.withColumn(alias, exprColumn(e, df, exprAggs))
+      case _ => ()
+    }
     // projection before ordering (hidden order columns are kept until after
     // the sort, then dropped)
     val projected: Seq[String] = q.items.map {
       case PlainVar(v) => v
       case AggItem(_, _, _, alias, _) => alias
+      case ExprItem(_, alias) => alias
     }
     if (projected.nonEmpty) {
       val keep = projected ++ hiddenOrd.values.filter(df.columns.contains)
       df = df.select(keep.distinct.map(col): _*)
-    }
+    } else
+      // SELECT *: internal metadata columns never surface
+      df.columns.filter(_.startsWith("__")).foreach(c => df = df.drop(c))
     if (q.distinct) df = df.distinct()
     if (q.orderBy.nonEmpty) {
       val sortCols = q.orderBy.map { case (key, desc) =>
@@ -935,7 +1242,7 @@ object Sparql {
     val spark = quads.sparkSession
     import spark.implicits._
     val fromVars: Option[DataFrame] = group.map { g =>
-      val bindings = compileGroup(quads, g, None)
+      val bindings = compileGroup(quads, g, None, metaVarsOfElems(g))
       val names =
         if (star) bindings.columns.toSeq
         else vars.map(_.stripPrefix("?")).filter(bindings.columns.contains)
@@ -974,13 +1281,15 @@ object Sparql {
         case _ => false
       })
       require(templ.nonEmpty, "empty CONSTRUCT WHERE pattern")
-      instantiate(compileGroup(quads, group, None), templ, ConstructedGraph, quads)
+      instantiate(compileGroup(quads, group, None, metaVarsOfElems(group)),
+        templ, ConstructedGraph, quads)
     } else {
       val templ = templQuads(p.block())
       require(templ.nonEmpty, "empty CONSTRUCT template")
       if (p.peek.equalsIgnoreCase("WHERE")) p.next()
       val group = p.block()
-      instantiate(compileGroup(quads, group, None), templ, ConstructedGraph, quads)
+      instantiate(compileGroup(quads, group, None, metaVarsOfElems(group)),
+        templ, ConstructedGraph, quads)
     }
   }
 
@@ -1038,7 +1347,7 @@ object Sparql {
           if (p.peek.equalsIgnoreCase("INSERT")) { p.next(); templQuads(p.block()) } else Nil
         p.expect("WHERE")
         val group = p.block()
-        val bindings = compileGroup(store, group, None)
+        val bindings = compileGroup(store, group, None, metaVarsOfElems(group))
         // DELETE WHERE { g } shorthand: the pattern is its own template
         val del = if (delTempl.isEmpty && insTempl.isEmpty) templQuads(group.filter {
           case _: Triple | _: Graphed => true

@@ -516,4 +516,148 @@ class SparqlSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     res shouldBe Set(("a1", 3L)) // rdf:type, schema:name, schema:email
   }
+
+  // ---- expression/builtin surface (SPARQL 1.1 §17.4 subset) ----
+
+  /** Quads with language tags, typed literals and IRI-kind objects. */
+  private lazy val typedQuads = Seq(
+    ("d1", "label", "Hello world", 2.toByte, null: String, "en", "g1"),
+    ("d1", "label", "Hallo Welt", 2.toByte, null: String, "de", "g1"),
+    ("d1", "label", "plain", 2.toByte, null: String, null: String, "g1"),
+    ("d1", "score", "3.5", 2.toByte,
+      "http://www.w3.org/2001/XMLSchema#decimal", null: String, "g1"),
+    ("d1", "link", "d2", 0.toByte, null: String, null: String, "g1"),
+    ("d2", "score", "41", 2.toByte, null: String, null: String, "g1"))
+    .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+
+  "expressions" should "evaluate arithmetic in FILTER and BIND" in {
+    Sparql.select(quads,
+      """SELECT ?x ?d WHERE {
+        |  ?x <age> ?a . BIND(?a * 2 + 1 AS ?d) FILTER(?a / 2 > 10)
+        |}""".stripMargin)
+      .as[(String, Double)].collect().toSeq shouldBe Seq(("alice", 63.0))
+  }
+
+  it should "evaluate expression projections, also over grouped solutions" in {
+    Sparql.select(quads,
+      """SELECT ?x (STRLEN(?n) * 10 AS ?len10) WHERE { ?x <name> ?n }
+        |ORDER BY ?x""".stripMargin)
+      .as[(String, Double)].collect().toSeq shouldBe
+      Seq(("alice", 50.0), ("bob", 30.0), ("carol", 50.0))
+    Sparql.select(quads,
+      """SELECT ?x (COUNT(?v) AS ?n) (COUNT(?v) * 2 AS ?n2) WHERE {
+        |  ?x ?p ?v
+        |} GROUP BY ?x ORDER BY ?x""".stripMargin)
+      .as[(String, Long, Double)].collect().toSeq shouldBe
+      Seq(("alice", 3L, 6.0), ("bob", 2L, 4.0), ("carol", 1L, 2.0))
+  }
+
+  it should "support STR, UCASE/LCASE, SUBSTR, CONCAT, REPLACE, STRBEFORE/STRAFTER" in {
+    Sparql.select(quads,
+      """SELECT (UCASE(?n) AS ?u) (LCASE(?n) AS ?l) (SUBSTR(?n, 2, 3) AS ?mid)
+        |  (CONCAT(?n, "!") AS ?bang) (REPLACE(?n, "[aeiou]", "_") AS ?repl)
+        |WHERE { ?x <name> ?n . FILTER(?n = "Alice") }""".stripMargin)
+      .as[(String, String, String, String, String)].collect().toSeq shouldBe
+      Seq(("ALICE", "alice", "lic", "Alice!", "Al_c_"))
+    Sparql.select(quads,
+      """SELECT (STRBEFORE(?n, "i") AS ?b) (STRAFTER(?n, "i") AS ?a)
+        |  (STRBEFORE(?n, "zz") AS ?none)
+        |WHERE { ?x <name> ?n . FILTER(?n = "Alice") }""".stripMargin)
+      .as[(String, String, String)].collect().toSeq shouldBe
+      Seq(("Al", "ce", ""))
+  }
+
+  it should "evaluate LANG and LANGMATCHES over carried term metadata" in {
+    Sparql.select(typedQuads,
+      """SELECT ?l WHERE { ?x <label> ?l . FILTER(LANG(?l) = "en") }""")
+      .as[String].collect().toSeq shouldBe Seq("Hello world")
+    // '*' matches any tagged literal; plain literals have LANG "" per spec
+    Sparql.select(typedQuads,
+      """SELECT ?l WHERE {
+        |  ?x <label> ?l . FILTER(LANGMATCHES(LANG(?l), "*"))
+        |} ORDER BY ?l""".stripMargin)
+      .as[String].collect().toSeq shouldBe Seq("Hallo Welt", "Hello world")
+    // prefix matching: "de" matches "de-AT"-style subtags case-insensitively
+    Sparql.select(typedQuads,
+      """SELECT ?l WHERE { ?x <label> ?l . FILTER(LANGMATCHES(LANG(?l), "DE")) }""")
+      .as[String].collect().toSeq shouldBe Seq("Hallo Welt")
+  }
+
+  it should "evaluate DATATYPE with langString/typed/plain distinctions" in {
+    Sparql.select(typedQuads,
+      """SELECT ?dt WHERE {
+        |  ?x <score> ?v . BIND(DATATYPE(?v) AS ?dt) FILTER(?v < 10)
+        |}""".stripMargin)
+      .as[String].collect().toSeq shouldBe
+      Seq("http://www.w3.org/2001/XMLSchema#decimal")
+    Sparql.select(typedQuads,
+      """SELECT ?dt WHERE {
+        |  ?x <label> ?l . FILTER(LANG(?l) = "en") BIND(DATATYPE(?l) AS ?dt)
+        |}""".stripMargin)
+      .as[String].collect().toSeq shouldBe
+      Seq("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")
+    Sparql.select(typedQuads,
+      """SELECT ?dt WHERE {
+        |  ?x <label> ?l . FILTER(LANG(?l) = "") BIND(DATATYPE(?l) AS ?dt)
+        |}""".stripMargin)
+      .as[String].collect().toSeq shouldBe
+      Seq("http://www.w3.org/2001/XMLSchema#string")
+  }
+
+  it should "evaluate IF and COALESCE (incl. OPTIONAL-unbound)" in {
+    Sparql.select(quads,
+      """SELECT ?x (IF(?a >= 18, "adult", "minor") AS ?cls) WHERE {
+        |  ?x <age> ?a
+        |} ORDER BY ?x""".stripMargin)
+      .as[(String, String)].collect().toSeq shouldBe
+      Seq(("alice", "adult"), ("bob", "minor"))
+    Sparql.select(quads,
+      """SELECT ?x (COALESCE(?y, "nobody") AS ?friend) WHERE {
+        |  ?x <name> ?n . OPTIONAL { ?x <knows> ?y }
+        |} ORDER BY ?x""".stripMargin)
+      .as[(String, String)].collect().toSeq shouldBe
+      Seq(("alice", "bob"), ("bob", "nobody"), ("carol", "nobody"))
+  }
+
+  it should "evaluate isIRI/isLiteral from the object's stored kind" in {
+    Sparql.select(typedQuads,
+      """SELECT ?o WHERE { ?x ?p ?o . FILTER(isIRI(?o)) }""")
+      .as[String].collect().toSeq shouldBe Seq("d2")
+    Sparql.select(typedQuads,
+      """SELECT ?o WHERE { <d2> ?p ?o . FILTER(isLiteral(?o)) }""")
+      .as[String].collect().toSeq shouldBe Seq("41")
+  }
+
+  "path quantifiers" should "expand {n}, {n,m} and {n,} structurally" in {
+    val chain = Seq( // a -> b -> c -> d
+      ("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d"))
+      .map { case (s, p, o) => (s, p, o, 2.toByte, null: String, null: String, "g") }
+      .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+    def q(path: String) = Sparql.select(chain,
+      s"SELECT ?y WHERE { <a> $path ?y }").as[String].collect().toSet
+    q("<next>{2}") shouldBe Set("c")
+    q("<next>{1,2}") shouldBe Set("b", "c")
+    q("<next>{2,}") shouldBe Set("c", "d")
+    q("<next>{1,3}") shouldBe Set("b", "c", "d")
+  }
+
+  "HAVING with DISTINCT" should "count distinct values, not rows" in {
+    // a1 has 3 distinct predicates over 4 rows (two recipient edges in
+    // agentQuads would double-count without DISTINCT)
+    val res = Sparql.select(quads,
+      """SELECT ?x (COUNT(?v) AS ?n) WHERE { ?x ?p ?v }
+        |GROUP BY ?x HAVING (COUNT(DISTINCT ?p) >= 3)""".stripMargin)
+      .as[(String, Long)].collect().toSet
+    res shouldBe Set(("alice", 3L))
+  }
+
+  "VALUES" should "reject UNDEF loudly instead of joining the literal string" in {
+    val e = intercept[IllegalArgumentException] {
+      Sparql.select(quads,
+        """SELECT ?x ?n WHERE {
+          |  ?x <name> ?n . VALUES (?x ?n) { (<alice> UNDEF) }
+          |}""".stripMargin).collect()
+    }
+    e.getMessage should include("UNDEF")
+  }
 }
