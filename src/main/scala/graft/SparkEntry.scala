@@ -1028,6 +1028,37 @@ object SparkEntry {
       """SELECT ?n ?m WHERE { GRAPH <succ> { ?n <succ>{1,3} ?m } }""")
   }
 
+  /** G3 extension — RDFS entailment (the reference stacks a
+    * ForwardChainingRDFSInferencer under its OWL one): a two-level
+    * segment class hierarchy, a subPropertyOf edge and domain/range
+    * declarations over the customer graph; the oracle enumerates the
+    * closed-form inferred set (membership through the subclass chain,
+    * locatedIn propagation, Agent/Place typing, the one transitive
+    * subclass edge). */
+  private def q92_rdfs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val inst = cust.select(
+        concat(lit("c:"), col("c_custkey").cast("string")).as("s"),
+        lit("rdf:type").as("p"),
+        concat(lit("s:"), col("c_mktsegment")).as("o"))
+      .union(cust.select(
+        concat(lit("c:"), col("c_custkey").cast("string")).as("s"),
+        lit("nation").as("p"),
+        concat(lit("n:"), col("c_nationkey").cast("string")).as("o")))
+    val schema = Seq(
+      ("s:BUILDING", "rdfs:subClassOf", "s:Any"),
+      ("s:AUTOMOBILE", "rdfs:subClassOf", "s:Vehicle"),
+      ("s:Vehicle", "rdfs:subClassOf", "s:Any"),
+      ("nation", "rdfs:subPropertyOf", "locatedIn"),
+      ("nation", "rdfs:domain", "s:Agent"),
+      ("nation", "rdfs:range", "s:Place")).toDF("s", "p", "o")
+    graft.enrich.Inference.infer(inst.union(schema),
+        graft.enrich.Inference.Rules(
+          rdfs = Some(graft.enrich.Inference.RdfsVocab())))
+      .select(col("s"), col("p"), col("o"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1119,7 +1150,8 @@ object SparkEntry {
     "q88_bm25" -> (q88_bm25 _),
     "q89_having" -> (q89_having _),
     "q90_sparql_expr" -> (q90_sparql_expr _),
-    "q91_path_quant" -> (q91_path_quant _)
+    "q91_path_quant" -> (q91_path_quant _),
+    "q92_rdfs" -> (q92_rdfs _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1936,7 +1968,25 @@ object SparkEntry {
         |)
         |SELECT 'n:' || a.n_nationkey AS n, 'n:' || b.n_nationkey AS m
         |FROM r a JOIN r b ON a.n_regionkey = b.n_regionkey
-        |  AND b.rk - a.rk BETWEEN 1 AND 3""".stripMargin
+        |  AND b.rk - a.rk BETWEEN 1 AND 3""".stripMargin,
+    // q92: the RDFS closure stated in closed form — membership through
+    // the 1- and 2-level subclass chains (rdfs9+rdfs11), locatedIn via
+    // subPropertyOf (rdfs7), domain/range typing (rdfs2/rdfs3), and the
+    // single inferred transitive subclass edge.
+    "q92_rdfs" ->
+      """SELECT 'c:' || c_custkey AS s, 'rdf:type' AS p, 's:Any' AS o
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |UNION
+        |SELECT 'c:' || c_custkey, 'rdf:type', 's:Vehicle'
+        |FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |UNION
+        |SELECT 'c:' || c_custkey, 'rdf:type', 's:Agent' FROM customer
+        |UNION
+        |SELECT 'c:' || c_custkey, 'locatedIn', 'n:' || c_nationkey FROM customer
+        |UNION
+        |SELECT DISTINCT 'n:' || c_nationkey, 'rdf:type', 's:Place' FROM customer
+        |UNION
+        |SELECT 's:AUTOMOBILE', 'rdfs:subClassOf', 's:Any'""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

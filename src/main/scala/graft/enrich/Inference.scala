@@ -20,10 +20,31 @@ import graft.rdf.QuadDiff
   */
 object Inference {
 
+  /** RDFS vocabulary spelling — this repo's converters write compact
+    * predicate names ('a' parses to "rdf:type"), so the defaults match;
+    * pass full IRIs when the store carries them. */
+  final case class RdfsVocab(
+      typ: String = "rdf:type",
+      subClassOf: String = "rdfs:subClassOf",
+      subPropertyOf: String = "rdfs:subPropertyOf",
+      domain: String = "rdfs:domain",
+      range: String = "rdfs:range")
+
   final case class Rules(
       inverseOf: Map[String, String] = Map.empty, // p -> q and q -> p both applied
       symmetric: Set[String] = Set.empty,
-      transitive: Set[String] = Set.empty)
+      transitive: Set[String] = Set.empty,
+      /** RDFS entailment (the reference stacks a
+        * `ForwardChainingRDFSInferencer` under its OWL inferencer,
+        * `core/src/main/com/thymeflow/rdf/repository/RepositoryFactory.scala:167-173`):
+        * rdfs5/rdfs11 (subPropertyOf/subClassOf transitivity), rdfs7
+        * (statement propagation through subPropertyOf), rdfs9 (membership
+        * propagation through subClassOf), rdfs2/rdfs3 (domain/range
+        * typing). Schema triples are ordinary data in the quad set.
+        * Caveat: rdfs3 is applied without an object-kind check (the
+        * (s,p,o) projection carries no kind); declare ranges only on
+        * object properties. */
+      rdfs: Option[RdfsVocab] = None)
 
   val InferredGraph = "graft:inferred"
 
@@ -32,6 +53,10 @@ object Inference {
   def infer(quads: DataFrame, rules: Rules, maxIterations: Int = 30): DataFrame = {
     val spark = quads.sparkSession
     val base = quads.select("s", "p", "o").distinct().localCheckpoint()
+
+    // rdfs5/rdfs11 are plain transitivity of the two schema predicates
+    val transitivePreds = rules.transitive ++
+      rules.rdfs.toSeq.flatMap(v => Seq(v.subClassOf, v.subPropertyOf))
 
     def applyRules(frontier: DataFrame, all: DataFrame): DataFrame = {
       val inv = rules.inverseOf.toSeq.map { case (p, q) =>
@@ -43,7 +68,7 @@ object Inference {
           .select(col("o").as("s"), col("p"), col("s").as("o"))
       }
       // transitive: frontier ⋈ all (both directions through the frontier)
-      val trans = rules.transitive.toSeq.flatMap { p =>
+      val trans = transitivePreds.toSeq.flatMap { p =>
         val f = frontier.where(col("p") === p)
         val a = all.where(col("p") === p)
         Seq(
@@ -52,10 +77,38 @@ object Inference {
           a.alias("x").join(f.alias("y"), col("x.o") === col("y.s"))
             .select(col("x.s").as("s"), lit(p).as("p"), col("y.o").as("o")))
       }
-      val derived = (inv ++ sym ++ trans).reduceOption(_ unionByName _)
+      // RDFS schema-joins, semi-naive in both directions (a new schema
+      // statement re-fires over old instance data and vice versa)
+      val rdfs = rules.rdfs.toSeq.flatMap { v =>
+        def wp(df: DataFrame, pred: String) = df.where(col("p") === pred)
+        def both(left: String => DataFrame, right: String => DataFrame,
+            join: (DataFrame, DataFrame) => DataFrame): Seq[DataFrame] =
+          Seq(join(left("f"), right("a")), join(left("a"), right("f")))
+        def pick(which: String, pred: Option[String]): DataFrame = {
+          val base = if (which == "f") frontier else all
+          pred.map(wp(base, _)).getOrElse(base)
+        }
+        // rdfs9: (x type c) ⋈ (c subClassOf d) -> (x type d)
+        both(w => pick(w, Some(v.typ)), w => pick(w, Some(v.subClassOf)),
+          (t, sc) => t.alias("t").join(sc.alias("sc"), col("t.o") === col("sc.s"))
+            .select(col("t.s").as("s"), lit(v.typ).as("p"), col("sc.o").as("o"))) ++
+        // rdfs7: (s p o) ⋈ (p subPropertyOf q) -> (s q o)
+        both(w => pick(w, None), w => pick(w, Some(v.subPropertyOf)),
+          (x, sp) => x.alias("x").join(sp.alias("sp"), col("x.p") === col("sp.s"))
+            .select(col("x.s").as("s"), col("sp.o").as("p"), col("x.o").as("o"))) ++
+        // rdfs2: (p domain c) ⋈ (s p o) -> (s type c)
+        both(w => pick(w, None), w => pick(w, Some(v.domain)),
+          (x, d) => x.alias("x").join(d.alias("d"), col("x.p") === col("d.s"))
+            .select(col("x.s").as("s"), lit(v.typ).as("p"), col("d.o").as("o"))) ++
+        // rdfs3: (p range c) ⋈ (s p o) -> (o type c); see Rules.rdfs caveat
+        both(w => pick(w, None), w => pick(w, Some(v.range)),
+          (x, r) => x.alias("x").join(r.alias("r"), col("x.p") === col("r.s"))
+            .select(col("x.o").as("s"), lit(v.typ).as("p"), col("r.o").as("o")))
+      }
+      val derived = (inv ++ sym ++ trans ++ rdfs).reduceOption(_ unionByName _)
         .getOrElse(frontier.limit(0))
       derived.where(col("s") =!= col("o") || !col("p").isin(
-        (rules.symmetric ++ rules.transitive).toSeq: _*)).distinct()
+        (rules.symmetric ++ transitivePreds).toSeq: _*)).distinct()
     }
 
     var all = base
