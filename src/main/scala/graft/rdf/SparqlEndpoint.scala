@@ -99,6 +99,38 @@ object SparqlEndpoint {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+  /** Attach authoritative term-kind columns (`__kind_<col>`) by joining
+    * every projected column back to the store's deduplicated term table
+    * (IRI reading preferred — any term standing as subject or predicate
+    * is an IRI; object occurrences carry their stored kind). Protocol
+    * clients then get term types from DATA, exactly as the reference
+    * serves real RDF4J term kinds — the string-shape heuristic remains
+    * only for values the store never saw (BIND/expression results).
+    * Cost: one hash join per projected column against a distinct term
+    * table, the same order as the query that produced the bindings. */
+  private def withTermKinds(df: DataFrame, store: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val terms = store.select(col("o").as("__term"), col("oKind").cast("byte").as("__k"))
+      .unionByName(store.select(col("s").as("__term"),
+        lit(Quad.IRI).cast("byte").as("__k")))
+      .unionByName(store.select(col("p").as("__term"),
+        lit(Quad.IRI).cast("byte").as("__k")))
+      .groupBy(col("__term")).agg(min(col("__k")).as("__k")) // IRI=0 wins ties
+    df.columns.foldLeft(df) { (acc, c) =>
+      val t = terms.select(col("__term").as(s"__t_$c"), col("__k").as(s"__kind_$c"))
+      acc.join(t, acc(c) === t(s"__t_$c"), "left").drop(s"__t_$c")
+    }
+  }
+
+  /** Protocol term type for a bound value: stored kind when the store
+    * knows the term, strict IRI shape otherwise. */
+  private def termType(kind: Option[Byte], value: String): String = kind match {
+    case Some(Quad.IRI) => "uri"
+    case Some(Quad.BNODE) => "bnode"
+    case Some(_) => "literal"
+    case None => if (Sparql.looksLikeIri(value)) "uri" else "literal"
+  }
+
   private final class Handler(ref: AtomicReference[DataFrame]) extends HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
@@ -155,8 +187,9 @@ object SparqlEndpoint {
             val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
             if (accept.contains("text/csv")) streamCsv(ex, df)
             else if (accept.contains("text/tab-separated-values")) streamTsv(ex, df)
-            else if (accept.contains("application/sparql-results+xml")) streamXml(ex, df)
-            else streamJson(ex, df)
+            else if (accept.contains("application/sparql-results+xml"))
+              streamXml(ex, withTermKinds(df, ref.get))
+            else streamJson(ex, withTermKinds(df, ref.get))
         }
       } catch {
         case e: Exception =>
@@ -185,9 +218,13 @@ object SparqlEndpoint {
       if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     }
 
-    /** SPARQL results JSON, streamed row by row (chunked). */
+    /** SPARQL results JSON, streamed row by row (chunked). The input
+      * carries `__kind_<col>` columns from [[withTermKinds]]. */
     private def streamJson(ex: HttpExchange, df: DataFrame): Unit = {
-      val cols = df.columns
+      val all = df.columns
+      val cols = all.filterNot(_.startsWith("__kind_"))
+      val valIdx = cols.map(all.indexOf(_))
+      val kindIdx = cols.map(c => all.indexOf(s"__kind_$c"))
       ex.getResponseHeaders.set("Content-Type", "application/sparql-results+json")
       ex.sendResponseHeaders(200, 0) // 0 => chunked
       val out: OutputStream = ex.getResponseBody
@@ -202,13 +239,11 @@ object SparqlEndpoint {
         if (!first) w(",")
         first = false
         val fields = cols.indices.flatMap { i =>
-          Option(row.get(i)).map { v =>
+          Option(row.get(valIdx(i))).map { v =>
             val s = v.toString
-            // SELECT bindings arrive as bare strings (kind column pruned
-            // by projection); classify by the engine's minted-IRI shape
-            // so conforming clients get the right term type — same rule
-            // as the XML writer below
-            val tpe = if (Sparql.looksLikeIri(s)) "uri" else "literal"
+            val kind = Some(kindIdx(i)).filter(_ >= 0)
+              .filterNot(row.isNullAt).map(row.getByte)
+            val tpe = termType(kind, s)
             "\"" + jsonEscape(cols(i)) +
               "\":{\"type\":\"" + tpe + "\",\"value\":\"" +
               jsonEscape(s) + "\"}"
@@ -222,7 +257,10 @@ object SparqlEndpoint {
 
     /** SPARQL results XML (the reference's second tuple format), streamed. */
     private def streamXml(ex: HttpExchange, df: DataFrame): Unit = {
-      val cols = df.columns
+      val all = df.columns
+      val cols = all.filterNot(_.startsWith("__kind_"))
+      val valIdx = cols.map(all.indexOf(_))
+      val kindIdx = cols.map(c => all.indexOf(s"__kind_$c"))
       ex.getResponseHeaders.set("Content-Type", "application/sparql-results+xml")
       ex.sendResponseHeaders(200, 0)
       val out = ex.getResponseBody
@@ -235,9 +273,11 @@ object SparqlEndpoint {
         val row = it.next()
         w("<result>")
         cols.indices.foreach { i =>
-          Option(row.get(i)).foreach { v =>
+          Option(row.get(valIdx(i))).foreach { v =>
             val s = v.toString
-            val tag = if (Sparql.looksLikeIri(s)) "uri" else "literal"
+            val kind = Some(kindIdx(i)).filter(_ >= 0)
+              .filterNot(row.isNullAt).map(row.getByte)
+            val tag = termType(kind, s)
             w(s"""<binding name="${xmlEscape(cols(i))}"><$tag>${xmlEscape(s)}</$tag></binding>""")
           }
         }

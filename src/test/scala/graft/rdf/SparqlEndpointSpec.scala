@@ -101,6 +101,27 @@ class SparqlEndpointSpec extends SparkSpec {
       include(""""n":{"type":"literal","value":"Alice"}""")
   }
 
+  it should "serve term kinds from the store, not from string shape" in withServer { server =>
+    // an IRI-shaped LITERAL (oKind=2) must be typed literal: the term
+    // table overrides the lexical-shape heuristic
+    val s2 = SparqlEndpoint.start(Seq(
+      ("doc1", "excerpt", "mailto:spoof@example.com", 2.toByte,
+        null: String, null: String, "g1"),
+      ("doc1", "author", "alice", 0.toByte, null: String, null: String, "g1"))
+      .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g"))
+    try {
+      get(s2, "SELECT ?t WHERE { <doc1> <excerpt> ?t }").body() should
+        include(""""t":{"type":"literal","value":"mailto:spoof@example.com"}""")
+      // a plain-named IRI object (no scheme — the heuristic would call it
+      // a literal) is typed uri from its stored kind
+      get(s2, "SELECT ?a WHERE { <doc1> <author> ?a }").body() should
+        include(""""a":{"type":"uri","value":"alice"}""")
+      // subject-position terms are IRIs even when they never appear as objects
+      get(s2, "SELECT ?s WHERE { ?s <excerpt> ?t }").body() should
+        include(""""s":{"type":"uri","value":"doc1"}""")
+    } finally s2.stop()
+  }
+
   it should "round-trip a SPARQL UPDATE (insert -> query -> delete -> negation check)" in
     withServer { server =>
       // insert through the front door
