@@ -9,9 +9,10 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- Seq("q01_agg", "q02_filter", "q03_join", "q07_topk",
         "q09_range_join", "q21_ann_top1", "q25_minhash_lsh", "q26_simhash",
-        "q30_token_blocking", "q38_haversine", "q67_sparql_agg",
-        "q77_lm_score", "q78_repetition", "q79_decontaminate", "q80_packing",
-        "q82_span_dedup", "q83_describe", "q86_top_bigrams", "q88_bm25")) {
+        "q30_token_blocking", "q38_haversine", "q41_agent_match",
+        "q67_sparql_agg", "q77_lm_score", "q78_repetition",
+        "q79_decontaminate", "q80_packing", "q82_span_dedup", "q83_describe",
+        "q86_top_bigrams", "q88_bm25", "q90_sparql_expr", "q92_rdfs")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -126,6 +126,33 @@ object ScalingProbe {
       graft.dedup.Dedup.spanDuplication(docs500k, "text", "doc_id", w = 8).count()
     }
 
+    // 10) IVF ANN recall at 500k vectors (embeddings replicated 100x with
+    // deterministic per-replica jitter so replicas are near- but not
+    // exact duplicates): recall@10 of the auto-nlist (~sqrt(500k) = 707
+    // lists) IVF router at nprobe=16 against the exact brute-force
+    // top-10 for 100 probes. The probe measures the router's quality
+    // knobs (nlist from autoNlist, multi-probe via nprobe) — SCALING.md
+    // records the recall.
+    val emb500k = emb.crossJoin(spark.range(100).toDF("rep"))
+      .select((col("vec_id") + col("rep") * 1000000).as("vec_id"),
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") +
+            (pmod(col("rep") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.02)
+            .cast("float")).as("embedding"))
+      .localCheckpoint()
+    val probes500k = emb500k.where(col("vec_id") < 100)
+    val exactTop = graft.similarity.Ann.bruteForceTopK(
+        emb500k, probes500k, "vec_id", "embedding", k = 10)
+      .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+    val nExact = exactTop.count()
+    val (tIvf, nIvfHits) = time {
+      graft.similarity.Ann.ivfTopK(emb500k, probes500k, "vec_id", "embedding",
+          k = 10, nlist = 0, nprobe = 16)
+        .join(exactTop, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    }
+    val recall = nIvfHits.toDouble / nExact
+
     println(
       s"""{"probe":"scaling","stays":{"sec":$tStays,"rows":$nStays},""" +
       s""""minhash50k":{"sec":$tMinhash,"rows":$nMinhash},""" +
@@ -135,7 +162,8 @@ object ScalingProbe {
       s""""windowedStays6M":{"sec":$tWindowed,"rows":$nWindowed},""" +
       s""""imageEmbed500k":{"sec":$tEmbed,"rows":$nEmbed},""" +
       s""""spanDedup500k":{"sec":$tSpan,"rows":$nSpan},""" +
-      s""""semanticDedup20k":{"sec":$tSem,"rows":$nSem}}""")
+      s""""semanticDedup20k":{"sec":$tSem,"rows":$nSem},""" +
+      s""""ivfRecall500k":{"sec":$tIvf,"recallAt10":$recall,"nprobe":16}}""")
     spark.stop()
   }
 }

@@ -69,33 +69,30 @@ object Resolution {
         cutoff.as("__cutoff"))
     val rare = toks.groupBy("tok", "__cutoff").agg(count(lit(1)).as("df"))
       .where(col("df") <= col("__cutoff"))
-    // repartition post-explode (see Dedup.ngramJaccardPairs) so the
-    // quadratic per-token expansion is spread across tasks, not stuck in
-    // the input's partitioning.
-    val joined = toks.drop("__cutoff").join(rare.select("tok"), Seq("tok"))
-      // repartition BY TOK before the optional block-cap window: the
-      // window's required distribution (tok) is then already satisfied, so
-      // the cap adds only a per-partition sort — not a second exchange —
-      // and the post-explode expansion is spread across tasks either way
+    // Pair generation by per-token list, NOT a self-join: collect each
+    // (pruned) token's sorted id list and expand the strict upper
+    // triangle in place. One shuffle keyed on tok (the aggregation),
+    // one on (id1, id2) (the count) — the earlier self-join formulation
+    // cost four (checkpoint write + two join exchanges + the count).
+    // List width is bounded by the IDF cutoff, and the optional block
+    // cap — the distributed analogue of the reference's searchSize=10000
+    // candidate bound (AgentMatchEnricher.scala:68) — is a slice of the
+    // sorted list: deterministically the lowest ids, applied BEFORE the
+    // quadratic expansion, no window, no extra exchange.
+    val grouped = toks.drop("__cutoff")
+      .join(rare.select("tok"), Seq("tok"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism * 2, col("tok"))
-    // optional per-token block cap — the distributed analogue of the
-    // reference's searchSize=10000 candidate bound (AgentMatchEnricher
-    // .scala:68): deterministically keep the lowest ids per token so the
-    // pair fan-out is bounded even for hot tokens.
-    val pruned = (maxBlockSize match {
-      case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("tok")).orderBy(col("id"))
-        joined.withColumn("__rk", row_number().over(w))
-          .where(col("__rk") <= cap).drop("__rk")
-      case None => joined
-    })
-      // materialize once: both sides of the self-join read this plan, and
-      // the prune involves a window — recomputing it doubles the stage
-      .localCheckpoint()
-    pruned.alias("a")
-      .join(pruned.alias("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val capped = maxBlockSize match {
+      case Some(cap) => grouped.select(col("tok"), slice(col("ids"), 1, cap).as("ids"))
+      case None => grouped
+    }
+    capped
+      .select(posexplode(col("ids")).as(Seq("__i", "id1")), col("ids"))
+      .select(col("id1"),
+        explode(slice(col("ids"), col("__i") + lit(2), size(col("ids")))).as("id2"))
+      .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("shared_tokens"))
   }
 
