@@ -391,12 +391,21 @@ object SparkEntry {
       .select(col("event_id"))
   }
 
-  /** A8/A9: time-sequential stay extraction (order-dependent stateful
-    * clustering — implementation-defined, rows-only check; semantics are
-    * unit-tested against crafted fixtures). */
+  /** A8/A9: time-sequential stay extraction, full output. Oracle-stated
+    * like q58 (gaps-and-islands reduction on this geometry) extended to
+    * the centroid columns: every island observation shares one site
+    * coordinate with uniform accuracy, so the incremental Gaussian merge
+    * returns that coordinate up to running-mean rounding — `(x·W + x·w)
+    * / (W+w)` re-rounds per step, drifting ≤ a few ulp (≪ 1e-9°, i.e.
+    * ≲ 0.1 µm) — and a 6-decimal round (0.1 m grid) restores the site
+    * coordinate exactly on both engines (pinned by StaySpec's
+    * centroid-rounding case). */
   private def q39_stays(s: SparkSession, dir: String): DataFrame =
     graft.spatial.StayExtraction.extractStaysDf(
-      eventsAsObservations(s, dir), minStayMs = 10L * 60 * 1000)
+        eventsAsObservations(s, dir), minStayMs = 10L * 60 * 1000)
+      .select(col("user"), col("start_ms"), col("end_ms"),
+        round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"),
+        col("n_obs"))
 
   /** J1+J2: event-stay interval+distance matching over the extracted
     * stays. Oracle-stated end-to-end: on this geometry the stays are
@@ -1059,6 +1068,19 @@ object SparkEntry {
       .select(col("s"), col("p"), col("o"))
   }
 
+  /** Graph-management SPARQL UPDATE end-to-end (Q15 extension, round 6):
+    * a `;`-sequenced request CLEARs the nation graph then re-INSERTs a
+    * replacement row into it — the parser's graph-management ops
+    * (CLEAR/DROP/CREATE/LOAD, `Sparql.singleUpdateDiff`) plus the
+    * running-snapshot sequencing, net-diffed and applied. The oracle
+    * states the surviving graphs closed-form. */
+  private def q93_graph_mgmt(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.update(TpchQuads.quads(s, dir),
+      """CLEAR GRAPH <nation> ;
+        |INSERT DATA { GRAPH <nation> { <n:0> <name> "RENAMED" } }""".stripMargin)
+      .where(col("g").isin("nation", "customer"))
+      .select(col("s"), col("p"), col("o"), col("g"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1151,7 +1173,8 @@ object SparkEntry {
     "q89_having" -> (q89_having _),
     "q90_sparql_expr" -> (q90_sparql_expr _),
     "q91_path_quant" -> (q91_path_quant _),
-    "q92_rdfs" -> (q92_rdfs _)
+    "q92_rdfs" -> (q92_rdfs _),
+    "q93_graph_mgmt" -> (q93_graph_mgmt _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -1543,6 +1566,29 @@ object SparkEntry {
     "q57_sparql" ->
       """SELECT 'c:' || c_custkey AS c, c_name AS cname, n_name AS nname
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    // q39: q58's islands plus the 6-decimal-rounded centroid columns —
+    // exact on this geometry (see q39's scaladoc; StaySpec pins the
+    // centroid-rounding identity).
+    "q39_stays" ->
+      """WITH obs AS (
+        |  SELECT user_id AS u, epoch_ms(ts) AS t, floor(value / 50) AS b
+        |  FROM events
+        |), ord AS (
+        |  SELECT u, t, b,
+        |    CASE WHEN lag(b) OVER (PARTITION BY u ORDER BY t) = b
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM obs
+        |), isl AS (
+        |  SELECT u, t, b, sum(brk) OVER (PARTITION BY u ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM ord
+        |)
+        |SELECT u AS user, min(t) AS start_ms, max(t) AS end_ms,
+        |  round(40.0 + min(b) * 0.05, 6) AS lat,
+        |  round(-74.0 + min(b) * 0.05, 6) AS lon,
+        |  count(*) AS n_obs
+        |FROM isl GROUP BY u, island
+        |HAVING max(t) - min(t) >= 600000""".stripMargin,
     "q58_stays_oracle" ->
       """WITH obs AS (
         |  SELECT user_id AS u, epoch_ms(ts) AS t, floor(value / 50) AS b
@@ -1986,7 +2032,20 @@ object SparkEntry {
         |UNION
         |SELECT DISTINCT 'n:' || c_nationkey, 'rdf:type', 's:Place' FROM customer
         |UNION
-        |SELECT 's:AUTOMOBILE', 'rdfs:subClassOf', 's:Any'""".stripMargin
+        |SELECT 's:AUTOMOBILE', 'rdfs:subClassOf', 's:Any'""".stripMargin,
+    // q93: after CLEAR GRAPH <nation> ; INSERT, the only nation-graph row
+    // is the inserted one; the customer graph is untouched.
+    "q93_graph_mgmt" ->
+      """SELECT 'c:' || c_custkey AS s, 'name' AS p, c_name AS o,
+        |  'customer' AS g FROM customer
+        |UNION ALL
+        |SELECT 'c:' || c_custkey, 'nation', 'n:' || c_nationkey, 'customer'
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c:' || c_custkey, 'segment', c_mktsegment, 'customer'
+        |FROM customer
+        |UNION ALL
+        |SELECT 'n:0', 'name', 'RENAMED', 'nation'""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

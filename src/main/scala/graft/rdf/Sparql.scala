@@ -979,9 +979,11 @@ object Sparql {
       case "SUM" => sum(c.get)
       case "MIN" => min(c.get) // DISTINCT is a no-op for MIN/MAX
       case "MAX" => max(c.get)
-      case "AVG" =>
-        require(!distinct, "AVG(DISTINCT) is not supported — would silently mis-average")
-        avg(c.get)
+      case "AVG" if distinct =>
+        // no avg_distinct in the functions API; the definitional quotient
+        // (both sides hash the same distinct set) matches avg's double result
+        sum_distinct(c.get) / countDistinct(c.get)
+      case "AVG" => avg(c.get)
       case "GROUP_CONCAT" =>
         // SPARQL leaves concatenation order undefined; sort for a
         // deterministic (and differential-testable) result
@@ -1293,21 +1295,53 @@ object Sparql {
     }
   }
 
-  /** Parse a SPARQL UPDATE (`INSERT DATA` / `DELETE DATA` /
-    * `DELETE [{t}] [INSERT {t}] WHERE {g}` / `DELETE WHERE {g}`) and
-    * evaluate it against a store snapshot into a [[QuadDiff]]
-    * (reference front door: `core/src/main/com/thymeflow/api/
-    * SparqlService.scala:144-158` prepares updates the same way; the
+  /** Parse a SPARQL 1.1 UPDATE request and evaluate it against a store
+    * snapshot into a [[QuadDiff]] (reference front door:
+    * `core/src/main/com/thymeflow/api/SparqlService.scala:144-158`
+    * prepares updates the same way via RDF4J's `prepareUpdate`; the
     * resulting diff feeds [[QuadStore.applyDiff]] or the write-back
     * routing in [[graft.streaming.Updater]]).
     *
+    * Operations: `INSERT DATA`, `DELETE DATA`,
+    * `[DELETE {t}] [INSERT {t}] WHERE {g}` (either template optional,
+    * `DELETE WHERE {g}` shorthand), graph management
+    * `CLEAR|DROP [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL)` (DROP ==
+    * CLEAR here — graphs are implicit, there is no empty-graph catalog
+    * to drop), `CREATE [SILENT] GRAPH <g>` (a no-op for the same
+    * reason), and `LOAD [SILENT] <doc> [INTO GRAPH <g>]` (N-Triples/
+    * N-Quads via [[graft.sources.NTriples.read]]; without INTO the
+    * target graph is the document IRI — the reference's per-document
+    * provenance contexts, `core/Pipeline.scala:61-93`). Multiple
+    * operations sequence with `;`: each op sees its predecessors'
+    * effects, and the returned diff is the NET change vs the input
+    * snapshot.
+    *
     * Semantics against the partitioned store: WHERE matches the union of
-    * all graphs (the reference advertises union-default-graph); DELETE
-    * templates without an explicit GRAPH remove every graph's copy;
-    * INSERTs without a GRAPH land in [[UserGraph]]. The returned diff is
+    * all graphs (the reference advertises union-default-graph) and may
+    * use `GRAPH ?g {}` scoping like any query group; DELETE templates
+    * without an explicit GRAPH remove every graph's copy; INSERTs
+    * without a GRAPH land in [[UserGraph]]. The returned diff is
     * already set-normalized: adds exclude statements present in the
     * store, removals are actual store rows. */
   def updateDiff(store: DataFrame, updateText: String): QuadDiff = {
+    val p = new P(expandPrefixes(tokenize(updateText)))
+    val first = singleUpdateDiff(store, p)
+    if (p.peek != ";") first
+    else {
+      // ;-sequenced request: run ops against a running snapshot, then
+      // net-diff so cancelling add/remove pairs drop out of the result
+      var snapshot = QuadStore.applyDiff(store, first)
+      while (p.peek == ";") {
+        p.next()
+        if (p.peek.nonEmpty)
+          snapshot = QuadStore.applyDiff(snapshot, singleUpdateDiff(snapshot, p))
+      }
+      QuadStore.diff(store, snapshot)
+    }
+  }
+
+  /** One update operation, consumed from the token stream. */
+  private def singleUpdateDiff(store: DataFrame, p: P): QuadDiff = {
     val spark = store.sparkSession
     import spark.implicits._
     val storeCols = store.columns.map(col).toSeq
@@ -1330,19 +1364,50 @@ object Sparql {
     def matchRemovals(keys: DataFrame, withGraph: Boolean): DataFrame =
       store.join(keys, Seq("s", "p", "o") ++ (if (withGraph) Seq("g") else Nil), "left_semi")
         .select(storeCols: _*)
+    def silent(): Unit = if (p.peek.equalsIgnoreCase("SILENT")) p.next()
 
-    val p = new P(expandPrefixes(tokenize(updateText)))
-    if (p.peek.equalsIgnoreCase("INSERT")) {
-      p.next(); p.expect("DATA")
-      QuadDiff(dedupAdds(ground(templQuads(p.block()))), empty)
-    } else {
-      p.expect("DELETE")
-      if (p.peek.equalsIgnoreCase("DATA")) {
-        p.next()
+    p.peek.toUpperCase match {
+      case "INSERT" if p.peek2.equalsIgnoreCase("DATA") =>
+        p.next(); p.next()
+        QuadDiff(dedupAdds(ground(templQuads(p.block()))), empty)
+      case "DELETE" if p.peek2.equalsIgnoreCase("DATA") =>
+        p.next(); p.next()
         val keys = ground(templQuads(p.block()))
         QuadDiff(empty, matchRemovals(keys.select("s", "p", "o", "g"), withGraph = true))
-      } else {
-        val delTempl = if (p.peek == "{") templQuads(p.block()) else Nil
+      case "CLEAR" | "DROP" =>
+        p.next(); silent()
+        val removed = p.next().toUpperCase match {
+          case "GRAPH" => store.filter(col("g") === termValue(p.next()))
+          case "DEFAULT" => store.filter(col("g") === UserGraph)
+          case "NAMED" => store.filter(col("g") =!= UserGraph)
+          case "ALL" => store
+          case t => sys.error(s"CLEAR/DROP expects GRAPH/DEFAULT/NAMED/ALL, got $t")
+        }
+        QuadDiff(empty, removed.select(storeCols: _*))
+      case "CREATE" =>
+        p.next(); silent(); p.expect("GRAPH"); termValue(p.next())
+        QuadDiff(empty, empty) // graphs exist implicitly on first insert
+      case "LOAD" =>
+        p.next(); silent()
+        val src = termValue(p.next())
+        val target =
+          if (p.peek.equalsIgnoreCase("INTO")) {
+            p.next(); p.expect("GRAPH"); Some(termValue(p.next()))
+          } else None
+        val path = if (src.startsWith("file://")) src.stripPrefix("file://") else src
+        val loaded =
+          graft.sources.NTriples.read(spark, path, target.getOrElse(src)).toDF()
+        val placed = target match {
+          case Some(t) => loaded.withColumn("g", lit(t)) // INTO overrides embedded graphs
+          case None => loaded
+        }
+        QuadDiff(dedupAdds(placed.select(storeCols: _*)), empty)
+      case "DELETE" | "INSERT" =>
+        val delTempl =
+          if (p.peek.equalsIgnoreCase("DELETE")) {
+            p.next()
+            if (p.peek == "{") templQuads(p.block()) else Nil
+          } else Nil
         val insTempl =
           if (p.peek.equalsIgnoreCase("INSERT")) { p.next(); templQuads(p.block()) } else Nil
         p.expect("WHERE")
@@ -1377,7 +1442,7 @@ object Sparql {
           if (insTempl.isEmpty) empty
           else dedupAdds(instantiate(bindings, insTempl, UserGraph, store))
         QuadDiff(added, removed)
-      }
+      case t => sys.error(s"unsupported update operation: $t")
     }
   }
 

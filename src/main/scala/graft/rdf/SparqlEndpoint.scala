@@ -36,15 +36,37 @@ import org.apache.spark.sql.DataFrame
   */
 object SparqlEndpoint {
 
-  final case class Server(http: HttpServer, ref: AtomicReference[DataFrame]) {
+  /** One served store version plus its term-kind side table. The table is
+    * computed (and locally checkpointed) at most ONCE per snapshot — the
+    * first JSON/XML SELECT pays three store scans + one aggregate, every
+    * later request on the same version reuses the materialized result.
+    * Updates swap in a fresh [[Snapshot]], so the cache can never serve a
+    * stale kind. */
+  final class Snapshot(val quads: DataFrame) {
+    /** Distinct term → kind (IRI=0 wins ties: any term standing as a
+      * subject or predicate is an IRI; object occurrences carry their
+      * stored kind). */
+    lazy val termKinds: DataFrame = {
+      import org.apache.spark.sql.functions._
+      quads.select(col("o").as("__term"), col("oKind").cast("byte").as("__k"))
+        .unionByName(quads.select(col("s").as("__term"),
+          lit(Quad.IRI).cast("byte").as("__k")))
+        .unionByName(quads.select(col("p").as("__term"),
+          lit(Quad.IRI).cast("byte").as("__k")))
+        .groupBy(col("__term")).agg(min(col("__k")).as("__k"))
+        .localCheckpoint()
+    }
+  }
+
+  final case class Server(http: HttpServer, ref: AtomicReference[Snapshot]) {
     def port: Int = http.getAddress.getPort
     def stop(): Unit = http.stop(0)
     /** Current store snapshot (reflects applied updates). */
-    def store: DataFrame = ref.get
+    def store: DataFrame = ref.get.quads
   }
 
   def start(quads: DataFrame, port: Int = 0): Server = {
-    val ref = new AtomicReference[DataFrame](quads)
+    val ref = new AtomicReference[Snapshot](new Snapshot(quads))
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/sparql", new Handler(ref))
     server.setExecutor(null) // serial — one query at a time per endpoint
@@ -100,23 +122,23 @@ object SparqlEndpoint {
       .replace("\"", "&quot;")
 
   /** Attach authoritative term-kind columns (`__kind_<col>`) by joining
-    * every projected column back to the store's deduplicated term table
-    * (IRI reading preferred — any term standing as subject or predicate
-    * is an IRI; object occurrences carry their stored kind). Protocol
-    * clients then get term types from DATA, exactly as the reference
-    * serves real RDF4J term kinds — the string-shape heuristic remains
-    * only for values the store never saw (BIND/expression results).
-    * Cost: one hash join per projected column against a distinct term
-    * table, the same order as the query that produced the bindings. */
-  private def withTermKinds(df: DataFrame, store: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val terms = store.select(col("o").as("__term"), col("oKind").cast("byte").as("__k"))
-      .unionByName(store.select(col("s").as("__term"),
-        lit(Quad.IRI).cast("byte").as("__k")))
-      .unionByName(store.select(col("p").as("__term"),
-        lit(Quad.IRI).cast("byte").as("__k")))
-      .groupBy(col("__term")).agg(min(col("__k")).as("__k")) // IRI=0 wins ties
-    df.columns.foldLeft(df) { (acc, c) =>
+    * each STRING-typed projected column back to the snapshot's cached
+    * term table. Protocol clients then get term types from DATA, exactly
+    * as the reference serves real RDF4J term kinds — the string-shape
+    * heuristic remains only for values the store never saw
+    * (BIND/expression results). Non-string columns (aggregates, numeric
+    * expressions) are never stored terms, and joining them against the
+    * string term table would make ANSI mode cast the term side to the
+    * numeric type and throw on the first IRI — so they are skipped and
+    * fall through to the literal default at serialization time.
+    * Cost: one hash join per string column against the per-version
+    * cached table (see [[Snapshot.termKinds]]) — no per-request scans. */
+  private def withTermKinds(df: DataFrame, terms: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StringType
+    val strCols =
+      df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    strCols.foldLeft(df) { (acc, c) =>
       val t = terms.select(col("__term").as(s"__t_$c"), col("__k").as(s"__kind_$c"))
       acc.join(t, acc(c) === t(s"__t_$c"), "left").drop(s"__t_$c")
     }
@@ -131,7 +153,7 @@ object SparqlEndpoint {
     case None => if (Sparql.looksLikeIri(value)) "uri" else "literal"
   }
 
-  private final class Handler(ref: AtomicReference[DataFrame]) extends HttpHandler {
+  private final class Handler(ref: AtomicReference[Snapshot]) extends HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
         val (query, update) = ex.getRequestMethod.toUpperCase match {
@@ -162,14 +184,14 @@ object SparqlEndpoint {
             respond(ex, 200, "application/n-triples", serviceDescription)
           case (None, None) => respond(ex, 400, "text/plain", "missing query parameter")
           case (Some(q), _) if form(q) == "ASK" =>
-            val result = Sparql.ask(ref.get, q)
+            val result = Sparql.ask(ref.get.quads, q)
             respond(ex, 200, "application/sparql-results+json",
               s"""{"head":{},"boolean":$result}""")
           case (Some(q), _) if form(q) == "CONSTRUCT" || form(q) == "DESCRIBE" =>
             // both are graph-result forms: serve N-Quads
             val df =
-              try if (form(q) == "CONSTRUCT") Sparql.construct(ref.get, q)
-                  else Sparql.describe(ref.get, q)
+              try if (form(q) == "CONSTRUCT") Sparql.construct(ref.get.quads, q)
+                  else Sparql.describe(ref.get.quads, q)
               catch {
                 case e: Exception =>
                   respond(ex, 400, "text/plain", s"parse error: ${e.getMessage}")
@@ -178,7 +200,7 @@ object SparqlEndpoint {
             streamNQuads(ex, df)
           case (Some(q), _) =>
             val df =
-              try Sparql.select(ref.get, q)
+              try Sparql.select(ref.get.quads, q)
               catch {
                 case e: Exception =>
                   respond(ex, 400, "text/plain", s"parse error: ${e.getMessage}")
@@ -188,8 +210,8 @@ object SparqlEndpoint {
             if (accept.contains("text/csv")) streamCsv(ex, df)
             else if (accept.contains("text/tab-separated-values")) streamTsv(ex, df)
             else if (accept.contains("application/sparql-results+xml"))
-              streamXml(ex, withTermKinds(df, ref.get))
-            else streamJson(ex, withTermKinds(df, ref.get))
+              streamXml(ex, withTermKinds(df, ref.get.termKinds))
+            else streamJson(ex, withTermKinds(df, ref.get.termKinds))
         }
       } catch {
         case e: Exception =>
@@ -199,7 +221,7 @@ object SparqlEndpoint {
 
     private def runUpdate(ex: HttpExchange, updateText: String): Unit = {
       val diff =
-        try Sparql.updateDiff(ref.get, updateText)
+        try Sparql.updateDiff(ref.get.quads, updateText)
         catch {
           case e: Exception =>
             respond(ex, 400, "text/plain", s"malformed update: ${e.getMessage}")
@@ -207,7 +229,7 @@ object SparqlEndpoint {
         }
       // materialize the new snapshot's diff inputs before swapping so a
       // later update's WHERE doesn't re-evaluate a deep applyDiff chain
-      ref.set(QuadStore.applyDiff(ref.get, diff).localCheckpoint())
+      ref.set(new Snapshot(QuadStore.applyDiff(ref.get.quads, diff).localCheckpoint()))
       respond(ex, 200, "text/plain", "")
     }
 

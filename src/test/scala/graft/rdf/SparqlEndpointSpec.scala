@@ -122,6 +122,29 @@ class SparqlEndpointSpec extends SparkSpec {
     } finally s2.stop()
   }
 
+  it should "serve numeric aggregate projections as complete literal bindings" in
+    withServer { server =>
+      // the AgentMatchEnricher query shape (reference
+      // `AgentMatchEnricher.scala:101-112`): a numeric COUNT column next
+      // to stored-term columns. The term-kind join must skip the bigint
+      // column (ANSI mode would cast the term table to bigint and throw
+      // mid-stream on the first IRI) while still typing the term columns
+      // from the store.
+      val resp = get(server,
+        "SELECT ?x (COUNT(?o) AS ?cnt) WHERE { ?x ?p ?o } GROUP BY ?x ORDER BY ?x")
+      resp.statusCode() shouldBe 200
+      val body = resp.body()
+      body should include(""""x":{"type":"uri","value":"alice"}""")
+      body should include(""""cnt":{"type":"literal","value":"3"}""")
+      body should include(""""cnt":{"type":"literal","value":"1"}""")
+      body should endWith("]}}") // response ran to completion, not killed mid-stream
+      val xml = get(server,
+        "SELECT ?x (COUNT(?o) AS ?cnt) WHERE { ?x ?p ?o } GROUP BY ?x ORDER BY ?x",
+        accept = "application/sparql-results+xml")
+      xml.body() should include("""<binding name="cnt"><literal>3</literal></binding>""")
+      xml.body() should endWith("</results></sparql>")
+    }
+
   it should "round-trip a SPARQL UPDATE (insert -> query -> delete -> negation check)" in
     withServer { server =>
       // insert through the front door

@@ -660,4 +660,76 @@ class SparqlSpec extends SparkSpec {
     }
     e.getMessage should include("UNDEF")
   }
+
+  // --------------------- round-6: graph management, sequences, AVG(DISTINCT)
+
+  "graph management updates" should "CLEAR a named graph" in {
+    val s1 = Sparql.update(quads, "CLEAR GRAPH <g2>")
+    s1.filter("g = 'g2'").count() shouldBe 0
+    s1.count() shouldBe quads.count() - 1
+    // SILENT on an absent graph is a no-op, not an error
+    Sparql.update(quads, "CLEAR SILENT GRAPH <nope>").count() shouldBe quads.count()
+  }
+
+  it should "CLEAR DEFAULT, NAMED and ALL with user-graph as default" in {
+    val withUser = Sparql.update(quads,
+      """INSERT DATA { <dave> <name> "Dave" }""") // lands in graft:user
+    Sparql.update(withUser, "CLEAR DEFAULT").filter("g = 'graft:user'")
+      .count() shouldBe 0
+    val namedCleared = Sparql.update(withUser, "CLEAR NAMED")
+    namedCleared.count() shouldBe 1
+    namedCleared.select("g").as[String].collect().toSeq shouldBe Seq("graft:user")
+    Sparql.update(withUser, "DROP ALL").count() shouldBe 0
+  }
+
+  it should "treat CREATE GRAPH as a catalog no-op" in {
+    Sparql.update(quads, "CREATE GRAPH <g9>").count() shouldBe quads.count()
+  }
+
+  it should "LOAD an N-Triples document, defaulting the graph to the doc IRI" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-load")
+    val f = dir.resolve("doc.nt")
+    java.nio.file.Files.writeString(f,
+      "<erin> <name> \"Erin\" .\n<erin> <knows> <alice> .\n")
+    val loaded = Sparql.update(quads, s"LOAD <file://$f>")
+    loaded.count() shouldBe quads.count() + 2
+    loaded.filter(s"g = 'file://$f'").count() shouldBe 2
+    val into = Sparql.update(quads, s"LOAD <file://$f> INTO GRAPH <g7>")
+    into.filter("g = 'g7'").count() shouldBe 2
+  }
+
+  it should "sequence ;-separated operations against a running snapshot" in {
+    // the second op's WHERE must see the first op's insert
+    val s1 = Sparql.update(quads,
+      """INSERT DATA { <dave> <name> "Dave" } ;
+        |DELETE { ?x <name> ?n } INSERT { ?x <nick> ?n } WHERE {
+        |  ?x <name> ?n . FILTER(?n = "Dave")
+        |}""".stripMargin)
+    s1.filter("p = 'nick'").count() shouldBe 1
+    s1.filter("o = 'Dave' AND p = 'name'").count() shouldBe 0
+    // CLEAR GRAPH then re-INSERT into it nets out to the replacement rows
+    val s2 = Sparql.update(quads,
+      """CLEAR GRAPH <g2> ;
+        |INSERT DATA { GRAPH <g2> { <carla> <name> "Carla" } }""".stripMargin)
+    s2.filter("g = 'g2'").select("s").as[String].collect().toSeq shouldBe Seq("carla")
+  }
+
+  it should "support INSERT-only WHERE forms and GRAPH scoping in update WHERE" in {
+    val s1 = Sparql.update(quads,
+      """INSERT { ?x <greeting> "hi" } WHERE { GRAPH <g2> { ?x <name> ?n } }""")
+    s1.filter("p = 'greeting'").select("s").as[String].collect().toSeq shouldBe
+      Seq("carol")
+  }
+
+  "AVG(DISTINCT)" should "average the distinct value set" in {
+    val dup = Seq(
+      quad("x", "score", "10"), quad("x", "score", "10"),
+      quad("x", "score", "30"), quad("y", "score", "5"))
+      .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+    val res = Sparql.select(dup,
+      """SELECT ?s (AVG(DISTINCT ?v) AS ?m) WHERE { ?s <score> ?v }
+        |GROUP BY ?s ORDER BY ?s""".stripMargin)
+      .as[(String, Double)].collect().toSeq
+    res shouldBe Seq(("x", 20.0), ("y", 5.0)) // plain AVG would give x 16.67
+  }
 }

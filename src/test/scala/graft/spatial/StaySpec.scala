@@ -89,6 +89,33 @@ class StaySpec extends SparkSpec {
     StayExtraction.extractStays(spark.createDataset(obs)).count() shouldBe 0
   }
 
+  it should "restore the site coordinate from identical-point merges after a 6-decimal round" in {
+    // The q39 oracle precondition: on the synthetic geometry every
+    // observation of an island shares one site coordinate (uniform 25 m
+    // accuracy). The incremental Gaussian merge of identical points is a
+    // running weighted mean — `(x·W + x·w)/(W+w)` re-rounds each step,
+    // so the centroid can drift a few ulp off the site coordinate
+    // (observed 1 ulp at lon −74.0) — but a 6-decimal round (0.1 m
+    // grid, far above ulp scale and far below the 5 km site spacing)
+    // restores it exactly, which is what the q39 oracle states.
+    val minute = 60000L
+    for (b <- Seq(0.0, 3.0)) {
+      val siteLat = 40.0 + b * 0.05 // same double arithmetic as the entry
+      val siteLon = -74.0 + b * 0.05
+      val obs = (0 until 20).map(i =>
+        StayExtraction.Obs(1L, i * minute, siteLat, siteLon, 25.0))
+      val stays = StayExtraction.extractStays(spark.createDataset(obs)).collect()
+      stays.length shouldBe 1
+      math.abs(stays.head.lat - siteLat) should be < 1e-9
+      math.abs(stays.head.lon - siteLon) should be < 1e-9
+      // the exact identity the oracle relies on
+      assert(BigDecimal(stays.head.lat).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).doubleValue == siteLat)
+      assert(BigDecimal(stays.head.lon).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).doubleValue == siteLon)
+    }
+  }
+
   "EventStayMatch" should "match only overlapping nearby pairs" in {
     import graft.enrich.EventStayMatch
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
