@@ -6,9 +6,17 @@ import org.apache.spark.sql.functions._
   * orders of magnitude past sf0.1 (derived by replicating the driver's
   * tables with shifted keys) and print one JSON line of timings. Not part
   * of the correctness gate — evidence that the operator shapes survive
-  * scale-up (SCALING.md records results). */
+  * scale-up (SCALING.md records results).
+  *
+  * Args select a subset of probes by name (e.g. `runMain
+  * graft.ScalingProbe ivfRecall500k`); no args runs everything.
+  */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
+    val only = args.toSet
+    def want(name: String): Boolean = only.isEmpty || only(name)
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder("graft-scaling")
     spark.sparkContext.setLogLevel("WARN")
@@ -20,88 +28,122 @@ object ScalingProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    lazy val ev = Tables(spark, dir, "events")
+    lazy val docs = Tables(spark, dir, "documents")
+    lazy val emb = Tables(spark, dir, "embeddings")
+
     // 1) stays over ~10M observations: events replicated 100x with
     // per-replica user offset (so state cardinality grows too)
-    val ev = Tables(spark, dir, "events")
-    val bigObs = ev.crossJoin(spark.range(100).toDF("rep"))
-      .select(
-        (col("user_id") + col("rep") * 1000).as("user"),
-        unix_millis(col("ts").cast("timestamp")).as("timeMs"),
-        (lit(40.0) + floor(col("value") / 50) * 0.05).as("lat"),
-        (lit(-74.0) + floor(col("value") / 50) * 0.05).as("lon"),
-        lit(25.0).as("accuracy"))
-      .as[graft.spatial.StayExtraction.Obs]
-    val (tStays, nStays) = time {
-      graft.spatial.StayExtraction.extractStays(bigObs).count()
+    if (want("stays")) {
+      val bigObs = ev.crossJoin(spark.range(100).toDF("rep"))
+        .select(
+          (col("user_id") + col("rep") * 1000).as("user"),
+          unix_millis(col("ts").cast("timestamp")).as("timeMs"),
+          (lit(40.0) + floor(col("value") / 50) * 0.05).as("lat"),
+          (lit(-74.0) + floor(col("value") / 50) * 0.05).as("lon"),
+          lit(25.0).as("accuracy"))
+        .as[graft.spatial.StayExtraction.Obs]
+      val (tStays, nStays) = time {
+        graft.spatial.StayExtraction.extractStays(bigObs).count()
+      }
+      out += "stays" -> s"""{"sec":$tStays,"rows":$nStays}"""
     }
 
     // 2) minhash LSH over 50k docs (documents replicated 10x, ids shifted)
-    val docs = Tables(spark, dir, "documents")
-    val bigDocs = docs.crossJoin(spark.range(10).toDF("rep"))
-      .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
-        concat(col("text"), lit(" rep"), col("rep")).as("text"))
-    val (tMinhash, nMinhash) = time {
-      graft.dedup.Dedup.minhashLshPairs(bigDocs, "text", "doc_id").count()
+    if (want("minhash50k")) {
+      val bigDocs = docs.crossJoin(spark.range(10).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      val (tMinhash, nMinhash) = time {
+        graft.dedup.Dedup.minhashLshPairs(bigDocs, "text", "doc_id").count()
+      }
+      out += "minhash50k" -> s"""{"sec":$tMinhash,"rows":$nMinhash}"""
     }
 
     // 3) distributed connected components on ~600k-edge bipartite graph
     // (orderkey <-> partkey from lineitem), forcing the distributed loop
-    val li = Tables(spark, dir, "lineitem")
-    val edges = li.select(col("l_orderkey").as("src"),
-      (col("l_partkey") + 10000000L).as("dst"))
-    val (tCc, nCc) = time {
-      graft.graph.GraphOps.connectedComponents(edges, None,
-        maxIterations = 50, smallGraphThreshold = 0).count()
+    if (want("cc600k")) {
+      val li = Tables(spark, dir, "lineitem")
+      val edges = li.select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 10000000L).as("dst"))
+      val (tCc, nCc) = time {
+        graft.graph.GraphOps.connectedComponents(edges, None,
+          maxIterations = 50, smallGraphThreshold = 0).count()
+      }
+      out += "cc600k" -> s"""{"sec":$tCc,"rows":$nCc}"""
     }
 
     // 4) token blocking at 200k records (part replicated 10x)
-    val part = Tables(spark, dir, "part")
-    val bigPart = part.crossJoin(spark.range(10).toDF("rep"))
-      .select((col("p_partkey") + col("rep") * 1000000).as("p_partkey"), col("p_name"))
-    val (tBlock, nBlock) = time {
-      graft.enrich.Resolution.tokenBlockingCandidatesFrac(
-        bigPart, "p_name", "p_partkey", 0.2, Some(100)).count()
+    if (want("blocking200k")) {
+      val part = Tables(spark, dir, "part")
+      val bigPart = part.crossJoin(spark.range(10).toDF("rep"))
+        .select((col("p_partkey") + col("rep") * 1000000).as("p_partkey"), col("p_name"))
+      val (tBlock, nBlock) = time {
+        graft.enrich.Resolution.tokenBlockingCandidatesFrac(
+          bigPart, "p_name", "p_partkey", 0.2, Some(100)).count()
+      }
+      out += "blocking200k" -> s"""{"sec":$tBlock,"rows":$nBlock}"""
     }
 
     // 5) combinatorial SimHash blocking at 500k docs (documents replicated
     // 100x, texts perturbed per replica), chunk table forced to the 7-chunk
     // C(7,4)=35-combo regime — the 100 TB blocking shape
-    val docs500k = docs.crossJoin(spark.range(100).toDF("rep"))
+    lazy val docs500k = docs.crossJoin(spark.range(100).toDF("rep"))
       .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
         concat(col("text"), lit(" rep"), col("rep")).as("text"))
-    val (tSimhash, nSimhash) = time {
-      graft.dedup.Dedup.simhashPairs(docs500k, "text", "doc_id",
-        maxHamming = 3, chunks = 7).count()
+    if (want("simhash500k")) {
+      val (tSimhash, nSimhash) = time {
+        graft.dedup.Dedup.simhashPairs(docs500k, "text", "doc_id",
+          maxHamming = 3, chunks = 7).count()
+      }
+      out += "simhash500k" -> s"""{"sec":$tSimhash,"rows":$nSimhash}"""
     }
 
     // 6) windowed multi-candidate stays + trellis over ~6M observations
     // (events replicated 10x with shifted users)
-    val bigObs10 = ev.crossJoin(spark.range(10).toDF("rep"))
-      .select(
-        (col("user_id") + col("rep") * 1000).as("user"),
-        unix_millis(col("ts").cast("timestamp")).as("timeMs"),
-        (lit(40.0) + floor(col("value") / 50) * 0.05).as("lat"),
-        (lit(-74.0) + floor(col("value") / 50) * 0.05).as("lon"),
-        lit(25.0).as("accuracy"))
-      .as[graft.spatial.StayExtraction.Obs]
-    val (tWindowed, nWindowed) = time {
-      graft.spatial.WindowedStays.extractStays(bigObs10).count()
+    if (want("windowedStays6M")) {
+      val bigObs10 = ev.crossJoin(spark.range(10).toDF("rep"))
+        .select(
+          (col("user_id") + col("rep") * 1000).as("user"),
+          unix_millis(col("ts").cast("timestamp")).as("timeMs"),
+          (lit(40.0) + floor(col("value") / 50) * 0.05).as("lat"),
+          (lit(-74.0) + floor(col("value") / 50) * 0.05).as("lon"),
+          lit(25.0).as("accuracy"))
+        .as[graft.spatial.StayExtraction.Obs]
+      val (tWindowed, nWindowed) = time {
+        graft.spatial.WindowedStays.extractStays(bigObs10).count()
+      }
+      out += "windowedStays6M" -> s"""{"sec":$tWindowed,"rows":$nWindowed}"""
     }
 
     // 7) real PNG decode + embed over 500k images (documents replicated
     // 100x; 32x32 grayscale PNGs zlib-encoded then fully decoded and
     // embedded by the pure-JVM kernel) — the multimodal scan-speed claim
-    val imgs500k = docs.crossJoin(spark.range(100).toDF("rep"))
-      .select((col("doc_id") + col("rep") * 1000000).as("doc_id"))
-      .as[Long]
-      .map { id =>
-        val freq = (id % 7 + 1).toInt
-        (id, graft.multimodal.ImagePixels.encodeGrayPng(32, 32, (x, y) =>
-          128 + (100 * math.sin(x * freq * 0.2) * math.cos(y * freq * 0.2)).toInt))
-      }.toDF("doc_id", "bytes")
-    val (tEmbed, nEmbed) = time {
-      graft.multimodal.Multimodal.embedImages(imgs500k, "doc_id", "bytes", dim = 64)
-        .where(col("decoded")).count()
+    if (want("imageEmbed500k")) {
+      val imgs500k = docs.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("doc_id"))
+        .as[Long]
+        .map { id =>
+          val freq = (id % 7 + 1).toInt
+          (id, graft.multimodal.ImagePixels.encodeGrayPng(32, 32, (x, y) =>
+            128 + (100 * math.sin(x * freq * 0.2) * math.cos(y * freq * 0.2)).toInt))
+        }.toDF("doc_id", "bytes")
+      val (tEmbed, nEmbed) = time {
+        graft.multimodal.Multimodal.embedImages(imgs500k, "doc_id", "bytes", dim = 64)
+          .where(col("decoded")).count()
+      }
+      out += "imageEmbed500k" -> s"""{"sec":$tEmbed,"rows":$nEmbed}"""
+    }
+
+    // 8) exact-substring window dedup at 500k docs (documents replicated
+    // 100x; each replica appends a distinct suffix, so all but the tail
+    // windows duplicate across replicas — worst-case dup mass, ~45M
+    // window rows through one hash-keyed shuffle)
+    if (want("spanDedup500k")) {
+      val (tSpan, nSpan) = time {
+        graft.dedup.Dedup.spanDuplication(docs500k, "text", "doc_id", w = 8).count()
+      }
+      out += "spanDedup500k" -> s"""{"sec":$tSpan,"rows":$nSpan}"""
     }
 
     // 9) SemDeDup at 20k vectors (embeddings replicated 10x, dim 64,
@@ -110,60 +152,49 @@ object ScalingProbe {
     // ~200M joined component rows through map-side partial aggregation).
     // The operator's cost model is d*k^2 per cluster — at larger n you
     // grow nlist proportionally, keeping k bounded.
-    val emb = Tables(spark, dir, "embeddings")
-    val bigEmb = emb.crossJoin(spark.range(10).toDF("rep"))
-      .select((col("vec_id") + col("rep") * 1000000).as("vec_id"), col("embedding"))
-    val (tSem, nSem) = time {
-      graft.similarity.Ann.semanticDedup(bigEmb, "vec_id", "embedding",
-        threshold = 0.95, nlist = 64).count()
-    }
-
-    // 8) exact-substring window dedup at 500k docs (documents replicated
-    // 100x; each replica appends a distinct suffix, so all but the tail
-    // windows duplicate across replicas — worst-case dup mass, ~45M
-    // window rows through one hash-keyed shuffle)
-    val (tSpan, nSpan) = time {
-      graft.dedup.Dedup.spanDuplication(docs500k, "text", "doc_id", w = 8).count()
+    if (want("semanticDedup20k")) {
+      val bigEmb = emb.crossJoin(spark.range(10).toDF("rep"))
+        .select((col("vec_id") + col("rep") * 1000000).as("vec_id"), col("embedding"))
+      val (tSem, nSem) = time {
+        graft.similarity.Ann.semanticDedup(bigEmb, "vec_id", "embedding",
+          threshold = 0.95, nlist = 64).count()
+      }
+      out += "semanticDedup20k" -> s"""{"sec":$tSem,"rows":$nSem}"""
     }
 
     // 10) IVF ANN recall at 500k vectors (embeddings replicated 100x with
     // deterministic per-replica jitter so replicas are near- but not
     // exact duplicates): recall@10 of the auto-nlist (~sqrt(500k) = 707
-    // lists) IVF router at nprobe=16 against the exact brute-force
-    // top-10 for 100 probes. The probe measures the router's quality
-    // knobs (nlist from autoNlist, multi-probe via nprobe) — SCALING.md
-    // records the recall.
-    val emb500k = emb.crossJoin(spark.range(100).toDF("rep"))
-      .select((col("vec_id") + col("rep") * 1000000).as("vec_id"),
-        zip_with(col("embedding"),
-          sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => (x.cast("double") +
-            (pmod(col("rep") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.02)
-            .cast("float")).as("embedding"))
-      .localCheckpoint()
-    val probes500k = emb500k.where(col("vec_id") < 100)
-    val exactTop = graft.similarity.Ann.bruteForceTopK(
-        emb500k, probes500k, "vec_id", "embedding", k = 10)
-      .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
-    val nExact = exactTop.count()
-    val (tIvf, nIvfHits) = time {
-      graft.similarity.Ann.ivfTopK(emb500k, probes500k, "vec_id", "embedding",
-          k = 10, nlist = 0, nprobe = 16)
-        .join(exactTop, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    // lists) IVF router against the exact brute-force top-10 for 100
+    // probes, swept over nprobe — the router's two quality knobs (nlist
+    // from autoNlist, multi-probe width). SCALING.md records the curve.
+    if (want("ivfRecall500k")) {
+      val emb500k = emb.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("vec_id") + col("rep") * 1000000).as("vec_id"),
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x.cast("double") +
+              (pmod(col("rep") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.02)
+              .cast("float")).as("embedding"))
+        .localCheckpoint()
+      val probes500k = emb500k.where(col("vec_id") < 100)
+      val exactTop = graft.similarity.Ann.bruteForceTopK(
+          emb500k, probes500k, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+      val nExact = exactTop.count()
+      val sweep = Seq(1, 4, 8, 16).map { nprobe =>
+        val (tIvf, nHits) = time {
+          graft.similarity.Ann.ivfTopK(emb500k, probes500k, "vec_id", "embedding",
+              k = 10, nlist = 0, nprobe = nprobe)
+            .join(exactTop, Seq("probe_id", "neighbor_id"), "left_semi").count()
+        }
+        s""""nprobe$nprobe":{"sec":$tIvf,"recallAt10":${nHits.toDouble / nExact}}"""
+      }
+      out += "ivfRecall500k" -> sweep.mkString("{", ",", "}")
     }
-    val recall = nIvfHits.toDouble / nExact
 
-    println(
-      s"""{"probe":"scaling","stays":{"sec":$tStays,"rows":$nStays},""" +
-      s""""minhash50k":{"sec":$tMinhash,"rows":$nMinhash},""" +
-      s""""cc600k":{"sec":$tCc,"rows":$nCc},""" +
-      s""""blocking200k":{"sec":$tBlock,"rows":$nBlock},""" +
-      s""""simhash500k":{"sec":$tSimhash,"rows":$nSimhash},""" +
-      s""""windowedStays6M":{"sec":$tWindowed,"rows":$nWindowed},""" +
-      s""""imageEmbed500k":{"sec":$tEmbed,"rows":$nEmbed},""" +
-      s""""spanDedup500k":{"sec":$tSpan,"rows":$nSpan},""" +
-      s""""semanticDedup20k":{"sec":$tSem,"rows":$nSem},""" +
-      s""""ivfRecall500k":{"sec":$tIvf,"recallAt10":$recall,"nprobe":16}}""")
+    println(out.map { case (k, v) => s""""$k":$v""" }
+      .mkString("""{"probe":"scaling",""", ",", "}"))
     spark.stop()
   }
 }

@@ -1395,8 +1395,11 @@ object Sparql {
             p.next(); p.expect("GRAPH"); Some(termValue(p.next()))
           } else None
         val path = if (src.startsWith("file://")) src.stripPrefix("file://") else src
+        val defaultG = target.getOrElse(src)
         val loaded =
-          graft.sources.NTriples.read(spark, path, target.getOrElse(src)).toDF()
+          (if (path.endsWith(".ttl") || path.endsWith(".turtle"))
+            graft.sources.Turtle.read(spark, path, defaultG)
+          else graft.sources.NTriples.read(spark, path, defaultG)).toDF()
         val placed = target match {
           case Some(t) => loaded.withColumn("g", lit(t)) // INTO overrides embedded graphs
           case None => loaded

@@ -114,7 +114,8 @@ object SparqlEndpoint {
     s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/SPARQL_Results_XML> .",
     s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/SPARQL_Results_CSV> .",
     s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/SPARQL_Results_TSV> .",
-    s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/N-Quads> .")
+    s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/N-Quads> .",
+    s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/Turtle> .")
     .mkString("", "\n", "\n")
 
   private def xmlEscape(s: String): String =
@@ -188,7 +189,9 @@ object SparqlEndpoint {
             respond(ex, 200, "application/sparql-results+json",
               s"""{"head":{},"boolean":$result}""")
           case (Some(q), _) if form(q) == "CONSTRUCT" || form(q) == "DESCRIBE" =>
-            // both are graph-result forms: serve N-Quads
+            // graph-result forms: N-Quads by default, Turtle on Accept —
+            // the most common RDF tooling default (the reference resolves
+            // every RDF4J writer the same way, SparqlService.scala:170-201)
             val df =
               try if (form(q) == "CONSTRUCT") Sparql.construct(ref.get.quads, q)
                   else Sparql.describe(ref.get.quads, q)
@@ -197,7 +200,9 @@ object SparqlEndpoint {
                   respond(ex, 400, "text/plain", s"parse error: ${e.getMessage}")
                   return
               }
-            streamNQuads(ex, df)
+            val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+            if (accept.contains("text/turtle")) streamTurtle(ex, df)
+            else streamNQuads(ex, df)
           case (Some(q), _) =>
             val df =
               try Sparql.select(ref.get.quads, q)
@@ -344,6 +349,34 @@ object SparqlEndpoint {
             .getOrElse(""))
           .mkString("\t") + "\n")
       }
+      out.flush()
+    }
+
+    /** CONSTRUCT/DESCRIBE results as prefixed Turtle, streamed: the
+      * result is sorted by (s, p) so [[graft.sources.Turtle.writeStream]]
+      * groups subject blocks in one pass over `toLocalIterator` — no
+      * driver collect. Graph provenance is flattened (Turtle has no
+      * graph term; N-Quads keeps it). */
+    private def streamTurtle(ex: HttpExchange, df: DataFrame): Unit = {
+      import org.apache.spark.sql.functions.col
+      ex.getResponseHeaders.set("Content-Type", "text/turtle; charset=utf-8")
+      ex.sendResponseHeaders(200, 0)
+      val out = ex.getResponseBody
+      val idx = df.columns.zipWithIndex.toMap
+      def strCol(row: org.apache.spark.sql.Row, c: String): String =
+        idx.get(c).map(i => if (row.isNullAt(i)) null else row.getString(i)).orNull
+      val it = df.orderBy(col("s"), col("p"), col("o")).toLocalIterator()
+      val rows = new Iterator[(String, String, String, Byte, String, String)] {
+        def hasNext: Boolean = it.hasNext
+        def next(): (String, String, String, Byte, String, String) = {
+          val row = it.next()
+          (row.getString(idx("s")), row.getString(idx("p")), row.getString(idx("o")),
+            idx.get("oKind").map(row.getByte).getOrElse(Quad.LITERAL),
+            strCol(row, "oDt"), strCol(row, "oLang"))
+        }
+      }
+      graft.sources.Turtle.writeStream(rows,
+        s => out.write(s.getBytes(StandardCharsets.UTF_8)))
       out.flush()
     }
 

@@ -1,0 +1,280 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.rdf.Quad
+
+/** Turtle serialization — the RDF family's human-facing member and the
+  * most common default of RDF tooling. The reference content-negotiates
+  * every RDF4J writer for CONSTRUCT/DESCRIBE results
+  * (`core/src/main/com/thymeflow/api/SparqlService.scala:170-201`); this
+  * provides the Turtle leg natively: a streaming, prefix-abbreviating,
+  * subject-grouped writer and a per-document parser.
+  *
+  * Scale note: unlike N-Triples, Turtle is NOT line-splittable
+  * (statements span lines, `@prefix` state is document-global), so —
+  * like gzip — the parallelism unit is the FILE: [[read]] parses whole
+  * documents on executors, one task per file. Bulk interchange at
+  * cluster scale should stay on N-Quads ([[NTriples]]); Turtle is for
+  * serving results and ingesting tool-authored documents.
+  */
+object Turtle {
+
+  /** Default prefix table for abbreviation (writer) — resolution
+    * (reader) always honors the document's own `@prefix` directives. */
+  val DefaultPrefixes: Seq[(String, String)] = Seq(
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd" -> "http://www.w3.org/2001/XMLSchema#",
+    "schema" -> "http://schema.org/",
+    "foaf" -> "http://xmlns.com/foaf/0.1/")
+
+  private val LocalName = "[A-Za-z_][A-Za-z0-9_-]*".r
+
+  private def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+  /** `<iri>` or `prefix:local` when a prefix matches and the remainder is
+    * a safe PN_LOCAL (conservative subset — correctness over brevity). */
+  private def iri(value: String, prefixes: Seq[(String, String)]): String =
+    prefixes.collectFirst {
+      case (p, ns) if value.startsWith(ns) &&
+          LocalName.pattern.matcher(value.substring(ns.length)).matches() =>
+        s"$p:${value.substring(ns.length)}"
+    }.getOrElse(s"<$value>")
+
+  private def term(value: String, kind: Byte, dt: String, lang: String,
+      prefixes: Seq[(String, String)]): String = kind match {
+    case Quad.IRI => iri(value, prefixes)
+    case Quad.BNODE => if (value.startsWith("_:")) value else s"_:$value"
+    case _ =>
+      val base = "\"" + escape(value) + "\""
+      if (lang != null && lang.nonEmpty) s"$base@$lang"
+      else if (dt != null && dt.nonEmpty && dt != Quad.Xsd.string)
+        s"$base^^${iri(dt, prefixes)}"
+      else base
+  }
+
+  /** Streaming writer: emits `@prefix` headers, then one subject block
+    * per distinct subject with `;`-chained predicates and `,`-chained
+    * objects. The input iterator MUST be grouped by subject (sorted
+    * suffices) — the caller orders; this function never buffers more
+    * than one (subject, predicate) run. Graphs are flattened (Turtle has
+    * no graph term — use TriG/N-Quads to keep provenance). */
+  def writeStream(rows: Iterator[(String, String, String, Byte, String, String)],
+      sink: String => Unit,
+      prefixes: Seq[(String, String)] = DefaultPrefixes): Unit = {
+    prefixes.foreach { case (p, ns) => sink(s"@prefix $p: <$ns> .\n") }
+    var curS: String = null
+    var curP: String = null
+    rows.foreach { case (s, p, o, oKind, oDt, oLang) =>
+      val t = term(o, oKind, oDt, oLang, prefixes)
+      if (s != curS) {
+        if (curS != null) sink(" .\n")
+        sink("\n" + (if (s.startsWith("_:")) s else iri(s, prefixes)))
+        sink("\n  " + predicate(p, prefixes) + " " + t)
+        curS = s; curP = p
+      } else if (p != curP) {
+        sink(" ;\n  " + predicate(p, prefixes) + " " + t)
+        curP = p
+      } else sink(", " + t)
+    }
+    if (curS != null) sink(" .\n")
+  }
+
+  private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private def predicate(p: String, prefixes: Seq[(String, String)]): String =
+    if (p == RdfType) "a" else iri(p, prefixes)
+
+  /** Whole-document serialization (driver-side convenience / tests). */
+  def serialize(quads: Seq[Quad],
+      prefixes: Seq[(String, String)] = DefaultPrefixes): String = {
+    val sb = new StringBuilder
+    val sorted = quads.sortBy(q => (q.s, q.p, q.o))
+    writeStream(
+      sorted.iterator.map(q => (q.s, q.p, q.o, q.oKind, q.oDt, q.oLang)),
+      s => sb.append(s), prefixes)
+    sb.toString
+  }
+
+  // ------------------------------------------------------------- parser
+
+  /** Tokenize a Turtle document: IRIs, literals (with escapes), prefixed
+    * names/keywords, and the punctuation `; , . [ ] ( )`. Comments run
+    * `#` to end of line outside quoted strings. */
+  private[sources] def tokenize(doc: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    val n = doc.length
+    while (i < n) {
+      val c = doc.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '#') { while (i < n && doc.charAt(i) != '\n') i += 1 }
+      else if (c == '<') {
+        val j = doc.indexOf('>', i)
+        require(j > 0, s"unterminated IRI at offset $i")
+        out += doc.substring(i, j + 1); i = j + 1
+      } else if (c == '"') {
+        // long-string form first, then the single-quoted form with escapes
+        if (i + 2 < n && doc.charAt(i + 1) == '"' && doc.charAt(i + 2) == '"') {
+          val j = doc.indexOf("\"\"\"", i + 3)
+          require(j > 0, s"unterminated long string at offset $i")
+          out += "\"" + doc.substring(i + 3, j).replace("\n", "\\n")
+            .replace("\"", "\\\"") + "\""
+          i = j + 3
+        } else {
+          val sb = new StringBuilder("\"")
+          i += 1
+          while (i < n && doc.charAt(i) != '"') {
+            if (doc.charAt(i) == '\\' && i + 1 < n) {
+              sb.append(doc.charAt(i)).append(doc.charAt(i + 1)); i += 2
+            } else { sb.append(doc.charAt(i)); i += 1 }
+          }
+          require(i < n, s"unterminated string at offset $i")
+          sb.append('"'); out += sb.toString; i += 1
+        }
+        // attach a ^^type / @lang suffix to the literal token
+        if (i + 1 < n && doc.charAt(i) == '^' && doc.charAt(i + 1) == '^') {
+          i += 2
+          if (i < n && doc.charAt(i) == '<') {
+            val j = doc.indexOf('>', i)
+            out += out.remove(out.size - 1) + "^^" + doc.substring(i, j + 1)
+            i = j + 1
+          } else {
+            val j = wordEnd(doc, i)
+            out += out.remove(out.size - 1) + "^^" + doc.substring(i, j)
+            i = j
+          }
+        } else if (i < n && doc.charAt(i) == '@') {
+          val j = wordEnd(doc, i)
+          out += out.remove(out.size - 1) + doc.substring(i, j)
+          i = j
+        }
+      } else if (";,.[]()".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      else {
+        val j = wordEnd(doc, i)
+        out += doc.substring(i, j); i = j
+      }
+    }
+    out.toList
+  }
+
+  private def wordEnd(doc: String, start: Int): Int = {
+    var j = start
+    val n = doc.length
+    while (j < n && !doc.charAt(j).isWhitespace &&
+      ";,\"<[]()".indexOf(doc.charAt(j)) < 0 &&
+      // '.' ends a statement only when followed by whitespace/EOF — it is
+      // legal inside prefixed names and decimals
+      !(doc.charAt(j) == '.' &&
+        (j + 1 >= n || doc.charAt(j + 1).isWhitespace))) j += 1
+    j
+  }
+
+  /** Parse one Turtle document into quads (graph = `defaultGraph`).
+    * Supports `@prefix`/`@base` (and SPARQL-style PREFIX/BASE), `a`,
+    * `;`/`,` lists, IRIs, prefixed names, blank-node labels, and
+    * literals with language tags or datatypes. Blank-node property
+    * lists `[...]` and collections `(...)` are rejected loudly — the
+    * writer never emits them. */
+  def parse(doc: String, defaultGraph: String = "graft:default"): Seq[Quad] = {
+    var tokens = tokenize(doc)
+    val prefixes = scala.collection.mutable.Map[String, String]()
+    var base = ""
+    val out = scala.collection.mutable.ListBuffer[Quad]()
+
+    def resolve(t: String): (String, Byte) =
+      if (t.startsWith("<")) {
+        val v = t.substring(1, t.length - 1)
+        (if (v.contains(":") || base.isEmpty) v else base + v, Quad.IRI)
+      } else if (t.startsWith("_:")) (t, Quad.BNODE)
+      else if (t == "a") (RdfType, Quad.IRI)
+      else {
+        val idx = t.indexOf(':')
+        require(idx >= 0, s"not a term: $t")
+        val (p, local) = (t.substring(0, idx), t.substring(idx + 1))
+        val ns = prefixes.getOrElse(p, sys.error(s"undeclared prefix '$p:'"))
+        (ns + local, Quad.IRI)
+      }
+
+    def objTerm(t: String): (String, Byte, String, String) =
+      if (t == "[" || t == "(")
+        sys.error("blank-node property lists / collections are not supported")
+      else if (t.startsWith("\"")) {
+        val close = t.lastIndexOf('"')
+        val raw = t.substring(1, close)
+        val value = raw.replace("\\\"", "\"").replace("\\n", "\n")
+          .replace("\\r", "\r").replace("\\t", "\t").replace("\\\\", "\\")
+        val suffix = t.substring(close + 1)
+        if (suffix.startsWith("@")) (value, Quad.LITERAL, null, suffix.substring(1))
+        else if (suffix.startsWith("^^"))
+          (value, Quad.LITERAL, resolve(suffix.substring(2))._1, null)
+        else (value, Quad.LITERAL, null, null)
+      } else if (t.head.isDigit || t.head == '-' || t.head == '+' ||
+          t == "true" || t == "false") {
+        // bare numeric/boolean literals carry their implied XSD type
+        val dt =
+          if (t == "true" || t == "false") Quad.Xsd.boolean
+          else if (t.contains(".") || t.contains("e") || t.contains("E")) Quad.Xsd.double
+          else Quad.Xsd.long
+        (t, Quad.LITERAL, dt, null)
+      } else {
+        val (v, k) = resolve(t)
+        (v, k, null, null)
+      }
+
+    while (tokens.nonEmpty) {
+      tokens.head match {
+        case t if t.equalsIgnoreCase("@prefix") || t.equalsIgnoreCase("PREFIX") =>
+          val (name :: nsTok :: rest) = tokens.tail: @unchecked
+          prefixes(name.stripSuffix(":")) = nsTok.substring(1, nsTok.length - 1)
+          tokens = if (rest.headOption.contains(".")) rest.tail else rest
+        case t if t.equalsIgnoreCase("@base") || t.equalsIgnoreCase("BASE") =>
+          val (bTok :: rest) = tokens.tail: @unchecked
+          base = bTok.substring(1, bTok.length - 1)
+          tokens = if (rest.headOption.contains(".")) rest.tail else rest
+        case "[" | "(" =>
+          sys.error("blank-node property lists / collections are not supported")
+        case sTok =>
+          val (s, _) = resolve(sTok)
+          tokens = tokens.tail
+          var done = false
+          while (!done) {
+            val (p, _) = resolve(tokens.head)
+            tokens = tokens.tail
+            var moreObjects = true
+            while (moreObjects) {
+              require(tokens.nonEmpty, "statement ended before object")
+              val (o, kind, dt, lang) = objTerm(tokens.head)
+              tokens = tokens.tail
+              out += Quad(s, p, o, kind, dt, lang, defaultGraph)
+              moreObjects = tokens.headOption.contains(",") && {
+                tokens = tokens.tail; true
+              }
+            }
+            tokens.headOption match {
+              case Some(";") =>
+                tokens = tokens.tail
+                // a trailing ; before . is legal
+                if (tokens.headOption.contains(".")) { tokens = tokens.tail; done = true }
+              case Some(".") => tokens = tokens.tail; done = true
+              case other => sys.error(s"expected ';' or '.', got $other")
+            }
+          }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Distributed read: one task per FILE (wholetext — Turtle is not
+    * line-splittable); each document parses independently with its own
+    * prefix table, quads land in `defaultGraph` (or per-file graphs via
+    * the file-name column upstream). */
+  def read(spark: SparkSession, path: String,
+      defaultGraph: String = "graft:default"): Dataset[Quad] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").textFile(path)
+      .flatMap(doc => parse(doc, defaultGraph))
+  }
+}

@@ -181,6 +181,21 @@ class SparqlEndpointSpec extends SparkSpec {
       s"""<bob> <knownBy> <alice> <${Sparql.ConstructedGraph}> ."""
   }
 
+  it should "serve CONSTRUCT results as Turtle on Accept and round-trip them" in
+    withServer { server =>
+      val resp = get(server,
+        """CONSTRUCT { ?x <http://schema.org/knows> ?y } WHERE { ?x <knows> ?y }""",
+        accept = "text/turtle")
+      resp.statusCode() shouldBe 200
+      resp.headers().firstValue("Content-Type").get() should include("text/turtle")
+      resp.body() should include("@prefix schema: <http://schema.org/> .")
+      resp.body() should include("schema:knows")
+      // the served document parses back to the constructed triple
+      val back = graft.sources.Turtle.parse(resp.body(), "g")
+      back.map(q => (q.s, q.p, q.o)) shouldBe
+        Seq(("alice", "http://schema.org/knows", "bob"))
+    }
+
   it should "serve DESCRIBE results as N-Quads" in withServer { server =>
     val resp = get(server, "DESCRIBE <alice>", accept = "application/n-quads")
     resp.statusCode() shouldBe 200

@@ -696,6 +696,13 @@ class SparqlSpec extends SparkSpec {
     loaded.filter(s"g = 'file://$f'").count() shouldBe 2
     val into = Sparql.update(quads, s"LOAD <file://$f> INTO GRAPH <g7>")
     into.filter("g = 'g7'").count() shouldBe 2
+    // .ttl documents dispatch to the Turtle reader
+    val ttl = dir.resolve("doc.ttl")
+    java.nio.file.Files.writeString(ttl,
+      "@prefix ex: <http://ex.org/> .\nex:erin ex:name \"Erin\" ; ex:age 31 .\n")
+    val loadedTtl = Sparql.update(quads, s"LOAD <file://$ttl> INTO GRAPH <g8>")
+    loadedTtl.filter("g = 'g8'").count() shouldBe 2
+    loadedTtl.filter("g = 'g8' AND o = '31'").count() shouldBe 1
   }
 
   it should "sequence ;-separated operations against a running snapshot" in {

@@ -1,0 +1,90 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.rdf.Quad
+
+class TurtleSpec extends SparkSpec {
+
+  private def q(s: String, p: String, o: String, kind: Byte = Quad.IRI,
+      dt: String = null, lang: String = null) =
+    Quad(s, p, o, kind, dt, lang, "g")
+
+  private val quads = Seq(
+    q("http://ex.org/alice", "http://schema.org/name", "Alice \"A.\"\nW.",
+      Quad.LITERAL),
+    q("http://ex.org/alice", "http://schema.org/knows", "http://ex.org/bob"),
+    q("http://ex.org/alice", "http://schema.org/knows", "http://ex.org/carol"),
+    q("http://ex.org/alice",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+      "http://schema.org/Person"),
+    q("http://ex.org/bob", "http://schema.org/name", "Bob", Quad.LITERAL,
+      lang = "en"),
+    q("http://ex.org/bob", "http://schema.org/height", "1.82", Quad.LITERAL,
+      dt = Quad.Xsd.double),
+    q("http://ex.org/bob", "http://schema.org/id", "b-7", Quad.LITERAL),
+    q("_:blank1", "http://schema.org/name", "Anon", Quad.LITERAL))
+
+  "Turtle.serialize" should "abbreviate with prefixes and group subjects" in {
+    val doc = Turtle.serialize(quads)
+    doc should include("@prefix schema: <http://schema.org/> .")
+    // rdf:type becomes the `a` keyword
+    doc should include("a schema:Person")
+    // object list: two knows targets joined with a comma on one predicate
+    doc should include("schema:knows <http://ex.org/bob>, <http://ex.org/carol>")
+    // each subject appears exactly once (subject grouping)
+    doc.linesIterator.count(_.startsWith("<http://ex.org/alice>")) shouldBe 1
+    // literals carry lang / datatype abbreviated forms
+    doc should include(""""Bob"@en""")
+    doc should include(""""1.82"^^xsd:double""")
+  }
+
+  it should "round-trip through Turtle.parse" in {
+    val doc = Turtle.serialize(quads)
+    val back = Turtle.parse(doc, "g")
+    back.toSet shouldBe quads.toSet
+  }
+
+  "Turtle.parse" should "honor document @prefix and @base, comments and bare literals" in {
+    val doc =
+      """# a comment
+        |@prefix ex: <http://ex.org/> .
+        |@base <http://base.org/> .
+        |ex:dave ex:age 41 ;   # trailing comment
+        |        ex:score 3.5 ;
+        |        ex:active true ;
+        |        ex:link <rel> .
+        |""".stripMargin
+    val got = Turtle.parse(doc, "g").map(t => (t.p, t.o, t.oDt)).toSet
+    got shouldBe Set(
+      ("http://ex.org/age", "41", Quad.Xsd.long),
+      ("http://ex.org/score", "3.5", Quad.Xsd.double),
+      ("http://ex.org/active", "true", Quad.Xsd.boolean),
+      ("http://ex.org/link", "http://base.org/rel", null))
+  }
+
+  it should "parse SPARQL-style PREFIX and long strings" in {
+    val doc = "PREFIX ex: <http://ex.org/>\n" +
+      "ex:a ex:note \"\"\"line one\nline two\"\"\" .\n"
+    val got = Turtle.parse(doc, "g")
+    got.head.o shouldBe "line one\nline two"
+  }
+
+  it should "reject blank-node property lists loudly" in {
+    val e = intercept[RuntimeException] {
+      Turtle.parse("@prefix ex: <http://ex.org/> . ex:a ex:b [ ex:c ex:d ] .")
+    }
+    e.getMessage should include("not supported")
+  }
+
+  it should "read distributed, one task per document" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl")
+    java.nio.file.Files.writeString(dir.resolve("a.ttl"),
+      "@prefix ex: <http://a.org/> .\nex:x ex:p ex:y .\n")
+    java.nio.file.Files.writeString(dir.resolve("b.ttl"),
+      "@prefix ex: <http://b.org/> .\nex:x ex:p \"lit\" .\n")
+    val got = Turtle.read(spark, dir.toString + "/*.ttl").collect().toSet
+    got.map(_.s) shouldBe Set("http://a.org/x", "http://b.org/x")
+    // per-document prefix tables do not leak across files
+    got.find(_.oKind == Quad.LITERAL).get.o shouldBe "lit"
+  }
+}
