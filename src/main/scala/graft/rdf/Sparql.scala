@@ -464,18 +464,8 @@ object Sparql {
               while (peek != ")") r += objTerm()
               expect(")")
               require(r.size == names.size, "VALUES row arity mismatch")
-              // SPARQL 1.1 §10.2 UNDEF marks an unbound position whose
-              // per-row join-key exclusion this engine does not implement;
-              // fail loudly rather than join the literal string "UNDEF"
-              require(!r.contains("UNDEF"),
-                "UNDEF in VALUES rows is not supported (per-row unbound positions)")
               rows += r.toList
-            } else {
-              val v = objTerm()
-              require(v != "UNDEF",
-                "UNDEF in VALUES rows is not supported (per-row unbound positions)")
-              rows += List(v)
-            }
+            } else rows += List(objTerm())
           }
           expect("}")
           elems += Values(names.toList, rows.toList)
@@ -782,22 +772,40 @@ object Sparql {
         current = Some(Bgp.bind(df, name, exprColumn(e, df)))
       case Values(names, rows) =>
         val df = current.getOrElse(sys.error("VALUES without bindings"))
-        if (names.size == 1)
+        val hasUndef = rows.exists(_.contains("UNDEF"))
+        if (names.size == 1 && !hasUndef)
           current = Some(Bgp.values(df, names.head, rows.map(r => termValue(r.head))))
         else {
           // multi-variable inline table: a LocalRelation joined on the
-          // variables the group already binds (broadcast-trivial)
+          // variables the group already binds (broadcast-trivial).
+          // SPARQL 1.1 §10.2: UNDEF leaves a position unbound — that row
+          // is COMPATIBLE with any value of the variable, so the join
+          // predicate is (table.v IS NULL OR table.v = group.v) per
+          // shared variable, and the merged solution takes whichever
+          // side is bound (coalesce).
           val spark = df.sparkSession
           val schema = org.apache.spark.sql.types.StructType(names.map(n =>
             org.apache.spark.sql.types.StructField(n,
               org.apache.spark.sql.types.StringType)))
           val data = new java.util.ArrayList[org.apache.spark.sql.Row]()
-          rows.foreach(r => data.add(
-            org.apache.spark.sql.Row.fromSeq(r.map(termValue))))
+          rows.foreach(r => data.add(org.apache.spark.sql.Row.fromSeq(
+            r.map(v => if (v == "UNDEF") null else termValue(v)))))
           val tdf = spark.createDataFrame(data, schema)
           val shared = names.filter(df.columns.contains)
           current = Some(
-            if (shared.nonEmpty) df.join(tdf, shared) else df.crossJoin(tdf))
+            if (shared.isEmpty) df.crossJoin(tdf)
+            else if (!hasUndef) df.join(tdf, shared)
+            else {
+              val t = shared.foldLeft(tdf) { (acc, v) => acc.withColumnRenamed(v, s"__v_$v") }
+              val cond = shared.map(v =>
+                t(s"__v_$v").isNull || t(s"__v_$v") === df(v)).reduce(_ && _)
+              val joined = df.join(org.apache.spark.sql.functions.broadcast(t), cond)
+              val merged = shared.foldLeft(joined) { (acc, v) =>
+                acc.withColumn(v,
+                  org.apache.spark.sql.functions.coalesce(acc(v), acc(s"__v_$v")))
+              }
+              merged.drop(shared.map(v => s"__v_$v"): _*)
+            })
         }
       case _: Triple => () // already handled
     }
@@ -811,7 +819,11 @@ object Sparql {
     "STR", "LANG", "LANGMATCHES", "DATATYPE", "IF", "COALESCE", "BOUND",
     "REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "STRLEN", "UCASE", "LCASE",
     "SUBSTR", "CONCAT", "REPLACE", "ABS", "ROUND", "CEIL", "FLOOR",
-    "STRBEFORE", "STRAFTER", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK")
+    "STRBEFORE", "STRAFTER", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
+    "ISNUMERIC", "SAMETERM", "IRI", "URI", "BNODE", "ENCODE_FOR_URI",
+    "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
+    "NOW", "RAND", "UUID", "STRUUID")
 
   private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
   private val RdfLangString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
@@ -964,6 +976,42 @@ object Sparql {
         metaCol(df, "kind", v, fn) === lit(Quad.LITERAL)
       case ("ISBLANK", List(EVar(v))) =>
         metaCol(df, "kind", v, fn) === lit(Quad.BNODE)
+      case ("ISNUMERIC", List(a)) =>
+        // castable-to-double test (SPARQL: value is of a numeric type);
+        // try_cast, because under ANSI a plain cast THROWS on non-numerics
+        ec(a).try_cast(org.apache.spark.sql.types.DoubleType).isNotNull
+      case ("SAMETERM", List(l, r)) => ec(l) === ec(r)
+      // term constructors: values here are lexical forms, so IRI/URI is
+      // the identity on the string (term kind is carried separately and
+      // only matters at serialization)
+      case ("IRI" | "URI", List(a)) => ec(a).cast("string")
+      case ("BNODE", Nil) =>
+        concat(lit("_:b"), abs(org.apache.spark.sql.functions.monotonically_increasing_id())
+          .cast("string"))
+      case ("ENCODE_FOR_URI", List(a)) =>
+        // percent-encoding per SPARQL (RFC 3986 unreserved kept): Spark's
+        // url_encode is form-encoding, whose only delta is space -> '+'
+        regexp_replace(url_encode(ec(a).cast("string")), lit("\\+"), lit("%20"))
+      case ("MD5", List(a)) => md5(ec(a).cast("string").cast("binary"))
+      case ("SHA1", List(a)) => sha1(ec(a).cast("string").cast("binary"))
+      case ("SHA256", List(a)) => sha2(ec(a).cast("string").cast("binary"), 256)
+      case ("SHA384", List(a)) => sha2(ec(a).cast("string").cast("binary"), 384)
+      case ("SHA512", List(a)) => sha2(ec(a).cast("string").cast("binary"), 512)
+      // dateTime accessors evaluate on the literal's lexical form
+      case ("YEAR", List(a)) => year(ec(a).cast("timestamp"))
+      case ("MONTH", List(a)) => month(ec(a).cast("timestamp"))
+      case ("DAY", List(a)) => dayofmonth(ec(a).cast("timestamp"))
+      case ("HOURS", List(a)) => hour(ec(a).cast("timestamp"))
+      case ("MINUTES", List(a)) => minute(ec(a).cast("timestamp"))
+      case ("SECONDS", List(a)) => second(ec(a).cast("timestamp"))
+      case ("TZ", List(a)) => // zone suffix of the lexical form; "" if none
+        regexp_extract(ec(a).cast("string"), "(Z|[+-]\\d{2}:\\d{2})$", 1)
+      // non-deterministic builtins (SPARQL marks these as such)
+      case ("NOW", Nil) => date_format(current_timestamp(),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSX")
+      case ("RAND", Nil) => rand()
+      case ("UUID", Nil) => concat(lit("urn:uuid:"), expr("uuid()"))
+      case ("STRUUID", Nil) => expr("uuid()")
       case _ => sys.error(s"unsupported builtin $fn/${args.size}")
     }
   }

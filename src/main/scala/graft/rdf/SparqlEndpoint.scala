@@ -115,7 +115,9 @@ object SparqlEndpoint {
     s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/SPARQL_Results_CSV> .",
     s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/SPARQL_Results_TSV> .",
     s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/N-Quads> .",
-    s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/Turtle> .")
+    s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/Turtle> .",
+    s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/JSON-LD> .",
+    s"_:service <${Sd}resultFormat> <http://www.w3.org/ns/formats/TriG> .")
     .mkString("", "\n", "\n")
 
   private def xmlEscape(s: String): String =
@@ -202,6 +204,8 @@ object SparqlEndpoint {
               }
             val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
             if (accept.contains("text/turtle")) streamTurtle(ex, df)
+            else if (accept.contains("application/ld+json")) streamJsonLd(ex, df)
+            else if (accept.contains("application/trig")) streamTrig(ex, df)
             else streamNQuads(ex, df)
           case (Some(q), _) =>
             val df =
@@ -362,11 +366,59 @@ object SparqlEndpoint {
       ex.getResponseHeaders.set("Content-Type", "text/turtle; charset=utf-8")
       ex.sendResponseHeaders(200, 0)
       val out = ex.getResponseBody
+      graft.sources.Turtle.writeStream(
+        sortedTermRows(df, df.orderBy(col("s"), col("p"), col("o"))),
+        s => out.write(s.getBytes(StandardCharsets.UTF_8)))
+      out.flush()
+    }
+
+    /** Graph results as flat expanded JSON-LD (`{"@graph":[…]}`),
+      * streamed with the same sorted-subject-group contract as Turtle. */
+    private def streamJsonLd(ex: HttpExchange, df: DataFrame): Unit = {
+      import org.apache.spark.sql.functions.col
+      ex.getResponseHeaders.set("Content-Type", "application/ld+json; charset=utf-8")
+      ex.sendResponseHeaders(200, 0)
+      val out = ex.getResponseBody
+      graft.sources.JsonLd.writeStream(
+        sortedTermRows(df, df.orderBy(col("s"), col("p"), col("o"))),
+        s => out.write(s.getBytes(StandardCharsets.UTF_8)))
+      out.flush()
+    }
+
+    /** Graph results as TriG (named-graph-blocked Turtle), streamed —
+      * the serialization that keeps `g` provenance. */
+    private def streamTrig(ex: HttpExchange, df: DataFrame): Unit = {
+      import org.apache.spark.sql.functions.col
+      ex.getResponseHeaders.set("Content-Type", "application/trig; charset=utf-8")
+      ex.sendResponseHeaders(200, 0)
+      val out = ex.getResponseBody
       val idx = df.columns.zipWithIndex.toMap
+      val it = df.orderBy(col("g"), col("s"), col("p"), col("o")).toLocalIterator()
       def strCol(row: org.apache.spark.sql.Row, c: String): String =
         idx.get(c).map(i => if (row.isNullAt(i)) null else row.getString(i)).orNull
-      val it = df.orderBy(col("s"), col("p"), col("o")).toLocalIterator()
-      val rows = new Iterator[(String, String, String, Byte, String, String)] {
+      val rows = new Iterator[(String, String, String, String, Byte, String, String)] {
+        def hasNext: Boolean = it.hasNext
+        def next(): (String, String, String, String, Byte, String, String) = {
+          val row = it.next()
+          (row.getString(idx("g")), row.getString(idx("s")), row.getString(idx("p")),
+            row.getString(idx("o")),
+            idx.get("oKind").map(row.getByte).getOrElse(Quad.LITERAL),
+            strCol(row, "oDt"), strCol(row, "oLang"))
+        }
+      }
+      graft.sources.Turtle.writeTrigStream(rows,
+        s => out.write(s.getBytes(StandardCharsets.UTF_8)))
+      out.flush()
+    }
+
+    /** Shared (s,p,o,kind,dt,lang) row iterator over an ordered frame. */
+    private def sortedTermRows(df: DataFrame,
+        ordered: DataFrame): Iterator[(String, String, String, Byte, String, String)] = {
+      val idx = df.columns.zipWithIndex.toMap
+      val it = ordered.toLocalIterator()
+      def strCol(row: org.apache.spark.sql.Row, c: String): String =
+        idx.get(c).map(i => if (row.isNullAt(i)) null else row.getString(i)).orNull
+      new Iterator[(String, String, String, Byte, String, String)] {
         def hasNext: Boolean = it.hasNext
         def next(): (String, String, String, Byte, String, String) = {
           val row = it.next()
@@ -375,9 +427,6 @@ object SparqlEndpoint {
             strCol(row, "oDt"), strCol(row, "oLang"))
         }
       }
-      graft.sources.Turtle.writeStream(rows,
-        s => out.write(s.getBytes(StandardCharsets.UTF_8)))
-      out.flush()
     }
 
     /** CONSTRUCT results as N-Quads lines, streamed. Expects the

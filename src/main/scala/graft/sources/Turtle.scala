@@ -87,6 +87,39 @@ object Turtle {
   private def predicate(p: String, prefixes: Seq[(String, String)]): String =
     if (p == RdfType) "a" else iri(p, prefixes)
 
+  /** TriG: Turtle wrapped in named-graph blocks — the provenance-keeping
+    * serialization (each block is one `g` context, mirroring the
+    * reference's per-document/per-enricher graphs). Rows must arrive
+    * grouped by (graph, subject, predicate); buffering is one run. */
+  def writeTrigStream(
+      rows: Iterator[(String, String, String, String, Byte, String, String)],
+      sink: String => Unit,
+      prefixes: Seq[(String, String)] = DefaultPrefixes): Unit = {
+    prefixes.foreach { case (p, ns) => sink(s"@prefix $p: <$ns> .\n") }
+    var curG: String = null
+    var curS: String = null
+    var curP: String = null
+    def closeGraph(): Unit = if (curG != null) { sink(" .\n}\n"); curS = null; curP = null }
+    rows.foreach { case (g, s, p, o, oKind, oDt, oLang) =>
+      val t = term(o, oKind, oDt, oLang, prefixes)
+      if (g != curG) {
+        closeGraph()
+        sink("\n" + iri(g, prefixes) + " {")
+        curG = g
+      }
+      if (s != curS) {
+        if (curS != null) sink(" .")
+        sink("\n  " + (if (s.startsWith("_:")) s else iri(s, prefixes)))
+        sink("\n    " + predicate(p, prefixes) + " " + t)
+        curS = s; curP = p
+      } else if (p != curP) {
+        sink(" ;\n    " + predicate(p, prefixes) + " " + t)
+        curP = p
+      } else sink(", " + t)
+    }
+    closeGraph()
+  }
+
   /** Whole-document serialization (driver-side convenience / tests). */
   def serialize(quads: Seq[Quad],
       prefixes: Seq[(String, String)] = DefaultPrefixes): String = {

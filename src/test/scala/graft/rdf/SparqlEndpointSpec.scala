@@ -196,6 +196,22 @@ class SparqlEndpointSpec extends SparkSpec {
         Seq(("alice", "http://schema.org/knows", "bob"))
     }
 
+  it should "serve graph results as JSON-LD and TriG on Accept" in withServer { server =>
+    val jld = get(server,
+      """CONSTRUCT { ?x <http://schema.org/knows> ?y } WHERE { ?x <knows> ?y }""",
+      accept = "application/ld+json")
+    jld.statusCode() shouldBe 200
+    jld.headers().firstValue("Content-Type").get() should include("application/ld+json")
+    jld.body() should include(""""@graph":[""")
+    jld.body() should include(
+      """"http://schema.org/knows":[{"@id":"bob"}]""")
+    val trig = get(server, "DESCRIBE <alice>", accept = "application/trig")
+    trig.statusCode() shouldBe 200
+    trig.headers().firstValue("Content-Type").get() should include("application/trig")
+    trig.body() should include("<g1> {")
+    trig.body() should include("<knows> <bob>")
+  }
+
   it should "serve DESCRIBE results as N-Quads" in withServer { server =>
     val resp = get(server, "DESCRIBE <alice>", accept = "application/n-quads")
     resp.statusCode() shouldBe 200

@@ -651,14 +651,22 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Set(("alice", 3L))
   }
 
-  "VALUES" should "reject UNDEF loudly instead of joining the literal string" in {
-    val e = intercept[IllegalArgumentException] {
-      Sparql.select(quads,
-        """SELECT ?x ?n WHERE {
-          |  ?x <name> ?n . VALUES (?x ?n) { (<alice> UNDEF) }
-          |}""".stripMargin).collect()
-    }
-    e.getMessage should include("UNDEF")
+  "VALUES" should "treat UNDEF as a per-row wildcard (SPARQL 1.1 §10.2)" in {
+    // (alice, UNDEF) matches any name of alice; (UNDEF, "Carol") matches
+    // whoever has that name in any graph
+    val res = Sparql.select(quads,
+      """SELECT ?x ?n WHERE {
+        |  ?x <name> ?n . VALUES (?x ?n) { (<alice> UNDEF) (UNDEF "Carol") }
+        |} ORDER BY ?x""".stripMargin)
+      .as[(String, String)].collect().toSeq
+    res shouldBe Seq(("alice", "Alice"), ("carol", "Carol"))
+    // UNDEF on a variable the group does NOT bind stays unbound (null)
+    val free = Sparql.select(quads,
+      """SELECT ?x ?tag WHERE {
+        |  ?x <name> ?n . VALUES (?x ?tag) { (<alice> "seen") (<bob> UNDEF) }
+        |} ORDER BY ?x""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    free shouldBe Seq(("alice", Some("seen")), ("bob", None))
   }
 
   // --------------------- round-6: graph management, sequences, AVG(DISTINCT)
@@ -726,6 +734,42 @@ class SparqlSpec extends SparkSpec {
       """INSERT { ?x <greeting> "hi" } WHERE { GRAPH <g2> { ?x <name> ?n } }""")
     s1.filter("p = 'greeting'").select("s").as[String].collect().toSeq shouldBe
       Seq("carol")
+  }
+
+  "round-6 builtins" should "hash, encode and test terms per SPARQL 17.4" in {
+    Sparql.select(quads,
+      """SELECT (MD5("abc") AS ?h) WHERE { <alice> <name> ?n }""")
+      .as[String].head() shouldBe "900150983cd24fb0d6963f7d28e17f72"
+    Sparql.select(quads,
+      """SELECT (SHA1("abc") AS ?h) WHERE { <alice> <name> ?n }""")
+      .as[String].head() shouldBe "a9993e364706816aba3e25717850c26c9cd0d89d"
+    // ENCODE_FOR_URI percent-encodes with %20 for space (not '+')
+    Sparql.select(quads,
+      """SELECT (ENCODE_FOR_URI("a b/c") AS ?e) WHERE { <alice> <name> ?n }""")
+      .as[String].head() shouldBe "a%20b%2Fc"
+    Sparql.select(quads,
+      """SELECT ?x WHERE { ?x <age> ?a . FILTER(isNumeric(?a) && !isNumeric(?x)) }""")
+      .as[String].collect().toSet shouldBe Set("alice", "bob")
+    Sparql.select(quads,
+      """SELECT ?x WHERE { ?x <name> ?n . FILTER(sameTerm(?n, "Alice")) }""")
+      .as[String].collect().toSeq shouldBe Seq("alice")
+    // IRI() constructs from a string expression
+    Sparql.select(quads,
+      """SELECT (IRI(CONCAT("http://ex.org/", ?x)) AS ?u) WHERE {
+        |  ?x <name> "Alice" }""".stripMargin)
+      .as[String].head() shouldBe "http://ex.org/alice"
+  }
+
+  it should "expose dateTime accessors over lexical timestamps" in {
+    val dated = Seq(
+      ("e1", "at", "2024-03-09T14:30:05Z", 2.toByte, Quad.Xsd.dateTime, null: String, "g"))
+      .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+    Sparql.select(dated,
+      """SELECT (YEAR(?t) AS ?y) (MONTH(?t) AS ?m) (DAY(?t) AS ?d)
+        |  (HOURS(?t) AS ?h) (MINUTES(?t) AS ?mi) (TZ(?t) AS ?tz)
+        |WHERE { ?e <at> ?t }""".stripMargin)
+      .as[(Int, Int, Int, Int, Int, String)].head() shouldBe
+      (2024, 3, 9, 14, 30, "Z")
   }
 
   "AVG(DISTINCT)" should "average the distinct value set" in {
