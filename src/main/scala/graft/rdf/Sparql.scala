@@ -150,6 +150,11 @@ object Sparql {
     * MINUS removes nothing — NOT EXISTS would remove everything). */
   private final case class Exists(group: List[Element], negated: Boolean,
       minus: Boolean = false) extends Element
+  /** SERVICE [SILENT] <endpoint> { group } — SPARQL 1.1 federation. The
+    * inner group is kept as its (prefix-expanded) token span and shipped
+    * verbatim to the remote endpoint as `SELECT * WHERE {…}`. */
+  private final case class Service(url: String, silent: Boolean,
+      rawTokens: List[String]) extends Element
 
   /** SPARQL expression AST (FILTER conditions, BIND values, SELECT
     * expression projections). Terms are stored as raw tokens — compiled
@@ -414,6 +419,21 @@ object Sparql {
       if (peek == ".") next()
     }
 
+    /** Consume a braced group WITHOUT parsing it — the nesting-aware raw
+      * token span, for shipping to a SERVICE endpoint verbatim. */
+    def rawBlock(): List[String] = {
+      expect("{")
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var depth = 1
+      while (depth > 0) {
+        val t = next()
+        if (t == "{") depth += 1
+        else if (t == "}") depth -= 1
+        if (depth > 0) out += t
+      }
+      out.toList
+    }
+
     def block(): List[Element] = {
       expect("{")
       val elems = scala.collection.mutable.ListBuffer[Element]()
@@ -442,6 +462,15 @@ object Sparql {
         }
         else if (peek.equalsIgnoreCase("GRAPH")) {
           next(); val g = term(); elems += Graphed(g, block())
+        }
+        else if (peek.equalsIgnoreCase("SERVICE")) {
+          next()
+          val silent = peek.equalsIgnoreCase("SILENT") && { next(); true }
+          val ep = term()
+          require(ep.startsWith("<"),
+            "SERVICE requires a literal endpoint IRI (variable endpoints unsupported)")
+          elems += Service(ep.substring(1, ep.length - 1), silent, rawBlock())
+          if (peek == ".") next()
         }
         else if (peek.equalsIgnoreCase("BIND")) {
           next(); expect("(")
@@ -742,6 +771,12 @@ object Sparql {
         else
           current = Some(left.join(right, shared, if (negated) "left_anti" else "left_semi"))
       case SubSelect(q) => join(compileQuery(quads, q))
+      case Service(url, silent, raw) =>
+        // SPARQL 1.1 federation: ship the inner group to the remote
+        // endpoint as SELECT *, materialize its (bounded) binding set
+        // once, join on shared variables. SILENT failure = the unit
+        // table (current bindings pass through unchanged).
+        serviceBindings(quads.sparkSession, url, silent, raw).foreach(join)
       case Graphed(g, inner) => join(compileGroup(quads, inner, Some(g), metaVars))
       case Union(l, r) =>
         join(Bgp.union(compileGroup(quads, l, graph, metaVars),
@@ -769,7 +804,22 @@ object Sparql {
         current = Some(df.where(exprColumn(f.e, df)))
       case Bind(e, name) =>
         val df = current.getOrElse(sys.error("BIND without bindings"))
-        current = Some(Bgp.bind(df, name, exprColumn(e, df)))
+        val bound = Bgp.bind(df, name, exprColumn(e, df))
+        // STRLANG/STRDT construct literals with term METADATA — carry it
+        // in the same __lang_/__dt_/__kind_ side columns triple-object
+        // bindings use, so LANG()/DATATYPE()/isLiteral() downstream see
+        // the constructed type
+        current = Some(e match {
+          case ECall("STRLANG", List(_, l)) =>
+            bound.withColumn(s"__lang_$name", exprColumn(l, df).cast("string"))
+              .withColumn(s"__dt_$name", lit(null).cast("string"))
+              .withColumn(s"__kind_$name", lit(Quad.LITERAL))
+          case ECall("STRDT", List(_, d)) =>
+            bound.withColumn(s"__dt_$name", exprColumn(d, df).cast("string"))
+              .withColumn(s"__lang_$name", lit(null).cast("string"))
+              .withColumn(s"__kind_$name", lit(Quad.LITERAL))
+          case _ => bound
+        })
       case Values(names, rows) =>
         val df = current.getOrElse(sys.error("VALUES without bindings"))
         val hasUndef = rows.exists(_.contains("UNDEF"))
@@ -823,7 +873,7 @@ object Sparql {
     "ISNUMERIC", "SAMETERM", "IRI", "URI", "BNODE", "ENCODE_FOR_URI",
     "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
     "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
-    "NOW", "RAND", "UUID", "STRUUID")
+    "NOW", "RAND", "UUID", "STRUUID", "STRLANG", "STRDT")
 
   private val XsdString = "http://www.w3.org/2001/XMLSchema#string"
   private val RdfLangString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
@@ -911,6 +961,46 @@ object Sparql {
     case ECall(fn, args) => callColumn(fn, args, df, aggEnv)
   }
 
+  /** Execute a SERVICE group against a remote SPARQL endpoint and parse
+    * the SPARQL-results-JSON response into a DataFrame of one column per
+    * result variable (lexical values — remote term kinds are dropped,
+    * like every other computed binding). The remote result set is
+    * materialized ONCE per query compilation; scale is bounded by the
+    * remote endpoint's answer, which federation inherently requires.
+    * Returns None on SILENT failure (SPARQL: the unit table). */
+  private def serviceBindings(spark: org.apache.spark.sql.SparkSession,
+      url: String, silent: Boolean, rawTokens: List[String]): Option[DataFrame] =
+    try {
+      import spark.implicits._
+      val query = "SELECT * WHERE { " + rawTokens.mkString(" ") + " }"
+      val uri = java.net.URI.create(url +
+        (if (url.contains("?")) "&" else "?") + "query=" +
+        java.net.URLEncoder.encode(query, "UTF-8"))
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(uri)
+          .header("Accept", "application/sparql-results+json").GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200, s"SERVICE <$url> answered HTTP ${resp.statusCode()}")
+      val parsed = spark.read.json(Seq(resp.body()).toDS())
+      val vars = parsed.select(explode(col("head.vars")).as("v"))
+        .as[String].collect().toSeq
+      val bindingsType = parsed.schema("results").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]("bindings").dataType
+      val boundVars = bindingsType match {
+        case org.apache.spark.sql.types.ArrayType(
+            s: org.apache.spark.sql.types.StructType, _) => s.fieldNames.toSet
+        case _ => Set.empty[String] // empty bindings array -> no struct inferred
+      }
+      val b = parsed.select(explode(col("results.bindings")).as("__b"))
+      Some(vars.foldLeft(b) { (acc, v) =>
+        acc.withColumn(v,
+          if (boundVars(v)) col(s"__b.$v.value") else lit(null).cast("string"))
+      }.drop("__b"))
+    } catch {
+      case _: Exception if silent => None
+      case e: Exception => throw e
+    }
+
   private def metaCol(df: DataFrame, prefix: String, v: String, fn: String): Column = {
     require(df.columns.contains(s"__${prefix}_$v"),
       s"$fn(?$v): term metadata unavailable — ?$v is not bound by a triple object " +
@@ -985,6 +1075,12 @@ object Sparql {
       // the identity on the string (term kind is carried separately and
       // only matters at serialization)
       case ("IRI" | "URI", List(a)) => ec(a).cast("string")
+      // literal constructors: the VALUE is the first argument's lexical
+      // form; the lang/datatype metadata rides the __lang_/__dt_ side
+      // columns, attached where the result is BOUND to a variable (see
+      // the Bind case in compileGroup)
+      case ("STRLANG", List(a, _)) => ec(a).cast("string")
+      case ("STRDT", List(a, _)) => ec(a).cast("string")
       case ("BNODE", Nil) =>
         concat(lit("_:b"), abs(org.apache.spark.sql.functions.monotonically_increasing_id())
           .cast("string"))

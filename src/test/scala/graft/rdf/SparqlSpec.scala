@@ -772,6 +772,19 @@ class SparqlSpec extends SparkSpec {
       (2024, 3, 9, 14, 30, "Z")
   }
 
+  it should "construct typed literals with STRLANG/STRDT whose metadata flows" in {
+    val res = Sparql.select(quads,
+      """SELECT ?n ?l ?d WHERE {
+        |  ?x <name> "Alice" .
+        |  BIND(STRLANG("hello", "en") AS ?g)
+        |  BIND(LANG(?g) AS ?l)
+        |  BIND(STRDT("42", <http://www.w3.org/2001/XMLSchema#integer>) AS ?t)
+        |  BIND(DATATYPE(?t) AS ?d)
+        |  BIND(STR(?g) AS ?n)
+        |}""".stripMargin).as[(String, String, String)].head()
+    res shouldBe (("hello", "en", "http://www.w3.org/2001/XMLSchema#integer"))
+  }
+
   "AVG(DISTINCT)" should "average the distinct value set" in {
     val dup = Seq(
       quad("x", "score", "10"), quad("x", "score", "10"),
