@@ -12,7 +12,8 @@ object Plans {
         "q30_token_blocking", "q38_haversine", "q41_agent_match",
         "q67_sparql_agg", "q77_lm_score", "q78_repetition",
         "q79_decontaminate", "q80_packing", "q82_span_dedup", "q83_describe",
-        "q86_top_bigrams", "q88_bm25", "q90_sparql_expr", "q92_rdfs")) {
+        "q86_top_bigrams", "q88_bm25", "q90_sparql_expr", "q92_rdfs",
+        "q39_stays", "q93_graph_mgmt", "q94_pii_redact")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -1081,6 +1081,26 @@ object SparkEntry {
       .where(col("g").isin("nation", "customer"))
       .select(col("s"), col("p"), col("o"), col("g"))
 
+  /** PII redaction (round 6): the scrubbing pass of a training-data
+    * pipeline — emails/IPv4s/phones detected and replaced in one
+    * map-only codegen pass ([[graft.text.Pii]]). The PII-bearing text is
+    * derived from customer columns by the SAME concat stated in the
+    * oracle, so the redaction itself is what parity-checks. */
+  private def q94_pii_redact(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(col("c_name"), lit(" <u"), col("c_custkey").cast("string"),
+        lit("@mail"), (col("c_custkey") % 7).cast("string"),
+        lit(".org> tel +1-555-00"), col("c_custkey").cast("string"),
+        lit(" at 10.0."), col("c_nationkey").cast("string"),
+        lit("."), (col("c_custkey") % 256).cast("string")).as("text"))
+    graft.text.Pii.redact(src, "text")
+      .select(col("c_custkey"), col("redacted"),
+        col("n_emails").cast("long").as("n_emails"),
+        col("n_ips").cast("long").as("n_ips"),
+        col("n_phones").cast("long").as("n_phones"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1174,7 +1194,8 @@ object SparkEntry {
     "q90_sparql_expr" -> (q90_sparql_expr _),
     "q91_path_quant" -> (q91_path_quant _),
     "q92_rdfs" -> (q92_rdfs _),
-    "q93_graph_mgmt" -> (q93_graph_mgmt _)
+    "q93_graph_mgmt" -> (q93_graph_mgmt _),
+    "q94_pii_redact" -> (q94_pii_redact _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2045,7 +2066,30 @@ object SparkEntry {
         |SELECT 'c:' || c_custkey, 'segment', c_mktsegment, 'customer'
         |FROM customer
         |UNION ALL
-        |SELECT 'n:0', 'name', 'RENAMED', 'nation'""".stripMargin
+        |SELECT 'n:0', 'name', 'RENAMED', 'nation'""".stripMargin,
+    // q94: the same derived text, the same three regexes (Java-regex /
+    // RE2 common subset), the same replacement order; counts are over the
+    // ORIGINAL text.
+    "q94_pii_redact" ->
+      """WITH src AS (
+        |  SELECT c_custkey,
+        |    c_name || ' <u' || c_custkey || '@mail' || (c_custkey % 7)
+        |      || '.org> tel +1-555-00' || c_custkey
+        |      || ' at 10.0.' || c_nationkey || '.' || (c_custkey % 256) AS text
+        |  FROM customer
+        |)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+        |    '\+\d(?:[ -]?\d){6,13}', '[PHONE]', 'g') AS redacted,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text,
+        |    '\+\d(?:[ -]?\d){6,13}')) AS n_phones
+        |FROM src""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
