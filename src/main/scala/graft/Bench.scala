@@ -37,8 +37,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val cold = SparkEntry.benchQueries.map(name => name -> runOnce(name))
-    val repeat = SparkEntry.benchQueries.map(name => name -> runOnce(name))
+    // optional name args select a subset for A/B iteration; the driver
+    // passes none (full list)
+    val only = args.toSet
+    val list =
+      if (only.isEmpty) SparkEntry.benchQueries
+      else SparkEntry.benchQueries.filter(only)
+    val cold = list.map(name => name -> runOnce(name))
+    val repeat = list.map(name => name -> runOnce(name))
 
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
@@ -48,8 +54,10 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(cold)},"total_repeat":$totalRepeat%.3f,"queries_repeat":${jmap(repeat)},"sf":"$sfDir"}"""
     println(json)
-    try Files.write(Paths.get("BENCH_OUT.json"), (json + "\n").getBytes(StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_OUT.json write failed: ${e.getMessage}") }
+    // subset runs never clobber the committed full-run artifact
+    if (only.isEmpty)
+      try Files.write(Paths.get("BENCH_OUT.json"), (json + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_OUT.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

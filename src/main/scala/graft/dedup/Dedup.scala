@@ -408,21 +408,24 @@ object Dedup {
   def spanDuplication(df: DataFrame, textCol: String, idCol: String, w: Int,
       hashWindows: Boolean = true): DataFrame = {
     val s = shingled(df, textCol, idCol, w)
-    // (id, wkey) materialized ONCE: both consumers below (the per-window
-    // doc counts and the per-doc rollup join) read the checkpointed
-    // blocks — without the barrier Catalyst plans two independent
-    // scan+shingle pipelines (same re-aliased-subtree miss as
-    // minhashLshPairs above; ReuseExchange does not fire)
     val wins = s.select(col("id"), explode(col("shingles")).as("win"))
       .select(col("id"),
         (if (hashWindows) xxhash64(col("win")) else col("win")).as("wkey"))
-      .localCheckpoint()
-    // shingled() already emits DISTINCT windows per doc, so (id, wkey) is
-    // unique and the per-window doc count is a plain count
-    val sharedCounts = wins
-      .groupBy(col("wkey"))
-      .agg(count(lit(1)).as("nd"))
-    wins.join(sharedCounts, "wkey")
+    // Single-consumer pipeline: the per-window doc count is a COUNT
+    // window over the wkey partition, so (id, wkey) flows through ONE
+    // scan+shingle pass, one wkey shuffle (plus the cheap 8-byte-key
+    // partition sort WindowExec needs), and one id shuffle for the
+    // rollup. The earlier groupBy+join formulation read `wins` from two
+    // consumers, which forced an eager localCheckpoint barrier (Catalyst
+    // re-aliases the subtrees, so ReuseExchange never fires) — an extra
+    // materialization job plus a write-and-read-back of every window
+    // row. shingled() emits DISTINCT windows per doc, so the partition
+    // row count IS the sharing-doc count, and a hot window (one wkey
+    // shared by millions of docs) only makes WindowExec spill its
+    // buffered partition — no collect, no skewed join.
+    val nd = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("wkey")))
+    wins.withColumn("nd", nd)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("total_windows"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("dup_windows"))

@@ -53,9 +53,16 @@ class PlanSpec extends SparkSpec {
     p should include("ExistingRDD")
   }
 
-  "q82 span dedup" should "scan the source exactly once (checkpointed windows)" in {
+  // round 6: the window-count formulation has ONE consumer of the
+  // shingle pass, so the single parquet scan sits inline (no checkpoint
+  // barrier needed) and the per-window doc count is a WindowExec over
+  // the wkey exchange. Guards both the single-scan property and the
+  // no-join shape.
+  "q82 span dedup" should "scan the source once, inline, with a window-count plan" in {
     val p = plan("q82_span_dedup")
-    p should not include "Scan parquet"
-    p should include("ExistingRDD")
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+    p should include("Window")
+    p should not include "SortMergeJoin"
+    p should not include "BroadcastHashJoin"
   }
 }
