@@ -1101,6 +1101,23 @@ object SparkEntry {
         col("n_phones").cast("long").as("n_phones"))
   }
 
+  /** URL hygiene (round 6): host/registrable-domain extraction, URL
+    * normalization and blocklist flagging over derived URLs
+    * ([[graft.text.Urls]]) — like q94, the derivation is stated
+    * identically in the oracle so the classification itself is what
+    * parity-checks. Map-only codegen; no shuffle. */
+  private def q95_url_classify(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "customer").select(
+      col("c_custkey"),
+      concat(lit("https://WWW.Site"), (col("c_custkey") % 50).cast("string"),
+        lit(".com/item/"), col("c_custkey").cast("string"),
+        when(col("c_custkey") % 3 === 0, lit("/#sec"))
+          .otherwise(lit("?ref=mail"))).as("url"))
+    graft.text.Urls.classify(src, "url", Seq("site7.com", "site13.com"))
+      .select(col("c_custkey"), col("host"), col("domain"),
+        col("url_norm"), col("blocked"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1195,7 +1212,8 @@ object SparkEntry {
     "q91_path_quant" -> (q91_path_quant _),
     "q92_rdfs" -> (q92_rdfs _),
     "q93_graph_mgmt" -> (q93_graph_mgmt _),
-    "q94_pii_redact" -> (q94_pii_redact _)
+    "q94_pii_redact" -> (q94_pii_redact _),
+    "q95_url_classify" -> (q95_url_classify _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2089,7 +2107,33 @@ object SparkEntry {
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
         |  len(regexp_extract_all(text,
         |    '\+\d(?:[ -]?\d){6,13}')) AS n_phones
-        |FROM src""".stripMargin
+        |FROM src""".stripMargin,
+    // q95: identical derivation, identical regex formulations (incl. the
+    // lower-prefix-only normalization stated the same way).
+    "q95_url_classify" ->
+      """WITH src AS (
+        |  SELECT c_custkey,
+        |    'https://WWW.Site' || (c_custkey % 50) || '.com/item/' || c_custkey
+        |      || CASE WHEN c_custkey % 3 = 0 THEN '/#sec' ELSE '?ref=mail' END AS url
+        |  FROM customer
+        |), f AS (
+        |  SELECT c_custkey, url, regexp_replace(url, '#.*$', '') AS nofrag
+        |  FROM src
+        |)
+        |SELECT c_custkey,
+        |  lower(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+        |  regexp_extract(lower(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+        |    '([^.]+\.[^.]+)$', 1) AS domain,
+        |  regexp_replace(
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+        |      || regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+        |    '/$', '') AS url_norm,
+        |  regexp_extract(lower(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+        |    '([^.]+\.[^.]+)$', 1) IN ('site7.com', 'site13.com') AS blocked
+        |FROM f""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -188,7 +188,12 @@ object SparqlEndpoint {
           case (None, None) => respond(ex, 400, "text/plain", "missing query parameter")
           case (Some(q), _) if form(q) == "ASK" =>
             val result = Sparql.ask(ref.get.quads, q)
-            respond(ex, 200, "application/sparql-results+json",
+            val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+            if (accept.contains("application/sparql-results+xml"))
+              respond(ex, 200, "application/sparql-results+xml",
+                "<?xml version=\"1.0\"?><sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">" +
+                  s"<head/><boolean>$result</boolean></sparql>")
+            else respond(ex, 200, "application/sparql-results+json",
               s"""{"head":{},"boolean":$result}""")
           case (Some(q), _) if form(q) == "CONSTRUCT" || form(q) == "DESCRIBE" =>
             // graph-result forms: N-Quads by default, Turtle on Accept —

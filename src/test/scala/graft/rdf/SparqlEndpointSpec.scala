@@ -65,6 +65,9 @@ class SparqlEndpointSpec extends SparkSpec {
       """{"head":{},"boolean":true}"""
     get(server, "ASK { <bob> <knows> ?y }").body() shouldBe
       """{"head":{},"boolean":false}"""
+    get(server, "ASK { <alice> <knows> ?y }",
+      accept = "application/sparql-results+xml").body() should
+      include("<boolean>true</boolean>")
   }
 
   private def postForm(server: SparqlEndpoint.Server, key: String, value: String,
