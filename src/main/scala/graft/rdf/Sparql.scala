@@ -194,7 +194,8 @@ object Sparql {
       distinct: Boolean, items: Seq[SelectItem], group: List[Element],
       groupBy: Seq[String], orderBy: Seq[(OrderKey, Boolean)],
       limit: Option[Int], offset: Option[Int] = None,
-      having: Option[Having] = None)
+      having: Option[Having] = None,
+      from: Seq[String] = Nil, fromNamed: Seq[String] = Nil)
 
   /** Strip PREFIX declarations and expand declared prefixed names into
     * full <iri> tokens (SPARQL 1.1 §4.1.1). Only prefixes the query
@@ -276,6 +277,15 @@ object Sparql {
           if (t == "*") star = true else items += PlainVar(t.drop(1))
         }
       }
+      // dataset clauses (SPARQL 1.1 §13.2): FROM <g> merges into the
+      // default graph, FROM NAMED <g> populates the named-graph set
+      val from = scala.collection.mutable.ListBuffer[String]()
+      val fromNamed = scala.collection.mutable.ListBuffer[String]()
+      while (peek.equalsIgnoreCase("FROM")) {
+        next()
+        if (peek.equalsIgnoreCase("NAMED")) { next(); fromNamed += termValue(next()) }
+        else from += termValue(next())
+      }
       if (peek.equalsIgnoreCase("WHERE")) next() // WHERE is optional
       val g = block()
       val order = scala.collection.mutable.ListBuffer[(OrderKey, Boolean)]()
@@ -328,7 +338,8 @@ object Sparql {
         } else sys.error(s"unexpected token ${peek}")
       }
       Query(distinct, if (star) Seq.empty else items.toSeq, g,
-        groupVars.toSeq, order.toList, limit, offset, having)
+        groupVars.toSeq, order.toList, limit, offset, having,
+        from.toList, fromNamed.toList)
     }
 
     private var freshId = 0
@@ -731,9 +742,14 @@ object Sparql {
     selfEq.select(projections: _*)
   }
 
+  /** `namedQuads` is the store GRAPH-scoped patterns see — it differs
+    * from `quads` only under FROM/FROM NAMED dataset clauses (null =
+    * same store). */
   private def compileGroup(
       quads: DataFrame, group: List[Element], graph: Option[String],
-      metaVars: Set[String] = Set.empty): DataFrame = {
+      metaVars: Set[String] = Set.empty,
+      namedQuads: DataFrame = null): DataFrame = {
+    val named = Option(namedQuads).getOrElse(quads)
     var current: Option[DataFrame] = None
     def join(df: DataFrame): Unit = current = current match {
       case None => Some(df)
@@ -755,7 +771,7 @@ object Sparql {
       case NegPropSet(s, preds, o) => join(predSetScan(quads, s, preds, o, graph, negated = true))
       case Exists(inner, negated, minus) =>
         val left = current.getOrElse(sys.error("FILTER EXISTS without preceding bindings"))
-        val right = compileGroup(quads, inner, graph, metaVars)
+        val right = compileGroup(quads, inner, graph, metaVars, named)
         val shared = left.columns.intersect(right.columns).toSeq
         // Caveat: null bindings from OPTIONAL follow SQL join-key
         // semantics here (a null never matches), whereas SPARQL
@@ -770,17 +786,17 @@ object Sparql {
           require(minus, "FILTER EXISTS shares no variables with the group")
         else
           current = Some(left.join(right, shared, if (negated) "left_anti" else "left_semi"))
-      case SubSelect(q) => join(compileQuery(quads, q))
+      case SubSelect(q) => join(compileQuery(quads, q, named))
       case Service(url, silent, raw) =>
         // SPARQL 1.1 federation: ship the inner group to the remote
         // endpoint as SELECT *, materialize its (bounded) binding set
         // once, join on shared variables. SILENT failure = the unit
         // table (current bindings pass through unchanged).
         serviceBindings(quads.sparkSession, url, silent, raw).foreach(join)
-      case Graphed(g, inner) => join(compileGroup(quads, inner, Some(g), metaVars))
+      case Graphed(g, inner) => join(compileGroup(named, inner, Some(g), metaVars, named))
       case Union(l, r) =>
-        join(Bgp.union(compileGroup(quads, l, graph, metaVars),
-          compileGroup(quads, r, graph, metaVars)))
+        join(Bgp.union(compileGroup(quads, l, graph, metaVars, named),
+          compileGroup(quads, r, graph, metaVars, named)))
       case Opt(inner) =>
         val left = current.getOrElse(sys.error("OPTIONAL without preceding bindings"))
         val innerIsPlainBgp = inner.forall(_.isInstanceOf[Triple]) &&
@@ -795,7 +811,7 @@ object Sparql {
           // general OPTIONAL group (e.g. a UNION inside OPTIONAL,
           // AgentMatchEnricher.scala:105-111): left-outer join on the
           // shared variables
-          val right = compileGroup(quads, inner, graph, metaVars)
+          val right = compileGroup(quads, inner, graph, metaVars, named)
           val shared = left.columns.intersect(right.columns).toSeq
           current = Some(left.join(right, shared, "left_outer"))
         }
@@ -1138,8 +1154,21 @@ object Sparql {
     }
   }
 
-  private def compileQuery(quads: DataFrame, q: Query): DataFrame = {
-    var df = compileGroup(quads, q.group, None, metaVarsOfQuery(q))
+  private def compileQuery(quads: DataFrame, q: Query,
+      namedQuads: DataFrame = null): DataFrame = {
+    // FROM/FROM NAMED restrict the dataset: with any clause present, the
+    // default graph is exactly the FROM merge (empty if none) and the
+    // named-graph set exactly FROM NAMED (empty if none) — SPARQL 1.1
+    // §13.2. Without clauses this engine serves union-default-graph.
+    val outerNamed = Option(namedQuads).getOrElse(quads)
+    val (defQ, namQ) =
+      if (q.from.isEmpty && q.fromNamed.isEmpty) (quads, outerNamed)
+      else (
+        if (q.from.nonEmpty) quads.filter(col("g").isin(q.from: _*))
+        else quads.limit(0),
+        if (q.fromNamed.nonEmpty) quads.filter(col("g").isin(q.fromNamed: _*))
+        else quads.limit(0))
+    var df = compileGroup(defQ, q.group, None, metaVarsOfQuery(q), namQ)
     val aggItems = q.items.collect { case a: AggItem => a }
     // aggregates nested inside SELECT expressions become hidden agg
     // columns the expression references after grouping

@@ -736,6 +736,32 @@ class SparqlSpec extends SparkSpec {
       Seq("carol")
   }
 
+  "FROM / FROM NAMED" should "restrict the dataset per SPARQL 1.1 13.2" in {
+    // FROM <g2>: default graph is exactly g2 — alice/bob (g1) disappear
+    Sparql.select(quads,
+      "SELECT ?x FROM <g2> WHERE { ?x <name> ?n }")
+      .as[String].collect().toSeq shouldBe Seq("carol")
+    // FROM merges multiple graphs
+    Sparql.select(quads,
+      "SELECT ?x FROM <g1> FROM <g2> WHERE { ?x <name> ?n } ORDER BY ?x")
+      .as[String].collect().toSeq shouldBe Seq("alice", "bob", "carol")
+    // with dataset clauses present, GRAPH sees ONLY the FROM NAMED set
+    Sparql.select(quads,
+      "SELECT ?x FROM NAMED <g2> WHERE { GRAPH <g2> { ?x <name> ?n } }")
+      .as[String].collect().toSeq shouldBe Seq("carol")
+    Sparql.select(quads,
+      "SELECT ?x FROM NAMED <g2> WHERE { GRAPH <g1> { ?x <name> ?n } }")
+      .count() shouldBe 0
+    // FROM only -> named-graph set empty -> GRAPH matches nothing
+    Sparql.select(quads,
+      "SELECT ?x FROM <g1> WHERE { GRAPH <g2> { ?x <name> ?n } }")
+      .count() shouldBe 0
+    // FROM NAMED only -> default graph empty
+    Sparql.select(quads,
+      "SELECT ?x FROM NAMED <g2> WHERE { ?x <name> ?n }")
+      .count() shouldBe 0
+  }
+
   "round-6 builtins" should "hash, encode and test terms per SPARQL 17.4" in {
     Sparql.select(quads,
       """SELECT (MD5("abc") AS ?h) WHERE { <alice> <name> ?n }""")
