@@ -1269,9 +1269,11 @@ object Sparql {
   /** ASK variant (PREFIX headers allowed before the ASK keyword). */
   def ask(quads: DataFrame, queryText: String): Boolean = {
     val toks = expandPrefixes(tokenize(queryText))
+    // no WHERE inserted: query() treats it as optional and parses any
+    // FROM / FROM NAMED clauses between the items and the group
     val body =
       if (toks.headOption.exists(_.equalsIgnoreCase("ASK")))
-        "SELECT" :: "*" :: "WHERE" :: toks.tail
+        "SELECT" :: "*" :: toks.tail
       else toks
     !compileQuery(quads, new P(body).query()).isEmpty
   }
@@ -1408,8 +1410,10 @@ object Sparql {
     p.expect("DESCRIBE")
     val targets = scala.collection.mutable.ListBuffer[String]()
     var star = false
-    while (p.peek.nonEmpty && !p.peek.equalsIgnoreCase("WHERE") && p.peek != "{")
+    while (p.peek.nonEmpty && !p.peek.equalsIgnoreCase("WHERE") &&
+        !p.peek.equalsIgnoreCase("FROM") && p.peek != "{")
       if (p.peek == "*") { star = true; p.next() } else targets += p.next()
+    val (dsDef, dsNamed) = datasetClauses(p, quads)
     if (p.peek.equalsIgnoreCase("WHERE")) p.next()
     val group = if (p.peek == "{") Some(p.block()) else None
     val (ground, vars) = targets.toList.partition(!_.startsWith("?"))
@@ -1417,7 +1421,7 @@ object Sparql {
     val spark = quads.sparkSession
     import spark.implicits._
     val fromVars: Option[DataFrame] = group.map { g =>
-      val bindings = compileGroup(quads, g, None, metaVarsOfElems(g))
+      val bindings = compileGroup(dsDef, g, None, metaVarsOfElems(g), dsNamed)
       val names =
         if (star) bindings.columns.toSeq
         else vars.map(_.stripPrefix("?")).filter(bindings.columns.contains)
@@ -1433,9 +1437,9 @@ object Sparql {
     val resources = (fromVars.toSeq ++ groundDf.toSeq)
       .reduceLeftOption(_.unionByName(_).distinct())
       .getOrElse(sys.error("DESCRIBE needs a target"))
-    val asSubject = quads.join(resources, quads("s") === resources("res"), "left_semi")
-    val asObject = quads.where(col("oKind") === lit(Quad.IRI))
-      .join(resources, quads("o") === resources("res"), "left_semi")
+    val asSubject = dsDef.join(resources, dsDef("s") === resources("res"), "left_semi")
+    val asObject = dsDef.where(col("oKind") === lit(Quad.IRI))
+      .join(resources, dsDef("o") === resources("res"), "left_semi")
     asSubject.unionByName(asObject).distinct()
   }
 
@@ -1461,11 +1465,30 @@ object Sparql {
     } else {
       val templ = templQuads(p.block())
       require(templ.nonEmpty, "empty CONSTRUCT template")
+      val (dsDef, dsNamed) = datasetClauses(p, quads)
       if (p.peek.equalsIgnoreCase("WHERE")) p.next()
       val group = p.block()
-      instantiate(compileGroup(quads, group, None, metaVarsOfElems(group)),
+      instantiate(compileGroup(dsDef, group, None, metaVarsOfElems(group), dsNamed),
         templ, ConstructedGraph, quads)
     }
+  }
+
+  /** Consume FROM / FROM NAMED clauses and return the (default-graph
+    * store, named-graph store) pair per SPARQL 1.1 §13.2 — with any
+    * clause present each side is exactly what was listed (empty when
+    * absent); with none, both are the full union-default-graph store. */
+  private def datasetClauses(p: P, quads: DataFrame): (DataFrame, DataFrame) = {
+    val from = scala.collection.mutable.ListBuffer[String]()
+    val named = scala.collection.mutable.ListBuffer[String]()
+    while (p.peek.equalsIgnoreCase("FROM")) {
+      p.next()
+      if (p.peek.equalsIgnoreCase("NAMED")) { p.next(); named += termValue(p.next()) }
+      else from += termValue(p.next())
+    }
+    if (from.isEmpty && named.isEmpty) (quads, quads)
+    else (
+      if (from.nonEmpty) quads.filter(col("g").isin(from.toSeq: _*)) else quads.limit(0),
+      if (named.nonEmpty) quads.filter(col("g").isin(named.toSeq: _*)) else quads.limit(0))
   }
 
   /** Parse a SPARQL 1.1 UPDATE request and evaluate it against a store

@@ -762,6 +762,16 @@ class SparqlSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  it should "apply dataset clauses to ASK, CONSTRUCT and DESCRIBE" in {
+    Sparql.ask(quads, "ASK FROM <g2> { ?x <name> ?n }") shouldBe true
+    Sparql.ask(quads, "ASK FROM <g2> { ?x <age> ?a }") shouldBe false
+    Sparql.construct(quads,
+      "CONSTRUCT { ?x <labeled> ?n } FROM <g2> WHERE { ?x <name> ?n }")
+      .select("s").as[String].collect().toSeq shouldBe Seq("carol")
+    Sparql.describe(quads, "DESCRIBE <alice> FROM <g2>").count() shouldBe 0
+    Sparql.describe(quads, "DESCRIBE <carol> FROM <g2>").count() shouldBe 1
+  }
+
   "round-6 builtins" should "hash, encode and test terms per SPARQL 17.4" in {
     Sparql.select(quads,
       """SELECT (MD5("abc") AS ?h) WHERE { <alice> <name> ?n }""")
