@@ -1118,6 +1118,28 @@ object SparkEntry {
         col("url_norm"), col("blocked"))
   }
 
+  /** End-to-end curation decision (round 6): the composed keep/drop gate
+    * a training-data pipeline applies per document — token budget
+    * (tokenCount), Gopher quality pass, exact-dup canonicalization
+    * (min-id keeper over identical texts), and the final keep flag. Each
+    * constituent is an existing oracle-checked operator; this entry
+    * checks their COMPOSITION end-to-end. */
+  private def q96_curation(s: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.gopherCounts(col("text")).toMap
+    val stops = TextAnalysis.stopwordCount(col("text"),
+      Seq("the", "a", "of", "and")).cast("long")
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"), col("text"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.gopherPasses(m, stops).as("passes"))
+    val byText = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    scored
+      .withColumn("canonical", col("doc_id") === min(col("doc_id")).over(byText))
+      .withColumn("keep", (col("passes") === 1) && col("canonical"))
+      .select(col("doc_id"), col("n_tokens"), col("passes"),
+        col("canonical"), col("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1213,7 +1235,8 @@ object SparkEntry {
     "q92_rdfs" -> (q92_rdfs _),
     "q93_graph_mgmt" -> (q93_graph_mgmt _),
     "q94_pii_redact" -> (q94_pii_redact _),
-    "q95_url_classify" -> (q95_url_classify _)
+    "q95_url_classify" -> (q95_url_classify _),
+    "q96_curation" -> (q96_curation _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2133,7 +2156,47 @@ object SparkEntry {
         |  regexp_extract(lower(regexp_extract(url,
         |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
         |    '([^.]+\.[^.]+)$', 1) IN ('site7.com', 'site13.com') AS blocked
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    // q96: q71's Gopher CTE + q17's token count + q16's min-id dedup,
+    // composed into the keep/drop decision.
+    "q96_curation" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS words,
+        |    string_split(text, chr(10)) AS lines,
+        |    list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_tokens,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS BIGINT) AS sum_word_len,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(words, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS n_symbol_words,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), chr(8226))
+        |      OR starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(len(list_filter(list_transform(ts, x -> lower(x)),
+        |      x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop_hits
+        |  FROM w
+        |), p AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_words >= 50 AND n_words <= 100000
+        |      AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+        |      AND n_symbol_words * 10 <= n_words
+        |      AND n_bullet_lines * 10 <= n_lines
+        |      AND n_ellipsis_lines * 10 <= n_lines * 3
+        |      AND n_alpha_words * 5 >= n_words * 4
+        |      AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS passes
+        |  FROM c
+        |), canon AS (
+        |  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY text) AS canonical
+        |  FROM documents
+        |)
+        |SELECT p.doc_id, p.n_tokens, p.passes, canon.canonical,
+        |  (p.passes = 1 AND canon.canonical) AS keep
+        |FROM p JOIN canon USING (doc_id)""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

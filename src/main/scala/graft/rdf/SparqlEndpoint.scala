@@ -63,6 +63,11 @@ object SparqlEndpoint {
     def stop(): Unit = http.stop(0)
     /** Current store snapshot (reflects applied updates). */
     def store: DataFrame = ref.get.quads
+    /** Swap in a new store version (live serving: wire as
+      * [[graft.streaming.QuadPipeline.run]]'s `onStore` callback so every
+      * micro-batch publishes its refreshed store here). Atomic — requests
+      * in flight finish on the old snapshot. */
+    def refresh(quads: DataFrame): Unit = ref.set(new Snapshot(quads))
   }
 
   def start(quads: DataFrame, port: Int = 0): Server = {

@@ -85,7 +85,8 @@ object QuadPipeline {
       storePath: String,
       negations: DataFrame,
       enrichers: Seq[Enricher],
-      triggerMs: Long = 10000): DataStreamWriter[org.apache.spark.sql.Row] = {
+      triggerMs: Long = 10000,
+      onStore: DataFrame => Unit = _ => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
     quadStream.writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.ProcessingTime(triggerMs))
@@ -114,6 +115,12 @@ object QuadPipeline {
                 .escapePathName(g))
             if (fs.exists(dir)) fs.delete(dir, true)
           }
+          // publish the refreshed store to any live consumer (e.g. a
+          // SPARQL endpoint swapping its served snapshot — the
+          // reference's pipeline->repository->SparqlService shape). A
+          // lazy re-read of the just-written files, not a new lineage
+          // over the whole batch chain.
+          onStore(spark.read.schema(Quad.schema).parquet(storePath))
         }
       }
   }
