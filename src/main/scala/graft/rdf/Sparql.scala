@@ -150,6 +150,22 @@ object Sparql {
     * MINUS removes nothing — NOT EXISTS would remove everything). */
   private final case class Exists(group: List[Element], negated: Boolean,
       minus: Boolean = false) extends Element
+  /** Fully-general property-path triple — the recursive grammar
+    * (SPARQL 1.1 §9.1): nested groups, sequence/alternation under
+    * modifiers, inverses of groups. Linear paths lower to the
+    * specialized elements above; only genuinely-nested shapes reach
+    * this node and its recursive pair-relation compiler. */
+  private final case class PathTriple(s: String, path: PathAst, o: String) extends Element
+
+  /** Property-path AST (§9.1). */
+  private sealed trait PathAst
+  private final case class PLink(p: String) extends PathAst
+  private final case class PNeg(preds: List[String]) extends PathAst
+  private final case class PInv(e: PathAst) extends PathAst
+  private final case class PSeq(l: PathAst, r: PathAst) extends PathAst
+  private final case class PAlt(l: PathAst, r: PathAst) extends PathAst
+  private final case class PClosure(e: PathAst, mod: Char) extends PathAst // * + ?
+  private final case class PRangeP(e: PathAst, lo: Int, hi: Option[Int]) extends PathAst
   /** SERVICE [SILENT] <endpoint> { group } — SPARQL 1.1 federation. The
     * inner group is kept as its (prefix-expanded) token span and shipped
     * verbatim to the remote endpoint as `SELECT * WHERE {…}`. */
@@ -352,82 +368,96 @@ object Sparql {
       val s = term()
       var done = false
       while (!done) {
-        if (peek == "!") {
-          // negated property set: !p or !(p1|p2) — no modifiers/sequences
-          next()
-          val preds = scala.collection.mutable.ListBuffer[String]()
-          if (peek == "(") {
-            next(); preds += pterm()
-            while (peek == "|") { next(); preds += pterm() }
-            expect(")")
-          } else preds += pterm()
-          var moreObjects = true
-          while (moreObjects) {
-            elems += NegPropSet(s, preds.toList, objTerm())
-            moreObjects = peek == "," && { next(); true }
-          }
-        } else {
-          // predicate path: step ('/' step)*,
-          // step := ['^'] (pterm | '(' pterm ('|' pterm)* ')') ['*'|'+'|'?']
-          // — per-step modifiers, as the reference's guard query uses
-          // (`AbstractEnricher.scala:17-23`: sameAs*/differentFrom/sameAs*);
-          // alternation sets close over the union relation ((p1|p2)*)
-          // a step may carry a `{n[,m]}` range quantifier (SPARQL 1.1
-          // draft syntax). Quantifiers equivalent to an existing modifier
-          // normalize to it ({0,} = *, {1,} = +, {0,1} = ?, {1} = plain);
-          // the rest compile to QuantPath (distinct pair semantics, like
-          // the other path operators).
-          def modded(): (List[String], Boolean, Either[Option[Char], (Int, Option[Int])]) = {
-            val (ps, inv) = pstepSet()
-            if (peek == "*" || peek == "+" || peek == "?")
-              (ps, inv, Left(Some(next().head)))
-            else if (peek == "{") {
-              next()
-              val lo = next().toInt
-              val hi: Option[Int] =
-                if (peek == ",") { next(); if (peek == "}") None else Some(next().toInt) }
-                else Some(lo)
-              expect("}")
-              require(lo >= 0, s"bad path quantifier lower bound $lo")
-              hi.foreach(h => require(h >= lo && h >= 1, s"bad path quantifier {$lo,$h}"))
-              (lo, hi) match {
-                case (0, None) => (ps, inv, Left(Some('*')))
-                case (1, None) => (ps, inv, Left(Some('+')))
-                case (0, Some(1)) => (ps, inv, Left(Some('?')))
-                case (1, Some(1)) => (ps, inv, Left(None))
-                case _ => (ps, inv, Right((lo, hi)))
+        // full recursive property-path grammar (SPARQL 1.1 §9.1):
+        //   path    := seq ('|' seq)*
+        //   seq     := elt ('/' elt)*
+        //   elt     := ['^'] primary ['*'|'+'|'?'|'{n[,m]}']
+        //   primary := iri | 'a' | !set | '(' path ')'
+        // Range quantifiers equivalent to a modifier normalize to it
+        // ({0,} = *, {1,} = +, {0,1} = ?, {1} = plain).
+        val ast = pathExpr()
+        var moreObjects = true
+        while (moreObjects) {
+          val o = objTerm()
+          (ast, lowerLinearPath(ast)) match {
+            case (PNeg(preds), _) => elems += NegPropSet(s, preds, o)
+            case (_, Some(steps)) =>
+              // linear chain: compile through the specialized elements —
+              // chain through fresh intermediate variables; each step is a
+              // plain/alternation triple or a closure, inverted in place
+              // (p1/^p2*/...) — `?s (^p)* ?o` ≡ `?o p* ?s`: closures and
+              // alternations swap endpoints too
+              var subj = s
+              steps.zipWithIndex.foreach { case ((ps, inv, mod), i) =>
+                val obj = if (i == steps.size - 1) o else fresh()
+                val (from, to) = if (inv) (obj, subj) else (subj, obj)
+                elems += ((ps, mod) match {
+                  case (p :: Nil, Left(None)) => Triple(from, p, to)
+                  case (many, Left(None)) => AltTriple(from, many, to)
+                  case (many, Left(Some(m))) => StarPath(from, many, to, m)
+                  case (many, Right((lo, hi))) => QuantPath(from, many, to, lo, hi)
+                })
+                subj = obj
               }
-            }
-            else (ps, inv, Left(None))
+            case _ => elems += PathTriple(s, ast, o) // genuinely nested
           }
-          val steps = scala.collection.mutable.ListBuffer(modded())
-          while (peek == "/") { next(); steps += modded() }
-          var moreObjects = true
-          while (moreObjects) {
-            val o = objTerm()
-            // chain through fresh intermediate variables; each step is a
-            // plain/alternation triple or a closure, inverted in place
-            // (p1/^p2*/...) — `?s (^p)* ?o` ≡ `?o p* ?s`: closures and
-            // alternations swap endpoints too
-            var subj = s
-            steps.toList.zipWithIndex.foreach { case ((ps, inv, mod), i) =>
-              val obj = if (i == steps.size - 1) o else fresh()
-              val (from, to) = if (inv) (obj, subj) else (subj, obj)
-              elems += ((ps, mod) match {
-                case (p :: Nil, Left(None)) => Triple(from, p, to)
-                case (many, Left(None)) => AltTriple(from, many, to)
-                case (many, Left(Some(m))) => StarPath(from, many, to, m)
-                case (many, Right((lo, hi))) => QuantPath(from, many, to, lo, hi)
-              })
-              subj = obj
-            }
-            moreObjects = peek == "," && { next(); true }
-          }
+          moreObjects = peek == "," && { next(); true }
         }
         if (peek == ";") { next(); done = peek == "." || peek == "}" }
         else done = true
       }
       if (peek == ".") next()
+    }
+
+    private def pathPrimary(): PathAst =
+      if (peek == "(") { next(); val e = pathExpr(); expect(")"); e }
+      else if (peek == "!") {
+        next()
+        val preds = scala.collection.mutable.ListBuffer[String]()
+        if (peek == "(") {
+          next(); preds += pterm()
+          while (peek == "|") { next(); preds += pterm() }
+          expect(")")
+        } else preds += pterm()
+        PNeg(preds.toList)
+      }
+      else PLink(pterm())
+
+    private def pathElt(): PathAst = {
+      val inv = peek == "^" && { next(); true }
+      val base0 = pathPrimary()
+      val base = if (inv) PInv(base0) else base0
+      if (peek == "*" || peek == "+" || peek == "?") PClosure(base, next().head)
+      else if (peek == "{") {
+        next()
+        val lo = next().toInt
+        val hi: Option[Int] =
+          if (peek == ",") { next(); if (peek == "}") None else Some(next().toInt) }
+          else Some(lo)
+        expect("}")
+        require(lo >= 0, s"bad path quantifier lower bound $lo")
+        hi.foreach(h => require(h >= lo && h >= 1, s"bad path quantifier {$lo,$h}"))
+        (lo, hi) match {
+          case (0, None) => PClosure(base, '*')
+          case (1, None) => PClosure(base, '+')
+          case (0, Some(1)) => PClosure(base, '?')
+          case (1, Some(1)) => base
+          case _ => PRangeP(base, lo, hi)
+        }
+      }
+      else base
+    }
+
+    private def pathSeq(): PathAst = {
+      var e = pathElt()
+      while (peek == "/") { next(); e = PSeq(e, pathElt()) }
+      e
+    }
+
+    private def pathExpr(): PathAst = {
+      var e = pathSeq()
+      while (peek == "|") { next(); e = PAlt(e, pathSeq()) }
+      e
     }
 
     /** Consume a braced group WITHOUT parsing it — the nesting-aware raw
@@ -615,17 +645,6 @@ object Sparql {
       if (t == "a") "rdf:type" else t
     }
 
-    /** One path step: a predicate term or an alternation set
-      * `(p1|p2|...)`, optionally inverted with '^'. */
-    def pstepSet(): (List[String], Boolean) =
-      if (peek == "^") { next(); val (ps, inv) = pstepSet(); (ps, !inv) }
-      else if (peek == "(") {
-        next()
-        val ps = scala.collection.mutable.ListBuffer(pterm())
-        while (peek == "|") { next(); ps += pterm() }
-        expect(")")
-        (ps.toList, false)
-      } else (List(pterm()), false)
   }
 
   // --------------------------------------------------------------- compile
@@ -671,6 +690,94 @@ object Sparql {
       if (sp.mod == '+') reach.distinct()
       else reach.union(identity).distinct()
     bindPathEnds(pairs, sp.s, sp.o)
+  }
+
+  /** Lower a path AST to the legacy linear step list when it IS linear —
+    * a top-level sequence whose elements are (possibly inverted, possibly
+    * modifier-wrapped) links or link-alternations. Nested shapes (groups
+    * under modifiers, inverses of sequences, alternations of sequences)
+    * return None and compile through [[pathPairs]]. */
+  private def lowerLinearPath(ast: PathAst)
+      : Option[List[(List[String], Boolean, Either[Option[Char], (Int, Option[Int])])]] = {
+    def altLinks(e: PathAst): Option[List[String]] = e match {
+      case PLink(p) => Some(List(p))
+      case PAlt(l, r) => for { a <- altLinks(l); b <- altLinks(r) } yield a ++ b
+      case _ => None
+    }
+    def base(e: PathAst): Option[(List[String], Boolean)] = e match {
+      case PInv(inner) => altLinks(inner).map((_, true))
+      case other => altLinks(other).map((_, false))
+    }
+    def step(e: PathAst)
+        : Option[(List[String], Boolean, Either[Option[Char], (Int, Option[Int])])] =
+      e match {
+        case PClosure(inner, m) => base(inner).map { case (ps, inv) => (ps, inv, Left(Some(m))) }
+        case PRangeP(inner, lo, hi) => base(inner).map { case (ps, inv) => (ps, inv, Right((lo, hi))) }
+        case other => base(other).map { case (ps, inv) => (ps, inv, Left(None)) }
+      }
+    def seqList(e: PathAst): List[PathAst] = e match {
+      case PSeq(l, r) => seqList(l) ++ seqList(r)
+      case other => List(other)
+    }
+    val steps = seqList(ast).map(step)
+    if (steps.forall(_.isDefined)) Some(steps.map(_.get)) else None
+  }
+
+  /** Recursive pair-relation compiler for nested property paths: every
+    * sub-path evaluates to a distinct (src, dst) relation; composition is
+    * an equi-join, alternation a union, closure the budgeted transitive
+    * closure, zero-length the node-identity relation over the scoped
+    * graph (SPARQL 1.1 §9.3). All operators stay relational — the same
+    * shuffles a hand-written join chain would plan. */
+  private def pathPairs(quads: DataFrame, ast: PathAst,
+      graph: Option[String]): DataFrame = {
+    val scoped = graph.map(g => quads.where(col("g") === termValue(g))).getOrElse(quads)
+    lazy val identity = scoped.select(col("s").as("src"))
+      .union(scoped.select(col("o").as("src"))).distinct()
+      .select(col("src"), col("src").as("dst"))
+    def eval(e: PathAst): DataFrame = e match {
+      case PLink(p) => scoped.where(col("p") === termValue(p))
+        .select(col("s").as("src"), col("o").as("dst"))
+      case PNeg(preds) => scoped.where(!col("p").isin(preds.map(termValue): _*))
+        .select(col("s").as("src"), col("o").as("dst"))
+      case PInv(x) => eval(x).select(col("dst").as("src"), col("src").as("dst"))
+      case PAlt(l, r) => eval(l).unionByName(eval(r)).distinct()
+      case PSeq(l, r) =>
+        eval(l).alias("a").join(eval(r).alias("b"), col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst")).distinct()
+      case PClosure(x, '+') =>
+        graft.graph.GraphOps.transitiveClosure(eval(x).distinct())
+          .select(col("src"), col("dst")).distinct()
+      case PClosure(x, '*') =>
+        graft.graph.GraphOps.transitiveClosure(eval(x).distinct())
+          .select(col("src"), col("dst")).union(identity).distinct()
+      case PClosure(x, _) => // '?'
+        eval(x).union(identity).distinct()
+      case PRangeP(x, lo, hi) =>
+        val edges = eval(x).distinct()
+        def step(acc: DataFrame): DataFrame = acc.alias("a")
+          .join(edges.alias("e"), col("a.dst") === col("e.src"))
+          .select(col("a.src").as("src"), col("e.dst").as("dst")).distinct()
+        val levels = scala.collection.mutable.ListBuffer[DataFrame]()
+        var cur = edges
+        var k = 1
+        while (k < lo) { cur = step(cur); k += 1 }
+        hi match {
+          case Some(h) =>
+            levels += cur
+            while (k < h) { cur = step(cur); k += 1; levels += cur }
+          case None =>
+            val closure = graft.graph.GraphOps.transitiveClosure(edges)
+              .select(col("src"), col("dst"))
+            levels += cur
+            levels += cur.alias("a")
+              .join(closure.alias("c"), col("a.dst") === col("c.src"))
+              .select(col("a.src").as("src"), col("c.dst").as("dst"))
+        }
+        val base = levels.reduceLeft(_ union _)
+        (if (lo > 0) base else base.union(identity)).distinct()
+    }
+    eval(ast)
   }
 
   private def bindPathEnds(pairs: DataFrame, s: String, o: String): DataFrame = {
@@ -767,6 +874,7 @@ object Sparql {
     rest.foreach {
       case sp: StarPath => join(starPath(quads, sp, graph))
       case qp: QuantPath => join(quantPath(quads, qp, graph))
+      case pt: PathTriple => join(bindPathEnds(pathPairs(quads, pt.path, graph), pt.s, pt.o))
       case AltTriple(s, preds, o) => join(predSetScan(quads, s, preds, o, graph, negated = false))
       case NegPropSet(s, preds, o) => join(predSetScan(quads, s, preds, o, graph, negated = true))
       case Exists(inner, negated, minus) =>

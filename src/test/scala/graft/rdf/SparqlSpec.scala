@@ -628,6 +628,35 @@ class SparqlSpec extends SparkSpec {
       .as[String].collect().toSeq shouldBe Seq("41")
   }
 
+  "nested property paths" should "close over grouped sequences and invert groups" in {
+    // two parallel two-step relations: a -p-> m -q-> b -p-> n -q-> c
+    val chain = Seq(
+      ("a", "p", "m"), ("m", "q", "b"), ("b", "p", "n"), ("n", "q", "c"))
+      .map { case (s, p, o) => (s, p, o, 2.toByte, null: String, null: String, "g") }
+      .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+    def q(path: String, from: String = "<a>") = Sparql.select(chain,
+      s"SELECT ?y WHERE { $from $path ?y }").as[String].collect().toSet
+    // (p/q)+ : one or more COMPOSED hops — a->b, a->c
+    q("(<p>/<q>)+") shouldBe Set("b", "c")
+    // (p/q)* adds the zero-length identity
+    q("(<p>/<q>)*") shouldBe Set("a", "b", "c")
+    // (p/q){2} : exactly two composed hops
+    q("(<p>/<q>){2}") shouldBe Set("c")
+    // ^(p/q) : inverse of the composed relation — from b back to a
+    q("^(<p>/<q>)", from = "<b>") shouldBe Set("a")
+    // alternation of sequences: (p/q)|p reaches both m (one p hop) and b
+    q("((<p>/<q>)|<p>)") shouldBe Set("b", "m")
+    // group under ? : optional composed hop
+    q("(<p>/<q>)?") shouldBe Set("a", "b")
+  }
+
+  it should "still lower linear paths to the specialized plan shapes" in {
+    // sanity: the reference guard shape keeps parsing and answering
+    Sparql.select(quads,
+      """SELECT ?x WHERE { ?x <knows>*/<name> ?n . FILTER(?n = "Bob") }""")
+      .as[String].collect().toSet shouldBe Set("alice", "bob")
+  }
+
   "path quantifiers" should "expand {n}, {n,m} and {n,} structurally" in {
     val chain = Seq( // a -> b -> c -> d
       ("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d"))
