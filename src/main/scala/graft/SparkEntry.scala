@@ -1140,6 +1140,16 @@ object SparkEntry {
         col("canonical"), col("keep"))
   }
 
+  /** Nested property path through the driver gate (round 6): a closure
+    * over a GROUPED SEQUENCE — `(cust/nation)+` — exercises the
+    * recursive path compiler (PathTriple -> pair-relation evaluator),
+    * not the linear lowering. On this data the composed relation has no
+    * chains, so the closure equals one composition and the oracle states
+    * the join closed-form. */
+  private def q97_nested_path(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.select(TpchQuads.quads(s, dir),
+      "SELECT ?o ?n WHERE { ?o (<cust>/<nation>)+ ?n }")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1236,7 +1246,8 @@ object SparkEntry {
     "q93_graph_mgmt" -> (q93_graph_mgmt _),
     "q94_pii_redact" -> (q94_pii_redact _),
     "q95_url_classify" -> (q95_url_classify _),
-    "q96_curation" -> (q96_curation _)
+    "q96_curation" -> (q96_curation _),
+    "q97_nested_path" -> (q97_nested_path _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2196,7 +2207,10 @@ object SparkEntry {
         |)
         |SELECT p.doc_id, p.n_tokens, p.passes, canon.canonical,
         |  (p.passes = 1 AND canon.canonical) AS keep
-        |FROM p JOIN canon USING (doc_id)""".stripMargin
+        |FROM p JOIN canon USING (doc_id)""".stripMargin,
+    "q97_nested_path" ->
+      """SELECT 'o:' || o_orderkey AS o, 'n:' || c_nationkey AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
