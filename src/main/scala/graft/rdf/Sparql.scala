@@ -886,12 +886,18 @@ object Sparql {
         // compatibility treats an UNBOUND variable as compatible with
         // anything — OPTIONAL-inside-MINUS patterns may keep rows SPARQL
         // would drop. The reference's guard queries never combine them.
-        if (shared.isEmpty)
+        if (shared.isEmpty) {
           // MINUS with disjoint variable domains removes nothing: keep
           // `left` untouched. FILTER (NOT) EXISTS without shared
-          // variables stays unsupported (would need a scalar emptiness
-          // probe, which no reference query uses).
-          require(minus, "FILTER EXISTS shares no variables with the group")
+          // variables is a scalar emptiness test: all solutions survive
+          // or none do. The probe is one driver-side isEmpty action at
+          // compile time (bounded — first row short-circuits).
+          if (!minus) {
+            val innerEmpty = right.isEmpty
+            val keepAll = if (negated) innerEmpty else !innerEmpty
+            if (!keepAll) current = Some(left.limit(0))
+          }
+        }
         else
           current = Some(left.join(right, shared, if (negated) "left_anti" else "left_semi"))
       case SubSelect(q) => join(compileQuery(quads, q, named))

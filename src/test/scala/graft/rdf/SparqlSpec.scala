@@ -371,13 +371,14 @@ class SparqlSpec extends SparkSpec {
         |  ?a a <personal:Agent> .
         |  MINUS { ?m <schema:email> ?e }
         |}""".stripMargin).as[String].collect().toSet shouldBe Set("a1", "a2", "a3")
-    // FILTER NOT EXISTS keeps its shared-variable requirement (it WOULD
-    // remove everything here, which this subset does not serve)
-    an[IllegalArgumentException] should be thrownBy Sparql.select(agentQuads,
+    // FILTER NOT EXISTS differs from MINUS here (SPARQL 1.1 §8.3.3's
+    // canonical example): the probe is non-empty, so it removes EVERY
+    // solution — scalar emptiness semantics
+    Sparql.select(agentQuads,
       """SELECT ?a WHERE {
         |  ?a a <personal:Agent> .
         |  FILTER NOT EXISTS { ?m <schema:email> ?e }
-        |}""".stripMargin)
+        |}""".stripMargin).count() shouldBe 0
   }
 
   "CONSTRUCT/UPDATE term kinds" should "come from the store for variable bindings" in {
@@ -626,6 +627,22 @@ class SparqlSpec extends SparkSpec {
     Sparql.select(typedQuads,
       """SELECT ?o WHERE { <d2> ?p ?o . FILTER(isLiteral(?o)) }""")
       .as[String].collect().toSeq shouldBe Seq("41")
+  }
+
+  "FILTER EXISTS without shared variables" should "act as a scalar emptiness test" in {
+    // carol (g2) shares no variable with the probe on <knows>
+    Sparql.select(quads,
+      """SELECT ?x WHERE { GRAPH <g2> { ?x <name> ?n }
+        |  FILTER EXISTS { ?a <knows> ?b } }""".stripMargin)
+      .as[String].collect().toSeq shouldBe Seq("carol") // probe non-empty: all survive
+    Sparql.select(quads,
+      """SELECT ?x WHERE { GRAPH <g2> { ?x <name> ?n }
+        |  FILTER EXISTS { ?a <hates> ?b } }""".stripMargin)
+      .count() shouldBe 0 // probe empty: none survive
+    Sparql.select(quads,
+      """SELECT ?x WHERE { GRAPH <g2> { ?x <name> ?n }
+        |  FILTER NOT EXISTS { ?a <hates> ?b } }""".stripMargin)
+      .as[String].collect().toSeq shouldBe Seq("carol")
   }
 
   "nested property paths" should "close over grouped sequences and invert groups" in {
