@@ -39,6 +39,30 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet should contain((1L, 2L))
   }
 
+  it should "hold recall@10 >= 0.9 vs brute force at the default nprobe" in {
+    // CI-scale version of the SCALING.md 500k probe: a deterministic
+    // 2k-vector corpus (16 base directions, per-replica jitter), 20
+    // probes, auto-nlist (~45 lists), default nprobe=4. Pins the quality
+    // claim the recall sweep documents.
+    val dim = 16
+    val corpus = spark.range(2000).toDF("vec_id")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(dim - 1)),
+          i => (when(i === (col("vec_id") % dim).cast("int"), 10.0).otherwise(0.0) +
+            (pmod(col("vec_id") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.1)
+            .cast("float")).as("embedding"))
+      .localCheckpoint()
+    val probes = corpus.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(corpus, probes, "vec_id", "embedding", 10)
+      .select("probe_id", "neighbor_id")
+    val nExact = exact.count()
+    val hits = Ann.ivfTopK(corpus, probes, "vec_id", "embedding",
+        k = 10, nlist = 0, nprobe = 4)
+      .join(exact, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    (hits.toDouble / nExact) should be >= 0.9
+  }
+
   "ivfTopK" should "return a ranked neighbor list per probe" in {
     val res = Ann.ivfTopK(vecs, vecs.where($"vec_id" === 1), "vec_id", "embedding",
       k = 2, nlist = 2, nprobe = 2)
