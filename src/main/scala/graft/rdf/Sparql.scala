@@ -1707,7 +1707,8 @@ object Sparql {
         val path = if (src.startsWith("file://")) src.stripPrefix("file://") else src
         val defaultG = target.getOrElse(src)
         val loaded =
-          (if (path.endsWith(".ttl") || path.endsWith(".turtle"))
+          (if (path.endsWith(".ttl") || path.endsWith(".turtle") ||
+              path.endsWith(".trig")) // TriG: per-block graphs survive
             graft.sources.Turtle.read(spark, path, defaultG)
           else graft.sources.NTriples.read(spark, path, defaultG)).toDF()
         val placed = target match {

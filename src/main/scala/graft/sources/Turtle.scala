@@ -120,6 +120,17 @@ object Turtle {
     closeGraph()
   }
 
+  /** Whole-document TriG serialization (driver-side convenience / tests). */
+  def serializeTrig(quads: Seq[Quad],
+      prefixes: Seq[(String, String)] = DefaultPrefixes): String = {
+    val sb = new StringBuilder
+    val sorted = quads.sortBy(q => (q.g, q.s, q.p, q.o))
+    writeTrigStream(
+      sorted.iterator.map(q => (q.g, q.s, q.p, q.o, q.oKind, q.oDt, q.oLang)),
+      s => sb.append(s), prefixes)
+    sb.toString
+  }
+
   /** Whole-document serialization (driver-side convenience / tests). */
   def serialize(quads: Seq[Quad],
       prefixes: Seq[(String, String)] = DefaultPrefixes): String = {
@@ -184,7 +195,7 @@ object Turtle {
           out += out.remove(out.size - 1) + doc.substring(i, j)
           i = j
         }
-      } else if (";,.[]()".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      } else if (";,.[](){}".indexOf(c) >= 0) { out += c.toString; i += 1 }
       else {
         val j = wordEnd(doc, i)
         out += doc.substring(i, j); i = j
@@ -197,7 +208,7 @@ object Turtle {
     var j = start
     val n = doc.length
     while (j < n && !doc.charAt(j).isWhitespace &&
-      ";,\"<[]()".indexOf(doc.charAt(j)) < 0 &&
+      ";,\"<[](){}".indexOf(doc.charAt(j)) < 0 &&
       // '.' ends a statement only when followed by whitespace/EOF — it is
       // legal inside prefixed names and decimals
       !(doc.charAt(j) == '.' &&
@@ -205,16 +216,20 @@ object Turtle {
     j
   }
 
-  /** Parse one Turtle document into quads (graph = `defaultGraph`).
-    * Supports `@prefix`/`@base` (and SPARQL-style PREFIX/BASE), `a`,
-    * `;`/`,` lists, IRIs, prefixed names, blank-node labels, and
-    * literals with language tags or datatypes. Blank-node property
-    * lists `[...]` and collections `(...)` are rejected loudly — the
-    * writer never emits them. */
+  /** Parse one Turtle OR TriG document into quads (graph =
+    * `defaultGraph` for plain triples; a top-level `<g> { … }` TriG
+    * block assigns its graph to the statements inside — round-trips
+    * [[writeTrigStream]]). Supports `@prefix`/`@base` (and SPARQL-style
+    * PREFIX/BASE), `a`, `;`/`,` lists, IRIs, prefixed names, blank-node
+    * labels, and literals with language tags or datatypes. Blank-node
+    * property lists `[...]` and collections `(...)` are rejected loudly
+    * — the writer never emits them. */
   def parse(doc: String, defaultGraph: String = "graft:default"): Seq[Quad] = {
     var tokens = tokenize(doc)
     val prefixes = scala.collection.mutable.Map[String, String]()
     var base = ""
+    var graph = defaultGraph
+    var graphDepth = 0 // inside a TriG block?
     val out = scala.collection.mutable.ListBuffer[Quad]()
 
     def resolve(t: String): (String, Byte) =
@@ -269,6 +284,15 @@ object Turtle {
           tokens = if (rest.headOption.contains(".")) rest.tail else rest
         case "[" | "(" =>
           sys.error("blank-node property lists / collections are not supported")
+        case "}" if graphDepth > 0 => // close a TriG graph block
+          graphDepth -= 1; graph = defaultGraph
+          tokens = tokens.tail
+          if (tokens.headOption.contains(".")) tokens = tokens.tail
+        case gTok if tokens.tail.headOption.contains("{") => // open one
+          require(graphDepth == 0, "nested TriG graph blocks are not legal")
+          graph = resolve(gTok)._1
+          graphDepth += 1
+          tokens = tokens.tail.tail
         case sTok =>
           val (s, _) = resolve(sTok)
           tokens = tokens.tail
@@ -281,7 +305,7 @@ object Turtle {
               require(tokens.nonEmpty, "statement ended before object")
               val (o, kind, dt, lang) = objTerm(tokens.head)
               tokens = tokens.tail
-              out += Quad(s, p, o, kind, dt, lang, defaultGraph)
+              out += Quad(s, p, o, kind, dt, lang, graph)
               moreObjects = tokens.headOption.contains(",") && {
                 tokens = tokens.tail; true
               }
@@ -292,6 +316,9 @@ object Turtle {
                 // a trailing ; before . is legal
                 if (tokens.headOption.contains(".")) { tokens = tokens.tail; done = true }
               case Some(".") => tokens = tokens.tail; done = true
+              // a statement inside a TriG block may be the block's last,
+              // terminated by the closing brace rather than a dot
+              case Some("}") if graphDepth > 0 => done = true
               case other => sys.error(s"expected ';' or '.', got $other")
             }
           }

@@ -46,6 +46,13 @@ class JsonLdSpec extends SparkSpec {
       Set("http://ex.org/alice", "http://ex.org/bob")
   }
 
+  "TriG" should "round-trip through Turtle.parse with graphs intact" in {
+    val trigQuads = (quads.take(2).map(_.copy(g = "http://ex.org/g1")) ++
+      quads.drop(4).map(_.copy(g = "http://ex.org/g2"))).toSet
+    val doc = Turtle.serializeTrig(trigQuads.toSeq)
+    Turtle.parse(doc).toSet shouldBe trigQuads
+  }
+
   "Turtle.writeTrigStream" should "group subject blocks inside named-graph blocks" in {
     val trigQuads = quads.take(2).map(_.copy(g = "http://ex.org/g1")) ++
       quads.drop(4).map(_.copy(g = "http://ex.org/g2"))
