@@ -29,13 +29,16 @@ object NTriples {
         else base
     }
 
+  /** One quad → one N-Quads line (the per-row kernel [[serialize]] maps). */
+  private[sources] def serializeQuadLine(q: Quad): String = {
+    val s = if (q.s.startsWith("_:")) q.s else s"<${q.s}>"
+    s"$s <${q.p}> ${fmtTerm(q.o, q.oKind, q.oDt, q.oLang)} <${q.g}> ."
+  }
+
   /** Serialize quads to N-Quads lines (graph as 4th term). */
   def serialize(quads: Dataset[Quad]): Dataset[String] = {
     import quads.sparkSession.implicits._
-    quads.map { q =>
-      val s = if (q.s.startsWith("_:")) q.s else s"<${q.s}>"
-      s"$s <${q.p}> ${fmtTerm(q.o, q.oKind, q.oDt, q.oLang)} <${q.g}> ."
-    }
+    quads.map(serializeQuadLine)
   }
 
   def write(quads: Dataset[Quad], path: String): Unit =
@@ -65,8 +68,13 @@ object NTriples {
           val m = """^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$""".r
           obj match {
             case m(lex, lang, dt) =>
-              Some(Quad(s, pred, unescape(lex), Quad.LITERAL,
-                Option(dt).getOrElse(Quad.Xsd.string), lang, g))
+              // canonical store form: plain and lang-tagged literals
+              // carry NO datatype (matching every converter and the
+              // Turtle parser — mixed-provenance quads must compare
+              // equal), and an explicit ^^xsd:string normalizes away
+              // (the writer never emits it)
+              val dtNorm = Option(dt).filter(_ != Quad.Xsd.string).orNull
+              Some(Quad(s, pred, unescape(lex), Quad.LITERAL, dtNorm, lang, g))
             case _ => None
           }
         }

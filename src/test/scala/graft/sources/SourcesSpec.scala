@@ -34,12 +34,15 @@ class SourcesSpec extends SparkSpec {
   }
 
   "NTriples" should "round-trip quads through serialization" in {
+    // canonical store form: plain/lang-tagged literals carry null dt
+    // (xsd:string never round-trips explicitly — matches the converters
+    // and the Turtle parser, so mixed-provenance quads compare equal)
     val quads = Seq(
       Quad("http://ex/s", "http://ex/p", "http://ex/o", Quad.IRI, null, null, "g1"),
       Quad("_:b0", "http://ex/p", "plain \"quoted\"\nline", Quad.LITERAL,
-        Quad.Xsd.string, null, "g1"),
+        null, null, "g1"),
       Quad("http://ex/s", "http://ex/p", "bonjour", Quad.LITERAL,
-        Quad.Xsd.string, "fr", "g2"),
+        null, "fr", "g2"),
       Quad("http://ex/s", "http://ex/p", "42", Quad.LITERAL,
         "http://www.w3.org/2001/XMLSchema#long", null, "g2"))
     val ds = spark.createDataset(quads)

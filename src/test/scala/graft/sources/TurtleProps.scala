@@ -60,4 +60,21 @@ object TurtleProps extends Properties("Turtle") {
       // every prefixed name's prefix must resolve: reparse can't throw
       Turtle.parse(doc, "g").nonEmpty || quads.isEmpty
     }
+
+  private val graphed: Gen[Quad] = for {
+    q <- quad
+    g <- iri
+  } yield q.copy(g = g)
+
+  property("TriG serialize -> parse is the identity on graphed quad sets") =
+    forAll(Gen.listOf(graphed).map(_.take(30))) { quads =>
+      Turtle.parse(Turtle.serializeTrig(quads)).toSet == quads.toSet
+    }
+
+  property("N-Quads line round-trip agrees per quad") = forAll(quad) { q =>
+    // same generator, the line-oriented member of the family: one
+    // serialized line parses back to the identical quad
+    val line = NTriples.serializeQuadLine(q)
+    NTriples.parseLine(line, "fallback").contains(q)
+  }
 }
