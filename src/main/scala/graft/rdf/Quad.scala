@@ -42,6 +42,7 @@ object Quad {
     val string = "http://www.w3.org/2001/XMLSchema#string"
     val dateTime = "http://www.w3.org/2001/XMLSchema#dateTime"
     val double = "http://www.w3.org/2001/XMLSchema#double"
+    val decimal = "http://www.w3.org/2001/XMLSchema#decimal"
     val long = "http://www.w3.org/2001/XMLSchema#long"
     val boolean = "http://www.w3.org/2001/XMLSchema#boolean"
   }

@@ -1106,8 +1106,12 @@ object Sparql {
       val uri = java.net.URI.create(url +
         (if (url.contains("?")) "&" else "?") + "query=" +
         java.net.URLEncoder.encode(query, "UTF-8"))
-      val resp = java.net.http.HttpClient.newHttpClient().send(
+      // bounded I/O: a hung remote must surface as an exception (which
+      // SILENT converts to the unit table), not block compilation forever
+      val resp = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(10)).build().send(
         java.net.http.HttpRequest.newBuilder(uri)
+          .timeout(java.time.Duration.ofSeconds(60))
           .header("Accept", "application/sparql-results+json").GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       require(resp.statusCode() == 200, s"SERVICE <$url> answered HTTP ${resp.statusCode()}")

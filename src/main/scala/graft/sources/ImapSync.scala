@@ -3,6 +3,7 @@ package graft.sources
 import java.io.{BufferedInputStream, BufferedOutputStream, InputStream}
 import java.net.Socket
 import java.nio.charset.StandardCharsets
+import javax.net.ssl.SSLSocketFactory
 
 /** IMAP4rev1 incremental mail synchronization over a real socket — the
   * reference's `EmailSynchronizer` model
@@ -60,18 +61,50 @@ object ImapSync {
 
   private val LiteralTail = """\{(\d+)\}$""".r
 
-  /** One incremental sync round. */
+  /** Encode one command argument as an IMAP astring: a quoted string
+    * (backslash/quote escaped) when the value is printable ASCII, else a
+    * `{n}` synchronizing literal (the only form that can carry CR/LF or
+    * 8-bit bytes). Never interpolated raw — a password containing a
+    * space or CRLF can neither break the command nor inject lines. */
+  private[sources] sealed trait Arg
+  private[sources] final case class Quoted(text: String) extends Arg
+  private[sources] final case class Literal(bytes: Array[Byte]) extends Arg
+  private[sources] def encodeArg(v: String): Arg =
+    if (v.forall(c => c >= 0x20 && c <= 0x7e))
+      Quoted("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    else Literal(v.getBytes(StandardCharsets.UTF_8))
+
+  /** One incremental sync round. `tls = true` connects IMAPS via the
+    * default [[SSLSocketFactory]] (the reference's store config carries
+    * the same boolean — mail.imap vs mail.imaps). */
   def sync(host: String, port: Int, user: String, password: String,
-      folder: String, state: ImapState): ImapDelta = {
-    val socket = new Socket(host, port)
+      folder: String, state: ImapState, tls: Boolean = false): ImapDelta = {
+    val socket =
+      if (tls) SSLSocketFactory.getDefault.createSocket(host, port)
+      else new Socket(host, port)
     try {
       val in = new Lines(new BufferedInputStream(socket.getInputStream))
       val out = new BufferedOutputStream(socket.getOutputStream)
       var tagN = 0
-      def command(text: String): Seq[RespLine] = {
+      def command(text: String, args: Seq[String] = Nil): Seq[RespLine] = {
         tagN += 1
         val tag = s"a$tagN"
-        out.write(s"$tag $text\r\n".getBytes(StandardCharsets.UTF_8))
+        out.write(s"$tag $text".getBytes(StandardCharsets.UTF_8))
+        args.foreach { a =>
+          out.write(' ')
+          encodeArg(a) match {
+            case Quoted(q) => out.write(q.getBytes(StandardCharsets.UTF_8))
+            case Literal(b) =>
+              // synchronizing literal: announce the byte count, wait for
+              // the server's `+` continuation, then send the raw bytes
+              out.write(s"{${b.length}}\r\n".getBytes(StandardCharsets.UTF_8))
+              out.flush()
+              val cont = in.readLine()
+              require(cont.startsWith("+"), s"expected continuation, got: $cont")
+              out.write(b)
+          }
+        }
+        out.write("\r\n".getBytes(StandardCharsets.UTF_8))
         out.flush()
         val lines = scala.collection.mutable.ListBuffer[RespLine]()
         var done = false
@@ -99,8 +132,8 @@ object ImapSync {
       }
 
       in.readLine() // * OK greeting
-      command(s"LOGIN $user $password")
-      val selected = command(s"SELECT $folder")
+      command("LOGIN", Seq(user, password))
+      val selected = command("SELECT", Seq(folder))
       val uidValidity = selected.map(_.text).collectFirst {
         case l if l.contains("UIDVALIDITY") =>
           """UIDVALIDITY (\d+)""".r.findFirstMatchIn(l).get.group(1).toLong

@@ -47,9 +47,9 @@ object NTriples {
   private val Line =
     """^(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.+?)\s+(?:<([^>]*)>\s+)?\.\s*$""".r
 
-  private def unescape(s: String): String =
-    s.replace("\\t", "\t").replace("\\r", "\r").replace("\\n", "\n")
-      .replace("\\\"", "\"").replace("\\\\", "\\")
+  // single left-to-right scan (shared with Turtle) — sequential
+  // .replace corrupted escaped-backslash-then-letter sequences
+  private def unescape(s: String): String = Turtle.unescape(s)
 
   /** Parse one N-Quads line (graph term optional → default graph). */
   private[sources] def parseLine(line: String, defaultGraph: String): Option[Quad] =

@@ -164,8 +164,9 @@ object Turtle {
         if (i + 2 < n && doc.charAt(i + 1) == '"' && doc.charAt(i + 2) == '"') {
           val j = doc.indexOf("\"\"\"", i + 3)
           require(j > 0, s"unterminated long string at offset $i")
-          out += "\"" + doc.substring(i + 3, j).replace("\n", "\\n")
-            .replace("\"", "\\\"") + "\""
+          // backslash FIRST so the re-escape cannot manufacture \n pairs
+          out += "\"" + doc.substring(i + 3, j).replace("\\", "\\\\")
+            .replace("\n", "\\n").replace("\"", "\\\"") + "\""
           i = j + 3
         } else {
           val sb = new StringBuilder("\"")
@@ -202,6 +203,39 @@ object Turtle {
       }
     }
     out.toList
+  }
+
+  /** Single left-to-right unescape scan — each `\x` pair is consumed
+    * exactly once, so `\\` followed by `n` yields backslash-then-n, not
+    * a newline (the sequential-`.replace` pipeline corrupted that). */
+  private[sources] def unescape(raw: String): String = {
+    val n = raw.length
+    val sb = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = raw.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        raw.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case '\'' => sb.append('\''); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' if i + 6 <= n =>
+            sb.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case 'U' if i + 10 <= n =>
+            sb.appendAll(Character.toChars(
+              Integer.parseInt(raw.substring(i + 2, i + 10), 16)))
+            i += 10
+          case other => sb.append('\\').append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private def wordEnd(doc: String, start: Int): Int = {
@@ -251,9 +285,7 @@ object Turtle {
         sys.error("blank-node property lists / collections are not supported")
       else if (t.startsWith("\"")) {
         val close = t.lastIndexOf('"')
-        val raw = t.substring(1, close)
-        val value = raw.replace("\\\"", "\"").replace("\\n", "\n")
-          .replace("\\r", "\r").replace("\\t", "\t").replace("\\\\", "\\")
+        val value = unescape(t.substring(1, close))
         val suffix = t.substring(close + 1)
         if (suffix.startsWith("@")) (value, Quad.LITERAL, null, suffix.substring(1))
         else if (suffix.startsWith("^^"))
@@ -261,10 +293,13 @@ object Turtle {
         else (value, Quad.LITERAL, null, null)
       } else if (t.head.isDigit || t.head == '-' || t.head == '+' ||
           t == "true" || t == "false") {
-        // bare numeric/boolean literals carry their implied XSD type
+        // bare numeric/boolean literals carry their implied XSD type:
+        // per the Turtle grammar only exponent forms are xsd:double;
+        // digits-with-dot is xsd:decimal, bare integers xsd:integer-ish
         val dt =
           if (t == "true" || t == "false") Quad.Xsd.boolean
-          else if (t.contains(".") || t.contains("e") || t.contains("E")) Quad.Xsd.double
+          else if (t.contains("e") || t.contains("E")) Quad.Xsd.double
+          else if (t.contains(".")) Quad.Xsd.decimal
           else Quad.Xsd.long
         (t, Quad.LITERAL, dt, null)
       } else {

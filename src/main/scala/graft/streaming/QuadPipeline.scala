@@ -117,10 +117,15 @@ object QuadPipeline {
           }
           // publish the refreshed store to any live consumer (e.g. a
           // SPARQL endpoint swapping its served snapshot — the
-          // reference's pipeline->repository->SparqlService shape). A
-          // lazy re-read of the just-written files, not a new lineage
-          // over the whole batch chain.
-          onStore(spark.read.schema(Quad.schema).parquet(storePath))
+          // reference's pipeline->repository->SparqlService shape).
+          // localCheckpoint PINS the snapshot in block storage: the next
+          // micro-batch deletes/rewrites partition directories, and a
+          // lazy file-backed plan served concurrently would hit
+          // FileNotFoundException / mixed-version reads. (At real
+          // cluster scale the equivalent is an MVCC manifest layout;
+          // for a served store the working set is resident either way.)
+          onStore(spark.read.schema(Quad.schema).parquet(storePath)
+            .localCheckpoint(eager = true))
         }
       }
   }

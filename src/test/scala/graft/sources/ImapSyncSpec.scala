@@ -18,6 +18,7 @@ class ImapSyncSpec extends SparkSpec {
     var uidValidity = 7L
     val mailbox = scala.collection.mutable.LinkedHashMap[Long, String]()
     var fetchedUids: List[Long] = Nil
+    @volatile var lastLogin: String = null
 
     private val server = new ServerSocket(0)
     def port: Int = server.getLocalPort
@@ -35,7 +36,28 @@ class ImapSyncSpec extends SparkSpec {
           val tag = parts(0)
           val cmd = (parts.lift(1).getOrElse("") + " " +
             parts.lift(2).getOrElse("")).trim.toUpperCase
-          if (cmd.startsWith("LOGIN")) out.print(s"$tag OK logged in\r\n")
+          if (cmd.startsWith("LOGIN")) {
+            // accept `{n}` synchronizing literals: continue, read n chars
+            // raw, splice them in as <LIT:…>, resume on the next line
+            var logical = line
+            val LitTail = """\{(\d+)\}$""".r
+            var m = LitTail.findFirstMatchIn(logical)
+            while (m.isDefined) {
+              out.print("+ OK\r\n")
+              val n = m.get.group(1).toInt
+              val buf = new Array[Char](n)
+              var off = 0
+              while (off < n) {
+                val k = in.read(buf, off, n - off)
+                require(k >= 0, "closed in literal"); off += k
+              }
+              logical = logical.dropRight(m.get.group(0).length) +
+                "<LIT:" + new String(buf) + ">" + in.readLine()
+              m = LitTail.findFirstMatchIn(logical)
+            }
+            lastLogin = logical
+            out.print(s"$tag OK logged in\r\n")
+          }
           else if (cmd.startsWith("SELECT")) {
             out.print(s"* ${mailbox.size} EXISTS\r\n")
             out.print(s"* OK [UIDVALIDITY $uidValidity] UIDs valid\r\n")
@@ -108,6 +130,27 @@ class ImapSyncSpec extends SparkSpec {
       d4.removed shouldBe d3.state.knownUids.toSeq.sorted
       d4.fetched.map(_._1) shouldBe Seq(102L, 103L)
       d4.state.uidValidity shouldBe 8L
+    } finally srv.stop()
+  }
+
+  it should "send credentials as quoted strings or {n} literals, never raw" in {
+    val srv = new FakeImap
+    try {
+      srv.mailbox(1L) = msg("m1", "a@example.com", "s")
+
+      // printable-but-tricky credentials: quoted-string form with escapes
+      val d1 = ImapSync.sync("localhost", srv.port, "u\"ser", "pa ss\\x",
+        "INBOX", ImapSync.ImapState())
+      d1.fetched.map(_._1) shouldBe Seq(1L)
+      srv.lastLogin should include("\"u\\\"ser\"")
+      srv.lastLogin should include("\"pa ss\\\\x\"")
+
+      // CRLF-bearing password cannot be quoted: goes as a literal, and
+      // cannot inject a protocol line
+      val d2 = ImapSync.sync("localhost", srv.port, "u", "p\r\nEVIL LOGOUT",
+        "INBOX", d1.state)
+      d2.fetched shouldBe empty
+      srv.lastLogin should include("<LIT:p\r\nEVIL LOGOUT>")
     } finally srv.stop()
   }
 }

@@ -23,11 +23,15 @@ object TurtleProps extends Properties("Turtle") {
     l <- localName
   } yield ns + l
 
-  // literal values exercise every escape class the writer handles
+  // literal values exercise every escape class the writer handles —
+  // n/r/t LETTERS are in the alphabet so backslash-then-letter
+  // adjacencies (e.g. the value C:\new) are generated, the case the
+  // old sequential-replace unescape corrupted
   private val literalValue: Gen[String] = Gen.oneOf(
     Gen.alphaNumStr.map(_.take(20)),
-    Gen.listOfN(8, Gen.oneOf('a', ' ', '"', '\\', '\n', '\t', 'é', '中'))
-      .map(_.mkString))
+    Gen.listOfN(8, Gen.oneOf('a', 'n', 'r', 't', ' ', '"', '\\', '\n', '\t', 'é', '中'))
+      .map(_.mkString),
+    Gen.const("C:\\new\\train\\tab"))
 
   private val lang: Gen[String] = Gen.oneOf("en", "en-US", "fr", "zh")
 

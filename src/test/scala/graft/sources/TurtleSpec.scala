@@ -57,9 +57,29 @@ class TurtleSpec extends SparkSpec {
     val got = Turtle.parse(doc, "g").map(t => (t.p, t.o, t.oDt)).toSet
     got shouldBe Set(
       ("http://ex.org/age", "41", Quad.Xsd.long),
-      ("http://ex.org/score", "3.5", Quad.Xsd.double),
+      ("http://ex.org/score", "3.5", Quad.Xsd.decimal),
       ("http://ex.org/active", "true", Quad.Xsd.boolean),
       ("http://ex.org/link", "http://base.org/rel", null))
+  }
+
+  it should "type only exponent forms as xsd:double" in {
+    val doc = "@prefix ex: <http://ex.org/> .\n" +
+      "ex:a ex:v 1.5e3 ; ex:w 2E-1 .\n"
+    Turtle.parse(doc, "g").map(_.oDt).toSet shouldBe Set(Quad.Xsd.double)
+  }
+
+  it should "round-trip escaped backslash followed by n/r/t letters" in {
+    // the sequential-replace unescape corrupted C:\new into C:<newline>ew
+    val tricky = Seq(
+      q("http://ex.org/f", "http://schema.org/path", "C:\\new\\train", Quad.LITERAL),
+      q("http://ex.org/f", "http://schema.org/mix", "a\\n\nb\\t\t", Quad.LITERAL))
+    Turtle.parse(Turtle.serialize(tricky), "g").toSet shouldBe tricky.toSet
+  }
+
+  it should "parse \\u and \\U escapes" in {
+    val doc = "@prefix ex: <http://ex.org/> .\n" +
+      "ex:a ex:v \"A\\u00e9B\\U0001F600C\" .\n"
+    Turtle.parse(doc, "g").head.o shouldBe "A\u00e9B\ud83d\ude00C"
   }
 
   it should "parse SPARQL-style PREFIX and long strings" in {
