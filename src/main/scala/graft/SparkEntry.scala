@@ -1128,11 +1128,16 @@ object SparkEntry {
     val m = TextAnalysis.gopherCounts(col("text")).toMap
     val stops = TextAnalysis.stopwordCount(col("text"),
       Seq("the", "a", "of", "and")).cast("long")
+    // canonicalization key is sha2(text), NOT the text itself: the window
+    // exchange then shuffles a 32-byte digest instead of writing every
+    // full document into the shuffle as key AND payload (`text` is
+    // dropped before the exchange), and hot exact-dup clusters hash-
+    // spread instead of landing on one task
     val scored = t(s, dir, "documents").select(
-      col("doc_id"), col("text"),
+      col("doc_id"), sha2(col("text"), 256).as("text_sha"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
       TextAnalysis.gopherPasses(m, stops).as("passes"))
-    val byText = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val byText = org.apache.spark.sql.expressions.Window.partitionBy(col("text_sha"))
     scored
       .withColumn("canonical", col("doc_id") === min(col("doc_id")).over(byText))
       .withColumn("keep", (col("passes") === 1) && col("canonical"))
