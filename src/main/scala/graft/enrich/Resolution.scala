@@ -30,6 +30,38 @@ object Resolution {
       .select(col(idCol).as("s1"), col(s"__$idCol").as("s2"))
   }
 
+  /** Widen a NARROW input before a CPU-heavy map pass. A small table
+    * often arrives as one unsplittable parquet row group, so the regex
+    * tokenize would run as a single task (and pay its whole interpreted/
+    * JIT warmup serially — the q30/q28 cold-time profile). Byte-gated on
+    * optimizer stats (never triggers a job): inputs above the threshold
+    * already split across many files/row groups at scan time, so at
+    * cluster scale this is a no-op and no full-corpus shuffle is added. */
+  private val WidenBytes = 1L << 28 // 256 MB
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < WidenBytes)
+      df.repartition(p)
+    else df
+  }
+
+  /** The tokenize subtree: a regex pass over the (widened) corpus,
+    * shuffled by token. Consumers (document-frequency counts, the
+    * blocking aggregation, IDF) each instantiate it; Catalyst's column
+    * pruning then specializes every branch's scan to just the columns it
+    * needs (the df-count branch reads only the text column), which is
+    * the right trade at scale: map passes pipeline straight into their
+    * shuffles with no materialization barrier, and AQE runs the branches
+    * concurrently. The widen gate is what keeps each pass parallel on
+    * narrow inputs. */
+  private def tokShuffled(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val wide = widen(df)
+    wide.select(
+        col(idCol).as("id"),
+        explode(array_distinct(graft.text.TextAnalysis.tokens(lower(col(textCol))))).as("tok"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism * 2, col("tok"))
+  }
+
   /** Token-blocking candidate join (SURVEY J3): explode normalized name
     * tokens, drop tokens appearing in more than `maxDocFreq` records (the
     * IDF-prune that replaces `minimum_should_match`; it is also the skew
@@ -40,7 +72,7 @@ object Resolution {
       textCol: String,
       idCol: String,
       maxDocFreq: Long): DataFrame =
-    tokenBlockingCandidatesBy(df, textCol, idCol, lit(maxDocFreq))
+    tokenBlockingCandidatesBy(df, textCol, idCol, lit(maxDocFreq), None, None)
 
   /** Same, with the doc-frequency cutoff as a fraction of the corpus size,
     * so the prune scales with the data instead of being an absolute knob.
@@ -53,8 +85,8 @@ object Resolution {
       maxDocFreqFraction: Double,
       maxBlockSize: Option[Int] = None): DataFrame = {
     val n = df.select(count(lit(1)).as("__n"))
-    tokenBlockingCandidatesBy(df.crossJoin(broadcast(n)), textCol, idCol,
-      (col("__n") * maxDocFreqFraction), maxBlockSize)
+    tokenBlockingCandidatesBy(df, textCol, idCol,
+      col("__n") * maxDocFreqFraction, Some(n), maxBlockSize)
   }
 
   private def tokenBlockingCandidatesBy(
@@ -62,26 +94,26 @@ object Resolution {
       textCol: String,
       idCol: String,
       cutoff: org.apache.spark.sql.Column,
-      maxBlockSize: Option[Int] = None): DataFrame = {
-    val toks = df.select(
-        col(idCol).as("id"),
-        explode(array_distinct(graft.text.TextAnalysis.tokens(lower(col(textCol))))).as("tok"),
-        cutoff.as("__cutoff"))
-    val rare = toks.groupBy("tok", "__cutoff").agg(count(lit(1)).as("df"))
-      .where(col("df") <= col("__cutoff"))
+      nDf: Option[DataFrame],
+      maxBlockSize: Option[Int]): DataFrame = {
+    val toks = tokShuffled(df, textCol, idCol)
+    // document frequency per token; the corpus-count scalar (fractional
+    // cutoff) joins AFTER the aggregation, onto the tiny per-token table,
+    // so the broadcast never rides along with the exploded rows
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val rare = nDf.fold(counts)(n => counts.crossJoin(broadcast(n)))
+      .where(col("df") <= cutoff)
     // Pair generation by per-token list, NOT a self-join: collect each
     // (pruned) token's sorted id list and expand the strict upper
-    // triangle in place. One shuffle keyed on tok (the aggregation),
-    // one on (id1, id2) (the count) — the earlier self-join formulation
-    // cost four (checkpoint write + two join exchanges + the count).
-    // List width is bounded by the IDF cutoff, and the optional block
-    // cap — the distributed analogue of the reference's searchSize=10000
-    // candidate bound (AgentMatchEnricher.scala:68) — is a slice of the
-    // sorted list: deterministically the lowest ids, applied BEFORE the
+    // triangle in place. One shuffle keyed on tok, one on (id1, id2)
+    // (the count) — the earlier self-join formulation cost four. List width
+    // is bounded by the IDF cutoff, and the optional block cap — the
+    // distributed analogue of the reference's searchSize=10000 candidate
+    // bound (AgentMatchEnricher.scala:68) — is a slice of the sorted
+    // list: deterministically the lowest ids, applied BEFORE the
     // quadratic expansion, no window, no extra exchange.
-    val grouped = toks.drop("__cutoff")
+    val grouped = toks
       .join(rare.select("tok"), Seq("tok"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism * 2, col("tok"))
       .groupBy(col("tok"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     val capped = maxBlockSize match {
@@ -98,10 +130,10 @@ object Resolution {
 
   /** IDF weights per token over a corpus: idf = ln(N / df). N is joined in
     * as a broadcast scalar, not collected per-row. (Reference:
-    * `EntityResolution.scala:133-140`.) */
+    * `EntityResolution.scala:133-140`.) Built on [[tokShuffled]] so the
+    * regex pass stays parallel on narrow inputs. */
   def idf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(array_distinct(graft.text.TextAnalysis.tokens(lower(col(textCol))))).as("tok"))
+    val toks = tokShuffled(df, textCol, idCol)
     val n = df.select(countDistinct(col(idCol)).as("n_docs"))
     toks.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
