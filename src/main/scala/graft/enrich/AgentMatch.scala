@@ -34,23 +34,41 @@ object AgentMatch {
       simThreshold: Double = 0.9,
       maxBlockSize: Option[Int] = Some(10000)): DataFrame = {
     val spark = records.sparkSession
-    val idf = Resolution.idf(records, nameCol, idCol)
-      .select(col("tok"), col("idf"))
+    // ONE tokenize subtree feeds everything: the per-token document
+    // frequencies serve BOTH the IDF weights and the blocking prune
+    // (they are the same aggregation), and the (id, tok) exchange is
+    // shared between the weights branch and the block→pair tail — the
+    // identical subtrees collapse via Catalyst exchange reuse instead of
+    // re-running the regex pass once per consumer.
+    val toksFlat = Resolution.tokShuffled(records, nameCol, idCol)
+    val counts = toksFlat.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scalars = records.select(count(lit(1)).as("__n"),
+      countDistinct(col(idCol)).as("n_docs"))
+    val withScalars = counts.crossJoin(broadcast(scalars))
+    val idf = withScalars.select(col("tok"),
+      log(col("n_docs").cast("double") / col("df")).as("idf"))
+    val rareTokens = withScalars
+      .where(col("df") <= col("__n") * maxDocFreqFraction).select("tok")
     // per-record (tokens, weights) aligned arrays
-    val toks = records.select(
-        col(idCol).as("id"),
-        explode(array_distinct(TextAnalysis.tokens(lower(col(nameCol))))).as("tok"))
+    val toks = toksFlat
       .join(idf, Seq("tok"))
       .groupBy("id")
       .agg(collect_list(col("tok")).as("toks"), collect_list(col("idf")).as("ws"))
-    val candidates = Resolution.tokenBlockingCandidatesFrac(
-      records, nameCol, idCol, maxDocFreqFraction, maxBlockSize)
-    val score = udf((t1: Seq[String], w1: Seq[Double], t2: Seq[String], w2: Seq[Double]) =>
-      Similarity.softTfIdf(t1, w1, t2, w2, simThreshold, pruneBelow = threshold))
+    val candidates = Resolution.pairsFromBlocks(toksFlat, rareTokens, maxBlockSize)
+    // Scoring is the one CPU-bound per-row stage of the pipeline, so it
+    // runs as the native soft_tfidf expression ([[SoftTfIdfScore]] —
+    // reads ArrayData directly, no per-row converter boxing) pinned
+    // above an explicit round-robin exchange: AQE coalesces the tiny-
+    // in-bytes candidate shuffles to a handful of tasks, and scoring
+    // placed any lower would serialize on them. One cheap shuffle of
+    // (ids + token arrays) buys a full-width scoring stage.
     candidates
       .join(toks.select(col("id").as("id1"), col("toks").as("t1"), col("ws").as("w1")), "id1")
       .join(toks.select(col("id").as("id2"), col("toks").as("t2"), col("ws").as("w2")), "id2")
-      .withColumn("score", score(col("t1"), col("w1"), col("t2"), col("w2")))
+      .repartition(records.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("score", call_function("soft_tfidf",
+        col("t1"), col("w1"), col("t2"), col("w2"),
+        lit(simThreshold), lit(threshold)))
       .where(col("score") >= threshold)
       .select(col("id1"), col("id2"), col("score"))
   }

@@ -54,7 +54,7 @@ object Resolution {
     * shuffles with no materialization barrier, and AQE runs the branches
     * concurrently. The widen gate is what keeps each pass parallel on
     * narrow inputs. */
-  private def tokShuffled(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private[enrich] def tokShuffled(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val wide = widen(df)
     wide.select(
         col(idCol).as("id"),
@@ -112,8 +112,19 @@ object Resolution {
     // bound (AgentMatchEnricher.scala:68) — is a slice of the sorted
     // list: deterministically the lowest ids, applied BEFORE the
     // quadratic expansion, no window, no extra exchange.
+    pairsFromBlocks(toks, rare.select("tok"), maxBlockSize)
+  }
+
+  /** The block→pair tail of token blocking, from a prepared (id, tok)
+    * frame and the surviving token keys — exposed so composite resolvers
+    * ([[AgentMatch]]) can hang it off the SAME tokenize/df-count
+    * subtrees their scoring stages use instead of re-deriving them. */
+  private[enrich] def pairsFromBlocks(
+      toks: DataFrame,
+      rareTokens: DataFrame,
+      maxBlockSize: Option[Int]): DataFrame = {
     val grouped = toks
-      .join(rare.select("tok"), Seq("tok"))
+      .join(rareTokens, Seq("tok"))
       .groupBy(col("tok"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     val capped = maxBlockSize match {

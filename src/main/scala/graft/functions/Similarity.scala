@@ -34,42 +34,55 @@ object Similarity {
     prev(m)
   }
 
-  /** Jaro similarity (standard definition). */
+  /** Jaro similarity (standard definition). Allocation-free hot path —
+    * this runs once per (token, token) cell of every candidate pair's
+    * similarity matrix, i.e. tens of millions of times per resolution
+    * query; while-loops over charAt keep it in the few-hundred-ns range. */
   def jaro(a: String, b: String): Double = {
-    if (a.isEmpty && b.isEmpty) return 1.0
-    if (a.isEmpty || b.isEmpty) return 0.0
-    val window = math.max(0, math.max(a.length, b.length) / 2 - 1)
-    val aMatched = new Array[Boolean](a.length)
-    val bMatched = new Array[Boolean](b.length)
+    val la = a.length
+    val lb = b.length
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aMatched = new Array[Boolean](la)
+    val bMatched = new Array[Boolean](lb)
     var matches = 0
-    for (i <- a.indices) {
-      val lo = math.max(0, i - window)
-      val hi = math.min(b.length - 1, i + window)
-      var j = lo
+    var i = 0
+    while (i < la) {
+      val ca = a.charAt(i)
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!bMatched(j) && a(i) == b(j)) {
+        if (!bMatched(j) && ca == b.charAt(j)) {
           aMatched(i) = true; bMatched(j) = true; matches += 1; found = true
         }
         j += 1
       }
+      i += 1
     }
     if (matches == 0) return 0.0
     var transpositions = 0
     var k = 0
-    for (i <- a.indices if aMatched(i)) {
-      while (!bMatched(k)) k += 1
-      if (a(i) != b(k)) transpositions += 1
-      k += 1
+    i = 0
+    while (i < la) {
+      if (aMatched(i)) {
+        while (!bMatched(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) transpositions += 1
+        k += 1
+      }
+      i += 1
     }
     val m = matches.toDouble
-    (m / a.length + m / b.length + (m - transpositions / 2.0) / m) / 3.0
+    (m / la + m / lb + (m - transpositions / 2.0) / m) / 3.0
   }
 
   /** Jaro-Winkler: Jaro boosted by common-prefix length (<=4), p=0.1. */
   def jaroWinkler(a: String, b: String): Double = {
     val j = jaro(a, b)
-    val prefix = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.size
+    val maxPrefix = math.min(4, math.min(a.length, b.length))
+    var prefix = 0
+    while (prefix < maxPrefix && a.charAt(prefix) == b.charAt(prefix)) prefix += 1
     j + prefix * 0.1 * (1.0 - j)
   }
 
@@ -90,34 +103,58 @@ object Similarity {
       tokens1: Seq[String], weights1: Seq[Double],
       tokens2: Seq[String], weights2: Seq[Double],
       simThreshold: Double = 0.9,
-      pruneBelow: Double = 0.0): Double = {
-    if (tokens1.isEmpty || tokens2.isEmpty) return 0.0
+      pruneBelow: Double = 0.0): Double =
+    softTfIdfArrays(tokens1.toArray, weights1.toArray,
+      tokens2.toArray, weights2.toArray, simThreshold, pruneBelow)
+
+  /** Primitive-array core — every arithmetic step runs unboxed (the
+    * Seq-based formulation cost ~200µs/pair in boxing/tuples; this
+    * kernel is the per-candidate hot path of the whole resolver, called
+    * directly by the [[SoftTfIdfScore]] native expression). */
+  def softTfIdfArrays(
+      t1: Array[String], w1: Array[Double],
+      t2: Array[String], w2: Array[Double],
+      simThreshold: Double,
+      pruneBelow: Double): Double = {
+    if (t1.isEmpty || t2.isEmpty) return 0.0
+    def sumSq(w: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < w.length) { s += w(i) * w(i); i += 1 }
+      s
+    }
+    val n1 = math.sqrt(sumSq(w1))
+    val n2 = math.sqrt(sumSq(w2))
     if (pruneBelow > 0.0) {
-      val s1 = weights1.sorted(Ordering[Double].reverse)
-      val s2 = weights2.sorted(Ordering[Double].reverse)
-      val ub = s1.zip(s2).map { case (a, b) => a * b }.sum /
-        (math.sqrt(weights1.map(w => w * w).sum) *
-          math.sqrt(weights2.map(w => w * w).sum))
-      if (ub < pruneBelow) return 0.0
+      // descending-sorted weight dot product: a sound upper bound since
+      // every per-pair similarity <= 1 (see scaladoc)
+      val s1 = w1.clone; java.util.Arrays.sort(s1)
+      val s2 = w2.clone; java.util.Arrays.sort(s2)
+      var dot = 0.0
+      var k = 0
+      val kMax = math.min(s1.length, s2.length)
+      while (k < kMax) { dot += s1(s1.length - 1 - k) * s2(s2.length - 1 - k); k += 1 }
+      if (dot / (n1 * n2) < pruneBelow) return 0.0
     }
     val (small, smallW, large, largeW, flipped) =
-      if (tokens1.size <= tokens2.size) (tokens1, weights1, tokens2, weights2, false)
-      else (tokens2, weights2, tokens1, weights1, true)
-    val sim = Array.tabulate(small.size, large.size) { (i, j) =>
-      jaroWinkler(small(i), large(j))
+      if (t1.length <= t2.length) (t1, w1, t2, w2, false)
+      else (t2, w2, t1, w1, true)
+    val sim = Array.ofDim[Double](small.length, large.length)
+    var i = 0
+    while (i < small.length) {
+      var j = 0
+      while (j < large.length) { sim(i)(j) = jaroWinkler(small(i), large(j)); j += 1 }
+      i += 1
     }
     val (assign, _) = graft.algo.Hungarian.maxSimilarityAssignment(sim)
     var num = 0.0
-    for (i <- small.indices) {
+    i = 0
+    while (i < small.length) {
       val j = assign(i)
       val s = sim(i)(j)
-      if (s >= simThreshold) {
-        val (w1, w2) = if (flipped) (largeW(j), smallW(i)) else (smallW(i), largeW(j))
-        num += s * w1 * w2
-      }
+      if (s >= simThreshold)
+        num += (if (flipped) s * largeW(j) * smallW(i) else s * smallW(i) * largeW(j))
+      i += 1
     }
-    val n1 = math.sqrt(weights1.map(w => w * w).sum)
-    val n2 = math.sqrt(weights2.map(w => w * w).sum)
     if (n1 == 0 || n2 == 0) 0.0 else num / (n1 * n2)
   }
 }

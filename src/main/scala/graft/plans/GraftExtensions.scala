@@ -74,6 +74,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[graft.text.LangIdExpr].getName, "lang_id"),
       (exprs: Seq[Expression]) => graft.text.LangIdExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("soft_tfidf"),
+      new ExpressionInfo(classOf[graft.functions.SoftTfIdfScore].getName, "soft_tfidf"),
+      (exprs: Seq[Expression]) => graft.functions.SoftTfIdfScore(
+        exprs(0), exprs(1), exprs(2), exprs(3),
+        exprs(4).eval().asInstanceOf[Double], exprs(5).eval().asInstanceOf[Double])))
     ext.injectOptimizerRule(_ => HaversineRadiusPrefilter)
     ext.injectOptimizerRule(_ => BinnedRangeJoinRewrite)
   }

@@ -22,6 +22,23 @@ class MatchSpec extends SparkSpec {
     Similarity.softTfIdf(Seq("aaa"), Seq(1.0), Seq("bbb"), Seq(1.0)) shouldBe 0.0
   }
 
+  "soft_tfidf (native expression)" should "agree with the JVM kernel" in {
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val rows = Seq(
+      (Seq("john", "zyxwv"), Seq(0.1, 2.0), Seq("jon", "zyxwv"), Seq(0.1, 2.0)),
+      (Seq("aaa"), Seq(1.0), Seq("bbb"), Seq(1.0)),
+      (Seq("x", "y", "z"), Seq(1.0, 2.0, 3.0), Seq("y", "x"), Seq(2.0, 1.5)))
+      .toDF("t1", "w1", "t2", "w2")
+    val got = rows.select(call_function("soft_tfidf",
+        col("t1"), col("w1"), col("t2"), col("w2"), lit(0.9), lit(0.0)))
+      .as[Double].collect()
+    val want = Seq(
+      Similarity.softTfIdf(Seq("john", "zyxwv"), Seq(0.1, 2.0), Seq("jon", "zyxwv"), Seq(0.1, 2.0)),
+      Similarity.softTfIdf(Seq("aaa"), Seq(1.0), Seq("bbb"), Seq(1.0)),
+      Similarity.softTfIdf(Seq("x", "y", "z"), Seq(1.0, 2.0, 3.0), Seq("y", "x"), Seq(2.0, 1.5)))
+    got.toSeq shouldBe want
+  }
+
   "AgentMatch.sameAsPairs" should "link near-identical names and skip distinct ones" in {
     val agents = Seq(
       (1L, "Barnaby Quixote"),
