@@ -382,6 +382,9 @@ object Converters {
         val agent = Iri.entity("agent", key)
         val base = Seq(
           Some(quad(agent, "rdf:type", "personal:Agent", Quad.IRI, g)),
+          // UID rides along as a quad so the write-back serializer
+          // ([[VcardWrite]]) can regenerate a stable vCard identity
+          firstVal("UID").map(v => quad(agent, "personal:uid", v, Quad.LITERAL, g)),
           firstVal("FN").map(v => quad(agent, schemaOrg + "name", v, Quad.LITERAL, g)),
           firstVal("ORG").map(v => quad(agent, schemaOrg + "worksFor", v, Quad.LITERAL, g)),
           firstVal("BDAY").map(v => quad(agent, schemaOrg + "birthDate", v, Quad.LITERAL, g))).flatten

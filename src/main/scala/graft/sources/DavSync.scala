@@ -123,6 +123,29 @@ object DavSync {
       DavState(ctag, entries))
   }
 
+  /** Write-back: PUT a regenerated document to its collection — the
+    * reference's push leg (`BaseDavSynchronizer.scala:234`,
+    * `sardine.put(documentUrl, newVersion, headers)`). The known etag
+    * goes out as `If-Match`, so a concurrent remote edit fails the
+    * precondition (HTTP 412) instead of being clobbered — lost-update
+    * protection exactly as the reference's conditional PUT. Returns the
+    * new etag when the server reports one (None → the next sync round's
+    * etag diff refetches and reconciles). */
+  def put(documentUrl: String, body: String, etag: Option[String],
+      contentType: String = "text/vcard",
+      client: HttpClient = HttpClient.newHttpClient()): Option[String] = {
+    val b = HttpRequest.newBuilder(URI.create(documentUrl))
+      .header("Content-Type", contentType)
+      .PUT(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+    etag.foreach(e => b.header("If-Match", "\"" + e + "\""))
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() / 100 == 2,
+      s"PUT $documentUrl -> HTTP ${resp.statusCode()}" +
+        (if (resp.statusCode() == 412) " (etag precondition failed: remote changed)" else ""))
+    val e = resp.headers().firstValue("ETag")
+    if (e.isPresent) Some(e.get.stripPrefix("\"").stripSuffix("\"")) else None
+  }
+
   /** CalDAV round (ics bodies). */
   def syncCalendar(url: String, state: DavState,
       client: HttpClient = HttpClient.newHttpClient()): DavDelta =

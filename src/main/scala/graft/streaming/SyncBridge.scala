@@ -40,4 +40,46 @@ object SyncBridge {
     val (next, diff) = QuadPipeline.processBatch(afterRemove, batch, negations, enrichers)
     (next, removalDiff.union(diff))
   }
+
+  /** Write-back leg: push DAV-owned graphs an update touched back to
+    * their collection (the reference's Updater→Synchronizer round trip,
+    * `BaseDavSynchronizer.scala:230-240`). For every `doc:<href>` graph
+    * in the diff whose href lives under `collectionUrl`, the document is
+    * regenerated from the UPDATED store ([[graft.convert.VcardWrite]])
+    * and PUT with the cursor's etag as `If-Match`; the advanced cursor
+    * carries the servers' new etags so the next sync round sees its own
+    * write as already-known instead of refetching it.
+    *
+    * Driver-side by design: the per-document collect is one contact's
+    * quads (the same bounded unit the protocol fetch materializes), and
+    * the graph list is bounded by the update's own size. */
+  def writeBackDav(
+      store: DataFrame,
+      diff: QuadDiff,
+      collectionUrl: String,
+      state: graft.sources.DavSync.DavState,
+      client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient())
+      : graft.sources.DavSync.DavState = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    val collectionPath = java.net.URI.create(collectionUrl).getPath.stripSuffix("/")
+    val touched = diff.added.select("g").union(diff.removed.select("g"))
+      .distinct().as[String].collect()
+      .collect { case g if g.startsWith("doc:") => g.stripPrefix("doc:") }
+      .filter(_.stripSuffix("/").startsWith(collectionPath + "/"))
+      .sorted
+    touched.foldLeft(state) { (st, href) =>
+      val quads = store.where(col("g") === s"doc:$href").as[Quad].collect().toSeq
+      val body = graft.convert.VcardWrite.fromQuads(quads)
+      val url = java.net.URI.create(collectionUrl).resolve(href).toString
+      val newEtag = graft.sources.DavSync.put(url, body, st.etags.get(href),
+        client = client)
+      newEtag match {
+        case Some(e) => st.copy(etags = st.etags + (href -> e))
+        // no etag in the PUT response: drop the stale one so the next
+        // sync round refetches and reconciles
+        case None => st.copy(etags = st.etags - href)
+      }
+    }
+  }
 }

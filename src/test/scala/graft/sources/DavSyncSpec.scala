@@ -20,6 +20,8 @@ class DavSyncSpec extends SparkSpec {
     val cards = scala.collection.mutable.LinkedHashMap[String, (String, String)]()
     var propfindCount = 0
     var reportHrefs: Seq[String] = Nil
+    var putCount = 0
+    var rejectedPuts = 0
 
     private def esc(s: String) =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -28,6 +30,27 @@ class DavSyncSpec extends SparkSpec {
     server.createContext("/dav/contacts/", { (ex: HttpExchange) =>
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val depth = Option(ex.getRequestHeaders.getFirst("Depth")).getOrElse("0")
+      if (ex.getRequestMethod == "PUT") {
+        // etag-guarded document write: If-Match must name the current
+        // version (or the document must be new); stores the body under a
+        // fresh etag, bumps the collection ctag, answers 204 + ETag
+        val href = ex.getRequestURI.getPath
+        val ifMatch = Option(ex.getRequestHeaders.getFirst("If-Match"))
+          .map(_.stripPrefix("\"").stripSuffix("\""))
+        val current = cards.get(href).map(_._1)
+        if (ifMatch.isDefined && ifMatch != current) {
+          rejectedPuts += 1
+          ex.sendResponseHeaders(412, -1)
+        } else {
+          putCount += 1
+          val newEtag = s"p$putCount"
+          cards(href) = (newEtag, body)
+          ctag += 1
+          ex.getResponseHeaders.set("ETag", "\"" + newEtag + "\"")
+          ex.sendResponseHeaders(204, -1)
+        }
+        ex.close()
+      } else {
       val resp = ex.getRequestMethod match {
         case "PROPFIND" if depth == "0" =>
           s"""<d:multistatus xmlns:d="DAV:" xmlns:cs="http://calendarserver.org/ns/">
@@ -64,6 +87,7 @@ class DavSyncSpec extends SparkSpec {
       ex.sendResponseHeaders(207, bytes.length)
       ex.getResponseBody.write(bytes)
       ex.close()
+      }
     })
     server.start()
     def url = s"http://localhost:${server.getAddress.getPort}/dav/contacts/"
@@ -144,6 +168,61 @@ class DavSyncSpec extends SparkSpec {
       s2.where($"o" === "Alice").count() shouldBe 0
       s2.where($"g" === "doc:/dav/contacts/bob.vcf").count() shouldBe 0
       diff.removed.where($"o" === "Bob").count() shouldBe 1
+    } finally dav.server.stop(0)
+  }
+
+  it should "round-trip a SPARQL UPDATE to the server and survive the next sync" in {
+    import graft.rdf.QuadDiff
+    import graft.streaming.{SyncBridge, Updater}
+    val dav = new FakeDav
+    try {
+      val href = "/dav/contacts/alice.vcf"
+      dav.cards(href) = ("e1", vcard("a1", "Alice", "alice@example.com"))
+      val emptyStore = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], graft.rdf.Quad.schema)
+
+      // ingest
+      val d1 = DavSync.syncAddressBook(dav.url, DavSync.DavState())
+      val (s1, _) = SyncBridge.applyDelta(emptyStore,
+        d1.fetched.map(f => (f._1, f._3)), d1.removed,
+        graft.convert.Converters.vcard(_), emptyStore, Nil)
+      val agent = s1.where($"o" === "Alice").select("s").as[String].head()
+
+      // a SPARQL-UPDATE-shaped diff on the DAV-owned graph: rename Alice
+      val g = s"doc:$href"
+      val upd = QuadDiff(
+        Seq(graft.rdf.Quad(agent, graft.convert.Converters.schemaOrg + "name",
+          "Alice Cooper", graft.rdf.Quad.LITERAL, null, null, g)).toDS().toDF(),
+        s1.where($"o" === "Alice"))
+      val res = Updater.applyUpdate(s1, upd, writableGraphs = Set(g))
+      res.store.where($"o" === "Alice Cooper" && $"g" === g).count() shouldBe 1
+
+      // write-back: the regenerated vCard is PUT with If-Match e1
+      val st2 = SyncBridge.writeBackDav(res.store, upd, dav.url, d1.state)
+      dav.putCount shouldBe 1
+      dav.rejectedPuts shouldBe 0
+      dav.cards(href)._2 should include("FN:Alice Cooper")
+      dav.cards(href)._2 should include("UID:a1")
+      dav.cards(href)._2 should include("EMAIL:alice@example.com")
+
+      // next sync round: the cursor already knows the post-PUT etag, so
+      // the engine's own write is NOT refetched — the update survived
+      val d2 = DavSync.syncAddressBook(dav.url, st2)
+      d2.fetched shouldBe empty
+      d2.removed shouldBe empty
+
+      // and a refetch-from-scratch converts back to the updated name
+      val fresh = DavSync.syncAddressBook(dav.url, DavSync.DavState())
+      val quads = graft.convert.Converters.vcard(
+        fresh.fetched.map(f => (f._1, f._3)).toDS()).toDF()
+      quads.where($"o" === "Alice Cooper").count() shouldBe 1
+
+      // a stale etag is refused by the server (lost-update protection)
+      val ex = intercept[IllegalArgumentException] {
+        SyncBridge.writeBackDav(res.store, upd, dav.url, d1.state)
+      }
+      ex.getMessage should include("412")
+      dav.rejectedPuts shouldBe 1
     } finally dav.server.stop(0)
   }
 }
