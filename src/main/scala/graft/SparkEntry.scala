@@ -1077,8 +1077,10 @@ object SparkEntry {
   private def q93_graph_mgmt(s: SparkSession, dir: String): DataFrame =
     graft.rdf.Sparql.update(TpchQuads.quads(s, dir),
       """CLEAR GRAPH <nation> ;
-        |INSERT DATA { GRAPH <nation> { <n:0> <name> "RENAMED" } }""".stripMargin)
-      .where(col("g").isin("nation", "customer"))
+        |INSERT DATA { GRAPH <nation> { <n:0> <name> "RENAMED" } } ;
+        |ADD GRAPH <nation> TO GRAPH <scratch> ;
+        |MOVE GRAPH <scratch> TO GRAPH <archive>""".stripMargin)
+      .where(col("g").isin("nation", "customer", "scratch", "archive"))
       .select(col("s"), col("p"), col("o"), col("g"))
 
   /** PII redaction (round 6): the scrubbing pass of a training-data
@@ -2112,7 +2114,10 @@ object SparkEntry {
         |UNION
         |SELECT 's:AUTOMOBILE', 'rdfs:subClassOf', 's:Any'""".stripMargin,
     // q93: after CLEAR GRAPH <nation> ; INSERT, the only nation-graph row
-    // is the inserted one; the customer graph is untouched.
+    // is the inserted one; the customer graph is untouched. ADD copies
+    // that row into <scratch> (source intact), MOVE relocates it to
+    // <archive> leaving <scratch> empty — so the extra output is exactly
+    // one archive row.
     "q93_graph_mgmt" ->
       """SELECT 'c:' || c_custkey AS s, 'name' AS p, c_name AS o,
         |  'customer' AS g FROM customer
@@ -2123,7 +2128,9 @@ object SparkEntry {
         |SELECT 'c:' || c_custkey, 'segment', c_mktsegment, 'customer'
         |FROM customer
         |UNION ALL
-        |SELECT 'n:0', 'name', 'RENAMED', 'nation'""".stripMargin,
+        |SELECT 'n:0', 'name', 'RENAMED', 'nation'
+        |UNION ALL
+        |SELECT 'n:0', 'name', 'RENAMED', 'archive'""".stripMargin,
     // q94: the same derived text, the same three regexes (Java-regex /
     // RE2 common subset), the same replacement order; counts are over the
     // ORIGINAL text.

@@ -1622,7 +1622,10 @@ object Sparql {
     * `CLEAR|DROP [SILENT] (GRAPH <g> | DEFAULT | NAMED | ALL)` (DROP ==
     * CLEAR here — graphs are implicit, there is no empty-graph catalog
     * to drop), `CREATE [SILENT] GRAPH <g>` (a no-op for the same
-    * reason), and `LOAD [SILENT] <doc> [INTO GRAPH <g>]` (N-Triples/
+    * reason), graph-to-graph transfer `COPY|MOVE|ADD [SILENT]
+    * (GRAPH <g> | DEFAULT) TO (GRAPH <g> | DEFAULT)` (reference accepts
+    * these via RDF4J prepareUpdate, `core/api/SparqlService.scala:
+    * 145-158`), and `LOAD [SILENT] <doc> [INTO GRAPH <g>]` (N-Triples/
     * N-Quads via [[graft.sources.NTriples.read]]; without INTO the
     * target graph is the document IRI — the reference's per-document
     * provenance contexts, `core/Pipeline.scala:61-93`). Multiple
@@ -1701,6 +1704,38 @@ object Sparql {
       case "CREATE" =>
         p.next(); silent(); p.expect("GRAPH"); termValue(p.next())
         QuadDiff(empty, empty) // graphs exist implicitly on first insert
+      case "COPY" | "MOVE" | "ADD" =>
+        // SPARQL 1.1 Update §3.2.3-3.2.5 graph-to-graph forms on the
+        // partitioned store: COPY dst := src (dst overwritten), MOVE
+        // additionally clears src, ADD unions src into dst. SILENT is
+        // accepted (these cannot fail here: graphs exist implicitly).
+        val op = p.next().toUpperCase
+        silent()
+        def graphRef(): String = p.peek.toUpperCase match {
+          case "DEFAULT" => p.next(); UserGraph
+          case "GRAPH" => p.next(); termValue(p.next())
+          case _ => termValue(p.next()) // bare IRI tolerated
+        }
+        val src = graphRef()
+        p.expect("TO")
+        val dst = graphRef()
+        if (src == dst) QuadDiff(empty, empty) // spec: same-graph is a no-op
+        else {
+          val srcRows = store.filter(col("g") === src)
+          val srcAsDst = srcRows.withColumn("g", lit(dst)).select(storeCols: _*)
+          val dstRows = store.filter(col("g") === dst)
+          // net form: adds exclude rows dst already holds; removals are
+          // only the dst rows the copy does not re-assert (plus, for
+          // MOVE, the whole source graph)
+          val added = dedupAdds(srcAsDst)
+          val removedDst =
+            if (op == "ADD") empty
+            else dstRows.join(srcAsDst, Seq("s", "p", "o", "g"), "left_anti")
+          val removed =
+            if (op == "MOVE") removedDst.unionByName(srcRows).select(storeCols: _*)
+            else removedDst.select(storeCols: _*)
+          QuadDiff(added, removed)
+        }
       case "LOAD" =>
         p.next(); silent()
         val src = termValue(p.next())

@@ -740,6 +740,33 @@ class SparqlSpec extends SparkSpec {
     Sparql.update(quads, "CREATE GRAPH <g9>").count() shouldBe quads.count()
   }
 
+  it should "ADD a graph into another, leaving the source intact" in {
+    val s = Sparql.update(quads, "ADD GRAPH <g2> TO GRAPH <g1>")
+    s.filter("g = 'g2'").count() shouldBe 1 // source untouched
+    s.filter("g = 'g1' and s = 'carol'").count() shouldBe 1 // landed in dst
+    s.filter("g = 'g1'").count() shouldBe 6
+    // re-ADD is idempotent (set semantics)
+    Sparql.update(s, "ADD GRAPH <g2> TO GRAPH <g1>").count() shouldBe s.count()
+  }
+
+  it should "COPY a graph over another (destination overwritten)" in {
+    val s = Sparql.update(quads, "COPY GRAPH <g2> TO GRAPH <g1>")
+    s.filter("g = 'g1'").select("s", "p", "o").as[(String, String, String)]
+      .collect().toSeq shouldBe Seq(("carol", "name", "Carol"))
+    s.filter("g = 'g2'").count() shouldBe 1 // source intact
+    // DEFAULT names the user graph on either side
+    val viaDefault = Sparql.update(quads, "COPY GRAPH <g2> TO DEFAULT")
+    viaDefault.filter("g = 'graft:user' and s = 'carol'").count() shouldBe 1
+  }
+
+  it should "MOVE a graph (destination overwritten, source cleared)" in {
+    val s = Sparql.update(quads, "MOVE SILENT GRAPH <g2> TO GRAPH <g1>")
+    s.filter("g = 'g2'").count() shouldBe 0
+    s.filter("g = 'g1'").select("s").as[String].collect().toSeq shouldBe Seq("carol")
+    // same-graph MOVE is a spec'd no-op, not a clear
+    Sparql.update(quads, "MOVE GRAPH <g2> TO GRAPH <g2>").count() shouldBe quads.count()
+  }
+
   it should "LOAD an N-Triples document, defaulting the graph to the doc IRI" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-load")
     val f = dir.resolve("doc.nt")
