@@ -216,6 +216,7 @@ object SparqlEndpoint {
             if (accept.contains("text/turtle")) streamTurtle(ex, df)
             else if (accept.contains("application/ld+json")) streamJsonLd(ex, df)
             else if (accept.contains("application/trig")) streamTrig(ex, df)
+            else if (accept.contains("application/rdf+xml")) streamRdfXml(ex, df)
             else streamNQuads(ex, df)
           case (Some(q), _) =>
             val df =
@@ -390,6 +391,21 @@ object SparqlEndpoint {
       ex.sendResponseHeaders(200, 0)
       val out = ex.getResponseBody
       graft.sources.JsonLd.writeStream(
+        sortedTermRows(df, df.orderBy(col("s"), col("p"), col("o"))),
+        s => out.write(s.getBytes(StandardCharsets.UTF_8)))
+      out.flush()
+    }
+
+    /** Graph results as RDF/XML — the legacy default of Protégé / older
+      * Jena clients (reference negotiates it via RDF4J,
+      * `SparqlService.scala:170-201`); same sorted-subject-group
+      * streaming contract as Turtle. */
+    private def streamRdfXml(ex: HttpExchange, df: DataFrame): Unit = {
+      import org.apache.spark.sql.functions.col
+      ex.getResponseHeaders.set("Content-Type", "application/rdf+xml; charset=utf-8")
+      ex.sendResponseHeaders(200, 0)
+      val out = ex.getResponseBody
+      graft.sources.RdfXml.writeStream(
         sortedTermRows(df, df.orderBy(col("s"), col("p"), col("o"))),
         s => out.write(s.getBytes(StandardCharsets.UTF_8)))
       out.flush()

@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.rdf.Quad
+
+/** RDF/XML serialization — the RDF family's legacy member, still the
+  * default of older tooling (Protégé, older Jena). The reference
+  * content-negotiates every RDF4J writer for CONSTRUCT/DESCRIBE results,
+  * RDF/XML included (`core/src/main/com/thymeflow/api/SparqlService
+  * .scala:170-201`); this provides the leg natively: a streaming,
+  * subject-grouped writer and a DOM parser (scala-xml, on the Spark
+  * classpath) for tool-authored documents.
+  *
+  * Like Turtle, RDF/XML is NOT line-splittable — the parallelism unit of
+  * [[read]] is the FILE. Property IRIs split into (namespace, NCName
+  * local) at the longest valid local-name suffix, with the namespace
+  * declared per property element — verbose but correct for any IRI whose
+  * local part is a legal NCName. Graph provenance is flattened (RDF/XML
+  * has no graph term — N-Quads/TriG keep it). */
+object RdfXml {
+
+  private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+  private def escText(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def escAttr(s: String): String =
+    escText(s).replace("\"", "&quot;")
+
+  private def ncNameStart(c: Char): Boolean = c.isLetter || c == '_'
+  private def ncNameChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == '-' || c == '.'
+
+  /** Split an IRI at the longest NCName suffix: ("http://s.org/", "name").
+    * An IRI with no legal local suffix cannot be an RDF/XML property —
+    * serialize fails loudly rather than emitting an unparseable QName. */
+  private[sources] def splitQName(iri: String): (String, String) = {
+    var i = iri.length
+    while (i > 0 && ncNameChar(iri.charAt(i - 1))) i -= 1
+    // walk forward past any leading non-start chars (digits, -, .)
+    while (i < iri.length && !ncNameStart(iri.charAt(i))) i += 1
+    require(i < iri.length, s"IRI has no NCName local part for RDF/XML: $iri")
+    (iri.substring(0, i), iri.substring(i))
+  }
+
+  /** Streaming writer: one `rdf:Description` per subject run. The input
+    * iterator MUST be grouped by subject (sorted suffices) — same
+    * contract as [[Turtle.writeStream]]. */
+  def writeStream(rows: Iterator[(String, String, String, Byte, String, String)],
+      sink: String => Unit): Unit = {
+    sink("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n")
+    sink(s"""<rdf:RDF xmlns:rdf="$RdfNs">\n""")
+    var curS: String = null
+    rows.foreach { case (s, p, o, oKind, oDt, oLang) =>
+      if (s != curS) {
+        if (curS != null) sink("  </rdf:Description>\n")
+        val about =
+          if (s.startsWith("_:")) s"""rdf:nodeID="${escAttr(s.stripPrefix("_:"))}""""
+          else s"""rdf:about="${escAttr(s)}""""
+        sink(s"  <rdf:Description $about>\n")
+        curS = s
+      }
+      val (ns, local) = splitQName(p)
+      // a prefix bound to "" is illegal XML — namespace-less predicates
+      // (test fixtures, urn fragments) emit as unprefixed local names
+      val (open, close) =
+        if (ns.isEmpty) (local, local)
+        else (s"""p:$local xmlns:p="${escAttr(ns)}"""", s"p:$local")
+      oKind match {
+        case Quad.IRI =>
+          sink(s"""    <$open rdf:resource="${escAttr(o)}"/>\n""")
+        case Quad.BNODE =>
+          sink(s"""    <$open rdf:nodeID="${escAttr(o.stripPrefix("_:"))}"/>\n""")
+        case _ =>
+          val attrs =
+            if (oLang != null && oLang.nonEmpty) s""" xml:lang="${escAttr(oLang)}""""
+            else if (oDt != null && oDt.nonEmpty && oDt != Quad.Xsd.string)
+              s""" rdf:datatype="${escAttr(oDt)}""""
+            else ""
+          sink(s"""    <$open$attrs>${escText(o)}</$close>\n""")
+      }
+    }
+    if (curS != null) sink("  </rdf:Description>\n")
+    sink("</rdf:RDF>\n")
+  }
+
+  /** Whole-document serialization (driver-side convenience / tests). */
+  def serialize(quads: Seq[Quad]): String = {
+    val sb = new StringBuilder
+    val sorted = quads.sortBy(q => (q.s, q.p, q.o))
+    writeStream(sorted.iterator.map(q => (q.s, q.p, q.o, q.oKind, q.oDt, q.oLang)),
+      s => sb.append(s))
+    sb.toString
+  }
+
+  /** Parse one RDF/XML document into quads (graph = `defaultGraph`).
+    * Supports the subset the writer emits plus the common authored
+    * forms: `rdf:Description` with `rdf:about`/`rdf:nodeID`, typed node
+    * elements (`<ex:Person rdf:about=…>` → an rdf:type quad), property
+    * elements with `rdf:resource`/`rdf:nodeID`/`rdf:datatype`/
+    * `xml:lang`/text content, and `rdf:ID` fragments against `base`. */
+  def parse(doc: String, defaultGraph: String = "graft:default",
+      base: String = ""): Seq[Quad] = {
+    val root = scala.xml.XML.loadString(doc)
+    require(root.label == "RDF" && root.namespace == RdfNs,
+      s"not an rdf:RDF document: root is {${root.namespace}}${root.label}")
+    val out = scala.collection.mutable.ListBuffer[Quad]()
+
+    def rdfAttr(n: scala.xml.Node, name: String): Option[String] =
+      n.attribute(RdfNs, name).map(_.text)
+
+    def subjectOf(n: scala.xml.Node): String =
+      rdfAttr(n, "about").getOrElse(
+        rdfAttr(n, "nodeID").map("_:" + _).getOrElse(
+          rdfAttr(n, "ID").map(id => base + "#" + id).getOrElse(
+            "_:genid" + System.identityHashCode(n))))
+
+    def nodeElement(n: scala.xml.Node): Unit = {
+      val s = subjectOf(n)
+      // typed node element: the element name IS an rdf:type
+      if (!(n.namespace == RdfNs && n.label == "Description"))
+        out += Quad(s, RdfNs + "type", Option(n.namespace).getOrElse("") + n.label,
+          Quad.IRI, null, null, defaultGraph)
+      n.child.collect { case e: scala.xml.Elem => e }.foreach { pe =>
+        val p = Option(pe.namespace).getOrElse("") + pe.label
+        rdfAttr(pe, "resource") match {
+          case Some(r) => out += Quad(s, p, r, Quad.IRI, null, null, defaultGraph)
+          case None => rdfAttr(pe, "nodeID") match {
+            case Some(b) => out += Quad(s, p, "_:" + b, Quad.BNODE, null, null, defaultGraph)
+            case None =>
+              val nested = pe.child.collect { case e: scala.xml.Elem => e }
+              if (nested.nonEmpty) {
+                // nested node element: object is its subject, recurse
+                nested.foreach { inner =>
+                  out += Quad(s, p, subjectOf(inner),
+                    if (subjectOf(inner).startsWith("_:")) Quad.BNODE else Quad.IRI,
+                    null, null, defaultGraph)
+                  nodeElement(inner)
+                }
+              } else {
+                val lang = pe.attribute("http://www.w3.org/XML/1998/namespace", "lang")
+                  .map(_.text).orNull
+                val dt = rdfAttr(pe, "datatype").orNull
+                out += Quad(s, p, pe.text, Quad.LITERAL, dt, lang, defaultGraph)
+              }
+          }
+        }
+      }
+    }
+
+    root.child.collect { case e: scala.xml.Elem => e }.foreach(nodeElement)
+    out.toSeq
+  }
+
+  /** Distributed read: one task per FILE (wholetext — not splittable),
+    * same shape as [[Turtle.read]]. */
+  def read(spark: SparkSession, path: String,
+      defaultGraph: String = "graft:default"): Dataset[Quad] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").textFile(path)
+      .flatMap(doc => parse(doc, defaultGraph))
+  }
+}

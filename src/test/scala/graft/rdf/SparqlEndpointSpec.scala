@@ -199,6 +199,22 @@ class SparqlEndpointSpec extends SparkSpec {
         Seq(("alice", "http://schema.org/knows", "bob"))
     }
 
+  it should "serve CONSTRUCT results as RDF/XML on Accept, round-tripping through an XML parser" in
+    withServer { server =>
+      val resp = get(server,
+        """CONSTRUCT { ?x <http://schema.org/knows> ?y } WHERE { ?x <knows> ?y }""",
+        accept = "application/rdf+xml")
+      resp.statusCode() shouldBe 200
+      resp.headers().firstValue("Content-Type").get() should include("application/rdf+xml")
+      // the served document is real XML: parse with scala-xml, then the
+      // RDF/XML reader maps it back to the constructed triple
+      val xml = scala.xml.XML.loadString(resp.body())
+      xml.label shouldBe "RDF"
+      val back = graft.sources.RdfXml.parse(resp.body(), "g")
+      back.map(q => (q.s, q.p, q.o)) shouldBe
+        Seq(("alice", "http://schema.org/knows", "bob"))
+    }
+
   it should "serve graph results as JSON-LD and TriG on Accept" in withServer { server =>
     val jld = get(server,
       """CONSTRUCT { ?x <http://schema.org/knows> ?y } WHERE { ?x <knows> ?y }""",
