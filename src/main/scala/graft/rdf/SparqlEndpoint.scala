@@ -58,9 +58,10 @@ object SparqlEndpoint {
     }
   }
 
-  final case class Server(http: HttpServer, ref: AtomicReference[Snapshot]) {
+  final case class Server(http: HttpServer, ref: AtomicReference[Snapshot],
+      executor: java.util.concurrent.ExecutorService) {
     def port: Int = http.getAddress.getPort
-    def stop(): Unit = http.stop(0)
+    def stop(): Unit = { http.stop(0); executor.shutdown() }
     /** Current store snapshot (reflects applied updates). */
     def store: DataFrame = ref.get.quads
     /** Swap in a new store version (live serving: wire as
@@ -74,9 +75,15 @@ object SparqlEndpoint {
     val ref = new AtomicReference[Snapshot](new Snapshot(quads))
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/sparql", new Handler(ref))
-    server.setExecutor(null) // serial — one query at a time per endpoint
+    // concurrent request pool, nproc+1 like the reference
+    // (`SparqlService.scala:37`) — a slow SELECT no longer blocks other
+    // clients. Safe because [[Snapshot]] is immutable and swaps are
+    // atomic; updates serialize on the ref (Handler.runUpdate).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      Runtime.getRuntime.availableProcessors() + 1)
+    server.setExecutor(pool)
     server.start()
-    Server(server, ref)
+    Server(server, ref, pool)
   }
 
   private def parseParams(s: String): Map[String, String] =
@@ -240,17 +247,22 @@ object SparqlEndpoint {
       } finally ex.close()
 
     private def runUpdate(ex: HttpExchange, updateText: String): Unit = {
-      val diff =
-        try Sparql.updateDiff(ref.get.quads, updateText)
-        catch {
-          case e: Exception =>
-            respond(ex, 400, "text/plain", s"malformed update: ${e.getMessage}")
-            return
-        }
-      // materialize the new snapshot's diff inputs before swapping so a
-      // later update's WHERE doesn't re-evaluate a deep applyDiff chain
-      ref.set(new Snapshot(QuadStore.applyDiff(ref.get.quads, diff).localCheckpoint()))
-      respond(ex, 200, "text/plain", "")
+      // updates serialize on the snapshot ref: with the concurrent
+      // request pool, two read-modify-swap updates racing would lose one
+      val ok = ref.synchronized {
+        val diff =
+          try Sparql.updateDiff(ref.get.quads, updateText)
+          catch {
+            case e: Exception =>
+              respond(ex, 400, "text/plain", s"malformed update: ${e.getMessage}")
+              return
+          }
+        // materialize the new snapshot's diff inputs before swapping so a
+        // later update's WHERE doesn't re-evaluate a deep applyDiff chain
+        ref.set(new Snapshot(QuadStore.applyDiff(ref.get.quads, diff).localCheckpoint()))
+        true
+      }
+      if (ok) respond(ex, 200, "text/plain", "")
     }
 
     private def respond(ex: HttpExchange, code: Int, ct: String, body: String): Unit = {

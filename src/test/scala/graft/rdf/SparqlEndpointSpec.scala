@@ -199,6 +199,40 @@ class SparqlEndpointSpec extends SparkSpec {
         Seq(("alice", "http://schema.org/knows", "bob"))
     }
 
+  it should "serve overlapping requests concurrently (nproc+1 pool)" in {
+    import spark.implicits._
+    // a store whose every scan sleeps: any query holds its worker for
+    // ~400 ms, so two requests overlapping in time proves the executor
+    // is a pool, not the old serial setExecutor(null)
+    SparqlEndpointSpec.concurrent.set(0)
+    SparqlEndpointSpec.maxConcurrent.set(0)
+    val slow = quads.as[(String, String, String, Byte, String, String, String)]
+      .mapPartitions { it =>
+        val now = SparqlEndpointSpec.concurrent.incrementAndGet()
+        SparqlEndpointSpec.maxConcurrent.accumulateAndGet(now, math.max)
+        Thread.sleep(400)
+        SparqlEndpointSpec.concurrent.decrementAndGet()
+        it
+      }.toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+      .coalesce(1) // one partition -> one sleep per scan
+    val server = SparqlEndpoint.start(slow)
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val q = "SELECT ?x WHERE { ?x <name> ?n }"
+      val f1 = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = get(server, q).statusCode()
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = get(server, q).statusCode()
+      })
+      f1.get() shouldBe 200
+      f2.get() shouldBe 200
+      // both scans were in their sleep window at the same moment
+      SparqlEndpointSpec.maxConcurrent.get() should be >= 2
+      pool.shutdown()
+    } finally server.stop()
+  }
+
   it should "serve CONSTRUCT results as RDF/XML on Accept, round-tripping through an XML parser" in
     withServer { server =>
       val resp = get(server,
@@ -273,4 +307,11 @@ class SparqlEndpointSpec extends SparkSpec {
       resp.body() should include("UnionDefaultGraph")
       resp.body() should include("SPARQL11Update")
     }
+}
+
+/** Cross-thread scan-concurrency probe for the pool test (local mode:
+  * executor threads share the JVM, so statics are visible). */
+object SparqlEndpointSpec {
+  val concurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+  val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger(0)
 }
