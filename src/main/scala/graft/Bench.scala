@@ -21,6 +21,9 @@ object Bench {
     val spark = GraftSession.builder("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    val loadAtStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
     // warm up the JVM/codegen paths once with the smallest query
     try SparkEntry.queries("q01_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
@@ -51,8 +54,14 @@ object Bench {
 
     val total = cold.map(_._2).sum
     val totalRepeat = repeat.map(_._2).sum
+    // ambient host load (1-min avg at start and end of the run): cold
+    // numbers on a shared host track this — recorded so round-over-round
+    // comparisons can separate real regressions from load noise (see
+    // BENCH_NOTES.md)
+    val loadAtEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(cold)},"total_repeat":$totalRepeat%.3f,"queries_repeat":${jmap(repeat)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(cold)},"total_repeat":$totalRepeat%.3f,"queries_repeat":${jmap(repeat)},"load_avg_start":$loadAtStart%.2f,"load_avg_end":$loadAtEnd%.2f,"cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir"}"""
     println(json)
     // subset runs never clobber the committed full-run artifact
     if (only.isEmpty)

@@ -43,15 +43,18 @@ object Dedup {
 
   /** Distinct word-shingle sets per doc, the shared substrate of the
     * Jaccard-family dedupers. Native path: one codegen'd pass per row, no
-    * barriers. Fallback: HOF formulation + checkpoints (see class doc). */
+    * barriers. Fallback: HOF formulation + checkpoints (see class doc).
+    * Input widening is byte-gated ([[graft.plans.Widen]]): narrow inputs
+    * spread to 2× parallelism, corpus-scale inputs keep their scan
+    * partitioning instead of paying a full-corpus shuffle. */
   private[dedup] def shingled(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     if (haveFn(df, "word_shingles"))
-      df.repartition(par(df))
+      graft.plans.Widen(df, factor = 2)
         .select(col(idCol).as("id"),
           call_function("word_shingles", col(textCol), lit(k)).as("shingles"))
         .where(size(col("shingles")) > 0)
     else
-      df.repartition(par(df))
+      graft.plans.Widen(df, factor = 2)
         .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
         // checkpoint so the token array is materialized once: CollapseProject
         // would otherwise re-inline tokens() into every shingle-lambda element
@@ -296,13 +299,13 @@ object Dedup {
         // fingerprint computed once, checkpointed as tiny (id, fp) rows;
         // both self-join sides read the blocks (ReuseExchange does NOT
         // dedup the re-aliased self-join exchanges — see minhashLshPairs)
-        df.repartition(par(df))
+        graft.plans.Widen(df, factor = 2)
           .select(col(idCol).as("id"),
             call_function("simhash64",
               call_function("xxhash64_tokens", lower(col(textCol)))).as("fp"))
           .localCheckpoint()
       else {
-        val hashes = df.repartition(par(df))
+        val hashes = graft.plans.Widen(df, factor = 2)
           .select(col(idCol).as("id"),
             transform(TextAnalysis.tokens(lower(col(textCol))), t => xxhash64(t)).as("__hashes"))
           .localCheckpoint()
@@ -332,14 +335,14 @@ object Dedup {
     require(c > maxHamming, s"need more chunks ($c) than maxHamming ($maxHamming)")
     val s =
       if (haveFn(df, "simhash_md5"))
-        df.repartition(par(df))
+        graft.plans.Widen(df, factor = 2)
           .select(col(idCol).as("id"),
             call_function("simhash_md5", lower(col(textCol))).as("fp"))
           .localCheckpoint()
       else {
         // column fallback: conv(substr(md5(tok), 1, 15), 16, 10) is the
         // same 60-bit value the native expression extracts byte-wise
-        val hashes = df.repartition(par(df))
+        val hashes = graft.plans.Widen(df, factor = 2)
           .select(col(idCol).as("id"),
             transform(TextAnalysis.tokens(lower(col(textCol))),
               t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("__hashes"))

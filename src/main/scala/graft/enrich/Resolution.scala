@@ -30,20 +30,9 @@ object Resolution {
       .select(col(idCol).as("s1"), col(s"__$idCol").as("s2"))
   }
 
-  /** Widen a NARROW input before a CPU-heavy map pass. A small table
-    * often arrives as one unsplittable parquet row group, so the regex
-    * tokenize would run as a single task (and pay its whole interpreted/
-    * JIT warmup serially — the q30/q28 cold-time profile). Byte-gated on
-    * optimizer stats (never triggers a job): inputs above the threshold
-    * already split across many files/row groups at scan time, so at
-    * cluster scale this is a no-op and no full-corpus shuffle is added. */
-  private val WidenBytes = 1L << 28 // 256 MB
-  private[graft] def widen(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < WidenBytes)
-      df.repartition(p)
-    else df
-  }
+  /** Widen a NARROW input before the CPU-heavy tokenize pass — see
+    * [[graft.plans.Widen]] (byte-gated: a no-op at cluster scale). */
+  private[graft] def widen(df: DataFrame): DataFrame = graft.plans.Widen(df)
 
   /** The tokenize subtree: a regex pass over the (widened) corpus,
     * shuffled by token. Consumers (document-frequency counts, the

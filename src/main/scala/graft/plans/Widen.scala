@@ -1,0 +1,30 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Byte-gated input widening for CPU-heavy map passes.
+  *
+  * A small table often arrives as ONE unsplittable parquet row group, so
+  * a regex tokenize / shingle pass over it runs as a single task and
+  * pays its whole interpreted-then-JIT warmup serially (the round-7
+  * q30/q28 cold-time profile). Conversely, unconditionally
+  * repartitioning before such a pass is a full-corpus shuffle at real
+  * scale, where the scan already splits into thousands of partitions.
+  *
+  * This helper resolves the tension with optimizer statistics (never
+  * triggers a job): inputs under [[DefaultMaxBytes]] round-robin to
+  * `factor × defaultParallelism` partitions; larger inputs pass through
+  * untouched and rely on scan-time splitting. */
+object Widen {
+
+  /** Above this the scan's natural parallelism is assumed sufficient. */
+  val DefaultMaxBytes: Long = 1L << 28 // 256 MB
+
+  def apply(df: DataFrame, factor: Int = 1,
+      maxBytes: Long = DefaultMaxBytes): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism * factor
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < maxBytes)
+      df.repartition(p)
+    else df
+  }
+}
