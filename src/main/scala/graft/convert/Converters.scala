@@ -248,6 +248,28 @@ object Converters {
   private def dtQuad(s: String, p: String, o: String, g: String): Quad =
     Quad(s, p, o, Quad.LITERAL, Quad.Xsd.dateTime, null, g)
 
+  /** RFC 5545 §3.3.11 / RFC 6350 §3.4 TEXT unescape, single
+    * left-to-right pass: `\\`, `\;`, `\,`, `\n`/`\N`. Applied at
+    * point-of-use on display values (never on structured values like N,
+    * whose `;` separators must split FIRST). The write-back serializers
+    * ([[VcardWrite]], [[IcalWrite]]) escape symmetrically. */
+  private[convert] def unescapeText(v: String): String = {
+    val n = v.length
+    val sb = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        v.charAt(i + 1) match {
+          case 'n' | 'N' => sb.append('\n')
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** (docId, icsText) → Event/Place quads per VEVENT. TZID-parameterized
     * date-times are normalized to UTC xsd:dateTime; an RRULE expands to
     * its instances (bounded horizon), each a full Event keyed by
@@ -277,8 +299,15 @@ object Converters {
         def instanceQuads(ev: String, start: Option[ZonedDateTime]): Seq[Quad] = {
           val base = Seq(
             Some(quad(ev, "rdf:type", schemaOrg + "Event", Quad.IRI, g)),
-            firstVal("SUMMARY").map(s => quad(ev, schemaOrg + "name", s, Quad.LITERAL, g)),
-            firstVal("DESCRIPTION").map(s => quad(ev, schemaOrg + "description", s, Quad.LITERAL, g)),
+            // UID rides along so the write-back serializer ([[IcalWrite]])
+            // can regenerate a stable VEVENT identity (base instances
+            // only — recurrence expansions are derived data)
+            (if (ev == Iri.entity("event", uid))
+              Some(quad(ev, "personal:uid", uid, Quad.LITERAL, g)) else None),
+            firstVal("SUMMARY").map(s =>
+              quad(ev, schemaOrg + "name", unescapeText(s), Quad.LITERAL, g)),
+            firstVal("DESCRIPTION").map(s =>
+              quad(ev, schemaOrg + "description", unescapeText(s), Quad.LITERAL, g)),
             start.map(s0 => dtQuad(ev, schemaOrg + "startDate", fmtInstant(s0), g))
               .orElse(firstVal("DTSTART").map(s =>
                 quad(ev, schemaOrg + "startDate", s, Quad.LITERAL, g))),
@@ -288,7 +317,7 @@ object Converters {
               case _ => firstVal("DTEND").map(e =>
                 quad(ev, schemaOrg + "endDate", e, Quad.LITERAL, g))
             }).flatten
-          val loc = firstVal("LOCATION").toSeq.flatMap { l =>
+          val loc = firstVal("LOCATION").map(unescapeText).toSeq.flatMap { l =>
             val place = Iri.entity("place", l)
             Seq(quad(ev, schemaOrg + "location", place, Quad.IRI, g),
               quad(place, "rdf:type", schemaOrg + "Place", Quad.IRI, g),
@@ -308,7 +337,10 @@ object Converters {
                 val pred = if (name == "ORGANIZER") schemaOrg + "organizer"
                            else schemaOrg + "attendee"
                 Seq(quad(ev, pred, agent, Quad.IRI, g),
-                  quad(agent, "rdf:type", "personal:Agent", Quad.IRI, g)) ++
+                  quad(agent, "rdf:type", "personal:Agent", Quad.IRI, g),
+                  // the address itself, so write-back can regenerate the
+                  // ORGANIZER/ATTENDEE lines (vCard conversion keeps it too)
+                  quad(agent, schemaOrg + "email", s"mailto:$l@$d", Quad.IRI, g)) ++
                   params.get("CN").map(cn => quad(agent, schemaOrg + "name", cn, Quad.LITERAL, g))
               }
             }
@@ -385,11 +417,15 @@ object Converters {
           // UID rides along as a quad so the write-back serializer
           // ([[VcardWrite]]) can regenerate a stable vCard identity
           firstVal("UID").map(v => quad(agent, "personal:uid", v, Quad.LITERAL, g)),
-          firstVal("FN").map(v => quad(agent, schemaOrg + "name", v, Quad.LITERAL, g)),
-          firstVal("ORG").map(v => quad(agent, schemaOrg + "worksFor", v, Quad.LITERAL, g)),
+          firstVal("FN").map(v =>
+            quad(agent, schemaOrg + "name", unescapeText(v), Quad.LITERAL, g)),
+          firstVal("ORG").map(v =>
+            quad(agent, schemaOrg + "worksFor", unescapeText(v), Quad.LITERAL, g)),
           firstVal("BDAY").map(v => quad(agent, schemaOrg + "birthDate", v, Quad.LITERAL, g))).flatten
         val n = firstVal("N").toSeq.flatMap { v =>
-          val parts = v.split(";", -1)
+          // structural ';' split FIRST (escaped \; survives it), then
+          // TEXT-unescape each component
+          val parts = v.split("(?<!\\\\);", -1).map(unescapeText)
           val family = parts.lift(0).filter(_.nonEmpty)
           val given = parts.lift(1).filter(_.nonEmpty)
           family.map(f => quad(agent, schemaOrg + "familyName", f, Quad.LITERAL, g)).toSeq ++

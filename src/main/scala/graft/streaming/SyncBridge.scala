@@ -58,7 +58,9 @@ object SyncBridge {
       diff: QuadDiff,
       collectionUrl: String,
       state: graft.sources.DavSync.DavState,
-      client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient())
+      client: java.net.http.HttpClient = java.net.http.HttpClient.newHttpClient(),
+      serialize: Seq[Quad] => String = graft.convert.VcardWrite.fromQuads,
+      contentType: String = "text/vcard")
       : graft.sources.DavSync.DavState = {
     val spark = store.sparkSession
     import spark.implicits._
@@ -70,10 +72,10 @@ object SyncBridge {
       .sorted
     touched.foldLeft(state) { (st, href) =>
       val quads = store.where(col("g") === s"doc:$href").as[Quad].collect().toSeq
-      val body = graft.convert.VcardWrite.fromQuads(quads)
+      val body = serialize(quads)
       val url = java.net.URI.create(collectionUrl).resolve(href).toString
       val newEtag = graft.sources.DavSync.put(url, body, st.etags.get(href),
-        client = client)
+        contentType = contentType, client = client)
       newEtag match {
         case Some(e) => st.copy(etags = st.etags + (href -> e))
         // no etag in the PUT response: drop the stale one so the next
