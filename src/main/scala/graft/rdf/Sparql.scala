@@ -1749,6 +1749,10 @@ object Sparql {
           (if (path.endsWith(".ttl") || path.endsWith(".turtle") ||
               path.endsWith(".trig")) // TriG: per-block graphs survive
             graft.sources.Turtle.read(spark, path, defaultG)
+          else if (path.endsWith(".jsonld")) // named-graph nodes survive
+            graft.sources.JsonLd.read(spark, path, defaultG)
+          else if (path.endsWith(".rdf") || path.endsWith(".owl"))
+            graft.sources.RdfXml.read(spark, path, defaultG)
           else graft.sources.NTriples.read(spark, path, defaultG)).toDF()
         val placed = target match {
           case Some(t) => loaded.withColumn("g", lit(t)) // INTO overrides embedded graphs

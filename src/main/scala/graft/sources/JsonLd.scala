@@ -83,4 +83,131 @@ object JsonLd {
       s => sb.append(s))
     sb.toString
   }
+
+  /** Parse a JSON-LD document into quads — the inverse leg that lets
+    * LOAD and the file reader accept `.jsonld` (the reference parses it
+    * via RDF4J Rio like every other format). Covers the expanded/flat
+    * subset [[writeStream]] emits plus the common authored forms:
+    * top-level `@graph` array / bare array / single node object;
+    * `@type` as string or array; predicate values as arrays, value
+    * objects (`@value` + `@language`/`@type`), bare JSON scalars
+    * (string/number/boolean → plain/xsd-typed literals, same canonical
+    * datatypes as the Turtle reader), nested node objects (edge +
+    * recurse, fresh `_:jb…` label when `@id` is absent); named-graph
+    * nodes (`@id` + inner `@graph`); a simple `@context` of string
+    * prefix/term mappings (compact IRIs expand — full context
+    * processing, `@list` and `@container` are out of scope and fail
+    * loudly rather than mis-parse). */
+  def parse(doc: String, defaultGraph: String = "graft:default"): Seq[Quad] = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(doc)
+    val out = scala.collection.mutable.ListBuffer[Quad]()
+    var bnodeN = 0
+    def freshB(): String = { bnodeN += 1; "_:jb" + bnodeN }
+
+    def asSeq(n: JsonNode): Seq[JsonNode] =
+      if (n.isArray) (0 until n.size).map(n.get) else Seq(n)
+
+    def ctxOf(n: JsonNode): Map[String, String] = {
+      val c = n.get("@context")
+      if (c == null || !c.isObject) Map.empty
+      else {
+        val it = c.properties().iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isTextual) b += e.getKey -> e.getValue.asText
+        }
+        b.result()
+      }
+    }
+
+    def expand(term: String, ctx: Map[String, String]): String =
+      ctx.get(term) match {
+        case Some(iri) => iri
+        case None =>
+          val i = term.indexOf(':')
+          if (i > 0 && ctx.contains(term.substring(0, i)))
+            ctx(term.substring(0, i)) + term.substring(i + 1)
+          else term
+      }
+
+    def kindOf(id: String): Byte = if (id.startsWith("_:")) Quad.BNODE else Quad.IRI
+
+    // one node object → quads; returns the node's subject term
+    def node(n: JsonNode, g: String, ctx: Map[String, String]): String = {
+      require(n.isObject, s"JSON-LD node must be an object, got: $n")
+      val s = Option(n.get("@id")).map(v => expand(v.asText, ctx)).getOrElse(freshB())
+      val fields = n.properties().iterator()
+      while (fields.hasNext) {
+        val e = fields.next()
+        e.getKey match {
+          case "@id" | "@context" => ()
+          case "@graph" => // named-graph node: members land in graph s
+            asSeq(e.getValue).foreach(m => node(m, s, ctx))
+          case "@type" =>
+            asSeq(e.getValue).foreach(t =>
+              out += Quad(s, RdfType, expand(t.asText, ctx), Quad.IRI, null, null, g))
+          case "@list" | "@container" | "@reverse" =>
+            throw new IllegalArgumentException(s"JSON-LD ${e.getKey} not supported")
+          case key =>
+            val p = expand(key, ctx)
+            asSeq(e.getValue).foreach { v =>
+              if (v.isObject && v.has("@list"))
+                throw new IllegalArgumentException("JSON-LD @list not supported")
+              else if (v.isObject && v.has("@value")) {
+                val value = v.get("@value")
+                val (text, dt0) =
+                  if (value.isTextual) (value.asText, null: String)
+                  else if (value.isBoolean) (value.asText, Quad.Xsd.boolean)
+                  else if (value.isIntegralNumber) (value.asText, Quad.Xsd.long)
+                  else (value.asText, Quad.Xsd.double)
+                val lang = Option(v.get("@language")).map(_.asText).orNull
+                val dt = Option(v.get("@type")).map(t => expand(t.asText, ctx))
+                  .getOrElse(dt0)
+                out += Quad(s, p, text, Quad.LITERAL,
+                  if (lang != null) null else dt, lang, g)
+              } else if (v.isObject && v.has("@id") && v.size <= 1) {
+                val o = expand(v.get("@id").asText, ctx)
+                out += Quad(s, p, o, kindOf(o), null, null, g)
+              } else if (v.isObject) { // nested node object: edge + recurse
+                val o = node(v, g, ctx)
+                out += Quad(s, p, o, kindOf(o), null, null, g)
+              } else if (v.isTextual)
+                out += Quad(s, p, v.asText, Quad.LITERAL, null, null, g)
+              else if (v.isBoolean)
+                out += Quad(s, p, v.asText, Quad.LITERAL, Quad.Xsd.boolean, null, g)
+              else if (v.isIntegralNumber)
+                out += Quad(s, p, v.asText, Quad.LITERAL, Quad.Xsd.long, null, g)
+              else if (v.isNumber)
+                out += Quad(s, p, v.asText, Quad.LITERAL, Quad.Xsd.double, null, g)
+              else require(v.isNull, s"unsupported JSON-LD value: $v")
+            }
+        }
+      }
+      s
+    }
+
+    val ctx = ctxOf(root)
+    val tops =
+      if (root.isArray) asSeq(root)
+      else if (root.has("@graph")) asSeq(root.get("@graph"))
+      else Seq(root)
+    tops.foreach { t =>
+      // a top-level node whose only content is @id + @graph is a named
+      // graph; node() handles both that and plain nodes
+      node(t, defaultGraph, ctx)
+    }
+    out.toSeq
+  }
+
+  /** Distributed read: one task per FILE (JSON-LD documents are not
+    * line-splittable), same shape as [[Turtle.read]]/[[RdfXml.read]]. */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String,
+      defaultGraph: String = "graft:default")
+      : org.apache.spark.sql.Dataset[Quad] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").textFile(path)
+      .flatMap(doc => parse(doc, defaultGraph))
+  }
 }

@@ -22,11 +22,16 @@ object RdfXml {
 
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
+  // CR must be a character reference: XML parsers normalize literal
+  // CR/CRLF in content to LF (XML 1.0 §2.11), which would corrupt
+  // round-tripped literals
   private def escText(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\r", "&#13;")
 
+  // attribute-value normalization additionally folds TAB/LF to spaces
   private def escAttr(s: String): String =
-    escText(s).replace("\"", "&quot;")
+    escText(s).replace("\"", "&quot;").replace("\n", "&#10;").replace("\t", "&#9;")
 
   private def ncNameStart(c: Char): Boolean = c.isLetter || c == '_'
   private def ncNameChar(c: Char): Boolean =

@@ -46,6 +46,83 @@ class JsonLdSpec extends SparkSpec {
       Set("http://ex.org/alice", "http://ex.org/bob")
   }
 
+  "JsonLd.parse" should "round-trip the writer's expanded-flat output" in {
+    JsonLd.parse(JsonLd.serialize(quads), "g").toSet shouldBe quads.toSet
+  }
+
+  it should "parse authored compact form: context prefixes, bare scalars, nested nodes" in {
+    val doc =
+      """{"@context":{"schema":"http://schema.org/","name":"http://schema.org/name"},
+        | "@id":"http://ex.org/alice",
+        | "@type":"schema:Person",
+        | "name":"Alice",
+        | "schema:age":41,
+        | "schema:height":1.7,
+        | "schema:active":true,
+        | "schema:knows":{"@id":"http://ex.org/bob","name":"Bob"}}""".stripMargin
+    val got = JsonLd.parse(doc, "g").toSet
+    got should contain(Quad("http://ex.org/alice",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+      "http://schema.org/Person", Quad.IRI, null, null, "g"))
+    got should contain(Quad("http://ex.org/alice", "http://schema.org/name",
+      "Alice", Quad.LITERAL, null, null, "g"))
+    got should contain(Quad("http://ex.org/alice", "http://schema.org/age",
+      "41", Quad.LITERAL, Quad.Xsd.long, null, "g"))
+    got should contain(Quad("http://ex.org/alice", "http://schema.org/height",
+      "1.7", Quad.LITERAL, Quad.Xsd.double, null, "g"))
+    got should contain(Quad("http://ex.org/alice", "http://schema.org/active",
+      "true", Quad.LITERAL, Quad.Xsd.boolean, null, "g"))
+    // nested node: edge + the nested node's own property
+    got should contain(Quad("http://ex.org/alice", "http://schema.org/knows",
+      "http://ex.org/bob", Quad.IRI, null, null, "g"))
+    got should contain(Quad("http://ex.org/bob", "http://schema.org/name",
+      "Bob", Quad.LITERAL, null, null, "g"))
+  }
+
+  it should "mint fresh blank nodes for id-less nested nodes" in {
+    val doc =
+      """{"@id":"http://ex.org/a","http://ex.org/p":
+        | {"http://schema.org/name":"anon"}}""".stripMargin
+    val got = JsonLd.parse(doc, "g")
+    val edge = got.find(_.p == "http://ex.org/p").get
+    edge.oKind shouldBe Quad.BNODE
+    got should contain(Quad(edge.o, "http://schema.org/name", "anon",
+      Quad.LITERAL, null, null, "g"))
+  }
+
+  it should "land named-graph nodes in their graph" in {
+    val doc =
+      """{"@graph":[
+        | {"@id":"http://ex.org/g1","@graph":[
+        |   {"@id":"http://ex.org/a","http://schema.org/name":"in-g1"}]},
+        | {"@id":"http://ex.org/b","http://schema.org/name":"in-default"}]}""".stripMargin
+    val got = JsonLd.parse(doc, "dg").toSet
+    got should contain(Quad("http://ex.org/a", "http://schema.org/name",
+      "in-g1", Quad.LITERAL, null, null, "http://ex.org/g1"))
+    got should contain(Quad("http://ex.org/b", "http://schema.org/name",
+      "in-default", Quad.LITERAL, null, null, "dg"))
+  }
+
+  it should "fail loudly on @list rather than mis-parse" in {
+    val doc = """{"@id":"http://ex.org/a","http://ex.org/p":{"@list":["x"]}}"""
+    an[IllegalArgumentException] should be thrownBy JsonLd.parse(doc, "g")
+  }
+
+  it should "read distributed and feed SPARQL LOAD by extension" in {
+    val dir = java.nio.file.Files.createTempDirectory("jsonld").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "a.jsonld").toPath,
+        JsonLd.serialize(quads.take(2)).getBytes("UTF-8"))
+      java.nio.file.Files.write(new java.io.File(dir, "b.jsonld").toPath,
+        JsonLd.serialize(quads.drop(4)).getBytes("UTF-8"))
+      val got = JsonLd.read(spark, dir.getAbsolutePath + "/*.jsonld", "g")
+      got.count() shouldBe 4
+      got.collect().toSet shouldBe (quads.take(2) ++ quads.drop(4)).toSet
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete()
+    }
+  }
+
   "TriG" should "round-trip through Turtle.parse with graphs intact" in {
     val trigQuads = (quads.take(2).map(_.copy(g = "http://ex.org/g1")) ++
       quads.drop(4).map(_.copy(g = "http://ex.org/g2"))).toSet
