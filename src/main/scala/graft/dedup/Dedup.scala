@@ -410,10 +410,23 @@ object Dedup {
     * paper uses single-node. */
   def spanDuplication(df: DataFrame, textCol: String, idCol: String, w: Int,
       hashWindows: Boolean = true): DataFrame = {
-    val s = shingled(df, textCol, idCol, w)
-    val wins = s.select(col("id"), explode(col("shingles")).as("win"))
-      .select(col("id"),
-        (if (hashWindows) xxhash64(col("win")) else col("win")).as("wkey"))
+    // hashWindows fast path: the window key is 100% equality-only, so the
+    // native expression folds per-token hashes positionally and the
+    // window string is NEVER built — the scan emits array<long> straight
+    // into the explode (the string plan materialized ~w*avgTokenLen
+    // bytes per window before hashing them away)
+    val wins =
+      if (hashWindows && haveFn(df, "word_window_hashes"))
+        graft.plans.Widen(df, factor = 2)
+          .select(col(idCol).as("id"),
+            explode(call_function("word_window_hashes", col(textCol), lit(w)))
+              .as("wkey"))
+      else {
+        val s = shingled(df, textCol, idCol, w)
+        s.select(col("id"), explode(col("shingles")).as("win"))
+          .select(col("id"),
+            (if (hashWindows) xxhash64(col("win")) else col("win")).as("wkey"))
+      }
     // Single-consumer pipeline: the per-window doc count is a COUNT
     // window over the wkey partition, so (id, wkey) flows through ONE
     // scan+shingle pass, one wkey shuffle (plus the cheap 8-byte-key

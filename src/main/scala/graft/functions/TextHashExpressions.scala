@@ -76,6 +76,46 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Distinct 64-bit hashes of each word-k-window — the same window set
+    * as [[wordShingles]] (indices 0..max(n-k, 0), shorter at the tail,
+    * first-occurrence distinct) but the window NEVER exists as a string:
+    * per-token xxhash64 values are folded positionally (rotate-xor-mult
+    * chain, so "a b" and "b a" differ), one pass, longs only. Two
+    * windows collide iff the 64-bit folds collide (~(#windows)^2/2^64,
+    * the same class as hashing the joined string), which is the
+    * documented contract of the span-dedup hashWindows path. */
+  def wordWindowHashes(text: UTF8String, k: Int): ArrayData = {
+    val toks = splitTokens(text)
+    val n = toks.length
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), 42L)
+      i += 1
+    }
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val last = math.max(n - k, 0)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= last) {
+      val end = math.min(i + k, n)
+      var h = 0x27d4eb2f165667c5L
+      var j = i
+      while (j < end) {
+        h = java.lang.Long.rotateLeft(h ^ th(j), 27) * -7046029254386353131L +
+          0x165667b19e3779f9L
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next().longValue(); p += 1 }
+    new GenericArrayData(out)
+  }
+
   /** SimHash combinatorial blocking keys (see
     * [[graft.dedup.Dedup.simhashPairs]]): one xxhash64-chained key per
     * (chunks - maxHamming)-subset of fingerprint chunks, bit-identical to
@@ -210,6 +250,27 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
     TextHash.wordShingles(input.asInstanceOf[UTF8String], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `word_window_hashes(text, k)` → array<bigint>: distinct positional
+  * hashes of each word-k-window, no window-string materialization. */
+case class WordWindowHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"window size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_window_hashes needs string, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.wordWindowHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.wordWindowHashes($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.WordShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("word_window_hashes"),
+      new ExpressionInfo(classOf[graft.functions.WordWindowHashes].getName,
+        "word_window_hashes"),
+      (exprs: Seq[Expression]) => graft.functions.WordWindowHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "minhash_sigs"),
       (exprs: Seq[Expression]) => graft.functions.MinHashSigs(exprs(0),
