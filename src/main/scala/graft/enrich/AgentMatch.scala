@@ -55,6 +55,18 @@ object AgentMatch {
       .groupBy("id")
       .agg(collect_list(col("tok")).as("toks"), collect_list(col("idf")).as("ws"))
     val candidates = Resolution.pairsFromBlocks(toksFlat, rareTokens, maxBlockSize)
+    // The (id → aligned token/weight arrays) side is ~input-sized, so on
+    // small-to-medium corpora broadcast it: both candidate joins become
+    // BroadcastHashJoins and the candidate stream flows from its
+    // (id1, id2) aggregation straight into scoring with no further
+    // exchange or sort. Byte-gated on the INPUT's optimizer stats (the
+    // aggregated side has no reliable estimate) — past the gate the plan
+    // falls back to the shuffled sort-merge joins, which is the 100 TB
+    // shape.
+    val toksSized =
+      if (records.queryExecution.optimizedPlan.stats.sizeInBytes < (1L << 26))
+        broadcast(toks)
+      else toks
     // Scoring is the one CPU-bound per-row stage of the pipeline, so it
     // runs as the native soft_tfidf expression ([[SoftTfIdfScore]] —
     // reads ArrayData directly, no per-row converter boxing) pinned
@@ -63,8 +75,8 @@ object AgentMatch {
     // placed any lower would serialize on them. One cheap shuffle of
     // (ids + token arrays) buys a full-width scoring stage.
     candidates
-      .join(toks.select(col("id").as("id1"), col("toks").as("t1"), col("ws").as("w1")), "id1")
-      .join(toks.select(col("id").as("id2"), col("toks").as("t2"), col("ws").as("w2")), "id2")
+      .join(toksSized.select(col("id").as("id1"), col("toks").as("t1"), col("ws").as("w1")), "id1")
+      .join(toksSized.select(col("id").as("id2"), col("toks").as("t2"), col("ws").as("w2")), "id2")
       .repartition(records.sparkSession.sparkContext.defaultParallelism)
       .withColumn("score", call_function("soft_tfidf",
         col("t1"), col("w1"), col("t2"), col("w2"),

@@ -258,6 +258,7 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   * hashes of each word-k-window, no window-string materialization. */
 case class WordWindowHashes(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, s"window size must be >= 1, got $k")
+  override def prettyName: String = "word_window_hashes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

@@ -64,5 +64,21 @@ class PlanSpec extends SparkSpec {
     p should include("Window")
     p should not include "SortMergeJoin"
     p should not include "BroadcastHashJoin"
+    // round 7: the hashWindows path folds window hashes natively — no
+    // window string is ever built, so no xxhash64-of-string projection
+    p should include("word_window_hashes")
+    p should not include "wordshingles" // WordShingles' default prettyName
+  }
+
+  // round 7: below the byte gate the (id → token/weight arrays) side is
+  // broadcast, so BOTH candidate joins are BroadcastHashJoins and the
+  // candidate stream never re-sorts; past the gate (forced by shrinking
+  // the threshold via a records-side union... not simulable without big
+  // data, so the fallback is covered by construction: the same call with
+  // the gate disabled) the joins degrade to the shuffled form.
+  "q41 agent match" should "broadcast the token-array side on small inputs" in {
+    val p = plan("q41_agent_match")
+    "BroadcastHashJoin".r.findAllIn(p).size should be >= 2
+    p should not include "SortMergeJoin"
   }
 }
