@@ -1157,6 +1157,61 @@ object SparkEntry {
     graft.rdf.Sparql.select(TpchQuads.quads(s, dir),
       "SELECT ?o ?n WHERE { ?o (<cust>/<nation>)+ ?n }")
 
+  /** S10 end-to-end: chain EVERY serializer/parser pair — TriG → Turtle →
+    * JSON-LD → RDF/XML — over real table-derived quads, per partition,
+    * inside the distributed query; the oracle is the IDENTITY on the
+    * source table, so any escaping, typing, or lang-tag bug in any of the
+    * four round-trip legs lands as a red hash every round (this family is
+    * where the round-6 advisor found its only corruption bugs). Each
+    * document contributes a plain literal (text decorated with one
+    * instance of every escape-sensitive class: quote, backslash, CR, LF,
+    * TAB, angle brackets, ampersand, non-ASCII — stripped
+    * after the chain, so a broken escaper corrupts the value and fails
+    * the compare), an xsd:long, and a language-tagged literal. Other C0
+    * controls are excluded by construction: XML 1.0 has NO representation
+    * for them (not even character references), so the RDF/XML writer
+    * rejects them loudly rather than emit a document no parser accepts. */
+  private def q98_rdf_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.rdf.Quad
+    import graft.sources.{JsonLd, RdfXml, Turtle}
+    val deco = "\"\\\r\n\t<>&é中 "
+    val quads = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"), col("source"), col("lang"))
+      .as[(Long, String, Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, text, nChars, src, lang) =>
+        val su = s"urn:doc:$id"
+        val g = "urn:g:docs"
+        Seq(
+          Quad(su, "urn:p:text", deco + text, Quad.LITERAL, null, null, g),
+          Quad(su, "urn:p:chars", nChars.toString, Quad.LITERAL, Quad.Xsd.long, null, g),
+          Quad(su, "urn:p:src", src, Quad.LITERAL, null, lang, g))
+      })
+    val back = quads.mapPartitions { it =>
+      val in = it.toList
+      if (in.isEmpty) Iterator.empty
+      else {
+        val g = "urn:g:docs"
+        val a = Turtle.parse(Turtle.serializeTrig(in), g) // TriG keeps graphs
+        val b = Turtle.parse(Turtle.serialize(a), g)
+        val c = JsonLd.parse(JsonLd.serialize(b), g)
+        RdfXml.parse(RdfXml.serialize(c), g).iterator
+      }
+    }
+    back.toDF()
+      .groupBy(substring(col("s"), 9, 19).cast("long").as("doc_id"))
+      .agg(
+        // strip the decoration ONLY when it survived intact — a corrupted
+        // round-trip keeps the mangled value and fails the hash compare
+        max(when(col("p") === "urn:p:text",
+          when(col("o").startsWith(deco),
+            col("o").substr(lit(deco.length + 1), lit(Int.MaxValue)))
+            .otherwise(col("o")))).as("text"),
+        max(when(col("p") === "urn:p:chars", col("o").cast("long"))).as("n_chars"),
+        max(when(col("p") === "urn:p:src", col("o"))).as("source"),
+        max(when(col("p") === "urn:p:src", col("oLang"))).as("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1254,7 +1309,8 @@ object SparkEntry {
     "q94_pii_redact" -> (q94_pii_redact _),
     "q95_url_classify" -> (q95_url_classify _),
     "q96_curation" -> (q96_curation _),
-    "q97_nested_path" -> (q97_nested_path _)
+    "q97_nested_path" -> (q97_nested_path _),
+    "q98_rdf_roundtrip" -> (q98_rdf_roundtrip _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2222,7 +2278,11 @@ object SparkEntry {
         |FROM p JOIN canon USING (doc_id)""".stripMargin,
     "q97_nested_path" ->
       """SELECT 'o:' || o_orderkey AS o, 'n:' || c_nationkey AS n
-        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q98_rdf_roundtrip" ->
+      // the engine side is a four-format serialize→parse chain whose
+      // composition must be the identity; the oracle states that identity
+      "SELECT doc_id, text, n_chars, source, lang FROM documents"
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -24,10 +24,25 @@ object RdfXml {
 
   // CR must be a character reference: XML parsers normalize literal
   // CR/CRLF in content to LF (XML 1.0 §2.11), which would corrupt
-  // round-tripped literals
-  private def escText(s: String): String =
+  // round-tripped literals. Other C0 controls are REJECTED loudly: XML
+  // 1.0 has no representation for them at all (§2.2 Char excludes them
+  // even as character references), so emitting them would produce a
+  // document every conformant parser refuses — fail at write time, at
+  // the offending value, not at some later read.
+  private def escText(s: String): String = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x20 && c != '\t' && c != '\n' && c != '\r')
+        throw new IllegalArgumentException(
+          f"RDF/XML cannot represent control character U+${c.toInt}%04X " +
+            "(XML 1.0 excludes C0 controls other than TAB/LF/CR); " +
+            "serialize this graph as Turtle/TriG/N-Quads/JSON-LD instead")
+      i += 1
+    }
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\r", "&#13;")
+  }
 
   // attribute-value normalization additionally folds TAB/LF to spaces
   private def escAttr(s: String): String =

@@ -58,6 +58,12 @@ object RdfXmlProps extends Properties("RdfXml") {
       RdfXml.parse(RdfXml.serialize(quads), "g").toSet == quads.toSet
     }
 
+  property("writer rejects C0 controls XML 1.0 cannot represent") =
+    forAll(iri, Gen.choose(1.toChar, 8.toChar)) { (s, c) =>
+      val q = Quad(s, "http://ex.org/ns#p", s"a${c}b", Quad.LITERAL, null, null, "g")
+      scala.util.Try(RdfXml.serialize(Seq(q))).isFailure
+    }
+
   property("writer fails loudly on a predicate with no NCName local") =
     forAll(iri) { s =>
       // trailing slash leaves no local-name suffix
