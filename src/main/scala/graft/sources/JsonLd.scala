@@ -21,6 +21,9 @@ import graft.rdf.Quad
 object JsonLd {
 
   private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val RdfFirst = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+  private val RdfRest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+  private val RdfNil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
   private def esc(s: String): String = {
     val sb = new StringBuilder
@@ -94,9 +97,11 @@ object JsonLd {
     * (string/number/boolean → plain/xsd-typed literals, same canonical
     * datatypes as the Turtle reader), nested node objects (edge +
     * recurse, fresh `_:jb…` label when `@id` is absent); named-graph
-    * nodes (`@id` + inner `@graph`); a simple `@context` of string
+    * nodes (`@id` + inner `@graph`); `@list` values lower to
+    * rdf:first/rdf:rest chains (the same shape as Turtle `( … )`
+    * collections, `[]` = rdf:nil); a simple `@context` of string
     * prefix/term mappings (compact IRIs expand — full context
-    * processing, `@list` and `@container` are out of scope and fail
+    * processing and `@container`/`@reverse` are out of scope and fail
     * loudly rather than mis-parse). */
   def parse(doc: String, defaultGraph: String = "graft:default"): Seq[Quad] = {
     import com.fasterxml.jackson.databind.JsonNode
@@ -134,6 +139,50 @@ object JsonLd {
 
     def kindOf(id: String): Byte = if (id.startsWith("_:")) Quad.BNODE else Quad.IRI
 
+    // one value in object position → its term; quads for nested
+    // structure (node objects, @list chains) emit as a side effect
+    def objectOf(v: JsonNode, g: String, ctx: Map[String, String])
+        : (String, Byte, String, String) =
+      if (v.isObject && v.has("@list")) {
+        // ordered collection → rdf:first/rdf:rest chain, like the Turtle
+        // `( … )` lowering; [] is rdf:nil
+        val items = asSeq(v.get("@list")).map(i => objectOf(i, g, ctx))
+        if (items.isEmpty) (RdfNil, Quad.IRI, null, null)
+        else {
+          val cells = items.map(_ => freshB())
+          items.zip(cells).zipWithIndex.foreach {
+            case (((o, k, dt, lang), cell), idx) =>
+              out += Quad(cell, RdfFirst, o, k, dt, lang, g)
+              val (rest, rk) =
+                if (idx + 1 < cells.size) (cells(idx + 1), Quad.BNODE)
+                else (RdfNil, Quad.IRI)
+              out += Quad(cell, RdfRest, rest, rk, null, null, g)
+          }
+          (cells.head, Quad.BNODE, null, null)
+        }
+      } else if (v.isObject && v.has("@value")) {
+        val value = v.get("@value")
+        val (text, dt0) =
+          if (value.isTextual) (value.asText, null: String)
+          else if (value.isBoolean) (value.asText, Quad.Xsd.boolean)
+          else if (value.isIntegralNumber) (value.asText, Quad.Xsd.long)
+          else (value.asText, Quad.Xsd.double)
+        val lang = Option(v.get("@language")).map(_.asText).orNull
+        val dt = Option(v.get("@type")).map(t => expand(t.asText, ctx))
+          .getOrElse(dt0)
+        (text, Quad.LITERAL, if (lang != null) null else dt, lang)
+      } else if (v.isObject && v.has("@id") && v.size <= 1) {
+        val o = expand(v.get("@id").asText, ctx)
+        (o, kindOf(o), null, null)
+      } else if (v.isObject) { // nested node object: edge + recurse
+        val o = node(v, g, ctx)
+        (o, kindOf(o), null, null)
+      } else if (v.isTextual) (v.asText, Quad.LITERAL, null, null)
+      else if (v.isBoolean) (v.asText, Quad.LITERAL, Quad.Xsd.boolean, null)
+      else if (v.isIntegralNumber) (v.asText, Quad.LITERAL, Quad.Xsd.long, null)
+      else if (v.isNumber) (v.asText, Quad.LITERAL, Quad.Xsd.double, null)
+      else throw new IllegalArgumentException(s"unsupported JSON-LD value: $v")
+
     // one node object → quads; returns the node's subject term
     def node(n: JsonNode, g: String, ctx: Map[String, String]): String = {
       require(n.isObject, s"JSON-LD node must be an object, got: $n")
@@ -153,35 +202,11 @@ object JsonLd {
           case key =>
             val p = expand(key, ctx)
             asSeq(e.getValue).foreach { v =>
-              if (v.isObject && v.has("@list"))
-                throw new IllegalArgumentException("JSON-LD @list not supported")
-              else if (v.isObject && v.has("@value")) {
-                val value = v.get("@value")
-                val (text, dt0) =
-                  if (value.isTextual) (value.asText, null: String)
-                  else if (value.isBoolean) (value.asText, Quad.Xsd.boolean)
-                  else if (value.isIntegralNumber) (value.asText, Quad.Xsd.long)
-                  else (value.asText, Quad.Xsd.double)
-                val lang = Option(v.get("@language")).map(_.asText).orNull
-                val dt = Option(v.get("@type")).map(t => expand(t.asText, ctx))
-                  .getOrElse(dt0)
-                out += Quad(s, p, text, Quad.LITERAL,
-                  if (lang != null) null else dt, lang, g)
-              } else if (v.isObject && v.has("@id") && v.size <= 1) {
-                val o = expand(v.get("@id").asText, ctx)
-                out += Quad(s, p, o, kindOf(o), null, null, g)
-              } else if (v.isObject) { // nested node object: edge + recurse
-                val o = node(v, g, ctx)
-                out += Quad(s, p, o, kindOf(o), null, null, g)
-              } else if (v.isTextual)
-                out += Quad(s, p, v.asText, Quad.LITERAL, null, null, g)
-              else if (v.isBoolean)
-                out += Quad(s, p, v.asText, Quad.LITERAL, Quad.Xsd.boolean, null, g)
-              else if (v.isIntegralNumber)
-                out += Quad(s, p, v.asText, Quad.LITERAL, Quad.Xsd.long, null, g)
-              else if (v.isNumber)
-                out += Quad(s, p, v.asText, Quad.LITERAL, Quad.Xsd.double, null, g)
-              else require(v.isNull, s"unsupported JSON-LD value: $v")
+              if (v.isNull) ()
+              else {
+                val (o, k, dt, lang) = objectOf(v, g, ctx)
+                out += Quad(s, p, o, k, dt, lang, g)
+              }
             }
         }
       }

@@ -84,6 +84,9 @@ object Turtle {
   }
 
   private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val RdfFirst = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+  private val RdfRest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+  private val RdfNil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
   private def predicate(p: String, prefixes: Seq[(String, String)]): String =
     if (p == RdfType) "a" else iri(p, prefixes)
 
@@ -256,8 +259,11 @@ object Turtle {
     * [[writeTrigStream]]). Supports `@prefix`/`@base` (and SPARQL-style
     * PREFIX/BASE), `a`, `;`/`,` lists, IRIs, prefixed names, blank-node
     * labels, and literals with language tags or datatypes. Blank-node
-    * property lists `[...]` and collections `(...)` are rejected loudly
-    * — the writer never emits them. */
+    * property lists `[ p o ; … ]` (as subject or object, fresh `_:tb…`
+    * labels) and collections `( e1 e2 … )` (rdf:first/rdf:rest chains,
+    * `()` = rdf:nil) parse per Turtle §7.2/7.3 — the writer never emits
+    * them, but RDF4J-authored documents (the reference's toolchain) use
+    * both liberally. */
   def parse(doc: String, defaultGraph: String = "graft:default"): Seq[Quad] = {
     var tokens = tokenize(doc)
     val prefixes = scala.collection.mutable.Map[String, String]()
@@ -280,10 +286,11 @@ object Turtle {
         (ns + local, Quad.IRI)
       }
 
+    var anonN = 0
+    def freshB(): String = { anonN += 1; "_:tb" + anonN }
+
     def objTerm(t: String): (String, Byte, String, String) =
-      if (t == "[" || t == "(")
-        sys.error("blank-node property lists / collections are not supported")
-      else if (t.startsWith("\"")) {
+      if (t.startsWith("\"")) {
         val close = t.lastIndexOf('"')
         val value = unescape(t.substring(1, close))
         val suffix = t.substring(close + 1)
@@ -307,6 +314,68 @@ object Turtle {
         (v, k, null, null)
       }
 
+    // object position: a simple term, `[ predicateObjectList ]` (fresh
+    // blank node), or `( collection )` (rdf:first/rdf:rest chain,
+    // `()` = rdf:nil) — Turtle §7.2/7.3
+    def parseObject(): (String, Byte, String, String) = tokens.head match {
+      case "[" =>
+        tokens = tokens.tail
+        val b = freshB()
+        if (tokens.headOption.contains("]")) tokens = tokens.tail
+        else {
+          predicateObjectList(b)
+          require(tokens.headOption.contains("]"), "unterminated [ property list")
+          tokens = tokens.tail
+        }
+        (b, Quad.BNODE, null, null)
+      case "(" =>
+        tokens = tokens.tail
+        val items = scala.collection.mutable.ListBuffer[(String, Byte, String, String)]()
+        while (!tokens.headOption.contains(")")) {
+          require(tokens.nonEmpty, "unterminated ( collection")
+          items += parseObject()
+        }
+        tokens = tokens.tail
+        if (items.isEmpty) (RdfNil, Quad.IRI, null, null)
+        else {
+          val cells = items.map(_ => freshB())
+          for ((((o, k, dt, lang), cell), idx) <- items.zip(cells).zipWithIndex) {
+            out += Quad(cell, RdfFirst, o, k, dt, lang, graph)
+            val (rest, rk) =
+              if (idx + 1 < cells.size) (cells(idx + 1), Quad.BNODE)
+              else (RdfNil, Quad.IRI)
+            out += Quad(cell, RdfRest, rest, rk, null, null, graph)
+          }
+          (cells.head, Quad.BNODE, null, null)
+        }
+      case t =>
+        tokens = tokens.tail
+        objTerm(t)
+    }
+
+    def predicateObjectList(s: String): Unit = {
+      var done = false
+      while (!done) {
+        val (p, _) = resolve(tokens.head)
+        tokens = tokens.tail
+        var moreObjects = true
+        while (moreObjects) {
+          require(tokens.nonEmpty, "statement ended before object")
+          val (o, kind, dt, lang) = parseObject()
+          out += Quad(s, p, o, kind, dt, lang, graph)
+          moreObjects = tokens.headOption.contains(",") && {
+            tokens = tokens.tail; true
+          }
+        }
+        if (tokens.headOption.contains(";")) {
+          tokens = tokens.tail
+          // a trailing ; before a statement/list/block terminator is legal
+          if (tokens.headOption.exists(t => t == "." || t == "]" || t == "}"))
+            done = true
+        } else done = true
+      }
+    }
+
     while (tokens.nonEmpty) {
       tokens.head match {
         case t if t.equalsIgnoreCase("@prefix") || t.equalsIgnoreCase("PREFIX") =>
@@ -317,8 +386,6 @@ object Turtle {
           val (bTok :: rest) = tokens.tail: @unchecked
           base = bTok.substring(1, bTok.length - 1)
           tokens = if (rest.headOption.contains(".")) rest.tail else rest
-        case "[" | "(" =>
-          sys.error("blank-node property lists / collections are not supported")
         case "}" if graphDepth > 0 => // close a TriG graph block
           graphDepth -= 1; graph = defaultGraph
           tokens = tokens.tail
@@ -329,33 +396,20 @@ object Turtle {
           graphDepth += 1
           tokens = tokens.tail.tail
         case sTok =>
-          val (s, _) = resolve(sTok)
-          tokens = tokens.tail
-          var done = false
-          while (!done) {
-            val (p, _) = resolve(tokens.head)
-            tokens = tokens.tail
-            var moreObjects = true
-            while (moreObjects) {
-              require(tokens.nonEmpty, "statement ended before object")
-              val (o, kind, dt, lang) = objTerm(tokens.head)
-              tokens = tokens.tail
-              out += Quad(s, p, o, kind, dt, lang, graph)
-              moreObjects = tokens.headOption.contains(",") && {
-                tokens = tokens.tail; true
-              }
-            }
-            tokens.headOption match {
-              case Some(";") =>
-                tokens = tokens.tail
-                // a trailing ; before . is legal
-                if (tokens.headOption.contains(".")) { tokens = tokens.tail; done = true }
-              case Some(".") => tokens = tokens.tail; done = true
-              // a statement inside a TriG block may be the block's last,
-              // terminated by the closing brace rather than a dot
-              case Some("}") if graphDepth > 0 => done = true
-              case other => sys.error(s"expected ';' or '.', got $other")
-            }
+          // subject: a term, or a [ ]/( ) node whose inner quads emit now
+          val s =
+            if (sTok == "[" || sTok == "(") parseObject()._1
+            else { tokens = tokens.tail; resolve(sTok)._1 }
+          // `[ p o ] .` with no outer predicates is a legal statement
+          if (!tokens.headOption.exists(t =>
+              t == "." || (t == "}" && graphDepth > 0)))
+            predicateObjectList(s)
+          tokens.headOption match {
+            case Some(".") => tokens = tokens.tail
+            // a statement inside a TriG block may be the block's last,
+            // terminated by the closing brace rather than a dot
+            case Some("}") if graphDepth > 0 => ()
+            case other => sys.error(s"expected '.', got $other")
           }
       }
     }

@@ -103,9 +103,25 @@ class JsonLdSpec extends SparkSpec {
       "in-default", Quad.LITERAL, null, null, "dg"))
   }
 
-  it should "fail loudly on @list rather than mis-parse" in {
-    val doc = """{"@id":"http://ex.org/a","http://ex.org/p":{"@list":["x"]}}"""
-    an[IllegalArgumentException] should be thrownBy JsonLd.parse(doc, "g")
+  it should "lower @list to rdf:first/rdf:rest chains" in {
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val got = JsonLd.parse(
+      """{"@id":"http://ex.org/a",
+        | "http://ex.org/p":{"@list":["x", 2]},
+        | "http://ex.org/q":{"@list":[]}}""".stripMargin, "g")
+    val head = got.find(_.p == "http://ex.org/p").get
+    head.oKind shouldBe Quad.BNODE
+    val f1 = got.find(q => q.s == head.o && q.p == rdf + "first").get
+    f1.o shouldBe "x"
+    val r1 = got.find(q => q.s == head.o && q.p == rdf + "rest").get
+    val f2 = got.find(q => q.s == r1.o && q.p == rdf + "first").get
+    f2.o shouldBe "2"
+    f2.oDt shouldBe Quad.Xsd.long
+    got.find(q => q.s == r1.o && q.p == rdf + "rest").get.o shouldBe rdf + "nil"
+    got.find(_.p == "http://ex.org/q").get.o shouldBe rdf + "nil"
+    // @container stays a loud failure
+    an[IllegalArgumentException] should be thrownBy JsonLd.parse(
+      """{"@id":"http://ex.org/a","@container":"x"}""", "g")
   }
 
   it should "read distributed and feed SPARQL LOAD by extension" in {

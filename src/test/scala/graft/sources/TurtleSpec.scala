@@ -89,11 +89,54 @@ class TurtleSpec extends SparkSpec {
     got.head.o shouldBe "line one\nline two"
   }
 
-  it should "reject blank-node property lists loudly" in {
-    val e = intercept[RuntimeException] {
-      Turtle.parse("@prefix ex: <http://ex.org/> . ex:a ex:b [ ex:c ex:d ] .")
-    }
-    e.getMessage should include("not supported")
+  it should "parse blank-node property lists as object, subject, and nested" in {
+    val got = Turtle.parse(
+      """@prefix ex: <http://ex.org/> .
+        |ex:a ex:b [ ex:c ex:d ; ex:e "v" ] .
+        |[ ex:p ex:q ] ex:r ex:s .
+        |ex:m ex:n [ ex:o [ ex:deep "x" ] ] .
+        |ex:y ex:z [] .""".stripMargin, "g")
+    val b1 = got.find(q => q.s == "http://ex.org/a").get.o
+    b1 should startWith("_:")
+    got should contain(Quad(b1, "http://ex.org/c", "http://ex.org/d",
+      Quad.IRI, null, null, "g"))
+    got should contain(Quad(b1, "http://ex.org/e", "v",
+      Quad.LITERAL, null, null, "g"))
+    // subject-position list: the anon subject carries BOTH its inner and
+    // outer predicates
+    val anonSubj = got.find(_.p == "http://ex.org/p").get.s
+    got should contain(Quad(anonSubj, "http://ex.org/r", "http://ex.org/s",
+      Quad.IRI, null, null, "g"))
+    // nested: m --n--> b2 --o--> b3 --deep--> "x"
+    val b2 = got.find(_.p == "http://ex.org/n").get.o
+    val b3 = got.find(q => q.s == b2 && q.p == "http://ex.org/o").get.o
+    got should contain(Quad(b3, "http://ex.org/deep", "x",
+      Quad.LITERAL, null, null, "g"))
+    // ANON object
+    got.find(_.p == "http://ex.org/z").get.oKind shouldBe Quad.BNODE
+  }
+
+  it should "parse collections as rdf:first/rdf:rest chains" in {
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val got = Turtle.parse(
+      """@prefix ex: <http://ex.org/> .
+        |ex:a ex:list ( ex:x "two" 3 ) .
+        |ex:b ex:empty () .""".stripMargin, "g")
+    val head = got.find(_.p == "http://ex.org/list").get
+    head.oKind shouldBe Quad.BNODE
+    def cell(c: String): (Quad, Quad) = (
+      got.find(q => q.s == c && q.p == rdf + "first").get,
+      got.find(q => q.s == c && q.p == rdf + "rest").get)
+    val (f1, r1) = cell(head.o)
+    f1.o shouldBe "http://ex.org/x"
+    val (f2, r2) = cell(r1.o)
+    f2.o shouldBe "two"
+    val (f3, r3) = cell(r2.o)
+    f3.o shouldBe "3"
+    f3.oDt shouldBe Quad.Xsd.long
+    r3.o shouldBe rdf + "nil"
+    // () is rdf:nil directly
+    got.find(_.p == "http://ex.org/empty").get.o shouldBe rdf + "nil"
   }
 
   it should "read distributed, one task per document" in {
