@@ -75,11 +75,14 @@ class SparqlFuzzSpec extends SparkSpec {
   private def vorsOf(pats: Seq[Pat]): Seq[String] =
     pats.flatMap(p => Seq(p.s, p.p, p.o)).filter(_.startsWith("?")).distinct
 
-  private def runCase(data: Seq[Triple], n: Int): Unit = {
-    val quads = data.map { case (s, p, o) =>
+  private def toQuadsDf(data: Seq[Triple]) =
+    data.map { case (s, p, o) =>
       (s, p, o, (if (o.startsWith("u:")) 0 else 2).toByte,
         null: String, null: String, "g") }
       .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+
+  private def runCase(data: Seq[Triple], n: Int): Unit = {
+    val quads = toQuadsDf(data)
 
     for (_ <- 1 to n) {
       val union = rnd.nextInt(4) == 0
@@ -102,14 +105,26 @@ class SparqlFuzzSpec extends SparkSpec {
             val eq = rnd.nextBoolean()
             Some((v, rhs, eq))
           } else None
+          val minus = if (rnd.nextInt(3) == 0)
+            Some(Seq.fill(1 + rnd.nextInt(2))(randomPat(varPool))) else None
           var ref = evalBgp(data, req, Seq(Map.empty))
           ref = filter.fold(ref) { case (v, rhs, eq) =>
             ref.filter(b => (b(v) == rhs) == eq) }
           ref = opt.fold(ref)(o => leftJoin(ref, data, o))
+          // SPARQL §18.5 Minus: drop b when some inner solution shares at
+          // least one variable with b and agrees on all shared ones
+          ref = minus.fold(ref) { m =>
+            val inner = evalBgp(data, m, Seq(Map.empty))
+            ref.filterNot(b => inner.exists { c =>
+              val shared = b.keySet & c.keySet
+              shared.nonEmpty && shared.forall(k => b(k) == c(k))
+            })
+          }
           val text = renderPats(req) +
             filter.fold("") { case (v, rhs, eq) =>
               s""" FILTER($v ${if (eq) "=" else "!="} "$rhs")""" } +
-            opt.fold("")(o => s" OPTIONAL { ${renderPats(o)} }")
+            opt.fold("")(o => s" OPTIONAL { ${renderPats(o)} }") +
+            minus.fold("")(m => s" MINUS { ${renderPats(m)} }")
           (text, ref, (reqVars ++ opt.toSeq.flatMap(vorsOf)).distinct)
         }
       if (inScope.nonEmpty) {
@@ -134,5 +149,112 @@ class SparqlFuzzSpec extends SparkSpec {
 
   "Sparql.select" should "agree with an independent evaluator on random stores and queries" in {
     for (_ <- 1 to 4) runCase(randomStore(), 12)
+  }
+
+  // ---- property-path differential fuzzing ----
+  // Reference: a ~30-line pair-relation evaluator straight off SPARQL 1.1
+  // §9.3 — link = (s,o) pairs, ^ = swap, / = compose, | = union,
+  // +/* = driver fixpoint closure, ?/* add the zero-length identity over
+  // every term of the graph. Compared under DISTINCT (multiplicity of
+  // non-closure paths is bag-semantics and spec-murky; the pair SETS are
+  // not).
+  private sealed trait PathE
+  private case class PLk(p: String) extends PathE
+  private case class PNeg(e: PathE) extends PathE
+  private case class PSq(l: PathE, r: PathE) extends PathE
+  private case class PAl(l: PathE, r: PathE) extends PathE
+  private case class PMod(e: PathE, m: Char) extends PathE
+  private case class PNS(not: Seq[String]) extends PathE
+  private case class PRng(e: PathE, lo: Int, hi: Int) extends PathE
+
+  private def closure(r: Set[(String, String)]): Set[(String, String)] = {
+    var acc = r
+    var grown = true
+    while (grown) {
+      val next = acc ++ (for ((a, b) <- acc; (c, d) <- acc if b == c) yield (a, d))
+      grown = next.size != acc.size
+      acc = next
+    }
+    acc
+  }
+
+  private def refPathPairs(data: Seq[Triple], e: PathE): Set[(String, String)] = e match {
+    case PLk(p) => data.collect { case (s, `p`, o) => (s, o) }.toSet
+    case PNeg(x) => refPathPairs(data, x).map(_.swap)
+    case PSq(l, r) =>
+      val (a, b) = (refPathPairs(data, l), refPathPairs(data, r))
+      for ((s, m) <- a; (m2, o) <- b if m == m2) yield (s, o)
+    case PAl(l, r) => refPathPairs(data, l) ++ refPathPairs(data, r)
+    case PMod(x, m) =>
+      val base = refPathPairs(data, x)
+      lazy val id = data.flatMap(t => Seq(t._1, t._3)).toSet[String].map(n => (n, n))
+      m match {
+        case '?' => base ++ id
+        case '+' => closure(base)
+        case _   => closure(base) ++ id
+      }
+    case PNS(not) =>
+      data.collect { case (s, p, o) if !not.contains(p) => (s, o) }.toSet
+    case PRng(x, lo, hi) => // union of exact-k-hop pairs, k in [lo, hi]
+      val base = refPathPairs(data, x)
+      def compose(a: Set[(String, String)]) =
+        for ((s, m) <- a; (m2, o) <- base if m == m2) yield (s, o)
+      val id = data.flatMap(t => Seq(t._1, t._3)).toSet[String].map(n => (n, n))
+      var cur = base
+      var acc = if (lo == 0) id else Set.empty[(String, String)]
+      for (k <- 1 to hi) {
+        if (k >= lo) acc ++= cur
+        cur = compose(cur)
+      }
+      acc
+  }
+
+  private def randomPath(depth: Int): PathE =
+    if (depth == 0) PLk(preds(rnd.nextInt(preds.size)))
+    else rnd.nextInt(8) match {
+      case 0 => PLk(preds(rnd.nextInt(preds.size)))
+      case 1 => PNeg(randomPath(depth - 1))
+      case 2 => PSq(randomPath(depth - 1), randomPath(depth - 1))
+      case 3 => PAl(randomPath(depth - 1), randomPath(depth - 1))
+      case 4 => PNS(rnd.shuffle(preds).take(1 + rnd.nextInt(preds.size)))
+      case 5 =>
+        val lo = rnd.nextInt(3)
+        PRng(randomPath(depth - 1), lo, math.max(lo, 1) + rnd.nextInt(2))
+      case _ => PMod(randomPath(depth - 1), "?+*".charAt(rnd.nextInt(3)))
+    }
+
+  // parenthesize everything: exercises the group grammar and removes any
+  // precedence ambiguity between the two evaluators
+  private def renderPath(e: PathE): String = e match {
+    case PLk(p) => s"<$p>"
+    case PNeg(x) => s"(^(${renderPath(x)}))"
+    case PSq(l, r) => s"(${renderPath(l)}/${renderPath(r)})"
+    case PAl(l, r) => s"(${renderPath(l)}|${renderPath(r)})"
+    case PMod(x, m) => s"((${renderPath(x)})$m)"
+    case PNS(not) => s"(!(${not.map(p => s"<$p>").mkString("|")}))"
+    case PRng(x, lo, hi) => s"((${renderPath(x)}){$lo,$hi})"
+  }
+
+  "Sparql property paths" should "agree with an independent fixpoint evaluator" in {
+    for (i <- 1 to 14) {
+      val data = randomStore()
+      val quads = toQuadsDf(data)
+      val p = randomPath(if (i % 3 == 0) 3 else 2)
+      val want = refPathPairs(data, p)
+      val clue = s"path: ${renderPath(p)}\nstore: ${data.sortBy(_.toString)}\n"
+      if (rnd.nextInt(3) == 0) { // anchored subject
+        val s0 = subs(rnd.nextInt(subs.size))
+        val q = s"SELECT DISTINCT ?b WHERE { <$s0> ${renderPath(p)} ?b . }"
+        val got = Sparql.select(quads, q).collect().map(_.getString(0)).toSet
+        withClue(s"anchored $s0; $clue") {
+          got shouldBe want.collect { case (`s0`, b) => b }
+        }
+      } else {
+        val q = s"SELECT DISTINCT ?a ?b WHERE { ?a ${renderPath(p)} ?b . }"
+        val got = Sparql.select(quads, q).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        withClue(clue) { got shouldBe want }
+      }
+    }
   }
 }
