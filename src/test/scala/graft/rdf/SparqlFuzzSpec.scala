@@ -257,4 +257,75 @@ class SparqlFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- solution modifiers: ORDER BY / OFFSET / LIMIT ----
+  // ORDER BY covers EVERY projected var, so rows tied on the sort key are
+  // identical rows and the first-k LIST (not just multiset) is unique —
+  // exact list equality is a sound check despite arbitrary tie-breaking.
+  "Sparql solution modifiers" should "agree on ORDER BY/OFFSET/LIMIT" in {
+    for (_ <- 1 to 12) {
+      val data = randomStore()
+      val quads = toQuadsDf(data)
+      val req = Seq.fill(1 + rnd.nextInt(2))(randomPat(varPool))
+      val vars = vorsOf(req)
+      if (vars.nonEmpty) {
+        val proj = rnd.shuffle(vars).take(1 + rnd.nextInt(vars.size))
+        val descs = proj.map(_ => rnd.nextBoolean())
+        val limit = 1 + rnd.nextInt(8)
+        val offset = rnd.nextInt(3)
+        val keys = proj.zip(descs)
+          .map { case (v, d) => if (d) s"DESC($v)" else v }.mkString(" ")
+        val q = s"SELECT ${proj.mkString(" ")} WHERE { ${renderPats(req)} } " +
+          s"ORDER BY $keys OFFSET $offset LIMIT $limit"
+        val rowOrd = new Ordering[List[String]] {
+          def compare(a: List[String], b: List[String]): Int =
+            a.lazyZip(b).lazyZip(descs).collectFirst {
+              case (x, y, d) if x != y => if (d) y.compareTo(x) else x.compareTo(y)
+            }.getOrElse(0)
+        }
+        val want = evalBgp(data, req, Seq(Map.empty))
+          .map(b => proj.map(b).toList).sorted(rowOrd)
+          .slice(offset, offset + limit)
+        val got = Sparql.select(quads, q).collect()
+          .map(r => proj.indices.map(i => r.get(i).toString).toList).toList
+        withClue(s"query: $q\nstore: ${data.sortBy(_.toString)}\n") {
+          got shouldBe want
+        }
+      }
+    }
+  }
+
+  // ---- aggregates: GROUP BY + COUNT(?x) / COUNT(*) ----
+  // COUNT(?x) must skip solutions where ?x is unbound (OPTIONAL makes
+  // that reachable); COUNT(*) counts every solution in the group.
+  "Sparql aggregates" should "agree on GROUP BY + COUNT over random stores" in {
+    for (_ <- 1 to 12) {
+      val data = randomStore()
+      val quads = toQuadsDf(data)
+      val req = Seq.fill(1 + rnd.nextInt(2))(randomPat(varPool))
+      val opt = if (rnd.nextBoolean())
+        Some(Seq.fill(1)(randomPat(varPool))) else None
+      val reqVars = vorsOf(req)
+      val allVars = (reqVars ++ opt.toSeq.flatMap(vorsOf)).distinct
+      if (reqVars.nonEmpty && allVars.size >= 2) {
+        val g = reqVars(rnd.nextInt(reqVars.size))
+        val star = rnd.nextInt(3) == 0
+        val x = allVars.filterNot(_ == g)(rnd.nextInt(allVars.size - 1))
+        var ref = evalBgp(data, req, Seq(Map.empty))
+        ref = opt.fold(ref)(o => leftJoin(ref, data, o))
+        val want = ref.groupBy(_(g)).map { case (k, rows) =>
+          (k, (if (star) rows else rows.filter(_.contains(x))).size.toLong)
+        }
+        val agg = if (star) "COUNT(*)" else s"COUNT($x)"
+        val q = s"SELECT $g ($agg AS ?n) WHERE { ${renderPats(req)}" +
+          opt.fold("")(o => s" OPTIONAL { ${renderPats(o)} }") +
+          s" } GROUP BY $g"
+        val got = Sparql.select(quads, q).collect()
+          .map(r => (r.getString(0), r.get(1).toString.toLong)).toMap
+        withClue(s"query: $q\nstore: ${data.sortBy(_.toString)}\n") {
+          got shouldBe want
+        }
+      }
+    }
+  }
 }
