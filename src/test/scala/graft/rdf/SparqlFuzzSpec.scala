@@ -258,6 +258,61 @@ class SparqlFuzzSpec extends SparkSpec {
     }
   }
 
+  // ---- GRAPH scoping over multi-graph stores ----
+  // Quad-level reference: a plain pattern ignores the graph column (this
+  // engine's default graph is the union of all graphs); GRAPH <g>
+  // restricts to one graph; GRAPH ?v additionally unifies ?v with the
+  // graph name of every matched quad.
+  private type QuadT = (String, String, String, String)
+  private case class QPat(s: String, p: String, o: String, g: Option[String])
+
+  private def matchQuad(q: QuadT, pat: QPat, b: Binding): Option[Binding] = {
+    val afterSpo = unify(pat.s, q._1, b)
+      .flatMap(unify(pat.p, q._2, _)).flatMap(unify(pat.o, q._3, _))
+    pat.g.fold(afterSpo)(gt => afterSpo.flatMap(unify(gt, q._4, _)))
+  }
+
+  private def evalQuadBgp(data: Seq[QuadT], pats: Seq[QPat],
+      init: Seq[Binding]): Seq[Binding] =
+    pats.foldLeft(init)((acc, pat) =>
+      acc.flatMap(b => data.flatMap(q => matchQuad(q, pat, b))))
+
+  private val graphs = Vector("u:g1", "u:g2")
+
+  "Sparql GRAPH scoping" should "agree with a quad-level evaluator" in {
+    for (_ <- 1 to 12) {
+      val data: Seq[QuadT] = randomStore()
+        .map(t => (t._1, t._2, t._3, graphs(rnd.nextInt(graphs.size))))
+      val quads = data.map { case (s, p, o, g) =>
+        (s, p, o, (if (o.startsWith("u:")) 0 else 2).toByte,
+          null: String, null: String, g) }
+        .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+      val plain = Seq.fill(rnd.nextInt(3))(randomPat(varPool))
+      val inner = Seq.fill(1 + rnd.nextInt(2))(randomPat(varPool))
+      val gTerm = if (rnd.nextBoolean()) graphs(rnd.nextInt(graphs.size)) else "?gv"
+      val qpats = plain.map(p => QPat(p.s, p.p, p.o, None)) ++
+        inner.map(p => QPat(p.s, p.p, p.o, Some(gTerm)))
+      val ref = evalQuadBgp(data, qpats, Seq(Map.empty))
+      val inScope = (vorsOf(plain) ++ vorsOf(inner) ++
+        (if (gTerm.startsWith("?")) Seq(gTerm) else Nil)).distinct
+      if (inScope.nonEmpty) {
+        val proj = rnd.shuffle(inScope).take(1 + rnd.nextInt(inScope.size))
+        val gRend = if (gTerm.startsWith("?")) gTerm else s"<$gTerm>"
+        val q = s"SELECT ${proj.mkString(" ")} WHERE { ${renderPats(plain)}" +
+          s" GRAPH $gRend { ${renderPats(inner)} } }"
+        val got = Sparql.select(quads, q).collect()
+          .map(r => proj.indices.map(i =>
+            Option(r.get(i)).map(_.toString).orNull).toList).toSeq
+        val want = ref.map(b => proj.map(v => b.getOrElse(v, null)).toList)
+        val sortKey = (row: List[String]) =>
+          row.map(v => if (v == null) "\u0000" else v).mkString("\u0001")
+        withClue(s"query: $q\nstore: ${data.sortBy(_.toString)}\n") {
+          got.sortBy(sortKey) shouldBe want.sortBy(sortKey)
+        }
+      }
+    }
+  }
+
   // ---- solution modifiers: ORDER BY / OFFSET / LIMIT ----
   // ORDER BY covers EVERY projected var, so rows tied on the sort key are
   // identical rows and the first-k LIST (not just multiset) is unique —
