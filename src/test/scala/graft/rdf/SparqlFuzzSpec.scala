@@ -107,6 +107,16 @@ class SparqlFuzzSpec extends SparkSpec {
           } else None
           val minus = if (rnd.nextInt(3) == 0)
             Some(Seq.fill(1 + rnd.nextInt(2))(randomPat(varPool))) else None
+          val exists = if (rnd.nextInt(4) == 0)
+            Some((Seq.fill(1 + rnd.nextInt(2))(randomPat(varPool)),
+              rnd.nextBoolean())) else None
+          // BIND a FRESH var (?e is outside the pattern pool, so it can't
+          // unify into later groups); VALUES restricts an always-bound var
+          val bind = if (reqVars.nonEmpty && rnd.nextInt(4) == 0)
+            Some(reqVars(rnd.nextInt(reqVars.size))) else None
+          val values = if (reqVars.nonEmpty && rnd.nextInt(4) == 0)
+            Some((reqVars(rnd.nextInt(reqVars.size)),
+              rnd.shuffle(subs ++ lits).take(1 + rnd.nextInt(4)))) else None
           var ref = evalBgp(data, req, Seq(Map.empty))
           ref = filter.fold(ref) { case (v, rhs, eq) =>
             ref.filter(b => (b(v) == rhs) == eq) }
@@ -120,12 +130,25 @@ class SparqlFuzzSpec extends SparkSpec {
               shared.nonEmpty && shared.forall(k => b(k) == c(k))
             })
           }
+          // EXISTS evaluates the inner group under the solution's bindings
+          ref = exists.fold(ref) { case (pats, neg) =>
+            ref.filter(b => evalBgp(data, pats, Seq(b)).nonEmpty != neg)
+          }
+          ref = bind.fold(ref)(src => ref.map(b => b + ("?e" -> b(src))))
+          ref = values.fold(ref) { case (v, vals) =>
+            ref.filter(b => vals.contains(b(v))) }
           val text = renderPats(req) +
             filter.fold("") { case (v, rhs, eq) =>
               s""" FILTER($v ${if (eq) "=" else "!="} "$rhs")""" } +
             opt.fold("")(o => s" OPTIONAL { ${renderPats(o)} }") +
-            minus.fold("")(m => s" MINUS { ${renderPats(m)} }")
-          (text, ref, (reqVars ++ opt.toSeq.flatMap(vorsOf)).distinct)
+            minus.fold("")(m => s" MINUS { ${renderPats(m)} }") +
+            exists.fold("") { case (pats, neg) =>
+              s" FILTER ${if (neg) "NOT " else ""}EXISTS { ${renderPats(pats)} }" } +
+            bind.fold("")(src => s" BIND($src AS ?e)") +
+            values.fold("") { case (v, vals) =>
+              s" VALUES $v { ${vals.map(render).mkString(" ")} }" }
+          (text, ref,
+            (reqVars ++ opt.toSeq.flatMap(vorsOf) ++ bind.map(_ => "?e")).distinct)
         }
       if (inScope.nonEmpty) {
         val proj = rnd.shuffle(inScope).take(1 + rnd.nextInt(inScope.size))
