@@ -162,22 +162,54 @@ object Turtle {
         val j = doc.indexOf('>', i)
         require(j > 0, s"unterminated IRI at offset $i")
         out += doc.substring(i, j + 1); i = j + 1
-      } else if (c == '"') {
-        // long-string form first, then the single-quoted form with escapes
-        if (i + 2 < n && doc.charAt(i + 1) == '"' && doc.charAt(i + 2) == '"') {
-          val j = doc.indexOf("\"\"\"", i + 3)
-          require(j > 0, s"unterminated long string at offset $i")
-          // backslash FIRST so the re-escape cannot manufacture \n pairs
-          out += "\"" + doc.substring(i + 3, j).replace("\\", "\\\\")
-            .replace("\n", "\\n").replace("\"", "\\\"") + "\""
-          i = j + 3
+      } else if (c == '"' || c == '\'') {
+        // both quote flavors (§6.4: '…' and '''…''' are legal alongside
+        // "…" and """…"""); single-quoted forms normalize to the
+        // double-quoted token shape so the rest of the parser sees one
+        // representation. Long-string form first, then short with escapes.
+        val q = c
+        if (i + 2 < n && doc.charAt(i + 1) == q && doc.charAt(i + 2) == q) {
+          // find the terminating quote-run with escape awareness (\" does
+          // not close), longest-match so """" puts the extra quote in the
+          // content (§6.4 STRING_LITERAL_LONG)
+          var j = i + 3
+          var run = 0
+          while (j < n && run < 3) {
+            val ch = doc.charAt(j)
+            if (ch == '\\' && j + 1 < n) { run = 0; j += 2 }
+            else { run = if (ch == q) run + 1 else 0; j += 1 }
+          }
+          require(run == 3, s"unterminated long string at offset $i")
+          while (j < n && doc.charAt(j) == q) j += 1
+          val content = doc.substring(i + 3, j - 3)
+          // normalize to a short double-quoted token: keep escape pairs
+          // as-is (unescape processes them once), escape raw specials
+          val sb = new StringBuilder("\"")
+          var k = 0
+          while (k < content.length) {
+            val ch = content.charAt(k)
+            if (ch == '\\' && k + 1 < content.length) {
+              sb.append(ch).append(content.charAt(k + 1)); k += 2
+            } else {
+              ch match {
+                case '"' => sb.append("\\\"")
+                case '\n' => sb.append("\\n")
+                case '\r' => sb.append("\\r")
+                case other => sb.append(other)
+              }
+              k += 1
+            }
+          }
+          sb.append('"'); out += sb.toString
+          i = j
         } else {
           val sb = new StringBuilder("\"")
           i += 1
-          while (i < n && doc.charAt(i) != '"') {
+          while (i < n && doc.charAt(i) != q) {
             if (doc.charAt(i) == '\\' && i + 1 < n) {
               sb.append(doc.charAt(i)).append(doc.charAt(i + 1)); i += 2
-            } else { sb.append(doc.charAt(i)); i += 1 }
+            } else if (doc.charAt(i) == '"') { sb.append("\\\""); i += 1 }
+            else { sb.append(doc.charAt(i)); i += 1 }
           }
           require(i < n, s"unterminated string at offset $i")
           sb.append('"'); out += sb.toString; i += 1

@@ -89,6 +89,36 @@ class TurtleSpec extends SparkSpec {
     got.head.o shouldBe "line one\nline two"
   }
 
+  it should "process escapes inside long strings and longest-match the closer" in {
+    // ECHAR/UCHAR are live inside long strings; """" means content
+    // ends with a quote; escaped \" does not terminate the run
+    val doc = "PREFIX ex: <http://ex.org/>\n" +
+      "ex:a ex:p \"\"\"tab\\there \"quoted\" back\\\\slash\"\"\" .\n" +
+      "ex:b ex:p \"\"\"ends with quote\"\"\"\" .\n" +
+      "ex:c ex:p \"\"\"esc \\\" mid\"\"\" .\n"
+    val byS = Turtle.parse(doc, "g").map(q => q.s -> q.o).toMap
+    byS("http://ex.org/a") shouldBe "tab\there \"quoted\" back\\slash"
+    byS("http://ex.org/b") shouldBe "ends with quote\""
+    byS("http://ex.org/c") shouldBe "esc \" mid"
+  }
+
+  it should "parse single-quoted strings, both short and long" in {
+    val doc = "PREFIX ex: <http://ex.org/>\n" +
+      "ex:a ex:p 'plain' .\n" +
+      "ex:b ex:p 'has \"double\" quotes'@en .\n" +
+      "ex:c ex:p 'esc\\'aped' .\n" +
+      "ex:d ex:p '''long\nwith \"quotes\" and 'single' ones''' .\n" +
+      "ex:e ex:p '42'^^<http://www.w3.org/2001/XMLSchema#integer> .\n"
+    val got = Turtle.parse(doc, "g")
+    val byS = got.map(q => q.s -> q.o).toMap
+    byS("http://ex.org/a") shouldBe "plain"
+    byS("http://ex.org/b") shouldBe "has \"double\" quotes"
+    got.find(_.s == "http://ex.org/b").get.oLang shouldBe "en"
+    byS("http://ex.org/c") shouldBe "esc'aped"
+    byS("http://ex.org/d") shouldBe "long\nwith \"quotes\" and 'single' ones"
+    got.find(_.s == "http://ex.org/e").get.oDt should endWith("integer")
+  }
+
   it should "parse blank-node property lists as object, subject, and nested" in {
     val got = Turtle.parse(
       """@prefix ex: <http://ex.org/> .
