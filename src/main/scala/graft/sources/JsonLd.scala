@@ -216,7 +216,10 @@ object JsonLd {
     val ctx = ctxOf(root)
     val tops =
       if (root.isArray) asSeq(root)
-      else if (root.has("@graph")) asSeq(root.get("@graph"))
+      // a root @graph WITHOUT @id is the document wrapper (default
+      // graph); WITH @id the root is itself a named graph and must go
+      // through node() so members land in that graph
+      else if (root.has("@graph") && !root.has("@id")) asSeq(root.get("@graph"))
       else Seq(root)
     tops.foreach { t =>
       // a top-level node whose only content is @id + @graph is a named

@@ -422,6 +422,16 @@ object Turtle {
           graphDepth -= 1; graph = defaultGraph
           tokens = tokens.tail
           if (tokens.headOption.contains(".")) tokens = tokens.tail
+        case t if t.equalsIgnoreCase("GRAPH") &&
+            tokens.tail.tail.headOption.contains("{") => // GRAPH <g> { … }
+          require(graphDepth == 0, "nested TriG graph blocks are not legal")
+          graph = resolve(tokens.tail.head)._1
+          graphDepth += 1
+          tokens = tokens.tail.tail.tail
+        case "{" => // anonymous block: statements land in the default graph
+          require(graphDepth == 0, "nested TriG graph blocks are not legal")
+          graphDepth += 1
+          tokens = tokens.tail
         case gTok if tokens.tail.headOption.contains("{") => // open one
           require(graphDepth == 0, "nested TriG graph blocks are not legal")
           graph = resolve(gTok)._1

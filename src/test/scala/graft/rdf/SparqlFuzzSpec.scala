@@ -373,6 +373,42 @@ class SparqlFuzzSpec extends SparkSpec {
     }
   }
 
+  // ---- sub-SELECT: projected inner group joined with the outer ----
+  // The subquery projects away some inner variables (multiplicity kept —
+  // bag semantics), then joins compatible solutions with the outer BGP.
+  "Sparql sub-SELECT" should "agree with projection + compatible join" in {
+    for (_ <- 1 to 12) {
+      val data = randomStore()
+      val quads = toQuadsDf(data)
+      val outer = Seq.fill(1 + rnd.nextInt(2))(randomPat(varPool))
+      val inner = Seq.fill(1 + rnd.nextInt(2))(randomPat(varPool))
+      val innerVars = vorsOf(inner)
+      if (innerVars.nonEmpty) {
+        val sub = rnd.shuffle(innerVars).take(1 + rnd.nextInt(innerVars.size))
+        val outerRef = evalBgp(data, outer, Seq(Map.empty))
+        val innerRef = evalBgp(data, inner, Seq(Map.empty))
+          .map(b => sub.map(v => v -> b(v)).toMap)
+        val joined = outerRef.flatMap(b => innerRef.flatMap { c =>
+          val shared = b.keySet & c.keySet
+          if (shared.forall(k => b(k) == c(k))) Some(b ++ c) else None
+        })
+        val inScope = (vorsOf(outer) ++ sub).distinct
+        val proj = rnd.shuffle(inScope).take(1 + rnd.nextInt(inScope.size))
+        val q = s"SELECT ${proj.mkString(" ")} WHERE { ${renderPats(outer)}" +
+          s" { SELECT ${sub.mkString(" ")} WHERE { ${renderPats(inner)} } } }"
+        val got = Sparql.select(quads, q).collect()
+          .map(r => proj.indices.map(i =>
+            Option(r.get(i)).map(_.toString).orNull).toList).toSeq
+        val want = joined.map(b => proj.map(v => b.getOrElse(v, null)).toList)
+        val sortKey = (row: List[String]) =>
+          row.map(v => if (v == null) " " else v).mkString("")
+        withClue(s"query: $q\nstore: ${data.sortBy(_.toString)}\n") {
+          got.sortBy(sortKey) shouldBe want.sortBy(sortKey)
+        }
+      }
+    }
+  }
+
   // ---- aggregates: GROUP BY + COUNT(?x) / COUNT(*) ----
   // COUNT(?x) must skip solutions where ?x is unbound (OPTIONAL makes
   // that reachable); COUNT(*) counts every solution in the group.

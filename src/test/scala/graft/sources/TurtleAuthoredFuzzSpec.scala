@@ -140,30 +140,8 @@ class TurtleAuthoredFuzzSpec extends AnyFlatSpec with Matchers {
         .mkString("[" + ws(), " ;" + ws(), ws() + "]")
   }
 
-  // ---- canonicalization up to blank-node renaming ----
-  private def canon(quads: Seq[Quad]): Set[(String, String, String, String, String)] = {
-    val bnodes = (quads.map(_.s) ++ quads.filter(_.oKind == Quad.BNODE).map(_.o))
-      .filter(_.startsWith("_:")).toSet
-    val h = scala.collection.mutable.Map[String, String]()
-    var changed = true
-    while (changed) {
-      changed = false
-      for (b <- bnodes if !h.contains(b)) {
-        val outs = quads.filter(_.s == b)
-        if (outs.forall(q => q.oKind != Quad.BNODE || h.contains(q.o))) {
-          val sig = outs.map(q =>
-              (q.p, if (q.oKind == Quad.BNODE) h(q.o) else q.o, q.oDt, q.oLang))
-            .sortBy(_.toString()).mkString("|")
-          h(b) = s"{$sig}"
-          changed = true
-        }
-      }
-    }
-    def res(t: String, isB: Boolean) = if (isB) h.getOrElse(t, t) else t
-    quads.map(q => (res(q.s, q.s.startsWith("_:")), q.p,
-      res(q.o, q.oKind == Quad.BNODE),
-      Option(q.oDt).getOrElse(""), Option(q.oLang).getOrElse(""))).toSet
-  }
+  // canonicalization up to blank-node renaming: RdfCanon.canon
+  private def canon(quads: Seq[Quad]) = RdfCanon.canon(quads)
 
   "Turtle.parse" should "parse random authored documents to the expected graph" in {
     for (_ <- 1 to 200) {

@@ -119,6 +119,17 @@ class TurtleSpec extends SparkSpec {
     got.find(_.s == "http://ex.org/e").get.oDt should endWith("integer")
   }
 
+  it should "accept the GRAPH keyword and anonymous default blocks in TriG" in {
+    val got = Turtle.parse(
+      """@prefix ex: <http://ex.org/> .
+        |GRAPH ex:g1 { ex:a ex:p ex:b . }
+        |{ ex:c ex:p ex:d . }
+        |ex:g2 { ex:e ex:p ex:f . }""".stripMargin, "dg")
+    got.find(_.s == "http://ex.org/a").get.g shouldBe "http://ex.org/g1"
+    got.find(_.s == "http://ex.org/c").get.g shouldBe "dg"
+    got.find(_.s == "http://ex.org/e").get.g shouldBe "http://ex.org/g2"
+  }
+
   it should "parse blank-node property lists as object, subject, and nested" in {
     val got = Turtle.parse(
       """@prefix ex: <http://ex.org/> .
