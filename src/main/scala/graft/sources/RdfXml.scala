@@ -119,7 +119,10 @@ object RdfXml {
     * forms: `rdf:Description` with `rdf:about`/`rdf:nodeID`, typed node
     * elements (`<ex:Person rdf:about=…>` → an rdf:type quad), property
     * elements with `rdf:resource`/`rdf:nodeID`/`rdf:datatype`/
-    * `xml:lang`/text content, and `rdf:ID` fragments against `base`. */
+    * `xml:lang`/text content, `rdf:ID` fragments against `base`,
+    * property attributes (§2.5), `rdf:parseType="Resource"` (§2.11)
+    * and `rdf:parseType="Collection"` (§2.18); other parseTypes fail
+    * loudly. */
   def parse(doc: String, defaultGraph: String = "graft:default",
       base: String = ""): Seq[Quad] = {
     val root = scala.xml.XML.loadString(doc)
@@ -142,11 +145,51 @@ object RdfXml {
       if (!(n.namespace == RdfNs && n.label == "Description"))
         out += Quad(s, RdfNs + "type", Option(n.namespace).getOrElse("") + n.label,
           Quad.IRI, null, null, defaultGraph)
-      n.child.collect { case e: scala.xml.Elem => e }.foreach { pe =>
+      // property attributes (§2.5): prefixed non-rdf/xml attributes on a
+      // node element are string-literal properties
+      n.attributes.foreach {
+        case a: scala.xml.PrefixedAttribute =>
+          val ns = n.getNamespace(a.pre)
+          if (ns != RdfNs && ns != "http://www.w3.org/XML/1998/namespace")
+            out += Quad(s, ns + a.key, a.value.text, Quad.LITERAL, null, null,
+              defaultGraph)
+        case _ => ()
+      }
+      propertyElements(s, n)
+    }
+
+    def propertyElements(s: String, parent: scala.xml.Node): Unit =
+      parent.child.collect { case e: scala.xml.Elem => e }.foreach { pe =>
         val p = Option(pe.namespace).getOrElse("") + pe.label
-        rdfAttr(pe, "resource") match {
-          case Some(r) => out += Quad(s, p, r, Quad.IRI, null, null, defaultGraph)
-          case None => rdfAttr(pe, "nodeID") match {
+        (rdfAttr(pe, "resource"), rdfAttr(pe, "parseType")) match {
+          case (Some(r), _) => out += Quad(s, p, r, Quad.IRI, null, null, defaultGraph)
+          case (None, Some("Resource")) =>
+            // §2.11: the object is a fresh blank node whose property
+            // elements are this element's children
+            val b = "_:genid" + System.identityHashCode(pe)
+            out += Quad(s, p, b, Quad.BNODE, null, null, defaultGraph)
+            propertyElements(b, pe)
+          case (None, Some("Collection")) =>
+            // §2.18: child node elements form an rdf:first/rdf:rest chain
+            val items = pe.child.collect { case e: scala.xml.Elem => e }
+            if (items.isEmpty)
+              out += Quad(s, p, RdfNs + "nil", Quad.IRI, null, null, defaultGraph)
+            else {
+              val cells = items.map(it => "_:gencell" + System.identityHashCode(it))
+              out += Quad(s, p, cells.head, Quad.BNODE, null, null, defaultGraph)
+              items.zip(cells).zipWithIndex.foreach { case ((item, cell), idx) =>
+                out += Quad(cell, RdfNs + "first", subjectOf(item),
+                  if (subjectOf(item).startsWith("_:")) Quad.BNODE else Quad.IRI,
+                  null, null, defaultGraph)
+                nodeElement(item)
+                val (rest, rk) = if (idx + 1 < cells.size) (cells(idx + 1), Quad.BNODE)
+                  else (RdfNs + "nil", Quad.IRI)
+                out += Quad(cell, RdfNs + "rest", rest, rk, null, null, defaultGraph)
+              }
+            }
+          case (None, Some(other)) =>
+            throw new IllegalArgumentException(s"rdf:parseType='$other' not supported")
+          case (None, None) => rdfAttr(pe, "nodeID") match {
             case Some(b) => out += Quad(s, p, "_:" + b, Quad.BNODE, null, null, defaultGraph)
             case None =>
               val nested = pe.child.collect { case e: scala.xml.Elem => e }
@@ -167,7 +210,6 @@ object RdfXml {
           }
         }
       }
-    }
 
     root.child.collect { case e: scala.xml.Elem => e }.foreach(nodeElement)
     out.toSeq

@@ -52,6 +52,49 @@ class RdfXmlSpec extends SparkSpec {
       q("http://ex.org/carol", "http://schema.org/name", "Carol", Quad.LITERAL))
   }
 
+  it should "parse property attributes, parseType Resource and Collection" in {
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val doc =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:s="http://schema.org/">
+        |  <rdf:Description rdf:about="http://ex.org/a" s:name="Ada" s:job="dev">
+        |    <s:addr rdf:parseType="Resource">
+        |      <s:city>Oslo</s:city>
+        |      <s:zip>1234</s:zip>
+        |    </s:addr>
+        |    <s:kids rdf:parseType="Collection">
+        |      <rdf:Description rdf:about="http://ex.org/k1"/>
+        |      <rdf:Description rdf:about="http://ex.org/k2"/>
+        |    </s:kids>
+        |    <s:none rdf:parseType="Collection"/>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val got = RdfXml.parse(doc, "g")
+    val byP = got.map(q => q.p -> q).toMap
+    byP("http://schema.org/name").o shouldBe "Ada"
+    byP("http://schema.org/job").o shouldBe "dev"
+    // parseType=Resource: bnode with the inner property elements
+    val addr = byP("http://schema.org/addr")
+    addr.oKind shouldBe Quad.BNODE
+    got.find(q => q.s == addr.o && q.p == "http://schema.org/city").get.o shouldBe "Oslo"
+    got.find(q => q.s == addr.o && q.p == "http://schema.org/zip").get.o shouldBe "1234"
+    // parseType=Collection: rdf:first/rdf:rest chain over the node elements
+    val kids = byP("http://schema.org/kids")
+    kids.oKind shouldBe Quad.BNODE
+    val c1 = got.find(q => q.s == kids.o && q.p == rdf + "first").get
+    c1.o shouldBe "http://ex.org/k1"
+    val r1 = got.find(q => q.s == kids.o && q.p == rdf + "rest").get
+    got.find(q => q.s == r1.o && q.p == rdf + "first").get.o shouldBe "http://ex.org/k2"
+    got.find(q => q.s == r1.o && q.p == rdf + "rest").get.o shouldBe rdf + "nil"
+    byP("http://schema.org/none").o shouldBe rdf + "nil"
+    // unsupported parseType stays loud
+    an[IllegalArgumentException] should be thrownBy RdfXml.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+        |<rdf:Description rdf:about="http://ex.org/x">
+        |<rdf:value rdf:parseType="Literal"><b>x</b></rdf:value>
+        |</rdf:Description></rdf:RDF>""".stripMargin)
+  }
+
   it should "reject a non-RDF root loudly" in {
     val e = intercept[IllegalArgumentException] {
       RdfXml.parse("<html><body/></html>")
