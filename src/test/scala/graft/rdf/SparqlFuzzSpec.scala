@@ -373,6 +373,42 @@ class SparqlFuzzSpec extends SparkSpec {
     }
   }
 
+  // ---- CONSTRUCT: template instantiation per solution, set semantics ----
+  // Template slots are typed to stay valid RDF: subject slots draw from
+  // vars seen in subject position (always IRIs here), predicate slots
+  // from predicate-position vars or constants.
+  "Sparql.construct" should "instantiate templates like the reference evaluator" in {
+    for (_ <- 1 to 12) {
+      val data = randomStore()
+      val quads = toQuadsDf(data)
+      val req = Seq.fill(1 + rnd.nextInt(3))(randomPat(varPool))
+      val sVars = req.map(_.s).filter(_.startsWith("?")).distinct
+      val pVars = req.map(_.p).filter(_.startsWith("?")).distinct
+      val oVars = vorsOf(req)
+      if (sVars.nonEmpty) {
+        val templ = Seq.fill(1 + rnd.nextInt(2))(Pat(
+          s = if (rnd.nextBoolean()) sVars(rnd.nextInt(sVars.size))
+              else subs(rnd.nextInt(subs.size)),
+          p = if (pVars.nonEmpty && rnd.nextInt(3) == 0)
+                pVars(rnd.nextInt(pVars.size))
+              else preds(rnd.nextInt(preds.size)),
+          o = if (rnd.nextBoolean()) oVars(rnd.nextInt(oVars.size))
+              else lits(rnd.nextInt(lits.size))))
+        val ref = evalBgp(data, req, Seq(Map.empty))
+        val want = ref.flatMap(b => templ.map(t => (
+          if (t.s.startsWith("?")) b(t.s) else t.s,
+          if (t.p.startsWith("?")) b(t.p) else t.p,
+          if (t.o.startsWith("?")) b(t.o) else t.o))).toSet
+        val q = s"CONSTRUCT { ${renderPats(templ)} } WHERE { ${renderPats(req)} }"
+        val got = Sparql.construct(quads, q).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+        withClue(s"query: $q\nstore: ${data.sortBy(_.toString)}\n") {
+          got shouldBe want
+        }
+      }
+    }
+  }
+
   // ---- sub-SELECT: projected inner group joined with the outer ----
   // The subquery projects away some inner variables (multiplicity kept —
   // bag semantics), then joins compatible solutions with the outer BGP.
@@ -423,19 +459,30 @@ class SparqlFuzzSpec extends SparkSpec {
       val allVars = (reqVars ++ opt.toSeq.flatMap(vorsOf)).distinct
       if (reqVars.nonEmpty && allVars.size >= 2) {
         val g = reqVars(rnd.nextInt(reqVars.size))
-        val star = rnd.nextInt(3) == 0
         val x = allVars.filterNot(_ == g)(rnd.nextInt(allVars.size - 1))
         var ref = evalBgp(data, req, Seq(Map.empty))
         ref = opt.fold(ref)(o => leftJoin(ref, data, o))
-        val want = ref.groupBy(_(g)).map { case (k, rows) =>
-          (k, (if (star) rows else rows.filter(_.contains(x))).size.toLong)
+        val kind = rnd.nextInt(4) // 0 COUNT(*), 1 COUNT(?x), 2 MIN, 3 MAX
+        val want: Map[String, String] = ref.groupBy(_(g)).map { case (k, rows) =>
+          val bound = rows.flatMap(_.get(x))
+          k -> (kind match {
+            case 0 => rows.size.toString
+            case 1 => bound.size.toString
+            case 2 => if (bound.isEmpty) null else bound.min
+            case _ => if (bound.isEmpty) null else bound.max
+          })
         }
-        val agg = if (star) "COUNT(*)" else s"COUNT($x)"
+        val agg = kind match {
+          case 0 => "COUNT(*)"
+          case 1 => s"COUNT($x)"
+          case 2 => s"MIN($x)"
+          case _ => s"MAX($x)"
+        }
         val q = s"SELECT $g ($agg AS ?n) WHERE { ${renderPats(req)}" +
           opt.fold("")(o => s" OPTIONAL { ${renderPats(o)} }") +
           s" } GROUP BY $g"
         val got = Sparql.select(quads, q).collect()
-          .map(r => (r.getString(0), r.get(1).toString.toLong)).toMap
+          .map(r => (r.getString(0), Option(r.get(1)).map(_.toString).orNull)).toMap
         withClue(s"query: $q\nstore: ${data.sortBy(_.toString)}\n") {
           got shouldBe want
         }
