@@ -193,6 +193,39 @@ object ScalingProbe {
       out += "ivfRecall500k" -> sweep.mkString("{", ",", "}")
     }
 
+    // 11) distributed RDF parse throughput: ~20k Turtle documents of ~50
+    // quads each authored from real (escape-heavy) document text, parsed
+    // per-document in parallel — the S10 ingest shape for tool-authored
+    // files (bulk transfer stays on line-splittable N-Quads; this probes
+    // the per-document path that serves endpoint payloads and LOAD)
+    if (want("rdfParse")) {
+      import graft.rdf.Quad
+      val docsRep = docs.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("id"),
+          concat(col("text"), lit(" \"q\" \\r"), col("rep")).as("text"))
+        .as[(Long, String)]
+      val turtleDocs = docsRep.mapPartitions { it =>
+        it.grouped(25).map { grp =>
+          val quads = grp.flatMap { case (id, text) => Seq(
+            Quad(s"http://ex.org/d$id", "http://ex.org/text", text,
+              Quad.LITERAL, null, null, "g"),
+            Quad(s"http://ex.org/d$id", "http://ex.org/len",
+              text.length.toString, Quad.LITERAL, Quad.Xsd.long, null, "g")) }
+          (graft.sources.Turtle.serialize(quads),
+            graft.sources.JsonLd.serialize(quads))
+        }
+      }.localCheckpoint() // materialize inputs: the probe times parse only
+      val nDocs = turtleDocs.count()
+      val (tTtl, nTtl) = time {
+        turtleDocs.flatMap(d => graft.sources.Turtle.parse(d._1, "g")).count()
+      }
+      val (tJld, nJld) = time {
+        turtleDocs.flatMap(d => graft.sources.JsonLd.parse(d._2, "g")).count()
+      }
+      out += "rdfParse" ->
+        s"""{"docs":$nDocs,"turtleSec":$tTtl,"jsonldSec":$tJld,"quads":$nTtl,"jsonldQuads":$nJld}"""
+    }
+
     println(out.map { case (k, v) => s""""$k":$v""" }
       .mkString("""{"probe":"scaling",""", ",", "}"))
     spark.stop()
