@@ -108,7 +108,14 @@ object JsonLd {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(doc)
     val out = scala.collection.mutable.ListBuffer[Quad]()
     var bnodeN = 0
-    def freshB(): String = { bnodeN += 1; "_:jb" + bnodeN }
+    // fresh labels must not collide with explicit "@id":"_:jbN" labels
+    // in the document (two distinct nodes would silently merge)
+    def freshB(): String = {
+      bnodeN += 1
+      var l = "_:jb" + bnodeN
+      while (doc.contains("\"" + l + "\"")) { bnodeN += 1; l = "_:jb" + bnodeN }
+      l
+    }
 
     def asSeq(n: JsonNode): Seq[JsonNode] =
       if (n.isArray) (0 until n.size).map(n.get) else Seq(n)
@@ -162,6 +169,8 @@ object JsonLd {
         }
       } else if (v.isObject && v.has("@value")) {
         val value = v.get("@value")
+        require(value.isTextual || value.isBoolean || value.isNumber,
+          s"@value must be a JSON scalar, got: $value")
         val (text, dt0) =
           if (value.isTextual) (value.asText, null: String)
           else if (value.isBoolean) (value.asText, Quad.Xsd.boolean)

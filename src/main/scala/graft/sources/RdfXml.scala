@@ -133,29 +133,44 @@ object RdfXml {
     def rdfAttr(n: scala.xml.Node, name: String): Option[String] =
       n.attribute(RdfNs, name).map(_.text)
 
+    // counter-based fresh labels (identityHashCode is not collision-free),
+    // skipping any label the document declares via rdf:nodeID
+    val usedIds = (root \\ "_").flatMap(n => rdfAttr(n, "nodeID")).toSet
+    var genN = 0
+    def freshB(): String = {
+      genN += 1
+      var l = "genid" + genN
+      while (usedIds(l)) { genN += 1; l = "genid" + genN }
+      "_:" + l
+    }
+
     def subjectOf(n: scala.xml.Node): String =
       rdfAttr(n, "about").getOrElse(
         rdfAttr(n, "nodeID").map("_:" + _).getOrElse(
-          rdfAttr(n, "ID").map(id => base + "#" + id).getOrElse(
-            "_:genid" + System.identityHashCode(n))))
+          rdfAttr(n, "ID").map(id => base + "#" + id).getOrElse(freshB())))
 
-    def nodeElement(n: scala.xml.Node): Unit = {
+    def nodeElement(n: scala.xml.Node): String = {
       val s = subjectOf(n)
       // typed node element: the element name IS an rdf:type
       if (!(n.namespace == RdfNs && n.label == "Description"))
         out += Quad(s, RdfNs + "type", Option(n.namespace).getOrElse("") + n.label,
           Quad.IRI, null, null, defaultGraph)
       // property attributes (§2.5): prefixed non-rdf/xml attributes on a
-      // node element are string-literal properties
+      // node element are string-literal properties; rdf:type as an
+      // attribute is the one rdf:* property attribute (object is an IRI)
       n.attributes.foreach {
         case a: scala.xml.PrefixedAttribute =>
           val ns = n.getNamespace(a.pre)
-          if (ns != RdfNs && ns != "http://www.w3.org/XML/1998/namespace")
+          if (ns == RdfNs && a.key == "type")
+            out += Quad(s, RdfNs + "type", a.value.text, Quad.IRI, null, null,
+              defaultGraph)
+          else if (ns != RdfNs && ns != "http://www.w3.org/XML/1998/namespace")
             out += Quad(s, ns + a.key, a.value.text, Quad.LITERAL, null, null,
               defaultGraph)
         case _ => ()
       }
       propertyElements(s, n)
+      s
     }
 
     def propertyElements(s: String, parent: scala.xml.Node): Unit =
@@ -166,7 +181,7 @@ object RdfXml {
           case (None, Some("Resource")) =>
             // §2.11: the object is a fresh blank node whose property
             // elements are this element's children
-            val b = "_:genid" + System.identityHashCode(pe)
+            val b = freshB()
             out += Quad(s, p, b, Quad.BNODE, null, null, defaultGraph)
             propertyElements(b, pe)
           case (None, Some("Collection")) =>
@@ -175,13 +190,13 @@ object RdfXml {
             if (items.isEmpty)
               out += Quad(s, p, RdfNs + "nil", Quad.IRI, null, null, defaultGraph)
             else {
-              val cells = items.map(it => "_:gencell" + System.identityHashCode(it))
+              val cells = items.map(_ => freshB())
               out += Quad(s, p, cells.head, Quad.BNODE, null, null, defaultGraph)
               items.zip(cells).zipWithIndex.foreach { case ((item, cell), idx) =>
-                out += Quad(cell, RdfNs + "first", subjectOf(item),
-                  if (subjectOf(item).startsWith("_:")) Quad.BNODE else Quad.IRI,
+                val it = nodeElement(item)
+                out += Quad(cell, RdfNs + "first", it,
+                  if (it.startsWith("_:")) Quad.BNODE else Quad.IRI,
                   null, null, defaultGraph)
-                nodeElement(item)
                 val (rest, rk) = if (idx + 1 < cells.size) (cells(idx + 1), Quad.BNODE)
                   else (RdfNs + "nil", Quad.IRI)
                 out += Quad(cell, RdfNs + "rest", rest, rk, null, null, defaultGraph)
@@ -195,11 +210,13 @@ object RdfXml {
               val nested = pe.child.collect { case e: scala.xml.Elem => e }
               if (nested.nonEmpty) {
                 // nested node element: object is its subject, recurse
+                // (subjectOf mints fresh labels, so evaluate exactly once
+                // via nodeElement's return value)
                 nested.foreach { inner =>
-                  out += Quad(s, p, subjectOf(inner),
-                    if (subjectOf(inner).startsWith("_:")) Quad.BNODE else Quad.IRI,
+                  val o = nodeElement(inner)
+                  out += Quad(s, p, o,
+                    if (o.startsWith("_:")) Quad.BNODE else Quad.IRI,
                     null, null, defaultGraph)
-                  nodeElement(inner)
                 }
               } else {
                 val lang = pe.attribute("http://www.w3.org/XML/1998/namespace", "lang")

@@ -231,7 +231,12 @@ object Turtle {
           out += out.remove(out.size - 1) + doc.substring(i, j)
           i = j
         }
-      } else if (";,.[](){}".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      } else if (";,.[](){}".indexOf(c) >= 0 &&
+          // a '.' directly followed by a digit starts a bare decimal
+          // (.5 — DECIMAL's integer part is optional), not a terminator
+          !(c == '.' && i + 1 < n && doc.charAt(i + 1).isDigit)) {
+        out += c.toString; i += 1
+      }
       else {
         val j = wordEnd(doc, i)
         out += doc.substring(i, j); i = j
@@ -318,8 +323,16 @@ object Turtle {
         (ns + local, Quad.IRI)
       }
 
+    // fresh labels must not collide with explicit _:tbN labels in the
+    // document (two distinct nodes would silently merge)
+    val usedLabels = tokens.iterator.filter(_.startsWith("_:")).toSet
     var anonN = 0
-    def freshB(): String = { anonN += 1; "_:tb" + anonN }
+    def freshB(): String = {
+      anonN += 1
+      var l = "_:tb" + anonN
+      while (usedLabels(l)) { anonN += 1; l = "_:tb" + anonN }
+      l
+    }
 
     def objTerm(t: String): (String, Byte, String, String) =
       if (t.startsWith("\"")) {
@@ -331,7 +344,7 @@ object Turtle {
           (value, Quad.LITERAL, resolve(suffix.substring(2))._1, null)
         else (value, Quad.LITERAL, null, null)
       } else if (t.head.isDigit || t.head == '-' || t.head == '+' ||
-          t == "true" || t == "false") {
+          (t.head == '.' && t.length > 1) || t == "true" || t == "false") {
         // bare numeric/boolean literals carry their implied XSD type:
         // per the Turtle grammar only exponent forms are xsd:double;
         // digits-with-dot is xsd:decimal, bare integers xsd:integer-ish
@@ -388,6 +401,7 @@ object Turtle {
     def predicateObjectList(s: String): Unit = {
       var done = false
       while (!done) {
+        require(tokens.nonEmpty, "statement ended before predicate")
         val (p, _) = resolve(tokens.head)
         tokens = tokens.tail
         var moreObjects = true
@@ -400,9 +414,10 @@ object Turtle {
           }
         }
         if (tokens.headOption.contains(";")) {
-          tokens = tokens.tail
-          // a trailing ; before a statement/list/block terminator is legal
-          if (tokens.headOption.exists(t => t == "." || t == "]" || t == "}"))
+          // `;` runs are legal (§7.2: the verb after `;` is optional), as
+          // is a trailing `;` before a statement/list/block terminator
+          while (tokens.headOption.contains(";")) tokens = tokens.tail
+          if (tokens.headOption.forall(t => t == "." || t == "]" || t == "}"))
             done = true
         } else done = true
       }
@@ -423,11 +438,11 @@ object Turtle {
           tokens = tokens.tail
           if (tokens.headOption.contains(".")) tokens = tokens.tail
         case t if t.equalsIgnoreCase("GRAPH") &&
-            tokens.tail.tail.headOption.contains("{") => // GRAPH <g> { … }
+            tokens.drop(2).headOption.contains("{") => // GRAPH <g> { … }
           require(graphDepth == 0, "nested TriG graph blocks are not legal")
           graph = resolve(tokens.tail.head)._1
           graphDepth += 1
-          tokens = tokens.tail.tail.tail
+          tokens = tokens.drop(3)
         case "{" => // anonymous block: statements land in the default graph
           require(graphDepth == 0, "nested TriG graph blocks are not legal")
           graphDepth += 1
@@ -442,10 +457,12 @@ object Turtle {
           val s =
             if (sTok == "[" || sTok == "(") parseObject()._1
             else { tokens = tokens.tail; resolve(sTok)._1 }
-          // `[ p o ] .` with no outer predicates is a legal statement
-          if (!tokens.headOption.exists(t =>
-              t == "." || (t == "}" && graphDepth > 0)))
-            predicateObjectList(s)
+          // §7.1: ONLY a blankNodePropertyList subject may omit the
+          // predicateObjectList (`[ p o ] .`); a bare IRI/collection
+          // subject with no predicates is a truncated statement
+          if (sTok == "[" && tokens.headOption.exists(t =>
+              t == "." || (t == "}" && graphDepth > 0))) ()
+          else predicateObjectList(s)
           tokens.headOption match {
             case Some(".") => tokens = tokens.tail
             // a statement inside a TriG block may be the block's last,

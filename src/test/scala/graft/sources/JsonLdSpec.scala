@@ -124,6 +124,22 @@ class JsonLdSpec extends SparkSpec {
       """{"@id":"http://ex.org/a","@container":"x"}""", "g")
   }
 
+  it should "fail loudly on non-scalar @value and keep _:jb labels distinct" in {
+    an[IllegalArgumentException] should be thrownBy JsonLd.parse(
+      """{"@id":"http://ex.org/a","http://ex.org/p":{"@value":null}}""", "g")
+    an[IllegalArgumentException] should be thrownBy JsonLd.parse(
+      """{"@id":"http://ex.org/a","http://ex.org/p":{"@value":{"x":1}}}""", "g")
+    // an explicit _:jb1 label must not be merged with a minted one
+    val got = JsonLd.parse(
+      """{"@graph":[
+        | {"@id":"_:jb1","http://ex.org/p":"explicit"},
+        | {"@id":"http://ex.org/a","http://ex.org/q":{"http://ex.org/r":"anon"}}
+        |]}""".stripMargin, "g")
+    val anon = got.find(_.p == "http://ex.org/q").get.o
+    anon should not be "_:jb1"
+    got.filter(_.s == "_:jb1").map(_.o) shouldBe Seq("explicit")
+  }
+
   it should "read distributed and feed SPARQL LOAD by extension" in {
     val dir = java.nio.file.Files.createTempDirectory("jsonld").toFile
     try {

@@ -8,7 +8,8 @@ import graft.rdf.Quad
   * cycles) — the shape every generator in the authored-document fuzz
   * specs produces. */
 object RdfCanon {
-  def canon(quads: Seq[Quad]): Set[(String, String, String, String, String, String)] = {
+  def canon(quads: Seq[Quad])
+      : Set[(String, String, String, Byte, String, String, String)] = {
     val bnodes = (quads.map(_.s) ++ quads.filter(_.oKind == Quad.BNODE).map(_.o))
       .filter(_.startsWith("_:")).toSet
     val h = scala.collection.mutable.Map[String, String]()
@@ -18,8 +19,11 @@ object RdfCanon {
       for (b <- bnodes if !h.contains(b)) {
         val outs = quads.filter(_.s == b)
         if (outs.forall(q => q.oKind != Quad.BNODE || h.contains(q.o))) {
+          // oKind is part of the signature so an IRI-vs-literal kind bug
+          // cannot canonicalize away
           val sig = outs.map(q =>
-              (q.p, if (q.oKind == Quad.BNODE) h(q.o) else q.o, q.oDt, q.oLang))
+              (q.p, if (q.oKind == Quad.BNODE) h(q.o) else q.o, q.oKind,
+                q.oDt, q.oLang))
             .sortBy(_.toString()).mkString("|")
           h(b) = s"{$sig}"
           changed = true
@@ -28,7 +32,7 @@ object RdfCanon {
     }
     def res(t: String, isB: Boolean) = if (isB) h.getOrElse(t, t) else t
     quads.map(q => (res(q.s, q.s.startsWith("_:")), q.p,
-      res(q.o, q.oKind == Quad.BNODE),
+      res(q.o, q.oKind == Quad.BNODE), q.oKind,
       Option(q.oDt).getOrElse(""), Option(q.oLang).getOrElse(""), q.g)).toSet
   }
 }

@@ -95,6 +95,29 @@ class RdfXmlSpec extends SparkSpec {
         |</rdf:Description></rdf:RDF>""".stripMargin)
   }
 
+  it should "emit rdf:type attributes and keep minted ids clear of authored nodeIDs" in {
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val doc =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:s="http://schema.org/">
+        |  <rdf:Description rdf:nodeID="genid1">
+        |    <s:name>explicit</s:name>
+        |  </rdf:Description>
+        |  <rdf:Description rdf:about="http://ex.org/a"
+        |                   rdf:type="http://ex.org/T">
+        |    <s:addr rdf:parseType="Resource"><s:city>Oslo</s:city></s:addr>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val got = RdfXml.parse(doc, "g")
+    val ty = got.find(_.p == rdf + "type").get
+    ty.o shouldBe "http://ex.org/T"
+    ty.oKind shouldBe Quad.IRI
+    // the parseType=Resource bnode must not collide with authored genid1
+    val addr = got.find(_.p == "http://schema.org/addr").get.o
+    addr should not be "_:genid1"
+    got.filter(_.s == "_:genid1").map(_.o) shouldBe Seq("explicit")
+  }
+
   it should "reject a non-RDF root loudly" in {
     val e = intercept[IllegalArgumentException] {
       RdfXml.parse("<html><body/></html>")

@@ -119,6 +119,32 @@ class TurtleSpec extends SparkSpec {
     got.find(_.s == "http://ex.org/e").get.oDt should endWith("integer")
   }
 
+  it should "not merge fresh anon labels with explicit _:tb labels" in {
+    val got = Turtle.parse(
+      """@prefix ex: <http://ex.org/> .
+        |_:tb1 ex:p ex:explicit .
+        |ex:a ex:q [ ex:r ex:s ] .""".stripMargin, "g")
+    val anon = got.find(_.p == "http://ex.org/q").get.o
+    anon should not be "_:tb1"
+    got.filter(_.s == "_:tb1").map(_.p) shouldBe Seq("http://ex.org/p")
+  }
+
+  it should "accept ; runs, leading-dot decimals, and reject bare subjects" in {
+    val got = Turtle.parse(
+      """@prefix ex: <http://ex.org/> .
+        |ex:a ex:p ex:o ; ; ex:q .5 ; .""".stripMargin, "g")
+    got.map(_.p).sorted shouldBe Seq("http://ex.org/p", "http://ex.org/q")
+    val dec = got.find(_.p == "http://ex.org/q").get
+    dec.o shouldBe ".5"
+    dec.oDt shouldBe graft.rdf.Quad.Xsd.decimal
+    // a subject with no predicates is a truncated statement (§7.1 allows
+    // it only for [ p o ] subjects)
+    an[Exception] should be thrownBy
+      Turtle.parse("@prefix ex: <http://ex.org/> . ex:a .", "g")
+    // truncated input fails as a parse error, not an internal crash
+    an[Exception] should be thrownBy Turtle.parse("<http://ex.org/a>", "g")
+  }
+
   it should "accept the GRAPH keyword and anonymous default blocks in TriG" in {
     val got = Turtle.parse(
       """@prefix ex: <http://ex.org/> .
