@@ -1192,8 +1192,12 @@ object Sparql {
         val (ac, sep) = (ec(a), litArg(b, fn))
         when(instr(ac, sep) > 0, substring_index(ac, sep, 1)).otherwise(lit(""))
       case ("STRAFTER", List(a, b)) =>
+        // suffix after the FIRST occurrence (substring_index(-1) would take
+        // the last — wrong when the separator repeats), "" when absent
         val (ac, sep) = (ec(a), litArg(b, fn))
-        when(instr(ac, sep) > 0, substring_index(ac, sep, -1)).otherwise(lit(""))
+        when(instr(ac, sep) > 0,
+          ac.substr(instr(ac, sep) + lit(sep.length), lit(Int.MaxValue)))
+          .otherwise(lit(""))
       case ("ISIRI" | "ISURI", List(EVar(v))) =>
         metaCol(df, "kind", v, fn) === lit(Quad.IRI)
       case ("ISLITERAL", List(EVar(v))) =>
