@@ -1193,10 +1193,13 @@ object Sparql {
         when(instr(ac, sep) > 0, substring_index(ac, sep, 1)).otherwise(lit(""))
       case ("STRAFTER", List(a, b)) =>
         // suffix after the FIRST occurrence (substring_index(-1) would take
-        // the last — wrong when the separator repeats), "" when absent
+        // the last — wrong when the separator repeats), "" when absent.
+        // instr/substr index by Unicode code points, so the offset must be
+        // the separator's code-point count, not its UTF-16 length.
         val (ac, sep) = (ec(a), litArg(b, fn))
         when(instr(ac, sep) > 0,
-          ac.substr(instr(ac, sep) + lit(sep.length), lit(Int.MaxValue)))
+          ac.substr(instr(ac, sep) + lit(sep.codePointCount(0, sep.length)),
+            lit(Int.MaxValue)))
           .otherwise(lit(""))
       case ("ISIRI" | "ISURI", List(EVar(v))) =>
         metaCol(df, "kind", v, fn) === lit(Quad.IRI)

@@ -566,6 +566,12 @@ class SparqlSpec extends SparkSpec {
         |WHERE { ?x <name> ?n . FILTER(?n = "Alice") }""".stripMargin)
       .as[(String, String, String)].collect().toSeq shouldBe
       Seq(("Al", "ce", ""))
+    // supplementary-plane separator: one code point, two UTF-16 units —
+    // the STRAFTER offset must count code points or it drops a leading char
+    val emoji = Seq(("x", "name", "a😀tail")).toDF("s", "p", "o")
+    Sparql.select(emoji,
+      "SELECT (STRAFTER(?n, \"😀\") AS ?a) WHERE { ?x <name> ?n }")
+      .as[String].collect().toSeq shouldBe Seq("tail")
   }
 
   it should "evaluate LANG and LANGMATCHES over carried term metadata" in {
