@@ -34,27 +34,44 @@ object AgentMatch {
       simThreshold: Double = 0.9,
       maxBlockSize: Option[Int] = Some(10000)): DataFrame = {
     val spark = records.sparkSession
-    // ONE tokenize subtree feeds everything: the per-token document
-    // frequencies serve BOTH the IDF weights and the blocking prune
-    // (they are the same aggregation), and the (id, tok) exchange is
-    // shared between the weights branch and the block→pair tail — the
-    // identical subtrees collapse via Catalyst exchange reuse instead of
-    // re-running the regex pass once per consumer.
+    // ONE tokenize subtree and ONE per-token aggregation feed everything.
+    // The document-frequency count, the IDF weight, and the blocking
+    // group are all keyed on tok, so they are computed as a single
+    // groupBy producing (tok, ids, df): the weights branch re-explodes it
+    // to (id, tok, idf) and the block→pair tail filters it by the
+    // doc-frequency prune. The earlier formulation ran them as three
+    // separate aggregation/join subtrees over the shared (id, tok)
+    // exchange — correct, but three more exchanges and two more joins of
+    // pure scheduling overhead per run; the fused shape is the same
+    // logical result with the base aggregation deduped via exchange
+    // reuse across its two consumers.
     val toksFlat = Resolution.tokShuffled(records, nameCol, idCol)
-    val counts = toksFlat.groupBy("tok").agg(count(lit(1)).as("df"))
     val scalars = records.select(count(lit(1)).as("__n"),
       countDistinct(col(idCol)).as("n_docs"))
-    val withScalars = counts.crossJoin(broadcast(scalars))
-    val idf = withScalars.select(col("tok"),
-      log(col("n_docs").cast("double") / col("df")).as("idf"))
-    val rareTokens = withScalars
-      .where(col("df") <= col("__n") * maxDocFreqFraction).select("tok")
-    // per-record (tokens, weights) aligned arrays
-    val toks = toksFlat
-      .join(idf, Seq("tok"))
+    // sort_array keeps pair generation deterministic (id1 < id2 within a
+    // block, lowest ids survive the cap) — reference searchSize semantics
+    val base = toksFlat.groupBy("tok")
+      .agg(sort_array(collect_list(col("id"))).as("ids"),
+        count(lit(1)).as("df"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
+    // per-record (tokens, weights) aligned arrays, recovered from the
+    // per-token groups — no (id, tok) ⋈ idf join needed
+    val toks = base
+      .select(col("tok"), col("idf"), explode(col("ids")).as("id"))
       .groupBy("id")
       .agg(collect_list(col("tok")).as("toks"), collect_list(col("idf")).as("ws"))
-    val candidates = Resolution.pairsFromBlocks(toksFlat, rareTokens, maxBlockSize)
+    val blocks = base.where(col("df") <= col("__n") * maxDocFreqFraction)
+    val cappedIds = maxBlockSize match {
+      case Some(cap) => slice(col("ids"), 1, cap)
+      case None => col("ids")
+    }
+    val candidates = blocks
+      .select(posexplode(cappedIds).as(Seq("__i", "id1")), cappedIds.as("ids"))
+      .select(col("id1"),
+        explode(slice(col("ids"), col("__i") + lit(2), size(col("ids")))).as("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared_tokens"))
     // The (id → aligned token/weight arrays) side is ~input-sized, so on
     // small-to-medium corpora broadcast it: both candidate joins become
     // BroadcastHashJoins and the candidate stream flows from its
