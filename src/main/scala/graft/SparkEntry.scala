@@ -1212,6 +1212,45 @@ object SparkEntry {
         max(when(col("p") === "urn:p:src", col("oLang"))).as("lang"))
   }
 
+  /** Gopher repetition-removal signals (Rae et al. 2021 §A1.1 — a
+    * training-pipeline extension, no reference counterpart): per document
+    * the total and most-frequent 2-gram occurrence counts and the excess
+    * (beyond-first) occurrences of repeated 3-grams, all exact integers.
+    * Fully NARROW: the gram list is sorted per row and run-length scanned
+    * with `aggregate` — zero shuffles, zero explodes; at 100 TB this is
+    * embarrassingly parallel map work pipelined into the scan. */
+  private def q99_repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+    val grams = toks.select(col("doc_id"),
+      array_sort(TextAnalysis.rawShingles(col("ts"), 2)).as("g2"),
+      TextAnalysis.rawShingles(col("ts"), 3).as("g3"))
+    grams.select(col("doc_id"),
+      size(col("g2")).cast("long").as("n_2grams"),
+      TextAnalysis.topRunCount(col("g2")).as("top_2gram_n"),
+      (size(col("g3")) - size(array_distinct(col("g3")))).cast("long")
+        .as("dup_3gram_excess"))
+  }
+
+  /** Benchmark-contamination scan (training-pipeline extension): distinct
+    * 5-gram overlap between every training document and a held-out eval
+    * slice (doc_id ≡ 0 mod 97). The eval gram set is aggregated and
+    * BROADCAST — eval suites are small by construction — so the scan-side
+    * join is shuffle-free; at 100 TB the join key becomes the 8-byte
+    * xxhash64 of the gram (string keys kept here for oracle parity). */
+  private def q100_contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.rawShingles(col("ts"), 5))).as("g"))
+    val evalGrams = grams.where(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    grams.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("hit")).as("n_contaminated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1310,7 +1349,9 @@ object SparkEntry {
     "q95_url_classify" -> (q95_url_classify _),
     "q96_curation" -> (q96_curation _),
     "q97_nested_path" -> (q97_nested_path _),
-    "q98_rdf_roundtrip" -> (q98_rdf_roundtrip _)
+    "q98_rdf_roundtrip" -> (q98_rdf_roundtrip _),
+    "q99_repetition" -> (q99_repetition _),
+    "q100_contamination" -> (q100_contamination _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2282,7 +2323,49 @@ object SparkEntry {
     "q98_rdf_roundtrip" ->
       // the engine side is a four-format serialize→parse chain whose
       // composition must be the identity; the oracle states that identity
-      "SELECT doc_id, text, n_chars, source, lang FROM documents"
+      "SELECT doc_id, text, n_chars, source, lang FROM documents",
+    "q99_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 2)
+        |), g3 AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+        |        FROM toks WHERE len(ts) >= 3)
+        |), c2 AS (
+        |  SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+        |), a2 AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+        |    CAST(max(c) AS BIGINT) AS top_2gram_n FROM c2 GROUP BY 1
+        |), a3 AS (
+        |  SELECT doc_id, CAST(count(*) - count(DISTINCT g) AS BIGINT) AS dup_3gram_excess
+        |  FROM g3 GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a2.n_2grams, 0) AS BIGINT) AS n_2grams,
+        |  CAST(COALESCE(a2.top_2gram_n, 0) AS BIGINT) AS top_2gram_n,
+        |  CAST(COALESCE(a3.dup_3gram_excess, 0) AS BIGINT) AS dup_3gram_excess
+        |FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)""".stripMargin,
+    "q100_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS g
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 4)) AS i
+        |        FROM toks WHERE len(ts) >= 5)
+        |), ev AS (
+        |  SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0
+        |)
+        |SELECT s.doc_id, CAST(count(e.g) AS BIGINT) AS n_contaminated
+        |FROM sh s LEFT JOIN ev e ON s.g = e.g
+        |WHERE s.doc_id % 97 <> 0
+        |GROUP BY 1""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -45,6 +45,34 @@ object TextAnalysis {
   def wordShingles(text: Column, k: Int): Column =
     wordShinglesFromTokens(tokens(text), k)
 
+  /** Raw (non-distinct) word-k-gram occurrence list from a bound token
+    * array — repetition profiling needs every occurrence, unlike the
+    * dedup shingles. Strictly empty when the text has fewer than k
+    * tokens (no partial tail gram), so counts line up with a
+    * `len(ts) >= k` SQL oracle. Same binding caveat as
+    * [[wordShinglesFromTokens]]: pass a projected attribute. */
+  def rawShingles(t: Column, k: Int): Column =
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Occurrence count of the most frequent element of a SORTED array, as
+    * a run-length scan inside `aggregate` — per-row, no explode, no
+    * shuffle. 0 for an empty array. Elements must be non-empty strings
+    * (the "" init sentinel never equals a real gram). */
+  def topRunCount(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Character-k-shingles (for near-dup detection on short texts). */
   def charShingles(text: Column, k: Int): Column = {
     val n = length(text)

@@ -24,6 +24,27 @@ class TextAnalysisSpec extends SparkSpec {
     res shouldBe Seq("single")
   }
 
+  "rawShingles" should "keep every occurrence and guard short texts" in {
+    val df = Seq("a b a b a", "x", "").toDF("t")
+      .select(TextAnalysis.tokens($"t").as("ts"))
+    val res = df.select(TextAnalysis.rawShingles($"ts", 2)).as[Seq[String]].collect()
+    res(0) shouldBe Seq("a b", "b a", "a b", "b a") // duplicates preserved
+    res(1) shouldBe Seq.empty // fewer than k tokens -> no partial gram
+    res(2) shouldBe Seq.empty
+  }
+
+  "topRunCount" should "count the most frequent element of a sorted array" in {
+    val df = Seq("a b a b a c", "x y", "").toDF("t")
+      .select(TextAnalysis.tokens($"t").as("ts"))
+    val res = df
+      .select(TextAnalysis.topRunCount(
+        array_sort(TextAnalysis.rawShingles($"ts", 2))))
+      .as[Long].collect()
+    res(0) shouldBe 2L // "a b" twice ("b a" twice too; max run = 2)
+    res(1) shouldBe 1L
+    res(2) shouldBe 0L // empty gram list
+  }
+
   "charShingles" should "slide over characters" in {
     val res = Seq("abcd").toDF("t")
       .select(TextAnalysis.charShingles($"t", 3)).as[Seq[String]].head()
