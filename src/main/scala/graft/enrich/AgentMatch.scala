@@ -34,56 +34,57 @@ object AgentMatch {
       simThreshold: Double = 0.9,
       maxBlockSize: Option[Int] = Some(10000)): DataFrame = {
     val spark = records.sparkSession
-    // ONE tokenize subtree and ONE per-token aggregation feed everything.
-    // The document-frequency count, the IDF weight, and the blocking
-    // group are all keyed on tok, so they are computed as a single
-    // groupBy producing (tok, ids, df): the weights branch re-explodes it
-    // to (id, tok, idf) and the block→pair tail filters it by the
-    // doc-frequency prune. The earlier formulation ran them as three
-    // separate aggregation/join subtrees over the shared (id, tok)
-    // exchange — correct, but three more exchanges and two more joins of
-    // pure scheduling overhead per run; the fused shape is the same
-    // logical result with the base aggregation deduped via exchange
-    // reuse across its two consumers.
+    // ONE tokenize subtree feeds everything; how much else fuses is
+    // byte-gated on the INPUT's optimizer stats ([[Resolution.FuseBytes]]).
+    // Small corpora: the document-frequency count, the IDF weight, and
+    // the blocking group are all keyed on tok, so one groupBy produces
+    // (tok, ids, idf) and feeds both the per-record weight arrays
+    // (re-exploded, no join) and the pair tail — the fewest-stage shape,
+    // but its collect runs before the hot-token prune, so it is only safe
+    // when the whole corpus is broadcast-sized. At scale: count df first
+    // (map-side partial aggregation, skew-safe), prune, and only then
+    // collect the surviving tokens' blocks; weights come from a
+    // co-partitioned (id, tok) ⋈ idf join. Both shapes are the same
+    // logical result.
     val toksFlat = Resolution.tokShuffled(records, nameCol, idCol)
     val scalars = records.select(count(lit(1)).as("__n"),
       countDistinct(col(idCol)).as("n_docs"))
+    val small = Resolution.smallInput(records)
     // sort_array keeps pair generation deterministic (id1 < id2 within a
     // block, lowest ids survive the cap) — reference searchSize semantics
-    val base = toksFlat.groupBy("tok")
-      .agg(sort_array(collect_list(col("id"))).as("ids"),
-        count(lit(1)).as("df"))
-      .crossJoin(broadcast(scalars))
-      .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
-    // per-record (tokens, weights) aligned arrays, recovered from the
-    // per-token groups — no (id, tok) ⋈ idf join needed
-    val toks = base
-      .select(col("tok"), col("idf"), explode(col("ids")).as("id"))
-      .groupBy("id")
-      .agg(collect_list(col("tok")).as("toks"), collect_list(col("idf")).as("ws"))
-    val blocks = base.where(col("df") <= col("__n") * maxDocFreqFraction)
-    val cappedIds = maxBlockSize match {
-      case Some(cap) => slice(col("ids"), 1, cap)
-      case None => col("ids")
-    }
-    val candidates = blocks
-      .select(posexplode(cappedIds).as(Seq("__i", "id1")), cappedIds.as("ids"))
-      .select(col("id1"),
-        explode(slice(col("ids"), col("__i") + lit(2), size(col("ids")))).as("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("shared_tokens"))
+    val (toks, candidates) =
+      if (small) {
+        val base = toksFlat.groupBy("tok")
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .crossJoin(broadcast(scalars))
+          .withColumn("df", size(col("ids")).cast("long"))
+          .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
+        val perId = base
+          .select(col("tok"), col("idf"), explode(col("ids")).as("id"))
+          .groupBy("id")
+          .agg(collect_list(col("tok")).as("toks"), collect_list(col("idf")).as("ws"))
+        val blocks = base.where(col("df") <= col("__n") * maxDocFreqFraction)
+        (perId, Resolution.pairsFromIdLists(blocks, maxBlockSize))
+      } else {
+        val counts = toksFlat.groupBy("tok").agg(count(lit(1)).as("df"))
+        val withScalars = counts.crossJoin(broadcast(scalars))
+        val idf = withScalars.select(col("tok"),
+          log(col("n_docs").cast("double") / col("df")).as("idf"))
+        val rareTokens = withScalars
+          .where(col("df") <= col("__n") * maxDocFreqFraction).select("tok")
+        val perId = toksFlat
+          .join(idf, Seq("tok"))
+          .groupBy("id")
+          .agg(collect_list(col("tok")).as("toks"), collect_list(col("idf")).as("ws"))
+        (perId, Resolution.pairsFromBlocks(toksFlat, rareTokens, maxBlockSize))
+      }
     // The (id → aligned token/weight arrays) side is ~input-sized, so on
     // small-to-medium corpora broadcast it: both candidate joins become
     // BroadcastHashJoins and the candidate stream flows from its
     // (id1, id2) aggregation straight into scoring with no further
-    // exchange or sort. Byte-gated on the INPUT's optimizer stats (the
-    // aggregated side has no reliable estimate) — past the gate the plan
-    // falls back to the shuffled sort-merge joins, which is the 100 TB
-    // shape.
-    val toksSized =
-      if (records.queryExecution.optimizedPlan.stats.sizeInBytes < (1L << 26))
-        broadcast(toks)
-      else toks
+    // exchange or sort. Past the gate the plan falls back to the shuffled
+    // sort-merge joins, which is the 100 TB shape.
+    val toksSized = if (small) broadcast(toks) else toks
     // Scoring is the one CPU-bound per-row stage of the pipeline, so it
     // runs as the native soft_tfidf expression ([[SoftTfIdfScore]] —
     // reads ArrayData directly, no per-row converter boxing) pinned

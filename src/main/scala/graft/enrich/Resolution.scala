@@ -78,6 +78,25 @@ object Resolution {
       col("__n") * maxDocFreqFraction, Some(n), maxBlockSize)
   }
 
+  /** Corpora under this optimizer-stats byte size take the FUSED
+    * candidate plan: collect every token's id list in ONE aggregation and
+    * derive the doc frequency from the list size — the fewest-stage shape,
+    * but the collect runs BEFORE the hot-token prune, so a stop token
+    * would buffer its whole block on one task. Only safe when the entire
+    * corpus is broadcast-sized. Past the gate, plans count df first,
+    * prune, and collect only surviving tokens' lists — bounded memory per
+    * task under stop-token skew, the 100 TB shape. */
+  private[enrich] val FuseBytes = 1L << 26
+
+  private[enrich] def smallInput(df: DataFrame): Boolean = {
+    // gate override (tests force the scale path on small fixtures; ops
+    // can re-tune without a rebuild)
+    val gate = df.sparkSession.conf
+      .getOption("spark.graft.resolution.fuseBytes")
+      .map(_.toLong).getOrElse(FuseBytes)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes < gate
+  }
+
   private def tokenBlockingCandidatesBy(
       df: DataFrame,
       textCol: String,
@@ -86,22 +105,25 @@ object Resolution {
       nDf: Option[DataFrame],
       maxBlockSize: Option[Int]): DataFrame = {
     val toks = tokShuffled(df, textCol, idCol)
-    // document frequency per token; the corpus-count scalar (fractional
-    // cutoff) joins AFTER the aggregation, onto the tiny per-token table,
-    // so the broadcast never rides along with the exploded rows
-    val counts = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val rare = nDf.fold(counts)(n => counts.crossJoin(broadcast(n)))
-      .where(col("df") <= cutoff)
-    // Pair generation by per-token list, NOT a self-join: collect each
-    // (pruned) token's sorted id list and expand the strict upper
-    // triangle in place. One shuffle keyed on tok, one on (id1, id2)
-    // (the count) — the earlier self-join formulation cost four. List width
-    // is bounded by the IDF cutoff, and the optional block cap — the
-    // distributed analogue of the reference's searchSize=10000 candidate
-    // bound (AgentMatchEnricher.scala:68) — is a slice of the sorted
-    // list: deterministically the lowest ids, applied BEFORE the
-    // quadratic expansion, no window, no extra exchange.
-    pairsFromBlocks(toks, rare.select("tok"), maxBlockSize)
+    if (smallInput(df)) {
+      // fused small-corpus plan (see [[FuseBytes]]): df == size(ids), so
+      // the count aggregation and its join back disappear
+      val grouped = toks.groupBy(col("tok"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .withColumn("df", size(col("ids")).cast("long"))
+      val rare = nDf.fold(grouped)(n => grouped.crossJoin(broadcast(n)))
+        .where(col("df") <= cutoff)
+      pairsFromIdLists(rare, maxBlockSize)
+    } else {
+      // document frequency per token; the corpus-count scalar (fractional
+      // cutoff) joins AFTER the aggregation, onto the tiny per-token
+      // table, so the broadcast never rides along with the exploded rows.
+      // The prune lands BEFORE any id list is collected — see [[FuseBytes]].
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val rare = nDf.fold(counts)(n => counts.crossJoin(broadcast(n)))
+        .where(col("df") <= cutoff)
+      pairsFromBlocks(toks, rare.select("tok"), maxBlockSize)
+    }
   }
 
   /** The block→pair tail of token blocking, from a prepared (id, tok)
@@ -111,14 +133,27 @@ object Resolution {
   private[enrich] def pairsFromBlocks(
       toks: DataFrame,
       rareTokens: DataFrame,
+      maxBlockSize: Option[Int]): DataFrame =
+    pairsFromIdLists(
+      toks
+        .join(rareTokens, Seq("tok"))
+        .groupBy(col("tok"))
+        .agg(sort_array(collect_list(col("id"))).as("ids")),
+      maxBlockSize)
+
+  /** The pair-expansion tail: from per-block sorted id lists (an `ids`
+    * column), apply the optional block cap — the distributed analogue of
+    * the reference's searchSize=10000 candidate bound
+    * (AgentMatchEnricher.scala:68), a slice of the sorted list:
+    * deterministically the lowest ids, applied BEFORE the quadratic
+    * expansion, no window, no extra exchange — then expand the strict
+    * upper triangle in place and count shared blocks per pair. */
+  private[enrich] def pairsFromIdLists(
+      grouped: DataFrame,
       maxBlockSize: Option[Int]): DataFrame = {
-    val grouped = toks
-      .join(rareTokens, Seq("tok"))
-      .groupBy(col("tok"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
     val capped = maxBlockSize match {
-      case Some(cap) => grouped.select(col("tok"), slice(col("ids"), 1, cap).as("ids"))
-      case None => grouped
+      case Some(cap) => grouped.select(slice(col("ids"), 1, cap).as("ids"))
+      case None => grouped.select(col("ids"))
     }
     capped
       .select(posexplode(col("ids")).as(Seq("__i", "id1")), col("ids"))

@@ -28,6 +28,33 @@ class ResolutionSpec extends SparkSpec {
     all shouldBe Set((1L, 2L), (1L, 3L))
   }
 
+  it should "produce identical candidates on the fused and scale plans" in {
+    val df = Seq(
+      (1L, "john smith"), (2L, "john doe"), (3L, "jane smith"),
+      (4L, "common common"), (5L, "john smith jr"), (6L, "ada doe")
+    ).toDF("id", "name")
+    def run() = Resolution.tokenBlockingCandidates(df, "name", "id", maxDocFreq = 3)
+      .select("id1", "id2", "shared_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    val fused = run()
+    spark.conf.set("spark.graft.resolution.fuseBytes", "0") // force scale path
+    try {
+      val scale = run()
+      scale shouldBe fused
+      val pairsFused = {
+        spark.conf.set("spark.graft.resolution.fuseBytes", (1L << 26).toString)
+        AgentMatch.sameAsPairs(df, "id", "name", threshold = 0.8,
+          maxDocFreqFraction = 0.9).select("id1", "id2")
+          .as[(Long, Long)].collect().toSet
+      }
+      spark.conf.set("spark.graft.resolution.fuseBytes", "0")
+      val pairsScale = AgentMatch.sameAsPairs(df, "id", "name", threshold = 0.8,
+        maxDocFreqFraction = 0.9).select("id1", "id2")
+        .as[(Long, Long)].collect().toSet
+      pairsScale shouldBe pairsFused
+    } finally spark.conf.unset("spark.graft.resolution.fuseBytes")
+  }
+
   "idf" should "compute ln(N/df) over distinct doc tokens" in {
     val df = Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("id", "text")
     val m = Resolution.idf(df, "text", "id")
