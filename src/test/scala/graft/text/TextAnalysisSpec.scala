@@ -45,6 +45,38 @@ class TextAnalysisSpec extends SparkSpec {
     res(2) shouldBe 0L // empty gram list
   }
 
+  it should "match a driver-side reference on random corpora" in {
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(30) // includes 0- and 1-token edge docs
+      (i.toLong,
+        (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar.toString).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "t")
+      .select($"doc_id", TextAnalysis.tokens($"t").as("ts"))
+    val grams = df.select($"doc_id",
+      array_sort(TextAnalysis.rawShingles($"ts", 2)).as("g2"),
+      TextAnalysis.rawShingles($"ts", 3).as("g3"))
+    import org.apache.spark.sql.{functions => F}
+    val got = grams.select($"doc_id",
+        F.size($"g2").cast("long"),
+        TextAnalysis.topRunCount($"g2"),
+        (F.size($"g3") - F.size(array_distinct($"g3"))).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    docs.foreach { case (id, t) =>
+      val toks = t.split("[\\s\\p{Punct}]+").filter(_.nonEmpty).toSeq
+      def gr(k: Int) =
+        toks.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+      val (g2, g3) = (gr(2), gr(3))
+      val top2 =
+        if (g2.isEmpty) 0L else g2.groupBy(identity).values.map(_.size).max.toLong
+      withClue(s"doc $id ('$t'): ") {
+        got(id) shouldBe ((g2.size.toLong, top2, (g3.size - g3.distinct.size).toLong))
+      }
+    }
+  }
+
   "charShingles" should "slide over characters" in {
     val res = Seq("abcd").toDF("t")
       .select(TextAnalysis.charShingles($"t", 3)).as[Seq[String]].head()
