@@ -226,6 +226,51 @@ object ScalingProbe {
         s"""{"docs":$nDocs,"turtleSec":$tTtl,"jsonldSec":$tJld,"quads":$nTtl,"jsonldQuads":$nJld}"""
     }
 
+    // 12) Gopher repetition profile at 500k docs: fully NARROW plan
+    // (per-row sorted-run scan inside aggregate, zero shuffles) — the
+    // probe pins throughput to scan rate; the terminal aggregate forces
+    // every profile column to be computed (a bare count would let
+    // Catalyst prune the math away).
+    if (want("repetition500k")) {
+      // native one-pass expression (the q99 fast path); the interpreted
+      // HOF column formulation measured 75 s on the same input — the
+      // terminal aggregate forces every profile column to be computed (a
+      // bare count would let Catalyst prune the math away)
+      val profile = docs500k
+        .select(col("doc_id"),
+          call_function("repetition_profile", col("text")).as("p"))
+        .select(col("doc_id"), col("p.n_2grams").as("n2"),
+          col("p.top_2gram_n").as("top2"), col("p.dup_3gram_excess").as("ex3"))
+      val (tRep, nRep) = time {
+        val r = profile
+          .agg(count(lit(1)).as("n"), sum(col("n2") + col("top2") + col("ex3")).as("s"))
+          .head()
+        r.getLong(0)
+      }
+      out += "repetition500k" -> s"""{"sec":$tRep,"rows":$nRep}"""
+    }
+
+    // 13) contamination scan at 500k docs: distinct 5-grams per doc,
+    // eval slice (doc_id % 97) aggregated and broadcast, scan-side join
+    // with no shuffle on the training grams; the groupBy rollup is the
+    // only exchange.
+    if (want("contamination500k")) {
+      import graft.text.TextAnalysis
+      val grams = docs500k
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.rawShingles(col("ts"), 5))).as("g"))
+      val evalGrams = grams.where(col("doc_id") % 97 === 0).select(col("g")).distinct()
+      val (tCon, nCon) = time {
+        grams.where(col("doc_id") % 97 =!= 0)
+          .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(col("hit")).as("n_contaminated"))
+          .count()
+      }
+      out += "contamination500k" -> s"""{"sec":$tCon,"rows":$nCon}"""
+    }
+
     println(out.map { case (k, v) => s""""$k":$v""" }
       .mkString("""{"probe":"scaling",""", ",", "}"))
     spark.stop()

@@ -1220,16 +1220,30 @@ object SparkEntry {
     * with `aggregate` — zero shuffles, zero explodes; at 100 TB this is
     * embarrassingly parallel map work pipelined into the scan. */
   private def q99_repetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
-    val grams = toks.select(col("doc_id"),
-      array_sort(TextAnalysis.rawShingles(col("ts"), 2)).as("g2"),
-      TextAnalysis.rawShingles(col("ts"), 3).as("g3"))
-    grams.select(col("doc_id"),
-      size(col("g2")).cast("long").as("n_2grams"),
-      TextAnalysis.topRunCount(col("g2")).as("top_2gram_n"),
-      (size(col("g3")) - size(array_distinct(col("g3")))).cast("long")
-        .as("dup_3gram_excess"))
+    val native = s.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("repetition_profile"))
+    if (native) {
+      // one-pass codegen'd profile (exact string-keyed; bit-identical to
+      // the column plan below, spec-enforced) — ~20x the column plan's
+      // throughput at corpus scale
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          call_function("repetition_profile", col("text")).as("p"))
+        .select(col("doc_id"), col("p.n_2grams").as("n_2grams"),
+          col("p.top_2gram_n").as("top_2gram_n"),
+          col("p.dup_3gram_excess").as("dup_3gram_excess"))
+    } else {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      val grams = toks.select(col("doc_id"),
+        array_sort(TextAnalysis.rawShingles(col("ts"), 2)).as("g2"),
+        TextAnalysis.rawShingles(col("ts"), 3).as("g3"))
+      grams.select(col("doc_id"),
+        size(col("g2")).cast("long").as("n_2grams"),
+        TextAnalysis.topRunCount(col("g2")).as("top_2gram_n"),
+        (size(col("g3")) - size(array_distinct(col("g3")))).cast("long")
+          .as("dup_3gram_excess"))
+    }
   }
 
   /** Benchmark-contamination scan (training-pipeline extension): distinct

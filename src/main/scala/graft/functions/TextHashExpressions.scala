@@ -213,6 +213,41 @@ object TextHash {
     while (p < numHashes) { out(p) = sig(p); p += 1 }
     new GenericArrayData(out)
   }
+
+  /** Gopher repetition profile in one tokenize pass (see
+    * [[RepetitionProfile]]): (n_2grams, top_2gram_n, dup_3gram_excess).
+    * Gram identity is the exact space-joined token string — the same
+    * grams the column formulation builds — so the profile is
+    * collision-free by construction. */
+  def repetitionProfile(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = splitTokens(text)
+    val n = toks.length
+    var n2 = 0L
+    var top2 = 0L
+    var ex3 = 0L
+    if (n >= 2) {
+      n2 = (n - 1).toLong
+      val counts = new java.util.HashMap[String, java.lang.Long]()
+      var i = 0
+      while (i <= n - 2) {
+        val g = toks(i) + " " + toks(i + 1)
+        val prev = counts.get(g)
+        val c = if (prev == null) 1L else prev.longValue() + 1L
+        counts.put(g, c)
+        if (c > top2) top2 = c
+        i += 1
+      }
+    }
+    if (n >= 3) {
+      val seen = new java.util.HashSet[String]()
+      var i = 0
+      while (i <= n - 3) {
+        if (!seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))) ex3 += 1
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n2, top2, ex3)
+  }
 }
 
 /** `xxhash64_tokens(text)` → array<bigint>: tokenize + hash in one pass. */
@@ -366,4 +401,39 @@ case class MinHashSigs(child: Expression, numHashes: Int) extends UnaryExpressio
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minhashSigs($c, $numHashes)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `repetition_profile(text)` → struct<n_2grams, top_2gram_n,
+  * dup_3gram_excess> (all bigint): the Gopher repetition-removal profile
+  * (Rae et al. 2021 §A1.1) in ONE tokenize pass — total and most-frequent
+  * 2-gram occurrence counts plus the excess (beyond-first) occurrences of
+  * repeated 3-grams. Exact string-keyed counting (no hash-collision
+  * caveat): bit-identical to the rawShingles/topRunCount column
+  * formulation, which walks interpreted higher-order functions and is
+  * ~20x slower at corpus scale. */
+case class RepetitionProfile(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "repetition_profile"
+  override def dataType: DataType = RepetitionProfile.Out
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"repetition_profile needs string, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.repetitionProfile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.repetitionProfile($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionProfile {
+  val Out: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_2grams", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("top_2gram_n", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dup_3gram_excess", LongType, nullable = false)))
 }

@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.Md5SimHash].getName, "simhash_md5"),
       (exprs: Seq[Expression]) => graft.functions.Md5SimHash(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("repetition_profile"),
+      new ExpressionInfo(classOf[graft.functions.RepetitionProfile].getName,
+        "repetition_profile"),
+      (exprs: Seq[Expression]) => graft.functions.RepetitionProfile(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("simhash_combo_keys"),
       new ExpressionInfo(classOf[graft.functions.SimHashComboKeys].getName,
         "simhash_combo_keys"),

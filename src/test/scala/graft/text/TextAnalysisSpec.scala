@@ -64,6 +64,12 @@ class TextAnalysisSpec extends SparkSpec {
         (F.size($"g3") - F.size(array_distinct($"g3"))).cast("long"))
       .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the native one-pass expression must agree with the column plan
+    val gotNative = docs.toDF("doc_id", "t")
+      .select($"doc_id", call_function("repetition_profile", $"t").as("p"))
+      .select($"doc_id", $"p.n_2grams", $"p.top_2gram_n", $"p.dup_3gram_excess")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     docs.foreach { case (id, t) =>
       val toks = t.split("[\\s\\p{Punct}]+").filter(_.nonEmpty).toSeq
       def gr(k: Int) =
@@ -71,8 +77,10 @@ class TextAnalysisSpec extends SparkSpec {
       val (g2, g3) = (gr(2), gr(3))
       val top2 =
         if (g2.isEmpty) 0L else g2.groupBy(identity).values.map(_.size).max.toLong
+      val want = ((g2.size.toLong, top2, (g3.size - g3.distinct.size).toLong))
       withClue(s"doc $id ('$t'): ") {
-        got(id) shouldBe ((g2.size.toLong, top2, (g3.size - g3.distinct.size).toLong))
+        got(id) shouldBe want
+        gotNative(id) shouldBe want
       }
     }
   }
