@@ -257,9 +257,9 @@ object ScalingProbe {
     if (want("contamination500k")) {
       import graft.text.TextAnalysis
       val grams = docs500k
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+        .where(size(TextAnalysis.tokens(col("text"))) >= 5)
         .select(col("doc_id"),
-          explode(array_distinct(TextAnalysis.rawShingles(col("ts"), 5))).as("g"))
+          explode(call_function("word_shingles", col("text"), lit(5))).as("g"))
       val evalGrams = grams.where(col("doc_id") % 97 === 0).select(col("g")).distinct()
       val (tCon, nCon) = time {
         grams.where(col("doc_id") % 97 =!= 0)
