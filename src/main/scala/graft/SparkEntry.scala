@@ -1278,6 +1278,23 @@ object SparkEntry {
       .agg(count(col("hit")).as("n_contaminated"))
   }
 
+  /** End-to-end fuzzy-dedup keep list (the near-dup analogue of q96's
+    * exact-dup canonicalization): MinHash+LSH candidate pairs (q25's
+    * operator), connected components over the surviving edges, min-id
+    * keeper per cluster, keep flag. Composes three oracle-checked
+    * operators; the oracle restates the pair set exactly (LSH recall is
+    * total on this corpus) and closes it with a recursive CTE. */
+  private def q101_fuzzy_keeplist(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      k = 2, numHashes = 32, bands = 8, num = 1, den = 3)
+    graft.graph.GraphOps.connectedComponents(
+        pairs.select(col("id1").as("src"), col("id2").as("dst")),
+        vertices = Some(docs.select(col("doc_id").as("id"))))
+      .select(col("id").as("doc_id"), col("component"),
+        (col("id") === col("component")).cast("int").as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1378,7 +1395,8 @@ object SparkEntry {
     "q97_nested_path" -> (q97_nested_path _),
     "q98_rdf_roundtrip" -> (q98_rdf_roundtrip _),
     "q99_repetition" -> (q99_repetition _),
-    "q100_contamination" -> (q100_contamination _)
+    "q100_contamination" -> (q100_contamination _),
+    "q101_fuzzy_keeplist" -> (q101_fuzzy_keeplist _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2392,7 +2410,42 @@ object SparkEntry {
         |SELECT s.doc_id, CAST(count(e.g) AS BIGINT) AS n_contaminated
         |FROM sh s LEFT JOIN ev e ON s.g = e.g
         |WHERE s.doc_id % 97 <> 0
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q101_fuzzy_keeplist" ->
+      // the engine runs LSH-banded candidates; recall is total on this
+      // corpus, so the oracle states the exact-Jaccard pair set (q25's
+      // oracle) and closes it into components with a recursive CTE
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |  FROM toks WHERE len(ts) >= 2
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle FROM idx
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |  WHERE 3 * inter > 1 * (sa.n + sb.n - inter)
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |)
+        |SELECT d.doc_id,
+        |  CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS component,
+        |  CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) = d.doc_id AS INT) AS keep
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
