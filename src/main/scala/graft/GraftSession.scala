@@ -45,14 +45,23 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Nano timestamps arrive as long (see GraftSession); surface them as
-    // microsecond timestamps so downstream time functions behave uniformly.
+    // Normalize `ts` to a session-TZ TIMESTAMP regardless of how the
+    // driver authored the file — the generator has shipped BOTH INT64
+    // TIMESTAMP(NANOS) (arrives as long under nanosAsLong, see
+    // GraftSession) and plain TIMESTAMP(MICROS) (arrives as
+    // TIMESTAMP_NTZ, on which unix_micros/unix_seconds error out). The
+    // session TZ is UTC, so the NTZ cast reinterprets to the identical
+    // instant and every downstream time function behaves uniformly.
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
         // integral division: `/` on longs is double division, which loses
         // exactness at epoch-nanos magnitude (~1e18)
         d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      else if (f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        d.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       else d
     }
   }
