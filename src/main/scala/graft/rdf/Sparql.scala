@@ -1653,12 +1653,20 @@ object Sparql {
     if (p.peek != ";") first
     else {
       // ;-sequenced request: run ops against a running snapshot, then
-      // net-diff so cancelling add/remove pairs drop out of the result
-      var snapshot = QuadStore.applyDiff(store, first)
+      // net-diff so cancelling add/remove pairs drop out of the result.
+      // Each statement COMMITS (localCheckpoint): applyDiff layers an
+      // anti-join + union over the prior store, and statements like ADD
+      // read the snapshot more than once — left as lineage, the plan
+      // tree compounds per statement (a 4-statement sequence reached
+      // 157k physical nodes and q93's dump was 850k lines). Truncating
+      // per statement keeps planning O(statement) like the reference's
+      // per-update store versions, at one bounded materialization each.
+      var snapshot = QuadStore.applyDiff(store, first).localCheckpoint()
       while (p.peek == ";") {
         p.next()
         if (p.peek.nonEmpty)
           snapshot = QuadStore.applyDiff(snapshot, singleUpdateDiff(snapshot, p))
+            .localCheckpoint()
       }
       QuadStore.diff(store, snapshot)
     }
