@@ -73,15 +73,19 @@ object ScalingProbe {
       out += "cc600k" -> s"""{"sec":$tCc,"rows":$nCc}"""
     }
 
-    // 4) token blocking at 200k records (part replicated 10x)
+    // 4) token blocking at 200k records (part replicated 10x) — the gate
+    // override forces the SCALE plan (count-prune-then-collect) so the
+    // probe keeps exercising the 100 TB shape even though the replicated
+    // input's stats sit under the fuse gate
     if (want("blocking200k")) {
       val part = Tables(spark, dir, "part")
       val bigPart = part.crossJoin(spark.range(10).toDF("rep"))
         .select((col("p_partkey") + col("rep") * 1000000).as("p_partkey"), col("p_name"))
-      val (tBlock, nBlock) = time {
+      spark.conf.set("spark.graft.resolution.fuseBytes", "0")
+      val (tBlock, nBlock) = try time {
         graft.enrich.Resolution.tokenBlockingCandidatesFrac(
           bigPart, "p_name", "p_partkey", 0.2, Some(100)).count()
-      }
+      } finally spark.conf.unset("spark.graft.resolution.fuseBytes")
       out += "blocking200k" -> s"""{"sec":$tBlock,"rows":$nBlock}"""
     }
 
