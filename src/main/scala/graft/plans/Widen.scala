@@ -23,8 +23,15 @@ object Widen {
   def apply(df: DataFrame, factor: Int = 1,
       maxBytes: Long = DefaultMaxBytes): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism * factor
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < maxBytes)
-      df.repartition(p)
-    else df
+    val smallBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes < maxBytes
+    // Bytes alone is the wrong gate when a LARGE input sits on FEW
+    // partitions (e.g. the stream side of a broadcast join inheriting a
+    // one-row-group scan): the pass would run near-serial no matter its
+    // size — that case needs the widen MOST. Physical partition count is
+    // read off the compiled plan (no job); at real scale scans split
+    // into thousands of partitions and both clauses are false, so no
+    // full-corpus shuffle is ever added.
+    lazy val fewParts = df.rdd.getNumPartitions < p
+    if (smallBytes || fewParts) df.repartition(p) else df
   }
 }
