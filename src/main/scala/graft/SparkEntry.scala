@@ -1272,8 +1272,19 @@ object SparkEntry {
             explode(array_distinct(TextAnalysis.rawShingles(col("ts"), 5))).as("g"))
     val evalGrams = grams.where(col("doc_id") % 97 === 0)
       .select(col("g")).distinct()
+    // Broadcast the eval side only while the eval SLICE is broadcast-
+    // sized (input stats — the aggregated gram set has no reliable
+    // estimate): real eval suites are tiny, but a fixed fraction of a
+    // 100 TB corpus is not, and past the gate the plan falls back to a
+    // shuffled join that AQE still converts to broadcast at runtime when
+    // the actual built side turns out small.
+    val evalSized =
+      if (t(s, dir, "documents").where(col("doc_id") % 97 === 0)
+          .queryExecution.optimizedPlan.stats.sizeInBytes < (1L << 26))
+        broadcast(evalGrams.withColumn("hit", lit(1)))
+      else evalGrams.withColumn("hit", lit(1))
     grams.where(col("doc_id") % 97 =!= 0)
-      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+      .join(evalSized, Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("hit")).as("n_contaminated"))
   }
