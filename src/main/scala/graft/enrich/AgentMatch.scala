@@ -54,11 +54,16 @@ object AgentMatch {
     // block, lowest ids survive the cap) — reference searchSize semantics
     val (toks, candidates) =
       if (small) {
+        // materialize the per-token groups once: both consumers (weights
+        // re-explode, blocks filter) otherwise re-run the collect_list
+        // aggregation above the reused exchange — the profiler showed the
+        // two 64-task agg branches as the dominant steady-state stages
         val base = toksFlat.groupBy("tok")
           .agg(sort_array(collect_list(col("id"))).as("ids"))
           .crossJoin(broadcast(scalars))
           .withColumn("df", size(col("ids")).cast("long"))
           .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
+          .localCheckpoint()
         val perId = base
           .select(col("tok"), col("idf"), explode(col("ids")).as("id"))
           .groupBy("id")
