@@ -36,11 +36,18 @@ class ResolutionSpec extends SparkSpec {
     def run() = Resolution.tokenBlockingCandidates(df, "name", "id", maxDocFreq = 3)
       .select("id1", "id2", "shared_tokens")
       .as[(Long, Long, Long)].collect().toSet
+    // cap of 2 BITES here ("smith" and "doe" blocks have 3+ members):
+    // both plans must slice the same lowest ids before expansion
+    def runCapped() = Resolution.tokenBlockingCandidatesFrac(
+        df, "name", "id", maxDocFreqFraction = 0.9, maxBlockSize = Some(2))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
     val fused = run()
+    val fusedCapped = runCapped()
     spark.conf.set("spark.graft.resolution.fuseBytes", "0") // force scale path
     try {
       val scale = run()
       scale shouldBe fused
+      runCapped() shouldBe fusedCapped
       val pairsFused = {
         spark.conf.set("spark.graft.resolution.fuseBytes", (1L << 26).toString)
         AgentMatch.sameAsPairs(df, "id", "name", threshold = 0.8,
