@@ -1306,6 +1306,72 @@ object SparkEntry {
         (col("id") === col("component")).cast("int").as("keep"))
   }
 
+  /** Multimodal audio: REAL RIFF/WAVE round-trip. Each document synthesizes
+    * a deterministic PCM-16 clip (LCG samples, length keyed to n_chars),
+    * serializes it to actual WAVE bytes, and [[graft.multimodal.Multimodal
+    * .analyzeAudio]] re-parses those bytes (chunk walk + sample decode) into
+    * header metadata and integer-exact signal statistics. The oracle
+    * restates the generating formula in SQL, so any writer/parser/stats bug
+    * — header offsets, endianness, sign handling, chunk sizes — goes
+    * hash-red. */
+  private def q102_audio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wav = t(s, dir, "documents")
+      .select(col("doc_id"), least(greatest(col("n_chars"), lit(1L)), lit(1600L)).as("n"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, n) =>
+        val samples = new Array[Short](n.toInt)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = (((docId * 7919L + i * 104729L) % 65536L) - 32768L).toShort
+          i += 1
+        }
+        (docId, graft.multimodal.AudioWav.write(samples, sampleRate = 8000))
+      })
+      .toDF("doc_id", "bytes")
+    val audio = graft.multimodal.Multimodal.analyzeAudio(wav, "doc_id", "bytes")
+    wav.select(col("doc_id"), length(col("bytes")).cast("long").as("n_bytes"))
+      .join(audio, "doc_id")
+  }
+
+  /** Multimodal video: REAL ISO-BMFF round-trip. Each document synthesizes
+    * a deterministic MP4 (mvhd duration keyed to n_chars, tkhd dims keyed
+    * to doc_id, LCG mdat payload), and the query composes the two container
+    * operators — [[graft.multimodal.Multimodal.describeVideo]] (box-walk
+    * metadata) and [[graft.multimodal.Multimodal.sampleVideoFrames]]
+    * (bounded frame explosion + proportional payload seek) — into per-clip
+    * frame aggregates. The oracle restates the time grid and seek formula
+    * in SQL. */
+  private def q103_video(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mp4 = t(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(500L) + col("n_chars") % 4000L).as("dur"),
+        (lit(160) + (col("doc_id") % 16).cast("int") * 8).as("w"),
+        (lit(120) + (col("doc_id") % 9).cast("int") * 8).as("h"),
+        least(greatest(col("n_chars"), lit(1L)), lit(1200L)).as("m"))
+      .as[(Long, Long, Int, Int, Long)]
+      .mapPartitions(_.map { case (docId, dur, w, h, m) =>
+        val payload = new Array[Byte](m.toInt)
+        var j = 0
+        while (j < payload.length) {
+          payload(j) = ((docId * 31L + j * 17L) % 251L).toByte
+          j += 1
+        }
+        (docId, graft.multimodal.VideoMp4.write(
+          timescale = 1000L, duration = dur, width = w, height = h, payload))
+      })
+      .toDF("doc_id", "bytes")
+    val meta = graft.multimodal.Multimodal.describeVideo(mp4, "doc_id", "bytes")
+    val frames = graft.multimodal.Multimodal
+      .sampleVideoFrames(mp4, "doc_id", "bytes", strideMs = 250L, maxFrames = 16)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("payload_offset").cast("long")).as("sum_offsets"),
+        sum(col("sample_value").cast("long")).as("sum_samples"))
+    meta.join(frames, "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1407,7 +1473,9 @@ object SparkEntry {
     "q98_rdf_roundtrip" -> (q98_rdf_roundtrip _),
     "q99_repetition" -> (q99_repetition _),
     "q100_contamination" -> (q100_contamination _),
-    "q101_fuzzy_keeplist" -> (q101_fuzzy_keeplist _)
+    "q101_fuzzy_keeplist" -> (q101_fuzzy_keeplist _),
+    "q102_audio" -> (q102_audio _),
+    "q103_video" -> (q103_video _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2456,7 +2524,61 @@ object SparkEntry {
         |  CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS component,
         |  CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) = d.doc_id AS INT) AS keep
         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        |GROUP BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id""".stripMargin,
+    // q102: the engine synthesizes PCM-16 from this exact LCG, serializes
+    // real WAVE bytes, and re-parses them; the oracle recomputes every
+    // field from the formula — all-integer, so the hash check is strict
+    "q102_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id, LEAST(GREATEST(n_chars, 1), 1600) AS n FROM documents
+        |), s AS (
+        |  SELECT d.doc_id, g.i,
+        |    ((d.doc_id * 7919 + g.i * 104729) % 65536) - 32768 AS x
+        |  FROM d JOIN generate_series(0, 1599) g(i) ON g.i < d.n
+        |), lagged AS (
+        |  SELECT doc_id, i, x,
+        |    lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS lx
+        |  FROM s
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(ABS(x)) AS BIGINT) AS sum_abs,
+        |    CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+        |    CAST(MAX(ABS(x)) AS INT) AS peak,
+        |    CAST(SUM(CASE WHEN lx IS NOT NULL AND (x < 0) <> (lx < 0)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |  FROM lagged GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(44 + 2 * d.n AS BIGINT) AS n_bytes,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(d.n AS BIGINT) AS n_frames,
+        |  CAST((d.n * 1000) // 8000 AS BIGINT) AS duration_ms,
+        |  agg.sum_abs, agg.sum_sq, agg.peak, agg.zero_crossings
+        |FROM d JOIN agg ON agg.doc_id = d.doc_id""".stripMargin,
+    // q103: same contract for the MP4 container — time grid at 250 ms
+    // stride capped at 16 frames, proportional payload seek, LCG payload
+    "q103_video" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    500 + (n_chars % 4000) AS dur,
+        |    CAST(160 + (doc_id % 16) * 8 AS INT) AS width,
+        |    CAST(120 + (doc_id % 9) * 8 AS INT) AS height,
+        |    LEAST(GREATEST(n_chars, 1), 1200) AS m
+        |  FROM documents
+        |), f AS (
+        |  SELECT d.doc_id, d.m, g.i,
+        |    ((g.i * 250 * d.m) // d.dur) AS off
+        |  FROM d JOIN generate_series(0, 15) g(i) ON g.i * 250 < d.dur
+        |)
+        |SELECT d.doc_id, 'isom' AS brand,
+        |  CAST(d.dur AS BIGINT) AS duration_ms,
+        |  d.width, d.height, CAST(d.m AS INT) AS mdat_bytes,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(f.off) AS BIGINT) AS sum_offsets,
+        |  CAST(SUM((d.doc_id * 31 + f.off * 17) % 251) AS BIGINT) AS sum_samples
+        |FROM d JOIN f ON f.doc_id = d.doc_id
+        |GROUP BY d.doc_id, d.dur, d.width, d.height, d.m""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -110,4 +110,83 @@ object Multimodal {
     * testable logic). */
   def frameOffsets(durationMs: Long, strideMs: Long, maxFrames: Int): Seq[Long] =
     (0L until durationMs by math.max(1, strideMs)).take(maxFrames)
+
+  /** REAL audio decode ([[AudioWav]]): RIFF/WAVE chunk walk + 16-bit PCM
+    * sample pass, emitting header metadata and integer-exact signal
+    * statistics per row. Undecodable rows keep nulls in every audio
+    * column rather than vanishing (corpus audits need the failure rows).
+    * Per-partition stream, no driver collect, no codecs. */
+  def analyzeAudio(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idType = df.schema(idCol).dataType
+    df.select(col(idCol).cast("string").as("id"), col(bytesCol).as("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        AudioWav.parse(bytes) match {
+          case Some((m, samples)) =>
+            val st = AudioWav.stats(samples, m.channels)
+            (id, java.lang.Integer.valueOf(m.channels),
+              java.lang.Integer.valueOf(m.sampleRate),
+              java.lang.Long.valueOf(m.nFrames), java.lang.Long.valueOf(m.durationMs),
+              java.lang.Long.valueOf(st.sumAbs), java.lang.Long.valueOf(st.sumSq),
+              java.lang.Integer.valueOf(st.peak), java.lang.Long.valueOf(st.zeroCrossings))
+          case None =>
+            (id, null: java.lang.Integer, null: java.lang.Integer,
+              null: java.lang.Long, null: java.lang.Long, null: java.lang.Long,
+              null: java.lang.Long, null: java.lang.Integer, null: java.lang.Long)
+        }
+      })
+      .toDF(idCol, "channels", "sample_rate", "n_frames", "duration_ms",
+        "sum_abs", "sum_sq", "peak", "zero_crossings")
+      .withColumn(idCol, col(idCol).cast(idType))
+  }
+
+  /** REAL video container decode ([[VideoMp4]]): ISO-BMFF box walk for
+    * brand/duration/dimensions/payload extent. Same null-preserving
+    * contract and partition-streaming shape as [[analyzeAudio]]. */
+  def describeVideo(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idType = df.schema(idCol).dataType
+    df.select(col(idCol).cast("string").as("id"), col(bytesCol).as("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        VideoMp4.parse(bytes) match {
+          case Some(m) =>
+            (id, m.brand, java.lang.Long.valueOf(m.durationMs),
+              java.lang.Integer.valueOf(m.width), java.lang.Integer.valueOf(m.height),
+              java.lang.Integer.valueOf(m.mdatLength))
+          case None =>
+            (id, null: String, null: java.lang.Long, null: java.lang.Integer,
+              null: java.lang.Integer, null: java.lang.Integer)
+        }
+      })
+      .toDF(idCol, "brand", "duration_ms", "width", "height", "mdat_bytes")
+      .withColumn(idCol, col(idCol).cast(idType))
+  }
+
+  /** Frame sampling as a row-exploding stage: each video row yields one
+    * row per sampled frame (frame index, time, payload offset, sampled
+    * byte). Fan-out is bounded by `maxFrames`, so the stage's output is
+    * at most `maxFrames`× its input — safe to follow with per-frame
+    * feature extraction at any corpus size. Unparseable rows yield no
+    * frames (audit them via [[describeVideo]]). */
+  def sampleVideoFrames(df: DataFrame, idCol: String, bytesCol: String,
+      strideMs: Long, maxFrames: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idType = df.schema(idCol).dataType
+    df.select(col(idCol).cast("string").as("id"), col(bytesCol).as("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        VideoMp4.parse(bytes).toSeq.flatMap { m =>
+          VideoMp4.sampleFrames(bytes, m, strideMs, maxFrames).map {
+            case (i, t, off, v) => (id, i, t, off, v)
+          }
+        }
+      })
+      .toDF(idCol, "frame_idx", "time_ms", "payload_offset", "sample_value")
+      .withColumn(idCol, col(idCol).cast(idType))
+  }
 }
