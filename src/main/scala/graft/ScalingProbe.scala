@@ -275,6 +275,38 @@ object ScalingProbe {
       out += "contamination500k" -> s"""{"sec":$tCon,"rows":$nCon}"""
     }
 
+    // 14) audio/video container kernels at 500k rows: real WAV (400
+    // PCM-16 samples) and MP4 (600-byte mdat) bytes per row, material-
+    // ized first so the probe times the chunk/box walk + sample kernels,
+    // not synthesis. All three stages are per-partition streams with no
+    // shuffle until the terminal aggregate; frame sampling's fan-out is
+    // bounded (<=16/row), so output stays ~8M rows from 500k clips.
+    if (want("av500k")) {
+      val av = docs500k.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+        val samples = Array.tabulate(400)(i =>
+          (((id * 7919L + i * 104729L) % 65536L) - 32768L).toShort)
+        val payload = Array.tabulate(600)(j => ((id * 31L + j * 17L) % 251L).toByte)
+        (id, graft.multimodal.AudioWav.write(samples, 8000),
+          graft.multimodal.VideoMp4.write(1000L, 500L + id % 4000L, 320, 240, payload))
+      }).toDF("doc_id", "wav", "mp4").localCheckpoint()
+      av.count()
+      val (tWav, nWav) = time {
+        graft.multimodal.Multimodal.analyzeAudio(av, "doc_id", "wav")
+          .where(col("sum_sq").isNotNull).count()
+      }
+      val (tMp4, nMp4) = time {
+        graft.multimodal.Multimodal.describeVideo(av, "doc_id", "mp4")
+          .where(col("duration_ms").isNotNull).count()
+      }
+      val (tFrames, nFrames) = time {
+        graft.multimodal.Multimodal.sampleVideoFrames(av, "doc_id", "mp4",
+          strideMs = 250L, maxFrames = 16).count()
+      }
+      out += "av500k" -> (s"""{"audioSec":$tWav,"audioRows":$nWav,""" +
+        s""""videoSec":$tMp4,"videoRows":$nMp4,""" +
+        s""""frameSec":$tFrames,"frameRows":$nFrames}""")
+    }
+
     println(out.map { case (k, v) => s""""$k":$v""" }
       .mkString("""{"probe":"scaling",""", ",", "}"))
     spark.stop()

@@ -1372,6 +1372,18 @@ object SparkEntry {
     meta.join(frames, "doc_id")
   }
 
+  /** Fractional-epoch source mixing (the upsampling half of mixture
+    * weights): src0 runs 2.3 epochs, src1 0.4, src2 is dropped, the other
+    * seventeen sources run 1 — one row per (document, epoch). The oracle
+    * restates the exact integer thresholds and the bounded explode with
+    * generate_series. */
+  private def q104_epoch_mixture(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.epochMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src0" -> 2.3, "src1" -> 0.4, "src2" -> 0.0))
+      .select(col("doc_id"), col("source"), col("epoch"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1475,7 +1487,8 @@ object SparkEntry {
     "q100_contamination" -> (q100_contamination _),
     "q101_fuzzy_keeplist" -> (q101_fuzzy_keeplist _),
     "q102_audio" -> (q102_audio _),
-    "q103_video" -> (q103_video _)
+    "q103_video" -> (q103_video _),
+    "q104_epoch_mixture" -> (q104_epoch_mixture _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2578,7 +2591,24 @@ object SparkEntry {
         |  CAST(SUM(f.off) AS BIGINT) AS sum_offsets,
         |  CAST(SUM((d.doc_id * 31 + f.off * 17) % 251) AS BIGINT) AS sum_samples
         |FROM d JOIN f ON f.doc_id = d.doc_id
-        |GROUP BY d.doc_id, d.dur, d.width, d.height, d.m""".stripMargin
+        |GROUP BY d.doc_id, d.dur, d.width, d.height, d.m""".stripMargin,
+    // q104: thresholds are the engine's driver-computed exact integers
+    // ((rate - floor(rate)) * 2^32 under IEEE doubles): 2.3 -> 1288490188,
+    // 0.4 -> 1717986918; the epoch draw is (id * 2246822519) mod 2^32
+    "q104_epoch_mixture" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 WHEN 'src2' THEN 0
+        |      ELSE 1 END
+        |    + CASE WHEN source = 'src0'
+        |             AND (doc_id * 2246822519) % 4294967296 < 1288490188 THEN 1
+        |           WHEN source = 'src1'
+        |             AND (doc_id * 2246822519) % 4294967296 < 1717986918 THEN 1
+        |           ELSE 0 END AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, g.i AS epoch
+        |FROM r JOIN generate_series(1, 3) g(i) ON g.i <= r.n""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

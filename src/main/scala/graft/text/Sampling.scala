@@ -32,4 +32,38 @@ object Sampling {
     }
     df.withColumn("u", draw(col(idCol))).where(col("u") < thr)
   }
+
+  /** Distinct multiplier for the epoch draw (xxhash's 32-bit prime-2), so
+    * upsampling decisions don't correlate with [[stratifiedSample]]'s
+    * keep/drop draws on the same ids. */
+  val EpochMultiplier: Long = 2246822519L
+  def epochDraw(id: Column): Column =
+    pmod(id.cast("long") * lit(EpochMultiplier), lit(Modulus))
+
+  /** Fractional-EPOCH mixture — the upsampling half of source mixing that
+    * [[stratifiedSample]] (rates <= 1) can't express: a rate of 2.3 means
+    * every document of that bucket appears twice and a deterministic 30%
+    * of them a third time (The Pile's >1 per-subset epochs). Emits one row
+    * per (document, epoch) with `epoch` in 1..n_copies; rate 0 drops the
+    * bucket, unlisted buckets run one epoch. Thresholds are computed on
+    * the driver as exact integers, so any engine restates them verbatim.
+    *
+    * Scale shape: per-row projection + bounded explode (fan-out <=
+    * ceil(max rate)) — shuffle-free; downstream training-order shuffling
+    * is a separate sort over hash((id, epoch)). */
+  def epochMixture(df: DataFrame, idCol: String, bucketCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val copies = rates.foldLeft(lit(1L)) { case (acc, (b, r)) =>
+      require(r >= 0, s"negative epoch rate for bucket $b")
+      val base = math.floor(r).toLong
+      val thr = ((r - base) * Modulus).toLong
+      when(col(bucketCol) === b,
+        lit(base) + when(epochDraw(col(idCol)) < lit(thr), 1L).otherwise(0L))
+        .otherwise(acc)
+    }
+    df.withColumn("n_copies", copies)
+      .where(col("n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("n_copies")
+  }
 }

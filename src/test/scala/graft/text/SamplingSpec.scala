@@ -29,4 +29,28 @@ class SamplingSpec extends SparkSpec {
     Sampling.stratifiedSample(df, "id", "bucket", Map("y" -> 0.0))
       .count() shouldBe 2
   }
+
+  "epochMixture" should "repeat each row floor(rate) times plus a deterministic fractional epoch" in {
+    val df = (1L to 20L).map(i => (i, if (i <= 10) "up" else "down")).toDF("id", "bucket")
+    val rates = Map("up" -> 2.5, "down" -> 0.5)
+    def u(id: Long) = java.lang.Math.floorMod(id * Sampling.EpochMultiplier, 1L << 32)
+    val expected = (1L to 20L).flatMap { id =>
+      val r = if (id <= 10) 2.5 else 0.5
+      val n = r.toLong + (if (u(id) < ((r - r.toLong) * (1L << 32)).toLong) 1 else 0)
+      (1L to n).map(e => (id, e))
+    }.toSet
+    val got = Sampling.epochMixture(df, "id", "bucket", rates)
+      .select("id", "epoch").as[(Long, Long)].collect().toSet
+    got shouldBe expected
+    // the fixture must exercise both fractional outcomes in both buckets
+    expected.count(_._2 == 3L) should (be > 0 and be < 10)
+    expected.map(_._1).count(_ > 10) should (be > 0 and be < 10)
+  }
+
+  it should "drop rate-0 buckets and run unlisted buckets for one epoch" in {
+    val df = Seq((1L, "gone"), (2L, "other")).toDF("id", "bucket")
+    val out = Sampling.epochMixture(df, "id", "bucket", Map("gone" -> 0.0))
+      .select("id", "epoch").as[(Long, Long)].collect().toSeq
+    out shouldBe Seq((2L, 1L))
+  }
 }
