@@ -125,7 +125,11 @@ object SparkEntry {
       .withColumn("ship_day",
         timestamp_seconds(unix_seconds(col("o_orderdate").cast("timestamp")) +
           col("day_off") * 86400L).cast("timestamp_ntz"))
-      .join(daily, col("ship_day") === col("l_shipdate"))
+      // broadcast the per-day aggregate: it is calendar-bounded (~2.4k
+      // rows at ANY scale factor) while the exploded orders side grows
+      // with the fact table — without the hint Spark builds the 8x-orders
+      // side (stats see only the pre-explode scan size)
+      .join(broadcast(daily), col("ship_day") === col("l_shipdate"))
       .groupBy(col("o_orderkey"))
       .agg(sum(col("cnt")).as("n_shipped"))
   }

@@ -116,22 +116,40 @@ object GraphOps {
     // (flipping to distributed early, the safe direction). Two cheap
     // steps: a 1000-row width sample, then ONE bounded collect that
     // doubles as the union-find input (no separate count job).
-    val strRaw = edges.select(col("src").cast("string"), col("dst").cast("string"))
-    val sample = strRaw.take(1000)
-    def width(r: org.apache.spark.sql.Row): Long =
-      r.getString(0).length.toLong + r.getString(1).length + 32
-    val avgW = if (sample.isEmpty) 0L else sample.map(width).sum / sample.length
     // clamp to int range BEFORE arithmetic (callers pass Long.MaxValue to
     // mean "always driver")
     val cap = math.min(smallGraphThreshold, Int.MaxValue.toLong - 2)
-    if (sample.length < 1000 || avgW * cap <= maxDriverBytes) {
-      // take() scans partitions incrementally and collects in parallel —
-      // limit().collect() would funnel through a single-partition shuffle
-      val probe = strRaw.take((cap + 1).toInt)
-      if (probe.length <= smallGraphThreshold &&
-          probe.iterator.map(width).sum <= maxDriverBytes)
-        return componentsOnDriver(
-          probe.map(r => (r.getString(0), r.getString(1))), edges, vertices)
+    val idTypes = Seq(edges.schema("src").dataType, edges.schema("dst").dataType) ++
+      vertices.map(_.schema("id").dataType)
+    val integral: org.apache.spark.sql.types.DataType => Boolean = {
+      import org.apache.spark.sql.types._
+      t => t == LongType || t == IntegerType || t == ShortType || t == ByteType
+    }
+    if (idTypes.forall(integral)) {
+      // integral ids: width is a known 48 bytes/edge, so the gate needs no
+      // width sample and the collect carries primitives, not strings —
+      // ONE bounded take doubles as gate probe and union-find input
+      val capL = math.min(cap, maxDriverBytes / 48)
+      val probe = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .take((capL + 1).toInt)
+      if (probe.length <= capL)
+        return componentsOnDriverLong(
+          probe.map(r => (r.getLong(0), r.getLong(1))), edges, vertices)
+    } else {
+      val strRaw = edges.select(col("src").cast("string"), col("dst").cast("string"))
+      val sample = strRaw.take(1000)
+      def width(r: org.apache.spark.sql.Row): Long =
+        r.getString(0).length.toLong + r.getString(1).length + 32
+      val avgW = if (sample.isEmpty) 0L else sample.map(width).sum / sample.length
+      if (sample.length < 1000 || avgW * cap <= maxDriverBytes) {
+        // take() scans partitions incrementally and collects in parallel —
+        // limit().collect() would funnel through a single-partition shuffle
+        val probe = strRaw.take((cap + 1).toInt)
+        if (probe.length <= smallGraphThreshold &&
+            probe.iterator.map(width).sum <= maxDriverBytes)
+          return componentsOnDriver(
+            probe.map(r => (r.getString(0), r.getString(1))), edges, vertices)
+      }
     }
     // distributed path: the label loop reads the symmetrized edge set every
     // round — materialize it once
@@ -205,6 +223,40 @@ object GraphOps {
 
   /** Exact driver-side components (union-find with path compression) over
     * pre-collected string edge pairs; `sym` supplies only type metadata. */
+  /** Integral-id twin of [[componentsOnDriver]]: primitive-specialized
+    * union-find (LongMap, no boxing on find/union), and the numeric min
+    * root IS the typed-min representative — no post-resolution pass. */
+  private def componentsOnDriverLong(
+      edgePairs: Array[(Long, Long)], sym: DataFrame,
+      vertices: Option[DataFrame]): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val extraVerts = vertices.map(
+      _.select(col("id").cast("long")).as[Long].collect())
+      .getOrElse(Array.empty[Long])
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    edgePairs.foreach { case (a, b) => union(a, b) }
+    val allIds = (edgePairs.flatMap(p => Seq(p._1, p._2)) ++ extraVerts).distinct
+    val idType = vertices.map(_.schema("id").dataType)
+      .getOrElse(sym.schema("src").dataType)
+    spark.createDataset(allIds.toSeq.map(id => (id, find(id))))
+      .toDF("id", "component")
+      .select(col("id").cast(idType).as("id"),
+        col("component").cast(idType).as("component"))
+  }
+
   private def componentsOnDriver(
       edgePairs: Array[(String, String)], sym: DataFrame,
       vertices: Option[DataFrame]): DataFrame = {
