@@ -15,7 +15,8 @@ object Plans {
         "q86_top_bigrams", "q88_bm25", "q90_sparql_expr", "q92_rdfs",
         "q39_stays", "q93_graph_mgmt", "q94_pii_redact",
         "q95_url_classify", "q96_curation", "q97_nested_path",
-        "q99_repetition", "q100_contamination", "q101_fuzzy_keeplist")) {
+        "q99_repetition", "q100_contamination", "q101_fuzzy_keeplist",
+        "q102_audio", "q103_video", "q104_epoch_mixture")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -1333,9 +1333,10 @@ object SparkEntry {
         (docId, graft.multimodal.AudioWav.write(samples, sampleRate = 8000))
       })
       .toDF("doc_id", "bytes")
-    val audio = graft.multimodal.Multimodal.analyzeAudio(wav, "doc_id", "bytes")
-    wav.select(col("doc_id"), length(col("bytes")).cast("long").as("n_bytes"))
-      .join(audio, "doc_id")
+    // no side computation to join back: n_bytes rides inside the one
+    // per-partition pass (a separate length() branch would re-synthesize
+    // and join a document-proportional side)
+    graft.multimodal.Multimodal.analyzeAudio(wav, "doc_id", "bytes")
   }
 
   /** Multimodal video: REAL ISO-BMFF round-trip. Each document synthesizes

@@ -123,21 +123,24 @@ object Multimodal {
     df.select(col(idCol).cast("string").as("id"), col(bytesCol).as("bytes"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
+        // n_bytes is knowable for every row (audit metadata); the audio
+        // columns stay null when the payload is not decodable PCM
+        val nBytes = if (bytes == null) 0L else bytes.length.toLong
         AudioWav.parse(bytes) match {
           case Some((m, samples)) =>
             val st = AudioWav.stats(samples, m.channels)
-            (id, java.lang.Integer.valueOf(m.channels),
+            (id, nBytes, java.lang.Integer.valueOf(m.channels),
               java.lang.Integer.valueOf(m.sampleRate),
               java.lang.Long.valueOf(m.nFrames), java.lang.Long.valueOf(m.durationMs),
               java.lang.Long.valueOf(st.sumAbs), java.lang.Long.valueOf(st.sumSq),
               java.lang.Integer.valueOf(st.peak), java.lang.Long.valueOf(st.zeroCrossings))
           case None =>
-            (id, null: java.lang.Integer, null: java.lang.Integer,
+            (id, nBytes, null: java.lang.Integer, null: java.lang.Integer,
               null: java.lang.Long, null: java.lang.Long, null: java.lang.Long,
               null: java.lang.Long, null: java.lang.Integer, null: java.lang.Long)
         }
       })
-      .toDF(idCol, "channels", "sample_rate", "n_frames", "duration_ms",
+      .toDF(idCol, "n_bytes", "channels", "sample_rate", "n_frames", "duration_ms",
         "sum_abs", "sum_sq", "peak", "zero_crossings")
       .withColumn(idCol, col(idCol).cast(idType))
   }

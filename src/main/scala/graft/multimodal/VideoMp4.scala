@@ -166,7 +166,9 @@ object VideoMp4 {
         }
         pos += size.toInt
       }
-      pos == end || topLevel // containers must consume exactly their body
+      // every scope — containers AND the file — must consume exactly its
+      // extent: trailing sub-8-byte fragments are corruption, not padding
+      pos == end
     }
 
     if (!scan(0, bytes.length, topLevel = true)) return None

@@ -178,12 +178,14 @@ class MultimodalAvSpec extends SparkSpec {
     val df = Seq((1L, wav), (2L, "junk".getBytes)).toDF("id", "bytes")
     val out = Multimodal.analyzeAudio(df, "id", "bytes").orderBy("id").collect()
     out.length shouldBe 2
-    out(0).getInt(1) shouldBe 1 // channels
-    out(0).getInt(2) shouldBe 8000
-    out(0).getLong(3) shouldBe 4 // n_frames
-    out(0).getLong(5) shouldBe 400 // sum_abs
-    out(0).getLong(8) shouldBe 3 // zero_crossings
+    out(0).getLong(1) shouldBe wav.length.toLong // n_bytes
+    out(0).getInt(2) shouldBe 1 // channels
+    out(0).getInt(3) shouldBe 8000
+    out(0).getLong(4) shouldBe 4 // n_frames
+    out(0).getLong(6) shouldBe 400 // sum_abs
+    out(0).getLong(9) shouldBe 3 // zero_crossings
     out(1).isNullAt(2) shouldBe true // garbage rows audit as nulls
+    out(1).getLong(1) shouldBe 4L // ...but payload size is still known
   }
 
   "describeVideo and sampleVideoFrames" should "compose over real container bytes" in {
