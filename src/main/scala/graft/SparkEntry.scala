@@ -2621,5 +2621,6 @@ object SparkEntry {
     "q01_agg", "q03_join", "q07_topk", "q09_range_join", "q13_closure",
     "q14_components", "q16_dedup_exact", "q19_ngram_jaccard", "q21_ann_top1",
     "q25_minhash_lsh", "q26_simhash", "q28_idf", "q30_token_blocking",
-    "q39_stays", "q41_agent_match", "q49_multimodal", "q82_span_dedup")
+    "q39_stays", "q41_agent_match", "q49_multimodal", "q82_span_dedup",
+    "q102_audio", "q103_video")
 }

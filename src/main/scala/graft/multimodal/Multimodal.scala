@@ -169,6 +169,32 @@ object Multimodal {
       .withColumn(idCol, col(idCol).cast(idType))
   }
 
+  /** Audio frame features as a row-exploding stage: each decodable clip
+    * yields one row per `windowMs` analysis window (channel 0), capped at
+    * `maxWindows` — the audio analogue of [[sampleVideoFrames]], bounded
+    * fan-out for safe composition at any corpus size. Undecodable rows
+    * yield no frames (audit them via [[analyzeAudio]]). */
+  def audioFrameFeatures(df: DataFrame, idCol: String, bytesCol: String,
+      windowMs: Int, maxWindows: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idType = df.schema(idCol).dataType
+    df.select(col(idCol).cast("string").as("id"), col(bytesCol).as("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioWav.parse(bytes).toSeq.flatMap { case (m, samples) =>
+          AudioWav.windowStats(samples, m.channels, m.sampleRate, windowMs)
+            .take(maxWindows)
+            .map { case (w, st) =>
+              (id, w, st.nSamples, st.sumAbs, st.sumSq, st.peak, st.zeroCrossings)
+            }
+        }
+      })
+      .toDF(idCol, "window_idx", "n_samples", "sum_abs", "sum_sq", "peak",
+        "zero_crossings")
+      .withColumn(idCol, col(idCol).cast(idType))
+  }
+
   /** Frame sampling as a row-exploding stage: each video row yields one
     * row per sampled frame (frame index, time, payload offset, sampled
     * byte). Fan-out is bounded by `maxFrames`, so the stage's output is

@@ -188,6 +188,23 @@ class MultimodalAvSpec extends SparkSpec {
     out(1).getLong(1) shouldBe 4L // ...but payload size is still known
   }
 
+  "audioFrameFeatures" should "explode bounded per-window feature rows" in {
+    // 2500 frames @ 1000 Hz -> 100ms windows of 100 frames; cap at 20
+    val samples = Array.tabulate(2500)(i => (if (i % 2 == 0) 100 else -100).toShort)
+    val wav = AudioWav.write(samples, 1000)
+    val df = Seq((1L, wav), (2L, "junk".getBytes)).toDF("id", "bytes")
+    val rows = Multimodal.audioFrameFeatures(df, "id", "bytes",
+      windowMs = 100, maxWindows = 20).collect()
+    rows.length shouldBe 20 // 25 full windows capped at 20; junk row silent
+    rows.map(_.getInt(1)).toSet shouldBe (0 until 20).toSet
+    rows.foreach { r =>
+      r.getLong(2) shouldBe 100 // n_samples per window
+      r.getLong(3) shouldBe 100L * 100 // sum_abs
+      r.getInt(5) shouldBe 100 // peak
+      r.getLong(6) shouldBe 99 // alternating signs: 99 crossings per window
+    }
+  }
+
   "describeVideo and sampleVideoFrames" should "compose over real container bytes" in {
     val payload = Array.tabulate(200)(i => (i % 97).toByte)
     val mp4 = VideoMp4.write(1000, 1000, 128, 96, payload)
