@@ -126,10 +126,13 @@ object GraphOps {
       t => t == LongType || t == IntegerType || t == ShortType || t == ByteType
     }
     if (idTypes.forall(integral)) {
-      // integral ids: width is a known 48 bytes/edge, so the gate needs no
-      // width sample and the collect carries primitives, not strings —
-      // ONE bounded take doubles as gate probe and union-find input
-      val capL = math.min(cap, maxDriverBytes / 48)
+      // integral ids: width is fixed, so the gate needs no width sample
+      // and the collect carries primitives, not strings — ONE bounded
+      // take doubles as gate probe and union-find input. The budget uses
+      // the JVM-heap footprint of a collected row (Row + Array[Any] + two
+      // boxed Longs ≈ 128 B), not the 16-byte serialized width: the gate
+      // bounds what the DRIVER holds, and the boxed form is what it holds
+      val capL = math.min(cap, maxDriverBytes / 128)
       val probe = edges.select(col("src").cast("long"), col("dst").cast("long"))
         .take((capL + 1).toInt)
       if (probe.length <= capL)
@@ -249,8 +252,17 @@ object GraphOps {
     }
     edgePairs.foreach { case (a, b) => union(a, b) }
     val allIds = (edgePairs.flatMap(p => Seq(p._1, p._2)) ++ extraVerts).distinct
-    val idType = vertices.map(_.schema("id").dataType)
-      .getOrElse(sym.schema("src").dataType)
+    // output in the WIDEST id type present: mixed-width inputs (int
+    // vertices, long edge endpoints) must not wrap on the final downcast
+    val idType = {
+      import org.apache.spark.sql.types._
+      val ts = Seq(sym.schema("src").dataType, sym.schema("dst").dataType) ++
+        vertices.map(_.schema("id").dataType)
+      def w(t: DataType): Int = t match {
+        case ByteType => 1; case ShortType => 2; case IntegerType => 4; case _ => 8
+      }
+      ts.maxBy(w)
+    }
     spark.createDataset(allIds.toSeq.map(id => (id, find(id))))
       .toDF("id", "component")
       .select(col("id").cast(idType).as("id"),

@@ -99,30 +99,34 @@ object AudioWav {
     if (bytes == null || bytes.length < 12) return None
     if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "WAVE") return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    var pos = 12
+    // all position/size arithmetic in Long: a declared u32 size near
+    // Int.MaxValue must fail the bounds check, not wrap it (the parser's
+    // contract is None on corruption, never a crash or a mis-read)
+    var pos = 12L
     var channels = -1
     var sampleRate = -1
     var bits = -1
     var blockAlign = -1
     while (pos + 8 <= bytes.length) {
-      val id = fourcc(bytes, pos)
-      val size = buf.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None // misdeclared
+      val p = pos.toInt
+      val id = fourcc(bytes, p)
+      val size = buf.getInt(p + 4).toLong & 0xffffffffL
+      if (pos + 8 + size > bytes.length) return None // misdeclared
       if (id == "fmt ") {
         if (size < 16) return None
-        val tag = buf.getShort(pos + 8) & 0xffff
+        val tag = buf.getShort(p + 8) & 0xffff
         if (tag != 1) return None // integer PCM only
-        channels = buf.getShort(pos + 10) & 0xffff
-        sampleRate = buf.getInt(pos + 12)
-        blockAlign = buf.getShort(pos + 20) & 0xffff
-        bits = buf.getShort(pos + 22) & 0xffff
+        channels = buf.getShort(p + 10) & 0xffff
+        sampleRate = buf.getInt(p + 12)
+        blockAlign = buf.getShort(p + 20) & 0xffff
+        bits = buf.getShort(p + 22) & 0xffff
         if (channels <= 0 || sampleRate <= 0 || bits != 16 ||
           blockAlign != channels * 2) return None
       } else if (id == "data") {
         if (channels < 0) return None // fmt must precede data for PCM
-        val frames = (size / blockAlign).toLong
+        val frames = size / blockAlign
         return Some((WavMeta(channels, sampleRate, bits, frames,
-          frames * 1000L / sampleRate), pos + 8, size - size % blockAlign))
+          frames * 1000L / sampleRate), p + 8, (size - size % blockAlign).toInt))
       }
       pos += 8 + size + (size & 1) // RIFF: odd chunks carry one pad byte
     }
@@ -155,18 +159,20 @@ object AudioWav {
 
   /** Fixed-duration analysis windows over channel 0 (frame-level feature
     * rows for downstream aggregation): one [[PcmStats]] per `windowMs`
-    * span, final partial window included. */
+    * span, final partial window included. `maxWindows` caps the WORK, not
+    * just the output — windows past the cap are never computed. */
   def windowStats(samples: Array[Short], channels: Int, sampleRate: Int,
-      windowMs: Int): Seq[(Int, PcmStats)] = {
+      windowMs: Int, maxWindows: Int = Int.MaxValue): Seq[(Int, PcmStats)] = {
     require(windowMs > 0, "windowMs must be positive")
     val perWindow = math.max(1, (sampleRate.toLong * windowMs / 1000L).toInt)
     val nFrames = samples.length / math.max(1, channels)
-    (0 until nFrames by perWindow).zipWithIndex.map { case (start, w) =>
-      val end = math.min(nFrames, start + perWindow)
-      val mono = new Array[Short](end - start)
-      var i = start
-      while (i < end) { mono(i - start) = samples(i * channels); i += 1 }
-      (w, stats(mono, 1))
+    (0 until nFrames by perWindow).take(maxWindows).zipWithIndex.map {
+      case (start, w) =>
+        val end = math.min(nFrames, start + perWindow)
+        val mono = new Array[Short](end - start)
+        var i = start
+        while (i < end) { mono(i - start) = samples(i * channels); i += 1 }
+        (w, stats(mono, 1))
     }
   }
 }

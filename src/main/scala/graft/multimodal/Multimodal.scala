@@ -183,8 +183,8 @@ object Multimodal {
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         AudioWav.parse(bytes).toSeq.flatMap { case (m, samples) =>
-          AudioWav.windowStats(samples, m.channels, m.sampleRate, windowMs)
-            .take(maxWindows)
+          AudioWav.windowStats(samples, m.channels, m.sampleRate, windowMs,
+              maxWindows)
             .map { case (w, st) =>
               (id, w, st.nSamples, st.sumAbs, st.sumSq, st.peak, st.zeroCrossings)
             }

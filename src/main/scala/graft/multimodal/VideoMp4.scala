@@ -49,6 +49,12 @@ object VideoMp4 {
   def write(timescale: Long, duration: Long, width: Int, height: Int,
       payload: Array[Byte], brand: String = "isom"): Array[Byte] = {
     require(brand.length == 4, "brand must be a 4cc")
+    // this writer emits version-0 full boxes (u32 times); values past u32
+    // must fail loudly, not truncate silently in a "bit-faithful" writer
+    require(timescale > 0 && timescale <= 0xffffffffL,
+      s"timescale $timescale out of version-0 u32 range")
+    require(duration >= 0 && duration <= 0xffffffffL,
+      s"duration $duration out of version-0 u32 range")
     val ftyp = box("ftyp", bb => {
       bb.put(brand.getBytes(StandardCharsets.US_ASCII))
       bb.putInt(0) // minor version

@@ -51,4 +51,14 @@ class GraphOpsSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap shouldBe Map(10L -> 9L, 9L -> 9L)
     }
   }
+
+  "components with mixed-width integral ids" should "emit the widest type, never wrapping" in {
+    // int src column, long dst values past Int range: the output must be
+    // LongType (downcasting 5e9 to int would wrap to a plausible wrong id)
+    val edges = Seq((1, 5000000000L), (2, 5000000000L)).toDF("src", "dst")
+    val out = GraphOps.connectedComponents(edges, None)
+    out.schema("id").dataType shouldBe org.apache.spark.sql.types.LongType
+    out.as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 5000000000L -> 1L)
+  }
 }

@@ -57,6 +57,17 @@ class MultimodalAvSpec extends SparkSpec {
     AudioWav.parse("not audio at all".getBytes) shouldBe None
   }
 
+  it should "reject a near-u32 declared chunk size without crashing" in {
+    // Int arithmetic would wrap pos+8+size negative and read out of
+    // bounds; the Long walk must just return None
+    val evil = ascii("RIFF") ++ le32(40) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(0x7ffffff0)
+    AudioWav.parse(evil) shouldBe None
+    val evilJunk = ascii("RIFF") ++ le32(40) ++ ascii("WAVE") ++
+      ascii("LIST") ++ le32(0xfffffff0)
+    AudioWav.parse(evilJunk) shouldBe None
+  }
+
   "AudioWav.write" should "round-trip samples, rate, and channels" in {
     val rnd = new scala.util.Random(7)
     for (channels <- Seq(1, 2); rate <- Seq(8000, 44100)) {
@@ -94,6 +105,9 @@ class MultimodalAvSpec extends SparkSpec {
     ws.map(_._1) shouldBe Seq(0, 1, 2)
     ws.map(_._2.nSamples) shouldBe Seq(10L, 10L, 5L)
     ws.last._2.sumAbs shouldBe (20 + 21 + 22 + 23 + 24)
+    // the cap bounds the WORK: only the first maxWindows windows compute
+    AudioWav.windowStats(samples, 1, 1000, 10, maxWindows = 2)
+      .map(_._1) shouldBe Seq(0, 1)
   }
 
   // ------------------------------------------------------------- MP4 ------
@@ -111,6 +125,13 @@ class MultimodalAvSpec extends SparkSpec {
     m.height shouldBe 240
     m.mdatLength shouldBe 100
     bytes.slice(m.mdatOffset, m.mdatOffset + m.mdatLength).toSeq shouldBe payload.toSeq
+  }
+
+  it should "refuse to write version-0 fields past u32 instead of truncating" in {
+    an[IllegalArgumentException] should be thrownBy
+      VideoMp4.write(1000, 0x100000005L, 64, 48, Array.empty[Byte])
+    an[IllegalArgumentException] should be thrownBy
+      VideoMp4.write(0x100000000L, 10, 64, 48, Array.empty[Byte])
   }
 
   it should "express non-millisecond timescales in durationMs" in {
