@@ -253,6 +253,34 @@ object Ann {
     cents
   }
 
+  /** Probe-side routing: the `nprobe` nearest lists per probe vector
+    * (column formulation — the nprobe-list expansion is row-bounded). */
+  private def probeLists(cents: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int): DataFrame = {
+    val scored = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_id_vec"))
+      .join(broadcast(cents))
+      .withColumn("csim", cosine(col("probe_id_vec"), col("cent_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("csim").desc, col("cent_id"))
+    scored.withColumn("crank", row_number().over(w)).where(col("crank") <= nprobe)
+      .select(col("probe_id"), col("probe_id_vec"), col("cent_id"))
+  }
+
+  /** Shared IVF tail: join probed lists to assigned lists on `joinKeys`,
+    * score candidates, rank to top-k per probe. */
+  private def rankCandidates(probed: DataFrame, assigned: DataFrame,
+      joinKeys: Seq[String], k: Int): DataFrame = {
+    val scored = probed.join(assigned, joinKeys)
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .dropDuplicates("probe_id", "neighbor_id")
+      .withColumn("sim", round(cosine(col("probe_id_vec"), col("neighbor_id_vec")), 9))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       probes: DataFrame,
@@ -264,30 +292,102 @@ object Ann {
       kmeansIterations: Int = 1): DataFrame = {
     val lists = if (nlist > 0) nlist else autoNlist(corpus.count())
     val cents = kmeansCentroids(corpus, idCol, vecCol, lists, kmeansIterations)
-    def nearestLists(df: DataFrame, id: String, vec: String, n: Int, rename: String) = {
-      val scored = df.select(col(id).as(rename), col(vec).as(s"${rename}_vec"))
-        .join(broadcast(cents))
-        .withColumn("csim", cosine(col(s"${rename}_vec"), col("cent_vec")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(rename)).orderBy(col("csim").desc, col("cent_id"))
-      scored.withColumn("crank", row_number().over(w)).where(col("crank") <= n)
-        .select(col(rename), col(s"${rename}_vec"), col("cent_id"))
-    }
     // corpus side: single-list assignment through the broadcast JVM
     // kernel (no interpreted per-(vector, centroid) lambdas); the probe
     // side keeps the column formulation for its nprobe-list expansion
     val assigned = assignNearest(corpus, idCol, vecCol, cents)
       .select(col("id").as("neighbor_id"), col("v").as("neighbor_id_vec"),
         col("cent_id"))
-    val probed = nearestLists(probes, idCol, vecCol, nprobe, "probe_id")
-    val scored = probed.join(assigned, Seq("cent_id"))
-      .where(col("probe_id") =!= col("neighbor_id"))
-      .dropDuplicates("probe_id", "neighbor_id")
-      .withColumn("sim", round(cosine(col("probe_id_vec"), col("neighbor_id_vec")), 9))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+    rankCandidates(probeLists(cents, probes, idCol, vecCol, nprobe),
+      assigned, Seq("cent_id"), k)
+  }
+
+  /** Prebuilt IVF index: centroids + the once-assigned corpus. Fitting
+    * k-means and routing 100 TB of vectors is the expensive half of IVF —
+    * a production engine does it ONCE and serves many query batches, so
+    * build/save/load/query are separate operators. `assigned` carries
+    * `list_bucket = cent_id mod numBuckets`, the on-disk partition key:
+    * a query touching nprobe lists prunes to at most nprobe of the
+    * numBuckets partition directories at the FILE level (no full-index
+    * scan, the at-rest analogue of the routed shuffle). */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame,
+      numBuckets: Int)
+
+  def ivfBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 0,
+      kmeansIterations: Int = 1,
+      numBuckets: Int = 64): IvfIndex = {
+    val lists = if (nlist > 0) nlist else autoNlist(corpus.count())
+    val cents = kmeansCentroids(corpus, idCol, vecCol, lists, kmeansIterations)
+    val assigned = assignNearest(corpus, idCol, vecCol, cents)
+      .select(col("id").as("neighbor_id"), col("v").as("neighbor_id_vec"),
+        col("cent_id"),
+        pmod(col("cent_id"), lit(numBuckets.toLong)).cast("int").as("list_bucket"))
+    IvfIndex(cents.localCheckpoint(), assigned.localCheckpoint(), numBuckets)
+  }
+
+  /** Persist an index: lists land partitioned by `list_bucket` so loads
+    * prune at the directory level; a one-row meta table pins numBuckets
+    * (recomputing the probe-side bucket with a different modulus would
+    * silently empty the partition-key join). */
+  def ivfSave(index: IvfIndex, path: String): Unit = {
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    // sort by cent_id inside each bucket: parquet row-group min/max stats
+    // then prune at the LIST level inside a bucket file, not just the
+    // bucket level — the cent_id isin() pushdown needs the clustering
+    index.assigned.repartition(col("list_bucket"))
+      .sortWithinPartitions("list_bucket", "cent_id")
+      .write.mode("overwrite").partitionBy("list_bucket")
+      .parquet(s"$path/lists")
+    Seq(index.numBuckets).toDF("num_buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/lists"),
+      spark.read.parquet(s"$path/meta").head().getInt(0))
+
+  /** Query a prebuilt index: route probes to their nprobe lists, then the
+    * (cent_id, list_bucket) equi-join — the partition key in the join
+    * keys lets dynamic partition pruning skip unprobed list files on a
+    * loaded index. */
+  def ivfQuery(
+      index: IvfIndex,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      maxLiteralLists: Int = 4096): DataFrame = {
+    val probed = probeLists(index.centroids, probes, idCol, vecCol, nprobe)
+      .withColumn("list_bucket",
+        pmod(col("cent_id"), lit(index.numBuckets.toLong)).cast("int"))
+      .localCheckpoint() // routed once: reused by the prune probe and the join
+    // bounded literal pushdown: the probed list set is at most
+    // nprobe * |probes| ids — when it is small (the serving case), collect
+    // it and push STATIC partition + cent_id filters into the list scan,
+    // which prunes unprobed list files at planning time (dynamic pruning
+    // is plan-dependent; literals are guaranteed). Past the bound the
+    // partition-key equi-join alone carries the query (the fan-out case —
+    // there most lists are touched anyway, so pruning buys nothing).
+    val listIds = probed.select(col("cent_id")).distinct()
+      .take(maxLiteralLists + 1).map(_.getLong(0))
+    val assigned =
+      if (listIds.length <= maxLiteralLists && listIds.nonEmpty) {
+        val buckets = listIds.map(c => math.floorMod(c, index.numBuckets.toLong).toInt)
+          .distinct
+        index.assigned
+          .where(col("list_bucket").isin(buckets.toSeq: _*) &&
+            col("cent_id").isin(listIds.toSeq: _*))
+      } else index.assigned
+    rankCandidates(probed, assigned, Seq("cent_id", "list_bucket"), k)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

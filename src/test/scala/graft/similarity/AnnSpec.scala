@@ -71,6 +71,35 @@ class AnnSpec extends SparkSpec {
     res.map(_.getInt(2)).min shouldBe 1
   }
 
+  "ivfBuild/ivfQuery" should "match ivfTopK exactly for the same routing parameters" in {
+    val probes = vecs.where($"vec_id" < 3)
+    val direct = Ann.ivfTopK(vecs, probes, "vec_id", "embedding",
+      k = 2, nlist = 2, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val index = Ann.ivfBuild(vecs, "vec_id", "embedding", nlist = 2, numBuckets = 4)
+    val viaIndex = Ann.ivfQuery(index, probes, "vec_id", "embedding", k = 2, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    viaIndex shouldBe direct
+    direct should not be empty
+  }
+
+  it should "survive save/load with the partitioned list layout intact" in {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    val index = Ann.ivfBuild(vecs, "vec_id", "embedding", nlist = 2, numBuckets = 4)
+    Ann.ivfSave(index, dir)
+    // lists land as list_bucket=N partition directories (file-level pruning)
+    new java.io.File(s"$dir/lists").listFiles()
+      .count(_.getName.startsWith("list_bucket=")) should be >= 1
+    val loaded = Ann.ivfLoad(spark, dir)
+    loaded.numBuckets shouldBe 4
+    val probes = vecs.where($"vec_id" < 3)
+    val fresh = Ann.ivfQuery(index, probes, "vec_id", "embedding", k = 2, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val reloaded = Ann.ivfQuery(loaded, probes, "vec_id", "embedding", k = 2, nprobe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    reloaded shouldBe fresh
+  }
+
   "semanticDedup" should "collapse over-threshold groups to min-id keepers" in {
     // two tight cosine groups plus one isolated vector: the grouping is
     // invariant to how k-means splits them (pairs only need co-location,
