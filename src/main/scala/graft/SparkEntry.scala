@@ -1389,6 +1389,15 @@ object SparkEntry {
         Map("src0" -> 2.3, "src1" -> 0.4, "src2" -> 0.0))
       .select(col("doc_id"), col("source"), col("epoch"))
 
+  /** Per-row-rate (quality-weighted) sampling: keep probability scales
+    * with document length capped at 1 — the per-document generalization
+    * of q85's bucket rates. Oracle restates the clamped IEEE threshold. */
+  private def q105_rate_sample(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.rateSample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars") / lit(800.0))
+      .select(col("doc_id"), col("u"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1493,7 +1502,8 @@ object SparkEntry {
     "q101_fuzzy_keeplist" -> (q101_fuzzy_keeplist _),
     "q102_audio" -> (q102_audio _),
     "q103_video" -> (q103_video _),
-    "q104_epoch_mixture" -> (q104_epoch_mixture _)
+    "q104_epoch_mixture" -> (q104_epoch_mixture _),
+    "q105_rate_sample" -> (q105_rate_sample _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2613,7 +2623,16 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id, source, g.i AS epoch
-        |FROM r JOIN generate_series(1, 3) g(i) ON g.i <= r.n""".stripMargin
+        |FROM r JOIN generate_series(1, 3) g(i) ON g.i <= r.n""".stripMargin,
+    // q105: same Knuth draw as q85; the per-row threshold is the engine's
+    // exact column arithmetic (clamp, IEEE multiply, floor — DuckDB's
+    // bare BIGINT cast rounds, so FLOOR comes first there too)
+    "q105_rate_sample" ->
+      """SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS u
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |  CAST(FLOOR(LEAST(GREATEST(n_chars / 800.0, 0.0), 1.0) * 4294967296)
+        |    AS BIGINT)""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

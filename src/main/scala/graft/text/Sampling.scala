@@ -33,6 +33,20 @@ object Sampling {
     df.withColumn("u", draw(col(idCol))).where(col("u") < thr)
   }
 
+  /** Per-ROW-rate sampling — quality-weighted corpus selection (DCLM /
+    * FineWeb-style: keep probability proportional to a model or heuristic
+    * quality score, computed per document rather than per bucket). Keeps a
+    * row iff draw(id) < floor(rate · 2^32); the threshold is derived from
+    * the rate COLUMN with the same IEEE-double ops any engine performs, so
+    * differential oracles restate it exactly (`FLOOR(rate * 4294967296)`
+    * — DuckDB's bare BIGINT cast rounds, floor first). Rates clamp to
+    * [0, 1]; shuffle-free. */
+  def rateSample(df: DataFrame, idCol: String, rateCol: Column): DataFrame = {
+    val thr = floor(least(greatest(rateCol, lit(0.0)), lit(1.0)) *
+      lit(Modulus.toDouble)).cast("long")
+    df.withColumn("u", draw(col(idCol))).where(col("u") < thr)
+  }
+
   /** Distinct multiplier for the epoch draw (xxhash's 32-bit prime-2), so
     * upsampling decisions don't correlate with [[stratifiedSample]]'s
     * keep/drop draws on the same ids. */

@@ -47,6 +47,20 @@ class SamplingSpec extends SparkSpec {
     expected.map(_._1).count(_ > 10) should (be > 0 and be < 10)
   }
 
+  "rateSample" should "keep rows whose draw clears the per-row clamped rate" in {
+    import org.apache.spark.sql.functions.col
+    // rates: 2.0 clamps to 1 (always kept), -1.0 clamps to 0 (never),
+    // 0.5 keeps iff draw < 2^31
+    val df = Seq((1L, 2.0), (2L, -1.0), (3L, 0.5), (4L, 0.5), (5L, 0.5))
+      .toDF("id", "rate")
+    def u(id: Long) = java.lang.Math.floorMod(id * 2654435761L, 1L << 32)
+    val expected = Seq(1L) ++ Seq(3L, 4L, 5L).filter(u(_) < (1L << 31))
+    val kept = Sampling.rateSample(df, "id", col("rate"))
+      .select("id").as[Long].collect().toSet
+    kept shouldBe expected.toSet
+    expected.size should (be > 1 and be < 4) // both outcomes exercised
+  }
+
   it should "drop rate-0 buckets and run unlisted buckets for one epoch" in {
     val df = Seq((1L, "gone"), (2L, "other")).toDF("id", "bucket")
     val out = Sampling.epochMixture(df, "id", "bucket", Map("gone" -> 0.0))
