@@ -68,19 +68,48 @@ object Bgp {
   /** [[bgp]] with term metadata carried for the listed variables: the
     * FIRST pattern binding such a variable in object position projects
     * its metadata (later duplicates join on the lexical value only, as
-    * this engine does everywhere). */
+    * this engine does everywhere).
+    *
+    * Join ORDER is chosen greedily, RDF4J-optimizer style: start at the
+    * pattern with the most constant positions (most selective under the
+    * classic triple-store heuristic), then repeatedly join the most-
+    * constant pattern CONNECTED to the bound variables — a cross join
+    * happens only when the pattern graph is genuinely disconnected, never
+    * because the author interleaved unrelated chains (the left-fold this
+    * replaces cross-joined `{?a p ?b} {?c q ?d} {?b r ?c}` at step two).
+    * Natural inner joins on all shared columns are order-independent in
+    * bag semantics, so results are identical; output columns keep the
+    * authored first-appearance order (callers decode positionally). */
   def bgpMeta(quads: DataFrame, patterns: Seq[Pattern],
       metaVars: Set[String]): DataFrame = {
     val claimed = scala.collection.mutable.Set[String]()
-    patterns.map { p =>
+    val scans = patterns.map { p =>
       val mv = Option(p.o).filter(_.startsWith("?")).map(_.drop(1))
         .filter(v => metaVars(v) && !claimed(v))
       mv.foreach(claimed += _)
-      scanMeta(quads, p, mv)
-    }.reduceLeft { (acc, next) =>
-      val shared = acc.columns.intersect(next.columns).toSeq
-      if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
+      val consts = (Seq(p.s, p.p, p.o) ++ p.g).count(t => !isVar(t))
+      (scanMeta(quads, p, mv), consts)
     }
+    val authoredCols = scans.flatMap(_._1.columns).distinct
+    val remaining = scala.collection.mutable.ArrayBuffer.tabulate(scans.size)(identity)
+    def pop(eligible: Int => Boolean): Option[DataFrame] = {
+      val cands = remaining.filter(eligible)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.maxBy(i => (scans(i)._2, -i))
+        remaining -= best
+        Some(scans(best)._1)
+      }
+    }
+    var acc = pop(_ => true).get
+    while (remaining.nonEmpty) {
+      val accCols = acc.columns.toSet
+      val next = pop(i => scans(i)._1.columns.exists(accCols))
+        .orElse(pop(_ => true)).get
+      val shared = acc.columns.intersect(next.columns).toSeq
+      acc = if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
+    }
+    acc.select(authoredCols.map(col): _*)
   }
 
   /** OPTIONAL: left-outer join of a BGP onto an existing binding set

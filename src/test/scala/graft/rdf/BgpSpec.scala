@@ -64,4 +64,26 @@ class BgpSpec extends SparkSpec {
     Bgp.ask(quads, Pattern("alice", "knows", "?y")) shouldBe true
     Bgp.ask(quads, Pattern("carol", "knows", "?y")) shouldBe false
   }
+
+  "bgp join ordering" should "avoid cartesian products on interleaved disconnected chains" in {
+    // authored order joins {?x knows ?y} to {?a name ?an} with no shared
+    // vars — the old left-fold cross-joined at step two; the greedy
+    // connectivity order joins pattern 3 first and never goes cartesian
+    val df = Bgp.bgp(quads,
+      Pattern("?x", "knows", "?y"),
+      Pattern("?a", "name", "?an"),
+      Pattern("?y", "knows", "?a"))
+    df.as[(String, String, String, String)].collect().toSet shouldBe
+      Set(("alice", "bob", "carol", "Carol")) // column order stays authored
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  it should "still cross join genuinely disconnected pattern graphs" in {
+    val df = Bgp.bgp(quads,
+      Pattern("alice", "knows", "?y"),
+      Pattern("carol", "name", "?cn"))
+    df.as[(String, String)].collect().toSet shouldBe Set(("bob", "Carol"))
+  }
 }
