@@ -42,7 +42,8 @@ class SparqlFuzzSpec extends SparkSpec {
     }
 
   // ---- generation ----
-  private val rnd = new scala.util.Random(7)
+  // fixed seed for CI determinism; GRAFT_FUZZ_SEED sweeps alternates
+  private val rnd = new scala.util.Random(sys.env.getOrElse("GRAFT_FUZZ_SEED", "7").toLong)
   private val subs = Vector("u:s0", "u:s1", "u:s2", "u:s3", "u:s4")
   private val preds = Vector("u:p0", "u:p1", "u:p2")
   private val lits = Vector("la", "lb", "lc")

@@ -15,7 +15,7 @@ import graft.rdf.Quad
   * quads up to blank-node renaming ([[RdfCanon]]). */
 class JsonLdAuthoredFuzzSpec extends AnyFlatSpec with Matchers {
 
-  private val rnd = new scala.util.Random(23)
+  private val rnd = new scala.util.Random(sys.env.getOrElse("GRAFT_FUZZ_SEED", "23").toLong)
   private val Ex = "http://ex.org/"
   private val Rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 

@@ -20,7 +20,7 @@ import graft.rdf.Quad
   */
 class TurtleAuthoredFuzzSpec extends AnyFlatSpec with Matchers {
 
-  private val rnd = new scala.util.Random(11)
+  private val rnd = new scala.util.Random(sys.env.getOrElse("GRAFT_FUZZ_SEED", "11").toLong)
   private val Ex = "http://ex.org/"
   private val Rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
   private val RdfType = Rdf + "type"
