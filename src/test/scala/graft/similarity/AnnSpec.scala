@@ -100,6 +100,22 @@ class AnnSpec extends SparkSpec {
     reloaded shouldBe fresh
   }
 
+  "ivfAppend" should "route new vectors to existing lists without refitting" in {
+    val index = Ann.ivfBuild(vecs, "vec_id", "embedding", nlist = 2, numBuckets = 4)
+    val before = index.assigned.count()
+    val fresh = Seq((100L, Array(0.95f, 0.312f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val grown = Ann.ivfAppend(index, fresh, "vec_id", "embedding")
+    grown.assigned.count() shouldBe before + 1
+    grown.centroids.collect() shouldBe index.centroids.collect() // no refit
+    // the appended vector is findable through the normal query path:
+    // the probe IS the appended vector, so it must rank first
+    val probe = Seq((200L, Array(0.95f, 0.312f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val res = Ann.ivfQuery(grown, probe, "vec_id", "embedding", k = 1, nprobe = 2)
+      .as[(Long, Long, Int)].collect()
+    res.map(_._2) shouldBe Array(100L)
+  }
+
   "semanticDedup" should "collapse over-threshold groups to min-id keepers" in {
     // two tight cosine groups plus one isolated vector: the grouping is
     // invariant to how k-means splits them (pairs only need co-location,
