@@ -1398,6 +1398,13 @@ object SparkEntry {
         "doc_id", col("n_chars") / lit(800.0))
       .select(col("doc_id"), col("u"))
 
+  /** RAG-style overlapping chunking: 64-token chunks at stride 40 over
+    * every document; oracle restates the slice arithmetic with
+    * generate_series and 1-based list slicing. */
+  private def q106_chunking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+      chunkSize = 64, stride = 40)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1503,7 +1510,8 @@ object SparkEntry {
     "q102_audio" -> (q102_audio _),
     "q103_video" -> (q103_video _),
     "q104_epoch_mixture" -> (q104_epoch_mixture _),
-    "q105_rate_sample" -> (q105_rate_sample _)
+    "q105_rate_sample" -> (q105_rate_sample _),
+    "q106_chunking" -> (q106_chunking _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2632,7 +2640,20 @@ object SparkEntry {
         |FROM documents
         |WHERE (doc_id * 2654435761) % 4294967296 <
         |  CAST(FLOOR(LEAST(GREATEST(n_chars / 800.0, 0.0), 1.0) * 4294967296)
-        |    AS BIGINT)""".stripMargin
+        |    AS BIGINT)""".stripMargin,
+    // q106: same tokenizer as q17/q19's oracles; DuckDB list slicing is
+    // 1-based inclusive, so chunk i covers ts[i*40+1 : i*40+64]
+    "q106_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |)
+        |SELECT doc_id, g.i AS chunk_idx,
+        |  array_to_string(ts[g.i*40 + 1 : g.i*40 + 64], ' ') AS chunk_text,
+        |  CAST(LEAST(64, len(ts) - g.i*40) AS BIGINT) AS n_tokens
+        |FROM toks JOIN generate_series(0, 255) g(i)
+        |  ON len(ts) > 0 AND g.i <= (len(ts) - 1) // 40""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -24,6 +24,33 @@ object TextAnalysis {
   /** Whitespace token count (exact, integer — safe for differential tests). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Overlapping per-document token chunking — the retrieval/embedding
+    * prep step (chunk size in tokens, fixed stride; stride < size gives
+    * the usual overlap). One output row per chunk: (idCol, chunk_idx,
+    * chunk_text, n_tokens); the final chunk may be short; empty documents
+    * yield no rows. Distinct from [[Packing]] (cross-document
+    * concat-and-chunk at a token budget): chunks here never cross a
+    * document boundary. Pure projection + bounded explode (fan-out
+    * ceil(n/stride)) — shuffle-free at any corpus size. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .withColumn("__k",
+        when(size(col("__ts")) > 0,
+          floor((size(col("__ts")) - 1).cast("long") / stride)).otherwise(lit(-1L)))
+      .withColumn("chunk_idx",
+        explode(when(col("__k") >= 0, sequence(lit(0L), col("__k")))
+          .otherwise(lit(Array.empty[Long]))))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__ts"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize.toLong),
+          size(col("__ts")).cast("long") - col("chunk_idx") * stride)
+          .as("n_tokens"))
+  }
+
   /** Distinct word-k-shingles from a precomputed token array.
     *
     * IMPORTANT: take a *bound* token column, not `tokens(text)` inline —

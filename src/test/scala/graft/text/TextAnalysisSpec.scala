@@ -176,6 +176,23 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.bpeishTokenCount($"t")).as[Long].head() shouldBe 7L
   }
 
+  "chunkTokens" should "emit overlapping chunks with a short tail and skip empty docs" in {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "...")) // punctuation only -> zero tokens -> no rows
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect().toSet
+    rows shouldBe Set(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L), // overlap of one token at stride 3
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (1L, 3L, "t10", 1L), // short tail
+      (2L, 0L, "only three tokens", 3L))
+  }
+
   "bm25" should "score only matching docs, more query-term mass ranking higher" in {
     val docs = Seq(
       (1L, "spark table query spark runs"),
