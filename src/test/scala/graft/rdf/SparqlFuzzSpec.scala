@@ -490,4 +490,45 @@ class SparqlFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- numeric aggregates: SUM / AVG / SUM(DISTINCT) over integer
+  // lexical literals (Spark's sum casts the lexical form; the reference
+  // computes in exact BigDecimal — numeric compare, not string compare)
+  "Sparql numeric aggregates" should "agree on SUM/AVG over random integer stores" in {
+    for (_ <- 1 to 10) {
+      val n = 4 + rnd.nextInt(8)
+      val data: Seq[Triple] = (0 until n).flatMap { i =>
+        val s = s"u:n$i"
+        val g = "g" + rnd.nextInt(3)
+        val hasNum = rnd.nextInt(6) > 0 // some subjects lack ?x entirely
+        Seq((s, "u:grp", g)) ++
+          (if (hasNum) Seq((s, "u:num", rnd.nextInt(100).toString)) else Nil)
+      }
+      val quads = toQuadsDf(data)
+      val kind = rnd.nextInt(3)
+      val agg = kind match {
+        case 0 => "SUM(?x)"
+        case 1 => "AVG(?x)"
+        case _ => "SUM(DISTINCT ?x)"
+      }
+      val q = s"SELECT ?g ($agg AS ?n) WHERE { ?s <u:grp> ?g . ?s <u:num> ?x } GROUP BY ?g"
+      val byG = data.collect { case (s, "u:grp", g) => s -> g }.toMap
+      val nums = data.collect { case (s, "u:num", v) => s -> v.toInt }
+      val want: Map[String, BigDecimal] = nums.groupBy { case (s, _) => byG(s) }
+        .map { case (g, vs) =>
+          val xs = vs.map(_._2)
+          g -> (kind match {
+            case 0 => BigDecimal(xs.sum)
+            case 1 => BigDecimal(xs.sum) / xs.size
+            case _ => BigDecimal(xs.distinct.sum)
+          })
+        }
+      val got = Sparql.select(quads, q).collect()
+        .map(r => r.getString(0) -> BigDecimal(r.get(1).toString)).toMap
+      withClue(s"query: $q\nstore: ${data.sortBy(_.toString)}\n") {
+        got.keySet shouldBe want.keySet
+        got.foreach { case (g, v) => (v - want(g)).abs.toDouble should be <= 1e-9 }
+      }
+    }
+  }
 }
