@@ -290,6 +290,13 @@ object ScalingProbe {
               .cast("float")).as("embedding"))
         .localCheckpoint()
       val dir = java.nio.file.Files.createTempDirectory("ivf500k").toString
+      // a ~100 MB index per run must not accumulate in /tmp across rounds
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }
       val (tBuild, _) = time {
         val idx = graft.similarity.Ann.ivfBuild(emb500k, "vec_id", "embedding")
         graft.similarity.Ann.ivfSave(idx, dir)

@@ -1402,8 +1402,10 @@ object SparkEntry {
     * every document; oracle restates the slice arithmetic with
     * generate_series and 1-based list slicing. */
   private def q106_chunking(s: SparkSession, dir: String): DataFrame =
+    // maxChunks matches the oracle's generate_series(0, 255) bound — a
+    // pathological >10k-token document diverges from the SQL otherwise
     TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
-      chunkSize = 64, stride = 40)
+      chunkSize = 64, stride = 40, maxChunks = 256)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),

@@ -294,9 +294,17 @@ object GraphOps {
     edgePairs.foreach { case (a, b) => union(a, b) }
     val allIds = (edgePairs.flatMap(p => Seq(p._1, p._2)) ++ extraVerts).distinct
     // string min-label differs from typed min for numeric ids ("10" < "9"):
-    // resolve the representative per component as the typed-min member
-    val typedExample = vertices.map(_.schema("id").dataType)
-      .getOrElse(sym.schema("src").dataType)
+    // resolve the representative per component as the typed-min member.
+    // Output type: this path runs only when SOME id type is non-integral,
+    // so anything except all-sides-same-type must emit STRING — casting
+    // string ids into a numeric vertices type would null/wrap them (the
+    // same downcast corruption the integral path guards against), and the
+    // distributed path's union coerces mixed inputs to string too.
+    val typedExample = {
+      val ts = (Seq(sym.schema("src").dataType, sym.schema("dst").dataType) ++
+        vertices.map(_.schema("id").dataType)).distinct
+      if (ts.size == 1) ts.head else org.apache.spark.sql.types.StringType
+    }
     val rows = allIds.map(id => (id, find(id)))
     val byRoot = rows.groupBy(_._2)
     val repr: Map[String, String] = typedExample match {

@@ -84,10 +84,15 @@ object AudioWav {
   def parseMeta(bytes: Array[Byte]): Option[WavMeta] =
     walk(bytes).map(_._1)
 
-  /** Full decode: metadata plus the interleaved sample array. */
-  def parse(bytes: Array[Byte]): Option[(WavMeta, Array[Short])] =
+  /** Full decode: metadata plus the interleaved sample array. `maxFrames`
+    * caps the DECODED frames (allocation and copy work) — the returned
+    * meta still describes the whole clip, so duration stays truthful on a
+    * prefix decode. */
+  def parse(bytes: Array[Byte],
+      maxFrames: Long = Long.MaxValue): Option[(WavMeta, Array[Short])] =
     walk(bytes).map { case (meta, dataOff, dataLen) =>
-      val n = dataLen / 2
+      val frames = math.min(meta.nFrames, math.max(0L, maxFrames))
+      val n = (frames * meta.channels).toInt
       val out = new Array[Short](n)
       val buf = ByteBuffer.wrap(bytes, dataOff, dataLen).order(ByteOrder.LITTLE_ENDIAN)
       var i = 0

@@ -182,11 +182,19 @@ object Multimodal {
     df.select(col(idCol).cast("string").as("id"), col(bytesCol).as("bytes"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        AudioWav.parse(bytes).toSeq.flatMap { case (m, samples) =>
-          AudioWav.windowStats(samples, m.channels, m.sampleRate, windowMs,
-              maxWindows)
-            .map { case (w, st) =>
-              (id, w, st.nSamples, st.sumAbs, st.sumSq, st.peak, st.zeroCrossings)
+        // header first, then a PREFIX decode of just the frames the capped
+        // windows need — a huge clip never allocates past the cap
+        AudioWav.parseMeta(bytes).toSeq.flatMap { meta =>
+          val perWindow =
+            math.max(1L, meta.sampleRate.toLong * windowMs / 1000L)
+          AudioWav.parse(bytes, maxFrames = perWindow * maxWindows).toSeq
+            .flatMap { case (m, samples) =>
+              AudioWav.windowStats(samples, m.channels, m.sampleRate, windowMs,
+                  maxWindows)
+                .map { case (w, st) =>
+                  (id, w, st.nSamples, st.sumAbs, st.sumSq, st.peak,
+                    st.zeroCrossings)
+                }
             }
         }
       })

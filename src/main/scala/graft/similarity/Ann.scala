@@ -320,6 +320,9 @@ object Ann {
       nlist: Int = 0,
       kmeansIterations: Int = 1,
       numBuckets: Int = 64): IvfIndex = {
+    // pmod(x, 0) is null under non-ANSI SQL, which would silently empty
+    // every bucket join downstream — fail loudly here instead
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val lists = if (nlist > 0) nlist else autoNlist(corpus.count())
     val cents = kmeansCentroids(corpus, idCol, vecCol, lists, kmeansIterations)
     val assigned = assignNearest(corpus, idCol, vecCol, cents)
@@ -379,29 +382,40 @@ object Ann {
       vecCol: String,
       k: Int,
       nprobe: Int = 4,
-      maxLiteralLists: Int = 4096): DataFrame = {
-    val probed = probeLists(index.centroids, probes, idCol, vecCol, nprobe)
-      .withColumn("list_bucket",
-        pmod(col("cent_id"), lit(index.numBuckets.toLong)).cast("int"))
-      .localCheckpoint() // routed once: reused by the prune probe and the join
-    // bounded literal pushdown: the probed list set is at most
-    // nprobe * |probes| ids — when it is small (the serving case), collect
-    // it and push STATIC partition + cent_id filters into the list scan,
-    // which prunes unprobed list files at planning time (dynamic pruning
-    // is plan-dependent; literals are guaranteed). Past the bound the
-    // partition-key equi-join alone carries the query (the fan-out case —
-    // there most lists are touched anyway, so pruning buys nothing).
-    val listIds = probed.select(col("cent_id")).distinct()
-      .take(maxLiteralLists + 1).map(_.getLong(0))
-    val assigned =
-      if (listIds.length <= maxLiteralLists && listIds.nonEmpty) {
-        val buckets = listIds.map(c => math.floorMod(c, index.numBuckets.toLong).toInt)
-          .distinct
-        index.assigned
-          .where(col("list_bucket").isin(buckets.toSeq: _*) &&
-            col("cent_id").isin(listIds.toSeq: _*))
-      } else index.assigned
-    rankCandidates(probed, assigned, Seq("cent_id", "list_bucket"), k)
+      maxLiteralProbes: Int = 1024): DataFrame = {
+    require(index.numBuckets > 0,
+      s"index numBuckets must be positive, got ${index.numBuckets}")
+    def route(df: DataFrame) =
+      probeLists(index.centroids, df, idCol, vecCol, nprobe)
+        .withColumn("list_bucket",
+          pmod(col("cent_id"), lit(index.numBuckets.toLong)).cast("int"))
+    // bounded literal pushdown: for a SMALL probe batch (the serving
+    // case), route once eagerly, collect the probed list ids, and push
+    // STATIC partition + cent_id filters into the list scan — unprobed
+    // list files prune at planning time (dynamic pruning is
+    // plan-dependent; literals are guaranteed). The gate is a cheap
+    // bounded take on the raw probes, so a large fan-out batch pays no
+    // eager materialization at all: it goes straight to the lazy
+    // partition-key equi-join (most lists are touched there anyway, so
+    // pruning would buy nothing).
+    val fewProbes = probes.select(col(idCol)).take(maxLiteralProbes + 1)
+      .length <= maxLiteralProbes
+    if (fewProbes) {
+      val probed = route(probes).localCheckpoint()
+      val listIds = probed.select(col("cent_id")).distinct()
+        .collect().map(_.getLong(0))
+      val assigned =
+        if (listIds.nonEmpty) {
+          val buckets = listIds
+            .map(c => math.floorMod(c, index.numBuckets.toLong).toInt).distinct
+          index.assigned
+            .where(col("list_bucket").isin(buckets.toSeq: _*) &&
+              col("cent_id").isin(listIds.toSeq: _*))
+        } else index.assigned
+      rankCandidates(probed, assigned, Seq("cent_id", "list_bucket"), k)
+    } else
+      rankCandidates(route(probes), index.assigned,
+        Seq("cent_id", "list_bucket"), k)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

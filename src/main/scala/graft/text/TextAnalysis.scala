@@ -33,12 +33,16 @@ object TextAnalysis {
     * document boundary. Pure projection + bounded explode (fan-out
     * ceil(n/stride)) — shuffle-free at any corpus size. */
   def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, chunkSize: Int, stride: Int,
+      maxChunks: Int = Int.MaxValue): org.apache.spark.sql.DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    require(maxChunks > 0, "maxChunks must be positive")
     df.select(col(idCol), tokens(col(textCol)).as("__ts"))
       .withColumn("__k",
         when(size(col("__ts")) > 0,
-          floor((size(col("__ts")) - 1).cast("long") / stride)).otherwise(lit(-1L)))
+          least(lit(maxChunks.toLong - 1),
+            floor((size(col("__ts")) - 1).cast("long") / stride)))
+          .otherwise(lit(-1L)))
       .withColumn("chunk_idx",
         explode(when(col("__k") >= 0, sequence(lit(0L), col("__k")))
           .otherwise(lit(Array.empty[Long]))))

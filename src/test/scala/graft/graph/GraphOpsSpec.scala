@@ -61,4 +61,15 @@ class GraphOpsSpec extends SparkSpec {
     out.as[(Long, Long)].collect().toMap shouldBe
       Map(1L -> 1L, 2L -> 1L, 5000000000L -> 1L)
   }
+
+  "components with mixed string/numeric ids" should "emit string, not a corrupting downcast" in {
+    // string edges + int-typed vertices: casting "a" into IntegerType
+    // would null it — output must widen to string instead
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val verts = Seq(7).toDF("id")
+    val out = GraphOps.connectedComponents(edges, Some(verts))
+    out.schema("id").dataType shouldBe org.apache.spark.sql.types.StringType
+    out.as[(String, String)].collect().toMap shouldBe
+      Map("a" -> "a", "b" -> "a", "7" -> "7")
+  }
 }

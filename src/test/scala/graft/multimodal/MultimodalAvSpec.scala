@@ -68,6 +68,12 @@ class MultimodalAvSpec extends SparkSpec {
     AudioWav.parse(evilJunk) shouldBe None
   }
 
+  it should "prefix-decode under a frame cap while meta stays whole-clip" in {
+    val (meta, samples) = AudioWav.parse(goldenWav, maxFrames = 1).get
+    meta.nFrames shouldBe 2 // duration facts describe the full clip
+    samples.toSeq shouldBe Seq(1.toShort) // but only one frame decodes
+  }
+
   "AudioWav.write" should "round-trip samples, rate, and channels" in {
     val rnd = new scala.util.Random(7)
     for (channels <- Seq(1, 2); rate <- Seq(8000, 44100)) {

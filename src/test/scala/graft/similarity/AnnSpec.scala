@@ -100,6 +100,12 @@ class AnnSpec extends SparkSpec {
     reloaded shouldBe fresh
   }
 
+  "ivfBuild" should "reject a non-positive bucket count loudly" in {
+    // pmod(x, 0) is null under non-ANSI SQL — silent empty joins otherwise
+    an[IllegalArgumentException] should be thrownBy
+      Ann.ivfBuild(vecs, "vec_id", "embedding", nlist = 2, numBuckets = 0)
+  }
+
   "ivfAppend" should "route new vectors to existing lists without refitting" in {
     val index = Ann.ivfBuild(vecs, "vec_id", "embedding", nlist = 2, numBuckets = 4)
     val before = index.assigned.count()

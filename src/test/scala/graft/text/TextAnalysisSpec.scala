@@ -191,6 +191,10 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 2L, "t7 t8 t9 t10", 4L),
       (1L, 3L, "t10", 1L), // short tail
       (2L, 0L, "only three tokens", 3L))
+    // the chunk cap bounds fan-out (and keeps parity with a bounded oracle)
+    TextAnalysis.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3, maxChunks = 2)
+      .where($"doc_id" === 1).count() shouldBe 2
   }
 
   "bm25" should "score only matching docs, more query-term mass ranking higher" in {
