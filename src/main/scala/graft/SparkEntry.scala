@@ -1407,6 +1407,27 @@ object SparkEntry {
     TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
       chunkSize = 64, stride = 40, maxChunks = 256)
 
+  /** Sketches (HLL): mergeable approximate-distinct registers, summarized
+    * to integral engine-exact columns — the O(1)-state scale path for
+    * COUNT(DISTINCT) at 100 TB. Register max gets map-side combine, so
+    * the shuffle carries ≤1024 rows per group however large the input. */
+  private def q107_hll_distinct(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.hllSummary(
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey").cast("string").as("k")),
+      Seq("l_returnflag"), col("k"))
+
+  /** Sketches (Count-Min): d×w counter table + min-over-rows frequency
+    * estimates — heavy-hitter detection with a fixed 4096-row sketch that
+    * broadcasts, instead of an exact per-key count shuffle. Deterministic
+    * (counters are order-independent sums), so the oracle restates it. */
+  private def q108_cms_heavy(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey").cast("string").as("k"))
+    val sketch = graft.functions.Sketches.cmsSketch(li, col("k"))
+    graft.functions.Sketches.cmsEstimate(li, col("k"), sketch)
+      .where(col("est") >= 60)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1513,7 +1534,9 @@ object SparkEntry {
     "q103_video" -> (q103_video _),
     "q104_epoch_mixture" -> (q104_epoch_mixture _),
     "q105_rate_sample" -> (q105_rate_sample _),
-    "q106_chunking" -> (q106_chunking _)
+    "q106_chunking" -> (q106_chunking _),
+    "q107_hll_distinct" -> (q107_hll_distinct _),
+    "q108_cms_heavy" -> (q108_cms_heavy _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2655,7 +2678,55 @@ object SparkEntry {
         |  array_to_string(ts[g.i*40 + 1 : g.i*40 + 64], ' ') AS chunk_text,
         |  CAST(LEAST(64, len(ts) - g.i*40) AS BIGINT) AS n_tokens
         |FROM toks JOIN generate_series(0, 255) g(i)
-        |  ON len(ts) > 0 AND g.i <= (len(ts) - 1) // 40""".stripMargin
+        |  ON len(ts) > 0 AND g.i <= (len(ts) - 1) // 40""".stripMargin,
+    // q107: full HLL restated — 60-bit md5 hash, top-10-bit bucket,
+    // rho = 51 - bit_length of the 50-bit window (length(bin(w)) is the
+    // portable bit-length), register = max(rho). All compared columns are
+    // integral except est_raw, which uses ONLY IEEE basic ops on the
+    // pre-folded alpha·m²·2^51 literal, so floor() agrees bit-exactly.
+    "q107_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT AS h
+        |  FROM lineitem
+        |), parts AS (
+        |  SELECT l_returnflag, h >> 50 AS bucket,
+        |    CASE WHEN (h & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+        |         ELSE 51 - length(bin(h & ((1::BIGINT << 50) - 1))) END AS rho
+        |  FROM h
+        |), regs AS (
+        |  SELECT l_returnflag, bucket, max(rho) AS reg FROM parts GROUP BY 1, 2
+        |)
+        |SELECT l_returnflag,
+        |  count(*) AS n_present,
+        |  CAST(sum(reg) AS BIGINT) AS sum_reg,
+        |  CAST(sum(1::BIGINT << (51 - reg)) AS BIGINT) AS inv_sum,
+        |  CAST(floor(1.7013287633207432e+21 /
+        |    CAST(CAST(sum(1::BIGINT << (51 - reg)) AS BIGINT)
+        |      + (1024 - count(*)) * (1::BIGINT << 51) AS DOUBLE)) AS BIGINT) AS est_raw
+        |FROM regs GROUP BY l_returnflag""".stripMargin,
+    // q108: count-min restated — 4 row-salted md5 hashes mod 1024,
+    // counters = per-(row,bucket) occurrence counts, estimate = min over
+    // the 4 rows. Counters are sums, so the whole sketch is
+    // order-independent and integral.
+    "q108_cms_heavy" ->
+      """WITH occ AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+        |), bk AS (
+        |  SELECT g.r,
+        |    ('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' || k),1,15))::BIGINT % 1024 AS bucket
+        |  FROM occ, generate_series(0,3) g(r)
+        |), sk AS (
+        |  SELECT r, bucket, count(*) AS cnt FROM bk GROUP BY r, bucket
+        |), cand AS (SELECT DISTINCT k FROM occ), cb AS (
+        |  SELECT k, g.r,
+        |    ('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' || k),1,15))::BIGINT % 1024 AS bucket
+        |  FROM cand, generate_series(0,3) g(r)
+        |)
+        |SELECT cb.k AS key, min(sk.cnt) AS est
+        |FROM cb JOIN sk ON sk.r = cb.r AND sk.bucket = cb.bucket
+        |GROUP BY cb.k
+        |HAVING min(sk.cnt) >= 60""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
