@@ -1428,6 +1428,20 @@ object SparkEntry {
       .where(col("est") >= 60)
   }
 
+  /** Bloom-pruned join: the selective dimension's keys ride to the fact
+    * scan as 128 KiB of bloom bits inside a codegen'd filter, so fact rows
+    * that cannot match die BEFORE the join shuffle. The join stays exact
+    * (false positives are removed by the equi-join), which is why the
+    * oracle is the plain SQL join. */
+  private def q109_bloom_join(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    graft.operators.BloomJoin
+      .prunedJoin(t(s, dir, "lineitem"), "l_orderkey", urgent, "o_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1536,7 +1550,8 @@ object SparkEntry {
     "q105_rate_sample" -> (q105_rate_sample _),
     "q106_chunking" -> (q106_chunking _),
     "q107_hll_distinct" -> (q107_hll_distinct _),
-    "q108_cms_heavy" -> (q108_cms_heavy _)
+    "q108_cms_heavy" -> (q108_cms_heavy _),
+    "q109_bloom_join" -> (q109_bloom_join _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2726,7 +2741,13 @@ object SparkEntry {
         |SELECT cb.k AS key, min(sk.cnt) AS est
         |FROM cb JOIN sk ON sk.r = cb.r AND sk.bucket = cb.bucket
         |GROUP BY cb.k
-        |HAVING min(sk.cnt) >= 60""".stripMargin
+        |HAVING min(sk.cnt) >= 60""".stripMargin,
+    // q109: the bloom pruning is invisible to the result — the oracle is
+    // the plain join it accelerates
+    "q109_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -91,6 +91,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.SoftTfIdfScore(
         exprs(0), exprs(1), exprs(2), exprs(3),
         exprs(4).eval().asInstanceOf[Double], exprs(5).eval().asInstanceOf[Double])))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[graft.operators.BloomMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[Expression]) => graft.operators.BloomMightContain(exprs(0),
+        // bits arrive as a foldable array literal — unpacked ONCE at plan
+        // time into the long[] the codegen references
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray(),
+        exprs(2).eval().asInstanceOf[Int])))
     ext.injectOptimizerRule(_ => HaversineRadiusPrefilter)
     ext.injectOptimizerRule(_ => BinnedRangeJoinRewrite)
   }
