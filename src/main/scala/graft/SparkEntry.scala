@@ -1428,6 +1428,44 @@ object SparkEntry {
       .where(col("est") >= 60)
   }
 
+  /** WARC round-trip: each document becomes a two-record WARC file
+    * (warcinfo + an HTTP response carrying the text as UTF-8 HTML body),
+    * half of them gzipped (the `.warc.gz` member form), then parsed back
+    * through the strict [[graft.sources.Warc]] walker and the HTTP payload
+    * splitter. One narrow per-partition pass — synthesis, (de)compression,
+    * parse and field extraction never leave the task. The oracle restates
+    * the recovered fields straight from `documents` (byte length via
+    * UTF-8 `octet_length`, which is what the crawl-side Content-Length
+    * carries — NOT the character count). */
+  private def q110_warc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val date = "2026-01-01T00:00:00Z"
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val info = graft.sources.Warc.writeRecord("warcinfo",
+          s"<urn:uuid:info-$docId>", date, None,
+          Some("application/warc-fields"),
+          "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val resp = graft.sources.Warc.writeRecord("response",
+          s"<urn:uuid:resp-$docId>", date,
+          Some(s"http://example.org/doc/$docId"),
+          Some("application/http;msgtype=response"),
+          graft.sources.Warc.httpResponse(body, "text/html"))
+        val file = graft.sources.Warc.writeFile(Seq(info, resp))
+        val bytes = if (docId % 2 == 0) graft.sources.Warc.gzip(file) else file
+        val recs = graft.sources.Warc.parse(bytes).get
+        val r = recs.find(_.warcType == "response").get
+        val (codeN, _, bodyOut) = graft.sources.Warc.parseHttpPayload(r.content).get
+        (docId, r.targetUri.get, codeN, recs.size.toLong,
+          new String(bodyOut, java.nio.charset.StandardCharsets.UTF_8),
+          bodyOut.length.toLong)
+      })
+      .toDF("doc_id", "uri", "http_status", "n_records", "body_text", "body_bytes")
+  }
+
   /** Bloom-pruned join: the selective dimension's keys ride to the fact
     * scan as 128 KiB of bloom bits inside a codegen'd filter, so fact rows
     * that cannot match die BEFORE the join shuffle. The join stays exact
@@ -1551,7 +1589,8 @@ object SparkEntry {
     "q106_chunking" -> (q106_chunking _),
     "q107_hll_distinct" -> (q107_hll_distinct _),
     "q108_cms_heavy" -> (q108_cms_heavy _),
-    "q109_bloom_join" -> (q109_bloom_join _)
+    "q109_bloom_join" -> (q109_bloom_join _),
+    "q110_warc" -> (q110_warc _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2747,7 +2786,17 @@ object SparkEntry {
     "q109_bloom_join" ->
       """SELECT l_orderkey, l_linenumber, o_custkey
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_orderpriority = '1-URGENT'""".stripMargin
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    // q110: the WARC writer/parser must be a faithful inverse pair — the
+    // oracle restates every recovered field from the source table
+    "q110_warc" ->
+      """SELECT doc_id,
+        |  'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  200 AS http_status,
+        |  CAST(2 AS BIGINT) AS n_records,
+        |  text AS body_text,
+        |  octet_length(encode(text)) AS body_bytes
+        |FROM documents""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
