@@ -1480,6 +1480,31 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"))
   }
 
+  /** HTML extraction: each document is wrapped in a deterministic page
+    * (head/title, style+script junk, a link-only nav and footer, the text
+    * as an escaped paragraph, and an entity-laden constant paragraph),
+    * then recovered through the codegen'd `html_text` kernel — boilerplate
+    * lines (link density > 0.5) drop, entities decode, escaping reverses.
+    * Generation AND extraction are one narrow whole-stage-codegen pass;
+    * the oracle restates the surviving lines from `documents` directly. */
+  private def q111_html_extract(s: SparkSession, dir: String): DataFrame = {
+    val escaped = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val html = concat(
+      lit("<html><!-- generated --><head><title>Doc "), col("doc_id"),
+      lit("</title><style>p { color: red }</style>" +
+        "<script>if (1 < 2) { var s = '</p>'; }</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>" +
+        "<h1>Doc "), col("doc_id"),
+      lit("</h1><p>"), escaped,
+      lit("</p><p>&quot;Tom &amp; Jerry&quot; &#189; &lt;tag&gt;</p>" +
+        "<footer><a href=\"/tos\">Terms</a> <a href=\"/priv\">Privacy</a>" +
+        "</footer></body></html>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        call_function("html_text", html).as("extracted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1590,7 +1615,8 @@ object SparkEntry {
     "q107_hll_distinct" -> (q107_hll_distinct _),
     "q108_cms_heavy" -> (q108_cms_heavy _),
     "q109_bloom_join" -> (q109_bloom_join _),
-    "q110_warc" -> (q110_warc _)
+    "q110_warc" -> (q110_warc _),
+    "q111_html_extract" -> (q111_html_extract _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2796,6 +2822,16 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS n_records,
         |  text AS body_text,
         |  octet_length(encode(text)) AS body_bytes
+        |FROM documents""".stripMargin,
+    // q111: the surviving lines are title, h1, the escaped-then-decoded
+    // text (identity round-trip), and the constant entity paragraph; the
+    // link-only nav and footer die at the 0.5 link-density gate
+    "q111_html_extract" ->
+      """SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  text || chr(10) ||
+        |  '"Tom & Jerry" ½ <tag>' AS extracted
         |FROM documents""".stripMargin
   )
 

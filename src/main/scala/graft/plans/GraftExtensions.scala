@@ -101,6 +101,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toLongArray(),
         exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("html_text"),
+      new ExpressionInfo(classOf[graft.text.HtmlTextExpr].getName, "html_text"),
+      (exprs: Seq[Expression]) => graft.text.HtmlTextExpr(exprs.head)))
     ext.injectOptimizerRule(_ => HaversineRadiusPrefilter)
     ext.injectOptimizerRule(_ => BinnedRangeJoinRewrite)
   }
