@@ -1505,6 +1505,17 @@ object SparkEntry {
         call_function("html_text", html).as("extracted"))
   }
 
+  /** Z-order layout key: Morton interleave of (user_id, ⌊value⌋) — the
+    * multi-dimensional file-clustering key ([[graft.functions.ZOrder]]).
+    * Pure bit arithmetic, so the oracle restates it as a generate_series
+    * bit sum; the layout/pruning effect itself is ZOrderSpec's
+    * files-touched assertion. */
+  private def q112_zorder_key(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        call_function("zorder_key", col("user_id"),
+          floor(col("value")).cast("long")).as("zkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1616,7 +1627,8 @@ object SparkEntry {
     "q108_cms_heavy" -> (q108_cms_heavy _),
     "q109_bloom_join" -> (q109_bloom_join _),
     "q110_warc" -> (q110_warc _),
-    "q111_html_extract" -> (q111_html_extract _)
+    "q111_html_extract" -> (q111_html_extract _),
+    "q112_zorder_key" -> (q112_zorder_key _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2832,7 +2844,19 @@ object SparkEntry {
         |  'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
         |  text || chr(10) ||
         |  '"Tom & Jerry" ½ <tag>' AS extracted
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // q112: Morton interleave restated as a bit sum over the 21 bit
+    // positions of each dimension
+    "q112_zorder_key" ->
+      """WITH k AS (
+        |  SELECT event_id, user_id AS x, CAST(floor(value) AS BIGINT) AS y
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  CAST(sum((((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b+1)))
+        |    AS BIGINT) AS zkey
+        |FROM k, generate_series(0, 20) g(b)
+        |GROUP BY event_id""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

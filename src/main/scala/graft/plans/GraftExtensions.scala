@@ -102,6 +102,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toLongArray(),
         exprs(2).eval().asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[graft.functions.ZOrderKey].getName, "zorder_key"),
+      (exprs: Seq[Expression]) => graft.functions.ZOrderKey(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("html_text"),
       new ExpressionInfo(classOf[graft.text.HtmlTextExpr].getName, "html_text"),
       (exprs: Seq[Expression]) => graft.text.HtmlTextExpr(exprs.head)))
