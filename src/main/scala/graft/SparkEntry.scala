@@ -1516,6 +1516,21 @@ object SparkEntry {
         call_function("zorder_key", col("user_id"),
           floor(col("value")).cast("long")).as("zkey"))
 
+  /** Blocklist curation gate: Aho–Corasick multi-pattern scan
+    * ([[graft.text.Blocklist]]) — O(len) per document however long the
+    * term list, vs O(terms·len) for per-term contains. The automaton
+    * builds once at plan time from the pattern literal and rides into
+    * codegen as a reference object. Matched terms report in pattern
+    * order, which is what the oracle's `list_filter` restates. */
+  private def q113_blocklist(s: SparkSession, dir: String): DataFrame = {
+    val pats = array(Seq("spark", "join", "window", "stream").map(lit): _*)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(call_function("blocklist_hits", col("text"), pats), ",").as("hits"),
+        size(call_function("blocklist_hits", col("text"), pats)).cast("long").as("n_hits"),
+        call_function("blocklist_any", col("text"), pats).as("blocked"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1628,7 +1643,8 @@ object SparkEntry {
     "q109_bloom_join" -> (q109_bloom_join _),
     "q110_warc" -> (q110_warc _),
     "q111_html_extract" -> (q111_html_extract _),
-    "q112_zorder_key" -> (q112_zorder_key _)
+    "q112_zorder_key" -> (q112_zorder_key _),
+    "q113_blocklist" -> (q113_blocklist _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2856,7 +2872,18 @@ object SparkEntry {
         |  CAST(sum((((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b+1)))
         |    AS BIGINT) AS zkey
         |FROM k, generate_series(0, 20) g(b)
-        |GROUP BY event_id""".stripMargin
+        |GROUP BY event_id""".stripMargin,
+    // q113: substring semantics, matched terms in pattern-list order
+    "q113_blocklist" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_filter(['spark','join','window','stream'],
+        |      p -> contains(text, p)) AS hl
+        |  FROM documents
+        |)
+        |SELECT doc_id, coalesce(array_to_string(hl, ','), '') AS hits,
+        |  CAST(len(hl) AS BIGINT) AS n_hits, len(hl) > 0 AS blocked
+        |FROM m""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -101,6 +101,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toLongArray(),
         exprs(2).eval().asInstanceOf[Int])))
+    def literalStrings(e: Expression): Seq[String] =
+      e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    ext.injectFunction((
+      FunctionIdentifier("blocklist_any"),
+      new ExpressionInfo(classOf[graft.text.BlocklistAny].getName, "blocklist_any"),
+      (exprs: Seq[Expression]) =>
+        graft.text.BlocklistAny(exprs(0), literalStrings(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("blocklist_hits"),
+      new ExpressionInfo(classOf[graft.text.BlocklistHits].getName, "blocklist_hits"),
+      (exprs: Seq[Expression]) =>
+        graft.text.BlocklistHits(exprs(0), literalStrings(exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("zorder_key"),
       new ExpressionInfo(classOf[graft.functions.ZOrderKey].getName, "zorder_key"),
