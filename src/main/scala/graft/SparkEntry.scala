@@ -1531,6 +1531,26 @@ object SparkEntry {
         call_function("blocklist_any", col("text"), pats).as("blocked"))
   }
 
+  /** CCNet-style segment-frequency boilerplate removal
+    * ([[graft.dedup.Dedup.dedupSegments]]): segments whose corpus-wide
+    * count exceeds 2 are dropped from every document and the text is
+    * reconstructed in original segment order. The synthetic docs are
+    * single-line, so the exercised separator is the token ` the ` —
+    * at sf0.01 that yields 1266 segments of which 8 distinct (27
+    * occurrences) cross the threshold, i.e. the gate genuinely bites. */
+  private def q114_segment_dedup(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.dedupSegments(
+      t(s, dir, "documents"), "text", "doc_id", " the ", maxFreq = 2)
+
+  /** Deterministic training-order shuffle
+    * ([[graft.text.Sampling.deterministicShuffle]]): md5-seeded sort key,
+    * shard from ascii arithmetic on the key prefix, per-shard positions —
+    * no global single-task sort. Oracle restates key, shard, and
+    * row_number verbatim (md5 is engine-independent). */
+  private def q115_det_shuffle(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.deterministicShuffle(
+      t(s, dir, "documents"), "doc_id", "epoch0", buckets = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1644,7 +1664,9 @@ object SparkEntry {
     "q110_warc" -> (q110_warc _),
     "q111_html_extract" -> (q111_html_extract _),
     "q112_zorder_key" -> (q112_zorder_key _),
-    "q113_blocklist" -> (q113_blocklist _)
+    "q113_blocklist" -> (q113_blocklist _),
+    "q114_segment_dedup" -> (q114_segment_dedup _),
+    "q115_det_shuffle" -> (q115_det_shuffle _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2883,7 +2905,46 @@ object SparkEntry {
         |)
         |SELECT doc_id, coalesce(array_to_string(hl, ','), '') AS hits,
         |  CAST(len(hl) AS BIGINT) AS n_hits, len(hl) > 0 AS blocked
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // q114: exact segment-frequency semantics (the engine counts on
+    // xxhash64(segment) — collision-free at any realistic corpus size,
+    // identical here)
+    "q114_segment_dedup" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' the ')) AS seg,
+        |    unnest(generate_series(1, len(string_split(text, ' the ')))) AS pos
+        |  FROM documents
+        |), b AS (
+        |  SELECT seg FROM l GROUP BY seg HAVING count(*) > 2
+        |), k AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(seg, ' the ' ORDER BY pos) AS text_dedup
+        |  FROM l WHERE seg NOT IN (SELECT seg FROM b)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' the ')) AS BIGINT) AS n_segments,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.text_dedup, '') AS text_dedup
+        |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id""".stripMargin,
+    // q115: md5 sort key + ascii-arithmetic shard + per-shard row_number,
+    // restated verbatim — both engines emit lowercase-hex md5 over UTF-8
+    "q115_det_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS skey
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, skey,
+        |    CAST((ascii(substr(skey, 1, 1)) * 131 + ascii(substr(skey, 2, 1)))
+        |      % 8 AS BIGINT) AS bucket
+        |  FROM s
+        |)
+        |SELECT doc_id, skey, bucket,
+        |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY skey) AS BIGINT)
+        |    AS pos
+        |FROM b""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

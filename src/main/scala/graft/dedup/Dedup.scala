@@ -234,6 +234,56 @@ object Dedup {
         vertices = Some(allIds.select(col(allIds.columns.head).as("id"))))
       .select(col("id"), col("component").as("keep_id"))
 
+  /** CCNet-style segment-level dedup: drop every segment (line, paragraph,
+    * sentence — whatever `sep` delimits) whose corpus-wide occurrence count
+    * exceeds `maxFreq`, and reconstruct each document from its surviving
+    * segments in original order. This removes boilerplate (headers, footers,
+    * cookie banners, navigation chrome) that exact/near document dedup
+    * cannot touch because the surrounding text differs.
+    *
+    * Scale shape (the CCNet pass over Common Crawl, restated for Spark):
+    *  - the frequency count groups by `xxhash64(segment)` — an 8-byte
+    *    shuffle key, never the segment text (same design as the exact-
+    *    substring span dedup; a 64-bit collision merges two counts with
+    *    probability ~n²/2⁶⁴, which at worst drops an innocent segment —
+    *    the same tolerance every hash-based dedup in this module accepts);
+    *  - the banned set (count > maxFreq) is small BY CONSTRUCTION — only
+    *    segments repeated corpus-wide survive the HAVING — so the
+    *    anti-join broadcasts it and the document side never shuffles;
+    *  - reconstruction shuffles (id, pos, segment) once, partitioned by
+    *    document id.
+    *
+    * Output: (id, n_segments, n_kept, text_dedup) — one row per input
+    * document, `text_dedup = ""` when every segment was banned.
+    *
+    * Reference anchor: the reference has no corpus-boilerplate pass (its
+    * documents are personal-scale); this generalizes its per-document
+    * span dedup to corpus-frequency curation. */
+  def dedupSegments(df: DataFrame, textCol: String, idCol: String,
+                    sep: String, maxFreq: Long): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val segs = df.select(col(idCol),
+        posexplode(split(col(textCol), quoted)).as(Seq("pos", "seg")))
+    val banned = segs
+      .groupBy(xxhash64(col("seg")).as("seg_h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxFreq)
+      .select(col("seg_h"))
+    val kept = segs.withColumn("seg_h", xxhash64(col("seg")))
+      .join(broadcast(banned), Seq("seg_h"), "left_anti")
+    val recon = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x("seg")), sep).as("text_dedup"))
+    df.select(col(idCol),
+        size(split(col(textCol), quoted)).cast("long").as("n_segments"))
+      .join(recon, Seq(idCol), "left")
+      .select(col(idCol), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** 64-bit SimHash fingerprint of a token multiset: per-bit weighted vote
     * of token hashes. Built from 64 conditional sums (codegen'd, no UDF). */
   def simhash(text: Column): Column =

@@ -80,4 +80,35 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(1L), col("n_copies"))))
       .drop("n_copies")
   }
+
+  /** Deterministic global corpus shuffle — the training-order step that
+    * follows mixing: every document gets a reproducible pseudo-random sort
+    * key `md5(id ":" seed)` and a position within one of `buckets`
+    * hash-spread shards. Re-running with the same seed reproduces the
+    * exact order on any engine (md5 is engine-independent, unlike
+    * xxhash64/rand whose seeding differs); a new seed per epoch gives an
+    * independent order.
+    *
+    * Scale shape: the shard assignment is a narrow projection; ordering is
+    * established per-shard (`row_number` partitioned by shard), so the
+    * only exchange is a hash partition on the shard id — there is NO
+    * global single-task sort. A trainer reads shards in id order,
+    * each shard internally ordered by `skey`; with `buckets` ≥ the
+    * executor count every task sorts ~n/buckets rows. Output:
+    * (id, skey, bucket, pos). */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val skey = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    // bucket from the key's first two hex chars: pure ascii arithmetic so
+    // any SQL engine restates it verbatim (no hash-function coupling)
+    val bucket = pmod(
+      ascii(substring(col("skey"), 1, 1)) * lit(131) +
+        ascii(substring(col("skey"), 2, 1)), lit(buckets)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("skey"))
+    df.select(col(idCol), skey.as("skey"))
+      .withColumn("bucket", bucket)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

@@ -90,4 +90,42 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     exact shouldBe expected
   }
+
+  "dedupSegments" should "drop corpus-frequent segments and rebuild in order" in {
+    val lined = Seq(
+      (1L, "COOKIE BANNER\nunique article one\nCOPYRIGHT FOOTER"),
+      (2L, "COOKIE BANNER\nunique article two\nCOPYRIGHT FOOTER"),
+      (3L, "COOKIE BANNER\nunique article three\nCOPYRIGHT FOOTER"),
+      (4L, "standalone page with no chrome")).toDF("doc_id", "text")
+    val res = Dedup.dedupSegments(lined, "text", "doc_id", "\n", maxFreq = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    res shouldBe Map(
+      1L -> (3L, 1L, "unique article one"),
+      2L -> (3L, 1L, "unique article two"),
+      3L -> (3L, 1L, "unique article three"),
+      4L -> (1L, 1L, "standalone page with no chrome"))
+  }
+
+  it should "emit an empty reconstruction when every segment is banned" in {
+    val allDup = Seq(
+      (1L, "same"), (2L, "same"), (3L, "same"), (4L, "same")).toDF("doc_id", "text")
+    val res = Dedup.dedupSegments(allDup, "text", "doc_id", "\n", maxFreq = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    res shouldBe (1L to 4L).map(_ -> ((1L, 0L, ""))).toMap
+  }
+
+  it should "treat regex-significant separators literally" in {
+    val dotted = Seq(
+      (1L, "alpha.beta.gamma"), (2L, "alpha.delta.gamma"),
+      (3L, "alpha.epsilon.gamma")).toDF("doc_id", "text")
+    // '.' must split on the literal dot, not on every character
+    val res = Dedup.dedupSegments(dotted, "text", "doc_id", ".", maxFreq = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    res shouldBe Map(
+      1L -> (3L, 1L, "beta"), 2L -> (3L, 1L, "delta"),
+      3L -> (3L, 1L, "epsilon"))
+  }
 }

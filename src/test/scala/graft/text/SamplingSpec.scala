@@ -67,4 +67,35 @@ class SamplingSpec extends SparkSpec {
       .select("id", "epoch").as[(Long, Long)].collect().toSeq
     out shouldBe Seq((2L, 1L))
   }
+
+  "deterministicShuffle" should "match a JVM md5 reference order exactly" in {
+    val df = (1L to 50L).toDF("id")
+    val out = Sampling.deterministicShuffle(df, "id", "s1", buckets = 4)
+      .as[(Long, String, Long, Long)].collect()
+    def ref(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:s1".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    out.foreach { case (id, skey, bucket, _) =>
+      skey shouldBe ref(id)
+      bucket shouldBe (skey(0).toInt * 131 + skey(1).toInt) % 4
+    }
+    // per-bucket positions are 1..n in skey order, every bucket non-empty
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._4).toSeq shouldBe (1L to rows.length)
+      rows.sortBy(_._4).map(_._2).toSeq shouldBe sorted.map(_._2).toSeq
+    }
+    out.map(_._3).distinct.length shouldBe 4
+  }
+
+  it should "be reproducible for a seed and differ across seeds" in {
+    val df = (1L to 30L).toDF("id")
+    def run(seed: String) = Sampling.deterministicShuffle(df, "id", seed, 4)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    run("a") shouldBe run("a")
+    run("a").map(r => (r._3, r._4)) should not be
+      run("b").map(r => (r._3, r._4))
+  }
 }
