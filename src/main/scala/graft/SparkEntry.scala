@@ -1551,6 +1551,19 @@ object SparkEntry {
     graft.text.Sampling.deterministicShuffle(
       t(s, dir, "documents"), "doc_id", "epoch0", buckets = 8)
 
+  /** fastText-style hashed-linear quality gate
+    * ([[graft.text.Classifier]]): B=64 buckets, integer pseudo-weights
+    * w(b) = b%7-3 so the oracle restates the full inference (bucket
+    * arithmetic included) and the float sum is exact. One narrow
+    * transform+aggregate pass, no shuffle. */
+  private def q116_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    val weights = (0 until 64).map(b => ((b % 7) - 3).toDouble)
+    val score = graft.text.Classifier
+      .hashedLinearScore(col("text"), weights, bias = 0.0)
+    t(s, dir, "documents").select(col("doc_id"),
+      score.cast("long").as("score"), (score > lit(0.0)).as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1666,7 +1679,8 @@ object SparkEntry {
     "q112_zorder_key" -> (q112_zorder_key _),
     "q113_blocklist" -> (q113_blocklist _),
     "q114_segment_dedup" -> (q114_segment_dedup _),
-    "q115_det_shuffle" -> (q115_det_shuffle _)
+    "q115_det_shuffle" -> (q115_det_shuffle _),
+    "q116_quality_classifier" -> (q116_quality_classifier _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2944,7 +2958,25 @@ object SparkEntry {
         |SELECT doc_id, skey, bucket,
         |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY skey) AS BIGINT)
         |    AS pos
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+    // q116: the ENTIRE inference restated — tokenize, md5-prefix bucket,
+    // w(b)=b%7-3, sum — integer weights keep the float sum exact
+    "q116_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'),
+        |        x -> len(x) > 0),
+        |      t -> (ascii(substr(md5(t), 1, 1)) * 131
+        |            + ascii(substr(md5(t), 2, 1))) % 64) AS bs
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    coalesce(list_sum(list_transform(bs, b -> (b % 7) - 3)), 0) AS s
+        |  FROM tok
+        |)
+        |SELECT doc_id, CAST(s AS BIGINT) AS score, s > 0 AS keep
+        |FROM sc""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

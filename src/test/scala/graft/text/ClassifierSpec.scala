@@ -1,0 +1,56 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refBucket(tok: String, buckets: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (hex(0).toInt * 131 + hex(1).toInt) % buckets
+  }
+
+  "hashedLinearScore" should "match a JVM reference over tokenized text" in {
+    val weights = (0 until 16).map(b => ((b % 5) - 2).toDouble)
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "spark, joins; and windows!"),
+      (3L, ""),
+      (4L, "one")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Classifier.hashedLinearScore(col("text"), weights, bias = 0.5).as("s"))
+      .as[(Long, Double)].collect().toMap
+    def ref(text: String): Double =
+      0.5 + text.split("[\\s\\p{Punct}]+").filter(_.nonEmpty)
+        .map(t => weights(refBucket(t, 16))).sum
+    got shouldBe Map(
+      1L -> ref("the quick brown fox"),
+      2L -> ref("spark, joins; and windows!"),
+      3L -> 0.5, // empty doc: bias only
+      4L -> ref("one"))
+  }
+
+  "gate" should "keep exactly the rows whose score clears the threshold" in {
+    // single-bucket model: score = bias + w0 * n_tokens, monotone in length
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val res = Classifier.gate(docs, "text", "doc_id",
+        weights = Seq(1.0), bias = 0.0, threshold = 2.5)
+      .as[(Long, Double, Boolean)].collect()
+      .map { case (id, s, k) => id -> ((s, k)) }.toMap
+    res shouldBe Map(1L -> ((5.0, true)), 2L -> ((2.0, false)), 3L -> ((0.0, false)))
+  }
+
+  it should "reach every bucket across a large vocabulary" in {
+    val b = 16
+    val toks = (0 until 500).map(i => s"tok$i")
+    toks.map(refBucket(_, b)).distinct.size shouldBe b
+    // and the column formulation agrees bucket-by-bucket
+    val got = toks.toDF("t")
+      .select(col("t"), Classifier.tokenBucket(col("t"), b).as("b"))
+      .as[(String, Int)].collect().toMap
+    toks.foreach(t => got(t) shouldBe refBucket(t, b))
+  }
+}
