@@ -1564,6 +1564,53 @@ object SparkEntry {
       score.cast("long").as("score"), (score > lit(0.0)).as("keep"))
   }
 
+  /** Per-source document cap ([[graft.text.Sampling.capPerGroup]]) — the
+    * C4/RefinedWeb anti-spam rule (no domain dominates the mix). Order:
+    * longest documents first, doc_id tie-break; all rows returned with
+    * (rnk, kept) so the drop is auditable. */
+  private def q117_source_cap(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.capPerGroup(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "source", Seq(col("n_tokens").desc, col("doc_id").asc), cap = 10)
+
+  /** Corpus token-budget report: per-source doc count, token sum/mean and
+    * p50/p95 token counts — the first table of any training-mix design
+    * doc. percentile_cont semantics match Spark's `percentile` (both
+    * interpolate at rank p·(n−1) in IEEE doubles, so the hash compare is
+    * exact). One partial-agg shuffle on source. */
+  private def q118_corpus_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"),
+        avg(col("n")).as("mean_tokens"),
+        percentile(col("n"), lit(0.5)).as("p50_tokens"),
+        percentile(col("n"), lit(0.95)).as("p95_tokens"))
+
+  /** Integer-exact tf-idf keyword extraction: score = tf · ⌊10⁶/df⌋ (all
+    * integer arithmetic, so rarity weighting is oracle-exact with no
+    * float log), top 3 tokens per document, (score desc, token asc)
+    * deterministic order. Shape: one (doc,tok) count shuffle, one df
+    * count shuffle, broadcast-joined back, per-doc window. */
+  private def q119_keywords(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(df_, "tok")
+      .withColumn("score", col("tf") * (lit(1000000L) / col("df")).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1680,7 +1727,10 @@ object SparkEntry {
     "q113_blocklist" -> (q113_blocklist _),
     "q114_segment_dedup" -> (q114_segment_dedup _),
     "q115_det_shuffle" -> (q115_det_shuffle _),
-    "q116_quality_classifier" -> (q116_quality_classifier _)
+    "q116_quality_classifier" -> (q116_quality_classifier _),
+    "q117_source_cap" -> (q117_source_cap _),
+    "q118_corpus_stats" -> (q118_corpus_stats _),
+    "q119_keywords" -> (q119_keywords _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -2976,7 +3026,60 @@ object SparkEntry {
         |  FROM tok
         |)
         |SELECT doc_id, CAST(s AS BIGINT) AS score, s > 0 AS keep
-        |FROM sc""".stripMargin
+        |FROM sc""".stripMargin,
+    // q117: per-source cap, longest-first with doc_id tie-break
+    "q117_source_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS rnk,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_tokens DESC, doc_id ASC) <= 10 AS kept
+        |FROM t""".stripMargin,
+    // q118: quantile_cont == Spark percentile (rank p·(n−1), linear
+    // interpolation, IEEE doubles)
+    "q118_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |  min(n) AS min_tokens, max(n) AS max_tokens,
+        |  avg(n) AS mean_tokens,
+        |  quantile_cont(n, 0.5) AS p50_tokens,
+        |  quantile_cont(n, 0.95) AS p95_tokens
+        |FROM t GROUP BY source""".stripMargin,
+    // q119: integer tf·⌊1e6/df⌋ scoring — rarity weighting with zero
+    // float involvement
+    "q119_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(text, '[\s[:punct:]]+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY doc_id, tok
+        |), dfreq AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf * (1000000 // dfreq.df) AS score
+        |  FROM tf JOIN dfreq USING (tok)
+        |)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, tok ASC) AS BIGINT) AS rnk,
+        |  tok, CAST(score AS BIGINT) AS score
+        |FROM scored
+        |QUALIFY rnk <= 3""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -81,6 +81,27 @@ object Sampling {
       .drop("n_copies")
   }
 
+  /** Per-group document cap — the anti-spam step of web curation (cap
+    * documents per registrable domain so link farms can't dominate a
+    * source mix; C4 and RefinedWeb both cap per-domain contributions).
+    * Rows are ranked inside each group by `orderBy` (caller supplies a
+    * DETERMINISTIC total order — end with the id column) and `kept` flags
+    * the first `cap`.
+    *
+    * Scale shape: one hash exchange on the group column + per-group sort;
+    * group count (domains) is huge so the window parallelizes; a single
+    * mega-domain is bounded by the sort of its own rows only. Returns all
+    * rows with (rank, kept) rather than filtering, so the caller can audit
+    * what the cap dropped. */
+  def capPerGroup(df: DataFrame, groupCol: String, orderBy: Seq[Column],
+      cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderBy: _*)
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("kept", col("rnk") <= cap)
+  }
+
   /** Deterministic global corpus shuffle — the training-order step that
     * follows mixing: every document gets a reproducible pseudo-random sort
     * key `md5(id ":" seed)` and a position within one of `buckets`

@@ -68,6 +68,20 @@ class SamplingSpec extends SparkSpec {
     out shouldBe Seq((2L, 1L))
   }
 
+  "capPerGroup" should "rank within groups and flag the first cap rows" in {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", 1L, 30L), ("a", 2L, 30L), ("a", 3L, 10L),
+      ("b", 4L, 5L)).toDF("grp", "id", "len")
+    val out = Sampling.capPerGroup(df, "grp",
+        Seq(col("len").desc, col("id").asc), cap = 2)
+      .select("id", "rnk", "kept").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out shouldBe Map( // tie on len=30 broken by id asc; all rows returned
+      1L -> ((1L, true)), 2L -> ((2L, true)), 3L -> ((3L, false)),
+      4L -> ((1L, true)))
+  }
+
   "deterministicShuffle" should "match a JVM md5 reference order exactly" in {
     val df = (1L to 50L).toDF("id")
     val out = Sampling.deterministicShuffle(df, "id", "s1", buckets = 4)
