@@ -16,7 +16,10 @@ object Plans {
         "q39_stays", "q93_graph_mgmt", "q94_pii_redact",
         "q95_url_classify", "q96_curation", "q97_nested_path",
         "q99_repetition", "q100_contamination", "q101_fuzzy_keeplist",
-        "q102_audio", "q103_video", "q104_epoch_mixture")) {
+        "q102_audio", "q103_video", "q104_epoch_mixture",
+        "q114_segment_dedup", "q115_det_shuffle", "q116_quality_classifier",
+        "q117_source_cap", "q118_corpus_stats", "q119_keywords",
+        "q120_asof_join")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -1611,6 +1611,24 @@ object SparkEntry {
       .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
   }
 
+  /** Backward as-of join ([[graft.operators.AsOfJoin]]): every click
+    * matched to the user's most recent not-later view — the union+running-
+    * window formulation (one exchange per side, no candidate blowup).
+    * DuckDB's NATIVE `ASOF LEFT JOIN` is the oracle, so the exact
+    * greatest-ts-≤ semantics (equal-ts inclusive, null on no match) are
+    * checked term for term. */
+  private def q120_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_event_id"), col("value").as("view_value"))
+    graft.operators.AsOfJoin.backward(clicks, views, Seq("user_id"),
+      leftTs = "ts", rightTs = "ts",
+      payload = Seq("view_event_id", "view_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1730,7 +1748,8 @@ object SparkEntry {
     "q116_quality_classifier" -> (q116_quality_classifier _),
     "q117_source_cap" -> (q117_source_cap _),
     "q118_corpus_stats" -> (q118_corpus_stats _),
-    "q119_keywords" -> (q119_keywords _)
+    "q119_keywords" -> (q119_keywords _),
+    "q120_asof_join" -> (q120_asof_join _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3079,7 +3098,19 @@ object SparkEntry {
         |    ORDER BY score DESC, tok ASC) AS BIGINT) AS rnk,
         |  tok, CAST(score AS BIGINT) AS score
         |FROM scored
-        |QUALIFY rnk <= 3""".stripMargin
+        |QUALIFY rnk <= 3""".stripMargin,
+    // q120: DuckDB's native ASOF join states the semantics directly
+    "q120_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), v AS (
+        |  SELECT user_id, ts, event_id AS view_event_id,
+        |    value AS view_value
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT c.event_id, c.user_id, c.ts, v.view_event_id, v.view_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
