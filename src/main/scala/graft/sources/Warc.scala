@@ -231,4 +231,40 @@ object Warc {
       .toDF("path", "offset", "warc_type", "record_id", "warc_date",
         "target_uri", "content_type", "content")
   }
+
+  /** Streaming variant of [[readFiles]]: continuous ingestion of a landing
+    * directory of `.warc(.gz)` files (the Common-Crawl-shaped firehose).
+    * Structured Streaming's `binaryFile` source tracks processed files in
+    * the checkpoint, so each WARC is parsed EXACTLY once across restarts;
+    * new files become micro-batch rows with the same schema and the same
+    * malformed-file audit rows as the batch reader. Parsing stays
+    * per-file per-task (gzip members don't split), so a 1000-executor
+    * cluster rides one task per arriving file. */
+  def readStreamFiles(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema).load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, bytes) =>
+        parse(bytes) match {
+          case Some(recs) => recs.iterator.map(r =>
+            (p, r.offset, r.warcType, r.recordId, r.date,
+              r.targetUri.orNull, r.contentType.orNull, r.content))
+          case None =>
+            Iterator.single((p, -1L, null: String, null: String, null: String,
+              null: String, null: String, null: Array[Byte]))
+        }
+      })
+      .toDF("path", "offset", "warc_type", "record_id", "warc_date",
+        "target_uri", "content_type", "content")
+  }
 }

@@ -92,4 +92,29 @@ class WarcSpec extends SparkSpec {
     df.where("warc_type IS NULL").count() shouldBe 1 // the audit row
     df.where("warc_type = 'response'").count() shouldBe 3
   }
+
+  it should "ingest a landing directory incrementally, each file exactly once" in {
+    val dir = java.nio.file.Files.createTempDirectory("warcstream")
+    val ckpt = java.nio.file.Files.createTempDirectory("warcstream-ckpt")
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      Warc.writeFile(Seq(resp(1, "alpha"), resp(2, "beta"))))
+    val q = Warc.readStreamFiles(spark, dir.toString)
+      .select("path", "warc_type", "target_uri")
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("warc_stream").count() shouldBe 2
+      // a second file arrives: only ITS records join the table
+      java.nio.file.Files.write(dir.resolve("b.warc.gz"),
+        Warc.gzip(resp(3, "gamma")))
+      q.processAllAvailable()
+      val rows = spark.table("warc_stream")
+      rows.count() shouldBe 3
+      rows.where("target_uri = 'http://example.org/doc/3'").count() shouldBe 1
+      // the first file was NOT re-parsed
+      rows.where("path LIKE '%a.warc'").count() shouldBe 2
+    } finally q.stop()
+  }
 }
