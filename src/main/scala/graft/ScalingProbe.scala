@@ -352,6 +352,64 @@ object ScalingProbe {
         s""""frameSec":$tFrames,"frameRows":$nFrames}""")
     }
 
+    // 16) segment-frequency dedup over 500k docs: replicas SHARE segments
+    // (text unchanged), so banned-set cardinality and the anti-join are
+    // exercised at real selectivity
+    if (want("segmentDedup500k")) {
+      val bigDocs = docs.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("doc_id"), col("text"))
+      val (tSeg, nSeg) = time {
+        graft.dedup.Dedup.dedupSegments(bigDocs, "text", "doc_id",
+          " the ", maxFreq = 200).where(col("n_kept") < col("n_segments")).count()
+      }
+      out += "segmentDedup500k" -> s"""{"sec":$tSeg,"rows":$nSeg}"""
+    }
+
+    // 17) as-of join at 1M events (100x replication, per-replica user
+    // shift keeps key cardinality growing with data)
+    if (want("asof1M")) {
+      val bigEv = ev.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("user_id") + col("rep") * 10000).as("user_id"),
+          col("ts"), col("event_id"), col("event_type"), col("value"))
+      val clicks = bigEv.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = bigEv.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      val (tAsof, nAsof) = time {
+        graft.operators.AsOfJoin.backward(clicks, views, Seq("user_id"),
+          "ts", "ts", Seq("view_event_id", "view_value"))
+          .where(col("view_event_id").isNotNull).count()
+      }
+      out += "asof1M" -> s"""{"sec":$tAsof,"rows":$nAsof}"""
+    }
+
+    // 18) hashed-linear classifier + deterministic shuffle, 500k docs —
+    // both narrow passes; the shuffle probe includes its per-shard window
+    if (want("curation500k")) {
+      val bigDocs = docs.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("doc_id"), col("text"))
+        .localCheckpoint()
+      val weights = (0 until 4096).map(b => ((b % 7) - 3).toDouble)
+      val (tCls, nCls) = time {
+        graft.text.Classifier.gate(bigDocs, "text", "doc_id",
+          weights, bias = 0.0, threshold = 0.0, fastHash = true)
+          .where(col("keep")).count()
+      }
+      val (tClsMd5, _) = time {
+        graft.text.Classifier.gate(bigDocs, "text", "doc_id",
+          weights, bias = 0.0, threshold = 0.0)
+          .where(col("keep")).count()
+      }
+      val (tShuf, nShuf) = time {
+        graft.text.Sampling.deterministicShuffle(bigDocs, "doc_id",
+          "epoch1", buckets = 256).count()
+      }
+      out += "curation500k" -> (s"""{"classifierSec":$tCls,"kept":$nCls,""" +
+        s""""classifierMd5Sec":$tClsMd5,""" +
+        s""""shuffleSec":$tShuf,"rows":$nShuf}""")
+    }
+
     println(out.map { case (k, v) => s""""$k":$v""" }
       .mkString("""{"probe":"scaling",""", ",", "}"))
     spark.stop()

@@ -29,30 +29,46 @@ import org.apache.spark.sql.functions._
 object Classifier {
 
   /** Engine-independent token -> bucket in [0, buckets): ascii arithmetic
-    * on the first two hex chars of md5(token). */
+    * on the first two hex chars of md5(token). Use for oracle-checkable
+    * runs; md5 is a crypto hash (~30 s per 100 M tokens), so production
+    * scoring wants [[tokenBucketFast]]. */
   def tokenBucket(tok: Column, buckets: Int): Column = {
     val h = md5(tok)
     pmod(ascii(substring(h, 1, 1)) * lit(131) + ascii(substring(h, 2, 1)),
       lit(buckets))
   }
 
+  /** Production bucket function: xxhash64 (native codegen, ~10× cheaper
+    * than md5 + hex-string slicing). Same model format, different bucket
+    * mapping — a model is trained against ONE bucket function and scored
+    * with the same one, so the two are not interchangeable mid-model. */
+  def tokenBucketFast(tok: Column, buckets: Int): Column =
+    pmod(xxhash64(tok), lit(buckets.toLong)).cast("int")
+
   /** Document score: bias + Σ weights(bucket(token)). Exact when weights
-    * are integer-valued (float addition of small ints is exact). */
-  def hashedLinearScore(text: Column, weights: Seq[Double], bias: Double): Column = {
+    * are integer-valued (float addition of small ints is exact).
+    * `fastHash` picks [[tokenBucketFast]] (production) over the
+    * oracle-restatable md5 bucketing. */
+  def hashedLinearScore(text: Column, weights: Seq[Double], bias: Double,
+      fastHash: Boolean = false): Column = {
     require(weights.nonEmpty, "empty weight vector")
     val warr = array(weights.map(lit): _*)
+    val bucket: Column => Column =
+      if (fastHash) tokenBucketFast(_, weights.size)
+      else tokenBucket(_, weights.size)
     aggregate(
       transform(TextAnalysis.tokens(text),
-        t => element_at(warr, tokenBucket(t, weights.size) + 1)),
+        t => element_at(warr, bucket(t) + 1)),
       lit(bias), (acc, x) => acc + x)
   }
 
   /** Score + threshold gate over a document table. Output:
     * (id, score, keep). */
   def gate(df: DataFrame, textCol: String, idCol: String,
-      weights: Seq[Double], bias: Double, threshold: Double): DataFrame =
-    df.select(col(idCol),
-      hashedLinearScore(col(textCol), weights, bias).as("score"),
-      (hashedLinearScore(col(textCol), weights, bias) > lit(threshold))
-        .as("keep"))
+      weights: Seq[Double], bias: Double, threshold: Double,
+      fastHash: Boolean = false): DataFrame = {
+    val score = hashedLinearScore(col(textCol), weights, bias, fastHash)
+    df.select(col(idCol), score.as("score"),
+      (score > lit(threshold)).as("keep"))
+  }
 }

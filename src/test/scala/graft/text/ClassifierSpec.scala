@@ -43,6 +43,28 @@ class ClassifierSpec extends SparkSpec {
     res shouldBe Map(1L -> ((5.0, true)), 2L -> ((2.0, false)), 3L -> ((0.0, false)))
   }
 
+  "tokenBucketFast" should "agree with md5 bucketing under bucket-blind weights" in {
+    // uniform weights make the score independent of the bucket function:
+    // both paths must yield w * n_tokens + bias exactly
+    val docs = Seq((1L, "a b c"), (2L, "x y z w v")).toDF("doc_id", "text")
+    val uni = Seq.fill(32)(2.0)
+    val slow = docs.select(col("doc_id"),
+        Classifier.hashedLinearScore(col("text"), uni, 1.0).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val fast = docs.select(col("doc_id"),
+        Classifier.hashedLinearScore(col("text"), uni, 1.0, fastHash = true).as("s"))
+      .as[(Long, Double)].collect().toMap
+    slow shouldBe Map(1L -> 7.0, 2L -> 11.0)
+    fast shouldBe slow
+  }
+
+  it should "spread a large vocabulary across all buckets" in {
+    val got = (0 until 500).map(i => s"tok$i").toDF("t")
+      .select(Classifier.tokenBucketFast(col("t"), 16))
+      .as[Int].collect()
+    got.distinct.sorted shouldBe (0 until 16)
+  }
+
   it should "reach every bucket across a large vocabulary" in {
     val b = 16
     val toks = (0 until 500).map(i => s"tok$i")
