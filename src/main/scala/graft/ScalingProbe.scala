@@ -410,6 +410,17 @@ object ScalingProbe {
         s""""shuffleSec":$tShuf,"rows":$nShuf}""")
     }
 
+    // 19) fixed-point PageRank on the 600k-edge order–part graph, 5 iters
+    if (want("pagerank600k")) {
+      val li = Tables(spark, dir, "lineitem")
+      val edges = li.select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 10000000L).as("dst"))
+      val (tPr, nPr) = time {
+        graft.graph.PageRank.fixedPoint(edges, iterations = 5).count()
+      }
+      out += "pagerank600k" -> s"""{"sec":$tPr,"rows":$nPr}"""
+    }
+
     println(out.map { case (k, v) => s""""$k":$v""" }
       .mkString("""{"probe":"scaling",""", ",", "}"))
     spark.stop()

@@ -1629,6 +1629,18 @@ object SparkEntry {
       payload = Seq("view_event_id", "view_value"))
   }
 
+  /** Fixed-point PageRank ([[graft.graph.PageRank]]) on the order→part
+    * bipartite graph, 3 iterations: the whole recurrence runs in scaled
+    * integers, so the oracle unrolls it as three CTE blocks and the
+    * hash compare is exact on every vertex — no float PageRank can make
+    * that claim (summation order changes the bits). */
+  private def q121_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "lineitem").select(col("l_orderkey").as("src"),
+      (col("l_partkey") + 10000000L).as("dst"))
+    graft.graph.PageRank.fixedPoint(e, iterations = 3)
+      .select(col("id"), col("rank").as("pr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1749,7 +1761,8 @@ object SparkEntry {
     "q117_source_cap" -> (q117_source_cap _),
     "q118_corpus_stats" -> (q118_corpus_stats _),
     "q119_keywords" -> (q119_keywords _),
-    "q120_asof_join" -> (q120_asof_join _)
+    "q120_asof_join" -> (q120_asof_join _),
+    "q121_pagerank" -> (q121_pagerank _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3110,7 +3123,45 @@ object SparkEntry {
         |)
         |SELECT c.event_id, c.user_id, c.ts, v.view_event_id, v.view_value
         |FROM c ASOF LEFT JOIN v
-        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+    // q121: the integer recurrence unrolled — r0 = 10^6; r[k+1] =
+    // 150000 + (85·Σ⌊r[k]/deg⌋)//100; dangling mass dropped
+    "q121_pagerank" ->
+      """WITH e AS (
+        |  SELECT l_orderkey AS src, l_partkey + 10000000 AS dst FROM lineitem
+        |), deg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+        |), v AS (
+        |  SELECT DISTINCT id
+        |  FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+        |), r0 AS (
+        |  SELECT id, CAST(1000000 AS BIGINT) AS pr FROM v
+        |), s1 AS (
+        |  SELECT e.dst AS id, sum(r0.pr // deg.deg) AS m
+        |  FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst
+        |), r1 AS (
+        |  SELECT v.id,
+        |    CAST(150000 + (85 * coalesce(s1.m, 0)) // 100 AS BIGINT) AS pr
+        |  FROM v LEFT JOIN s1 ON v.id = s1.id
+        |), s2 AS (
+        |  SELECT e.dst AS id, sum(r1.pr // deg.deg) AS m
+        |  FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst
+        |), r2 AS (
+        |  SELECT v.id,
+        |    CAST(150000 + (85 * coalesce(s2.m, 0)) // 100 AS BIGINT) AS pr
+        |  FROM v LEFT JOIN s2 ON v.id = s2.id
+        |), s3 AS (
+        |  SELECT e.dst AS id, sum(r2.pr // deg.deg) AS m
+        |  FROM e JOIN r2 ON e.src = r2.id JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst
+        |), r3 AS (
+        |  SELECT v.id,
+        |    CAST(150000 + (85 * coalesce(s3.m, 0)) // 100 AS BIGINT) AS pr
+        |  FROM v LEFT JOIN s3 ON v.id = s3.id
+        |)
+        |SELECT id, pr FROM r3""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
