@@ -1641,6 +1641,14 @@ object SparkEntry {
       .select(col("id"), col("rank").as("pr"))
   }
 
+  /** Winnowing fingerprints ([[graft.text.Winnow]]) with k=4 shingles,
+    * w=5 windows: the MOSS selection, min-md5 per complete window,
+    * distinct per doc. The oracle restates shingling, the windowed
+    * varchar min, and the complete-window cut verbatim. */
+  private def q122_winnow(s: SparkSession, dir: String): DataFrame =
+    graft.text.Winnow.fingerprints(
+      t(s, dir, "documents"), "text", "doc_id", k = 4, w = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1762,7 +1770,8 @@ object SparkEntry {
     "q118_corpus_stats" -> (q118_corpus_stats _),
     "q119_keywords" -> (q119_keywords _),
     "q120_asof_join" -> (q120_asof_join _),
-    "q121_pagerank" -> (q121_pagerank _)
+    "q121_pagerank" -> (q121_pagerank _),
+    "q122_winnow" -> (q122_winnow _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3161,7 +3170,32 @@ object SparkEntry {
         |    CAST(150000 + (85 * coalesce(s3.m, 0)) // 100 AS BIGINT) AS pr
         |  FROM v LEFT JOIN s3 ON v.id = s3.id
         |)
-        |SELECT id, pr FROM r3""".stripMargin
+        |SELECT id, pr FROM r3""".stripMargin,
+    // q122: winnowing restated — k=4 shingles, lexicographic min-md5 over
+    // w=5 complete windows, distinct per doc
+    "q122_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'),
+        |      x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, ts,
+        |    unnest(generate_series(1, len(ts) - 3)) AS pos
+        |  FROM t WHERE len(ts) >= 4
+        |), h AS (
+        |  SELECT doc_id, pos,
+        |    md5(array_to_string(ts[pos:pos+3], ' ')) AS h,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_h
+        |  FROM p
+        |), w AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+        |    pos, n_h
+        |  FROM h
+        |)
+        |SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_h - 4""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -1,0 +1,57 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+  * algorithm): hash every k-word shingle, slide a window of `w`
+  * consecutive hashes, keep each window's minimum — the selected set is
+  * a position-robust fingerprint with guaranteed coverage (any shared
+  * run of ≥ w+k−1 words yields at least one common fingerprint), the
+  * standard substrate for plagiarism / near-dup detection at corpus
+  * scale.
+  *
+  * Hash choice: md5 hex, minimized LEXICOGRAPHICALLY — deterministic and
+  * restatable in any SQL dialect (`min(varchar)` over a window frame),
+  * which makes the whole operator oracle-checkable. A production run
+  * swaps in `fastHash = true` (xxhash64, numeric min, ~10× cheaper, no
+  * 32-char intermediate strings) — same selection logic, different
+  * fingerprint space.
+  *
+  * Scale shape: tokenize/shingle/hash are narrow; ONE exchange on the
+  * document id for the ordered min-window pass (linear per doc); the
+  * DISTINCT collapses map-side first (partial aggregation). Output rows
+  * ≈ 2·len/w per document — the winnowing density bound — so the
+  * fingerprint table is a small fraction of the corpus. */
+object Winnow {
+
+  /** Output: (id, fp) — the distinct selected fingerprints per document.
+    * Documents shorter than k+w−1 words yield no rows (no complete
+    * window). */
+  def fingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, fastHash: Boolean = false): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // positions are 1-based; guard short docs (Spark's sequence would
+    // DESCEND for stop < start)
+    val shingles = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - k + 1),
+        i => array_join(slice(toks, i, lit(k)), " "))
+    ).otherwise(array())
+    val hashed = df
+      .select(col(idCol), posexplode(shingles).as(Seq("pos0", "sh")))
+      .withColumn("pos", col("pos0") + 1) // 1-based, matching the oracle
+      .withColumn("h",
+        if (fastHash) xxhash64(col("sh")).cast("string") else md5(col("sh")))
+    val byDoc = Window.partitionBy(col(idCol))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hashed
+      .withColumn("fp", min(col("h")).over(frame))
+      .withColumn("n_h", count(lit(1)).over(byDoc))
+      // complete windows only (the winnowing guarantee needs all w hashes)
+      .where(col("pos") <= col("n_h") - w + 1)
+      .select(col(idCol), col("fp")).distinct()
+  }
+}

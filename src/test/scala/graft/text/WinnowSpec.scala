@@ -1,0 +1,61 @@
+package graft.text
+
+import graft.SparkSpec
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** JVM reference of the identical selection. */
+  private def ref(text: String, k: Int, w: Int): Set[String] = {
+    val toks = text.split("[\\s\\p{Punct}]+").filter(_.nonEmpty)
+    if (toks.length < k) return Set.empty
+    val hs = toks.sliding(k).map(g => md5hex(g.mkString(" "))).toVector
+    if (hs.length < w) return Set.empty
+    hs.sliding(w).map(_.min).toSet
+  }
+
+  "fingerprints" should "select the min hash of every complete window" in {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven"),
+      (3L, "too short"),           // < k tokens: nothing
+      (4L, "a b c d e f g h")      // exactly k+w-1: one window
+    ).toDF("doc_id", "text")
+    val got = Winnow.fingerprints(docs, "text", "doc_id", k = 4, w = 5)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    got.getOrElse(3L, Set.empty) shouldBe Set.empty
+    got(1L) shouldBe ref("alpha beta gamma delta epsilon zeta eta theta iota kappa", 4, 5)
+    // 7 tokens -> 4 shingle hashes < w: no complete window, no rows
+    ref("one two three four five six seven", 4, 5) shouldBe Set.empty
+    got.getOrElse(2L, Set.empty) shouldBe Set.empty
+    got(4L) should have size 1
+  }
+
+  it should "guarantee a shared fingerprint for any shared run of w+k-1 words" in {
+    val shared = "the winnowing guarantee holds for shared runs of length"
+    val d1 = s"prefix words here $shared and a suffix"
+    val d2 = s"totally different beginning $shared closing differently"
+    val fps = Winnow.fingerprints(
+        Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"), "text", "doc_id",
+        k = 3, w = 4)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    (fps(1L) intersect fps(2L)) should not be empty
+  }
+
+  it should "agree between fast and md5 selection on selection COUNT bounds" in {
+    val docs = Seq((1L, ("tok " * 100).trim)).toDF("doc_id", "text")
+    val slow = Winnow.fingerprints(docs, "text", "doc_id", 4, 5).count()
+    val fast = Winnow.fingerprints(docs, "text", "doc_id", 4, 5,
+      fastHash = true).count()
+    // identical token stream -> identical shingles; a constant document
+    // has ONE distinct shingle hash whichever hash is used
+    slow shouldBe 1L
+    fast shouldBe 1L
+  }
+}
