@@ -1649,6 +1649,29 @@ object SparkEntry {
     graft.text.Winnow.fingerprints(
       t(s, dir, "documents"), "text", "doc_id", k = 4, w = 5)
 
+  /** Uniform deterministic k-per-group sample: [[graft.text.Sampling
+    * .capPerGroup]] ordered by an md5 priority instead of a quality
+    * signal — reproducible reservoir-style sampling (eval-set carving,
+    * per-source inspection samples) with an exact SQL restatement. */
+  private def q123_group_sample(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.capPerGroup(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit(":sample0"))).as("pri")),
+      "source", Seq(col("pri").asc, col("doc_id").asc), cap = 5)
+
+  /** Salted skew join ([[graft.operators.SaltedJoin]]): lineitem⋈part
+    * with 8 salts, aggregated per brand. Semantics are the plain inner
+    * join's — the oracle states exactly that — while a hot part key's
+    * probe rows spread across 8 partitions. */
+  private def q124_salted_join(s: SparkSession, dir: String): DataFrame = {
+    val probe = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+    val build = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    graft.operators.SaltedJoin.inner(probe, build, Seq("p_partkey"), salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1771,7 +1794,9 @@ object SparkEntry {
     "q119_keywords" -> (q119_keywords _),
     "q120_asof_join" -> (q120_asof_join _),
     "q121_pagerank" -> (q121_pagerank _),
-    "q122_winnow" -> (q122_winnow _)
+    "q122_winnow" -> (q122_winnow _),
+    "q123_group_sample" -> (q123_group_sample _),
+    "q124_salted_join" -> (q124_salted_join _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3195,7 +3220,27 @@ object SparkEntry {
         |    pos, n_h
         |  FROM h
         |)
-        |SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_h - 4""".stripMargin
+        |SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_h - 4""".stripMargin,
+    // q123: md5 priority = engine-independent uniform draw
+    "q123_group_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |    md5(CAST(doc_id AS VARCHAR) || ':sample0') AS pri
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, pri,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY pri ASC, doc_id ASC) AS BIGINT) AS rnk,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY pri ASC, doc_id ASC) <= 5 AS kept
+        |FROM p""".stripMargin,
+    // q124: salting is invisible in the semantics — the oracle is the
+    // PLAIN inner join
+    "q124_salted_join" ->
+      """SELECT p.p_brand, sum(l.l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
