@@ -19,7 +19,8 @@ object Plans {
         "q102_audio", "q103_video", "q104_epoch_mixture",
         "q114_segment_dedup", "q115_det_shuffle", "q116_quality_classifier",
         "q117_source_cap", "q118_corpus_stats", "q119_keywords",
-        "q120_asof_join")) {
+        "q120_asof_join", "q121_pagerank", "q122_winnow",
+        "q124_salted_join")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -3249,5 +3249,5 @@ object SparkEntry {
     "q14_components", "q16_dedup_exact", "q19_ngram_jaccard", "q21_ann_top1",
     "q25_minhash_lsh", "q26_simhash", "q28_idf", "q30_token_blocking",
     "q39_stays", "q41_agent_match", "q49_multimodal", "q82_span_dedup",
-    "q102_audio", "q103_video")
+    "q102_audio", "q103_video", "q120_asof_join", "q121_pagerank")
 }
