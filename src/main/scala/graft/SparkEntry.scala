@@ -1672,6 +1672,21 @@ object SparkEntry {
       .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
   }
 
+  /** Vocabulary builder ([[TextAnalysis.vocab]]): top-50 tokens with a
+    * count floor of 2 and dense ids — distributed count + top-K, the id
+    * window only ever sees the bounded K rows. */
+  private def q125_vocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocab(t(s, dir, "documents"), "text", topK = 50, minCount = 2)
+
+  /** MOSS match step ([[graft.text.Winnow.candidatePairs]]): doc pairs
+    * sharing ≥2 winnowing fingerprints via the inverted-index self-join —
+    * output proportional to true overlap, never all-pairs. */
+  private def q126_winnow_pairs(s: SparkSession, dir: String): DataFrame =
+    graft.text.Winnow.candidatePairs(
+      graft.text.Winnow.fingerprints(
+        t(s, dir, "documents"), "text", "doc_id", k = 4, w = 5),
+      "doc_id", minShared = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1796,7 +1811,9 @@ object SparkEntry {
     "q121_pagerank" -> (q121_pagerank _),
     "q122_winnow" -> (q122_winnow _),
     "q123_group_sample" -> (q123_group_sample _),
-    "q124_salted_join" -> (q124_salted_join _)
+    "q124_salted_join" -> (q124_salted_join _),
+    "q125_vocab" -> (q125_vocab _),
+    "q126_winnow_pairs" -> (q126_winnow_pairs _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3240,7 +3257,54 @@ object SparkEntry {
       """SELECT p.p_brand, sum(l.l_quantity) AS sum_qty,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |GROUP BY p.p_brand""".stripMargin
+        |GROUP BY p.p_brand""".stripMargin,
+    // q125: count floor, top-K, dense ids in (cnt desc, tok) order
+    "q125_vocab" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(text, '[\s[:punct:]]+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY tok HAVING count(*) >= 2
+        |), k AS (
+        |  SELECT tok, cnt FROM c ORDER BY cnt DESC, tok ASC LIMIT 50
+        |)
+        |SELECT tok, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT)
+        |    AS token_id
+        |FROM k""".stripMargin,
+    // q126: q122's fingerprints self-joined on fp, >=2 shared
+    "q126_winnow_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'),
+        |      x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, ts,
+        |    unnest(generate_series(1, len(ts) - 3)) AS pos
+        |  FROM t WHERE len(ts) >= 4
+        |), h AS (
+        |  SELECT doc_id, pos,
+        |    md5(array_to_string(ts[pos:pos+3], ' ')) AS h,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_h
+        |  FROM p
+        |), w AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+        |    pos, n_h
+        |  FROM h
+        |), f AS (
+        |  SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_h - 4
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING count(*) >= 2""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

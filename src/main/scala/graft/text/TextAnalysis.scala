@@ -17,6 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Vocabulary builder — the tokenizer-training prep step: global token
+    * counts, a frequency floor, the top-K entries, and dense token ids
+    * in (count desc, token asc) order. The count and top-K selection are
+    * fully distributed (hash-partitioned aggregation, per-partition
+    * top-K merge via `orderBy.limit`); only the id-assignment window
+    * runs single-partition — on the ALREADY-BOUNDED K rows, which is the
+    * point of a vocabulary (K ≈ 10⁴–10⁵ however big the corpus).
+    * Output: (tok, cnt, token_id). */
+  def vocab(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int, minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok").asc)
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(topK)
+      .withColumn("token_id", row_number().over(w).cast("long"))
+  }
+
   /** Tokens: split on whitespace/punctuation runs, drop empties. */
   def tokens(text: Column): Column =
     filter(split(text, "[\\s\\p{Punct}]+"), t => length(t) > 0)

@@ -54,4 +54,19 @@ object Winnow {
       .where(col("pos") <= col("n_h") - w + 1)
       .select(col(idCol), col("fp")).distinct()
   }
+
+  /** Near-dup candidate pairs from shared fingerprints: the MOSS match
+    * step. Inverted-index self-join on the fingerprint — each posting
+    * list is tiny by winnowing's density bound, so the join output is
+    * proportional to real overlap, never all-pairs — then a count filter
+    * keeps pairs sharing ≥ `minShared` fingerprints. */
+  def candidatePairs(fps: DataFrame, idCol: String,
+      minShared: Long): DataFrame = {
+    val a = fps.select(col(idCol).as("id1"), col("fp"))
+    val b = fps.select(col(idCol).as("id2"), col("fp"))
+    a.join(b, "fp").where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

@@ -209,4 +209,17 @@ class TextAnalysisSpec extends SparkSpec {
     res(1L) should be > res(2L)
     res.values.foreach(_ should be > 0.0)
   }
+
+  "vocab" should "apply the floor, the cap, and dense frequency-ordered ids" in {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb aa cc aa bb dd"),
+      (2L, "bb cc ee")).toDF("doc_id", "text")
+    // counts: aa=3 bb=3 cc=2 dd=1 ee=1; floor 2 drops dd/ee; cap 2 keeps
+    // aa,bb (tie on 3 broken alphabetically)
+    val v = TextAnalysis.vocab(docs, "text", topK = 2, minCount = 2)
+      .select("tok", "cnt", "token_id")
+      .as[(String, Long, Long)].collect().toList
+    v shouldBe List(("aa", 3L, 1L), ("bb", 3L, 2L))
+  }
 }

@@ -48,6 +48,21 @@ class WinnowSpec extends SparkSpec {
     (fps(1L) intersect fps(2L)) should not be empty
   }
 
+  "candidatePairs" should "pair docs by shared fingerprints with the threshold" in {
+    val shared = "a long enough shared passage that winnowing must fingerprint " +
+      "identically in both documents across several windows"
+    val docs = Seq(
+      (1L, s"first document begins $shared and then ends"),
+      (2L, s"second one opens differently $shared closing its own way"),
+      (3L, "entirely unrelated content with no overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, "text", "doc_id", k = 3, w = 4)
+    val pairs = Winnow.candidatePairs(fps, "doc_id", minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    pairs.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L))
+    pairs.head._3 should be >= 2L
+  }
+
   it should "agree between fast and md5 selection on selection COUNT bounds" in {
     val docs = Seq((1L, ("tok " * 100).trim)).toDF("doc_id", "text")
     val slow = Winnow.fingerprints(docs, "text", "doc_id", 4, 5).count()
