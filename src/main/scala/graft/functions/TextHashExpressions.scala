@@ -116,6 +116,24 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Hashed bag-of-words linear score, one pass: bias + Σ
+    * weights[pmod(xxhash64(token), B)]. Left-fold in token order, so the
+    * double result is bit-identical to the column
+    * transform+aggregate formulation. */
+  def linearScore(text: UTF8String, weights: Array[Double], bias: Double): Double = {
+    val toks = splitTokens(text)
+    val b = weights.length.toLong
+    var acc = bias
+    var i = 0
+    while (i < toks.length) {
+      val h = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), 42L)
+      val m = ((h % b) + b) % b
+      acc += weights(m.toInt)
+      i += 1
+    }
+    acc
+  }
+
   /** SimHash combinatorial blocking keys (see
     * [[graft.dedup.Dedup.simhashPairs]]): one xxhash64-chained key per
     * (chunks - maxHamming)-subset of fingerprint chunks, bit-identical to
@@ -436,4 +454,35 @@ object RepetitionProfile {
       org.apache.spark.sql.types.StructField("n_2grams", LongType, nullable = false),
       org.apache.spark.sql.types.StructField("top_2gram_n", LongType, nullable = false),
       org.apache.spark.sql.types.StructField("dup_3gram_excess", LongType, nullable = false)))
+}
+
+/** `linear_score(text)` → double: the hashed bag-of-words linear model
+  * ([[graft.text.Classifier]]) as ONE native pass — tokenize, xxhash64
+  * bucket, weight sum — with no token array, no per-token lambda frames,
+  * no 32-char hash strings. Weights ride into generated code as a
+  * reference object. Matches `Classifier.hashedLinearScore(...,
+  * fastHash = true)` bit for bit (same tokenizer, same xxhash64 seed,
+  * same pmod; spec-enforced differentially). */
+case class LinearScore(child: Expression, weights: Array[Double], bias: Double)
+    extends UnaryExpression {
+  require(weights.nonEmpty, "empty weight vector")
+  override def prettyName: String = "linear_score"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"linear_score needs string, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.linearScore(input.asInstanceOf[UTF8String], weights, bias)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("linearWeights", weights, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.linearScore($c, $wRef, $bias)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -120,6 +120,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.ZOrderKey].getName, "zorder_key"),
       (exprs: Seq[Expression]) => graft.functions.ZOrderKey(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("linear_score"),
+      new ExpressionInfo(classOf[graft.functions.LinearScore].getName,
+        "linear_score"),
+      (exprs: Seq[Expression]) => graft.functions.LinearScore(exprs(0),
+        exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        exprs(2).eval().asInstanceOf[Double])))
+    ext.injectFunction((
       FunctionIdentifier("html_text"),
       new ExpressionInfo(classOf[graft.text.HtmlTextExpr].getName, "html_text"),
       (exprs: Seq[Expression]) => graft.text.HtmlTextExpr(exprs.head)))

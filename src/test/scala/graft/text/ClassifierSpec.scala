@@ -43,6 +43,30 @@ class ClassifierSpec extends SparkSpec {
     res shouldBe Map(1L -> ((5.0, true)), 2L -> ((2.0, false)), 3L -> ((0.0, false)))
   }
 
+  "LinearScore (native)" should "be bit-identical to the fastHash column path" in {
+    val weights = (0 until 64).map(b => 0.1 * ((b % 9) - 4)) // NON-integer
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark, joins; and windows! again spark"),
+      (3L, ""), (4L, "solo")).toDF("doc_id", "text")
+    val viaColumns = docs.select(col("doc_id"),
+        Classifier.hashedLinearScore(col("text"), weights, 0.25,
+          fastHash = true).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val viaNative = Classifier.gate(docs, "text", "doc_id",
+        weights, bias = 0.25, threshold = 0.0, fastHash = true)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // the gate must actually have dispatched to the native expression
+    Classifier.gate(docs, "text", "doc_id", weights, 0.25, 0.0,
+        fastHash = true)
+      .queryExecution.analyzed.toString should include("linear_score")
+    viaNative.keys should have size 4
+    viaNative.foreach { case (id, s) =>
+      java.lang.Double.doubleToLongBits(s) shouldBe
+        java.lang.Double.doubleToLongBits(viaColumns(id))
+    }
+  }
+
   "tokenBucketFast" should "agree with md5 bucketing under bucket-blind weights" in {
     // uniform weights make the score independent of the bucket function:
     // both paths must yield w * n_tokens + bias exactly
