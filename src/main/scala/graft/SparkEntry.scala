@@ -1687,6 +1687,62 @@ object SparkEntry {
         t(s, dir, "documents"), "text", "doc_id", k = 4, w = 5),
       "doc_id", minShared = 2)
 
+  /** Time-grid gap-fill — the resample/forward-fill warehouse op,
+    * COMPOSED from [[graft.operators.AsOfJoin]]: a per-user hourly grid
+    * over day one, each bucket carrying the last event value at or
+    * before the bucket instant (null before the first event). The grid
+    * is a bounded explode (users × 24); the fill is the as-of join, so
+    * the oracle is again DuckDB's native ASOF. */
+  private def q127_gap_fill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val grid = ev.select(col("user_id")).distinct()
+      .withColumn("hour", explode(sequence(lit(0), lit(23))))
+      .withColumn("bucket_ts",
+        expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,hour,0,0)"))
+    val builds = ev.select(col("user_id"), col("ts"),
+      col("event_id").as("last_event_id"), col("value").as("last_value"))
+    graft.operators.AsOfJoin.backward(grid, builds, Seq("user_id"),
+      leftTs = "bucket_ts", rightTs = "ts",
+      payload = Seq("last_event_id", "last_value"))
+      .select(col("user_id"), col("hour").cast("long").as("hour"),
+        col("bucket_ts"), col("last_event_id"), col("last_value"))
+  }
+
+  /** Pivot: per-user event-type count matrix — Spark's `pivot` with a
+    * pinned column list (never an implicit distinct scan), zero-filled.
+    * The oracle restates it as conditional counts. */
+  private def q128_pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events").groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
+  /** Ordered funnel: view → click-after-view → purchase-after-click per
+    * user, with the stage timestamps and the depth reached. Three
+    * conditional min-aggregations chained on the previous stage's
+    * timestamp — no event-level self-join survives to the output. */
+  private def q129_funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts") > col("view_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts") > col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    ev.select(col("user_id")).distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("purchase_ts").isNotNull, 3L)
+          .when(col("click_ts").isNotNull, 2L)
+          .when(col("view_ts").isNotNull, 1L).otherwise(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1813,7 +1869,10 @@ object SparkEntry {
     "q123_group_sample" -> (q123_group_sample _),
     "q124_salted_join" -> (q124_salted_join _),
     "q125_vocab" -> (q125_vocab _),
-    "q126_winnow_pairs" -> (q126_winnow_pairs _)
+    "q126_winnow_pairs" -> (q126_winnow_pairs _),
+    "q127_gap_fill" -> (q127_gap_fill _),
+    "q128_pivot" -> (q128_pivot _),
+    "q129_funnel" -> (q129_funnel _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3304,7 +3363,58 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id
-        |HAVING count(*) >= 2""".stripMargin
+        |HAVING count(*) >= 2""".stripMargin,
+    // q127: the grid is users x 24 hours; the fill is native ASOF again
+    "q127_gap_fill" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), g AS (
+        |  SELECT u.user_id, h.h AS hour,
+        |    TIMESTAMP '2024-01-01 00:00:00' + h.h * INTERVAL 1 HOUR
+        |      AS bucket_ts
+        |  FROM u, generate_series(0, 23) h(h)
+        |), b AS (
+        |  SELECT user_id, ts, event_id AS last_event_id,
+        |    value AS last_value
+        |  FROM events
+        |)
+        |SELECT g.user_id, CAST(g.hour AS BIGINT) AS hour, g.bucket_ts,
+        |  b.last_event_id, b.last_value
+        |FROM g ASOF LEFT JOIN b
+        |  ON g.user_id = b.user_id AND g.bucket_ts >= b.ts""".stripMargin,
+    // q128: pivot as conditional counts
+    "q128_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS "view"
+        |FROM events GROUP BY user_id""".stripMargin,
+    // q129: chained conditional stage minima
+    "q129_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        |  GROUP BY e.user_id
+        |)
+        |SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        |  CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+        |       WHEN c.click_ts IS NOT NULL THEN 2
+        |       WHEN v.view_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
