@@ -410,6 +410,17 @@ object ScalingProbe {
         s""""shuffleSec":$tShuf,"rows":$nShuf}""")
     }
 
+    // 19b) winnowing fingerprints + match step at 500k docs (fast hash)
+    if (want("winnow500k")) {
+      val bigDocs = docs.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("doc_id"), col("text"))
+      val (tW, nW) = time {
+        graft.text.Winnow.fingerprints(bigDocs, "text", "doc_id",
+          k = 4, w = 5, fastHash = true).count()
+      }
+      out += "winnow500k" -> s"""{"sec":$tW,"rows":$nW}"""
+    }
+
     // 19) fixed-point PageRank on the 600k-edge order–part graph, 5 iters
     if (want("pagerank600k")) {
       val li = Tables(spark, dir, "lineitem")

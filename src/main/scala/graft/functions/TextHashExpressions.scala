@@ -116,6 +116,48 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint selection, one pass per document: k-shingle
+    * xxhash64 values, sliding-window minimum over w via a monotonic
+    * deque (O(len) total), distinct in first-occurrence order. Same
+    * selection as the column fast path (numeric min over xxhash64 of
+    * the joined shingle, complete windows only) with NO row explosion
+    * and NO doc-partition sort — the winnowing pass stays narrow. */
+  def winnowHashes(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = splitTokens(text)
+    val n = toks.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val H = n - k + 1
+    if (H < w) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](H)
+    var i = 0
+    while (i < H) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      hs(i) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < H) {
+      while (!deque.isEmpty && deque.peekFirst <= i - w) deque.pollFirst()
+      while (!deque.isEmpty && hs(deque.peekLast) >= hs(i)) deque.pollLast()
+      deque.addLast(i)
+      if (i >= w - 1) seen.add(hs(deque.peekFirst))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next().longValue(); p += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Hashed bag-of-words linear score, one pass: bias + Σ
     * weights[pmod(xxhash64(token), B)]. Left-fold in token order, so the
     * double result is bit-identical to the column
@@ -454,6 +496,28 @@ object RepetitionProfile {
       org.apache.spark.sql.types.StructField("n_2grams", LongType, nullable = false),
       org.apache.spark.sql.types.StructField("top_2gram_n", LongType, nullable = false),
       org.apache.spark.sql.types.StructField("dup_3gram_excess", LongType, nullable = false)))
+}
+
+/** `winnow_fps(text, k, w)` → array<bigint>: one-pass winnowing
+  * fingerprint selection ([[TextHash.winnowHashes]]). */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, "k and w must be >= 1")
+  override def prettyName: String = "winnow_fps"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fps needs string, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.winnowHashes(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.winnowHashes($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `linear_score(text)` → double: the hashed bag-of-words linear model

@@ -120,6 +120,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.ZOrderKey].getName, "zorder_key"),
       (exprs: Seq[Expression]) => graft.functions.ZOrderKey(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFps].getName,
+        "winnow_fps"),
+      (exprs: Seq[Expression]) => graft.functions.WinnowFps(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier("linear_score"),
       new ExpressionInfo(classOf[graft.functions.LinearScore].getName,
         "linear_score"),

@@ -28,10 +28,25 @@ object Winnow {
 
   /** Output: (id, fp) — the distinct selected fingerprints per document.
     * Documents shorter than k+w−1 words yield no rows (no complete
-    * window). */
+    * window).
+    *
+    * The `fastHash` path dispatches to the native one-pass `winnow_fps`
+    * kernel when the graft extensions are installed: per-document
+    * sliding-min deque, NO shingle-row explosion and NO doc-partition
+    * sort — the 500 k-doc probe dropped from 390 s (exploded window
+    * plan) to single-digit seconds. The column formulation remains the
+    * oracle-parity path (md5, lexicographic min) and the
+    * extension-free fallback (xxhash64, numeric min — same selection
+    * as the kernel, spec-enforced). */
   def fingerprints(df: DataFrame, textCol: String, idCol: String,
       k: Int, w: Int, fastHash: Boolean = false): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val native = fastHash && df.sparkSession.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fps"))
+    if (native)
+      return df.select(col(idCol),
+        explode(call_function("winnow_fps", col(textCol), lit(k), lit(w)))
+          .as("fp"))
     val toks = TextAnalysis.tokens(col(textCol))
     // positions are 1-based; guard short docs (Spark's sequence would
     // DESCEND for stop < start)
@@ -43,7 +58,7 @@ object Winnow {
       .select(col(idCol), posexplode(shingles).as(Seq("pos0", "sh")))
       .withColumn("pos", col("pos0") + 1) // 1-based, matching the oracle
       .withColumn("h",
-        if (fastHash) xxhash64(col("sh")).cast("string") else md5(col("sh")))
+        if (fastHash) xxhash64(col("sh")) else md5(col("sh")))
     val byDoc = Window.partitionBy(col(idCol))
     val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)

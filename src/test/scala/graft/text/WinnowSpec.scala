@@ -73,4 +73,35 @@ class WinnowSpec extends SparkSpec {
     slow shouldBe 1L
     fast shouldBe 1L
   }
+
+  "winnow_fps (native)" should "match a JVM sliding-min reference exactly" in {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    def refFps(text: String, k: Int, w: Int): Set[Long] = {
+      val toks = text.split("[\\s\\p{Punct}]+").filter(_.nonEmpty)
+      if (toks.length < k) return Set.empty
+      val hs = toks.sliding(k).map(g =>
+        XXH64.hashUTF8String(UTF8String.fromString(g.mkString(" ")), 42L)).toVector
+      if (hs.length < w) return Set.empty
+      hs.sliding(w).map(_.min).toSet
+    }
+    val rnd = new scala.util.Random(5)
+    val docs = (1L to 30L).map { id =>
+      val n = rnd.nextInt(40)
+      (id, (1 to n).map(_ => s"w${rnd.nextInt(8)}").mkString(" "))
+    }
+    val got = Winnow.fingerprints(docs.toDF("doc_id", "text"),
+        "text", "doc_id", k = 3, w = 4, fastHash = true)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // the fast path must actually be the native kernel
+    Winnow.fingerprints(docs.toDF("doc_id", "text"), "text", "doc_id", 3, 4,
+        fastHash = true)
+      .queryExecution.analyzed.toString should include("winnow_fps")
+    docs.foreach { case (id, text) =>
+      withClue(s"doc $id: ") {
+        got.getOrElse(id, Set.empty) shouldBe refFps(text, 3, 4)
+      }
+    }
+  }
 }
