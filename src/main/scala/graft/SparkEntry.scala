@@ -1743,6 +1743,14 @@ object SparkEntry {
           .when(col("view_ts").isNotNull, 1L).otherwise(0L))
   }
 
+  /** Table profiling ([[graft.operators.Profile]]): per-column null
+    * counts, cardinalities and ranges in ONE aggregation pass over
+    * orders — int/string/timestamp columns only, so the stringified
+    * ranges are engine-portable. */
+  private def q130_profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1872,7 +1880,8 @@ object SparkEntry {
     "q126_winnow_pairs" -> (q126_winnow_pairs _),
     "q127_gap_fill" -> (q127_gap_fill _),
     "q128_pivot" -> (q128_pivot _),
-    "q129_funnel" -> (q129_funnel _)
+    "q129_funnel" -> (q129_funnel _),
+    "q130_profile" -> (q130_profile _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3414,7 +3423,33 @@ object SparkEntry {
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN v ON u.user_id = v.user_id
         |LEFT JOIN c ON u.user_id = c.user_id
-        |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin
+        |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
+    // q130: one UNION ALL block per profiled column
+    "q130_profile" ->
+      """SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_s
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderdate) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |  CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  min(o_orderpriority), max(o_orderpriority)
+        |FROM orders""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
