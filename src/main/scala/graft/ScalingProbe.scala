@@ -410,6 +410,35 @@ object ScalingProbe {
         s""""shuffleSec":$tShuf,"rows":$nShuf}""")
     }
 
+    // 19a) tf-idf keyword extraction shape at 500k docs: (doc,tok) count
+    // shuffle + df join + per-doc window
+    if (want("keywords500k")) {
+      val bigDocs = docs.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("doc_id"), col("text"))
+      val toks = bigDocs.select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok").asc)
+      val scored = tf.join(dfreq, "tok")
+        .withColumn("score", col("tf") * (lit(1000000L) / col("df")).cast("long"))
+      val (tKwWin, _) = time {
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3).count()
+      }
+      val (tKw, nKw) = time {
+        scored.groupBy(col("doc_id"))
+          .agg(collect_list(struct((-col("score")).as("neg"), col("tok"),
+            col("score"))).as("c"))
+          .select(col("doc_id"),
+            posexplode(slice(array_sort(col("c")), 1, 3)).as(Seq("p", "e")))
+          .count()
+      }
+      out += "keywords500k" ->
+        s"""{"sec":$tKw,"rows":$nKw,"windowSec":$tKwWin}"""
+    }
+
     // 19b) winnowing fingerprints + match step at 500k docs (fast hash)
     if (want("winnow500k")) {
       val bigDocs = docs.crossJoin(spark.range(100).toDF("rep"))

@@ -1601,14 +1601,19 @@ object SparkEntry {
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("tok").asc)
+    // top-3 via per-group BOUNDED sort (collect per doc, array_sort on
+    // (-score, tok), slice) — no global window sort over every (doc,tok)
+    // pair; the group payload is capped by the document's own vocabulary.
+    // Same (score desc, tok asc) order the oracle's row_number states.
     tf.join(df_, "tok")
       .withColumn("score", col("tf") * (lit(1000000L) / col("df")).cast("long"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct((-col("score")).as("neg"), col("tok"),
+        col("score"))).as("c"))
+      .select(col("doc_id"),
+        posexplode(slice(array_sort(col("c")), 1, 3)).as(Seq("pos0", "e")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("rnk"),
+        col("e.tok").as("tok"), col("e.score").as("score"))
   }
 
   /** Backward as-of join ([[graft.operators.AsOfJoin]]): every click
@@ -1751,6 +1756,28 @@ object SparkEntry {
     graft.operators.Profile.profile(t(s, dir, "orders"),
       Seq("o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"))
 
+  /** Mergeable deterministic quantile estimate: per group, the k rows
+    * with the SMALLEST md5 priorities form a uniform sample (k-smallest
+    * of a union = merge of k-smallest sets — the mergeability that makes
+    * this a 100 TB sketch), and the exact interpolated quantile of that
+    * sample estimates the group quantile. Selection AND quantile restate
+    * verbatim in SQL, so unlike t-digest/KLL this sketch is hash-exact
+    * against the oracle. */
+  private def q131_sampled_quantile(s: SparkSession, dir: String): DataFrame = {
+    val sampled = graft.text.Sampling.capPerGroup(
+      t(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        md5(concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))).as("pri")),
+      "grp", Seq(col("pri").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc), cap = 200)
+      .where(col("kept"))
+    sampled.groupBy(col("grp")).agg(
+      count(lit(1)).as("n_sample"),
+      percentile(col("l_quantity"), lit(0.5)).as("p50_est"),
+      percentile(col("l_quantity"), lit(0.9)).as("p90_est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1881,7 +1908,8 @@ object SparkEntry {
     "q127_gap_fill" -> (q127_gap_fill _),
     "q128_pivot" -> (q128_pivot _),
     "q129_funnel" -> (q129_funnel _),
-    "q130_profile" -> (q130_profile _)
+    "q130_profile" -> (q130_profile _),
+    "q131_sampled_quantile" -> (q131_sampled_quantile _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3449,7 +3477,26 @@ object SparkEntry {
         |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         |  min(o_orderpriority), max(o_orderpriority)
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    // q131: deterministic k-smallest-priority sample, exact quantile of it
+    "q131_sampled_quantile" ->
+      """WITH p AS (
+        |  SELECT l_returnflag AS grp, l_orderkey, l_linenumber, l_quantity,
+        |    md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |        CAST(l_linenumber AS VARCHAR)) AS pri
+        |  FROM lineitem
+        |), k AS (
+        |  SELECT * FROM (
+        |    SELECT grp, l_quantity,
+        |      row_number() OVER (PARTITION BY grp
+        |        ORDER BY pri ASC, l_orderkey ASC, l_linenumber ASC) AS rnk
+        |    FROM p)
+        |  WHERE rnk <= 200
+        |)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_sample,
+        |  quantile_cont(l_quantity, 0.5) AS p50_est,
+        |  quantile_cont(l_quantity, 0.9) AS p90_est
+        |FROM k GROUP BY grp""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
