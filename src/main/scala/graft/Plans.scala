@@ -21,7 +21,8 @@ object Plans {
         "q117_source_cap", "q118_corpus_stats", "q119_keywords",
         "q120_asof_join", "q121_pagerank", "q122_winnow",
         "q124_salted_join", "q125_vocab", "q126_winnow_pairs",
-        "q127_gap_fill", "q128_pivot", "q129_funnel")) {
+        "q127_gap_fill", "q128_pivot", "q129_funnel", "q130_profile",
+        "q131_sampled_quantile", "q132_tumbling")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -1778,6 +1778,18 @@ object SparkEntry {
       percentile(col("l_quantity"), lit(0.9)).as("p90_est"))
   }
 
+  /** Tumbling event-time windows via Spark's native `window()` — the
+    * same construct the streaming aggregations use, exercised in batch
+    * so the bucketing is oracle-checked (DuckDB `time_bucket`). Sum in
+    * cents keeps the double aggregation exact. */
+  private def q132_tumbling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("value_cents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1909,7 +1921,8 @@ object SparkEntry {
     "q128_pivot" -> (q128_pivot _),
     "q129_funnel" -> (q129_funnel _),
     "q130_profile" -> (q130_profile _),
-    "q131_sampled_quantile" -> (q131_sampled_quantile _)
+    "q131_sampled_quantile" -> (q131_sampled_quantile _),
+    "q132_tumbling" -> (q132_tumbling _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3496,7 +3509,14 @@ object SparkEntry {
         |SELECT grp, CAST(count(*) AS BIGINT) AS n_sample,
         |  quantile_cont(l_quantity, 0.5) AS p50_est,
         |  quantile_cont(l_quantity, 0.9) AS p90_est
-        |FROM k GROUP BY grp""".stripMargin
+        |FROM k GROUP BY grp""".stripMargin,
+    // q132: Spark window(ts, '1 hour').start == time_bucket
+    "q132_tumbling" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -82,6 +82,24 @@ class SamplingSpec extends SparkSpec {
       4L -> ((1L, true)))
   }
 
+  "k-smallest-priority sampling" should "merge exactly: sample(A ∪ B) == merge(sample(A), sample(B))" in {
+    import org.apache.spark.sql.functions.{col, md5, concat, lit}
+    // the mergeability behind the q131 quantile sketch, proven on splits
+    def pri = md5(concat(col("id").cast("string"), lit(":q")))
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Sampling.capPerGroup(df.withColumn("pri", pri), "grp",
+        Seq(col("pri").asc, col("id").asc), cap = 5)
+        .where(col("kept")).select("grp", "id", "pri")
+    val a = (1L to 40L).map(i => ("g" + (i % 2), i)).toDF("grp", "id")
+    val b = (41L to 80L).map(i => ("g" + (i % 2), i)).toDF("grp", "id")
+    val whole = sample(a.unionByName(b))
+      .as[(String, Long, String)].collect().toSet
+    val merged = sample(sample(a).unionByName(sample(b)))
+      .as[(String, Long, String)].collect().toSet
+    whole shouldBe merged
+    whole.groupBy(_._1).values.foreach(_.size shouldBe 5)
+  }
+
   "deterministicShuffle" should "match a JVM md5 reference order exactly" in {
     val df = (1L to 50L).toDF("id")
     val out = Sampling.deterministicShuffle(df, "id", "s1", buckets = 4)
