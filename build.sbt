@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default sized to the 128 GiB harness host: the driver's own bench run
+  // injects ~96g, and an 8g default was the one divergence left between
+  // local runs and the driver artifact (GC pressure shows up as
+  // repeat-slower-than-cold drift on the window-heavy queries).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -1790,6 +1790,45 @@ object SparkEntry {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("n"), col("value_cents"))
 
+  /** J10: PPJoin-style prefix-filtered Jaccard join over document word
+    * sets — the scale-correct threshold similarity join (rarity-ordered
+    * prefixes bound candidates with no completeness-losing cap; length +
+    * positional filters prune inside the join; exact verify). The oracle
+    * states the brute-force all-pairs threshold join it must equal. */
+  private def q133_setsim_join(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SetSimJoin.jaccardPairs(
+      t(s, dir, "documents"), "text", "doc_id", num = 1, den = 2)
+
+  /** G12: per-vertex triangle counts on the part co-purchase graph
+    * (edges = part pairs sharing ≥ 2 distinct orders), counted with
+    * degree-ordered orientation — the O(m^1.5) skew-proof plan. */
+  private def q134_triangles(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val edges = l.alias("a")
+      .join(l.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count_distinct(col("a.l_orderkey")).as("n_orders"))
+      .where(col("n_orders") >= 2)
+    graft.graph.Triangles.perVertex(edges, "u", "v")
+  }
+
+  /** SCD type-2 dimension build from the event log: per-user validity
+    * intervals of the event_type state (episode compression + exclusive
+    * upper bounds). Sentinel end 2200-01-01 keeps valid_to non-null and
+    * inside pandas' datetime64[ns] range for the oracle compare. */
+  private def q135_scd2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd.type2(
+      t(s, dir, "events"), keyCols = Seq("user_id"), tsCol = "ts",
+      tieCol = "event_id", attrCols = Seq("event_type"),
+      openEnd = "2200-01-01 00:00:00")
+
+  /** F23: Unicode script-mix profile — per-doc counts by writing system
+    * + dominant script. Map-only codegen pass; exact oracle. */
+  private def q136_script_profile(s: SparkSession, dir: String): DataFrame =
+    graft.text.Scripts.profile(t(s, dir, "documents"), "text", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1922,7 +1961,11 @@ object SparkEntry {
     "q129_funnel" -> (q129_funnel _),
     "q130_profile" -> (q130_profile _),
     "q131_sampled_quantile" -> (q131_sampled_quantile _),
-    "q132_tumbling" -> (q132_tumbling _)
+    "q132_tumbling" -> (q132_tumbling _),
+    "q133_setsim_join" -> (q133_setsim_join _),
+    "q134_triangles" -> (q134_triangles _),
+    "q135_scd2" -> (q135_scd2 _),
+    "q136_script_profile" -> (q136_script_profile _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3516,7 +3559,85 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |    AS value_cents
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // q133: brute-force all-pairs Jaccard threshold join the prefix-
+    // filtered plan must exactly equal (distinct word sets, J > 1/2)
+    "q133_setsim_join" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0)) AS tok
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+        |), ix AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS inter
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id1, id2, inter,
+        |  CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+        |FROM ix JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |WHERE 2 * inter > 1 * (sa.n + sb.n - inter)""".stripMargin,
+    // q134: triangles enumerated once as a<b<c over the canonical (u<v)
+    // edge set; per-vertex counts by unnesting the three corners
+    "q134_triangles" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2
+        |), tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        |)
+        |SELECT vertex, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT unnest([a, b, c]) AS vertex FROM tri
+        |) GROUP BY vertex""".stripMargin,
+    // q135: episode compression (state-change rows) + lead() upper bound;
+    // ties broken by event_id exactly as the engine does
+    "q135_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), st AS (
+        |  SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |    TIMESTAMP '2200-01-01 00:00:00') AS valid_to
+        |FROM st""".stripMargin,
+    // q136: RE2 \p{Script} classes == Java \p{IsScript}; whitespace is
+    // the explicit class (Java \s and RE2 \s disagree on \x0B); dominant
+    // via the same (-count, name) struct-sort in both engines
+    "q136_script_profile" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(text, '\p{Greek}')) AS BIGINT) AS n_greek,
+        |    CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
+        |    CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT) AS n_arabic,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |    CAST(len(regexp_extract_all(text, '[ \t\n\r\f]')) AS BIGINT) AS n_space,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_arabic,
+        |  n_digit, n_space, n_chars,
+        |  n_chars - n_latin - n_cyrillic - n_greek - n_han - n_arabic
+        |    - n_digit - n_space AS n_other,
+        |  CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_greek = 0
+        |    AND n_han = 0 AND n_arabic = 0 THEN 'none'
+        |  ELSE list_sort([
+        |    {'neg': -n_latin, 's': 'latin'},
+        |    {'neg': -n_cyrillic, 's': 'cyrillic'},
+        |    {'neg': -n_greek, 's': 'greek'},
+        |    {'neg': -n_han, 's': 'han'},
+        |    {'neg': -n_arabic, 's': 'arabic'}])[1].s END AS dominant
+        |FROM c""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtered set-similarity join (PPJoin family: Chaudhuri et al.
+  * ICDE 2006 prefix filter; Xiao et al. WWW 2008 positional filter).
+  * Exact output: unordered pairs (id1 < id2) whose distinct-token Jaccard
+  * similarity exceeds `num/den` (strict, integer-exact — no float in the
+  * decision).
+  *
+  * Why this beats token blocking at 100 TB: blocking
+  * (`Resolution.tokenBlockingCandidates*`) keys candidates on EVERY
+  * shared token, so candidate volume is Σ_tok df² and the hot end of the
+  * vocabulary must be capped or dropped to survive. Prefix filtering
+  * instead orders each record's tokens by GLOBAL rarity and keys only on
+  * the first |x| − ⌈τ·|x|⌉ + 1 of them: a pair sharing no prefix token
+  * provably falls below τ, so completeness needs no cap, the per-token
+  * fan-out concentrates on the rare end (the hot-token skew never enters
+  * the shuffle), and the candidate set shrinks toward the true result as
+  * τ → 1. Three candidate-side filters compose:
+  *
+  *  - prefix filter: join only on the rarity-ordered prefix;
+  *  - length filter: den·min(|x|,|y|) > num·max(|x|,|y|) (else even
+  *    containment is below τ);
+  *  - positional filter: from the matched prefix positions the overlap is
+  *    at most 1 + min(|x|−px, |y|−py), which must still clear the
+  *    intersection bound den·i > num·(|x|+|y|−i).
+  *
+  * Survivors are verified exactly (array_intersect on the two distinct
+  * token sets), so every filter is a pure pruning step — the result is
+  * identical to the all-pairs join the oracle states.
+  */
+object SetSimJoin {
+
+  private def par(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism * 2
+
+  /** Tokens = distinct non-empty `[\s[:punct:]]+`-separated words (the
+    * q17/q19 tokenizer, restated verbatim by the DuckDB oracle). */
+  def jaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      num: Int,
+      den: Int): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      array_distinct(filter(
+        split(col(textCol), "[\\s\\p{Punct}]+"), t => length(t) > 0))
+        .as("toks"))
+    jaccardPairsTokens(toks, "id", "toks", num, den)
+  }
+
+  /** Core join over a prepared (id, distinct-token-array) frame. */
+  def jaccardPairsTokens(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      num: Int,
+      den: Int): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"need 0 <= num/den <= 1")
+    val base = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
+      .where(size(col("toks")) > 0)
+
+    // Global document frequency per token — the rarity order. One narrow
+    // explode + one count shuffle over (token) keys.
+    val freq = base.select(col("id"), explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
+    // Rarity-sort each record's tokens: join df back onto the exploded
+    // tokens, regroup, and sort the (df, tok) structs — ties broken by
+    // the token itself so the order is total and deterministic across
+    // partitionings. The regroup shuffles (id, tok, df) triples only.
+    val sorted = base.select(col("id"), explode(col("toks")).as("tok"))
+      .join(freq, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
+        .as("ordered"))
+      .select(col("id"), col("ordered.tok").as("toks"),
+        size(col("ordered")).as("n"))
+
+    // Prefix length for J > num/den: p = n − ⌈n·num/den⌉ + 1, with the
+    // ceiling as pure integer arithmetic ((n·num + den − 1) div den).
+    // Records sharing no token among their first p never reach the
+    // threshold.
+    val p = col("n") - expr(s"(n * $num + ${den - 1}) div $den").cast("int") +
+      lit(1)
+    val prefix = sorted.select(col("id"), col("n"),
+      posexplode(slice(col("toks"), lit(1), p)))
+      .select(col("id"), col("n"), col("col").as("tok"),
+        (col("pos") + 1).as("pos")) // 1-based position in the sorted set
+      .repartition(par(df), col("tok"))
+
+    // Candidate pairs: equi-join on the prefix token; length + positional
+    // filters inline so pruned pairs never leave the join.
+    val ub = lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
+    val cands = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          lit(den) * least(col("a.n"), col("b.n")) >
+            lit(num) * greatest(col("a.n"), col("b.n")) &&
+          lit(den) * ub > lit(num) * (col("a.n") + col("b.n") - ub))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+
+    // Exact verification on the surviving candidates only: ship the two
+    // token arrays to the pair and intersect. Integer-exact threshold.
+    val sets = sorted.select(col("id"), col("toks"), col("n"))
+    cands
+      .join(sets.select(col("id").as("id1"), col("toks").as("t1"), col("n").as("n1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("toks").as("t2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
+        col("n1"), col("n2"))
+      .where(lit(den) * col("inter") > lit(num) * (col("n1") + col("n2") - col("inter")))
+      .select(col("id1"), col("id2"), col("inter"),
+        (col("n1") + col("n2") - col("inter")).cast("long").as("uni"))
+  }
+}
