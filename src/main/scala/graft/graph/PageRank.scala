@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   * pre-divided contributions) and ONE aggregation shuffle on dst; edges
   * with their out-degrees are computed once and localCheckpointed, so
   * the loop re-reads a materialized (src, dst, deg) table instead of
-  * re-counting. Lineage is cut every iteration (checkpointed ranks) —
-  * the plan stays O(1) deep however many iterations run. Skewed
+  * re-counting. Lineage is cut every `checkpointEvery` iterations —
+  * plan depth stays bounded on long runs without paying a
+  * materialization per step on short ones. Skewed
   * in-degree (a hub page) is one aggregation key: partial aggregation
   * absorbs it map-side. */
 object PageRank {
@@ -37,7 +38,8 @@ object PageRank {
     * carries weight). Output: (id, rank) for every vertex, scaled
     * integers. */
   def fixedPoint(edges: DataFrame, iterations: Int,
-      scale: Long = 1000000L, dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      scale: Long = 1000000L, dampNum: Long = 85, dampDen: Long = 100,
+      checkpointEvery: Int = 4): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0,1]")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -48,19 +50,42 @@ object PageRank {
       .distinct().localCheckpoint()
     val base = (scale * (dampDen - dampNum)) / dampDen
 
-    var ranks = vertices.withColumn("rank", lit(scale))
-    for (_ <- 0 until iterations) {
-      val contrib = withDeg
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+    // Sparse rank representation: `ranks` holds ONLY vertices that
+    // received in-mass last iteration; everything else is the constant
+    // `base` (or `scale` before the first step). This drops the
+    // per-iteration dense (vertices ⋈ contrib) join — the full vertex
+    // set is joined back exactly once, at the end — and makes the
+    // per-iteration checkpoint the small mass table, not the vertex set.
+    // The recurrence (and its truncation points) is unchanged.
+    // The iteration chain is LINEAR (each rank table is read exactly once
+    // by the next step), so within one action Spark executes it as one
+    // multi-stage job with no recomputation — cutting lineage every step
+    // would pay a full materialization per iteration for nothing. The
+    // checkpoint's only job is bounding plan/codegen depth on LONG runs,
+    // so it fires every `checkpointEvery` steps instead.
+    var ranks: Option[DataFrame] = None // None ≡ every rank == scale
+    for (i <- 0 until iterations) {
+      val withRank = ranks match {
+        case None => withDeg.withColumn("rank", lit(scale))
+        case Some(r) =>
+          withDeg.join(r.withColumnRenamed("id", "src"), Seq("src"), "left")
+            .withColumn("rank", coalesce(col("rank"), lit(base)))
+      }
+      val contrib = withRank
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("m"))
-      ranks = vertices
-        .join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr(s"($dampNum * coalesce(m, CAST(0 AS BIGINT))) div $dampDen"))
-            .as("rank"))
-        .localCheckpoint()
+      val next = contrib.select(col("id"),
+        (lit(base) + expr(s"($dampNum * m) div $dampDen")).as("rank"))
+      ranks = Some(
+        if ((i + 1) % checkpointEvery == 0 && i + 1 < iterations)
+          next.localCheckpoint()
+        else next)
     }
-    ranks
+    ranks match {
+      case None => vertices.withColumn("rank", lit(scale))
+      case Some(r) =>
+        vertices.join(r, Seq("id"), "left")
+          .select(col("id"), coalesce(col("rank"), lit(base)).as("rank"))
+    }
   }
 }
