@@ -461,6 +461,55 @@ object ScalingProbe {
       out += "pagerank600k" -> s"""{"sec":$tPr,"rows":$nPr}"""
     }
 
+    // 20) prefix-filtered set-similarity join at 50k docs: 10 replicas
+    // with DISJOINT vocabularies (every token prefixed by its replica id)
+    // so cross-replica pairs are impossible and the pair structure of the
+    // base corpus is preserved per replica — corpus grows 10x, result
+    // grows 10x, candidate volume must follow the result, not the corpus.
+    if (want("setsim50k")) {
+      val toks = docs.crossJoin(spark.range(10).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("id"),
+          transform(
+            array_distinct(filter(split(col("text"), "[\\s\\p{Punct}]+"),
+              t => length(t) > 0)),
+            t => concat(col("rep").cast("string"), lit("_"), t)).as("toks"))
+      // staged timings: encode+sort / candidate join / exact verify —
+      // the localCheckpoints isolate each stage's cost
+      val (tEnc, _) = time {
+        graft.operators.SetSimJoin.rankSorted(toks, "id", "toks").count()
+      }
+      val sorted = graft.operators.SetSimJoin.rankSorted(toks, "id", "toks")
+        .localCheckpoint()
+      val (tCand, nCand) = time {
+        graft.operators.SetSimJoin.candidatePairs(sorted, 9, 10).count()
+      }
+      val cands = graft.operators.SetSimJoin.candidatePairs(sorted, 9, 10)
+        .localCheckpoint()
+      val (tVer, nSs) = time {
+        graft.operators.SetSimJoin.verifyPairs(sorted, cands, 9, 10).count()
+      }
+      out += "setsim50k" ->
+        s"""{"encodeSec":$tEnc,"candSec":$tCand,"cands":$nCand,"verifySec":$tVer,"rows":$nSs}"""
+    }
+
+    // 21) triangle counting on the UNthresholded sf0.1 co-purchase graph
+    // (~1M edges over 20k parts, avg degree ~100 — dense enough that the
+    // unoriented wedge join would blow up; degree orientation keeps it
+    // output-bound)
+    if (want("triangles1M")) {
+      val li = Tables(spark, dir, "lineitem")
+      val edges = li.alias("a")
+        .join(li.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      val (tTri, nTri) = time {
+        graft.graph.Triangles.perVertex(edges, "u", "v")
+          .agg(sum(col("n_tri"))).as[Long].head() / 3
+      }
+      out += "triangles1M" -> s"""{"sec":$tTri,"triangles":$nTri}"""
+    }
+
     println(out.map { case (k, v) => s""""$k":$v""" }
       .mkString("""{"probe":"scaling",""", ",", "}"))
     spark.stop()

@@ -1829,6 +1829,15 @@ object SparkEntry {
   private def q136_script_profile(s: SparkSession, dir: String): DataFrame =
     graft.text.Scripts.profile(t(s, dir, "documents"), "text", "doc_id")
 
+  /** J11: sorted-neighborhood blocking over case-folded customer names —
+    * every pair within a 5-rank sliding window of the global (key, id)
+    * sort. Parallel rank (range-sort + zipWithIndex), bounded explode —
+    * never a single-task window. */
+  private def q137_sorted_neighborhood(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SortedNeighborhood.pairs(
+      t(s, dir, "customer").withColumn("k", lower(col("c_name"))),
+      "c_custkey", "k", w = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1965,7 +1974,8 @@ object SparkEntry {
     "q133_setsim_join" -> (q133_setsim_join _),
     "q134_triangles" -> (q134_triangles _),
     "q135_scd2" -> (q135_scd2 _),
-    "q136_script_profile" -> (q136_script_profile _)
+    "q136_script_profile" -> (q136_script_profile _),
+    "q137_sorted_neighborhood" -> (q137_sorted_neighborhood _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3637,7 +3647,17 @@ object SparkEntry {
         |    {'neg': -n_greek, 's': 'greek'},
         |    {'neg': -n_han, 's': 'han'},
         |    {'neg': -n_arabic, 's': 'arabic'}])[1].s END AS dominant
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // q137: the textbook formulation (global row_number) IS the oracle;
+    // the engine computes the same total (key, id) rank in parallel
+    "q137_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS id,
+        |    row_number() OVER (ORDER BY lower(c_name), c_custkey) - 1 AS rank
+        |  FROM customer
+        |)
+        |SELECT a.id AS id1, b.id AS id2, CAST(b.rank - a.rank AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 4""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

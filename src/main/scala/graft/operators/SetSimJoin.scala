@@ -61,6 +61,21 @@ object SetSimJoin {
       num: Int,
       den: Int): DataFrame = {
     require(num >= 0 && den > 0 && num <= den, s"need 0 <= num/den <= 1")
+    val sorted = rankSorted(df, idCol, toksCol)
+    verifyPairs(sorted, candidatePairs(sorted, num, den), num, den)
+  }
+
+  /** (id, tid-array sorted by global rarity, n): tokens dictionary-encoded
+    * to dense long ids ordered by (document frequency, token). The int
+    * encoding is what keeps the verify join cheap — candidate pairs ship
+    * two long-arrays, not two string-arrays, and intersection compares
+    * 8-byte words. The dictionary build is one vocabulary-sized
+    * range-sort + zipWithIndex — standard dictionary encoding, scales as
+    * the vocabulary (not the corpus). */
+  private[graft] def rankSorted(
+      df: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val base = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
       .where(size(col("toks")) > 0)
 
@@ -69,48 +84,58 @@ object SetSimJoin {
     val freq = base.select(col("id"), explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
 
-    // Rarity-sort each record's tokens: join df back onto the exploded
-    // tokens, regroup, and sort the (df, tok) structs — ties broken by
-    // the token itself so the order is total and deterministic across
-    // partitionings. The regroup shuffles (id, tok, df) triples only.
-    val sorted = base.select(col("id"), explode(col("toks")).as("tok"))
-      .join(freq, "tok")
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
-        .as("ordered"))
-      .select(col("id"), col("ordered.tok").as("toks"),
-        size(col("ordered")).as("n"))
+    // dense ids in (df, tok) order: range-partitioned sort + zipWithIndex
+    // (deterministic — the order is total)
+    val dict = freq.orderBy(col("df"), col("tok")).select(col("tok"))
+      .as[String].rdd.zipWithIndex
+      .toDF("tok", "tid")
 
+    // Rarity-sort each record's tokens: join the dictionary onto the
+    // exploded tokens, regroup, sort the long ids. The regroup shuffles
+    // (id, tid) pairs only.
+    base.select(col("id"), explode(col("toks")).as("tok"))
+      .join(dict, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(col("tid"))).as("tids"))
+      .select(col("id"), col("tids"), size(col("tids")).as("n"))
+  }
+
+  /** Candidate pairs from the rarity-ordered prefix equi-join; length and
+    * positional filters applied inside the join so pruned pairs never
+    * leave it. */
+  private[graft] def candidatePairs(
+      sorted: DataFrame, num: Int, den: Int): DataFrame = {
     // Prefix length for J > num/den: p = n − ⌈n·num/den⌉ + 1, with the
     // ceiling as pure integer arithmetic ((n·num + den − 1) div den).
     // Records sharing no token among their first p never reach the
     // threshold.
-    val p = col("n") - expr(s"(n * $num + ${den - 1}) div $den").cast("int") +
-      lit(1)
+    val p = (col("n") - expr(s"(n * $num + ${den - 1}) div $den") + lit(1))
+      .cast("int")
     val prefix = sorted.select(col("id"), col("n"),
-      posexplode(slice(col("toks"), lit(1), p)))
-      .select(col("id"), col("n"), col("col").as("tok"),
+      posexplode(slice(col("tids"), lit(1), p)))
+      .select(col("id"), col("n"), col("col").as("tid"),
         (col("pos") + 1).as("pos")) // 1-based position in the sorted set
-      .repartition(par(df), col("tok"))
+      .repartition(par(sorted), col("tid"))
 
-    // Candidate pairs: equi-join on the prefix token; length + positional
-    // filters inline so pruned pairs never leave the join.
     val ub = lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
-    val cands = prefix.alias("a")
+    prefix.alias("a")
       .join(prefix.alias("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        col("a.tid") === col("b.tid") && col("a.id") < col("b.id") &&
           lit(den) * least(col("a.n"), col("b.n")) >
             lit(num) * greatest(col("a.n"), col("b.n")) &&
           lit(den) * ub > lit(num) * (col("a.n") + col("b.n") - ub))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+  }
 
-    // Exact verification on the surviving candidates only: ship the two
-    // token arrays to the pair and intersect. Integer-exact threshold.
-    val sets = sorted.select(col("id"), col("toks"), col("n"))
+  /** Exact verification: ship the two encoded arrays to each surviving
+    * candidate pair and intersect. Integer-exact threshold. */
+  private[graft] def verifyPairs(
+      sorted: DataFrame, cands: DataFrame, num: Int, den: Int): DataFrame = {
+    val sets = sorted.select(col("id"), col("tids"), col("n"))
     cands
-      .join(sets.select(col("id").as("id1"), col("toks").as("t1"), col("n").as("n1")), "id1")
-      .join(sets.select(col("id").as("id2"), col("toks").as("t2"), col("n").as("n2")), "id2")
+      .join(sets.select(col("id").as("id1"), col("tids").as("t1"), col("n").as("n1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("tids").as("t2"), col("n").as("n2")), "id2")
       .select(col("id1"), col("id2"),
         size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
         col("n1"), col("n2"))

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingExactDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private val sunk = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+
+  private def startQ(stream: MemoryStream[(Long, String)],
+      indexDir: String, ckpt: String) =
+    StreamingExactDedup.start(
+      stream.toDS().toDF("doc_id", "text"), "text", "doc_id",
+      indexDir, ckpt) { batch =>
+      sunk.synchronized {
+        sunk ++= batch.select("doc_id", "text").as[(Long, String)].collect()
+      }
+    }
+
+  "dedup" should "drop repeats within and across micro-batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    sunk.clear()
+    val (indexDir, ckpt) = (tmp("dedup-idx"), tmp("dedup-ck"))
+    val stream = MemoryStream[(Long, String)]
+    val q = startQ(stream, indexDir, ckpt)
+    try {
+      stream.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      q.processAllAvailable()
+      stream.addData((4L, "alpha"), (5L, "gamma"), (6L, "beta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    sunk.sorted.toList shouldBe List(
+      (1L, "alpha"), (3L, "beta"), (5L, "gamma"))
+  }
+
+  it should "remember documents across a FRESH-checkpoint restart" in {
+    implicit val sqlCtx = spark.sqlContext
+    sunk.clear()
+    val indexDir = tmp("dedup-idx2")
+    val s1 = MemoryStream[(Long, String)]
+    val q1 = startQ(s1, indexDir, tmp("dedup-ck2a"))
+    try {
+      s1.addData((1L, "seen-last-month"), (2L, "one-off"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // new query, new checkpoint, SAME index: batch ids restart at 0 but
+    // the previous run's digests must still suppress the repeat
+    val s2 = MemoryStream[(Long, String)]
+    val q2 = startQ(s2, indexDir, tmp("dedup-ck2b"))
+    try {
+      s2.addData((10L, "seen-last-month"), (11L, "brand-new"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    sunk.sorted.toList shouldBe List(
+      (1L, "seen-last-month"), (2L, "one-off"), (11L, "brand-new"))
+  }
+
+  it should "keep the min id as the within-batch canonical document" in {
+    implicit val sqlCtx = spark.sqlContext
+    sunk.clear()
+    val stream = MemoryStream[(Long, String)]
+    val q = startQ(stream, tmp("dedup-idx3"), tmp("dedup-ck3"))
+    try {
+      stream.addData((9L, "x"), (4L, "x"), (7L, "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    sunk.toList shouldBe List((4L, "x"))
+  }
+
+  "dedupBatch" should "replay a batch id idempotently" in {
+    val indexDir = tmp("dedup-idx4")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "a"), (4L, "c")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingExactDedup
+        .dedupBatch(df, "text", "doc_id", indexDir, "r1", id)
+        .as[(Long, String)].collect().toSet
+    run(b0, 0) shouldBe Set((1L, "a"), (2L, "b"))
+    run(b1, 1) shouldBe Set((4L, "c"))
+    // replay of batch 1 (crash before sink committed): same output,
+    // index unchanged in effect
+    run(b1, 1) shouldBe Set((4L, "c"))
+  }
+}
