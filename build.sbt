@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local runs and the driver artifact (GC pressure shows up as
   // repeat-slower-than-cold drift on the window-heavy queries).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Whole-stage codegen emits one compiled class per plan fragment; a
+  // 2x21-query bench run churns hundreds of them through the JIT. The
+  // JDK default 240m code cache fills mid-run and silently disables the
+  // compiler — the repeat-phase 10-20x collapses (q25/q26) trace to this.
+  "-XX:ReservedCodeCacheSize=1g",
 )

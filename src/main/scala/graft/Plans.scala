@@ -22,7 +22,9 @@ object Plans {
         "q120_asof_join", "q121_pagerank", "q122_winnow",
         "q124_salted_join", "q125_vocab", "q126_winnow_pairs",
         "q127_gap_fill", "q128_pivot", "q129_funnel", "q130_profile",
-        "q131_sampled_quantile", "q132_tumbling")) {
+        "q131_sampled_quantile", "q132_tumbling", "q133_setsim_join",
+        "q134_triangles", "q135_scd2", "q136_script_profile",
+        "q137_sorted_neighborhood")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -1838,6 +1838,18 @@ object SparkEntry {
       t(s, dir, "customer").withColumn("k", lower(col("c_name"))),
       "c_custkey", "k", w = 5)
 
+  /** L33: BPE token budgeting — learn 200 merges from the corpus word
+    * distribution, encode every document, count model-unit tokens.
+    * Deterministic (tie rules stated in [[graft.text.Bpe]]) but not
+    * SQL-expressible — no oracle entry; BpeSpec pins the algorithm to
+    * the textbook example. */
+  private def q138_bpe_tokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.text.Bpe.learn(docs, "text", numMerges = 200)
+    graft.text.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .select(col("id").as("doc_id"), col("n_bpe_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1975,7 +1987,8 @@ object SparkEntry {
     "q134_triangles" -> (q134_triangles _),
     "q135_scd2" -> (q135_scd2 _),
     "q136_script_profile" -> (q136_script_profile _),
-    "q137_sorted_neighborhood" -> (q137_sorted_neighborhood _)
+    "q137_sorted_neighborhood" -> (q137_sorted_neighborhood _),
+    "q138_bpe_tokens" -> (q138_bpe_tokens _)
   )
 
   val oracleSql: Map[String, String] = ListMap(

@@ -28,11 +28,18 @@ object Triangles {
     * closes at least one triangle. Input edges are taken as undirected;
     * duplicates, reversed duplicates, and self-loops are dropped. */
   def perVertex(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // und feeds the degree count AND the orientation join; oriented is
+    // read three times (both wedge sides + the closing probe). Lazy
+    // local checkpoints materialize each ONCE — without them every
+    // reader re-executes the caller's whole edge derivation (q134's
+    // edge list alone is a lineitem self-join + distinct-count; the
+    // static plan showed it 3x).
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(false)
 
     val deg = und.select(col("u").as("x"))
       .unionAll(und.select(col("v").as("x")))
@@ -52,6 +59,7 @@ object Triangles {
           struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
         .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .localCheckpoint(false)
 
     // Wedges around each source's out-neighborhood, ordered so the
     // closing edge — if present — is oriented a→b by construction.

@@ -61,7 +61,10 @@ object SetSimJoin {
       num: Int,
       den: Int): DataFrame = {
     require(num >= 0 && den > 0 && num <= den, s"need 0 <= num/den <= 1")
-    val sorted = rankSorted(df, idCol, toksCol)
+    // sorted feeds the candidate join and BOTH sides of the verify join;
+    // the lazy checkpoint materializes the encode+sort (incl. the
+    // dictionary build) once instead of three times
+    val sorted = rankSorted(df, idCol, toksCol).localCheckpoint(false)
     verifyPairs(sorted, candidatePairs(sorted, num, den), num, den)
   }
 

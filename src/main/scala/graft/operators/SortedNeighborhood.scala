@@ -29,11 +29,14 @@ object SortedNeighborhood {
     require(w >= 2, "window must cover at least 2 records")
     val spark = df.sparkSession
     import spark.implicits._
+    // both the probe explode and the equi-join read the ranked frame;
+    // the lazy checkpoint keeps the range-sort from running twice
     val ranked = df.select(col(keyCol).as("k"), col(idCol).as("id"))
       .orderBy(col("k"), col("id"))
       .as[(String, Long)].rdd.zipWithIndex
       .map { case ((_, id), r) => (id, r) }
       .toDF("id", "rank")
+      .localCheckpoint(false)
 
     // bounded explode: rank r probes ranks r+1 … r+w-1; the equi-join on
     // the probed rank is a plain hash join, no range or window needed
