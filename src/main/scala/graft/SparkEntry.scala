@@ -1850,6 +1850,66 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_bpe_tokens"))
   }
 
+  /** CDC merge (MERGE INTO semantics): apply a changelog synthesized
+    * from orders (upserts + every-7th tombstone, orderkey as sequence)
+    * onto the customer snapshot — latest-wins per key, one window + one
+    * full-outer join. */
+  private def q139_cdc_merge(s: SparkSession, dir: String): DataFrame = {
+    val snap = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val changes = t(s, dir, "orders").select(
+      col("o_custkey").as("c_custkey"),
+      concat(lit("cust-"), col("o_orderkey").cast("string")).as("c_name"),
+      (col("o_orderkey") % 25).as("c_nationkey"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 7 === 0, graft.operators.Merge.Delete)
+        .otherwise(graft.operators.Merge.Upsert).as("op"))
+    graft.operators.Merge(snap, changes, Seq("c_custkey"), "seq", "op")
+  }
+
+  /** Association rules over the order–part basket: directed rules
+    * (ante → cons) for part pairs sharing ≥ 2 orders, confidence in
+    * integer ppm (⌊10⁶·n_pair/n_ante⌋ — zero float). */
+  private def q140_assoc_rules(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val itemN = li.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = li.alias("a")
+      .join(li.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("u"), col("b.item").as("v"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= 2)
+    val directed = pairs.select(col("u").as("ante"), col("v").as("cons"), col("n_pair"))
+      .unionByName(pairs.select(col("v").as("ante"), col("u").as("cons"), col("n_pair")))
+    directed
+      .join(itemN.select(col("item").as("ante"), col("n_item").as("n_ante")), "ante")
+      .select(col("ante"), col("cons"), col("n_pair"), col("n_ante"),
+        expr("(1000000 * n_pair) div n_ante").as("conf_ppm"))
+  }
+
+  /** M6: EXIF build→parse round trip at scale — deterministic camera
+    * metadata synthesized per customer row, wrapped in a real JPEG/APP1
+    * EXIF block (alternating byte orders), parsed back by the strict
+    * TIFF walker. The oracle states the synthesis formulas; hash
+    * equality proves the byte-level round trip. */
+  private def q141_exif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer").select(col("c_custkey")).as[Long].map { k =>
+      val make = s"cam-${k % 10}"
+      val dt = f"2024:01:${k % 28 + 1}%02d 12:00:00"
+      val orient = (k % 8 + 1).toInt
+      val lat = (k * 37 % 180000000L) - 90000000L
+      val lon = (k * 91 % 360000000L) - 180000000L
+      val d = graft.multimodal.Exif.parse(graft.multimodal.Exif.buildJpeg(
+        make, dt, orient, lat, lon, littleEndian = k % 2 == 0))
+      (k, d.make.orNull, d.dateTime.orNull,
+        d.orientation.map(_.toLong).getOrElse(-1L),
+        d.latE6.getOrElse(Long.MinValue), d.lonE6.getOrElse(Long.MinValue))
+    }.toDF("c_custkey", "make", "dt", "orientation", "lat_e6", "lon_e6")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -1988,7 +2048,10 @@ object SparkEntry {
     "q135_scd2" -> (q135_scd2 _),
     "q136_script_profile" -> (q136_script_profile _),
     "q137_sorted_neighborhood" -> (q137_sorted_neighborhood _),
-    "q138_bpe_tokens" -> (q138_bpe_tokens _)
+    "q138_bpe_tokens" -> (q138_bpe_tokens _),
+    "q139_cdc_merge" -> (q139_cdc_merge _),
+    "q140_assoc_rules" -> (q140_assoc_rules _),
+    "q141_exif" -> (q141_exif _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3670,7 +3733,57 @@ object SparkEntry {
         |  FROM customer
         |)
         |SELECT a.id AS id1, b.id AS id2, CAST(b.rank - a.rank AS BIGINT) AS dist
-        |FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 4""".stripMargin
+        |FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 4""".stripMargin,
+    // q139: latest-wins changelog fold; the window's full tie order
+    // (seq, op, image DESC) is restated so the merge is deterministic
+    "q139_cdc_merge" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    'cust-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |    o_orderkey % 25 AS c_nationkey, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM orders
+        |), latest AS (
+        |  SELECT c_custkey, c_name, c_nationkey, op FROM (
+        |    SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY seq DESC, op DESC, c_name DESC, c_nationkey DESC) AS rn
+        |    FROM ch) WHERE rn = 1
+        |)
+        |SELECT c_custkey,
+        |  CASE WHEN l.op = 'upsert' THEN l.c_name ELSE s.c_name END AS c_name,
+        |  CASE WHEN l.op = 'upsert' THEN l.c_nationkey ELSE s.c_nationkey END AS c_nationkey
+        |FROM (SELECT c_custkey, c_name, c_nationkey FROM customer) s
+        |FULL OUTER JOIN latest l USING (c_custkey)
+        |WHERE l.op IS NULL OR l.op = 'upsert'""".stripMargin,
+    // q140: basket counts + directed-rule confidence in integer ppm
+    "q140_assoc_rules" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+        |), itn AS (
+        |  SELECT item, count(*) AS n_item FROM li GROUP BY item
+        |), pr AS (
+        |  SELECT a.item AS u, b.item AS v, CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), directed AS (
+        |  SELECT u AS ante, v AS cons, n_pair FROM pr
+        |  UNION ALL
+        |  SELECT v AS ante, u AS cons, n_pair FROM pr
+        |)
+        |SELECT ante, cons, n_pair, CAST(n_item AS BIGINT) AS n_ante,
+        |  CAST((1000000 * n_pair) // n_item AS BIGINT) AS conf_ppm
+        |FROM directed JOIN itn ON itn.item = directed.ante""".stripMargin,
+    // q141: the synthesis formulas; matching hashes prove the EXIF
+    // byte-level build→parse round trip was lossless
+    "q141_exif" ->
+      """SELECT c_custkey,
+        |  'cam-' || CAST(c_custkey % 10 AS VARCHAR) AS make,
+        |  '2024:01:' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0')
+        |    || ' 12:00:00' AS dt,
+        |  CAST(c_custkey % 8 + 1 AS BIGINT) AS orientation,
+        |  CAST(c_custkey * 37 % 180000000 - 90000000 AS BIGINT) AS lat_e6,
+        |  CAST(c_custkey * 91 % 360000000 - 180000000 AS BIGINT) AS lon_e6
+        |FROM customer""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
