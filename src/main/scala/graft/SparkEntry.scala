@@ -1910,6 +1910,39 @@ object SparkEntry {
     }.toDF("c_custkey", "make", "dt", "orientation", "lat_e6", "lon_e6")
   }
 
+  /** Robust outlier flags: median/MAD per event_type with every
+    * comparison on scaled integers (med2 = 2·median of cents, M4 =
+    * 4·MAD), so the 3-MAD rule |x−med| > 3·MAD becomes the exact
+    * integer test 2·d > 3·M4. Spark `percentile` ≡ DuckDB
+    * `quantile_cont` bit-for-bit (established by q118/q131). */
+  private def q142_mad_outliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("cents") * 2, lit(0.5)).cast("long").as("med2"))
+    val dev = ev.join(med, "event_type")
+      .withColumn("d", abs(col("cents") * 2 - col("med2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg((percentile(col("d"), lit(0.5)) * 2).cast("long").as("m4"))
+    dev.join(mad, "event_type")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("d"), (col("d") * 2 > col("m4") * 3).as("is_outlier"))
+  }
+
+  /** Data-quality expectations report over customer: one scan, one
+    * aggregate, integer-ppm verdicts. */
+  private def q143_expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    check(t(s, dir, "customer"), Seq(
+      NotNull("c_name"),
+      Unique("c_custkey"),
+      InRange("c_acctbal", -999.99, 9999.99),
+      InRange("c_nationkey", 0, 24),
+      AcceptedValues("c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+        budgetPpm = 0)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2051,7 +2084,9 @@ object SparkEntry {
     "q138_bpe_tokens" -> (q138_bpe_tokens _),
     "q139_cdc_merge" -> (q139_cdc_merge _),
     "q140_assoc_rules" -> (q140_assoc_rules _),
-    "q141_exif" -> (q141_exif _)
+    "q141_exif" -> (q141_exif _),
+    "q142_mad_outliers" -> (q142_mad_outliers _),
+    "q143_expectations" -> (q143_expectations _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3783,7 +3818,46 @@ object SparkEntry {
         |  CAST(c_custkey % 8 + 1 AS BIGINT) AS orientation,
         |  CAST(c_custkey * 37 % 180000000 - 90000000 AS BIGINT) AS lat_e6,
         |  CAST(c_custkey * 91 % 360000000 - 180000000 AS BIGINT) AS lon_e6
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+    // q142: the integer-scaled median/MAD restated on quantile_cont
+    "q142_mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |), med AS (
+        |  SELECT event_type, CAST(quantile_cont(cents * 2, 0.5) AS BIGINT) AS med2
+        |  FROM ev GROUP BY 1
+        |), dev AS (
+        |  SELECT ev.*, abs(cents * 2 - med2) AS d
+        |  FROM ev JOIN med USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, CAST(quantile_cont(d, 0.5) * 2 AS BIGINT) AS m4
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT event_id, event_type, cents, d, (d * 2 > m4 * 3) AS is_outlier
+        |FROM dev JOIN mad USING (event_type)""".stripMargin,
+    // q143: every expectation metric restated as one aggregate + unpivot
+    "q143_expectations" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |    CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN c_acctbal IS NOT NULL AND (c_acctbal < -999.99 OR c_acctbal > 9999.99) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND (c_nationkey < 0 OR c_nationkey > 24) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(sum(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END) AS BIGINT) AS v4
+        |  FROM customer
+        |), u AS (
+        |  SELECT 'not_null' AS expectation, 'c_name' AS col_name, v0 AS violations, total FROM a
+        |  UNION ALL SELECT 'unique', 'c_custkey', v1, total FROM a
+        |  UNION ALL SELECT 'in_range', 'c_acctbal', v2, total FROM a
+        |  UNION ALL SELECT 'in_range', 'c_nationkey', v3, total FROM a
+        |  UNION ALL SELECT 'accepted_values', 'c_mktsegment', v4, total FROM a
+        |)
+        |SELECT expectation, col_name, violations, total,
+        |  CAST((1000000 * violations) // total AS BIGINT) AS violation_ppm,
+        |  CAST(0 AS BIGINT) AS budget_ppm,
+        |  ((1000000 * violations) // total) <= 0 AS passed
+        |FROM u""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
