@@ -1943,6 +1943,25 @@ object SparkEntry {
         budgetPpm = 0)))
   }
 
+  /** W13/IVM: maintain a per-customer (count, sum-cents) view under a
+    * synthesized changelog — snapshot from ⅔ of orders, inserts for the
+    * rest, deletes for every 7th snapshot row. The oracle aggregates the
+    * FINAL row set directly; hash equality proves delta-merge ≡
+    * recompute. */
+  private def q144_ivm(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val base = o.where(col("o_orderkey") % 3 =!= 0)
+    val snap = graft.operators.Ivm.snapshot(base, Seq("o_custkey"), Seq("cents"))
+    val delta = o.where(col("o_orderkey") % 3 === 0)
+      .withColumn("sign", lit(1L))
+      .unionByName(base.where(col("o_orderkey") % 7 === 0)
+        .withColumn("sign", lit(-1L)))
+      .select(col("o_custkey"), col("sign"), col("cents"))
+    graft.operators.Ivm.applyDelta(snap, delta, Seq("o_custkey"),
+      Seq("cents"), "sign")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2086,7 +2105,8 @@ object SparkEntry {
     "q140_assoc_rules" -> (q140_assoc_rules _),
     "q141_exif" -> (q141_exif _),
     "q142_mad_outliers" -> (q142_mad_outliers _),
-    "q143_expectations" -> (q143_expectations _)
+    "q143_expectations" -> (q143_expectations _),
+    "q144_ivm" -> (q144_ivm _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3857,7 +3877,19 @@ object SparkEntry {
         |  CAST((1000000 * violations) // total AS BIGINT) AS violation_ppm,
         |  CAST(0 AS BIGINT) AS budget_ppm,
         |  ((1000000 * violations) // total) <= 0 AS passed
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+    // q144: the oracle aggregates the final row set directly —
+    // (base \ deleted) ∪ inserted — proving delta-merge ≡ recompute
+    "q144_ivm" ->
+      """WITH rows_final AS (
+        |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE (o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0)
+        |     OR o_orderkey % 3 = 0
+        |)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM rows_final GROUP BY o_custkey""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

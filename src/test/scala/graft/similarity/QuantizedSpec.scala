@@ -1,0 +1,62 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantizedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int, d: Int, seed: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    // clustered vectors: 5 centers + noise, unequal per-dim ranges
+    val centers = Array.fill(5, d)(rnd.nextFloat() * 4 - 2)
+    (0L until n.toLong).map { i =>
+      val c = centers((i % 5).toInt)
+      (i, Array.tabulate(d)(j =>
+        (c(j) + rnd.nextFloat() * 0.3f) * (j + 1)))
+    }
+  }
+
+  "quantize" should "map lo/hi to the code range and be monotone" in {
+    val scales = Array((0f, 10f), (-1f, 1f), (5f, 5f)) // last: degenerate
+    val lo = Quantized.quantize(Array(0f, -1f, 5f), scales)
+    val hi = Quantized.quantize(Array(10f, 1f, 5f), scales)
+    lo(0) shouldBe -128; hi(0) shouldBe 127
+    lo(1) shouldBe -128; hi(1) shouldBe 127
+    lo(2) shouldBe 0 // degenerate dimension quantizes to a constant
+    val mid = Quantized.quantize(Array(5f, 0f, 5f), scales)
+    (mid(0) > lo(0) && mid(0) < hi(0)) shouldBe true
+  }
+
+  "fitScales/encode" should "produce one int8 code per dimension" in {
+    val df = vecs(50, 8, 1).toDF("vec_id", "embedding")
+    val scales = Quantized.fitScales(df, "embedding")
+    scales.length shouldBe 8
+    val enc = Quantized.encode(df, "vec_id", "embedding", scales)
+    enc.select(expr("length(qvec)")).distinct().as[Int].collect() shouldBe
+      Array(8)
+  }
+
+  "topK" should "equal the exact search when the rerank pool covers the corpus" in {
+    val df = vecs(60, 6, 2).toDF("vec_id", "embedding")
+    val probes = df.where($"vec_id" < 5)
+    val exact = Ann.bruteForceTopK(df, probes, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val quant = Quantized.topK(df, probes, "vec_id", "embedding",
+      k = 3, rerank = 60) // pool = whole corpus -> stage 2 IS the exact search
+      .as[(Long, Long, Int)].collect().toSet
+    quant shouldBe exact
+  }
+
+  it should "reach high recall with a small rerank pool" in {
+    val df = vecs(300, 12, 3).toDF("vec_id", "embedding")
+    val probes = df.where($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(df, probes, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val quant = Quantized.topK(df, probes, "vec_id", "embedding",
+      k = 5, rerank = 4)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    recall should be >= 0.8
+  }
+}
