@@ -197,6 +197,35 @@ object ScalingProbe {
       out += "ivfRecall500k" -> sweep.mkString("{", ",", "}")
     }
 
+    // 10b) int8 scalar-quantized two-stage search at 500k vectors:
+    // recall vs the exact float search + both timings
+    if (want("sq500k")) {
+      val emb500k = emb.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("vec_id") + col("rep") * 1000000).as("vec_id"),
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x.cast("double") +
+              (pmod(col("rep") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.02)
+              .cast("float")).as("embedding"))
+        .localCheckpoint()
+      val probes = emb500k.where(col("vec_id") < 100)
+      val (tExact, _) = time {
+        graft.similarity.Ann.bruteForceTopK(
+          emb500k, probes, "vec_id", "embedding", k = 10).count()
+      }
+      val exactTop = graft.similarity.Ann.bruteForceTopK(
+          emb500k, probes, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+      val nExact = exactTop.count()
+      val (tSq, nHits) = time {
+        graft.similarity.Quantized.topK(emb500k, probes, "vec_id", "embedding",
+            k = 10, rerank = 4)
+          .join(exactTop, Seq("probe_id", "neighbor_id"), "left_semi").count()
+      }
+      out += "sq500k" ->
+        s"""{"exactSec":$tExact,"sqSec":$tSq,"recallAt10":${nHits.toDouble / nExact}}"""
+    }
+
     // 11) distributed RDF parse throughput: ~20k Turtle documents of ~50
     // quads each authored from real (escape-heavy) document text, parsed
     // per-document in parallel — the S10 ingest shape for tool-authored

@@ -1962,6 +1962,14 @@ object SparkEntry {
       Seq("cents"), "sign")
   }
 
+  /** L36: compression-ratio quality signal (DEFLATE ppm per document) —
+    * rows-only: zlib has no SQL restatement; CompressionSpec pins the
+    * monotonicity contract (repetition < prose < noise). */
+  private def q145_compression(s: SparkSession, dir: String): DataFrame =
+    graft.text.Compression.profile(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bytes"), col("n_deflated"),
+        col("ratio_ppm"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2106,7 +2114,8 @@ object SparkEntry {
     "q141_exif" -> (q141_exif _),
     "q142_mad_outliers" -> (q142_mad_outliers _),
     "q143_expectations" -> (q143_expectations _),
-    "q144_ivm" -> (q144_ivm _)
+    "q144_ivm" -> (q144_ivm _),
+    "q145_compression" -> (q145_compression _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
