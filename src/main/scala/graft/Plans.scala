@@ -24,7 +24,8 @@ object Plans {
         "q127_gap_fill", "q128_pivot", "q129_funnel", "q130_profile",
         "q131_sampled_quantile", "q132_tumbling", "q133_setsim_join",
         "q134_triangles", "q135_scd2", "q136_script_profile",
-        "q137_sorted_neighborhood")) {
+        "q137_sorted_neighborhood", "q139_cdc_merge", "q140_assoc_rules",
+        "q142_mad_outliers", "q143_expectations", "q144_ivm")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
