@@ -521,6 +521,38 @@ object ScalingProbe {
         s"""{"encodeSec":$tEnc,"candSec":$tCand,"cands":$nCand,"verifySec":$tVer,"rows":$nSs}"""
     }
 
+    // 20b) quantiles at 10M rows/group: exact percentile (single-buffer
+    // per group — the oracle vehicle) vs mergeable approx_percentile
+    // (the 100 TB path) — cost and error side by side
+    if (want("quantiles10M")) {
+      val big = ev.crossJoin(spark.range(100).toDF("rep"))
+        .select(col("event_type"),
+          (round(col("value") * 100).cast("long") + col("rep") % 7).as("cents"))
+        .localCheckpoint()
+      val (tExact, _) = time {
+        big.groupBy(col("event_type"))
+          .agg(percentile(col("cents"), lit(0.5)).as("p50"),
+            percentile(col("cents"), lit(0.99)).as("p99")).count()
+      }
+      val (tApprox, _) = time {
+        big.groupBy(col("event_type"))
+          .agg(approx_percentile(col("cents"), lit(0.5), lit(10000)).as("p50"),
+            approx_percentile(col("cents"), lit(0.99), lit(10000)).as("p99"))
+          .count()
+      }
+      val err = {
+        val e = big.groupBy(col("event_type"))
+          .agg(percentile(col("cents"), lit(0.99)).as("pe"))
+        val a = big.groupBy(col("event_type"))
+          .agg(approx_percentile(col("cents"), lit(0.99), lit(10000)).as("pa"))
+        e.join(a, "event_type")
+          .select(max(abs(col("pe") - col("pa")) / abs(col("pe"))))
+          .head().getDouble(0)
+      }
+      out += "quantiles10M" ->
+        s"""{"exactSec":$tExact,"approxSec":$tApprox,"p99RelErr":$err}"""
+    }
+
     // 21) triangle counting on the UNthresholded sf0.1 co-purchase graph
     // (~1M edges over 20k parts, avg degree ~100 — dense enough that the
     // unoriented wedge join would blow up; degree orientation keeps it

@@ -1914,7 +1914,14 @@ object SparkEntry {
     * comparison on scaled integers (med2 = 2·median of cents, M4 =
     * 4·MAD), so the 3-MAD rule |x−med| > 3·MAD becomes the exact
     * integer test 2·d > 3·M4. Spark `percentile` ≡ DuckDB
-    * `quantile_cont` bit-for-bit (established by q118/q131). */
+    * `quantile_cont` bit-for-bit (established by q118/q131).
+    *
+    * Scale boundary, stated: exact `percentile` buffers each group's
+    * values in one aggregation buffer — the right tool at oracle scale
+    * and for bounded groups, NOT for 10¹¹-row groups. The scale paths
+    * are `approx_percentile` (t-digest, mergeable) or q131's
+    * deterministic sampled-quantile sketch; the quantiles10M probe
+    * quantifies the trade. */
   private def q142_mad_outliers(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
       round(col("value") * 100).cast("long").as("cents"))
@@ -1969,6 +1976,24 @@ object SparkEntry {
     graft.text.Compression.profile(t(s, dir, "documents"), "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_bytes"), col("n_deflated"),
         col("ratio_ppm"))
+
+  /** A13: grouped embedding centroids — the vector-aggregation
+    * primitive under SemDeDup/cluster-summarization pipelines. Sums are
+    * carried as integer micro-units per dimension (float addition does
+    * not commute; integer sums do), so the centroid is exact under any
+    * partitioning and the oracle can restate it. Shape: posexplode →
+    * one (group, dim) aggregation → re-assemble with array_agg sorted
+    * by dim. */
+  private def q146_centroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select((col("vec_id") % 16).as("grp"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("grp"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x").cast("double") * 1000000).cast("long"))
+          .as("sum_micro"))
+      .select(col("grp"), col("dim").cast("long").as("dim"), col("n"),
+        expr("sum_micro div n").as("c_micro"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
@@ -2115,7 +2140,8 @@ object SparkEntry {
     "q142_mad_outliers" -> (q142_mad_outliers _),
     "q143_expectations" -> (q143_expectations _),
     "q144_ivm" -> (q144_ivm _),
-    "q145_compression" -> (q145_compression _)
+    "q145_compression" -> (q145_compression _),
+    "q146_centroids" -> (q146_centroids _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3898,7 +3924,22 @@ object SparkEntry {
         |)
         |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents
-        |FROM rows_final GROUP BY o_custkey""".stripMargin
+        |FROM rows_final GROUP BY o_custkey""".stripMargin,
+    // q146: per-(group, dimension) centroid in integer micro-units —
+    // float sums don't commute, integer micro sums do
+    "q146_centroids" ->
+      """WITH ix AS (
+        |  SELECT vec_id, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id % 16 AS grp, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+        |  FROM ix
+        |)
+        |SELECT grp, dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(micro) // count(*) AS BIGINT) AS c_micro
+        |FROM e GROUP BY grp, dim""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
