@@ -1995,6 +1995,35 @@ object SparkEntry {
       .select(col("grp"), col("dim").cast("long").as("dim"), col("n"),
         expr("sum_micro div n").as("c_micro"))
 
+  /** W14: rank-family windows not yet covered head-on — ntile
+    * (equi-depth binning), percent_rank and cume_dist (exact rationals
+    * k/n, identical across engines) over cents per return flag. */
+  private def q147_rank_windows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+  }
+
+  /** S15: semi-structured column (schema-on-read) — events.props is a
+    * JSON string; `from_json` projects it against a declared schema
+    * inside codegen (malformed rows become nulls, not failures), and
+    * the aggregate treats absent keys as missing data. */
+  private def q148_json_props(s: SparkSession, dir: String): DataFrame = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2141,7 +2170,9 @@ object SparkEntry {
     "q143_expectations" -> (q143_expectations _),
     "q144_ivm" -> (q144_ivm _),
     "q145_compression" -> (q145_compression _),
-    "q146_centroids" -> (q146_centroids _)
+    "q146_centroids" -> (q146_centroids _),
+    "q147_rank_windows" -> (q147_rank_windows _),
+    "q148_json_props" -> (q148_json_props _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3939,7 +3970,27 @@ object SparkEntry {
         |)
         |SELECT grp, dim, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(micro) // count(*) AS BIGINT) AS c_micro
-        |FROM e GROUP BY grp, dim""".stripMargin
+        |FROM e GROUP BY grp, dim""".stripMargin,
+    // q147: ntile/percent_rank/cume_dist with a total order (ties broken
+    // by key) so bin assignment is engine-independent
+    "q147_rank_windows" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |  CAST(ntile(10) OVER w AS INTEGER) AS decile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+        |    l_orderkey, l_linenumber)""".stripMargin,
+    // q148: schema-on-read JSON projection + aggregate
+    "q148_json_props" ->
+      """SELECT event_type,
+        |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
