@@ -156,6 +156,51 @@ object Ann {
     cands.where(cosine(col("v1"), col("v2")) > threshold).select(col("id1"), col("id2"))
   }
 
+  /** Multi-probe SRP-LSH pairs (Lv et al., VLDB 2007 applied to the
+    * pair-join): additionally match buckets at Hamming distance ≤ 1 —
+    * one side explodes into its bucket plus every single-bit flip, so a
+    * near-dup pair split by ONE unlucky hyperplane still collides. The
+    * candidate set is a strict superset of `lshPairs`' (recall can only
+    * go up; the exact cosine verify keeps precision at 1), bought with
+    * ~numPlanes× candidate fan-out instead of more tables — multi-probe
+    * trades compute for the memory/shuffle of extra table replication,
+    * which is the right trade when the corpus dominates the cluster. */
+  def lshPairsMultiProbe(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int = 12,
+      tables: Int = 4): DataFrame = {
+    val withBuckets = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
+      .select(
+        col(idCol).as("id"), col(vecCol).as("vec"),
+        posexplode(array((0 until tables).map(t =>
+          srpBucket(col(vecCol), numPlanes, t)): _*))
+          .as(Seq("table", "bucket")))
+      .localCheckpoint()
+    // probe side: identity + one flip per plane (XOR is symmetric, so
+    // flipping on one side covers distance-1 in both directions)
+    val masks = array((lit(0L) +: (0 until numPlanes).map(p => lit(1L << p))): _*)
+    val probes = withBuckets.select(col("id"), col("table"),
+      explode(masks).as("m"),
+      col("bucket"))
+      .select(col("id"), col("table"),
+        col("bucket").bitwiseXOR(col("m")).as("bucket"))
+    val cands = withBuckets.alias("a")
+      .join(probes.alias("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("a.vec").as("v1"))
+      .dropDuplicates("id1", "id2")
+    cands
+      .join(corpus.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")
+      .where(cosine(col("v1"), col("v2")) > threshold)
+      .select(col("id1"), col("id2"))
+  }
+
   /** IVF-style ANN: assign every corpus vector to its nearest of `nlist`
     * deterministic centroids (hash-seeded corpus sample), probe only the
     * `nprobe` closest lists per query. Approximate; the 100 TB plan — the
