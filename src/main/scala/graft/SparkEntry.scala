@@ -2024,6 +2024,19 @@ object SparkEntry {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
   }
 
+  /** J12: asymmetric containment join over document word sets —
+    * |x∩y|/|x| > 4/5 (quote / partial-copy detection; Jaccard misses a
+    * small x inside a big y, containment flags it). */
+  private def q149_containment(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(
+      col("doc_id").as("id"),
+      array_distinct(filter(
+        split(col("text"), "[\\s\\p{Punct}]+"), t => length(t) > 0))
+        .as("toks"))
+    graft.operators.SetSimJoin.containmentPairsTokens(
+      toks, "id", "toks", num = 4, den = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2172,7 +2185,8 @@ object SparkEntry {
     "q145_compression" -> (q145_compression _),
     "q146_centroids" -> (q146_centroids _),
     "q147_rank_windows" -> (q147_rank_windows _),
-    "q148_json_props" -> (q148_json_props _)
+    "q148_json_props" -> (q148_json_props _),
+    "q149_containment" -> (q149_containment _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -3990,7 +4004,25 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    // q149: brute-force directional containment the prefix-filtered
+    // plan must equal exactly
+    "q149_containment" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0)) AS tok
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+        |), ix AS (
+        |  SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_small, id_big, inter, CAST(s.n AS BIGINT) AS n_small
+        |FROM ix JOIN sizes s ON s.doc_id = id_small
+        |WHERE 5 * inter > 4 * s.n""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

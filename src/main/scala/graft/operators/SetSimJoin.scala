@@ -131,6 +131,54 @@ object SetSimJoin {
       .distinct()
   }
 
+  /** Asymmetric CONTAINMENT join: pairs where |x ∩ y| / |x| exceeds
+    * num/den — x is mostly inside y, whatever y's size. The quotation /
+    * partial-copy / subset-record detector: Jaccard misses a 50-token
+    * quote inside a 5000-token article (J ≈ 1%), containment flags it.
+    *
+    * Same machinery as the Jaccard join with two deliberate changes:
+    * the prefix bound comes from the CONTAINED side only (a pair whose
+    * shared tokens all sit past x's first |x| − ⌈τ|x|⌉ + 1 rarest
+    * tokens cannot reach τ·|x| overlap), and there is NO length filter
+    * — asymmetry is the point. Output: (id_small, id_big, inter, n_small)
+    * for both orientations of each qualifying pair (containment is
+    * directional; callers filter on direction if they want one). */
+  def containmentPairsTokens(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      num: Int,
+      den: Int): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, s"need 0 <= num/den <= 1")
+    val sorted = rankSorted(df, idCol, toksCol).localCheckpoint(false)
+
+    val p = (col("n") - expr(s"(n * $num + ${den - 1}) div $den") + lit(1))
+      .cast("int")
+    // contained side: prefix only; containing side: EVERY token (any of
+    // them can be the match that keeps x's overlap alive)
+    val prefix = sorted.select(col("id"), col("n"),
+      explode(slice(col("tids"), lit(1), p)).as("tid"))
+      .repartition(par(sorted), col("tid"))
+    val full = sorted.select(col("id"), explode(col("tids")).as("tid"))
+      .repartition(par(sorted), col("tid"))
+
+    val cands = prefix.alias("a")
+      .join(full.alias("b"),
+        col("a.tid") === col("b.tid") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_small"), col("b.id").as("id_big"))
+      .distinct()
+
+    val sets = sorted.select(col("id"), col("tids"), col("n"))
+    cands
+      .join(sets.select(col("id").as("id_small"), col("tids").as("t1"),
+        col("n").as("n_small")), "id_small")
+      .join(sets.select(col("id").as("id_big"), col("tids").as("t2")), "id_big")
+      .select(col("id_small"), col("id_big"),
+        size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
+        col("n_small"))
+      .where(lit(den) * col("inter") > lit(num) * col("n_small"))
+  }
+
   /** Exact verification: ship the two encoded arrays to each surviving
     * candidate pair and intersect. Integer-exact threshold. */
   private[graft] def verifyPairs(

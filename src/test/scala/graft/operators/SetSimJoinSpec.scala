@@ -69,6 +69,47 @@ class SetSimJoinSpec extends SparkSpec {
     run(df, 7, 10) shouldBe brute(df, 7, 10) // all C(30,2) pairs qualify
   }
 
+  /** Directional containment reference. */
+  private def bruteContain(df: DataFrame, num: Int, den: Int): Set[(Long, Long)] = {
+    val rows = df.select(col("id"), col("toks"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, ts) => (id, ts.toSet) }
+    (for {
+      (i1, s1) <- rows; (i2, s2) <- rows if i1 != i2
+      inter = (s1 & s2).size
+      if den * inter > num * s1.size
+    } yield (i1, i2)).toSet
+  }
+
+  "containmentPairsTokens" should "flag a small quote inside a big document" in {
+    val quote = (1 to 10).map(i => s"q$i")
+    val article = quote ++ (1 to 200).map(i => s"body$i")
+    val df = Seq(
+      (1L, quote.toList), (2L, article.toList),
+      (3L, (1 to 50).map(i => s"other$i").toList)).toDF("id", "toks")
+    val out = SetSimJoin.containmentPairsTokens(df, "id", "toks", 4, 5)
+      .select(col("id_small"), col("id_big")).as[(Long, Long)].collect().toSet
+    out should contain((1L, 2L)) // quote ⊂ article
+    out should not contain ((2L, 1L)) // article ⊄ quote
+    // Jaccard at the same threshold misses it: J = 10/210
+    SetSimJoin.jaccardPairsTokens(df, "id", "toks", 4, 5).count() shouldBe 0
+  }
+
+  it should "equal brute force across thresholds on a randomized corpus" in {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 50).map(i => s"t$i").toList
+    val docs = (0L until 50L).map { id =>
+      (id, rnd.shuffle(vocab).take(1 + rnd.nextInt(15)))
+    }
+    val df = docs.toDF("id", "toks")
+    for ((num, den) <- Seq((1, 2), (4, 5), (9, 10)))
+      withClue(s"tau=$num/$den") {
+        SetSimJoin.containmentPairsTokens(df, "id", "toks", num, den)
+          .select(col("id_small"), col("id_big")).as[(Long, Long)]
+          .collect().toSet shouldBe bruteContain(df, num, den)
+      }
+  }
+
   "jaccardPairs" should "tokenize like the q17/q19 oracle tokenizer" in {
     val df = Seq(
       (1L, "the quick, brown fox!"),
