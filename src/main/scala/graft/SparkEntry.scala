@@ -2037,6 +2037,16 @@ object SparkEntry {
       toks, "id", "toks", num = 4, den = 5)
   }
 
+  /** F24: Unicode NFC dedup keys — canonical composition before
+    * hashing, so composed/decomposed spellings of the same string land
+    * in the same dedup bucket. Native `unicode_nfc` expression; NFC is
+    * standard-defined, so DuckDB's nfc_normalize restates it exactly. */
+  private def q150_nfc_keys(s: SparkSession, dir: String): DataFrame =
+    graft.text.Normalize.nfcCol(t(s, dir, "documents"), "text", "text_nfc")
+      .select(col("doc_id"),
+        length(col("text_nfc")).cast("long").as("n_chars_nfc"),
+        sha2(col("text_nfc"), 256).as("nfc_key"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2186,7 +2196,8 @@ object SparkEntry {
     "q146_centroids" -> (q146_centroids _),
     "q147_rank_windows" -> (q147_rank_windows _),
     "q148_json_props" -> (q148_json_props _),
-    "q149_containment" -> (q149_containment _)
+    "q149_containment" -> (q149_containment _),
+    "q150_nfc_keys" -> (q150_nfc_keys _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -4022,7 +4033,14 @@ object SparkEntry {
         |)
         |SELECT id_small, id_big, inter, CAST(s.n AS BIGINT) AS n_small
         |FROM ix JOIN sizes s ON s.doc_id = id_small
-        |WHERE 5 * inter > 4 * s.n""".stripMargin
+        |WHERE 5 * inter > 4 * s.n""".stripMargin,
+    // q150: NFC is Unicode-standard-defined — both engines agree by
+    // construction; the sha256 key proves byte-level equality
+    "q150_nfc_keys" ->
+      """SELECT doc_id,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+        |  sha256(nfc_normalize(text)) AS nfc_key
+        |FROM documents""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

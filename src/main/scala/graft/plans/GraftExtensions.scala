@@ -137,6 +137,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("html_text"),
       new ExpressionInfo(classOf[graft.text.HtmlTextExpr].getName, "html_text"),
       (exprs: Seq[Expression]) => graft.text.HtmlTextExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_nfc"),
+      new ExpressionInfo(classOf[graft.functions.UnicodeNfc].getName, "unicode_nfc"),
+      (exprs: Seq[Expression]) => graft.functions.UnicodeNfc(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("fold_marks"),
+      new ExpressionInfo(classOf[graft.functions.FoldMarks].getName, "fold_marks"),
+      (exprs: Seq[Expression]) => graft.functions.FoldMarks(exprs.head)))
     ext.injectOptimizerRule(_ => HaversineRadiusPrefilter)
     ext.injectOptimizerRule(_ => BinnedRangeJoinRewrite)
   }
