@@ -2047,6 +2047,34 @@ object SparkEntry {
         length(col("text_nfc")).cast("long").as("n_chars_nfc"),
         sha2(col("text_nfc"), 256).as("nfc_key"))
 
+  /** A14: per-group OLS regression (slope/intercept) from the four
+    * moment sums — in-database analytics with ZERO float: x and y are
+    * bounded integers (x = event_id mod 1000, y = cents ≤ 10⁵), so
+    * every moment and the normal-equation numerators stay inside Long,
+    * and slope/intercept are stated in integer ppm with truncating
+    * division both engines share. */
+  private def q151_group_ols(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      (col("event_id") % 1000).cast("long").as("x"),
+      round(col("value") * 100).cast("long").as("y"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      // slope_ppm in TWO steps (quotient·10⁶ + scaled remainder) so the
+      // intermediate never exceeds Long even at 10⁵ rows/group; the
+      // oracle restates the identical expression, so both engines agree
+      // exactly whatever the rounding of the composite is
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .withColumn("slope_ppm",
+        expr("(num div den) * 1000000 + ((num % den) * 1000000) div den"))
+      .select(col("event_type"), col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("slope_ppm"),
+        expr("((1000000 * sy) - slope_ppm * sx) div (1000000 * n)")
+          .as("intercept_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2197,7 +2225,8 @@ object SparkEntry {
     "q147_rank_windows" -> (q147_rank_windows _),
     "q148_json_props" -> (q148_json_props _),
     "q149_containment" -> (q149_containment _),
-    "q150_nfc_keys" -> (q150_nfc_keys _)
+    "q150_nfc_keys" -> (q150_nfc_keys _),
+    "q151_group_ols" -> (q151_group_ols _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -4040,7 +4069,26 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
         |  sha256(nfc_normalize(text)) AS nfc_key
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // q151: the normal equations verbatim; // and div both truncate
+    // toward zero on BIGINT (established by q146)
+    "q151_group_ols" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(event_id % 1000) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(sum((event_id % 1000) * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(sum((event_id % 1000) * (event_id % 1000)) AS BIGINT) AS sxx
+        |  FROM events GROUP BY event_type
+        |)
+        |, s AS (
+        |  SELECT m.*, (n * sxy - sx * sy) AS num, (n * sxx - sx * sx) AS den
+        |  FROM m
+        |)
+        |SELECT event_type, n, sx, sy, sxy, sxx,
+        |  CAST((num // den) * 1000000 + ((num % den) * 1000000) // den AS BIGINT) AS slope_ppm,
+        |  CAST(((1000000 * sy) - ((num // den) * 1000000 + ((num % den) * 1000000) // den) * sx) // (1000000 * n) AS BIGINT) AS intercept_cents
+        |FROM s""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
