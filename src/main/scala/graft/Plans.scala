@@ -25,7 +25,9 @@ object Plans {
         "q131_sampled_quantile", "q132_tumbling", "q133_setsim_join",
         "q134_triangles", "q135_scd2", "q136_script_profile",
         "q137_sorted_neighborhood", "q139_cdc_merge", "q140_assoc_rules",
-        "q142_mad_outliers", "q143_expectations", "q144_ivm")) {
+        "q142_mad_outliers", "q143_expectations", "q144_ivm",
+        "q146_centroids", "q147_rank_windows", "q148_json_props",
+        "q149_containment", "q150_nfc_keys", "q151_group_ols")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
