@@ -2075,6 +2075,15 @@ object SparkEntry {
           .as("intercept_cents"))
   }
 
+  /** A15: exact Mann–Whitney AUC in integer ppm — does n_chars predict
+    * the (synthetic, deterministic) label doc_id % 3 = 0? The point is
+    * the exact tie-averaged rank identity, restated by the oracle. */
+  private def q152_auc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Auc.aucPpm(
+      t(s, dir, "documents")
+        .select(col("n_chars"), (col("doc_id") % 3 === 0).as("label")),
+      "n_chars", "label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2226,7 +2235,8 @@ object SparkEntry {
     "q148_json_props" -> (q148_json_props _),
     "q149_containment" -> (q149_containment _),
     "q150_nfc_keys" -> (q150_nfc_keys _),
-    "q151_group_ols" -> (q151_group_ols _)
+    "q151_group_ols" -> (q151_group_ols _),
+    "q152_auc" -> (q152_auc _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -4088,7 +4098,24 @@ object SparkEntry {
         |SELECT event_type, n, sx, sy, sxy, sxx,
         |  CAST((num // den) * 1000000 + ((num % den) * 1000000) // den AS BIGINT) AS slope_ppm,
         |  CAST(((1000000 * sy) - ((num // den) * 1000000 + ((num % den) * 1000000) // den) * sx) // (1000000 * n) AS BIGINT) AS intercept_cents
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    // q152: the doubled tie-averaged rank identity verbatim
+    "q152_auc" ->
+      """WITH hist AS (
+        |  SELECT n_chars AS s, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos
+        |  FROM documents GROUP BY n_chars
+        |), ranked AS (
+        |  SELECT s, cnt, cnt_pos,
+        |    (sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - cnt) * 2 + cnt + 1 AS rank2
+        |  FROM hist
+        |)
+        |SELECT CAST(sum(cnt_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(cnt) - sum(cnt_pos) AS BIGINT) AS n_neg,
+        |  CAST((1000000 * (sum(cnt_pos * rank2) - sum(cnt_pos) * (sum(cnt_pos) + 1)))
+        |    // (2 * sum(cnt_pos) * (sum(cnt) - sum(cnt_pos))) AS BIGINT) AS auc_ppm
+        |FROM ranked""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
