@@ -2084,6 +2084,16 @@ object SparkEntry {
         .select(col("n_chars"), (col("doc_id") % 3 === 0).as("label")),
       "n_chars", "label")
 
+  /** A16: exact two-sample Kolmogorov–Smirnov drift statistic in ppm —
+    * value distribution of even- vs odd-user events (deterministic
+    * split; ≈ no drift expected, the identity is what's verified). */
+  private def q153_ks_drift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.ksPpm(
+      t(s, dir, "events").select(
+        round(col("value") * 100).cast("long").as("cents"),
+        (col("user_id") % 2 === 0).as("even_user")),
+      "cents", "even_user")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2236,7 +2246,8 @@ object SparkEntry {
     "q149_containment" -> (q149_containment _),
     "q150_nfc_keys" -> (q150_nfc_keys _),
     "q151_group_ols" -> (q151_group_ols _),
-    "q152_auc" -> (q152_auc _)
+    "q152_auc" -> (q152_auc _),
+    "q153_ks_drift" -> (q153_ks_drift _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -4115,7 +4126,24 @@ object SparkEntry {
         |  CAST(sum(cnt) - sum(cnt_pos) AS BIGINT) AS n_neg,
         |  CAST((1000000 * (sum(cnt_pos * rank2) - sum(cnt_pos) * (sum(cnt_pos) + 1)))
         |    // (2 * sum(cnt_pos) * (sum(cnt) - sum(cnt_pos))) AS BIGINT) AS auc_ppm
-        |FROM ranked""".stripMargin
+        |FROM ranked""".stripMargin,
+    // q153: the scaled KS numerator max|cum1*n2 - cum2*n1| verbatim
+    "q153_ks_drift" ->
+      """WITH hist AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM events GROUP BY 1
+        |), cum AS (
+        |  SELECT v, c1, c2,
+        |    sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM hist
+        |), t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM hist)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+        |  CAST((1000000 * max(abs(cum1 * n2 - cum2 * n1))) // (n1 * n2) AS BIGINT) AS d_ppm
+        |FROM cum, t GROUP BY n1, n2""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample Kolmogorov–Smirnov distance for data-drift monitoring:
+  * did yesterday's corpus slice come from the same distribution as
+  * today's? D = max_v |F₁(v) − F₂(v)| over the observed support — the
+  * standard drift alarm between pipeline snapshots (token-length
+  * distributions, quality-score distributions, per-source mixes).
+  *
+  * Exactness: with sample sizes n₁, n₂ the statistic is a rational —
+  * D = max |cum₁·n₂ − cum₂·n₁| / (n₁·n₂) — so the scaled integer
+  * numerator is compared exactly and D ships in ppm with truncating
+  * division. No float enters the decision, so two engines agree
+  * bit-for-bit and a threshold alert fires identically everywhere.
+  *
+  * Scale shape: one aggregation to the per-(value, sample) histogram,
+  * one running-sum window over DISTINCT VALUES (not rows — quantize
+  * real-valued signals first), one max fold. Same shape as
+  * [[Auc]] — at 10¹¹ rows the histogram is what moves, and it is
+  * value-cardinality-sized.
+  */
+object Drift {
+
+  /** One row: (n1, n2, d_num, d_ppm) where d_num = max|cum₁·n₂ −
+    * cum₂·n₁| (the exact scaled statistic) and d_ppm = ⌊10⁶·D⌋.
+    * `sampleCol` boolean: true = sample 1, false = sample 2. */
+  def ksPpm(df: DataFrame, valueCol: String, sampleCol: String): DataFrame = {
+    val hist = df
+      .select(col(valueCol).cast("long").as("v"),
+        when(col(sampleCol), 1L).otherwise(0L).as("s1"))
+      .groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), (count(lit(1)) - sum(col("s1"))).as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+    // totals are one broadcast row; the cross join never shuffles the
+    // histogram
+    val totals = hist.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(totals)
+      .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        expr("(1000000 * d_num) div (n1 * n2)").as("d_ppm"))
+  }
+}
