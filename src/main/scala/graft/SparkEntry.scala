@@ -2094,6 +2094,17 @@ object SparkEntry {
         (col("user_id") % 2 === 0).as("even_user")),
       "cents", "even_user")
 
+  /** S16: keyed snapshot diff — audit q139's CDC merge against the
+    * original customer snapshot: every key classified added / removed /
+    * changed / unchanged from 8-byte fingerprints, never full payloads
+    * through the join. */
+  private def q154_table_diff(s: SparkSession, dir: String): DataFrame = {
+    val before = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    graft.operators.TableDiff.diff(before, q139_cdc_merge(s, dir),
+      Seq("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2247,7 +2258,8 @@ object SparkEntry {
     "q150_nfc_keys" -> (q150_nfc_keys _),
     "q151_group_ols" -> (q151_group_ols _),
     "q152_auc" -> (q152_auc _),
-    "q153_ks_drift" -> (q153_ks_drift _)
+    "q153_ks_drift" -> (q153_ks_drift _),
+    "q154_table_diff" -> (q154_table_diff _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -4143,7 +4155,40 @@ object SparkEntry {
         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
         |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
         |  CAST((1000000 * max(abs(cum1 * n2 - cum2 * n1))) // (n1 * n2) AS BIGINT) AS d_ppm
-        |FROM cum, t GROUP BY n1, n2""".stripMargin
+        |FROM cum, t GROUP BY n1, n2""".stripMargin,
+    // q154: the q139 merge restated, then a null-safe full-outer
+    // classification (IS DISTINCT FROM == the engine's null-tagged hash)
+    "q154_table_diff" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    'cust-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |    o_orderkey % 25 AS c_nationkey, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM orders
+        |), latest AS (
+        |  SELECT c_custkey, c_name, c_nationkey, op FROM (
+        |    SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY seq DESC, op DESC, c_name DESC, c_nationkey DESC) AS rn
+        |    FROM ch) WHERE rn = 1
+        |), merged AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN l.op = 'upsert' THEN l.c_name ELSE s.c_name END AS c_name,
+        |    CASE WHEN l.op = 'upsert' THEN l.c_nationkey ELSE s.c_nationkey END AS c_nationkey
+        |  FROM (SELECT c_custkey, c_name, c_nationkey FROM customer) s
+        |  FULL OUTER JOIN latest l USING (c_custkey)
+        |  WHERE l.op IS NULL OR l.op = 'upsert'
+        |)
+        |SELECT c_custkey,
+        |  CASE WHEN bef_present IS NULL THEN 'added'
+        |       WHEN aft_present IS NULL THEN 'removed'
+        |       WHEN bef.c_name IS NOT DISTINCT FROM aft.c_name
+        |        AND bef.c_nationkey IS NOT DISTINCT FROM aft.c_nationkey
+        |         THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM (SELECT c_custkey, c_name, c_nationkey, TRUE AS bef_present
+        |      FROM customer) bef
+        |FULL OUTER JOIN (SELECT merged.*, TRUE AS aft_present FROM merged) aft
+        |USING (c_custkey)""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
