@@ -2105,6 +2105,36 @@ object SparkEntry {
       Seq("c_custkey"))
   }
 
+  /** A17: categorical drift (total variation distance) of the
+    * event_type mix between even- and odd-user events — exact rational
+    * in ppm, no ordered support needed. */
+  private def q155_tvd_drift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.tvdPpm(
+      t(s, dir, "events").select(col("event_type"),
+        (col("user_id") % 2 === 0).as("even_user")),
+      "event_type", "even_user")
+
+  /** A18: corpus concentration across sources — exact Gini (sorted
+    * cumulative ranks on the per-source totals) and Herfindahl index,
+    * both in integer ppm. The "is one domain eating the corpus" audit;
+    * the rank window runs over SOURCE cardinality, not rows. */
+  private def q156_concentration(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c"), col("source"))
+    counts
+      .withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("k"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sum_sq"),
+        sum(col("i") * col("c")).as("rank_mass"))
+      .select(col("k"), col("total"),
+        // G = (2·Σi·c − (k+1)·Σc) / (k·Σc)
+        expr("(1000000 * (2 * rank_mass - (k + 1) * total)) div (k * total)")
+          .as("gini_ppm"),
+        // HHI = Σc² / (Σc)²
+        expr("(1000000 * sum_sq) div (total * total)").as("hhi_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2259,7 +2289,9 @@ object SparkEntry {
     "q151_group_ols" -> (q151_group_ols _),
     "q152_auc" -> (q152_auc _),
     "q153_ks_drift" -> (q153_ks_drift _),
-    "q154_table_diff" -> (q154_table_diff _)
+    "q154_table_diff" -> (q154_table_diff _),
+    "q155_tvd_drift" -> (q155_tvd_drift _),
+    "q156_concentration" -> (q156_concentration _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -4188,7 +4220,32 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_name, c_nationkey, TRUE AS bef_present
         |      FROM customer) bef
         |FULL OUTER JOIN (SELECT merged.*, TRUE AS aft_present FROM merged) aft
-        |USING (c_custkey)""".stripMargin
+        |USING (c_custkey)""".stripMargin,
+    // q155: Σ|c1·n2 − c2·n1| / (2·n1·n2) verbatim
+    "q155_tvd_drift" ->
+      """WITH hist AS (
+        |  SELECT event_type AS v,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM events GROUP BY 1
+        |), t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM hist)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST((1000000 * sum(abs(c1 * n2 - c2 * n1))) // (2 * n1 * n2) AS BIGINT) AS tvd_ppm
+        |FROM hist, t GROUP BY n1, n2""".stripMargin,
+    // q156: Gini via sorted cumulative ranks + HHI, both exact ppm
+    "q156_concentration" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source
+        |), ranked AS (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i
+        |  FROM counts
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(c) AS BIGINT) AS total,
+        |  CAST((1000000 * (2 * sum(i * c) - (count(*) + 1) * sum(c)))
+        |    // (count(*) * sum(c)) AS BIGINT) AS gini_ppm,
+        |  CAST((1000000 * sum(c * c)) // (sum(c) * sum(c)) AS BIGINT) AS hhi_ppm
+        |FROM ranked""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

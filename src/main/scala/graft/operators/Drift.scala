@@ -48,4 +48,23 @@ object Drift {
       .select(col("n1"), col("n2"), col("d_num"),
         expr("(1000000 * d_num) div (n1 * n2)").as("d_ppm"))
   }
+
+  /** Total variation distance for CATEGORICAL columns — ½ Σ|p₁ − p₂|,
+    * the ordered-support-free sibling of [[ksPpm]] (KS needs an order;
+    * source/language/domain mixes have none). Same exact-rational
+    * trick: TVD = Σ|c₁·n₂ − c₂·n₁| / (2·n₁·n₂), integer throughout.
+    * One row: (n1, n2, tvd_ppm). */
+  def tvdPpm(df: DataFrame, catCol: String, sampleCol: String): DataFrame = {
+    val hist = df
+      .select(col(catCol).cast("string").as("v"),
+        when(col(sampleCol), 1L).otherwise(0L).as("s1"))
+      .groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), (count(lit(1)) - sum(col("s1"))).as("c2"))
+    val totals = hist.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    hist.crossJoin(totals)
+      .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+        sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("t_num"))
+      .select(col("n1"), col("n2"),
+        expr("(1000000 * t_num) div (2 * n1 * n2)").as("tvd_ppm"))
+  }
 }

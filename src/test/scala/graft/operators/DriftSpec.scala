@@ -42,6 +42,23 @@ class DriftSpec extends SparkSpec {
     math.abs(ppm - want) should be <= 1L
   }
 
+  "tvdPpm" should "be zero for identical mixes and one million for disjoint" in {
+    val same = Seq(("a", true), ("b", true), ("a", false), ("b", false))
+    Drift.tvdPpm(same.toDF("v", "s"), "v", "s")
+      .select("tvd_ppm").as[Long].head() shouldBe 0L
+    val disjoint = Seq(("a", true), ("b", true), ("c", false), ("d", false))
+    Drift.tvdPpm(disjoint.toDF("v", "s"), "v", "s")
+      .select("tvd_ppm").as[Long].head() shouldBe 1000000L
+  }
+
+  it should "match the float reference on a skewed categorical mix" in {
+    val rows = Seq.fill(60)(("x", true)) ++ Seq.fill(40)(("y", true)) ++
+      Seq.fill(30)(("x", false)) ++ Seq.fill(70)(("y", false))
+    // p1 = (.6,.4), p2 = (.3,.7): TVD = ½(0.3+0.3) = 0.3
+    Drift.tvdPpm(rows.toDF("v", "s"), "v", "s")
+      .select("tvd_ppm").as[Long].head() shouldBe 300000L
+  }
+
   it should "detect an injected location shift" in {
     val rnd = new scala.util.Random(31)
     val rows = Seq.fill(500)((rnd.nextInt(50).toLong, true)) ++
