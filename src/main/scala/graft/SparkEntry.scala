@@ -2135,6 +2135,30 @@ object SparkEntry {
         expr("(1000000 * sum_sq) div (total * total)").as("hhi_ppm"))
   }
 
+  /** A19: thresholded-classifier evaluation — confusion counts plus
+    * precision/recall/F1 and Cohen's κ, every ratio as exact integer
+    * ppm (F1 = 2TP/(2TP+FP+FN); κ from the closed rational form), so
+    * the whole report is one aggregation and hash-stable. */
+  private def q157_confusion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select((col("doc_id") % 3 === 0).as("label"),
+        (col("n_chars") > 300).as("pred"))
+      .agg(
+        sum(when(col("label") && col("pred"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("label") && col("pred"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") && !col("pred"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("label") && !col("pred"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(1000000 * tp) div (tp + fp)").as("precision_ppm"),
+        expr("(1000000 * tp) div (tp + fn)").as("recall_ppm"),
+        expr("(1000000 * 2 * tp) div (2 * tp + fp + fn)").as("f1_ppm"),
+        // κ = (N(TP+TN) − E) / (N² − E), E = (TP+FP)(TP+FN)+(FN+TN)(FP+TN)
+        expr("(1000000 * ((tp + fp + fn + tn) * (tp + tn)" +
+          " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))))" +
+          " div ((tp + fp + fn + tn) * (tp + fp + fn + tn)" +
+          " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))")
+          .as("kappa_ppm"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2291,7 +2315,8 @@ object SparkEntry {
     "q153_ks_drift" -> (q153_ks_drift _),
     "q154_table_diff" -> (q154_table_diff _),
     "q155_tvd_drift" -> (q155_tvd_drift _),
-    "q156_concentration" -> (q156_concentration _)
+    "q156_concentration" -> (q156_concentration _),
+    "q157_confusion" -> (q157_confusion _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -4245,7 +4270,26 @@ object SparkEntry {
         |  CAST((1000000 * (2 * sum(i * c) - (count(*) + 1) * sum(c)))
         |    // (count(*) * sum(c)) AS BIGINT) AS gini_ppm,
         |  CAST((1000000 * sum(c * c)) // (sum(c) * sum(c)) AS BIGINT) AS hhi_ppm
-        |FROM ranked""".stripMargin
+        |FROM ranked""".stripMargin,
+    // q157: confusion counts + exact ppm ratios, formulas verbatim
+    "q157_confusion" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN doc_id % 3 = 0 AND n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN doc_id % 3 <> 0 AND n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN doc_id % 3 = 0 AND n_chars <= 300 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN doc_id % 3 <> 0 AND n_chars <= 300 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM documents
+        |)
+        |SELECT tp, fp, fn, tn,
+        |  CAST((1000000 * tp) // (tp + fp) AS BIGINT) AS precision_ppm,
+        |  CAST((1000000 * tp) // (tp + fn) AS BIGINT) AS recall_ppm,
+        |  CAST((1000000 * 2 * tp) // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm,
+        |  CAST((1000000 * ((tp + fp + fn + tn) * (tp + tn)
+        |    - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))))
+        |    // ((tp + fp + fn + tn) * (tp + fp + fn + tn)
+        |    - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))) AS BIGINT) AS kappa_ppm
+        |FROM c""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
