@@ -218,7 +218,7 @@ object Ann {
     * dominant cost of the SemDeDup scaling probe). Ties go to the
     * smallest cent_id, matching the windowed formulation. Output:
     * (cent_id, id, v, norm). */
-  private def assignNearest(corpus: DataFrame, idCol: String, vecCol: String,
+  private[similarity] def assignNearest(corpus: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -300,7 +300,7 @@ object Ann {
 
   /** Probe-side routing: the `nprobe` nearest lists per probe vector
     * (column formulation — the nprobe-list expansion is row-bounded). */
-  private def probeLists(cents: DataFrame, probes: DataFrame, idCol: String,
+  private[similarity] def probeLists(cents: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, nprobe: Int): DataFrame = {
     val scored = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_id_vec"))

@@ -63,6 +63,93 @@ object Quantized {
       .toDF("id", "qvec")
   }
 
+  /** IVF × SQ composition: centroid routing confines each probe to
+    * `nprobe` lists (the IVF candidate cut), the confined candidates are
+    * scored on their int8 codes (the SQ memory cut — the shuffled list
+    * payload is 1 byte/dim plus an 8-byte id), and the top `rerank·k`
+    * pool is re-scored exactly on full floats. Both approximations
+    * compose multiplicatively on cost and their error sources stay
+    * independent: routing loss is bounded by nprobe, scoring loss by the
+    * quantization step and the rerank pool. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 0, nprobe: Int = 4,
+      rerank: Int = 4): DataFrame = {
+    require(k > 0 && nprobe >= 1 && rerank >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scales = fitScales(corpus, vecCol)
+    val scalesB = spark.sparkContext.broadcast(scales)
+    val lists = if (nlist > 0) nlist else Ann.autoNlist(corpus.count())
+    val cents = Ann.kmeansCentroids(corpus, idCol, vecCol, lists, 1)
+    // corpus lists carry int8 codes, not floats
+    val assignedQ = Ann.assignNearest(corpus, idCol, vecCol, cents)
+      .select(col("cent_id"), col("id"), col("v"))
+      .as[(Long, Long, Array[Float])]
+      .map { case (cid, id, v) => (cid, id, quantize(v, scalesB.value)) }
+      .toDF("cent_id", "neighbor_id", "qvec")
+    val probed = Ann.probeLists(cents, probes, idCol, vecCol, nprobe)
+    val cands = probed.join(assignedQ, "cent_id")
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .dropDuplicates("probe_id", "neighbor_id")
+      .select(col("probe_id"), col("probe_id_vec"), col("neighbor_id"),
+        col("qvec"))
+      .as[(Long, Array[Float], Long, Array[Byte])]
+      .mapPartitions { it =>
+        val sc = scalesB.value
+        val steps = sc.map { case (lo, hi) =>
+          if (hi <= lo) 0f else (hi - lo) / 255f }
+        it.map { case (pid, pv, nid, cq) =>
+          var dot = 0.0; var pn = 0.0; var cn = 0.0
+          var d = 0
+          while (d < cq.length) {
+            val x = sc(d)._1 + (cq(d) + 128) * steps(d)
+            dot += pv(d) * x; pn += pv(d).toDouble * pv(d).toDouble
+            cn += x * x; d += 1
+          }
+          (pid, nid, dot / (math.sqrt(pn) * math.sqrt(cn)))
+        }
+      }.toDF("probe_id", "neighbor_id", "qsim")
+    val poolW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    val pool = cands.withColumn("r", row_number().over(poolW))
+      .where(col("r") <= k * rerank)
+      .select(col("probe_id"), col("neighbor_id"))
+    exactRerank(corpus, probes, idCol, vecCol, pool, k)
+  }
+
+  /** Exact float rerank of a (probe_id, neighbor_id) pool to top-k. */
+  private def exactRerank(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, pool: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pMap = spark.sparkContext.broadcast(
+      probes.select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Array[Float])].collect().toMap)
+    val exact = pool
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("cvec")), "neighbor_id")
+      .as[(Long, Long, Array[Float])]
+      .map { case (nid, pid, cv) =>
+        val pv = pMap.value(pid)
+        var dot = 0.0; var pn = 0.0; var cn = 0.0
+        var d = 0
+        while (d < pv.length) {
+          dot += pv(d).toDouble * cv(d).toDouble
+          pn += pv(d).toDouble * pv(d).toDouble
+          cn += cv(d).toDouble * cv(d).toDouble
+          d += 1
+        }
+        (pid, nid, dot / (math.sqrt(pn) * math.sqrt(cn)))
+      }.toDF("probe_id", "neighbor_id", "sim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Two-stage top-k: quantized integer scan → top rerank·k candidates
     * per probe → exact float rerank. Output (probe_id, neighbor_id,
     * rank) with the same tie rule as the exact search (sim desc, id). */

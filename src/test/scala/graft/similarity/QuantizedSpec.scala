@@ -48,6 +48,28 @@ class QuantizedSpec extends SparkSpec {
     quant shouldBe exact
   }
 
+  "ivfTopK" should "equal the exact search when probing every list with a full pool" in {
+    val df = vecs(80, 8, 4).toDF("vec_id", "embedding")
+    val probes = df.where($"vec_id" < 5)
+    val exact = Ann.bruteForceTopK(df, probes, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val quant = Quantized.ivfTopK(df, probes, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 4, rerank = 80)
+      .as[(Long, Long, Int)].collect().toSet
+    quant shouldBe exact
+  }
+
+  it should "keep high recall under routing + quantization" in {
+    val df = vecs(300, 12, 5).toDF("vec_id", "embedding")
+    val probes = df.where($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(df, probes, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val got = Quantized.ivfTopK(df, probes, "vec_id", "embedding",
+      k = 5, nlist = 6, nprobe = 3, rerank = 4)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    ((exact & got).size.toDouble / exact.size) should be >= 0.7
+  }
+
   it should "reach high recall with a small rerank pool" in {
     val df = vecs(300, 12, 3).toDF("vec_id", "embedding")
     val probes = df.where($"vec_id" < 10)
