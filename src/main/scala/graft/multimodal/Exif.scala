@@ -72,8 +72,18 @@ object Exif {
       if (le) { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt); w8((v >> 24).toInt) }
       else { w8((v >> 24).toInt); w8((v >> 16).toInt); w8((v >> 8).toInt); w8(v.toInt) }
 
-    val makeBytes = (make + "\u0000").getBytes(StandardCharsets.US_ASCII)
-    val dtBytes = (dateTime + "\u0000").getBytes(StandardCharsets.US_ASCII)
+    // TIFF stores values of <= 4 bytes INLINE in the entry's value
+    // field; this writer always emits ASCII out-of-line, so short
+    // strings are NUL-padded past the inline boundary (trailing NULs
+    // are legal in EXIF ASCII and parsers stop at the first one).
+    // Caught by the extract spec: a 4-byte "Cam\u0000" previously had
+    // its OFFSET read back as characters.
+    def asciiBytes(s: String): Array[Byte] = {
+      val b = (s + "\u0000").getBytes(StandardCharsets.US_ASCII)
+      if (b.length > 4) b else b ++ Array.fill(5 - b.length)(0.toByte)
+    }
+    val makeBytes = asciiBytes(make)
+    val dtBytes = asciiBytes(dateTime)
 
     // layout (offsets from TIFF origin):
     // 8: IFD0 (4 entries), then next-IFD(4B)
@@ -129,6 +139,27 @@ object Exif {
     }
     dms(math.abs(latE6)); dms(math.abs(lonE6))
     buf.toByteArray
+  }
+
+  // ------------------------------------------------------------- operator
+
+  /** DataFrame surface: parse a binary image column into EXIF fields —
+    * per-partition kernel, null-preserving (junk bytes yield null
+    * fields, never a failed task), shuffle-free. */
+  def extract(df: org.apache.spark.sql.DataFrame, idCol: String,
+      binCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val d = parse(bytes)
+        (id, d.make.orNull, d.dateTime.orNull,
+          d.orientation.map(_.toLong), d.latE6, d.lonE6)
+      }
+      .toDF("id", "exif_make", "exif_datetime", "exif_orientation",
+        "exif_lat_e6", "exif_lon_e6")
   }
 
   // ---------------------------------------------------------------- parse

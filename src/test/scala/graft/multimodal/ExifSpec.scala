@@ -58,6 +58,24 @@ class ExifSpec extends AnyFlatSpec with Matchers {
     Exif.parse(tiff).orientation shouldBe Some(8)
   }
 
+  "extract" should "parse a binary column per partition, nulls for junk" in {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Exif.buildJpeg("Cam", "2024:01:01 00:00:00", 6, lat, lon)),
+      (2L, Array[Byte](1, 2, 3)), // junk
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("img_id", "bytes")
+    val out = Exif.extract(rows, "img_id", "bytes")
+      .orderBy("id")
+      .as[(Long, String, String, Option[Long], Option[Long], Option[Long])]
+      .collect()
+    out(0) shouldBe ((1L, "Cam", "2024:01:01 00:00:00",
+      Some(6L), Some(lat), Some(lon)))
+    out(1)._2 shouldBe null
+    out(2)._4 shouldBe None
+  }
+
   it should "return None fields when the GPS IFD pointer is absent" in {
     // hand-build a TIFF with only Make: 1 entry
     val out = new java.io.ByteArrayOutputStream()
