@@ -2159,6 +2159,53 @@ object SparkEntry {
           " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))")
           .as("kappa_ppm"))
 
+  /** q158: inverted-index BM25 top-k — the indexed retrieval sibling of
+    * q88 (same scoring formula, term-pruned postings instead of a corpus
+    * re-tokenize; rank-safe WAND-style candidate cut verified by spec to
+    * change nothing). */
+  private def q158_bm25_topk(s: SparkSession, dir: String): DataFrame = {
+    val ix = graft.text.InvertedIndex.build(t(s, dir, "documents"), "doc_id", "text")
+    graft.text.InvertedIndex.topK(ix, Seq("spark", "table", "query"), 20)
+      .select(col("id").as("doc_id"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
+  /** q159: exact heavy hitters over the token stream — per-partition
+    * Misra–Gries candidates, exact verified counts, support 1/200. */
+  private def q159_heavy_hitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.frequentItems(
+      t(s, dir, "documents")
+        .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok")),
+      "tok", 200)
+
+  /** q160: Fellegi–Sunter record-linkage scoring — supervised m/u
+    * estimation on a bounded labeled pair sample, log-likelihood-ratio
+    * scores; all count arithmetic exact, ln shapes mirrored by the
+    * oracle. */
+  private def q160_fellegi_sunter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").where(col("c_custkey") <= 300)
+      .select(col("c_custkey"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).as("bkt"),
+        (col("c_acctbal") > 0).as("pos"), col("c_mktsegment"))
+    val pairs = c.as("a")
+      .join(c.as("b"), col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("id1"), col("b.c_custkey").as("id2"),
+        (col("a.c_mktsegment") === col("b.c_mktsegment")).cast("int").as("is_match"),
+        (col("a.c_nationkey") === col("b.c_nationkey")).cast("int").as("a_nation"),
+        (col("a.bkt") === col("b.bkt")).cast("int").as("a_bkt"),
+        (col("a.pos") === col("b.pos")).cast("int").as("a_bal"))
+    val fields = Seq("a_nation", "a_bkt", "a_bal")
+    val w = graft.enrich.FellegiSunter.weights(pairs, fields, "is_match")
+    graft.enrich.FellegiSunter.score(pairs, w, fields)
+      .select(col("id1"), col("id2"), col("fs_score"))
+  }
+
+  /** q161: HITS hubs/authorities — 2 integer fixed-point iterations on
+    * the order→part bipartite graph (same edge derivation as q121). */
+  private def q161_hits(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Hits.fixedPoint(
+      t(s, dir, "lineitem").select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 10000000L).as("dst")), 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2316,7 +2363,11 @@ object SparkEntry {
     "q154_table_diff" -> (q154_table_diff _),
     "q155_tvd_drift" -> (q155_tvd_drift _),
     "q156_concentration" -> (q156_concentration _),
-    "q157_confusion" -> (q157_confusion _)
+    "q157_confusion" -> (q157_confusion _),
+    "q158_bm25_topk" -> (q158_bm25_topk _),
+    "q159_heavy_hitters" -> (q159_heavy_hitters _),
+    "q160_fellegi_sunter" -> (q160_fellegi_sunter _),
+    "q161_hits" -> (q161_hits _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -4289,7 +4340,121 @@ object SparkEntry {
         |    - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))))
         |    // ((tp + fp + fn + tn) * (tp + fp + fn + tn)
         |    - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))) AS BIGINT) AS kappa_ppm
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // q158: q88's BM25 restatement + rounded-score top-20 with the
+    // (score DESC, doc_id) tie rule and a BIGINT rank
+    "q158_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, len(ts) AS dl, ts FROM toks WHERE len(ts) > 0
+        |), stats AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl FROM d
+        |), tf AS (
+        |  SELECT doc_id, dl, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS tok FROM d)
+        |  WHERE tok IN ('spark', 'table', 'query')
+        |  GROUP BY doc_id, dl, tok
+        |), dfreq AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+        |), scores AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(
+        |      ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+        |  GROUP BY tf.doc_id
+        |)
+        |SELECT doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM scores ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // q159: exact heavy hitters — plain GROUP BY + integer HAVING; the
+    // engine's MG candidate pass changes cost, never the answer
+    "q159_heavy_hitters" ->
+      """WITH v AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'),
+        |    x -> len(x) > 0)) AS value
+        |  FROM documents
+        |), tot AS (SELECT count(*) AS n FROM v)
+        |SELECT value, count(*) AS cnt
+        |FROM v CROSS JOIN tot
+        |GROUP BY value, n
+        |HAVING count(*) * 200 >= n""".stripMargin,
+    // q160: Fellegi–Sunter — m/u from exact half-offset counts, weights
+    // and scores with the engine's formula shapes, round(6)
+    "q160_fellegi_sunter" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, floor(c_acctbal / 1000) AS bkt,
+        |    c_acctbal > 0 AS pos, c_mktsegment
+        |  FROM customer WHERE c_custkey <= 300
+        |), p AS (
+        |  SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |    CAST(a.c_mktsegment = b.c_mktsegment AS INT) AS is_match,
+        |    CAST(a.c_nationkey = b.c_nationkey AS INT) AS a_nation,
+        |    CAST(a.bkt = b.bkt AS INT) AS a_bkt,
+        |    CAST(a.pos = b.pos AS INT) AS a_bal
+        |  FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |), agg AS (
+        |  SELECT
+        |    sum(CASE WHEN is_match = 1 THEN a_nation END) AS n_mn,
+        |    sum(CASE WHEN is_match = 1 THEN 1 END) AS md,
+        |    sum(CASE WHEN is_match = 0 THEN a_nation END) AS n_un,
+        |    sum(CASE WHEN is_match = 0 THEN 1 END) AS ud,
+        |    sum(CASE WHEN is_match = 1 THEN a_bkt END) AS p_mn,
+        |    sum(CASE WHEN is_match = 0 THEN a_bkt END) AS p_un,
+        |    sum(CASE WHEN is_match = 1 THEN a_bal END) AS b_mn,
+        |    sum(CASE WHEN is_match = 0 THEN a_bal END) AS b_un
+        |  FROM p
+        |), w AS (
+        |  SELECT
+        |    round(ln(((n_mn + 0.5) / (md + 1.0)) / ((n_un + 0.5) / (ud + 1.0))), 6) AS wn_a,
+        |    round(ln((1.0 - (n_mn + 0.5) / (md + 1.0)) / (1.0 - (n_un + 0.5) / (ud + 1.0))), 6) AS wn_d,
+        |    round(ln(((p_mn + 0.5) / (md + 1.0)) / ((p_un + 0.5) / (ud + 1.0))), 6) AS wp_a,
+        |    round(ln((1.0 - (p_mn + 0.5) / (md + 1.0)) / (1.0 - (p_un + 0.5) / (ud + 1.0))), 6) AS wp_d,
+        |    round(ln(((b_mn + 0.5) / (md + 1.0)) / ((b_un + 0.5) / (ud + 1.0))), 6) AS wb_a,
+        |    round(ln((1.0 - (b_mn + 0.5) / (md + 1.0)) / (1.0 - (b_un + 0.5) / (ud + 1.0))), 6) AS wb_d
+        |  FROM agg
+        |)
+        |SELECT id1, id2,
+        |  round((CASE WHEN a_nation = 1 THEN wn_a ELSE wn_d END
+        |       + CASE WHEN a_bkt = 1 THEN wp_a ELSE wp_d END)
+        |       + CASE WHEN a_bal = 1 THEN wb_a ELSE wb_d END, 6) AS fs_score
+        |FROM p CROSS JOIN w""".stripMargin,
+    // q161: HITS unrolled — 2 iterations of the integer mutual
+    // recurrence with max-normalization, term by term
+    "q161_hits" ->
+      """WITH e AS (
+        |  SELECT l_orderkey AS src, l_partkey + 10000000 AS dst FROM lineitem
+        |), v AS (
+        |  SELECT DISTINCT id
+        |  FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+        |), h0 AS (
+        |  SELECT id, CAST(1000000 AS BIGINT) AS h FROM v
+        |), a1r AS (
+        |  SELECT e.dst AS id, sum(h0.h) AS a
+        |  FROM e JOIN h0 ON e.src = h0.id GROUP BY e.dst
+        |), a1 AS (
+        |  SELECT id, (a * 1000000) // (SELECT max(a) FROM a1r) AS a FROM a1r
+        |), h1r AS (
+        |  SELECT e.src AS id, sum(a1.a) AS h
+        |  FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src
+        |), h1 AS (
+        |  SELECT id, (h * 1000000) // (SELECT max(h) FROM h1r) AS h FROM h1r
+        |), a2r AS (
+        |  SELECT e.dst AS id, sum(h1.h) AS a
+        |  FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst
+        |), a2 AS (
+        |  SELECT id, (a * 1000000) // (SELECT max(a) FROM a2r) AS a FROM a2r
+        |), h2r AS (
+        |  SELECT e.src AS id, sum(a2.a) AS h
+        |  FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src
+        |), h2 AS (
+        |  SELECT id, (h * 1000000) // (SELECT max(h) FROM h2r) AS h FROM h2r
+        |)
+        |SELECT v.id, CAST(coalesce(a2.a, 0) AS BIGINT) AS auth,
+        |  CAST(coalesce(h2.h, 0) AS BIGINT) AS hub
+        |FROM v LEFT JOIN a2 ON v.id = a2.id LEFT JOIN h2 ON v.id = h2.id""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -150,6 +150,160 @@ object Quantized {
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks (Jégou et al., TPAMI 2011): the
+    * vector is split into `m` contiguous subspaces and each subvector is
+    * k-means-clustered independently; a vector is then stored as `m`
+    * one-byte codeword ids — 768 dims × 4 bytes → `m` bytes (vs int8
+    * SQ's 1 byte/dim), the memory point between SQ and raw floats that
+    * production stores (FAISS IVFPQ) run at billion scale.
+    *
+    * Training reuses [[Ann.kmeansCentroids]] per subspace on sliced
+    * subvectors — m small distributed k-means runs; the finished
+    * codebook is m × ksub × (d/m) doubles of broadcast state.
+    * Returns codebook(sub)(code) = centroid subvector, with codes
+    * re-numbered 0..ksub-1 in a deterministic order. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iterations: Int = 2): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1 && ksub <= 256, "need 1 <= ksub <= 256")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = corpus.select(col(idCol).cast("long").as("id"),
+        slice(col(vecCol), j * dsub + 1, dsub).as("v"))
+      Ann.kmeansCentroids(sub, "id", "v", ksub, iterations)
+        .orderBy(col("cent_id"))
+        .collect()
+        .map(_.getAs[Seq[Double]]("cent_vec").toArray)
+    }.toArray
+  }
+
+  private[similarity] def pqCode(v: Array[Float],
+      book: Array[Array[Array[Double]]]): Array[Byte] = {
+    val m = book.length
+    val dsub = v.length / m
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val words = book(j)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < words.length) {
+        var d2 = 0.0; var t = 0
+        while (t < dsub) {
+          val diff = v(j * dsub + t) - words(c)(t)
+          d2 += diff * diff; t += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  /** (id, codes binary): map-only PQ encode against a trained codebook. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      book: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bookB = spark.sparkContext.broadcast(book)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, pqCode(v, bookB.value)) }
+      .toDF("id", "codes")
+  }
+
+  /** PQ top-k via asymmetric distance computation: each probe
+    * precomputes, per (subspace, codeword), the partial dot with its own
+    * full-precision subvector and the codeword's partial squared norm —
+    * an m×ksub lookup table. Scanning a corpus vector is then m table
+    * lookups and adds (no per-dimension work), approximating cosine as
+    *   dot ≈ Σ_j T_dot[j][code_j],  ‖c‖² ≈ Σ_j T_norm[j][code_j].
+    * The top rerank·k pool per probe is re-scored on exact floats —
+    * same two-stage recall/precision shape as [[topK]]. */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, ksub: Int = 32,
+      rerank: Int = 4, iterations: Int = 2): DataFrame = {
+    require(k > 0 && rerank >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val book = pqTrain(corpus, idCol, vecCol, m, ksub, iterations)
+    val bookB = spark.sparkContext.broadcast(book)
+    val probeRows = probes.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val probeB = spark.sparkContext.broadcast(probeRows)
+
+    val cands = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val bk = bookB.value
+        val mm = bk.length
+        val ps = probeB.value
+        // per-probe ADC tables, built once per partition
+        // codebooks can be jagged (k-means drops empty clusters)
+        val tables = ps.map { case (pid, pv) =>
+          val dsub = pv.length / mm
+          val tDot = Array.tabulate(mm)(j => new Array[Double](bk(j).length))
+          var j = 0
+          while (j < mm) {
+            var c = 0
+            while (c < bk(j).length) {
+              var d = 0.0; var t = 0
+              while (t < dsub) {
+                d += pv(j * dsub + t) * bk(j)(c)(t); t += 1
+              }
+              tDot(j)(c) = d; c += 1
+            }
+            j += 1
+          }
+          var pn = 0.0; var i = 0
+          while (i < pv.length) { pn += pv(i).toDouble * pv(i).toDouble; i += 1 }
+          (pid, tDot, math.sqrt(pn))
+        }
+        val tNorm = {
+          val tn = Array.tabulate(mm)(j => new Array[Double](bk(j).length))
+          var j = 0
+          while (j < mm) {
+            var c = 0
+            while (c < bk(j).length) {
+              var n2 = 0.0; var t = 0
+              while (t < bk(j)(c).length) {
+                n2 += bk(j)(c)(t) * bk(j)(c)(t); t += 1
+              }
+              tn(j)(c) = n2; c += 1
+            }
+            j += 1
+          }
+          tn
+        }
+        it.flatMap { case (nid, cv) =>
+          val code = pqCode(cv, bk)
+          var cn2 = 0.0
+          var j = 0
+          while (j < mm) { cn2 += tNorm(j)(code(j) & 0xff); j += 1 }
+          val cNorm = math.sqrt(cn2)
+          tables.iterator.filter(_._1 != nid).map { case (pid, tDot, pNorm) =>
+            var dot = 0.0
+            var jj = 0
+            while (jj < mm) { dot += tDot(jj)(code(jj) & 0xff); jj += 1 }
+            (pid, nid, if (cNorm == 0.0) 0.0 else dot / (pNorm * cNorm))
+          }
+        }
+      }.toDF("probe_id", "neighbor_id", "qsim")
+    val poolW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    val pool = cands.withColumn("r", row_number().over(poolW))
+      .where(col("r") <= k * rerank)
+      .select(col("probe_id"), col("neighbor_id"))
+    exactRerank(corpus, probes, idCol, vecCol, pool, k)
+  }
+
   /** Two-stage top-k: quantized integer scan → top rerank·k candidates
     * per probe → exact float rerank. Output (probe_id, neighbor_id,
     * rank) with the same tie rule as the exact search (sim desc, id). */

@@ -81,4 +81,53 @@ class QuantizedSpec extends SparkSpec {
     val recall = (exact & quant).size.toDouble / exact.size
     recall should be >= 0.8
   }
+
+  "pqTrain/pqEncode" should "produce m one-byte codes within codebook range" in {
+    val df = vecs(120, 12, 6).toDF("vec_id", "embedding")
+    val book = Quantized.pqTrain(df, "vec_id", "embedding", m = 3, ksub = 8)
+    book.length shouldBe 3
+    all(book.map(_.length)) should be <= 8
+    all(book.flatMap(_.map(_.length))) shouldBe 4 // d/m subvector dims
+    val enc = Quantized.pqEncode(df, "vec_id", "embedding", book)
+    enc.select(expr("length(codes)")).distinct().as[Int].collect() shouldBe
+      Array(3)
+    // codes index into each subspace's codebook
+    val codes = enc.select($"codes").as[Array[Byte]].collect()
+    codes.foreach { c =>
+      (0 until 3).foreach(j => (c(j) & 0xff) should be < book(j).length)
+    }
+  }
+
+  "pqCode" should "pick the nearest codeword per subspace" in {
+    // 2 subspaces of 2 dims, codewords on axes — nearest is unambiguous
+    val book = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      Array(Array(0.0, 5.0), Array(5.0, 0.0)))
+    Quantized.pqCode(Array(9f, 9f, 0.2f, 4.8f), book).toSeq shouldBe
+      Seq(1.toByte, 0.toByte)
+    Quantized.pqCode(Array(1f, 0f, 4.9f, 0.1f), book).toSeq shouldBe
+      Seq(0.toByte, 1.toByte)
+  }
+
+  "pqTopK" should "equal the exact search when the rerank pool covers the corpus" in {
+    val df = vecs(60, 8, 7).toDF("vec_id", "embedding")
+    val probes = df.where($"vec_id" < 5)
+    val exact = Ann.bruteForceTopK(df, probes, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val pq = Quantized.pqTopK(df, probes, "vec_id", "embedding",
+      k = 3, m = 4, ksub = 16, rerank = 60) // pool = whole corpus
+      .as[(Long, Long, Int)].collect().toSet
+    pq shouldBe exact
+  }
+
+  it should "keep high recall through ADC with a small rerank pool" in {
+    val df = vecs(300, 12, 8).toDF("vec_id", "embedding")
+    val probes = df.where($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(df, probes, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val pq = Quantized.pqTopK(df, probes, "vec_id", "embedding",
+      k = 5, m = 4, ksub = 32, rerank = 6)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    ((exact & pq).size.toDouble / exact.size) should be >= 0.8
+  }
 }
