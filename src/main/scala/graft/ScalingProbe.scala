@@ -571,6 +571,100 @@ object ScalingProbe {
       out += "triangles1M" -> s"""{"sec":$tTri,"triangles":$nTri}"""
     }
 
+    // 26) inverted-index retrieval at 500k docs: one-pass build +
+    // save with bucket layout, then a 3-term top-20 query against the
+    // loaded index (the serving path — bucket-pruned scan)
+    if (want("invix500k")) {
+      val docs500k = docs.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        .localCheckpoint()
+      val ixDir = java.nio.file.Files.createTempDirectory("invix500k").toString
+      val (tBuild, nPost) = time {
+        val ix = graft.text.InvertedIndex.build(docs500k, "doc_id", "text")
+        graft.text.InvertedIndex.save(ix, ixDir, numBuckets = 64)
+        ix.postings.count()
+      }
+      val loaded = graft.text.InvertedIndex.load(spark, ixDir)
+      val (tQuery, nHits) = time {
+        graft.text.InvertedIndex.topK(loaded,
+          Seq("spark", "table", "query"), 20).count()
+      }
+      out += "invix500k" ->
+        s"""{"buildSec":$tBuild,"postings":$nPost,"querySec":$tQuery,"hits":$nHits}"""
+    }
+
+    // 27) exact heavy hitters over ~40M tokens (documents x100): the
+    // MG-candidate pass must keep the aggregation key space bounded
+    if (want("heavy40M")) {
+      val docs100 = docs.crossJoin(spark.range(100).toDF("rep"))
+        .select(col("text"))
+      val toks = docs100.select(
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      val (tHh, nHh) = time {
+        graft.operators.HeavyHitters.frequentItems(toks, "tok", 200).count()
+      }
+      out += "heavy40M" -> s"""{"sec":$tHh,"hitters":$nHh}"""
+    }
+
+    // 28) PQ/ADC search at 500k vectors: recall@10 vs exact + timing
+    if (want("pq500k")) {
+      val emb500k = emb.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("vec_id") + col("rep") * 1000000).as("vec_id"),
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x.cast("double") +
+              (pmod(col("rep") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.02)
+              .cast("float")).as("embedding"))
+        .localCheckpoint()
+      val probes = emb500k.where(col("vec_id") < 100)
+      val exactTop = graft.similarity.Ann.bruteForceTopK(
+          emb500k, probes, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+      val nExact = exactTop.count()
+      val (tPq, nHits) = time {
+        graft.similarity.Quantized.pqTopK(emb500k, probes, "vec_id",
+            "embedding", k = 10, m = 8, ksub = 64, rerank = 8)
+          .join(exactTop, Seq("probe_id", "neighbor_id"), "left_semi").count()
+      }
+      out += "pq500k" ->
+        s"""{"sec":$tPq,"recallAt10":${nHits.toDouble / nExact}}"""
+    }
+
+    // 29) Gram matrix over 500k x 64 embeddings: the one-pass
+    // outer-product kernel (d(d+1)/2 cells per partition, no join)
+    if (want("gram500k")) {
+      val emb500k = emb.crossJoin(spark.range(250).toDF("rep"))
+        .select(col("embedding")).localCheckpoint()
+      val (tGram, nCells) = time {
+        graft.similarity.Embeddings.gramMicro(emb500k, "embedding").count()
+      }
+      out += "gram500k" -> s"""{"sec":$tGram,"cells":$nCells}"""
+    }
+
+    // 30) k-core + BFS on the 600k-edge bipartite graph at sf0.1
+    if (want("kcore600k")) {
+      val li = Tables(spark, dir, "lineitem")
+      val edges = li.select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 10000000L).as("dst"))
+      val (tKc, nKc) = time {
+        graft.graph.KCore.kCore(edges, k = 4).count()
+      }
+      out += "kcore600k" -> s"""{"sec":$tKc,"coreVertices":$nKc}"""
+    }
+    if (want("bfs600k")) {
+      val li = Tables(spark, dir, "lineitem")
+      val fwd = li.select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 10000000L).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val src = li.agg(min(col("l_orderkey")).as("id"))
+      val (tBfs, nBfs) = time {
+        graft.graph.Bfs.hopDistances(edges, src, maxHops = 4).count()
+      }
+      out += "bfs600k" -> s"""{"sec":$tBfs,"reached":$nBfs}"""
+    }
+
     println(out.map { case (k, v) => s""""$k":$v""" }
       .mkString("""{"probe":"scaling",""", ",", "}"))
     spark.stop()

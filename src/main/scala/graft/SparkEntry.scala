@@ -2206,6 +2206,97 @@ object SparkEntry {
       t(s, dir, "lineitem").select(col("l_orderkey").as("src"),
         (col("l_partkey") + 10000000L).as("dst")), 2)
 
+  /** q162: k-core peel (k=3, 2 bounded rounds) on the order–part
+    * bipartite graph — cascade-aware density filtering the plain degree
+    * threshold can't express. */
+  private def q162_kcore(s: SparkSession, dir: String): DataFrame =
+    graft.graph.KCore.kCore(
+      t(s, dir, "lineitem").select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 10000000L).as("dst")),
+      k = 3, maxRounds = 2)
+
+  /** q163: integer-exact Gram matrix XᵀX of the embedding corpus in
+    * micro-units — the d×d reduction all dominant-direction and
+    * whitening post-processing starts from. */
+  private def q163_gram(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Embeddings.gramMicro(t(s, dir, "embeddings"),
+      "embedding", 1000L)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("s"))
+
+  /** q164: multi-source BFS hop layers (3 hops) over the undirected
+    * order–part graph from the smallest order. */
+  private def q164_bfs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val fwd = li.select(col("l_orderkey").as("src"),
+      (col("l_partkey") + 10000000L).as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val sources = li.agg(min(col("l_orderkey")).as("id"))
+    graft.graph.Bfs.hopDistances(edges, sources, maxHops = 3)
+      .select(col("id"), col("dist").cast("long").as("dist"))
+  }
+
+  /** q165: Efraimidis–Spirakis weighted sample — top-100 documents by
+    * the deterministic ln(u)/w priority, inclusion ∝ n_chars. */
+  private def q165_weighted_sample(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+      col("n_chars").cast("double"), k = 100)
+      .select(col("doc_id"), col("u"), col("priority"))
+
+  /** q166: broadcast range-lookup join — price-tier banding through the
+    * codegen binary-search expression, zero probe-side exchanges. */
+  private def q166_range_lookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probe = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val ranges = Seq(
+      (0L, 9999999L, "low"), (10000000L, 19999999L, "mid"),
+      (20000000L, 29999999L, "high"), (30000000L, 99999999999L, "vip"))
+      .toDF("lo", "hi", "tag")
+    graft.operators.RangeLookup.lookupJoin(probe, "cents", ranges, "lo", "hi")
+      .select(col("o_orderkey"), col("cents"), col("tag"))
+  }
+
+  /** q167: two-proportion χ² test in one aggregation — "does source A's
+    * long-document rate differ from the rest" as an exact contingency
+    * count plus the mirrored-shape statistic (round 6). */
+  private def q167_chi2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source").isin((0 to 9).map(i => s"src$i"): _*).as("g"),
+        (col("n_chars") > 300).as("succ"))
+      .agg(
+        sum(when(col("g") && col("succ"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("g") && !col("succ"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("g") && col("succ"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("g") && !col("succ"), 1L).otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        round(((col("a") + col("b") + col("c") + col("d")).cast("double") *
+          pow(col("a").cast("double") * col("d") -
+            col("b").cast("double") * col("c"), 2)) /
+          ((col("a") + col("b")).cast("double") * (col("c") + col("d")) *
+            (col("a") + col("c")) * (col("b") + col("d"))), 6).as("chi2"))
+
+  /** q168: broadcast geofence lookup — synthetic lon/lat grid from event
+    * values, three disjoint rectangular fences whose bounds sit OFF the
+    * grid, ray-cast containment ≡ the oracle's BETWEEN bands. */
+  private def q168_geofence(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "events").select(col("event_id"),
+      (lit(-74.0) + pmod(floor(col("value")).cast("long"), lit(100L)) * 0.01)
+        .as("lon"),
+      (lit(40.0) + pmod(floor(col("value") * 10).cast("long"), lit(100L)) * 0.01)
+        .as("lat"))
+    val fences = Seq(
+      ("downtown", Seq((-73.995, 40.095), (-73.745, 40.095),
+        (-73.745, 40.395), (-73.995, 40.395))),
+      ("harbor", Seq((-73.695, 40.095), (-73.445, 40.095),
+        (-73.445, 40.395), (-73.695, 40.395))),
+      ("uptown", Seq((-73.995, 40.595), (-73.445, 40.595),
+        (-73.445, 40.895), (-73.995, 40.895))))
+    graft.operators.GeoFence.fenceJoin(pts, "lon", "lat", fences)
+      .select(col("event_id"), col("lon"), col("lat"), col("fence_tag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2367,7 +2458,14 @@ object SparkEntry {
     "q158_bm25_topk" -> (q158_bm25_topk _),
     "q159_heavy_hitters" -> (q159_heavy_hitters _),
     "q160_fellegi_sunter" -> (q160_fellegi_sunter _),
-    "q161_hits" -> (q161_hits _)
+    "q161_hits" -> (q161_hits _),
+    "q162_kcore" -> (q162_kcore _),
+    "q163_gram" -> (q163_gram _),
+    "q164_bfs" -> (q164_bfs _),
+    "q165_weighted_sample" -> (q165_weighted_sample _),
+    "q166_range_lookup" -> (q166_range_lookup _),
+    "q167_chi2" -> (q167_chi2 _),
+    "q168_geofence" -> (q168_geofence _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -4454,7 +4552,144 @@ object SparkEntry {
         |)
         |SELECT v.id, CAST(coalesce(a2.a, 0) AS BIGINT) AS auth,
         |  CAST(coalesce(h2.h, 0) AS BIGINT) AS hub
-        |FROM v LEFT JOIN a2 ON v.id = a2.id LEFT JOIN h2 ON v.id = h2.id""".stripMargin
+        |FROM v LEFT JOIN a2 ON v.id = a2.id LEFT JOIN h2 ON v.id = h2.id""".stripMargin,
+    // q162: two unrolled peel rounds — degree, keep >= k, edge filter,
+    // final degrees of the surviving subgraph
+    "q162_kcore" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(l_orderkey, l_partkey + 10000000) AS u,
+        |    greatest(l_orderkey, l_partkey + 10000000) AS v
+        |  FROM lineitem WHERE l_orderkey <> l_partkey + 10000000
+        |), e0 AS (
+        |  SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v AS src, u AS dst FROM und
+        |), d1 AS (
+        |  SELECT src, count(*) AS deg FROM e0 GROUP BY src
+        |), k1 AS (
+        |  SELECT src AS id FROM d1 WHERE deg >= 3
+        |), e1 AS (
+        |  SELECT e0.src, e0.dst FROM e0
+        |  JOIN k1 a ON e0.src = a.id JOIN k1 b ON e0.dst = b.id
+        |), d2 AS (
+        |  SELECT src, count(*) AS deg FROM e1 GROUP BY src
+        |), k2 AS (
+        |  SELECT src AS id FROM d2 WHERE deg >= 3
+        |), e2 AS (
+        |  SELECT e1.src, e1.dst FROM e1
+        |  JOIN k2 a ON e1.src = a.id JOIN k2 b ON e1.dst = b.id
+        |)
+        |SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |FROM e2 GROUP BY src""".stripMargin,
+    // q163: the explode-join restatement of the outer-product kernel —
+    // identical quantization, identical Long sums
+    "q163_gram" ->
+      """WITH ix AS (
+        |  SELECT vec_id, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM ix
+        |)
+        |SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s
+        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i""".stripMargin,
+    // q164: three unrolled BFS layers with left-anti settled guards
+    "q164_bfs" ->
+      """WITH fwd AS (
+        |  SELECT l_orderkey AS src, l_partkey + 10000000 AS dst FROM lineitem
+        |), e AS (
+        |  SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd)
+        |), s0 AS (
+        |  SELECT min(l_orderkey) AS id FROM lineitem
+        |), l0 AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS dist FROM s0
+        |), f1 AS (
+        |  SELECT DISTINCT e.dst AS id FROM e JOIN l0 ON e.src = l0.id
+        |  WHERE e.dst NOT IN (SELECT id FROM l0)
+        |), l1 AS (
+        |  SELECT id, dist FROM l0
+        |  UNION ALL SELECT id, CAST(1 AS BIGINT) FROM f1
+        |), f2 AS (
+        |  SELECT DISTINCT e.dst AS id FROM e JOIN f1 ON e.src = f1.id
+        |  WHERE e.dst NOT IN (SELECT id FROM l1)
+        |), l2 AS (
+        |  SELECT id, dist FROM l1
+        |  UNION ALL SELECT id, CAST(2 AS BIGINT) FROM f2
+        |), f3 AS (
+        |  SELECT DISTINCT e.dst AS id FROM e JOIN f2 ON e.src = f2.id
+        |  WHERE e.dst NOT IN (SELECT id FROM l2)
+        |)
+        |SELECT id, dist FROM l2
+        |UNION ALL SELECT id, CAST(3 AS BIGINT) FROM f3""".stripMargin,
+    // q165: A-ES priorities restated — same Knuth draw, same ln shape,
+    // same round(6) and tie rule
+    "q165_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |    (doc_id * 2654435761) % 4294967296 AS u
+        |  FROM documents WHERE n_chars > 0
+        |)
+        |SELECT doc_id, u,
+        |  round(ln((u + 1) / 4294967296.0) / w, 6) AS priority
+        |FROM b ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+    // q166: the banding theta-join the broadcast binary search replaces
+    "q166_range_lookup" ->
+      """WITH r(lo, hi, tag) AS (
+        |  VALUES (0, 9999999, 'low'), (10000000, 19999999, 'mid'),
+        |         (20000000, 29999999, 'high'), (30000000, 99999999999, 'vip')
+        |), p AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |)
+        |SELECT p.o_orderkey, p.cents, r.tag
+        |FROM p LEFT JOIN r ON p.cents >= r.lo AND p.cents <= r.hi""".stripMargin,
+    // q167: contingency counts + the χ² shape mirrored term by term
+    "q167_chi2" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4',
+        |      'src5','src6','src7','src8','src9') AND n_chars > 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4',
+        |      'src5','src6','src7','src8','src9') AND n_chars <= 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN source NOT IN ('src0','src1','src2','src3','src4',
+        |      'src5','src6','src7','src8','src9') AND n_chars > 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN source NOT IN ('src0','src1','src2','src3','src4',
+        |      'src5','src6','src7','src8','src9') AND n_chars <= 300
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM documents
+        |)
+        |SELECT a, b, c, d,
+        |  round((CAST(a + b + c + d AS DOUBLE) *
+        |    pow(CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c, 2)) /
+        |    (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)), 6) AS chi2
+        |FROM c""".stripMargin,
+    // q168: rectangle fences restated as BETWEEN bands (bounds sit off
+    // the synthetic grid, so ray-cast strictness never shows)
+    "q168_geofence" ->
+      """WITH p AS (
+        |  SELECT event_id,
+        |    -74.0 + (CAST(floor(value) AS BIGINT) % 100) * 0.01 AS lon,
+        |    40.0 + (CAST(floor(value * 10) AS BIGINT) % 100) * 0.01 AS lat
+        |  FROM events
+        |)
+        |SELECT event_id, lon, lat,
+        |  CASE
+        |    WHEN lon BETWEEN -73.995 AND -73.745
+        |     AND lat BETWEEN 40.095 AND 40.395 THEN 'downtown'
+        |    WHEN lon BETWEEN -73.695 AND -73.445
+        |     AND lat BETWEEN 40.095 AND 40.395 THEN 'harbor'
+        |    WHEN lon BETWEEN -73.995 AND -73.445
+        |     AND lat BETWEEN 40.595 AND 40.895 THEN 'uptown'
+        |    ELSE NULL
+        |  END AS fence_tag
+        |FROM p""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -1,0 +1,49 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source BFS hop distances — the distributed frontier expansion
+  * (Pregel pattern) complementing the driver-side exact Dijkstra
+  * (`graph/src/main/com/thymeflow/graph/ShortestPath.scala:13-305` in
+  * the reference, which assumes the graph fits one heap). Unweighted
+  * hops: distance(v) = min hops from ANY source — reachability layers,
+  * influence radius, "within-n-clicks" cohorts.
+  *
+  * Semi-naive frontier iteration: only vertices first reached in round
+  * i-1 expand in round i (frontier ⋈ edges, left-anti against the
+  * settled set), so total work is O(Σ frontier sizes) = O(E) across the
+  * whole run, not O(E) per round. Settled distances and the frontier
+  * are localCheckpointed per round — the loop re-reads materialized
+  * tables, and plan depth stays constant. Integer hop counts make the
+  * result engine-exact at any partitioning; the SQL oracle unrolls the
+  * rounds as left-anti-joined expansions.
+  */
+object Bfs {
+
+  /** Directed edges (src, dst); `sources` one column `id`. Returns
+    * (id, dist) for every vertex reachable within `maxHops` (sources at
+    * dist 0). */
+  def hopDistances(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint()
+    var settled = sources.select(col("id").cast("long")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = settled.select(col("id"))
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      val next = e.join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(settled.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint()
+      hop += 1
+      settled = settled
+        .unionByName(next.withColumn("dist", lit(hop)))
+        .localCheckpoint()
+      frontier = next
+    }
+    settled
+  }
+}

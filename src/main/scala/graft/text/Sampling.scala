@@ -33,6 +33,34 @@ object Sampling {
     df.withColumn("u", draw(col(idCol))).where(col("u") < thr)
   }
 
+  /** Weighted sampling WITHOUT replacement, top-k of n — the
+    * Efraimidis–Spirakis A-ES scheme (IPL 2006): each row draws a
+    * deterministic uniform u ∈ (0,1] and gets priority ln(u)/w (the log
+    * of the textbook key u^(1/w), same ordering, no pow); the k LARGEST
+    * priorities are the sample. Unlike [[rateSample]] (independent
+    * per-row coin flips → random sample SIZE), this yields exactly k
+    * rows with inclusion probability proportional to weight — the
+    * "pick k documents, quality-weighted" primitive.
+    *
+    * Determinism: u = (draw(id)+1)/2^32 from the Knuth hash (never 0,
+    * so ln is finite); priority is rounded to 6 places and ties break
+    * by id, so the selected SET is engine-exact (ln parity at 6 places
+    * — the q88 discipline). Scale shape: map-only priority + global
+    * top-k = TakeOrderedAndProject (per-partition heaps of k, no global
+    * sort). Rows with weight <= 0 are excluded (never sampled). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = draw(col(idCol))
+    df.where(weightCol > 0)
+      .withColumn("u", u)
+      .withColumn("priority",
+        round(log((col("u") + lit(1L)).cast("double") / lit(Modulus.toDouble))
+          / weightCol, 6))
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-ROW-rate sampling — quality-weighted corpus selection (DCLM /
     * FineWeb-style: keep probability proportional to a model or heuristic
     * quality score, computed per document rather than per bucket). Keeps a

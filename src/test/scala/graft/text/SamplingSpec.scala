@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
@@ -129,5 +130,38 @@ class SamplingSpec extends SparkSpec {
     run("a") shouldBe run("a")
     run("a").map(r => (r._3, r._4)) should not be
       run("b").map(r => (r._3, r._4))
+  }
+
+  "weightedSample" should "match a JVM A-ES reference selection" in {
+    val df = (1L to 500L).map(i => (i, (i % 7 + 1).toDouble)).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", col("w"), k = 40)
+      .select("id").as[Long].collect().toSet
+    // reference: same Knuth draw, same priority, same tie rule
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (1L to 500L).map { id =>
+      val u = java.lang.Math.floorMod(id * 2654435761L, 1L << 32)
+      val pri = r6(math.log((u + 1).toDouble / (1L << 32).toDouble) /
+        (id % 7 + 1).toDouble)
+      (id, pri)
+    }.sortBy { case (id, pri) => (-pri, id) }.take(40).map(_._1).toSet
+    got shouldBe want
+    got.size shouldBe 40
+  }
+
+  it should "return exactly k rows and favor heavy weights" in {
+    val df = (1L to 2000L).map(i =>
+      (i, if (i <= 100) 50.0 else 1.0)).toDF("id", "w")
+    val kept = Sampling.weightedSample(df, "id", col("w"), k = 200)
+      .select("id").as[Long].collect()
+    kept.length shouldBe 200
+    // the 100 heavy rows are 50x likelier — nearly all should be in
+    kept.count(_ <= 100L) should be > 70
+  }
+
+  it should "never sample non-positive weights" in {
+    val df = Seq((1L, 0.0), (2L, -3.0), (3L, 1.0)).toDF("id", "w")
+    Sampling.weightedSample(df, "id", col("w"), k = 10)
+      .select("id").as[Long].collect().toSeq shouldBe Seq(3L)
   }
 }
