@@ -594,13 +594,16 @@ object ScalingProbe {
         s"""{"buildSec":$tBuild,"postings":$nPost,"querySec":$tQuery,"hits":$nHits}"""
     }
 
-    // 27) exact heavy hitters over ~40M tokens (documents x100): the
-    // MG-candidate pass must keep the aggregation key space bounded
+    // 27) exact heavy hitters over ~40M tokens (documents x100),
+    // parquet-backed — the 100 TB shape is a stored column scanned
+    // twice (candidates, verify), not an in-flight tokenize: writing
+    // the column once isolates the operator's own cost
     if (want("heavy40M")) {
-      val docs100 = docs.crossJoin(spark.range(100).toDF("rep"))
-        .select(col("text"))
-      val toks = docs100.select(
-        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      val tokDir = java.nio.file.Files.createTempDirectory("heavy40M").toString
+      docs.crossJoin(spark.range(100).toDF("rep"))
+        .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+        .write.mode("overwrite").parquet(tokDir)
+      val toks = spark.read.parquet(tokDir)
       val (tHh, nHh) = time {
         graft.operators.HeavyHitters.frequentItems(toks, "tok", 200).count()
       }

@@ -2297,6 +2297,60 @@ object SparkEntry {
       .select(col("event_id"), col("lon"), col("lat"), col("fence_tag"))
   }
 
+  /** q169: bounded Bellman–Ford — cheapest ≤3-edge path weights
+    * (w = quantity) over the undirected order–part graph from the
+    * smallest order. */
+  private def q169_sssp(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val fwd = li.select(col("l_orderkey").as("src"),
+      (col("l_partkey") + 10000000L).as("dst"),
+      col("l_quantity").cast("long").as("w"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"),
+      col("src").as("dst"), col("w")))
+    val sources = li.agg(min(col("l_orderkey")).as("id"))
+    graft.graph.Bfs.boundedShortestPaths(edges, sources, maxRounds = 3)
+  }
+
+  /** q170: 2-D skyline — orders no other order beats on BOTH total
+    * price and recency. */
+  private def q170_pareto(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline.pareto2D(
+      t(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        expr("unix_seconds(cast(o_orderdate as timestamp)) div 86400")
+          .as("day")),
+      "o_orderkey", "cents", "day")
+
+  /** q171: cohort retention — users bucketed by first-activity month,
+    * counted in every month they return. */
+  private def q171_cohort(s: SparkSession, dir: String): DataFrame = {
+    val um = t(s, dir, "events")
+      .select(col("user_id"),
+        unix_seconds(date_trunc("month", col("ts")).cast("timestamp"))
+          .as("month_s"))
+      .distinct()
+    val cohort = um.groupBy(col("user_id"))
+      .agg(min(col("month_s")).as("cohort_s"))
+    um.join(cohort, "user_id")
+      .groupBy(col("cohort_s"), col("month_s"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** q172: Markov transition matrix — per-user ordered event-type
+    * bigrams with exact ppm row-normalized probabilities. */
+  private def q172_transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("p_ppm", expr(
+        "(1000000 * cnt) div sum(cnt) over (partition by prev)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2465,7 +2519,11 @@ object SparkEntry {
     "q165_weighted_sample" -> (q165_weighted_sample _),
     "q166_range_lookup" -> (q166_range_lookup _),
     "q167_chi2" -> (q167_chi2 _),
-    "q168_geofence" -> (q168_geofence _)
+    "q168_geofence" -> (q168_geofence _),
+    "q169_sssp" -> (q169_sssp _),
+    "q170_pareto" -> (q170_pareto _),
+    "q171_cohort" -> (q171_cohort _),
+    "q172_transitions" -> (q172_transitions _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -4689,7 +4747,84 @@ object SparkEntry {
         |     AND lat BETWEEN 40.595 AND 40.895 THEN 'uptown'
         |    ELSE NULL
         |  END AS fence_tag
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    // q169: three unrolled Bellman-Ford relaxation rounds
+    "q169_sssp" ->
+      """WITH fwd AS (
+        |  SELECT l_orderkey AS src, l_partkey + 10000000 AS dst,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem
+        |), e AS (
+        |  SELECT src, dst, w FROM fwd
+        |  UNION ALL SELECT dst AS src, src AS dst, w FROM fwd
+        |), l0 AS (
+        |  SELECT min(l_orderkey) AS id, CAST(0 AS BIGINT) AS dist FROM lineitem
+        |), c1 AS (
+        |  SELECT e.dst AS id, min(l0.dist + e.w) AS nd
+        |  FROM e JOIN l0 ON e.src = l0.id GROUP BY e.dst
+        |), l1 AS (
+        |  SELECT coalesce(l0.id, c1.id) AS id,
+        |    CAST(least(coalesce(l0.dist, c1.nd), coalesce(c1.nd, l0.dist)) AS BIGINT) AS dist
+        |  FROM l0 FULL JOIN c1 ON l0.id = c1.id
+        |), c2 AS (
+        |  SELECT e.dst AS id, min(l1.dist + e.w) AS nd
+        |  FROM e JOIN l1 ON e.src = l1.id GROUP BY e.dst
+        |), l2 AS (
+        |  SELECT coalesce(l1.id, c2.id) AS id,
+        |    CAST(least(coalesce(l1.dist, c2.nd), coalesce(c2.nd, l1.dist)) AS BIGINT) AS dist
+        |  FROM l1 FULL JOIN c2 ON l1.id = c2.id
+        |), c3 AS (
+        |  SELECT e.dst AS id, min(l2.dist + e.w) AS nd
+        |  FROM e JOIN l2 ON e.src = l2.id GROUP BY e.dst
+        |)
+        |SELECT coalesce(l2.id, c3.id) AS id,
+        |  CAST(least(coalesce(l2.dist, c3.nd), coalesce(c3.nd, l2.dist)) AS BIGINT) AS dist
+        |FROM l2 FULL JOIN c3 ON l2.id = c3.id""".stripMargin,
+    // q170: the same two windows over the raw table — the engine's
+    // local prefilter changes cost, never the set
+    "q170_pareto" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day
+        |  FROM orders
+        |), wins AS (
+        |  SELECT o_orderkey, cents, day,
+        |    max(day) OVER (ORDER BY cents DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx_gt,
+        |    max(day) OVER (PARTITION BY cents) AS mx_eq
+        |  FROM b
+        |)
+        |SELECT o_orderkey, cents, day FROM wins
+        |WHERE (mx_gt IS NULL OR mx_gt < day) AND mx_eq = day""".stripMargin,
+    // q171: first-activity cohorts x active months
+    "q171_cohort" ->
+      """WITH um AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch(date_trunc('month', ts)) AS BIGINT) AS month_s
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(month_s) AS cohort_s FROM um GROUP BY user_id
+        |)
+        |SELECT cohort_s, month_s,
+        |  CAST(count(DISTINCT um.user_id) AS BIGINT) AS n_users
+        |FROM um JOIN c ON um.user_id = c.user_id
+        |GROUP BY cohort_s, month_s""".stripMargin,
+    // q172: lag bigrams + integer ppm row normalization
+    "q172_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), t AS (
+        |  SELECT prev, event_type AS cur, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type
+        |)
+        |SELECT prev, cur, cnt,
+        |  CAST((1000000 * cnt) // sum(cnt) OVER (PARTITION BY prev) AS BIGINT)
+        |    AS p_ppm
+        |FROM t""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -46,4 +46,38 @@ object Bfs {
     }
     settled
   }
+
+  /** Bounded Bellman–Ford: cheapest path weight using ≤ `maxRounds`
+    * edges, integer weights — the weighted extension of [[hopDistances]]
+    * with the same semi-naive discipline (only vertices whose distance
+    * IMPROVED last round relax their out-edges). Exact for the bounded
+    * recurrence dₖ(v) = min(dₖ₋₁(v), min_{u→v}(dₖ₋₁(u)+w)), which a SQL
+    * oracle unrolls; run with maxRounds ≥ |V| for true shortest paths
+    * (non-negative weights keep the bound meaningful earlier). */
+  def boundedShortestPaths(edges: DataFrame, sources: DataFrame,
+      maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, "maxRounds must be >= 0")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long")).localCheckpoint()
+    var dist = sources.select(col("id").cast("long")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      val cand = e.join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      val improved = cand.join(dist, Seq("id"), "left")
+        .where(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("id"), col("nd").as("dist"))
+        .localCheckpoint()
+      dist = dist.withColumnRenamed("dist", "old")
+        .join(improved, Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("dist"), col("old")).as("dist"))
+        .localCheckpoint()
+      frontier = improved
+      round += 1
+    }
+    dist
+  }
 }

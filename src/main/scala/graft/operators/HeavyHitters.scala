@@ -62,9 +62,12 @@ object HeavyHitters {
     require(s >= 2, "s (the inverse support) must be at least 2")
     val spark = df.sparkSession
     import spark.implicits._
+    // NOT checkpointed: both passes recompute the (deterministic)
+    // projection — two cheap scans beat materializing the full value
+    // stream, which dominated the 40M-token probe. Callers passing a
+    // non-deterministic frame must checkpoint it themselves.
     val values = df.select(col(valueCol).cast("string").as("v"))
       .where(col("v").isNotNull)
-      .localCheckpoint() // pass 1 and pass 2 read one materialization
     val candidates = values.as[String]
       .mapPartitions(it => misraGries(it, s))
       .distinct()

@@ -53,14 +53,18 @@ object InvertedIndex {
     def avgdl: Double = sumDl.toDouble / n
   }
 
-  /** One tokenize pass → postings + per-term stats + corpus scalars. */
+  /** Two tokenize scans (cheap, deterministic) → one postings shuffle.
+    * The POSTINGS frame is the materialization point — ~(tok, id, tf,
+    * dl) rows, an order of magnitude smaller than the exploded token
+    * arrays a pre-aggregation checkpoint would pin (the 500k-doc probe
+    * spent most of its build materializing those). Stats and the terms
+    * table both read the materialized postings. */
   def build(docs: DataFrame, idCol: String, textCol: String): Index = {
     val toks = docs
       .select(col(idCol).cast("long").as("id"),
         TextAnalysis.tokens(col(textCol)).as("ts"))
       .withColumn("dl", size(col("ts")).cast("long"))
       .where(col("dl") > 0)
-      .localCheckpoint() // corpus scalars and postings read one materialization
     val Array(nDocs, sumDl) = toks
       .agg(count(lit(1)), sum(col("dl"))).collect()(0) match {
         case r => Array(r.getLong(0), r.getLong(1))
@@ -69,6 +73,7 @@ object InvertedIndex {
       .select(col("id"), col("dl"), explode(col("ts")).as("tok"))
       .groupBy(col("tok"), col("id"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint()
     val terms = postings.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
         min(col("dl")).as("min_dl"))
@@ -126,8 +131,12 @@ object InvertedIndex {
         ix.postings.where(col("bucket").isin(buckets: _*))
       case _ => ix.postings
     }
+    // materialized once: the θ pass, the survivor cut, and the final
+    // aggregation all reread this query-sized frame instead of
+    // re-scanning the bucket files
     val matched = scan0.where(col("tok").isin(queryTerms: _*))
       .select(col("tok"), col("id"), col("tf"), col("dl"))
+      .localCheckpoint()
 
     // per-term scalars (≤ |queryTerms| rows — a driver-side literal table)
     val stats = ix.terms.where(col("tok").isin(queryTerms: _*))
