@@ -2351,6 +2351,43 @@ object SparkEntry {
         "(1000000 * cnt) div sum(cnt) over (partition by prev)"))
   }
 
+  /** q173: end-to-end fuzzy-dedup clustering ([[graft.dedup.FuzzyClusters]])
+    * — the q25 LSH pair set closed into connected components with a
+    * min-id canonical keeper per cluster. The oracle restates the pair
+    * set (q25's exact-Jaccard SQL) and closes it with a recursive CTE:
+    * a document's cluster is the minimum id among all ids it can reach. */
+  private def q173_dup_clusters(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.FuzzyClusters.minhashClusters(
+      t(s, dir, "documents"), "text", "doc_id",
+      k = 2, numHashes = 32, bands = 8, num = 1, den = 3)
+
+  /** q174: DSIR importance weights ([[graft.text.Dsir]]) — hashed-unigram
+    * log-likelihood-ratio scores against the English slice as target,
+    * fixed-point micro-nats so the per-doc sum is exact integers. */
+  private def q174_dsir(s: SparkSession, dir: String): DataFrame =
+    graft.text.Dsir.importanceWeights(
+      t(s, dir, "documents"), "text", "doc_id",
+      col("lang") === "en", buckets = 1024)
+
+  /** q175: per-source winsorized document lengths
+    * ([[graft.operators.FeaturePrep.winsorize]]) — clip bounds are exact
+    * rank statistics (⌈n/10⌉-th / ⌈9n/10⌉-th smallest), integer-only. */
+  private def q175_winsorize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FeaturePrep.winsorize(
+      t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars")
+
+  /** q176: leave-one-out target encoding
+    * ([[graft.operators.FeaturePrep.looEncode]]) of customer order value
+    * in exact integer cents (scale 100). */
+  private def q176_loo_encode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FeaturePrep.looEncode(
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")),
+      "o_custkey", "cents", scale = 100L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2523,7 +2560,11 @@ object SparkEntry {
     "q169_sssp" -> (q169_sssp _),
     "q170_pareto" -> (q170_pareto _),
     "q171_cohort" -> (q171_cohort _),
-    "q172_transitions" -> (q172_transitions _)
+    "q172_transitions" -> (q172_transitions _),
+    "q173_dup_clusters" -> (q173_dup_clusters _),
+    "q174_dsir" -> (q174_dsir _),
+    "q175_winsorize" -> (q175_winsorize _),
+    "q176_loo_encode" -> (q176_loo_encode _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -4824,7 +4865,100 @@ object SparkEntry {
         |SELECT prev, cur, cnt,
         |  CAST((1000000 * cnt) // sum(cnt) OVER (PARTITION BY prev) AS BIGINT)
         |    AS p_ppm
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+    // q173: q25's exact-Jaccard pair set closed into components with a
+    // recursive CTE — cluster = min id reachable over undirected pairs
+    "q173_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |  FROM toks WHERE len(ts) >= 2
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle FROM idx
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |  WHERE 3 * inter > 1 * (sa.n + sb.n - inter)
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs
+        |), walk(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.id
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster_id,
+        |  CASE WHEN min(r) = id THEN 1 ELSE 0 END AS is_keeper
+        |FROM walk GROUP BY id""".stripMargin,
+    // q174: hashed-unigram importance weights; the float enters exactly
+    // one rounded micro-nat scalar per bucket, doc scores are exact
+    // integer sums
+    "q174_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[\s[:punct:]]+'), x -> len(x) > 0)) AS tok
+        |  FROM documents
+        |), tb AS (
+        |  SELECT doc_id, (lang = 'en') AS is_tgt,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+        |  FROM toks
+        |), pb AS (
+        |  SELECT b, count(*) AS raw_n,
+        |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_n
+        |  FROM tb GROUP BY b
+        |), tot AS (
+        |  SELECT sum(raw_n) AS raw_tot, sum(tgt_n) AS tgt_tot FROM pb
+        |), w AS (
+        |  SELECT b, CAST(round((ln((tgt_n + 1)::DOUBLE / (tgt_tot + 1024))
+        |    - ln((raw_n + 1)::DOUBLE / (raw_tot + 1024))) * 1000000) AS BIGINT) AS w_fp
+        |  FROM pb, tot
+        |), sc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    CAST(sum(w_fp) AS BIGINT) AS score_fp
+        |  FROM tb JOIN w USING (b) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(sc.n_tok, 0) AS n_tok,
+        |  coalesce(sc.score_fp, 0) AS score_fp
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+    // q175: winsorization at exact integer rank cut points
+    "q175_winsorize" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn = greatest(1, (n * 1 + 9) // 10) THEN n_chars END) AS lo,
+        |    max(CASE WHEN rn = greatest(1, (n * 9 + 9) // 10) THEN n_chars END) AS hi
+        |  FROM r GROUP BY source
+        |)
+        |SELECT d.source, d.doc_id, d.n_chars, b.lo, b.hi,
+        |  least(greatest(d.n_chars, b.lo), b.hi) AS clipped
+        |FROM documents d JOIN b USING (source)""".stripMargin,
+    // q176: leave-one-out mean in integer cents (scale 100); singleton
+    // groups fall back to the leave-one-out GLOBAL mean
+    "q176_loo_encode" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), g AS (
+        |  SELECT o_custkey, sum(cents) AS gs, count(*) AS gn
+        |  FROM o GROUP BY o_custkey
+        |), t AS (SELECT sum(gs) AS ts, sum(gn) AS tn FROM g)
+        |SELECT o.o_custkey, o.o_orderkey, o.cents,
+        |  CAST(CASE WHEN gn > 1 THEN ((gs - cents) * 100) // (gn - 1)
+        |       ELSE ((ts - cents) * 100) // (tn - 1) END AS BIGINT) AS enc
+        |FROM o JOIN g USING (o_custkey), t""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
