@@ -2388,6 +2388,31 @@ object SparkEntry {
         round(col("o_totalprice") * 100).cast("long").as("cents")),
       "o_custkey", "cents", scale = 100L)
 
+  /** q177: KMV sketch overlap ([[graft.operators.KmvSketch]]) — per
+    * event-type distinct active user-days and pairwise union/intersection
+    * estimates, all deterministic (md5 hash order + one IEEE division per
+    * estimate) so the SKETCH ESTIMATES themselves hash-compare. */
+  private def q177_kmv_overlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KmvSketch.overlap(
+      t(s, dir, "events").select(col("event_type"),
+        (col("user_id") * 1000000L + expr("unix_seconds(ts) div 86400"))
+          .as("elem")),
+      "event_type", col("elem"), k = 64)
+
+  /** q178: golden-record survivorship ([[graft.enrich.GoldenRecord]])
+    * over the q173 near-dup clusters — argmax-by-length representative,
+    * sorted distinct source union. */
+  private def q178_golden_record(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val clustered = graft.dedup.FuzzyClusters
+      .minhashClusters(docs, "text", "doc_id",
+        k = 2, numHashes = 32, bands = 8, num = 1, den = 3)
+      .select(col("doc_id"), col("cluster_id"))
+    graft.enrich.GoldenRecord.collapse(clustered,
+      docs.select(col("doc_id"), col("n_chars"), col("source")),
+      "doc_id", "cluster_id", "n_chars", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2564,7 +2589,9 @@ object SparkEntry {
     "q173_dup_clusters" -> (q173_dup_clusters _),
     "q174_dsir" -> (q174_dsir _),
     "q175_winsorize" -> (q175_winsorize _),
-    "q176_loo_encode" -> (q176_loo_encode _)
+    "q176_loo_encode" -> (q176_loo_encode _),
+    "q177_kmv_overlap" -> (q177_kmv_overlap _),
+    "q178_golden_record" -> (q178_golden_record _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -4958,7 +4985,97 @@ object SparkEntry {
         |SELECT o.o_custkey, o.o_orderkey, o.cents,
         |  CAST(CASE WHEN gn > 1 THEN ((gs - cents) * 100) // (gn - 1)
         |       ELSE ((ts - cents) * 100) // (tn - 1) END AS BIGINT) AS enc
-        |FROM o JOIN g USING (o_custkey), t""".stripMargin
+        |FROM o JOIN g USING (o_custkey), t""".stripMargin,
+    // q177: full KMV pipeline restated — 60-bit md5 hashes, k smallest
+    // distinct per group (window form at oracle scale), merged re-cut
+    // union sketches, floor of one double division per estimate
+    "q177_kmv_overlap" ->
+      """WITH el AS (
+        |  SELECT event_type AS g,
+        |    user_id * 1000000 + CAST(epoch(ts) AS BIGINT) // 86400 AS e
+        |  FROM events
+        |), h AS (
+        |  SELECT DISTINCT g,
+        |    ('0x' || substr(md5(CAST(e AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM el
+        |), rk AS (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS sz
+        |  FROM h
+        |), sk AS (SELECT g, h, rn, sz FROM rk WHERE rn <= 64
+        |), st AS (
+        |  SELECT g, least(sz, 64) AS sksz,
+        |    max(CASE WHEN rn = 64 THEN h END) AS hk
+        |  FROM sk GROUP BY g, sz
+        |), est AS (
+        |  SELECT g, CASE WHEN sksz < 64 THEN sksz
+        |    ELSE CAST(floor(63 * CAST(1152921504606846976 AS DOUBLE) / hk) AS BIGINT)
+        |    END AS est_n
+        |  FROM st
+        |), pr AS (SELECT a.g AS ga, b.g AS gb FROM st a JOIN st b ON a.g < b.g
+        |), uh AS (
+        |  SELECT DISTINCT pr.ga, pr.gb, sk.h
+        |  FROM pr JOIN sk ON sk.g = pr.ga OR sk.g = pr.gb
+        |), ur AS (
+        |  SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY ga, gb) AS usz
+        |  FROM uh
+        |), us AS (
+        |  SELECT ga, gb, least(min(usz), 64) AS usksz,
+        |    max(CASE WHEN rn = 64 THEN h END) AS hk
+        |  FROM ur WHERE rn <= 64 GROUP BY ga, gb
+        |), ue AS (
+        |  SELECT ga, gb, CASE WHEN usksz < 64 THEN usksz
+        |    ELSE CAST(floor(63 * CAST(1152921504606846976 AS DOUBLE) / hk) AS BIGINT)
+        |    END AS est_union
+        |  FROM us
+        |)
+        |SELECT ga AS type_a, gb AS type_b, ea.est_n AS est_a, eb.est_n AS est_b,
+        |  est_union, greatest(0, ea.est_n + eb.est_n - est_union) AS est_inter
+        |FROM ue JOIN est ea ON ea.g = ga JOIN est eb ON eb.g = gb""".stripMargin,
+    // q178: q173's clusters + survivorship (argmax by n_chars, min-id
+    // tie-break; sorted distinct source union)
+    "q178_golden_record" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |  FROM toks WHERE len(ts) >= 2
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle FROM idx
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |  WHERE 3 * inter > 1 * (sa.n + sb.n - inter)
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs
+        |), walk(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.id
+        |), cl AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id
+        |), j AS (
+        |  SELECT c.cluster_id, d.doc_id, d.n_chars, d.source
+        |  FROM cl c JOIN documents d ON d.doc_id = c.doc_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM j
+        |)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS rep_id,
+        |  max(CASE WHEN rn = 1 THEN n_chars END) AS rep_quality,
+        |  string_agg(DISTINCT source, ',' ORDER BY source) AS attrs
+        |FROM r GROUP BY cluster_id""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
