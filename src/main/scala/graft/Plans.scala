@@ -29,7 +29,7 @@ object Plans {
         "q146_centroids", "q147_rank_windows", "q148_json_props",
         "q149_containment", "q150_nfc_keys", "q151_group_ols",
         "q152_auc", "q153_ks_drift", "q154_table_diff",
-        "q173_dup_clusters", "q174_dsir", "q175_winsorize",
+        "q174_dsir", "q175_winsorize",
         "q176_loo_encode")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

@@ -668,6 +668,43 @@ object ScalingProbe {
       out += "bfs600k" -> s"""{"sec":$tBfs,"reached":$nBfs}"""
     }
 
+    // 31) end-to-end fuzzy-dedup clustering at 500k docs: LSH pairs →
+    // components → keeper election (replicas duplicate each doc's text
+    // across 100 near-identical copies only through the planted
+    // near-dups already in the corpus; ids shifted so clusters stay
+    // per-replica and the pair graph is sparse)
+    if (want("fuzzyClusters500k")) {
+      val (tFc, nFc) = time {
+        graft.dedup.FuzzyClusters.minhashClusters(docs500k, "text", "doc_id")
+          .where(col("is_keeper") === 0).count()
+      }
+      out += "fuzzyClusters500k" -> s"""{"sec":$tFc,"dupDocs":$nFc}"""
+    }
+
+    // 32) DSIR importance weights at 500k docs: the token stream is
+    // ~40M instances; one bucket aggregation + broadcast weight join
+    if (want("dsir500k")) {
+      val withLang = docs.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
+          col("text"), col("lang"))
+      // aggregate the scores, not count(): a bare count() lets Catalyst
+      // eliminate the final left join (aggregation keys are unique) and
+      // the probe would time an empty plan
+      val (tDs, nDs) = time {
+        graft.text.Dsir.importanceWeights(
+            withLang, "text", "doc_id", col("lang") === "en")
+          .where(col("score_fp") =!= 0L).count()
+      }
+      val (tDsX, nDsX) = time {
+        graft.text.Dsir.importanceWeights(
+            withLang, "text", "doc_id", col("lang") === "en",
+            md5Oracle = false)
+          .where(col("score_fp") =!= 0L).count()
+      }
+      out += "dsir500k" ->
+        s"""{"md5":{"sec":$tDs,"scoredRows":$nDs},"xxhash":{"sec":$tDsX,"scoredRows":$nDsX}}"""
+    }
+
     println(out.map { case (k, v) => s""""$k":$v""" }
       .mkString("""{"probe":"scaling",""", ",", "}"))
     spark.stop()

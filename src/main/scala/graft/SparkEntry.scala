@@ -1299,16 +1299,12 @@ object SparkEntry {
     * keeper per cluster, keep flag. Composes three oracle-checked
     * operators; the oracle restates the pair set exactly (LSH recall is
     * total on this corpus) and closes it with a recursive CTE. */
-  private def q101_fuzzy_keeplist(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
-      k = 2, numHashes = 32, bands = 8, num = 1, den = 3)
-    graft.graph.GraphOps.connectedComponents(
-        pairs.select(col("id1").as("src"), col("id2").as("dst")),
-        vertices = Some(docs.select(col("doc_id").as("id"))))
-      .select(col("id").as("doc_id"), col("component"),
-        (col("id") === col("component")).cast("int").as("keep"))
-  }
+  private def q101_fuzzy_keeplist(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.FuzzyClusters.minhashClusters(
+        t(s, dir, "documents"), "text", "doc_id",
+        k = 2, numHashes = 32, bands = 8, num = 1, den = 3)
+      .select(col("doc_id"), col("cluster_id").as("component"),
+        col("is_keeper").as("keep"))
 
   /** Multimodal audio: REAL RIFF/WAVE round-trip. Each document synthesizes
     * a deterministic PCM-16 clip (LCG samples, length keyed to n_chars),
@@ -2351,16 +2347,6 @@ object SparkEntry {
         "(1000000 * cnt) div sum(cnt) over (partition by prev)"))
   }
 
-  /** q173: end-to-end fuzzy-dedup clustering ([[graft.dedup.FuzzyClusters]])
-    * — the q25 LSH pair set closed into connected components with a
-    * min-id canonical keeper per cluster. The oracle restates the pair
-    * set (q25's exact-Jaccard SQL) and closes it with a recursive CTE:
-    * a document's cluster is the minimum id among all ids it can reach. */
-  private def q173_dup_clusters(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.FuzzyClusters.minhashClusters(
-      t(s, dir, "documents"), "text", "doc_id",
-      k = 2, numHashes = 32, bands = 8, num = 1, den = 3)
-
   /** q174: DSIR importance weights ([[graft.text.Dsir]]) — hashed-unigram
     * log-likelihood-ratio scores against the English slice as target,
     * fixed-point micro-nats so the per-doc sum is exact integers. */
@@ -2400,7 +2386,7 @@ object SparkEntry {
       "event_type", col("elem"), k = 64)
 
   /** q178: golden-record survivorship ([[graft.enrich.GoldenRecord]])
-    * over the q173 near-dup clusters — argmax-by-length representative,
+    * over the q101 near-dup clusters — argmax-by-length representative,
     * sorted distinct source union. */
   private def q178_golden_record(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -2586,7 +2572,6 @@ object SparkEntry {
     "q170_pareto" -> (q170_pareto _),
     "q171_cohort" -> (q171_cohort _),
     "q172_transitions" -> (q172_transitions _),
-    "q173_dup_clusters" -> (q173_dup_clusters _),
     "q174_dsir" -> (q174_dsir _),
     "q175_winsorize" -> (q175_winsorize _),
     "q176_loo_encode" -> (q176_loo_encode _),
@@ -4893,38 +4878,6 @@ object SparkEntry {
         |  CAST((1000000 * cnt) // sum(cnt) OVER (PARTITION BY prev) AS BIGINT)
         |    AS p_ppm
         |FROM t""".stripMargin,
-    // q173: q25's exact-Jaccard pair set closed into components with a
-    // recursive CTE — cluster = min id reachable over undirected pairs
-    "q173_dup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
-        |  FROM documents
-        |), idx AS (
-        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
-        |  FROM toks WHERE len(ts) >= 2
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle FROM idx
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |), pairs AS (
-        |  SELECT id1, id2 FROM inter
-        |  JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
-        |  WHERE 3 * inter > 1 * (sa.n + sb.n - inter)
-        |), edges AS (
-        |  SELECT id1 AS a, id2 AS b FROM pairs
-        |  UNION ALL SELECT id2, id1 FROM pairs
-        |), walk(id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.id
-        |)
-        |SELECT id AS doc_id, min(r) AS cluster_id,
-        |  CASE WHEN min(r) = id THEN 1 ELSE 0 END AS is_keeper
-        |FROM walk GROUP BY id""".stripMargin,
     // q174: hashed-unigram importance weights; the float enters exactly
     // one rounded micro-nat scalar per bucket, doc scores are exact
     // integer sums
@@ -5033,7 +4986,7 @@ object SparkEntry {
         |SELECT ga AS type_a, gb AS type_b, ea.est_n AS est_a, eb.est_n AS est_b,
         |  est_union, greatest(0, ea.est_n + eb.est_n - est_union) AS est_inter
         |FROM ue JOIN est ea ON ea.g = ga JOIN est eb ON eb.g = gb""".stripMargin,
-    // q178: q173's clusters + survivorship (argmax by n_chars, min-id
+    // q178: q101's clusters + survivorship (argmax by n_chars, min-id
     // tie-break; sorted distinct source union)
     "q178_golden_record" ->
       """WITH RECURSIVE toks AS (

@@ -35,10 +35,14 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Bucket id for a token column: top 32 bits of md5, mod `buckets` —
-    * stated identically in SQL as ('0x'||substr(md5(t),1,8))::BIGINT % B. */
-  private def bucket(tok: Column, buckets: Int): Column =
-    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
+  /** Bucket id for a token column. The md5 form is stated identically in
+    * SQL as ('0x'||substr(md5(t),1,8))::BIGINT % B — the oracle-parity
+    * path; the xxhash64 form is the production fast path (codegen native,
+    * no hex-string round-trip), same estimator, different (equally valid)
+    * feature hashing. */
+  private def bucket(tok: Column, buckets: Int, md5Oracle: Boolean): Column =
+    if (md5Oracle) conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
+    else pmod(xxhash64(tok), lit(buckets.toLong))
 
   /** Per-document fixed-point importance scores.
     *
@@ -52,13 +56,15 @@ object Dsir {
       textCol: String,
       idCol: String,
       targetFilter: Column,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024,
+      md5Oracle: Boolean = true): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val toks = df.select(
         col(idCol),
         targetFilter.as("is_tgt"),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
-      .select(col(idCol), col("is_tgt"), bucket(col("tok"), buckets).as("b"))
+      .select(col(idCol), col("is_tgt"),
+        bucket(col("tok"), buckets, md5Oracle).as("b"))
 
     // one pass over the token stream: raw and target counts per bucket
     val perBucket = toks.groupBy(col("b")).agg(

@@ -23,6 +23,18 @@ class DsirSpec extends SparkSpec {
     out(100L)._1 shouldBe 4L
   }
 
+  it should "preserve the domain ordering under the xxhash64 production path" in {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 20L).map(i => (i, "alpha beta alpha beta gamma", "tgt")) ++
+      (21L to 80L).map(i => (i, "noise filler noise filler junk", "raw")) ++
+      Seq((100L, "alpha beta gamma alpha", "raw"), (101L, "noise junk filler noise", "raw"))
+    val out = Dsir.importanceWeights(rows.toDF("doc_id", "text", "lang"),
+        "text", "doc_id", col("lang") === "tgt", md5Oracle = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out(100L) should be > out(101L)
+  }
+
   it should "return zero for token-free documents and cover every input row" in {
     val s = spark
     import s.implicits._
