@@ -681,6 +681,16 @@ object ScalingProbe {
       out += "fuzzyClusters500k" -> s"""{"sec":$tFc,"dupDocs":$nFc}"""
     }
 
+    // 31b) the linear-edge star path on the SAME adversarial corpus:
+    // O(docs × bands) edges instead of ~25M verified pairs
+    if (want("starClusters500k")) {
+      val (tSc, nSc) = time {
+        graft.dedup.FuzzyClusters.lshStarClusters(docs500k, "text", "doc_id")
+          .where(col("is_keeper") === 0).count()
+      }
+      out += "starClusters500k" -> s"""{"sec":$tSc,"dupDocs":$nSc}"""
+    }
+
     // 32) DSIR importance weights at 500k docs: the token stream is
     // ~40M instances; one bucket aggregation + broadcast weight join
     if (want("dsir500k")) {

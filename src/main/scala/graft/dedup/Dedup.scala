@@ -224,6 +224,33 @@ object Dedup {
       .select(col("id1"), col("id2"))
   }
 
+  /** (id, band, bandHash) LSH band-bucket membership — the banding stage
+    * of [[minhashLshPairs]] exposed for bucket-level clustering
+    * ([[FuzzyClusters.lshStarClusters]]), which consumes buckets
+    * directly instead of enumerating pairs. */
+  def minhashBandBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 2,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val native = haveFn(df, "minhash_sigs")
+    val sRaw = shingled(df, textCol, idCol, k)
+    val s =
+      if (native)
+        sRaw.withColumn("sig",
+          call_function("minhash_sigs", col("shingles"), lit(numHashes)))
+      else
+        sRaw.withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    s.select(
+      col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))
+      }: _*)).as(Seq("band", "bandHash")))
+  }
+
   /** The dedup decision step: collapse near-dup pairs into clusters
     * (connected components) and elect the minimum id as each cluster's
     * representative; every record maps to its keeper (itself when

@@ -60,4 +60,46 @@ object FuzzyClusters {
       .withColumn("is_keeper",
         when(col("cluster_id") === col(idCol), lit(1)).otherwise(lit(0)))
   }
+
+  /** The LINEAR-EDGE scale path: cluster by LSH band-bucket membership
+    * alone (two documents connect iff any band hashes them to the same
+    * bucket), skipping pair enumeration AND exact verification. Each
+    * (band, bucket) contributes a STAR — (bucket-min doc, member) edges
+    * — so the edge count is O(docs × bands) regardless of how many
+    * near-clones a document has, where the verified path's pair graph
+    * grows quadratically inside each duplicate family (the
+    * fuzzyClusters500k probe: ~25 M verified pairs from 100-copy
+    * replicas). This is the trade large corpus dedups
+    * (SlimPajama/RefinedWeb-style MinHashLSH) make: banding-threshold
+    * precision instead of exact-Jaccard verification, in exchange for
+    * never materializing a clique.
+    *
+    * Same output contract as [[minhashClusters]]. Hot buckets (a
+    * stop-shingle band collision) cost one aggregation key, not a
+    * clique: the star is built with groupBy(min) + an equi-join back —
+    * no per-bucket sort, no pair explosion. */
+  def lshStarClusters(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 2,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val banded = Dedup.minhashBandBuckets(df, textCol, idCol, k, numHashes, bands)
+      .localCheckpoint() // read twice: hub election + the join back
+    val hubs = banded.groupBy(col("band"), col("bandHash"))
+      .agg(min(col("id")).as("hub"))
+    val edges = banded.join(hubs, Seq("band", "bandHash"))
+      .where(col("id") =!= col("hub"))
+      .select(col("hub").as("src"), col("id").as("dst"))
+      .distinct()
+    val comps = graft.graph.GraphOps.connectedComponents(edges)
+    df.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+      .withColumn("is_keeper",
+        when(col("cluster_id") === col(idCol), lit(1)).otherwise(lit(0)))
+  }
 }
