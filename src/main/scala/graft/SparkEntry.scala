@@ -2399,6 +2399,53 @@ object SparkEntry {
       "doc_id", "cluster_id", "n_chars", "source")
   }
 
+  /** q179: classifier calibration report — decile buckets of a
+    * ppm-mapped score vs the observed positive rate, with per-bucket
+    * Brier in ppm. The score is q116's hashed-linear classifier (exact
+    * integers), the label an exact length gate, so every column is an
+    * integer the oracle restates verbatim. */
+  private def q179_calibration(s: SparkSession, dir: String): DataFrame = {
+    val weights = (0 until 64).map(b => ((b % 7) - 3).toDouble)
+    val score = graft.text.Classifier
+      .hashedLinearScore(col("text"), weights, bias = 0.0)
+    t(s, dir, "documents")
+      .select(col("doc_id"), score.cast("long").as("sc"),
+        (col("n_chars") >= 300).cast("long").as("y"))
+      .withColumn("p_ppm",
+        least(lit(1000000L), greatest(lit(0L), lit(500000L) + col("sc") * 10000)))
+      .withColumn("bucket", least(lit(9L), expr("p_ppm div 100000")))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"),
+        expr("(1000000 * sum(y)) div count(1)").as("obs_ppm"),
+        expr("sum(p_ppm) div count(1)").as("avg_p_ppm"),
+        expr("sum((p_ppm - y * 1000000) * (p_ppm - y * 1000000)) div (count(1) * 1000000)")
+          .as("brier_ppm"))
+  }
+
+  /** q180: known-item retrieval evaluation — each probe document's
+    * 3-token prefix queries the q158 inverted index in ONE batch plan
+    * ([[graft.text.InvertedIndex.topKBatch]]); the metric row per query
+    * is the source document's rank in the top-10, reciprocal rank in
+    * exact integer ppm, and hit@10. */
+  private def q180_mrr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ix = graft.text.InvertedIndex.build(docs, "doc_id", "text")
+    val queries = docs.where(col("doc_id") < 20)
+      .select(col("doc_id").cast("long").as("qid"),
+        array_distinct(slice(graft.text.TextAnalysis.tokens(col("text")), 1, 3))
+          .as("terms"))
+    val top = graft.text.InvertedIndex.topKBatch(ix, queries, "qid", "terms", k = 10)
+    queries.select(col("qid"))
+      .join(top.where(col("id") === col("qid"))
+        .select(col("qid"), col("rank")), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("rank"), lit(0)).cast("long").as("rank_in_top10"),
+        coalesce(expr("1000000 div rank"), lit(0L)).as("rr_ppm"),
+        col("rank").isNotNull.cast("int").as("hit10"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2576,7 +2623,9 @@ object SparkEntry {
     "q175_winsorize" -> (q175_winsorize _),
     "q176_loo_encode" -> (q176_loo_encode _),
     "q177_kmv_overlap" -> (q177_kmv_overlap _),
-    "q178_golden_record" -> (q178_golden_record _)
+    "q178_golden_record" -> (q178_golden_record _),
+    "q179_calibration" -> (q179_calibration _),
+    "q180_mrr" -> (q180_mrr _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -5028,7 +5077,73 @@ object SparkEntry {
         |  max(CASE WHEN rn = 1 THEN doc_id END) AS rep_id,
         |  max(CASE WHEN rn = 1 THEN n_chars END) AS rep_quality,
         |  string_agg(DISTINCT source, ',' ORDER BY source) AS attrs
-        |FROM r GROUP BY cluster_id""".stripMargin
+        |FROM r GROUP BY cluster_id""".stripMargin,
+    // q179: q116's hashed-linear score mapped to ppm, decile calibration
+    // + per-bucket Brier — all exact integer arithmetic
+    "q179_calibration" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'),
+        |        x -> len(x) > 0),
+        |      t -> (ascii(substr(md5(t), 1, 1)) * 131
+        |            + ascii(substr(md5(t), 2, 1))) % 64) AS bs
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(bs, b -> (b % 7) - 3)), 0) AS BIGINT) AS s
+        |  FROM tok
+        |), p AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y,
+        |    least(1000000, greatest(0, 500000 + sc.s * 10000)) AS p_ppm
+        |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+        |)
+        |SELECT least(9, p_ppm // 100000) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS obs_ppm,
+        |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS avg_p_ppm,
+        |  CAST(sum((p_ppm - y * 1000000) * (p_ppm - y * 1000000))
+        |    // (count(*) * 1000000) AS BIGINT) AS brier_ppm
+        |FROM p GROUP BY 1""".stripMargin,
+    // q180: known-item retrieval eval — BM25 shapes mirror q88's oracle
+    // exactly; ranking on the rounded score with id tie-break, metric
+    // columns are pure integers
+    "q180_mrr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, len(ts) AS dl, ts FROM toks WHERE len(ts) > 0
+        |), stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d
+        |), q AS (
+        |  SELECT doc_id AS qid, list_distinct(ts[1:3]) AS terms
+        |  FROM toks WHERE doc_id < 20
+        |), qt AS (
+        |  SELECT qid, unnest(terms) AS tok FROM q
+        |), tf AS (
+        |  SELECT doc_id, dl, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ts) AS tok FROM d)
+        |  GROUP BY doc_id, dl, tok
+        |), dfreq AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        |), sc AS (
+        |  SELECT qt.qid, tf.doc_id AS id,
+        |    round(sum(
+        |      ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+        |  FROM qt JOIN tf USING (tok) JOIN dfreq USING (tok) CROSS JOIN stats
+        |  GROUP BY qt.qid, tf.doc_id
+        |), rk AS (
+        |  SELECT qid, id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+        |  FROM sc
+        |), hit AS (SELECT qid, rank FROM rk WHERE rank <= 10 AND id = qid)
+        |SELECT q.qid, CAST(coalesce(hit.rank, 0) AS BIGINT) AS rank_in_top10,
+        |  CAST(coalesce(1000000 // hit.rank, 0) AS BIGINT) AS rr_ppm,
+        |  CASE WHEN hit.rank IS NOT NULL THEN 1 ELSE 0 END AS hit10
+        |FROM q LEFT JOIN hit USING (qid)""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

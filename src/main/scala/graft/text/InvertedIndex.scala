@@ -205,4 +205,41 @@ object InvertedIndex {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("id").asc)))
   }
+
+  /** Batch retrieval: ONE distributed plan scores many queries at once —
+    * the serving-batch / evaluation shape (looping [[topK]] would launch
+    * a Spark job per query). `queries` carries (qidCol, termsCol:
+    * array<string>); output (qid, id, score, rank), rank 1..k per query,
+    * score rounded to 6 places, ties broken by id — the same scoring
+    * contract as [[topK]] minus the single-query candidate cut (the
+    * pre-aggregation prune needs a per-query θ; with a query BATCH the
+    * postings pass is shared, which is the batch trade).
+    *
+    * Scale shape: the (query, term, idf) table is broadcast into the
+    * postings join (queries × terms is small by construction), scoring
+    * is a narrow pass over matched postings, the per-(query, doc)
+    * aggregation shuffles matched rows only, and ranking partitions by
+    * query id. */
+  def topKBatch(ix: Index, queries: DataFrame, qidCol: String,
+      termsCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val avgdl = ix.avgdl
+    val qt = queries.select(col(qidCol).cast("long").as("qid"),
+      explode(col(termsCol)).as("tok"))
+    val withIdf = qt.join(ix.terms.select(col("tok"), col("df")), Seq("tok"))
+      .withColumn("idf",
+        log((lit(ix.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .select(col("qid"), col("tok"), col("idf"))
+    val weighted = ix.postings.join(broadcast(withIdf), Seq("tok"))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    weighted.groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("w")), 6).as("score"))
+      .withColumn("rank", row_number().over(byQuery))
+      .where(col("rank") <= k)
+  }
 }

@@ -41,6 +41,26 @@ class InvertedIndexSpec extends SparkSpec {
     viaIndex.count() should be > 0L
   }
 
+  it should "score a query batch identically to per-query topK" in {
+    val docs = corpus(300, 7)
+    val ix = InvertedIndex.build(docs, "doc_id", "text")
+    val queryTerms = Seq(
+      1L -> Seq("alpha", "theta"),
+      2L -> Seq("delta"),
+      3L -> Seq("beta", "epsilon", "kappa"))
+    val batch = InvertedIndex.topKBatch(
+        ix, queryTerms.toDF("qid", "terms"), "qid", "terms", k = 5)
+      .select(col("qid"), col("id"), col("score"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSet).toMap
+    queryTerms.foreach { case (qid, terms) =>
+      val single = InvertedIndex.topK(ix, terms, k = 5)
+        .select(col("id"), col("score"), col("rank"))
+        .as[(Long, Double, Int)].collect().toSet
+      batch(qid) shouldBe single
+    }
+  }
+
   it should "return identical top-k with and without the rank-safe prune" in {
     for (seed <- 1 to 3) {
       val docs = corpus(500, seed)
