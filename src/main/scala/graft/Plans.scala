@@ -30,7 +30,8 @@ object Plans {
         "q149_containment", "q150_nfc_keys", "q151_group_ols",
         "q152_auc", "q153_ks_drift", "q154_table_diff",
         "q174_dsir", "q175_winsorize",
-        "q176_loo_encode")) {
+        "q176_loo_encode", "q177_kmv_overlap", "q178_golden_record",
+        "q179_calibration", "q180_mrr")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -79,14 +79,24 @@ object KmvSketch {
     when(size(sk) < k, size(sk).cast("long"))
       .otherwise(floor(lit(k - 1) * expr(M) / element_at(sk, k)).cast("long"))
 
+  /** Per-group KMV sketches + distinct estimates: (g, sk, est_n). The
+    * aggregation is insert-idempotent and merge-associative, so running
+    * it on a STREAM makes the sketch table a native stateful aggregation
+    * (update/complete mode) with O(groups × k) state — duplicates and
+    * replays cannot skew it (same composition as the streaming HLL
+    * registers, StreamingKmvSpec pins the batch convergence). */
+  def sketches(df: DataFrame, groupCol: String, elem: Column, k: Int = 64): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    df.select(col(groupCol).as("g"), hash60(elem).as("h"))
+      .groupBy(col("g")).agg(minK(k, col("h")).as("sk"))
+      .withColumn("est_n", estimate(col("sk"), k))
+  }
+
   /** Per-group distinct estimates and pairwise overlap estimates.
     * Output: (type_a, type_b, est_a, est_b, est_union, est_inter). */
   def overlap(df: DataFrame, groupCol: String, elem: Column, k: Int = 64): DataFrame = {
     require(k >= 2, "k must be at least 2")
-    val sk = df
-      .select(col(groupCol).as("g"), hash60(elem).as("h"))
-      .groupBy(col("g")).agg(minK(k, col("h")).as("sk"))
-      .withColumn("est_n", estimate(col("sk"), k))
+    val sk = sketches(df, groupCol, elem, k)
     val a = sk.select(col("g").as("type_a"), col("sk").as("sk_a"), col("est_n").as("est_a"))
     val b = sk.select(col("g").as("type_b"), col("sk").as("sk_b"), col("est_n").as("est_b"))
     a.join(broadcast(b), col("type_a") < col("type_b"))
