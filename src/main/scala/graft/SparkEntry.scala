@@ -2446,6 +2446,13 @@ object SparkEntry {
         col("rank").isNotNull.cast("int").as("hit10"))
   }
 
+  /** q181: temperature-scaled source mixing (α = 0.3, the XLM-R
+    * flattening) — per-source corpus share, tempered target share and
+    * the q/p sampling-rate multiplier, in ppm. */
+  private def q181_temperature_mix(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.temperatureWeights(
+      t(s, dir, "documents"), "source", alpha = 0.3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2625,7 +2632,8 @@ object SparkEntry {
     "q177_kmv_overlap" -> (q177_kmv_overlap _),
     "q178_golden_record" -> (q178_golden_record _),
     "q179_calibration" -> (q179_calibration _),
-    "q180_mrr" -> (q180_mrr _)
+    "q180_mrr" -> (q180_mrr _),
+    "q181_temperature_mix" -> (q181_temperature_mix _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -5143,7 +5151,25 @@ object SparkEntry {
         |SELECT q.qid, CAST(coalesce(hit.rank, 0) AS BIGINT) AS rank_in_top10,
         |  CAST(coalesce(1000000 // hit.rank, 0) AS BIGINT) AS rr_ppm,
         |  CASE WHEN hit.rank IS NOT NULL THEN 1 ELSE 0 END AS hit10
-        |FROM q LEFT JOIN hit USING (qid)""".stripMargin
+        |FROM q LEFT JOIN hit USING (qid)""".stripMargin,
+    // q181: temperature sampling weights — pow enters once per group,
+    // every output shape mirrored exactly
+    "q181_temperature_mix" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source
+        |), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM g
+        |), pw AS (
+        |  SELECT source, n_docs, N,
+        |    pow(CAST(n_docs AS DOUBLE) / N, 0.3) AS pw
+        |  FROM g, t
+        |), z AS (SELECT sum(pw) AS z FROM pw)
+        |SELECT source, n_docs,
+        |  CAST((1000000 * n_docs) // N AS BIGINT) AS p_ppm,
+        |  CAST(round(1000000 * pw / z) AS BIGINT) AS q_ppm,
+        |  CAST(round(1000000 * pw / z / (CAST(n_docs AS DOUBLE) / N)) AS BIGINT)
+        |    AS rate_ppm
+        |FROM pw, z""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -160,4 +160,35 @@ object Sampling {
       .withColumn("bucket", bucket)
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Temperature-scaled source mixing weights — the multilingual /
+    * multi-source sampling rule (XLM-R, mT5): the target share of group
+    * s is q_s ∝ p_s^α for corpus share p_s, with α ∈ (0, 1] flattening
+    * the head so low-resource groups are upsampled. The ratio q/p is
+    * the per-group sampling-rate multiplier to feed [[rateSample]] /
+    * [[epochMixture]].
+    *
+    * Output per group: (groupCol, n_docs, p_ppm exact-integer corpus
+    * share, q_ppm the tempered target share, rate_ppm = q/p), floats
+    * entering only through the per-group pow scalar — every ppm column
+    * is one rounded arithmetic shape an oracle restates verbatim.
+    *
+    * Scale shape: one count aggregation to a groups-sized table, two
+    * 1-row broadcast scalars (total, normalizer) — nothing row-wise. */
+  def temperatureWeights(df: DataFrame, groupCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val byGrp = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val tot = byGrp.agg(sum(col("n_docs")).as("N"))
+    val pw = byGrp.crossJoin(broadcast(tot))
+      .withColumn("pw", expr(s"pow(CAST(n_docs AS DOUBLE) / N, $alpha)"))
+    val z = pw.agg(sum(col("pw")).as("z"))
+    pw.crossJoin(broadcast(z)).select(
+      col(groupCol),
+      col("n_docs"),
+      expr("(1000000 * n_docs) div N").as("p_ppm"),
+      expr("CAST(round(1000000 * pw / z) AS BIGINT)").as("q_ppm"),
+      expr("CAST(round(1000000 * pw / z / (CAST(n_docs AS DOUBLE) / N)) AS BIGINT)")
+        .as("rate_ppm"))
+  }
 }

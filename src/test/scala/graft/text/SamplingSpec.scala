@@ -164,4 +164,32 @@ class SamplingSpec extends SparkSpec {
     Sampling.weightedSample(df, "id", col("w"), k = 10)
       .select("id").as[Long].collect().toSeq shouldBe Seq(3L)
   }
+
+  "temperatureWeights" should "flatten shares toward uniform and normalize to one" in {
+    // 80 / 15 / 5 split: α=0.3 upsamples the tail, downsamples the head
+    val rows = (1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 95).map(i => (i.toLong, "mid")) ++
+      (96 to 100).map(i => (i.toLong, "small"))
+    val out = Sampling.temperatureWeights(rows.toDF("id", "src"), "src", 0.3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // target shares sum to ~1 (rounding slack)
+    val qSum = out.values.map(_._2).sum
+    qSum should (be >= 999998L and be <= 1000002L)
+    out("big")._3 should be < 1000000L    // head downsampled
+    out("small")._3 should be > 1000000L  // tail upsampled
+    // ordering still respected: big keeps the largest target share
+    out("big")._2 should be > out("mid")._2
+    out("mid")._2 should be > out("small")._2
+  }
+
+  it should "reduce to the identity at alpha = 1" in {
+    val rows = (1 to 30).map(i => (i.toLong, if (i <= 20) "a" else "b"))
+    val out = Sampling.temperatureWeights(rows.toDF("id", "src"), "src", 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    out.foreach { case (_, (p, q, rate)) =>
+      math.abs(q - p) should be <= 1L   // q == p up to ppm rounding
+      math.abs(rate - 1000000L) should be <= 1L
+    }
+  }
 }
