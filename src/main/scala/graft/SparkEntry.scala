@@ -2453,6 +2453,23 @@ object SparkEntry {
     graft.text.Sampling.temperatureWeights(
       t(s, dir, "documents"), "source", alpha = 0.3)
 
+  /** q182: seasonal-baseline anomaly flags ([[graft.operators.Seasonal]])
+    * — per-(type, hour-of-day) integer-mean baseline, residuals, and a
+    * mean-absolute-deviation threshold; all exact integers. */
+  private def q182_seasonal(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Seasonal.residuals(
+      t(s, dir, "events"), "event_id", "event_type",
+      hour(col("ts")), round(col("value") * 100), mult = 3)
+
+  /** q183: k-anonymity + l-diversity audit ([[graft.operators.Anonymity]])
+    * over (nation, segment) quasi-identifiers with account balance as
+    * the sensitive attribute. */
+  private def q183_k_anonymity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anonymity.audit(
+      t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_cents", k = 5, l = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2633,7 +2650,9 @@ object SparkEntry {
     "q178_golden_record" -> (q178_golden_record _),
     "q179_calibration" -> (q179_calibration _),
     "q180_mrr" -> (q180_mrr _),
-    "q181_temperature_mix" -> (q181_temperature_mix _)
+    "q181_temperature_mix" -> (q181_temperature_mix _),
+    "q182_seasonal" -> (q182_seasonal _),
+    "q183_k_anonymity" -> (q183_k_anonymity _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -5169,7 +5188,43 @@ object SparkEntry {
         |  CAST(round(1000000 * pw / z) AS BIGINT) AS q_ppm,
         |  CAST(round(1000000 * pw / z / (CAST(n_docs AS DOUBLE) / N)) AS BIGINT)
         |    AS rate_ppm
-        |FROM pw, z""".stripMargin
+        |FROM pw, z""".stripMargin,
+    // q182: integer-mean hourly baseline, residuals, meanAD threshold
+    "q182_seasonal" ->
+      """WITH obs AS (
+        |  SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS slot,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |), prof AS (
+        |  SELECT event_type, slot, CAST(sum(v) // count(*) AS BIGINT) AS baseline
+        |  FROM obs GROUP BY event_type, slot
+        |), sc AS (
+        |  SELECT o.event_id, o.event_type, o.slot, o.v, p.baseline,
+        |    o.v - p.baseline AS residual
+        |  FROM obs o JOIN prof p USING (event_type, slot)
+        |), sp AS (
+        |  SELECT event_type,
+        |    CAST(sum(abs(residual)) // count(*) AS BIGINT) AS mean_ad
+        |  FROM sc GROUP BY event_type
+        |)
+        |SELECT sc.event_id, sc.event_type, sc.slot, sc.v, sc.baseline,
+        |  CAST(sc.residual AS BIGINT) AS residual,
+        |  CASE WHEN abs(sc.residual) > sp.mean_ad * 3 THEN 1 ELSE 0 END
+        |    AS is_anomaly
+        |FROM sc JOIN sp USING (event_type)""".stripMargin,
+    // q183: quasi-identifier group sizes + sensitive diversity
+    "q183_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer
+        |)
+        |SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT bal_cents) AS BIGINT) AS n_sensitive,
+        |  CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS k_anonymous,
+        |  CASE WHEN count(DISTINCT bal_cents) >= 3 THEN 1 ELSE 0 END
+        |    AS l_diverse
+        |FROM c GROUP BY c_nationkey, c_mktsegment""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
