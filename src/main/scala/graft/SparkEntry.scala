@@ -5103,6 +5103,7 @@ object SparkEntry {
         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
         |  max(CASE WHEN rn = 1 THEN doc_id END) AS rep_id,
         |  max(CASE WHEN rn = 1 THEN n_chars END) AS rep_quality,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_quality,
         |  string_agg(DISTINCT source, ',' ORDER BY source) AS attrs
         |FROM r GROUP BY cluster_id""".stripMargin,
     // q179: q116's hashed-linear score mapped to ppm, decile calibration

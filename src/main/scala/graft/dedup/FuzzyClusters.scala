@@ -50,8 +50,14 @@ object FuzzyClusters {
       num: Int = 1,
       den: Int = 3): DataFrame = {
     val pairs = Dedup.minhashLshPairs(df, textCol, idCol, k, numHashes, bands, num, den)
-    val comps = graft.graph.GraphOps.connectedComponents(
+    assign(df, idCol,
       pairs.select(col("id1").as("src"), col("id2").as("dst")))
+  }
+
+  /** Shared tail of both cluster paths: close `edges` into components
+    * and assign every id its min-label cluster + keeper flag. */
+  private def assign(df: DataFrame, idCol: String, edges: DataFrame): DataFrame = {
+    val comps = graft.graph.GraphOps.connectedComponents(edges)
     df.select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(
@@ -93,13 +99,6 @@ object FuzzyClusters {
       .where(col("id") =!= col("hub"))
       .select(col("hub").as("src"), col("id").as("dst"))
       .distinct()
-    val comps = graft.graph.GraphOps.connectedComponents(edges)
-    df.select(col(idCol))
-      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(
-        col(idCol),
-        coalesce(col("component"), col(idCol)).as("cluster_id"))
-      .withColumn("is_keeper",
-        when(col("cluster_id") === col(idCol), lit(1)).otherwise(lit(0)))
+    assign(df, idCol, edges)
   }
 }

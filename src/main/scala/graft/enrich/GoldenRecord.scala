@@ -24,8 +24,8 @@ object GoldenRecord {
   /** @param clustered (idCol, clusterCol) assignment, e.g.
     *                  [[graft.dedup.FuzzyClusters.minhashClusters]] output
     * @param df        source rows carrying idCol, qualityCol, attrCol
-    * @return one row per cluster:
-    *         (clusterCol, n_members, rep_id, rep_quality, attrs) */
+    * @return one row per cluster: (clusterCol, n_members, rep_id,
+    *         rep_quality, total_quality, attrs) */
   def collapse(clustered: DataFrame, df: DataFrame, idCol: String,
       clusterCol: String, qualityCol: String, attrCol: String): DataFrame = {
     val joined = df.join(clustered.select(col(idCol), col(clusterCol)), Seq(idCol))
@@ -38,6 +38,7 @@ object GoldenRecord {
         count(lit(1)).as("n_members"),
         max(when(col("__rn") === 1, col(idCol))).as("rep_id"),
         max(when(col("__rn") === 1, col(qualityCol))).as("rep_quality"),
+        sum(col(qualityCol)).as("total_quality"),
         array_join(array_sort(collect_set(col(attrCol))), ",").as("attrs"))
   }
 }

@@ -30,7 +30,9 @@ object FeaturePrep {
       "rank cut points must satisfy 0 <= lo <= hi <= den")
     val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     val grp = Window.partitionBy(col(groupCol))
-    val ranked = df
+    // rank over NON-NULL values only: nulls would sort first, occupy the
+    // low ranks and skew both cut points (and could null-out `lo`)
+    val ranked = df.where(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(byVal))
       .withColumn("__n", count(lit(1)).over(grp))
     def cutRank(num: Int): Column =
@@ -40,7 +42,9 @@ object FeaturePrep {
       .agg(
         max(when(col("__rn") === cutRank(loNum), col(valueCol))).as("lo"),
         max(when(col("__rn") === cutRank(hiNum), col(valueCol))).as("hi"))
-    df.join(bounds, Seq(groupCol))
+    // left join: a group whose values are ALL null keeps its rows with
+    // null bounds; null values pass through as null clipped
+    df.join(bounds, Seq(groupCol), "left")
       .withColumn("clipped", least(greatest(col(valueCol), col("lo")), col("hi")))
   }
 
@@ -60,12 +64,16 @@ object FeaturePrep {
     val grp = df.groupBy(col(keyCol)).agg(
       sum(col(targetCol)).as("__gs"), count(lit(1)).as("__gn"))
     val tot = grp.agg(sum(col("__gs")).as("__ts"), sum(col("__gn")).as("__tn"))
-    df.join(grp, Seq(keyCol)).crossJoin(broadcast(tot))
+    // the target column is referenced through a renamed alias so the
+    // expr() arithmetic never re-parses a caller-supplied name (a
+    // hyphenated or keyword column would mis-parse as SQL)
+    df.withColumn("__x", col(targetCol))
+      .join(grp, Seq(keyCol)).crossJoin(broadcast(tot))
       .withColumn("enc",
         when(col("__gn") > 1,
-          expr(s"((__gs - $targetCol) * $scale) div (__gn - 1)"))
-          .otherwise(expr(s"((__ts - $targetCol) * $scale) div (__tn - 1)"))
+          expr(s"((__gs - __x) * $scale) div (__gn - 1)"))
+          .otherwise(expr(s"((__ts - __x) * $scale) div (__tn - 1)"))
           .cast("long"))
-      .drop("__gs", "__gn", "__ts", "__tn")
+      .drop("__gs", "__gn", "__ts", "__tn", "__x")
   }
 }

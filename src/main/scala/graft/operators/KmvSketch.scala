@@ -88,6 +88,9 @@ object KmvSketch {
   def sketches(df: DataFrame, groupCol: String, elem: Column, k: Int = 64): DataFrame = {
     require(k >= 2, "k must be at least 2")
     df.select(col(groupCol).as("g"), hash60(elem).as("h"))
+      // null elements hash to null, which the primitive-Long aggregator
+      // input would reject at runtime — a null is "no element", drop it
+      .where(col("h").isNotNull)
       .groupBy(col("g")).agg(minK(k, col("h")).as("sk"))
       .withColumn("est_n", estimate(col("sk"), k))
   }

@@ -27,11 +27,18 @@ object Seasonal {
   def residuals(df: DataFrame, idCol: String, groupCol: String,
       slotCol: Column, valueCol: Column, mult: Int = 3): DataFrame = {
     val obs = df.select(col(idCol), col(groupCol),
-      slotCol.cast("long").as("slot"), valueCol.cast("long").as("v"))
+        slotCol.cast("long").as("slot"), valueCol.cast("long").as("v"))
+      // a null measure is "no observation" — keeping it would deflate
+      // both the baseline and the meanAD (sum skips nulls, count(1)
+      // doesn't)
+      .where(col("v").isNotNull && col("slot").isNotNull)
     val profile = obs.groupBy(col(groupCol), col("slot"))
       .agg(expr("sum(v) div count(1)").as("baseline"))
+    // read twice (spread + output join): materialize so the observation
+    // scan and the profile join run once
     val scored = obs.join(broadcast(profile), Seq(groupCol, "slot"))
       .withColumn("residual", col("v") - col("baseline"))
+      .localCheckpoint()
     val spread = scored.groupBy(col(groupCol))
       .agg(expr("sum(abs(residual)) div count(1)").as("mean_ad"))
     scored.join(broadcast(spread), Seq(groupCol))

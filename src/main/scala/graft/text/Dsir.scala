@@ -59,12 +59,16 @@ object Dsir {
       buckets: Int = 1024,
       md5Oracle: Boolean = true): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // materialized once: the bucket-count branch and the final scoring
+    // join both read (id, is_tgt, b) — without the checkpoint the
+    // tokenize+hash pass (the dominant cost) would run per branch
     val toks = df.select(
         col(idCol),
         targetFilter.as("is_tgt"),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
       .select(col(idCol), col("is_tgt"),
         bucket(col("tok"), buckets, md5Oracle).as("b"))
+      .localCheckpoint()
 
     // one pass over the token stream: raw and target counts per bucket
     val perBucket = toks.groupBy(col("b")).agg(

@@ -17,9 +17,9 @@ class GoldenRecordSpec extends SparkSpec {
     val out = GoldenRecord.collapse(clustered, docs,
         "doc_id", "cluster_id", "n_chars", "source")
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
-    // quality tie 2 vs 3 at 30 chars → min id 2 wins
-    out(1L) shouldBe ((3L, 2L, 30L, "mail,web"))
-    out(9L) shouldBe ((1L, 9L, 7L, "pdf"))
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    // quality tie 2 vs 3 at 30 chars → min id 2 wins; additive quality sums
+    out(1L) shouldBe ((3L, 2L, 30L, 70L, "mail,web"))
+    out(9L) shouldBe ((1L, 9L, 7L, 7L, "pdf"))
   }
 }
