@@ -715,6 +715,21 @@ object ScalingProbe {
         s"""{"md5":{"sec":$tDs,"scoredRows":$nDs},"xxhash":{"sec":$tDsX,"scoredRows":$nDsX}}"""
     }
 
+    // 33) the full curation pipeline (normalize → langid → PII →
+    // quality → exact dedup → star fuzzy dedup → decontaminate → mix →
+    // pack) over the 500k-doc adversarial corpus — the end-to-end
+    // number a pretraining-data run would see
+    if (want("curate500k")) {
+      val big = docs.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"),
+          col("source"))
+      val bench = docs.where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val (_, _, audit) = graft.tools.Curate.run(big, bench)
+      out += "curate500k" -> audit.json
+    }
+
     println(out.map { case (k, v) => s""""$k":$v""" }
       .mkString("""{"probe":"scaling",""", ",", "}"))
     spark.stop()

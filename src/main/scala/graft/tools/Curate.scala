@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.{Normalize, Pii, Sampling, TextAnalysis, Packing}
+import graft.dedup.{Decontamination, FuzzyClusters}
+
+/** End-to-end corpus curation pipeline — the runnable composition of the
+  * library's oracle-checked stages, in the order a production
+  * pretraining-data run executes them:
+  *
+  *   1. Unicode NFC normalization          (Normalize.nfcCol)
+  *   2. language identification            (TextAnalysis.langId)
+  *   3. PII redaction                      (Pii.redact)
+  *   4. Gopher quality gate                (gopherCounts/gopherPasses)
+  *   5. exact dedup (sha2 content key, min-id keeper)
+  *   6. fuzzy near-dup keep                (FuzzyClusters.lshStarClusters
+  *                                          — the linear-edge scale path)
+  *   7. benchmark decontamination          (Decontamination.decontaminate)
+  *   8. temperature mixing rates           (Sampling.temperatureWeights,
+  *                                          report-only)
+  *   9. sequence packing bookkeeping       (Packing.concatChunks)
+  *
+  * Usage: `runMain graft.tools.Curate <sfDir> <outDir>`. Writes the
+  * curated corpus to `<outDir>/curated` (parquet), the per-source mixing
+  * table to `<outDir>/mix`, and prints ONE JSON audit line with
+  * per-stage survivor counts and wall time — the artifact a data-quality
+  * review reads. Every stage is deterministic, so two runs over the same
+  * input produce byte-identical curated sets.
+  *
+  * CuratePipelineSpec pins: monotone survivor counts, output/audit
+  * agreement, and run-to-run determinism at sf0.001.
+  */
+object Curate {
+
+  final case class Audit(stages: Seq[(String, Long)], chunks: Long, sec: Double) {
+    def json: String = {
+      val s = stages.map { case (n, c) => s""""$n":$c""" }.mkString(",")
+      f"""{"pipeline":"curate","stages":{$s},"packed_chunks":$chunks,"sec":$sec%.3f}"""
+    }
+  }
+
+  /** The pipeline body — returns (curated corpus, mixing table, audit).
+    * Split from main() so the spec can run it on any input. */
+  def run(docs: DataFrame, benchmark: DataFrame,
+      capacity: Long = 512): (DataFrame, DataFrame, Audit) = {
+    val t0 = System.nanoTime()
+    val stages = Seq.newBuilder[(String, Long)]
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val kept = df.localCheckpoint() // each stage read 2x: count + next
+      stages += name -> kept.count()
+      kept
+    }
+
+    val input = stage("input", docs)
+
+    // 1-2. normalize + language id (annotation stages — no drops)
+    val normalized = Normalize.nfcCol(input, "text", "text_nfc")
+      .withColumn("lang_id", TextAnalysis.langId(col("text_nfc")))
+
+    // 3. PII redaction (rewrites text, keeps every row)
+    val redacted = Pii.redact(normalized, "text_nfc", out = "text_clean")
+
+    // 4. Gopher quality gate
+    val m = TextAnalysis.gopherCounts(col("text_clean")).toMap
+    val stops = TextAnalysis.stopwordCount(col("text_clean"),
+      Seq("the", "a", "of", "and")).cast("long")
+    val quality = stage("quality",
+      redacted.where(TextAnalysis.gopherPasses(m, stops) === 1))
+
+    // 5. exact dedup: 32-byte content key, min-id keeper (the q96 rule)
+    val keyed = quality.withColumn("__key", sha2(col("text_clean"), 256))
+    val minId = keyed.groupBy(col("__key")).agg(min(col("doc_id")).as("__keep"))
+    val exact = stage("exact_dedup",
+      keyed.join(minId, Seq("__key"))
+        .where(col("doc_id") === col("__keep")).drop("__key", "__keep"))
+
+    // 6. fuzzy near-dup keep — star clustering (O(docs×bands) edges)
+    val clusters = FuzzyClusters.lshStarClusters(exact, "text_clean", "doc_id")
+    val fuzzy = stage("fuzzy_dedup",
+      exact.join(clusters.where(col("is_keeper") === 1)
+        .select(col("doc_id")), Seq("doc_id")))
+
+    // 7. decontamination against the benchmark slice
+    val clean = stage("decontaminated",
+      Decontamination.decontaminate(
+        fuzzy, "doc_id", "text_clean", benchmark, "doc_id", "text", n = 8))
+
+    // 8. per-source temperature mixing rates (report table)
+    val mix = Sampling.temperatureWeights(clean, "source", alpha = 0.3)
+
+    // 9. packing bookkeeping over the surviving token stream
+    val withLen = clean.withColumn("n_tok",
+      TextAnalysis.tokenCount(col("text_clean")))
+    val chunks = Packing.concatChunks(withLen, "doc_id", "n_tok", capacity)
+      .agg(max(col("last_chunk"))).collect()(0)
+    val nChunks = if (chunks.isNullAt(0)) 0L else chunks.getLong(0) + 1
+
+    val curated = clean.select(
+      col("doc_id"), col("source"), col("lang_id"), col("text_clean"))
+    (curated, mix, Audit(stages.result(), nChunks, (System.nanoTime() - t0) / 1e9))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_curated"
+    val spark = graft.GraftSession.builder("graft-curate")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables(spark, sfDir, "documents")
+    // benchmark slice: the held-out eval documents (same rule as q79)
+    val (curated, mix, audit) = run(docs.where(col("doc_id") >= 20),
+      docs.where(col("doc_id") < 20))
+    curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    mix.write.mode("overwrite").parquet(s"$outDir/mix")
+    println(audit.json)
+    spark.stop()
+  }
+}
