@@ -45,9 +45,11 @@ object PageRank {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = e.join(deg, "src").localCheckpoint()
+    // single consumer (the final assignment join) — no checkpoint; a
+    // materialization here would add a full job for a frame read once
     val vertices = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+      .distinct()
     val base = (scale * (dampDen - dampNum)) / dampDen
 
     // Sparse rank representation: `ranks` holds ONLY vertices that
