@@ -87,13 +87,22 @@ object Curate {
       Decontamination.decontaminate(
         fuzzy, "doc_id", "text_clean", benchmark, "doc_id", "text", n = 8))
 
-    // 8. per-source temperature mixing rates (report table)
+    // 8. temperature mixing — computed AND applied: the per-source q/p
+    // rate multipliers become fractional epochs (a rate of 2.3 = two
+    // copies + a deterministic 30% third)
     val mix = Sampling.temperatureWeights(clean, "source", alpha = 0.3)
+      .localCheckpoint() // read twice: the rates collect + the output table
+    val rates = mix.select(col("source"), col("rate_ppm")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / 1e6).toMap
+    val mixed = stage("mixed",
+      Sampling.epochMixture(clean, "doc_id", "source", rates))
 
-    // 9. packing bookkeeping over the surviving token stream
-    val withLen = clean.withColumn("n_tok",
-      TextAnalysis.tokenCount(col("text_clean")))
-    val chunks = Packing.concatChunks(withLen, "doc_id", "n_tok", capacity)
+    // 9. packing bookkeeping over the MIXED token stream (one row per
+    // (document, epoch); epochs stay bounded so the order key is exact)
+    val withLen = mixed
+      .withColumn("__ord", col("doc_id") * 100 + col("epoch"))
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text_clean")))
+    val chunks = Packing.concatChunks(withLen, "__ord", "n_tok", capacity)
       .agg(max(col("last_chunk"))).collect()(0)
     val nChunks = if (chunks.isNullAt(0)) 0L else chunks.getLong(0) + 1
 

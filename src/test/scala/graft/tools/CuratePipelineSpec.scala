@@ -22,7 +22,12 @@ class CuratePipelineSpec extends SparkSpec {
     counts("exact_dedup") should be <= counts("quality")
     counts("fuzzy_dedup") should be <= counts("exact_dedup")
     counts("decontaminated") should be <= counts("fuzzy_dedup")
-    // the curated frame IS the last stage
+    // temperature mixing conserves total mass (Σ n_s·q_s/p_s = N up to
+    // the fractional-epoch draws): the mixed stream stays near the
+    // decontaminated count — heads shrink, tails grow
+    counts("mixed").toDouble shouldBe
+      counts("decontaminated").toDouble +- counts("decontaminated") * 0.25
+    // the curated frame IS the decontaminated stage (pre-mix)
     curated.count() shouldBe counts("decontaminated")
     // mixing rates cover exactly the surviving sources and normalize
     val mixRows = mix.collect()
