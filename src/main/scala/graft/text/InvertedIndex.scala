@@ -225,8 +225,11 @@ object InvertedIndex {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
     val avgdl = ix.avgdl
+    // distinct terms per query: topK scores each distinct term once
+    // (isin matching) — exploding duplicates would double-count a
+    // repeated term's weight and break the batch ≡ single contract
     val qt = queries.select(col(qidCol).cast("long").as("qid"),
-      explode(col(termsCol)).as("tok"))
+      explode(array_distinct(col(termsCol))).as("tok"))
     val withIdf = qt.join(ix.terms.select(col("tok"), col("df")), Seq("tok"))
       .withColumn("idf",
         log((lit(ix.n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))

@@ -98,9 +98,12 @@ object Curate {
       Sampling.epochMixture(clean, "doc_id", "source", rates))
 
     // 9. packing bookkeeping over the MIXED token stream (one row per
-    // (document, epoch); epochs stay bounded so the order key is exact)
+    // (document, epoch)); the order-key multiplier comes from the ACTUAL
+    // max rate so (doc, epoch) keys can never collide across documents,
+    // whatever the temperature curve produced
+    val ordBase = math.ceil(rates.values.foldLeft(1.0)(math.max)).toLong + 2
     val withLen = mixed
-      .withColumn("__ord", col("doc_id") * 100 + col("epoch"))
+      .withColumn("__ord", col("doc_id") * ordBase + col("epoch"))
       .withColumn("n_tok", TextAnalysis.tokenCount(col("text_clean")))
     val chunks = Packing.concatChunks(withLen, "__ord", "n_tok", capacity)
       .agg(max(col("last_chunk"))).collect()(0)

@@ -47,7 +47,10 @@ class InvertedIndexSpec extends SparkSpec {
     val queryTerms = Seq(
       1L -> Seq("alpha", "theta"),
       2L -> Seq("delta"),
-      3L -> Seq("beta", "epsilon", "kappa"))
+      3L -> Seq("beta", "epsilon", "kappa"),
+      // repeated term: topK's isin matching scores each DISTINCT term
+      // once; the batch path must not double-count it
+      4L -> Seq("alpha", "delta", "alpha"))
     val batch = InvertedIndex.topKBatch(
         ix, queryTerms.toDF("qid", "terms"), "qid", "terms", k = 5)
       .select(col("qid"), col("id"), col("score"), col("rank"))
