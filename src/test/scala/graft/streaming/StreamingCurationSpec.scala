@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.text.{Normalize, Pii, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming curation front door — the batch pipeline's GATE stages
+  * (NFC normalize → PII redact → Gopher quality) are all stateless
+  * projections/filters, so they run unchanged INSIDE a streaming
+  * query; the one stateful stage (exact dedup across batches and
+  * RUNS) is [[StreamingExactDedup]]'s persisted digest index. This
+  * pins the composition: documents arriving over micro-batches come
+  * out curated exactly like a batch run of the same gates. */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  // the batch pipeline's gate stages, applied to any (doc_id, text) frame
+  private def gates(df: DataFrame): DataFrame = {
+    val normalized = Normalize.nfcCol(df, "text", "text_nfc")
+    val redacted = Pii.redact(normalized, "text_nfc", out = "text_clean")
+    val m = TextAnalysis.gopherCounts(col("text_clean")).toMap
+    val stops = TextAnalysis.stopwordCount(col("text_clean"),
+      Seq("the", "a", "of", "and")).cast("long")
+    redacted.where(TextAnalysis.gopherPasses(m, stops) === 1)
+      .select(col("doc_id"), col("text_clean"))
+  }
+
+  private val good =
+    ("the marvelous story of the ancient forest fox and the sleeping dog " * 8).trim
+  private val short_ = "too short"
+  private val withPii = ("write someone@example.com today because " +
+    "the marvelous story of the ancient forest fox and the sleeping dog " * 8).trim
+
+  "streaming curation" should "apply the batch gates per micro-batch and dedup across batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    val sunk = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val (indexDir, ckpt) = (tmp("cur-idx"), tmp("cur-ck"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingExactDedup.start(
+      gates(stream.toDS().toDF("doc_id", "text")),
+      "text_clean", "doc_id", indexDir, ckpt) { batch =>
+      sunk.synchronized {
+        sunk ++= batch.select("doc_id", "text_clean").as[(Long, String)].collect()
+      }
+    }
+    try {
+      stream.addData((1L, good), (2L, short_), (3L, withPii))
+      q.processAllAvailable()
+      // batch 2 repeats doc 1's text verbatim → cross-batch dedup drops it
+      stream.addData((4L, good), (5L, good + " with a new ending sentence"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = sunk.sorted.toList
+    out.map(_._1) shouldBe List(1L, 3L, 5L)
+    // the PII gate ran before dedup: the surviving text is redacted
+    out.find(_._1 == 3L).get._2 should not include "someone@example.com"
+    // and the curated set equals a BATCH run of the same gates + dedup
+    val batchEquiv = gates(Seq(
+        (1L, good), (2L, short_), (3L, withPii),
+        (4L, good), (5L, good + " with a new ending sentence"))
+        .toDF("doc_id", "text"))
+    val batchDeduped = StreamingExactDedup.dedupBatch(
+      batchEquiv, "text_clean", "doc_id", tmp("cur-idx2"), "batchrun", 0L)
+    batchDeduped.select("doc_id").as[Long].collect().sorted.toList shouldBe
+      List(1L, 3L, 5L)
+  }
+}
