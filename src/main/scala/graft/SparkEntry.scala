@@ -2470,6 +2470,19 @@ object SparkEntry {
         round(col("c_acctbal") * 100).cast("long").as("bal_cents")),
       Seq("c_nationkey", "c_mktsegment"), "bal_cents", k = 5, l = 3)
 
+  /** q184: filtered vector search ([[graft.similarity.Ann.filteredTopK]])
+    * — top-3 neighbors restricted to a selective predicate (label 3,
+    * even ids ≈ 6% of the corpus), which routes to the exact pre-filter
+    * path; the oracle is q21's brute-force restated over the filtered
+    * corpus. The broad-predicate IVF route is spec'd + probed. */
+  private def q184_filtered_ann(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Ann.filteredTopK(
+        emb, emb.where(col("vec_id") < 50), "vec_id", "embedding",
+        col("label") === 3 && col("vec_id") % 2 === 0, k = 3)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2652,7 +2665,8 @@ object SparkEntry {
     "q180_mrr" -> (q180_mrr _),
     "q181_temperature_mix" -> (q181_temperature_mix _),
     "q182_seasonal" -> (q182_seasonal _),
-    "q183_k_anonymity" -> (q183_k_anonymity _)
+    "q183_k_anonymity" -> (q183_k_anonymity _),
+    "q184_filtered_ann" -> (q184_filtered_ann _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -5225,7 +5239,16 @@ object SparkEntry {
         |  CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS k_anonymous,
         |  CASE WHEN count(DISTINCT bal_cents) >= 3 THEN 1 ELSE 0 END
         |    AS l_diverse
-        |FROM c GROUP BY c_nationkey, c_mktsegment""".stripMargin
+        |FROM c GROUP BY c_nationkey, c_mktsegment""".stripMargin,
+    // q184: q21's brute-force restated over the predicate-filtered corpus
+    "q184_filtered_ann" ->
+      """SELECT probe_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 50 AND b.label = 3 AND b.vec_id % 2 = 0
+        |) WHERE rank <= 3""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

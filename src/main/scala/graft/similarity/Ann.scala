@@ -326,6 +326,55 @@ object Ann {
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** FILTERED vector search — top-k among the corpus rows satisfying a
+    * predicate, the feature every production vector store names
+    * (filtered / hybrid search) and implements as a selectivity cutover:
+    *
+    *   - SELECTIVE predicate (matched fraction ≤ `cutover`): pre-filter.
+    *     Brute-force over the filtered subset — exact top-k, and cheap
+    *     precisely because few rows matched; routing an index would add
+    *     cost, not save it.
+    *   - BROAD predicate: post-filter. IVF-route the probes over the
+    *     FULL corpus with an over-fetched pool (k × `overFetch`), drop
+    *     candidates failing the predicate, keep the best k survivors.
+    *     Recall is bounded by routing + over-fetch — the same trade the
+    *     unfiltered IVF path makes, widened by overFetch against
+    *     predicate attrition.
+    *
+    * Both routes return (probe_id, neighbor_id, rank) with rank 1..≤k
+    * per probe (fewer when the filtered corpus runs out). The decision
+    * reads two counts — at index-serving scale those are metadata-cheap
+    * relative to either search. */
+  def filteredTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      predicate: Column,
+      k: Int,
+      cutover: Double = 0.1,
+      overFetch: Int = 4,
+      nlist: Int = 0,
+      nprobe: Int = 4): DataFrame = {
+    require(k > 0 && overFetch >= 1, "k and overFetch must be positive")
+    val filtered = corpus.where(predicate).localCheckpoint()
+    val n = filtered.count()
+    val total = corpus.count()
+    if (total == 0 || n == 0 || n <= cutover * total)
+      bruteForceTopK(filtered, probes, idCol, vecCol, k)
+    else {
+      val pool = ivfTopK(corpus, probes, idCol, vecCol, k * overFetch,
+        nlist = nlist, nprobe = nprobe)
+      val keep = filtered.select(col(idCol).cast("long").as("neighbor_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("rank"))
+      pool.join(keep, Seq("neighbor_id"), "left_semi")
+        .withColumn("rank2", row_number().over(w))
+        .where(col("rank2") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("rank2").as("rank"))
+    }
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       probes: DataFrame,
