@@ -715,6 +715,34 @@ object ScalingProbe {
         s"""{"md5":{"sec":$tDs,"scoredRows":$nDs},"xxhash":{"sec":$tDsX,"scoredRows":$nDsX}}"""
     }
 
+    // 32b) filtered vector search at 500k vectors: broad predicate
+    // (90% of the corpus) → the IVF post-filter route; recall measured
+    // against the exact filtered brute-force
+    if (want("filteredAnn500k")) {
+      val emb500k = emb.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("vec_id") + col("rep") * 1000000).as("vec_id"),
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x.cast("double") +
+              (pmod(col("rep") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.02)
+              .cast("float")).as("embedding"),
+          pmod(col("vec_id"), lit(10L)).as("band"))
+        .localCheckpoint()
+      val probes = emb500k.where(col("vec_id") < 100)
+      val pred = col("band") =!= 0 // 90% of the corpus survives
+      val exactTop = graft.similarity.Ann.bruteForceTopK(
+          emb500k.where(pred), probes, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+      val nExact = exactTop.count()
+      val (tF, nHits) = time {
+        graft.similarity.Ann.filteredTopK(emb500k, probes, "vec_id",
+            "embedding", pred, k = 10, overFetch = 4, nprobe = 4)
+          .join(exactTop, Seq("probe_id", "neighbor_id"), "left_semi").count()
+      }
+      out += "filteredAnn500k" ->
+        s"""{"sec":$tF,"recallAt10":${nHits.toDouble / nExact}}"""
+    }
+
     // 33) the full curation pipeline (normalize → langid → PII →
     // quality → exact dedup → star fuzzy dedup → decontaminate → mix →
     // pack) over the 500k-doc adversarial corpus — the end-to-end
