@@ -32,7 +32,7 @@ object Plans {
         "q174_dsir", "q175_winsorize",
         "q176_loo_encode", "q177_kmv_overlap", "q178_golden_record",
         "q179_calibration", "q180_mrr", "q181_temperature_mix",
-        "q182_seasonal", "q183_k_anonymity")) {
+        "q182_seasonal", "q183_k_anonymity", "q184_filtered_ann")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
