@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.dedup.Dedup
+
+/** Cross-batch streaming NEAR-duplicate dedup — the fuzzy sibling of
+  * [[StreamingExactDedup]]: a document is dropped when it is a
+  * near-duplicate of anything seen in an earlier micro-batch (of this
+  * run or any previous run), and within a batch each near-dup family
+  * keeps its minimum-id representative. "Near-duplicate" is MinHash
+  * band-bucket collision — the same linear-edge criterion as
+  * [[graft.dedup.FuzzyClusters.lshStarClusters]], which is what makes
+  * the state FEASIBLE: the persisted index stores only the distinct
+  * (band, bucket-hash) values ever seen — two longs per band per
+  * document at most, independent of text size, shrinking under
+  * duplication — instead of signatures or shingle sets.
+  *
+  * Semantics are first-seen-wins (standard streaming dedup): a later
+  * batch's family is dropped WHOLE when any member collides with a
+  * seen bucket (its content was already represented — electing a new
+  * keeper would duplicate it), and batches replayed after a crash are
+  * idempotent (the "ignore my own batches ≥ mine" guard scoped to the
+  * checkpoint-derived runId, exactly [[StreamingExactDedup]]'s rule).
+  * Cross-batch TRANSITIVITY is deliberately not re-closed — merging
+  * two already-emitted families retroactively would require retracting
+  * emitted rows, which an append sink cannot do; a periodic batch
+  * re-clustering ([[graft.dedup.FuzzyClusters]]) is the repair path,
+  * the same recompute-and-swap rule the quad pipeline uses. */
+object StreamingFuzzyDedup {
+
+  /** Batch kernel: returns the batch's surviving keeper rows and
+    * persists the batch's bucket memberships under
+    * `run=<runId>/batch=<batchId>`. */
+  def dedupBatch(batch: DataFrame, textCol: String, idCol: String,
+      indexDir: String, runId: String, batchId: Long,
+      k: Int = 2, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val spark = batch.sparkSession
+    val banded = Dedup.minhashBandBuckets(batch, textCol, idCol, k, numHashes, bands)
+      .localCheckpoint() // read 3x: families, seen-join, persist
+    // within-batch star families: every doc labeled with its family root
+    val hubs = banded.groupBy(col("band"), col("bandHash"))
+      .agg(min(col("id")).as("hub"))
+    val edges = banded.join(hubs, Seq("band", "bandHash"))
+      .where(col("id") =!= col("hub"))
+      .select(col("hub").as("src"), col("id").as("dst"))
+      .distinct()
+    val comps = graft.graph.GraphOps.connectedComponents(edges)
+    val fam = batch.select(col(idCol).cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("fam"))
+      .localCheckpoint()
+
+    // seen-set: bucket memberships of every earlier batch
+    val earlier = {
+      val root = new java.io.File(indexDir)
+      Option(root.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("run="))
+        .flatMap { runDir =>
+          val mine = runDir.getName == s"run=$runId"
+          Option(runDir.listFiles()).toSeq.flatten
+            .filter(b => b.isDirectory && b.getName.startsWith("batch="))
+            .filter(b =>
+              !mine || b.getName.stripPrefix("batch=").toLong < batchId)
+            .map(_.getPath)
+        }
+    }
+    // families with ANY member colliding with a seen bucket drop whole
+    val dupFams =
+      if (earlier.isEmpty) fam.limit(0).select(col("fam"))
+      else banded
+        .join(spark.read.parquet(earlier: _*)
+          .select(col("band"), col("bandHash")), Seq("band", "bandHash"),
+          "left_semi")
+        .select(col("id")).distinct()
+        .join(fam, Seq("id")).select(col("fam")).distinct()
+    val keepers = fam
+      .join(dupFams, Seq("fam"), "left_anti")
+      .where(col("id") === col("fam")) // min-id representative
+      .select(col("id"))
+
+    val out = batch
+      .join(keepers.withColumnRenamed("id", "__keep_id"),
+        col(idCol).cast("long") === col("__keep_id"))
+      .drop("__keep_id")
+      .localCheckpoint()
+    banded.select(col("band"), col("bandHash")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/run=$runId/batch=$batchId")
+    out
+  }
+
+  /** Streaming wiring — identical contract to
+    * [[StreamingExactDedup.start]] (checkpoint-derived runId). */
+  def start(docs: DataFrame, textCol: String, idCol: String,
+      indexDir: String, checkpointDir: String)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val runId = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(new java.io.File(checkpointDir).getCanonicalPath
+        .getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(dedupBatch(batch, textCol, idCol, indexDir, runId, batchId))
+      }
+      .start()
+  }
+}
