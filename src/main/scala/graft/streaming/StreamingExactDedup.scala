@@ -50,20 +50,9 @@ object StreamingExactDedup {
       .withColumn("__keep", col(idCol) === min(col(idCol)).over(w))
       .where(col("__keep"))
     // seen-set: all other runs in full + this run's batches strictly
-    // before this one (replay safety)
-    val earlier = {
-      val root = new java.io.File(indexDir)
-      Option(root.listFiles()).toSeq.flatten
-        .filter(d => d.isDirectory && d.getName.startsWith("run="))
-        .flatMap { runDir =>
-          val mine = runDir.getName == s"run=$runId"
-          Option(runDir.listFiles()).toSeq.flatten
-            .filter(b => b.isDirectory && b.getName.startsWith("batch="))
-            .filter(b =>
-              !mine || b.getName.stripPrefix("batch=").toLong < batchId)
-            .map(_.getPath)
-        }
-    }
+    // before this one (replay safety — DedupIndex rules, shared with the
+    // fuzzy sibling)
+    val earlier = DedupIndex.earlierPaths(indexDir, runId, batchId)
     val fresh =
       if (earlier.isEmpty) canon
       else canon.join(
@@ -85,10 +74,7 @@ object StreamingExactDedup {
   def start(docs: DataFrame, textCol: String, idCol: String,
       indexDir: String, checkpointDir: String)(
       sink: DataFrame => Unit): StreamingQuery = {
-    val runId = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(new java.io.File(checkpointDir).getCanonicalPath
-        .getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
+    val runId = DedupIndex.runIdFor(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -8,35 +8,52 @@ import graft.dedup.Dedup
 
 /** Cross-batch streaming NEAR-duplicate dedup — the fuzzy sibling of
   * [[StreamingExactDedup]]: a document is dropped when it is a
-  * near-duplicate of anything seen in an earlier micro-batch (of this
-  * run or any previous run), and within a batch each near-dup family
-  * keeps its minimum-id representative. "Near-duplicate" is MinHash
-  * band-bucket collision — the same linear-edge criterion as
+  * near-duplicate of an EMITTED document from an earlier micro-batch
+  * (of this run or any previous run), and within a batch each near-dup
+  * family keeps its minimum-id representative. "Near-duplicate" is
+  * MinHash band-bucket collision — the same linear-edge criterion as
   * [[graft.dedup.FuzzyClusters.lshStarClusters]], which is what makes
   * the state FEASIBLE: the persisted index stores only the distinct
-  * (band, bucket-hash) values ever seen — two longs per band per
-  * document at most, independent of text size, shrinking under
-  * duplication — instead of signatures or shingle sets.
+  * (band, bucket-hash) values of SURVIVING families — two longs per
+  * band per document at most, independent of text size, shrinking under
+  * duplication — instead of signatures or shingle sets. (Persisting a
+  * dropped document's buckets would let content that was never emitted
+  * suppress future novel documents; only represented content
+  * fingerprints the seen-set.)
   *
   * Semantics are first-seen-wins (standard streaming dedup): a later
   * batch's family is dropped WHOLE when any member collides with a
   * seen bucket (its content was already represented — electing a new
   * keeper would duplicate it), and batches replayed after a crash are
   * idempotent (the "ignore my own batches ≥ mine" guard scoped to the
-  * checkpoint-derived runId, exactly [[StreamingExactDedup]]'s rule).
-  * Cross-batch TRANSITIVITY is deliberately not re-closed — merging
-  * two already-emitted families retroactively would require retracting
-  * emitted rows, which an append sink cannot do; a periodic batch
-  * re-clustering ([[graft.dedup.FuzzyClusters]]) is the repair path,
-  * the same recompute-and-swap rule the quad pipeline uses. */
+  * checkpoint-derived runId — [[DedupIndex]]'s rules, shared with the
+  * exact sibling). Cross-batch TRANSITIVITY is deliberately not
+  * re-closed — merging two already-emitted families retroactively would
+  * require retracting emitted rows, which an append sink cannot do; a
+  * periodic batch re-clustering ([[graft.dedup.FuzzyClusters]]) is the
+  * repair path, the same recompute-and-swap rule the quad pipeline
+  * uses.
+  *
+  * Ids must be integral (the family/keeper joins run on long ids; a
+  * string id would cast to null and silently drop everything — fail
+  * loudly instead). */
 object StreamingFuzzyDedup {
 
+  private def requireIntegralId(batch: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val t = batch.schema(idCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(t),
+      s"StreamingFuzzyDedup needs an integral id column; '$idCol' is $t " +
+        "(map string ids to longs — e.g. xxhash64 — before deduping)")
+  }
+
   /** Batch kernel: returns the batch's surviving keeper rows and
-    * persists the batch's bucket memberships under
+    * persists the SURVIVING families' bucket memberships under
     * `run=<runId>/batch=<batchId>`. */
   def dedupBatch(batch: DataFrame, textCol: String, idCol: String,
       indexDir: String, runId: String, batchId: Long,
       k: Int = 2, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    requireIntegralId(batch, idCol)
     val spark = batch.sparkSession
     val banded = Dedup.minhashBandBuckets(batch, textCol, idCol, k, numHashes, bands)
       .localCheckpoint() // read 3x: families, seen-join, persist
@@ -53,21 +70,8 @@ object StreamingFuzzyDedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("fam"))
       .localCheckpoint()
 
-    // seen-set: bucket memberships of every earlier batch
-    val earlier = {
-      val root = new java.io.File(indexDir)
-      Option(root.listFiles()).toSeq.flatten
-        .filter(d => d.isDirectory && d.getName.startsWith("run="))
-        .flatMap { runDir =>
-          val mine = runDir.getName == s"run=$runId"
-          Option(runDir.listFiles()).toSeq.flatten
-            .filter(b => b.isDirectory && b.getName.startsWith("batch="))
-            .filter(b =>
-              !mine || b.getName.stripPrefix("batch=").toLong < batchId)
-            .map(_.getPath)
-        }
-    }
     // families with ANY member colliding with a seen bucket drop whole
+    val earlier = DedupIndex.earlierPaths(indexDir, runId, batchId)
     val dupFams =
       if (earlier.isEmpty) fam.limit(0).select(col("fam"))
       else banded
@@ -76,8 +80,9 @@ object StreamingFuzzyDedup {
           "left_semi")
         .select(col("id")).distinct()
         .join(fam, Seq("id")).select(col("fam")).distinct()
-    val keepers = fam
-      .join(dupFams, Seq("fam"), "left_anti")
+    val keptMembers = fam.join(dupFams, Seq("fam"), "left_anti")
+      .localCheckpoint() // read 2x: keeper join + bucket persist
+    val keepers = keptMembers
       .where(col("id") === col("fam")) // min-id representative
       .select(col("id"))
 
@@ -86,7 +91,11 @@ object StreamingFuzzyDedup {
         col(idCol).cast("long") === col("__keep_id"))
       .drop("__keep_id")
       .localCheckpoint()
-    banded.select(col("band"), col("bandHash")).distinct()
+    // persist buckets of surviving families only (every member — the
+    // keeper REPRESENTS the family, so the whole family's fingerprint
+    // is "seen"); dropped families contribute nothing
+    banded.join(keptMembers.select(col("id")), Seq("id"), "left_semi")
+      .select(col("band"), col("bandHash")).distinct()
       .write.mode("overwrite")
       .parquet(s"$indexDir/run=$runId/batch=$batchId")
     out
@@ -97,10 +106,7 @@ object StreamingFuzzyDedup {
   def start(docs: DataFrame, textCol: String, idCol: String,
       indexDir: String, checkpointDir: String)(
       sink: DataFrame => Unit): StreamingQuery = {
-    val runId = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(new java.io.File(checkpointDir).getCanonicalPath
-        .getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
+    val runId = DedupIndex.runIdFor(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -36,27 +36,6 @@ class StreamingCurationSpec extends SparkSpec {
   private val withPii = ("write someone@example.com today because " +
     "the marvelous story of the ancient forest fox and the sleeping dog " * 8).trim
 
-  it should "chain the gates into streaming NEAR-dup dedup (first-seen-wins across batches)" in {
-    implicit val sqlCtx = spark.sqlContext
-    val sunk = scala.collection.mutable.ArrayBuffer[Long]()
-    val (indexDir, ckpt) = (tmp("curf-idx"), tmp("curf-ck"))
-    val stream = MemoryStream[(Long, String)]
-    val q = StreamingFuzzyDedup.start(
-      gates(stream.toDS().toDF("doc_id", "text")),
-      "text_clean", "doc_id", indexDir, ckpt) { batch =>
-      sunk.synchronized { sunk ++= batch.select("doc_id").as[Long].collect() }
-    }
-    try {
-      stream.addData((1L, good), (2L, short_))
-      q.processAllAvailable()
-      // near-dup (not byte-equal) of doc 1 arrives later → dropped by
-      // the FUZZY index where exact dedup would have kept it
-      stream.addData((3L, good + " with one extra closing sentence"))
-      q.processAllAvailable()
-    } finally q.stop()
-    sunk.sorted.toList shouldBe List(1L)
-  }
-
   "streaming curation" should "apply the batch gates per micro-batch and dedup across batches" in {
     implicit val sqlCtx = spark.sqlContext
     val sunk = scala.collection.mutable.ArrayBuffer[(Long, String)]()
@@ -91,4 +70,25 @@ class StreamingCurationSpec extends SparkSpec {
     batchDeduped.select("doc_id").as[Long].collect().sorted.toList shouldBe
       List(1L, 3L, 5L)
   }
+  it should "chain the gates into streaming NEAR-dup dedup (first-seen-wins across batches)" in {
+    implicit val sqlCtx = spark.sqlContext
+    val sunk = scala.collection.mutable.ArrayBuffer[Long]()
+    val (indexDir, ckpt) = (tmp("curf-idx"), tmp("curf-ck"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingFuzzyDedup.start(
+      gates(stream.toDS().toDF("doc_id", "text")),
+      "text_clean", "doc_id", indexDir, ckpt) { batch =>
+      sunk.synchronized { sunk ++= batch.select("doc_id").as[Long].collect() }
+    }
+    try {
+      stream.addData((1L, good), (2L, short_))
+      q.processAllAvailable()
+      // near-dup (not byte-equal) of doc 1 arrives later → dropped by
+      // the FUZZY index where exact dedup would have kept it
+      stream.addData((3L, good + " with one extra closing sentence"))
+      q.processAllAvailable()
+    } finally q.stop()
+    sunk.sorted.toList shouldBe List(1L)
+  }
+
 }

@@ -43,6 +43,29 @@ class StreamingFuzzyDedupSpec extends SparkSpec {
     sunk.sorted.toList shouldBe List(1L, 10L, 30L)
   }
 
+  it should "not let NEVER-EMITTED content suppress later novel documents" in {
+    // regression: only SURVIVING families' buckets may enter the index.
+    // B (half A-clone, half novel) drops against A; C resembles only
+    // B's novel half — if B's buckets had been persisted, C would be
+    // suppressed even though nothing representing it was ever emitted.
+    implicit val sqlCtx = spark.sqlContext
+    val novel = "meanwhile the committee debated seventeen entirely " +
+      "unrelated propositions regarding lighthouse maintenance budgets"
+    val sunk = scala.collection.mutable.ArrayBuffer[Long]()
+    val (indexDir, ckpt) = (tmp("fz-idx3"), tmp("fz-ck4"))
+    val stream = MemoryStream[(Long, String)]
+    val q = startQ(stream, indexDir, ckpt, sunk)
+    try {
+      stream.addData((1L, base))
+      q.processAllAvailable()
+      stream.addData((2L, base + " " + novel)) // drops: collides with A
+      q.processAllAvailable()
+      stream.addData((3L, novel)) // must be EMITTED: nothing emitted resembles it
+      q.processAllAvailable()
+    } finally q.stop()
+    sunk.sorted.toList shouldBe List(1L, 3L)
+  }
+
   it should "stay idempotent across a same-checkpoint replay and remember across runs" in {
     implicit val sqlCtx = spark.sqlContext
     val sunk = scala.collection.mutable.ArrayBuffer[Long]()
