@@ -743,6 +743,26 @@ object ScalingProbe {
         s"""{"sec":$tF,"recallAt10":${nHits.toDouble / nExact}}"""
     }
 
+    // 32c) streaming near-dup dedup kernel over 5 batches of 100k docs
+    // (the adversarial replica corpus arriving incrementally): measures
+    // per-batch cost as the persisted bucket index grows
+    if (want("streamFuzzy500k")) {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("fuzzy-idx").toString
+      val batches = (0 until 5).map { b =>
+        docs.crossJoin(spark.range(b * 20, (b + 1) * 20).toDF("rep"))
+          .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
+            concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      }
+      val (tSf, nKept) = time {
+        batches.zipWithIndex.map { case (batch, i) =>
+          graft.streaming.StreamingFuzzyDedup.dedupBatch(
+            batch, "text", "doc_id", idxDir, "probe", i.toLong).count()
+        }.sum
+      }
+      out += "streamFuzzy500k" -> s"""{"sec":$tSf,"kept":$nKept}"""
+    }
+
     // 33) the full curation pipeline (normalize → langid → PII →
     // quality → exact dedup → star fuzzy dedup → decontaminate → mix →
     // pack) over the 500k-doc adversarial corpus — the end-to-end
