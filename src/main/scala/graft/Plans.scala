@@ -32,7 +32,9 @@ object Plans {
         "q174_dsir", "q175_winsorize",
         "q176_loo_encode", "q177_kmv_overlap", "q178_golden_record",
         "q179_calibration", "q180_mrr", "q181_temperature_mix",
-        "q182_seasonal", "q183_k_anonymity", "q184_filtered_ann")) {
+        "q182_seasonal", "q183_k_anonymity", "q184_filtered_ann",
+        "q185_zorder", "q186_cube", "q188_chi2", "q189_ngram_overlap",
+        "q190_rrf")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

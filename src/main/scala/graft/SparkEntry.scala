@@ -2483,6 +2483,71 @@ object SparkEntry {
       .select(col("probe_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** q185: Z-order layout keys ([[graft.operators.Layout]]) — lineitem
+    * co-clustered on (partkey, suppkey) at 8 bits/dim into 256 target
+    * buckets, the Delta/Iceberg `ZORDER BY` rewrite shape for
+    * two-sided data skipping. */
+  private def q185_zorder(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.zOrder(
+        t(s, dir, "lineitem"),
+        Seq(col("l_partkey"), col("l_suppkey")), bits = 8, buckets = 256)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("q0").as("qx"), col("q1").as("qy"), col("zkey"), col("bucket"))
+
+  /** q186: CUBE over (returnflag, linestatus) with the grouping id —
+    * the full lattice q56's ROLLUP only walks one chain of. */
+  private def q186_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n"), col("sum_qty"))
+
+  /** q188: chi-square feature selection
+    * ([[graft.text.FeatureSelect.chiSquare]]) — terms that most
+    * distinguish source `src0` from the rest, exact centi-units. */
+  private def q188_chi2(s: SparkSession, dir: String): DataFrame =
+    graft.text.FeatureSelect.chiSquare(
+      t(s, dir, "documents"), "doc_id", "text", col("source") === "src0")
+
+  /** q189: modified n-gram precision ([[graft.text.Overlap]]) — each
+    * even document scored as a candidate against the next document as
+    * reference, unigram and bigram clipped precision in exact ppm. */
+  private def q189_ngram_overlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = docs.select(col("doc_id").as("pair_id"), col("text").as("cand"))
+      .where(col("pair_id") % 2 === 0)
+      .join(docs.select((col("doc_id") - 1).as("pair_id"),
+        col("text").as("ref")), Seq("pair_id"))
+    val p1 = graft.text.Overlap.modifiedPrecision(pairs, "pair_id", "cand", "ref", 1)
+      .withColumnsRenamed(Map("hit" -> "hit1", "tot" -> "tot1", "p_ppm" -> "p1_ppm"))
+    val p2 = graft.text.Overlap.modifiedPrecision(pairs, "pair_id", "cand", "ref", 2)
+      .withColumnsRenamed(Map("hit" -> "hit2", "tot" -> "tot2", "p_ppm" -> "p2_ppm"))
+    p1.join(p2, Seq("pair_id"))
+  }
+
+  /** q190: reciprocal-rank fusion ([[graft.text.Rrf]]) — a lexical
+    * ranking (term frequency of "spark") fused with a length prior,
+    * each depth-100, the hybrid-retrieval combination shape. */
+  private def q190_rrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val lex = docs
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), _ === "spark")).as("tf"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tf").desc, col("doc_id"))))
+      .where(col("rank") <= 100)
+    val len = docs
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      .where(col("rank") <= 100)
+    graft.text.Rrf.fuse(Seq(lex.select("doc_id", "rank"),
+      len.select("doc_id", "rank")), "doc_id", "rank", c = 60, k = 50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2666,7 +2731,12 @@ object SparkEntry {
     "q181_temperature_mix" -> (q181_temperature_mix _),
     "q182_seasonal" -> (q182_seasonal _),
     "q183_k_anonymity" -> (q183_k_anonymity _),
-    "q184_filtered_ann" -> (q184_filtered_ann _)
+    "q184_filtered_ann" -> (q184_filtered_ann _),
+    "q185_zorder" -> (q185_zorder _),
+    "q186_cube" -> (q186_cube _),
+    "q188_chi2" -> (q188_chi2 _),
+    "q189_ngram_overlap" -> (q189_ngram_overlap _),
+    "q190_rrf" -> (q190_rrf _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -5248,7 +5318,123 @@ object SparkEntry {
         |      ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) DESC, b.vec_id) AS rank
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         |  WHERE a.vec_id < 50 AND b.label = 3 AND b.vec_id % 2 = 0
-        |) WHERE rank <= 3""".stripMargin
+        |) WHERE rank <= 3""".stripMargin,
+    // q185: Morton interleave restated as explicit shift-and-mask sums
+    "q185_zorder" -> {
+      val z = (0 until 8).map(i =>
+        s"((qx >> $i) & 1) * ${1L << (2 * i + 1)}" +
+          s" + ((qy >> $i) & 1) * ${1L << (2 * i)}").mkString(" + ")
+      s"""WITH mm AS (
+         |  SELECT min(l_partkey) AS nx, max(l_partkey) AS xx,
+         |         min(l_suppkey) AS ny, max(l_suppkey) AS xy FROM lineitem
+         |), q AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(((l_partkey - nx) * 256) // (xx - nx + 1) AS BIGINT) AS qx,
+         |    CAST(((l_suppkey - ny) * 256) // (xy - ny + 1) AS BIGINT) AS qy
+         |  FROM lineitem, mm
+         |)
+         |SELECT l_orderkey, l_linenumber, qx, qy,
+         |  CAST($z AS BIGINT) AS zkey,
+         |  CAST(($z) // 256 AS BIGINT) AS bucket
+         |FROM q""".stripMargin
+    },
+    // q186: same grouping-id bit order as Spark (first column = MSB)
+    "q186_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+        |    AS BIGINT) AS gid,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    // q188: presence contingency + exact centi-chi2 in HUGEINT
+    "q188_chi2" ->
+      """WITH docterm AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(CASE WHEN source = 'src0' THEN 1 END) AS BIGINT)
+        |      AS npos
+        |  FROM documents
+        |), cts AS (
+        |  SELECT term,
+        |    CAST(count(CASE WHEN source = 'src0' THEN 1 END) AS BIGINT) AS a,
+        |    CAST(count(CASE WHEN source <> 'src0' THEN 1 END) AS BIGINT) AS b
+        |  FROM docterm WHERE term <> '' GROUP BY term
+        |)
+        |SELECT term, a, b, npos - a AS c, (n - npos) - b AS d,
+        |  CAST(CAST(100 AS HUGEINT) * n
+        |      * (a * ((n - npos) - b) - b * (npos - a))
+        |      * (a * ((n - npos) - b) - b * (npos - a))
+        |    // (CAST(a + b AS HUGEINT) * ((npos - a) + ((n - npos) - b))
+        |       * npos * (n - npos)) AS BIGINT) AS chi2_centi
+        |FROM cts, tot
+        |WHERE a + b > 0 AND (npos - a) + ((n - npos) - b) > 0
+        |  AND npos > 0 AND n - npos > 0""".stripMargin,
+    // q189: clipped 1/2-gram precision; bigrams via explicit index join
+    "q189_ngram_overlap" ->
+      """WITH pairs AS (
+        |  SELECT c.doc_id AS pair_id, c.text AS cand, r.text AS ref
+        |  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+        |  WHERE c.doc_id % 2 = 0
+        |), c1 AS (
+        |  SELECT pair_id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+        |    SELECT pair_id, unnest(string_split(cand, ' ')) AS g FROM pairs)
+        |  WHERE g <> '' GROUP BY 1, 2
+        |), r1 AS (
+        |  SELECT pair_id, g, CAST(count(*) AS BIGINT) AS rc FROM (
+        |    SELECT pair_id, unnest(string_split(ref, ' ')) AS g FROM pairs)
+        |  WHERE g <> '' GROUP BY 1, 2
+        |), o1 AS (
+        |  SELECT c1.pair_id,
+        |    CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS hit1,
+        |    CAST(sum(cc) AS BIGINT) AS tot1
+        |  FROM c1 LEFT JOIN r1 ON c1.pair_id = r1.pair_id AND c1.g = r1.g
+        |  GROUP BY 1
+        |), c2 AS (
+        |  SELECT pair_id, g, CAST(count(*) AS BIGINT) AS cc FROM (
+        |    SELECT pair_id, l[i] || ' ' || l[i + 1] AS g
+        |    FROM (SELECT pair_id, string_split(cand, ' ') AS l FROM pairs),
+        |      UNNEST(range(1, greatest(len(l), 1))) AS t(i))
+        |  GROUP BY 1, 2
+        |), r2 AS (
+        |  SELECT pair_id, g, CAST(count(*) AS BIGINT) AS rc FROM (
+        |    SELECT pair_id, l[i] || ' ' || l[i + 1] AS g
+        |    FROM (SELECT pair_id, string_split(ref, ' ') AS l FROM pairs),
+        |      UNNEST(range(1, greatest(len(l), 1))) AS t(i))
+        |  GROUP BY 1, 2
+        |), o2 AS (
+        |  SELECT c2.pair_id,
+        |    CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS hit2,
+        |    CAST(sum(cc) AS BIGINT) AS tot2
+        |  FROM c2 LEFT JOIN r2 ON c2.pair_id = r2.pair_id AND c2.g = r2.g
+        |  GROUP BY 1
+        |)
+        |SELECT o1.pair_id, hit1, tot1,
+        |  CAST((1000000 * hit1) // tot1 AS BIGINT) AS p1_ppm,
+        |  hit2, tot2, CAST((1000000 * hit2) // tot2 AS BIGINT) AS p2_ppm
+        |FROM o1 JOIN o2 ON o1.pair_id = o2.pair_id
+        |WHERE tot1 > 0 AND tot2 > 0""".stripMargin,
+    // q190: two integer rankers, integer reciprocal contributions
+    "q190_rrf" ->
+      """WITH lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY
+        |    len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+        |      DESC, doc_id) AS rank
+        |  FROM documents
+        |), lenr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        |    AS rank
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, rank FROM lex WHERE rank <= 100
+        |  UNION ALL
+        |  SELECT doc_id, rank FROM lenr WHERE rank <= 100
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+        |  CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_ppm DESC, doc_id LIMIT 50""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
