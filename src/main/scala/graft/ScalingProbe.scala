@@ -778,6 +778,50 @@ object ScalingProbe {
       out += "curate500k" -> audit.json
     }
 
+    // 34) Z-order layout keys over 60M lineitem rows (100x replica,
+    // shifted keys so the quantization span grows too): the map-only
+    // rewrite cost a ZORDER BY table optimization would pay per file
+    if (want("zorder60M")) {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      // decorrelate the dims across replicas (pk shifts with rep, sk is
+      // re-keyed by a multiplicative hash) so the layout covers the grid
+      // the way independent predicates would; checkpoint so the probe
+      // times the operator, not the replica synthesis (zOrder reads its
+      // input twice: min/max pass + map pass)
+      val big = li.crossJoin(spark.range(100).toDF("rep"))
+        .select(col("l_orderkey"),
+          (col("l_partkey") + col("rep") * 20000).as("pk"),
+          pmod((col("l_suppkey") + col("rep") * 1000) * 2654435761L,
+            lit(101000)).as("sk"))
+        .repartition(32).localCheckpoint()
+      val (tZ, nZ) = time {
+        graft.operators.Layout.zOrder(big,
+            Seq(col("pk"), col("sk")), bits = 12, buckets = 4096)
+          .groupBy("bucket").count().count()
+      }
+      out += "zorder60M" -> s"""{"sec":$tZ,"buckets":$nZ}"""
+    }
+
+    // 35) clipped n-gram overlap over 250k pairs (500k docs): the
+    // generation-eval shape at corpus scale — explode both sides,
+    // (pair, gram) shuffle, per-pair sum
+    if (want("overlap500k")) {
+      val big = docs.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        .repartition(32).localCheckpoint()
+      val cand = big.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+      val pairs = cand.join(big.select((col("doc_id") - 1).as("pair_id"),
+        col("text").as("ref")), Seq("pair_id"))
+      val (tOv, nOv) = time {
+        graft.text.Overlap.modifiedPrecision(
+          pairs, "pair_id", "cand", "ref", 2).count()
+      }
+      out += "overlap500k" -> s"""{"sec":$tOv,"pairs":$nOv}"""
+    }
+
     println(out.map { case (k, v) => s""""$k":$v""" }
       .mkString("""{"probe":"scaling",""", ",", "}"))
     spark.stop()

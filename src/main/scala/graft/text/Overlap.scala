@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * engine-side work is the clipped-count join, and that is what needs
   * to scale.
   *
-  * Scale shape: explode each side to (pair, gram, count) — grouped on
-  * (pair, gram), the natural shuffle key, hot grams split fine because
-  * the pair id is in the key — then one left join and a per-pair sum.
-  * No text moves after the explode; total work is O(tokens).
+  * Scale shape: ONE scan — both sides' n-grams explode from the same
+  * row as (gram, side) pairs — one (pair, gram) shuffle with map-side
+  * combine (hot grams split fine because the pair id is in the key),
+  * and a per-pair sum. No join between the sides, no text moves after
+  * the explode; total work is O(tokens).
   */
 object Overlap {
 
@@ -38,15 +39,18 @@ object Overlap {
       else expr(s"""case when size(split($c, ' ')) < $n then array()
         | else transform(sequence(0, size(split($c, ' ')) - $n),
         |   i -> concat_ws(' ', slice(split($c, ' '), i + 1, $n))) end""".stripMargin)
-    def counts(c: String, out: String) = pairs
-      .select(col(idCol), explode(grams(c)).as("gram"))
-      .groupBy(col(idCol), col("gram"))
-      .agg(count(lit(1)).as(out))
-    val cand = counts(candCol, "cc")
-    val ref = counts(refCol, "rc")
-    cand.join(ref, Seq(idCol, "gram"), "left")
+    // both sides leave the row through one explode of a tagged union,
+    // so the candidate/reference alignment needs no join at all:
+    // grams only in the reference have cc = 0 and contribute nothing
+    val tagged = pairs.select(col(idCol), explode(concat(
+        transform(grams(candCol), g => struct(g.as("g"), lit(1).as("c"))),
+        transform(grams(refCol), g => struct(g.as("g"), lit(0).as("c")))))
+      .as("t"))
+    tagged
+      .groupBy(col(idCol), col("t.g"))
+      .agg(sum(col("t.c")).as("cc"), sum(lit(1) - col("t.c")).as("rc"))
       .groupBy(col(idCol))
-      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("hit"),
+      .agg(sum(least(col("cc"), col("rc"))).as("hit"),
         sum(col("cc")).as("tot"))
       .where(col("tot") > 0)
       .select(col(idCol), col("hit").cast("long").as("hit"),
