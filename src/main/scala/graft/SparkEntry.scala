@@ -2548,6 +2548,36 @@ object SparkEntry {
       len.select("doc_id", "rank")), "doc_id", "rank", c = 60, k = 50)
   }
 
+  /** q191: count-min sketch ([[graft.operators.CmSketch]]) — part-key
+    * frequencies through a 3×256 sketch, estimates vs exact counts
+    * side by side (est ≥ exact is the sketch's one-sided contract,
+    * and with md5 rows both engines build the identical sketch). */
+  private def q191_cms(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sketch = graft.operators.CmSketch.build(li, "l_partkey", 3, 256)
+    val probes = li.where(col("l_partkey") <= 60)
+    val exact = li.where(col("l_partkey") <= 60)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
+    graft.operators.CmSketch.estimate(sketch, probes, "l_partkey", 3, 256)
+      .join(exact, Seq("l_partkey"), "left")
+      .select(col("l_partkey"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"))
+  }
+
+  /** q192: HyperLogLog registers ([[graft.operators.HllSketch]]) —
+    * the 64-register table over order customer keys; the registers
+    * are the exact-integer deliverable, the float estimate is a
+    * driver postprocess (spec-gated for accuracy). */
+  private def q192_hll(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HllSketch.registers(t(s, dir, "orders"), "o_custkey", 6)
+
+  /** q193: fixed-point EWMA ([[graft.operators.Ewma]]) — per-user
+    * smoothed level of event values (cents), alpha = 300/1024. */
+  private def q193_ewma(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ewma.smooth(t(s, dir, "events"), "user_id",
+      col("ts"), col("event_id"), round(col("value") * 100),
+      alphaNum = 300, k = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2736,7 +2766,10 @@ object SparkEntry {
     "q186_cube" -> (q186_cube _),
     "q188_chi2" -> (q188_chi2 _),
     "q189_ngram_overlap" -> (q189_ngram_overlap _),
-    "q190_rrf" -> (q190_rrf _)
+    "q190_rrf" -> (q190_rrf _),
+    "q191_cms" -> (q191_cms _),
+    "q192_hll" -> (q192_hll _),
+    "q193_ewma" -> (q193_ewma _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -5434,7 +5467,56 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
         |  CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm
         |FROM u GROUP BY doc_id
-        |ORDER BY rrf_ppm DESC, doc_id LIMIT 50""".stripMargin
+        |ORDER BY rrf_ppm DESC, doc_id LIMIT 50""".stripMargin,
+    // q191: the identical md5-derived sketch rebuilt cell by cell
+    "q191_cms" ->
+      """WITH cells AS (
+        |  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+        |      || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 256
+        |    AS bucket
+        |  FROM lineitem, (SELECT unnest([0, 1, 2]) AS j)
+        |), sk AS (
+        |  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT DISTINCT l_partkey AS key FROM lineitem
+        |  WHERE l_partkey <= 60
+        |), pb AS (
+        |  SELECT key, j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+        |      || CAST(key AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM probes, (SELECT unnest([0, 1, 2]) AS j)
+        |), est AS (
+        |  SELECT key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+        |  FROM pb LEFT JOIN sk USING (j, bucket) GROUP BY key
+        |), exact AS (
+        |  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS exact
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT est.key AS l_partkey, est, coalesce(exact, 0) AS exact
+        |FROM est LEFT JOIN exact USING (key)""".stripMargin,
+    // q192: bucket/suffix split of the 60-bit md5 prefix; rho via bin()
+    "q192_hll" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS h
+        |  FROM orders
+        |)
+        |SELECT CAST(h % 64 AS BIGINT) AS bucket,
+        |  CAST(max(CASE WHEN h // 64 = 0 THEN 55
+        |    ELSE 55 - length(bin(h // 64)) END) AS BIGINT) AS max_rho
+        |FROM h GROUP BY 1""".stripMargin,
+    // q193: the same integer recurrence as a list_reduce fold (DuckDB
+    // seeds the accumulator with the first element = s_0 = v_0)
+    "q193_ewma" ->
+      """WITH obs AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+        |    ts, event_id
+        |  FROM events
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |  CAST(list_reduce(list(v ORDER BY ts, event_id),
+        |    (acc, x) -> (300 * x + 724 * acc) // 1024) AS BIGINT) AS ewma
+        |FROM obs GROUP BY user_id""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
