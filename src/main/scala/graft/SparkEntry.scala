@@ -2578,6 +2578,31 @@ object SparkEntry {
       col("ts"), col("event_id"), round(col("value") * 100),
       alphaNum = 300, k = 10)
 
+  /** q194: hard-negative mining ([[graft.similarity.Ann.hardNegatives]])
+    * — top-5 negatives per probe with the near-duplicate band
+    * (cos ≥ 0.35 here) excluded, the contrastive-training sampling
+    * shape; oracle restates the banded ranking over exact cosines. */
+  private def q194_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.similarity.Ann.hardNegatives(
+        emb, emb.where(col("vec_id") < 30), "vec_id", "embedding",
+        k = 5, maxSim = 0.35)
+      .select(col("probe_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** q195: explicit GROUPING SETS — the irregular lattice ROLLUP (q56)
+    * and CUBE (q186) cannot state: (flag, status), (flag), (status). */
+  private def q195_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(1) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2769,7 +2794,9 @@ object SparkEntry {
     "q190_rrf" -> (q190_rrf _),
     "q191_cms" -> (q191_cms _),
     "q192_hll" -> (q192_hll _),
-    "q193_ewma" -> (q193_ewma _)
+    "q193_ewma" -> (q193_ewma _),
+    "q194_hard_negatives" -> (q194_hard_negatives _),
+    "q195_grouping_sets" -> (q195_grouping_sets _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -5516,7 +5543,27 @@ object SparkEntry {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
         |  CAST(list_reduce(list(v ORDER BY ts, event_id),
         |    (acc, x) -> (300 * x + 724 * acc) // 1024) AS BIGINT) AS ewma
-        |FROM obs GROUP BY user_id""".stripMargin
+        |FROM obs GROUP BY user_id""".stripMargin,
+    // q194: q21's ranking with the near-dup band cut, stated verbatim
+    "q194_hard_negatives" ->
+      """SELECT probe_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(
+        |        CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])), 9) DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 30
+        |    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 9) < 0.35
+        |) WHERE rank <= 5""".stripMargin,
+    // q195: the same irregular lattice
+    "q195_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(1) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -45,7 +45,44 @@ object Ann {
       probes: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    rankTopK(scoredPairs(corpus, probes, idCol, vecCol), k)
+
+  /** Hard-negative mining for contrastive/embedding training: the
+    * top-k most-similar neighbors per probe EXCLUDING the
+    * near-duplicate band (`sim >= maxSim`) — the informative negatives
+    * are the ones almost as close as the positives, but a near-dup in
+    * the negative set is a false negative that poisons the loss.
+    * Same broadcast-probe kernel as [[bruteForceTopK]]; the band cut
+    * happens before ranking, so excluded near-dups free slots for the
+    * next-best candidates. */
+  def hardNegatives(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxSim: Double): DataFrame =
+    rankTopK(scoredPairs(corpus, probes, idCol, vecCol)
+      .where(col("sim") < maxSim), k)
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Every (probe, corpus) cosine at 9-decimal precision — the shared
+    * kernel behind [[bruteForceTopK]] and [[hardNegatives]]. */
+  private def scoredPairs(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // broadcast the probe matrix; one partition-local kernel pass computes
@@ -80,13 +117,7 @@ object Ann {
           }
         }
       }.toDF("probe_id", "neighbor_id", "sim")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
     scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("probe_id"), col("neighbor_id"), col("rank"))
   }
 
   /** All pairs with cosine similarity above `threshold` — embedding-based

@@ -137,4 +137,24 @@ class AnnSpec extends SparkSpec {
       .select("id", "keep_id").as[(Long, Long)].collect().toMap
     res shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L)
   }
+
+  "hardNegatives" should "skip the near-dup band and rank the rest" in {
+    // probe 1; 2 is a near-duplicate (cos ~ 1), 5 is moderately close,
+    // 3 orthogonal, 4 opposite: with maxSim = 0.9 the dup is excluded
+    // and the informative negative (5) leads
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.001f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f)),
+      (5L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val got = Ann.hardNegatives(emb, emb.where($"vec_id" === 1),
+        "vec_id", "embedding", k = 2, maxSim = 0.9)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    got shouldBe Array(5L, 3L)
+    // and without the band, the dup wins (sanity against bruteForceTopK)
+    Ann.bruteForceTopK(emb, emb.where($"vec_id" === 1),
+        "vec_id", "embedding", k = 1)
+      .head().getLong(1) shouldBe 2L
+  }
 }
