@@ -34,7 +34,8 @@ object Plans {
         "q179_calibration", "q180_mrr", "q181_temperature_mix",
         "q182_seasonal", "q183_k_anonymity", "q184_filtered_ann",
         "q185_zorder", "q186_cube", "q188_chi2", "q189_ngram_overlap",
-        "q190_rrf")) {
+        "q190_rrf", "q191_cms", "q192_hll", "q193_ewma",
+        "q194_hard_negatives", "q195_grouping_sets")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
