@@ -2603,6 +2603,31 @@ object SparkEntry {
         |  (l_returnflag), (l_linestatus))""".stripMargin)
   }
 
+  /** q196: time-RANGE window frames — trailing 1-hour sum/count per
+    * user (the feature-engineering staple ROWS frames can't state:
+    * the frame is defined by event TIME, not row position). */
+  private def q196_trailing_window(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      unix_seconds(col("ts").cast("timestamp")).as("t"),
+      round(col("value") * 100).cast("long").as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rangeBetween(-3600L, Window.currentRow)
+    obs.select(col("event_id"), col("user_id"), col("t"), col("v"),
+      sum(col("v")).over(w).as("trail_1h"),
+      count(lit(1)).over(w).as("n_1h"))
+  }
+
+  /** q197: EXCEPT ALL — bag semantics (q61's EXCEPT collapses
+    * multiplicity; here each F-order occurrence survives per unmatched
+    * duplicate, the reconciliation-diff contract). */
+  private def q197_except_all(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .exceptAll(
+        o.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2796,7 +2821,9 @@ object SparkEntry {
     "q192_hll" -> (q192_hll _),
     "q193_ewma" -> (q193_ewma _),
     "q194_hard_negatives" -> (q194_hard_negatives _),
-    "q195_grouping_sets" -> (q195_grouping_sets _)
+    "q195_grouping_sets" -> (q195_grouping_sets _),
+    "q196_trailing_window" -> (q196_trailing_window _),
+    "q197_except_all" -> (q197_except_all _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -5563,7 +5590,29 @@ object SparkEntry {
         |  sum(l_quantity) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-        |  (l_returnflag), (l_linestatus))""".stripMargin
+        |  (l_returnflag), (l_linestatus))""".stripMargin,
+    // q196: integer-second RANGE frame (identical tie semantics: the
+    // frame includes every row of equal t)
+    "q196_trailing_window" ->
+      """WITH obs AS (
+        |  SELECT event_id, user_id,
+        |    CAST(epoch_ms(ts) // 1000 AS BIGINT) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, t, v,
+        |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY t
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS trail_1h,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY t
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_1h
+        |FROM obs""".stripMargin,
+    // q197: bag difference
+    "q197_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
