@@ -2628,6 +2628,31 @@ object SparkEntry {
         o.where(col("o_orderstatus") === "O").select(col("o_custkey")))
   }
 
+  /** q198: strongly connected components ([[graft.graph.Scc]]) — each
+    * customer's orders chained by date and closed into a ring for
+    * custkey < 300 (one SCC per such customer), left open for 300–399
+    * (singleton SCCs); oracle states mutual reachability via a
+    * recursive closure. */
+  private def q198_scc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders").where(col("o_custkey") < 400)
+      .select(col("o_custkey").as("c"), col("o_orderkey").as("k"),
+        col("o_orderdate"))
+    val w = Window.partitionBy(col("c"))
+      .orderBy(col("o_orderdate"), col("k"))
+    val seq = o.withColumn("nxt", lead(col("k"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val chain = seq.where(col("nxt").isNotNull)
+      .select(col("k").as("src"), col("nxt").as("dst"))
+    val closing = seq.where(col("nxt").isNull && col("c") < 300)
+      .select(col("c"), col("k").as("src"))
+      .join(seq.where(col("rn") === 1).select(col("c"), col("k").as("dst")),
+        Seq("c"))
+      .select(col("src"), col("dst"))
+    graft.graph.Scc.decompose(chain.union(closing))
+      .select(col("id").as("o_orderkey"), col("scc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2823,7 +2848,8 @@ object SparkEntry {
     "q194_hard_negatives" -> (q194_hard_negatives _),
     "q195_grouping_sets" -> (q195_grouping_sets _),
     "q196_trailing_window" -> (q196_trailing_window _),
-    "q197_except_all" -> (q197_except_all _)
+    "q197_except_all" -> (q197_except_all _),
+    "q198_scc" -> (q198_scc _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -5612,7 +5638,44 @@ object SparkEntry {
     "q197_except_all" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT ALL
-        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    // q198: SCC = mutual reachability, stated as a recursive closure
+    // joined with its own reverse; scc id = min mutual partner (or self)
+    "q198_scc" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT o_custkey AS c, o_orderkey AS k,
+        |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS nxt,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey < 400
+        |), chain AS (
+        |  SELECT k AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL
+        |), closing AS (
+        |  SELECT l.k AS src, f.k AS dst
+        |  FROM (SELECT c, k FROM seq WHERE nxt IS NULL) l
+        |  JOIN (SELECT c, k FROM seq WHERE rn = 1) f USING (c)
+        |  WHERE c < 300
+        |), e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM chain UNION ALL SELECT src, dst FROM closing)
+        |), verts AS (
+        |  -- explicit DISTINCT: under WITH RECURSIVE, DuckDB gives bare
+        |  -- UNION inside non-recursive CTEs append semantics
+        |  SELECT DISTINCT id FROM (
+        |    SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+        |), reach AS (
+        |  SELECT src AS s, dst AS d FROM e
+        |  UNION
+        |  SELECT r.s, e.dst FROM reach r JOIN e ON r.d = e.src
+        |), mutual AS (
+        |  SELECT r1.s AS v, min(r1.d) AS minw
+        |  FROM reach r1 JOIN reach r2 ON r1.d = r2.s AND r2.d = r1.s
+        |  GROUP BY r1.s
+        |)
+        |SELECT v.id AS o_orderkey,
+        |  CAST(least(v.id, coalesce(m.minw, v.id)) AS BIGINT) AS scc
+        |FROM verts v LEFT JOIN mutual m ON m.v = v.id""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

@@ -1,0 +1,58 @@
+package graft.graph
+
+import graft.SparkSpec
+
+class SccSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dist(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Scc.decompose(edges.toDF("src", "dst"), smallGraphThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def drv(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Scc.decompose(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  behavior of "Scc.decompose"
+
+  it should "find cycles, chains and self-loops (both paths agree)" in {
+    // ring 1-2-3, tail 3->4->5, self-loop 6, 2-cycle 7<->8, 8->1
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 5) /* distinct loop */,
+      (6, 6), (7, 8), (8, 7), (8, 1))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L)
+    drv(edges) shouldBe want
+    dist(edges) shouldBe want
+  }
+
+  it should "peel nested condensation layers (bow-tie shape)" in {
+    // core ring {10,11,12}; in-tentacle chain 1->2->10; out ring {20,21}
+    // reached from the core; a back edge inside the out ring only
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 10), (10, 11), (11, 12), (12, 10),
+      (12, 20), (20, 21), (21, 20))
+    val want = Map(1L -> 1L, 2L -> 2L, 10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)
+    drv(edges) shouldBe want
+    dist(edges) shouldBe want
+  }
+
+  it should "match iterative Tarjan on random graphs (differential)" in {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n * 2)(
+        (rnd.nextLong(n).abs, rnd.nextLong(n).abs))
+      val expect = Scc.tarjan(edges.toArray)
+      dist(edges) shouldBe expect
+    }
+  }
+
+  it should "handle a long trivial-SCC chain through trim" in {
+    val edges = (1L until 60L).map(i => (i, i + 1))
+    val got = drv(edges)
+    got shouldBe (1L to 60L).map(i => i -> i).toMap
+    dist(edges) shouldBe got
+  }
+}
