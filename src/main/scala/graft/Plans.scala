@@ -35,7 +35,8 @@ object Plans {
         "q182_seasonal", "q183_k_anonymity", "q184_filtered_ann",
         "q185_zorder", "q186_cube", "q188_chi2", "q189_ngram_overlap",
         "q190_rrf", "q191_cms", "q192_hll", "q193_ewma",
-        "q194_hard_negatives", "q195_grouping_sets")) {
+        "q194_hard_negatives", "q195_grouping_sets", "q196_trailing_window",
+        "q197_except_all", "q198_scc")) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -822,6 +822,41 @@ object ScalingProbe {
       out += "overlap500k" -> s"""{"sec":$tOv,"pairs":$nOv}"""
     }
 
+    // 36) distributed SCC (FB-coloring path FORCED via threshold=0) on
+    // ~4M edges: 150k rings of ~26 orders plus inter-ring DAG edges —
+    // the bow-tie-ish shape where trim peels tails and coloring peels
+    // ring layers
+    if (want("scc4M")) {
+      val o = Tables(spark, dir, "orders")
+        .select(col("o_custkey").as("c"), col("o_orderkey").as("k"))
+      val big = o.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("c") + col("rep") * 100000).as("c"),
+          (col("k") + col("rep") * 10000000).as("k"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c")).orderBy(col("k"))
+      val seq2 = big.withColumn("nxt", lead(col("k"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+      val ring = seq2.where(col("nxt").isNotNull)
+        .select(col("k").as("src"), col("nxt").as("dst"))
+        .unionAll(seq2.where(col("nxt").isNull)
+          .select(col("c"), col("k").as("src"))
+          .join(seq2.where(col("rn") === 1)
+            .select(col("c"), col("k").as("dst")), Seq("c"))
+          .select(col("src"), col("dst")))
+        // inter-ring DAG edges: ring c -> ring c+1 (first elements)
+        .unionAll(seq2.where(col("rn") === 1)
+          .select((col("c") + 1).as("c"), col("k").as("src"))
+          .join(seq2.where(col("rn") === 1)
+            .select(col("c"), col("k").as("dst")), Seq("c"))
+          .select(col("src"), col("dst")))
+        .repartition(32).localCheckpoint()
+      val (tScc, nScc) = time {
+        graft.graph.Scc.decompose(ring, smallGraphThreshold = 0)
+          .groupBy("scc").count().count()
+      }
+      out += "scc4M" -> s"""{"sec":$tScc,"sccs":$nScc}"""
+    }
+
     println(out.map { case (k, v) => s""""$k":$v""" }
       .mkString("""{"probe":"scaling",""", ",", "}"))
     spark.stop()
