@@ -41,10 +41,15 @@ object Hits {
       .unionByName(e.select(col("dst").as("id")))
       .distinct().localCheckpoint()
 
+    // the score·scale product runs in decimal(38,0): a raw half-step sum
+    // is bounded by in-degree·scale, so long arithmetic would wrap for
+    // vertices past ~9.2e6 in-degree (routine on web link graphs). The
+    // quotient is ≤ scale, so the long result of `div` is always exact.
     def normalized(raw: DataFrame, valCol: String): DataFrame =
       raw.crossJoin(broadcast(raw.agg(max(col(valCol)).as("mx"))))
         .select(col("id"),
-          expr(s"($valCol * ${scale}L) div mx").as(valCol))
+          expr(s"(cast($valCol as decimal(38,0)) * ${scale}L) div mx")
+            .as(valCol))
 
     var hub: DataFrame = vertices.withColumn("h", lit(scale))
     var auth: DataFrame = null

@@ -43,9 +43,13 @@ object FeaturePrep {
         max(when(col("__rn") === cutRank(loNum), col(valueCol))).as("lo"),
         max(when(col("__rn") === cutRank(hiNum), col(valueCol))).as("hi"))
     // left join: a group whose values are ALL null keeps its rows with
-    // null bounds; null values pass through as null clipped
+    // null bounds; null values pass through as null clipped (guarded
+    // explicitly — greatest/least skip nulls, so an unguarded clip would
+    // fabricate `lo` for a null measurement)
     df.join(bounds, Seq(groupCol), "left")
-      .withColumn("clipped", least(greatest(col(valueCol), col("lo")), col("hi")))
+      .withColumn("clipped",
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol), col("lo")), col("hi"))))
   }
 
   /** Leave-one-out target encoding — the standard high-cardinality

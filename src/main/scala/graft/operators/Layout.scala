@@ -59,6 +59,8 @@ object Layout {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       "buckets must be a power of two")
     val d = dims.length
+    require(Integer.numberOfTrailingZeros(buckets) <= bits * d,
+      s"buckets must be <= 2^(bits*dims) = 2^${bits * d}")
     val aggs = dims.zipWithIndex.flatMap { case (c, j) =>
       Seq(min(c).cast("long").as(s"_n$j"), max(c).cast("long").as(s"_x$j"))
     }
@@ -67,8 +69,13 @@ object Layout {
       df.crossJoin(broadcast(mm))) { case (acc, (c, j)) =>
       acc
         .withColumn(s"_v$j", c.cast("long"))
+        // the offset·2^bits product runs in decimal(38,0): in long
+        // arithmetic it wraps once a dimension's span exceeds
+        // 2^(63-bits) — e.g. microsecond timestamps at bits=16. The
+        // quotient is < 2^bits, so the long cast back is always exact.
         .withColumn(s"q$j",
-          expr(s"((_v$j - _n$j) * ${1L << bits}) div (_x$j - _n$j + 1)"))
+          expr(s"cast(((cast(_v$j as decimal(38,0)) - _n$j) * ${1L << bits})" +
+            s" div (cast(_x$j as decimal(38,0)) - _n$j + 1) as long)"))
     }
     val shift = bits * d - Integer.numberOfTrailingZeros(buckets)
     withCells

@@ -36,8 +36,13 @@ object StreamingEwma {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_new"), collect_list(col("obs")).as("arr"))
     val prior = DedupIndex.earlierPaths(stateDir, runId, batchId)
-      // state is cumulative: only the latest earlier batch matters
-      .sortBy(p => p.split("batch=").last.toLong).lastOption
+      // state is cumulative: only the latest earlier batch matters, and
+      // THIS run's batches win over any other run's — after a
+      // fresh-checkpoint redeploy (new runId, batch ids restart at 0)
+      // the new run must fold from its own accumulated state, not the
+      // old run's final (higher-numbered) batch
+      .sortBy(p => (p.contains(s"run=$runId/"),
+        p.split("batch=").last.toLong)).lastOption
       .map(spark.read.parquet(_))
       // first batch: an empty state frame in the incoming key's type
       .getOrElse(incoming.select(col(keyCol), lit(0L).as("n_obs"),

@@ -54,10 +54,15 @@ object FeatureSelect {
       .withColumn("d", col("_n") - col("_npos") - col("b"))
       .where(col("a") + col("b") > 0 && col("c") + col("d") > 0 &&
         col("_npos") > 0 && col("_n") - col("_npos") > 0)
+      // every product promotes to decimal BEFORE multiplying: a*d, b*c
+      // and (a+b)*(c+d) typed BIGINT would wrap silently past ~3e9×3e9
+      // docs, exactly the web-scale counts decimal38 is here to protect
       .withColumn("chi2_centi", expr(
-        """(cast(100 as decimal(38,0)) * _n * (a*d - b*c) * (a*d - b*c))
-          | div ((a + b) * (c + d) * cast(_npos as decimal(38,0))
-          |       * (_n - _npos))""".stripMargin))
+        """(cast(100 as decimal(38,0)) * _n
+          |   * (cast(a as decimal(38,0))*d - cast(b as decimal(38,0))*c)
+          |   * (cast(a as decimal(38,0))*d - cast(b as decimal(38,0))*c))
+          | div ((cast(a as decimal(38,0)) + b) * (cast(c as decimal(38,0)) + d)
+          |       * cast(_npos as decimal(38,0)) * (_n - _npos))""".stripMargin))
       .select(col("term"), col("a"), col("b"), col("c"), col("d"),
         col("chi2_centi").cast("long").as("chi2_centi"))
   }

@@ -47,6 +47,18 @@ class HitsSpec extends SparkSpec {
     all((2L to 10L).map(out)) should be < out(1L)
   }
 
+  it should "normalize without overflow when degree*scale*scale passes 2^63" in {
+    // 20 hubs → 1 sink at scale=1e9: the raw auth sum is 2e10, and the
+    // pre-fix long product raw*scale = 2e19 wraps past Long.MaxValue.
+    // The decimal path must still score the sink at exactly `scale`.
+    val e = (1L to 20L).map((_, 100L)).toDF("src", "dst")
+    val out = Hits.fixedPoint(e, 1, scale = 1000000000L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out(100L)._1 shouldBe 1000000000L
+    (1L to 20L).foreach { h => out(h)._2 shouldBe 1000000000L }
+    all(out.values.map(_._1)) should be >= 0L
+  }
+
   it should "keep every vertex in the output" in {
     val e = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
     Hits.fixedPoint(e, 2).count() shouldBe 4L

@@ -28,6 +28,34 @@ class FeaturePrepSpec extends SparkSpec {
     out.head.getLong(out.head.fieldIndex("clipped")) shouldBe 42L
   }
 
+  it should "pass null values through as null clipped, not the clip bound" in {
+    val s = spark
+    import s.implicits._
+    // group a has real bounds (lo=1, hi=9 over 1..10); the null row must
+    // stay null — an unguarded least/greatest would fabricate lo=1
+    val df = (1L to 10L).map(v => ("a", Some(v))).toDF("g", "v")
+      .unionByName(Seq(("a", Option.empty[Long])).toDF("g", "v"))
+    val out = FeaturePrep.winsorize(df, "g", "v").collect()
+    out should have length 11
+    val nullRow = out.filter(_.isNullAt(out.head.fieldIndex("v")))
+    nullRow should have length 1
+    nullRow.head.isNullAt(nullRow.head.fieldIndex("clipped")) shouldBe true
+    // and the non-null rows still clip against the null-free bounds
+    out.filter(!_.isNullAt(out.head.fieldIndex("v")))
+      .map(r => r.getLong(r.fieldIndex("v")) -> r.getLong(r.fieldIndex("clipped")))
+      .toMap apply 10L shouldBe 9L
+  }
+
+  it should "keep an all-null group's rows with null bounds" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("z", Option.empty[Long]), ("z", Option.empty[Long]))
+      .toDF("g", "v")
+    val out = FeaturePrep.winsorize(df, "g", "v").collect()
+    out should have length 2
+    all(out.map(_.isNullAt(out.head.fieldIndex("clipped")))) shouldBe true
+  }
+
   behavior of "FeaturePrep.looEncode"
 
   it should "exclude each row's own target from its group mean" in {

@@ -54,4 +54,24 @@ class LayoutSpec extends SparkSpec {
     // bucket = top 4 of 8 key bits
     out.values.foreach { case (_, _, z, b) => b shouldBe (z >> 4) }
   }
+
+  it should "quantize spans past 2^(63-bits) without overflow" in {
+    // microsecond-epoch-scale span at bits=16: (v-min)*2^16 wraps in
+    // long arithmetic; the decimal path must keep cells in [0, 2^16)
+    val lo = 0L
+    val hi = 1723600000000000L // ~2024 in epoch micros
+    val df = Seq(lo, hi, hi / 2, hi / 3).toDF("ts")
+    val out = Layout.zOrder(df, Seq(col("ts")), bits = 16, buckets = 16)
+      .select("ts", "q0").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.values.foreach { q => q should (be >= 0L and be < 65536L) }
+    out(lo) shouldBe 0L
+    out(hi) shouldBe 65535L
+    out(hi / 2) shouldBe 32767L
+  }
+
+  it should "reject buckets exceeding 2^(bits*dims)" in {
+    an[IllegalArgumentException] should be thrownBy
+      Layout.zOrder(Seq(1L).toDF("x"), Seq(col("x")), bits = 2, buckets = 8)
+  }
 }

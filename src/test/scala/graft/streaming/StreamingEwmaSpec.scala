@@ -11,9 +11,9 @@ class StreamingEwmaSpec extends SparkSpec {
     .createTempDirectory("ewma-state").toString
 
   private def fold(df: org.apache.spark.sql.DataFrame, dir: String,
-      b: Long) =
+      b: Long, run: String = "r") =
     StreamingEwma.observeBatch(df, "u", col("o"), col("t"), col("v"),
-        alphaNum = 300, k = 10, dir, "r", b)
+        alphaNum = 300, k = 10, dir, run, b)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 
   behavior of "StreamingEwma.observeBatch"
@@ -41,6 +41,23 @@ class StreamingEwmaSpec extends SparkSpec {
     after(2L) shouldBe ((1L, 200L)) // untouched
     after(1L)._1 shouldBe 2L
     after(1L)._2 shouldBe (300L * 900 + 724L * 100) / 1024
+  }
+
+  it should "fold from its OWN run's state after a fresh-checkpoint restart" in {
+    val dir = freshDir()
+    // old deployment accumulates through batch 5 (state: one obs, 100)
+    fold(Seq((1L, 1L, 0L, 100L)).toDF("u", "o", "t", "v"), dir, 5L, "old")
+    // new deployment: batch 0 has no own-run prior → continues from the
+    // old run's latest state (restart-continuation semantics)
+    val b0 = fold(Seq((1L, 2L, 0L, 900L)).toDF("u", "o", "t", "v"),
+      dir, 0L, "new")
+    b0(1L) shouldBe ((2L, (300L * 900 + 724L * 100) / 1024))
+    // batch 1 (id still < old run's max) must fold from new-run batch 0,
+    // NOT snap back to the old run's higher-numbered final state
+    val b1 = fold(Seq((1L, 3L, 0L, 500L)).toDF("u", "o", "t", "v"),
+      dir, 1L, "new")
+    b1(1L)._1 shouldBe 3L
+    b1(1L)._2 shouldBe (300L * 500 + 724L * b0(1L)._2) / 1024
   }
 
   it should "replay a batch idempotently" in {
