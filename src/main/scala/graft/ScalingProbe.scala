@@ -197,6 +197,42 @@ object ScalingProbe {
       out += "ivfRecall500k" -> sweep.mkString("{", ",", "}")
     }
 
+    // 10a) distributed batch kNN join with the probe set = the FULL 200k
+    // corpus (embeddings replicated 100x) — the corpus-as-probes shape (SemDeDup sweeps, full-set
+    // hard-negative mining) that the serving kernels' driver-broadcast
+    // probes cannot take. Zero driver materialization: both sides route
+    // through the IVF index and meet in a co-partitioned cogroup.
+    // Recall is measured on a 100-probe slice against brute force.
+    if (want("knnJoin200k")) {
+      val emb500k = emb.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("vec_id") + col("rep") * 1000000).as("vec_id"),
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x.cast("double") +
+              (pmod(col("rep") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.02)
+              .cast("float")).as("embedding"))
+        .localCheckpoint()
+      val (tBuild, nLists) = time {
+        graft.similarity.Ann.ivfBuild(emb500k, "vec_id", "embedding")
+          .centroids.count()
+      }
+      val index = graft.similarity.Ann.ivfBuild(emb500k, "vec_id", "embedding")
+      val (tJoin, nRows) = time {
+        graft.similarity.Ann.knnJoin(index, emb500k, "vec_id", "embedding",
+          k = 10, nprobe = 4).count()
+      }
+      val slice = emb500k.where(col("vec_id") < 100)
+      val exactTop = graft.similarity.Ann.bruteForceTopK(
+          emb500k, slice, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+      val nExact = exactTop.count()
+      val nHits = graft.similarity.Ann.knnJoin(index, slice, "vec_id",
+          "embedding", k = 10, nprobe = 4)
+        .join(exactTop, Seq("probe_id", "neighbor_id"), "left_semi").count()
+      out += "knnJoin200k" ->
+        s"""{"buildSec":$tBuild,"nlist":$nLists,"joinSec":$tJoin,"rows":$nRows,"recallAt10":${nHits.toDouble / nExact}}"""
+    }
+
     // 10b) int8 scalar-quantized two-stage search at 500k vectors:
     // recall vs the exact float search + both timings
     if (want("sq500k")) {

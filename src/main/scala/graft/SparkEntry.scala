@@ -2653,6 +2653,17 @@ object SparkEntry {
       .select(col("id").as("o_orderkey"), col("scc"))
   }
 
+  /** q199: distributed batch kNN join ([[Ann.knnJoin]]) with the probe
+    * set = the FULL corpus — the corpus-as-probes shape the serving
+    * kernels can't take. Routing is exhaustive here (nprobe = nlist), so
+    * the co-partitioned cogroup is EXACT and the oracle restates it as
+    * the full self top-3 in SQL. */
+  private def q199_knn_join(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 8)
+    Ann.knnJoin(index, emb, "vec_id", "embedding", k = 3, nprobe = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2849,7 +2860,8 @@ object SparkEntry {
     "q195_grouping_sets" -> (q195_grouping_sets _),
     "q196_trailing_window" -> (q196_trailing_window _),
     "q197_except_all" -> (q197_except_all _),
-    "q198_scc" -> (q198_scc _)
+    "q198_scc" -> (q198_scc _),
+    "q199_knn_join" -> (q199_knn_join _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -5675,7 +5687,16 @@ object SparkEntry {
         |)
         |SELECT v.id AS o_orderkey,
         |  CAST(least(v.id, coalesce(m.minw, v.id)) AS BIGINT) AS scc
-        |FROM verts v LEFT JOIN mutual m ON m.v = v.id""".stripMargin
+        |FROM verts v LEFT JOIN mutual m ON m.v = v.id""".stripMargin,
+    // q199: exhaustive routing (nprobe = nlist) makes the batch kNN join
+    // exact — the oracle is the full corpus-as-probes self top-3
+    "q199_knn_join" ->
+      """SELECT probe_id, neighbor_id, rank FROM (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) DESC, b.vec_id) AS INTEGER) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |) WHERE rank <= 3""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */
@@ -5684,5 +5705,9 @@ object SparkEntry {
     "q14_components", "q16_dedup_exact", "q19_ngram_jaccard", "q21_ann_top1",
     "q25_minhash_lsh", "q26_simhash", "q28_idf", "q30_token_blocking",
     "q39_stays", "q41_agent_match", "q49_multimodal", "q82_span_dedup",
-    "q102_audio", "q103_video", "q120_asof_join", "q121_pagerank")
+    "q102_audio", "q103_video", "q120_asof_join", "q121_pagerank",
+    // LLM-pipeline heavies, regression-tracked since round 9
+    // (BENCH_NOTES.md records per-query targets)
+    "q133_setsim_join", "q158_bm25_topk", "q159_heavy_hitters", "q174_dsir",
+    "q199_knn_join")
 }

@@ -492,14 +492,24 @@ object Dedup {
     // window string is NEVER built — the scan emits array<long> straight
     // into the explode (the string plan materialized ~w*avgTokenLen
     // bytes per window before hashing them away)
+    // minBytes floor: below ~4 MB the serial shingle pass is cheaper
+    // than the round-robin exchange (the exchange cost ~2x the whole
+    // operator at bench scale); above it a few-partition input (one big
+    // row group, a crossJoin-replicated probe corpus) still widens so
+    // the hash kernel parallelizes before the shuffle.
+    val base = graft.plans.Widen(df, factor = 2, minBytes = 4L << 20)
+    // The window below inserts its own AQE-managed wkey exchange, so the
+    // operator is two exchanges when the widen skips, three when it
+    // fires. (An explicit repartition(wkey) here would fuse the widen
+    // into the window's exchange, but a pinned repartition opts out of
+    // AQE coalescing and measured ~1.5x slower at the 500k probe.)
     val wins =
       if (hashWindows && haveFn(df, "word_window_hashes"))
-        graft.plans.Widen(df, factor = 2)
-          .select(col(idCol).as("id"),
-            explode(call_function("word_window_hashes", col(textCol), lit(w)))
-              .as("wkey"))
+        base.select(col(idCol).as("id"),
+          explode(call_function("word_window_hashes", col(textCol), lit(w)))
+            .as("wkey"))
       else {
-        val s = shingled(df, textCol, idCol, w)
+        val s = shingled(base, textCol, idCol, w)
         s.select(col("id"), explode(col("shingles")).as("win"))
           .select(col("id"),
             (if (hashWindows) xxhash64(col("win")) else col("win")).as("wkey"))

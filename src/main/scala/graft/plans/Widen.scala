@@ -20,10 +20,19 @@ object Widen {
   /** Above this the scan's natural parallelism is assumed sufficient. */
   val DefaultMaxBytes: Long = 1L << 28 // 256 MB
 
+  /** @param minBytes below this the input passes through untouched even
+    *   when it sits on one partition: a serial map pass over a tiny
+    *   input is cheaper than the round-robin exchange (callers whose
+    *   downstream already shuffles — e.g. a window/groupBy right after —
+    *   set this so bench-sized inputs skip the extra exchange while
+    *   large few-partition inputs, where the map pass dominates, still
+    *   widen). */
   def apply(df: DataFrame, factor: Int = 1,
-      maxBytes: Long = DefaultMaxBytes): DataFrame = {
+      maxBytes: Long = DefaultMaxBytes, minBytes: Long = 0L): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism * factor
-    val smallBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes < maxBytes
+    val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (stats < minBytes) return df
+    val smallBytes = stats < maxBytes
     // Bytes alone is the wrong gate when a LARGE input sits on FEW
     // partitions (e.g. the stream side of a broadcast join inheriting a
     // one-row-group scan): the pass would run near-serial no matter its

@@ -34,6 +34,15 @@ object Ann {
     * similarity rounded to 9 places with id tiebreak, so results are
     * deterministic across engines.
     *
+    * SERVING-ONLY CONTRACT: the probe set is `collect()`ed to the driver
+    * and broadcast ([[scoredPairs]]) — right for a bounded query batch
+    * hitting a large corpus, WRONG when the probe set is itself
+    * corpus-sized (SemDeDup, hard-negative mining over the full training
+    * set): the collect OOMs the driver long before 100 TB. For
+    * corpus-as-probes workloads use [[knnJoin]], which co-partitions both
+    * sides through the IVF index and never materializes either on the
+    * driver.
+    *
     * Plan shape: vectors are exploded to (id, dim, value) rows and the
     * dot products computed as a dim-equi-join + sum aggregate — all
     * whole-stage-codegen'd. (The lambda/HOF formulation in [[cosine]] runs
@@ -53,9 +62,11 @@ object Ann {
     * near-duplicate band (`sim >= maxSim`) — the informative negatives
     * are the ones almost as close as the positives, but a near-dup in
     * the negative set is a false negative that poisons the loss.
-    * Same broadcast-probe kernel as [[bruteForceTopK]]; the band cut
-    * happens before ranking, so excluded near-dups free slots for the
-    * next-best candidates. */
+    * Same broadcast-probe SERVING kernel as [[bruteForceTopK]] (same
+    * contract: probes must be a bounded batch); mining negatives for the
+    * FULL training set is the corpus-as-probes case — use [[knnJoin]]
+    * with its `maxSim` band cut. The band cut happens before ranking, so
+    * excluded near-dups free slots for the next-best candidates. */
   def hardNegatives(
       corpus: DataFrame,
       probes: DataFrame,
@@ -289,6 +300,171 @@ object Ann {
         }
       }.toDF("cent_id", "id", "v", "norm")
   }
+
+  /** Multi-list routing through the same broadcast-centroid JVM kernel as
+    * [[assignNearest]]: the `nprobe` nearest centroids per vector, emitted
+    * as nprobe (cent_id, id, v, norm) rows. This is the BATCH probe
+    * router — unlike [[probeLists]] (a broadcast-cents join + window,
+    * fine for a query batch) it never expands to a (probes × nlist) row
+    * set and never materializes the probe side anywhere: one narrow
+    * mapPartitions pass, nprobe output rows per probe. */
+  private[similarity] def assignNearestK(df: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, nprobe: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centRows = cents.select(col("cent_id").cast("long"), col("cent_vec"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val centB = spark.sparkContext.broadcast(centRows)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = centB.value
+        val cNorms = cs.map { case (_, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          math.sqrt(s)
+        }
+        val m = math.min(nprobe, cs.length)
+        it.flatMap { case (id, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          val norm = math.sqrt(s)
+          val sims = new Array[Double](cs.length)
+          var j = 0
+          while (j < cs.length) {
+            val cv = cs(j)._2
+            require(cv.length == v.length,
+              s"embedding dim ${v.length} != centroid dim ${cv.length}")
+            var dot = 0.0; var d = 0
+            while (d < cv.length) { dot += cv(d) * v(d).toDouble; d += 1 }
+            sims(j) = if (norm == 0 || cNorms(j) == 0) 0.0
+              else dot / (norm * cNorms(j))
+            j += 1
+          }
+          // selection by (sim desc, cent_id asc) — same tie rule as
+          // probeLists' window, so both routers pick identical lists
+          val order = cs.indices.sortBy(j => (-sims(j), cs(j)._1))
+          order.take(m).iterator.map(j => (cs(j)._1, id, v, norm))
+        }
+      }.toDF("cent_id", "id", "v", "norm")
+  }
+
+  /** DISTRIBUTED batch kNN join — top-k cosine neighbors from the indexed
+    * corpus for EVERY probe row, with zero driver materialization of
+    * either side. This is the corpus-as-probes kernel (SemDeDup sweeps,
+    * hard-negative mining over the full training set): where
+    * [[bruteForceTopK]] collects + broadcasts the probe batch (the
+    * serving shape), here BOTH sides route through the IVF index and
+    * meet in a co-partitioned cogroup on `cent_id`:
+    *
+    *   1. probes → their `nprobe` nearest centroid lists via the
+    *      broadcast-centroid kernel ([[assignNearestK]] — nprobe rows per
+    *      probe, no (probes × nlist) expansion);
+    *   2. one shuffle of each side keyed by cent_id (the corpus side is
+    *      already list-assigned in the index — its shuffle carries each
+    *      vector ONCE);
+    *   3. inside each list, a JVM kernel streams the corpus rows past the
+    *      list's probe buffer, maintaining a bounded size-k heap per
+    *      probe — per-task memory is (probes routed to the list) ×
+    *      (dim + k), independent of corpus size;
+    *   4. the ≤ nprobe·k per-probe partials merge in one final top-k
+    *      window keyed by probe_id.
+    *
+    * Recall matches [[ivfQuery]] at equal nprobe (identical routing and
+    * tie rules); `nprobe >= nlist` routes exhaustively and is EXACT —
+    * equal to [[bruteForceTopK]] row for row. `maxSim` cuts the
+    * near-duplicate band before ranking (sim >= maxSim excluded), making
+    * this the batch hard-negative miner; the default +∞ keeps every
+    * candidate. Similarities are rounded to 9 places (HALF_UP) with
+    * neighbor-id tiebreak — deterministic under any partitioning, same
+    * rule as every other kNN kernel here.
+    *
+    * Output: (probe_id, neighbor_id, rank 1..≤k). */
+  def knnJoin(
+      index: IvfIndex,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      maxSim: Double = Double.PositiveInfinity): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val routed = assignNearestK(probes, idCol, vecCol, index.centroids, nprobe)
+      .as[(Long, Long, Array[Float], Double)]
+    val lists = index.assigned.select(col("cent_id").cast("long"),
+        col("neighbor_id").cast("long"),
+        col("neighbor_id_vec").cast("array<float>"))
+      .as[(Long, Long, Array[Float])]
+    val partial = routed.groupByKey(_._1).cogroup(lists.groupByKey(_._1)) {
+      (_, ps, cs) =>
+        val pb = ps.toArray
+        if (pb.isEmpty) Iterator.empty
+        else {
+          // worst-first heap order: lowest sim (then largest id) at the
+          // head, so the O(1) peek decides replacement
+          val worstFirst =
+            Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
+          val heaps = Array.fill(pb.length)(
+            new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+              worstFirst))
+          cs.foreach { case (_, nid, nv) =>
+            var s = 0.0; var i = 0
+            while (i < nv.length) { s += nv(i).toDouble * nv(i).toDouble; i += 1 }
+            val nNorm = math.sqrt(s)
+            var j = 0
+            while (j < pb.length) {
+              val (_, pid, pv, pNorm) = pb(j)
+              if (pid != nid) {
+                require(pv.length == nv.length,
+                  s"embedding dim ${pv.length} != corpus dim ${nv.length}")
+                var dot = 0.0; var d = 0
+                while (d < pv.length) { dot += pv(d).toDouble * nv(d).toDouble; d += 1 }
+                val raw = if (pNorm == 0 || nNorm == 0) 0.0
+                  else dot / (pNorm * nNorm)
+                val sim = BigDecimal(raw)
+                  .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (sim < maxSim) {
+                  val h = heaps(j)
+                  if (h.size < k) h.enqueue((sim, nid))
+                  else {
+                    val (wSim, wId) = h.head
+                    if (sim > wSim || (sim == wSim && nid < wId)) {
+                      h.dequeue(); h.enqueue((sim, nid))
+                    }
+                  }
+                }
+              }
+              j += 1
+            }
+          }
+          pb.indices.iterator.flatMap { j =>
+            val pid = pb(j)._2
+            heaps(j).iterator.map { case (sim, nid) => (pid, nid, sim) }
+          }
+        }
+    }.toDF("probe_id", "neighbor_id", "sim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    partial.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** [[knnJoin]] over an unindexed corpus: build the IVF index (nlist
+    * defaults to [[autoNlist]]) and join through it. */
+  def knnJoin(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      maxSim: Double): DataFrame =
+    knnJoin(ivfBuild(corpus, idCol, vecCol, nlist = nlist), probes, idCol,
+      vecCol, k, nprobe = nprobe, maxSim = maxSim)
 
   /** Default IVF/SemDeDup list count for a corpus of `n` vectors: ~sqrt(n)
     * (the FAISS guideline — balances list length n/nlist against the

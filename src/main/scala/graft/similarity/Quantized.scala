@@ -224,7 +224,11 @@ object Quantized {
     * lookups and adds (no per-dimension work), approximating cosine as
     *   dot ≈ Σ_j T_dot[j][code_j],  ‖c‖² ≈ Σ_j T_norm[j][code_j].
     * The top rerank·k pool per probe is re-scored on exact floats —
-    * same two-stage recall/precision shape as [[topK]]. */
+    * same two-stage recall/precision shape as [[topK]].
+    *
+    * SERVING-ONLY CONTRACT: probes are collected + broadcast; for
+    * corpus-as-probes batch workloads use [[graft.similarity.Ann.knnJoin]]
+    * (co-partitioned, zero driver materialization). */
   def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, ksub: Int = 32,
       rerank: Int = 4, iterations: Int = 2): DataFrame = {
@@ -306,7 +310,12 @@ object Quantized {
 
   /** Two-stage top-k: quantized integer scan → top rerank·k candidates
     * per probe → exact float rerank. Output (probe_id, neighbor_id,
-    * rank) with the same tie rule as the exact search (sim desc, id). */
+    * rank) with the same tie rule as the exact search (sim desc, id).
+    *
+    * SERVING-ONLY CONTRACT: probes are collected + broadcast — the right
+    * shape for a bounded query batch, a driver bottleneck when the probe
+    * set IS the corpus. Batch workloads (SemDeDup, full-set hard-negative
+    * mining) go through [[graft.similarity.Ann.knnJoin]] instead. */
   def topK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, rerank: Int = 4): DataFrame = {
     require(k > 0 && rerank >= 1)

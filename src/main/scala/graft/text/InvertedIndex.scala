@@ -65,15 +65,19 @@ object InvertedIndex {
         TextAnalysis.tokens(col(textCol)).as("ts"))
       .withColumn("dl", size(col("ts")).cast("long"))
       .where(col("dl") > 0)
-    val Array(nDocs, sumDl) = toks
-      .agg(count(lit(1)), sum(col("dl"))).collect()(0) match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
     val postings = toks
       .select(col("id"), col("dl"), explode(col("ts")).as("tok"))
       .groupBy(col("tok"), col("id"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .localCheckpoint()
+    // corpus stats read off the checkpointed index, not a second
+    // tokenize scan: Σ_postings tf = Σ_docs dl (every token lands in
+    // exactly one posting), and nDocs = distinct posting ids — so the
+    // corpus text is tokenized exactly ONCE per build
+    val Array(nDocs, sumDl) = postings
+      .agg(count_distinct(col("id")), sum(col("tf"))).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
     val terms = postings.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"),
         min(col("dl")).as("min_dl"))

@@ -122,6 +122,85 @@ class AnnSpec extends SparkSpec {
     res.map(_._2) shouldBe Array(100L)
   }
 
+  "knnJoin" should "equal bruteForceTopK exactly when routing is exhaustive" in {
+    // nprobe >= nlist routes every probe to every list → the candidate
+    // set is the full corpus and the join is exact. 200 vectors, 16 dims,
+    // probes = the FULL corpus (the corpus-as-probes shape the serving
+    // kernels cannot take).
+    val dim = 16
+    val corpus = spark.range(200).toDF("vec_id")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(dim - 1)),
+          i => (when(i === (col("vec_id") % dim).cast("int"), 10.0).otherwise(0.0) +
+            (pmod(col("vec_id") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.1)
+            .cast("float")).as("embedding"))
+      .localCheckpoint()
+    val index = Ann.ivfBuild(corpus, "vec_id", "embedding", nlist = 8)
+    val got = Ann.knnJoin(index, corpus, "vec_id", "embedding", k = 5,
+        nprobe = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = Ann.bruteForceTopK(corpus, corpus, "vec_id", "embedding", 5)
+      .as[(Long, Long, Int)].collect().toSet
+    got shouldBe exact
+    got.size shouldBe 200 * 5
+  }
+
+  it should "match ivfQuery's routing recall at equal nprobe" in {
+    val dim = 16
+    val corpus = spark.range(500).toDF("vec_id")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(dim - 1)),
+          i => (when(i === (col("vec_id") % dim).cast("int"), 10.0).otherwise(0.0) +
+            (pmod(col("vec_id") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.1)
+            .cast("float")).as("embedding"))
+      .localCheckpoint()
+    val probes = corpus.where(col("vec_id") < 25)
+    val index = Ann.ivfBuild(corpus, "vec_id", "embedding", nlist = 16)
+    val viaJoin = Ann.knnJoin(index, probes, "vec_id", "embedding", k = 5,
+        nprobe = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val viaQuery = Ann.ivfQuery(index, probes, "vec_id", "embedding", k = 5,
+        nprobe = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    viaJoin shouldBe viaQuery // identical routing + tie rules
+  }
+
+  it should "cut the near-dup band for batch hard-negative mining" in {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.001f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f)),
+      (5L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 1)
+    val got = Ann.knnJoin(index, emb.where($"vec_id" === 1), "vec_id",
+        "embedding", k = 2, nprobe = 1, maxSim = 0.9)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    got shouldBe Array(5L, 3L) // same as the serving hardNegatives kernel
+  }
+
+  it should "co-partition through a cogroup with no probe-side collect" in {
+    val dim = 8
+    val corpus = spark.range(100).toDF("vec_id")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(dim - 1)),
+          i => (when(i === (col("vec_id") % dim).cast("int"), 10.0).otherwise(0.0) +
+            (pmod(col("vec_id") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.1)
+            .cast("float")).as("embedding"))
+      .localCheckpoint()
+    val index = Ann.ivfBuild(corpus, "vec_id", "embedding", nlist = 4)
+    val plan = Ann.knnJoin(index, corpus, "vec_id", "embedding", k = 3,
+      nprobe = 2).queryExecution.executedPlan.toString
+    // both sides meet in a shuffled cogroup — the batch contract: the
+    // probe side is a plan subtree (shuffle + sort), never a broadcast
+    // or driver-side literal
+    plan should include("CoGroup")
+    (plan should not).include("BroadcastExchange")
+  }
+
   "semanticDedup" should "collapse over-threshold groups to min-id keepers" in {
     // two tight cosine groups plus one isolated vector: the grouping is
     // invariant to how k-means splits them (pairs only need co-location,
