@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.{BufferedInputStream, BufferedOutputStream, InputStream}
-import java.net.Socket
+import java.net.{Socket, SocketTimeoutException}
 import java.nio.charset.StandardCharsets
 import javax.net.ssl.SSLSocketFactory
 
@@ -15,11 +15,22 @@ import javax.net.ssl.SSLSocketFactory
   * resync (every old UID invalid — the IMAP contract the reference
   * honors with its uid-validity tracking).
   *
+  * Two incrementality modes, mirroring the reference's two legs:
+  *   - [[sync]]: poll-style — one connection per round, full
+  *     `UID SEARCH ALL` diff. Simple, latency = poll interval.
+  *   - [[idle]]: listener-driven — the reference registers JavaMail
+  *     `MessageCountListener`/`MessageChangedListener`s and reacts to
+  *     server pushes (`EmailSynchronizer.scala:35-761`); here the
+  *     connection is parked in RFC 2177 `IDLE` and unsolicited
+  *     `* n EXISTS` / `* n EXPUNGE` lines drive fetch-by-SEQUENCE-RANGE
+  *     (`FETCH old+1:n (UID BODY[])`) — no UID SEARCH round per event,
+  *     latency = server push.
+  *
   * The protocol subset spoken: LOGIN, SELECT, UID SEARCH ALL,
-  * UID FETCH (BODY[]), LOGOUT — tagged commands, untagged `*` responses,
-  * and `{n}` byte-count literals read from the raw stream. Like
-  * [[DavSync]], the client is the driver-side I/O leg; fetched bodies
-  * feed the distributed email converter
+  * UID FETCH / FETCH (BODY[]), IDLE/DONE, LOGOUT — tagged commands,
+  * untagged `*` responses, and `{n}` byte-count literals read from the
+  * raw stream. Like [[DavSync]], the client is the driver-side I/O leg;
+  * fetched bodies feed the distributed email converter
   * ([[graft.convert.Converters.email]]) as `(id, rfc822)` pairs.
   */
 object ImapSync {
@@ -74,76 +85,114 @@ object ImapSync {
       Quoted("\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     else Literal(v.getBytes(StandardCharsets.UTF_8))
 
+  /** Driver-side session: tagged-command plumbing shared by [[sync]]
+    * (one command round-trip at a time) and [[idle]] (which also needs
+    * raw line access while parked between a `+ idling` continuation and
+    * its `DONE`). */
+  private final class Session(host: String, port: Int, tls: Boolean) {
+    val socket: Socket =
+      if (tls) SSLSocketFactory.getDefault.createSocket(host, port)
+      else new Socket(host, port)
+    private val in = new Lines(new BufferedInputStream(socket.getInputStream))
+    private val out = new BufferedOutputStream(socket.getOutputStream)
+    private var tagN = 0
+    in.readLine() // * OK greeting
+
+    def nextTag(): String = { tagN += 1; s"a$tagN" }
+
+    def sendRaw(s: String): Unit = {
+      out.write(s.getBytes(StandardCharsets.UTF_8)); out.flush()
+    }
+
+    def readPhysical(): String = in.readLine()
+
+    /** One logical response line: a physical line ending `{n}` is
+      * followed by n raw bytes, then continues on the next line. */
+    def readLogical(): RespLine = {
+      var frag = in.readLine()
+      val parts = new java.lang.StringBuilder(frag)
+      val lits = scala.collection.mutable.ListBuffer[String]()
+      var m = LiteralTail.findFirstMatchIn(frag)
+      while (m.isDefined) {
+        lits += in.readLiteral(m.get.group(1).toInt)
+        frag = in.readLine()
+        parts.append(" ").append(frag)
+        m = LiteralTail.findFirstMatchIn(frag)
+      }
+      RespLine(parts.toString, lits.toList)
+    }
+
+    /** Send a tagged command, return the untagged responses up to (and
+      * asserting) its `OK` completion. */
+    def command(text: String, args: Seq[String] = Nil): Seq[RespLine] = {
+      val tag = nextTag()
+      out.write(s"$tag $text".getBytes(StandardCharsets.UTF_8))
+      args.foreach { a =>
+        out.write(' ')
+        encodeArg(a) match {
+          case Quoted(q) => out.write(q.getBytes(StandardCharsets.UTF_8))
+          case Literal(b) =>
+            // synchronizing literal: announce the byte count, wait for
+            // the server's `+` continuation, then send the raw bytes
+            out.write(s"{${b.length}}\r\n".getBytes(StandardCharsets.UTF_8))
+            out.flush()
+            val cont = in.readLine()
+            require(cont.startsWith("+"), s"expected continuation, got: $cont")
+            out.write(b)
+        }
+      }
+      out.write("\r\n".getBytes(StandardCharsets.UTF_8))
+      out.flush()
+      drainUntilOk(tag)
+    }
+
+    /** Read logical responses until `tag OK`; error on anything else
+      * tagged. */
+    def drainUntilOk(tag: String): Seq[RespLine] = {
+      val lines = scala.collection.mutable.ListBuffer[RespLine]()
+      var done = false
+      while (!done) {
+        val r = readLogical()
+        if (r.text.startsWith(tag + " ")) {
+          require(r.text.startsWith(tag + " OK"), s"IMAP error: ${r.text}")
+          done = true
+        } else lines += r
+      }
+      lines.toList
+    }
+
+    def close(): Unit = socket.close()
+  }
+
+  /** SELECT the folder; returns (uidValidity, exists-count). */
+  private def select(s: Session, folder: String): (Long, Int) = {
+    val selected = s.command("SELECT", Seq(folder))
+    val uidValidity = selected.map(_.text).collectFirst {
+      case l if l.contains("UIDVALIDITY") =>
+        """UIDVALIDITY (\d+)""".r.findFirstMatchIn(l).get.group(1).toLong
+    }.getOrElse(sys.error("SELECT returned no UIDVALIDITY"))
+    val exists = selected.map(_.text).collectFirst {
+      case l if l.endsWith(" EXISTS") =>
+        """\* (\d+) EXISTS""".r.findFirstMatchIn(l).get.group(1).toInt
+    }.getOrElse(0)
+    (uidValidity, exists)
+  }
+
   /** One incremental sync round. `tls = true` connects IMAPS via the
     * default [[SSLSocketFactory]] (the reference's store config carries
     * the same boolean — mail.imap vs mail.imaps). */
   def sync(host: String, port: Int, user: String, password: String,
       folder: String, state: ImapState, tls: Boolean = false): ImapDelta = {
-    val socket =
-      if (tls) SSLSocketFactory.getDefault.createSocket(host, port)
-      else new Socket(host, port)
+    val s = new Session(host, port, tls)
     try {
-      val in = new Lines(new BufferedInputStream(socket.getInputStream))
-      val out = new BufferedOutputStream(socket.getOutputStream)
-      var tagN = 0
-      def command(text: String, args: Seq[String] = Nil): Seq[RespLine] = {
-        tagN += 1
-        val tag = s"a$tagN"
-        out.write(s"$tag $text".getBytes(StandardCharsets.UTF_8))
-        args.foreach { a =>
-          out.write(' ')
-          encodeArg(a) match {
-            case Quoted(q) => out.write(q.getBytes(StandardCharsets.UTF_8))
-            case Literal(b) =>
-              // synchronizing literal: announce the byte count, wait for
-              // the server's `+` continuation, then send the raw bytes
-              out.write(s"{${b.length}}\r\n".getBytes(StandardCharsets.UTF_8))
-              out.flush()
-              val cont = in.readLine()
-              require(cont.startsWith("+"), s"expected continuation, got: $cont")
-              out.write(b)
-          }
-        }
-        out.write("\r\n".getBytes(StandardCharsets.UTF_8))
-        out.flush()
-        val lines = scala.collection.mutable.ListBuffer[RespLine]()
-        var done = false
-        while (!done) {
-          // one logical response: a physical line ending `{n}` is
-          // followed by n raw bytes, then the response continues on the
-          // next physical line
-          var frag = in.readLine()
-          val parts = new java.lang.StringBuilder(frag)
-          val lits = scala.collection.mutable.ListBuffer[String]()
-          var m = LiteralTail.findFirstMatchIn(frag)
-          while (m.isDefined) {
-            lits += in.readLiteral(m.get.group(1).toInt)
-            frag = in.readLine()
-            parts.append(" ").append(frag)
-            m = LiteralTail.findFirstMatchIn(frag)
-          }
-          val line = parts.toString
-          if (line.startsWith(tag + " ")) {
-            require(line.startsWith(tag + " OK"), s"IMAP error: $line")
-            done = true
-          } else lines += RespLine(line, lits.toList)
-        }
-        lines.toList
-      }
-
-      in.readLine() // * OK greeting
-      command("LOGIN", Seq(user, password))
-      val selected = command("SELECT", Seq(folder))
-      val uidValidity = selected.map(_.text).collectFirst {
-        case l if l.contains("UIDVALIDITY") =>
-          """UIDVALIDITY (\d+)""".r.findFirstMatchIn(l).get.group(1).toLong
-      }.getOrElse(sys.error("SELECT returned no UIDVALIDITY"))
+      s.command("LOGIN", Seq(user, password))
+      val (uidValidity, _) = select(s, folder)
 
       // UIDVALIDITY change = every cached UID is invalid (full resync)
       val resync = state.uidValidity >= 0 && uidValidity != state.uidValidity
       val known = if (resync) Set.empty[Long] else state.knownUids
 
-      val current = command("UID SEARCH ALL").map(_.text).collectFirst {
+      val current = s.command("UID SEARCH ALL").map(_.text).collectFirst {
         case l if l.startsWith("* SEARCH") =>
           l.stripPrefix("* SEARCH").trim.split("\\s+").filter(_.nonEmpty)
             .map(_.toLong).toSet
@@ -154,13 +203,109 @@ object ImapSync {
         (if (resync) state.knownUids else Set.empty)).toSeq.sorted
 
       val fetched = newUids.map { uid =>
-        val body = command(s"UID FETCH $uid (BODY[])")
+        val body = s.command(s"UID FETCH $uid (BODY[])")
           .collectFirst { case RespLine(_, lit :: _) => lit }
           .getOrElse(sys.error(s"FETCH $uid returned no literal"))
         uid -> body
       }
-      command("LOGOUT")
+      s.command("LOGOUT")
       ImapDelta(fetched, removed, ImapState(uidValidity, current), resync)
-    } finally socket.close()
+    } finally s.close()
+  }
+
+  private val UidInFetch = """UID (\d+)""".r
+  private val ExistsLine = """\* (\d+) EXISTS""".r
+  private val ExpungeLine = """\* (\d+) EXPUNGE""".r
+
+  /** Listener-driven incrementality (RFC 2177): one connection performs
+    * the initial `UID SEARCH ALL` diff (seeding the sequence→UID map —
+    * UID order is sequence order within a selected mailbox), then parks
+    * in `IDLE` and reacts to server pushes:
+    *
+    *   - `* n EXISTS` with n past the known count → `DONE`, then
+    *     `FETCH old+1:n (UID BODY[])` by SEQUENCE range — the new
+    *     messages land WITHOUT a UID SEARCH round — then re-IDLE.
+    *   - `* n EXPUNGE` → the nth sequence entry is removed (reported in
+    *     the delta's `removed`); remaining sequence numbers shift down,
+    *     per the IMAP expunge contract.
+    *
+    * Returns after `maxEvents` push notifications have been processed or
+    * `timeoutMillis` elapses with no event, whichever first — callers
+    * loop for a long-lived listener (each returned cursor resumes
+    * exactly). The poll fallback is just [[sync]] with the same cursor:
+    * both speak (UIDVALIDITY, UID set), so a deployment can mix IDLE
+    * where the server supports it and polling where it doesn't. */
+  def idle(host: String, port: Int, user: String, password: String,
+      folder: String, state: ImapState, maxEvents: Int = 1,
+      timeoutMillis: Int = 30000, tls: Boolean = false): ImapDelta = {
+    val s = new Session(host, port, tls)
+    try {
+      s.command("LOGIN", Seq(user, password))
+      val (uidValidity, _) = select(s, folder)
+      val resync = state.uidValidity >= 0 && uidValidity != state.uidValidity
+      val known = if (resync) Set.empty[Long] else state.knownUids
+
+      // seed the sequence->uid map; initial diff as in sync()
+      val seqUids = scala.collection.mutable.ArrayBuffer[Long]()
+      s.command("UID SEARCH ALL").map(_.text).collectFirst {
+        case l if l.startsWith("* SEARCH") =>
+          l.stripPrefix("* SEARCH").trim.split("\\s+").filter(_.nonEmpty)
+            .map(_.toLong).sorted.foreach(seqUids += _)
+      }
+      val fetched = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val removed = scala.collection.mutable.ArrayBuffer[Long]()
+      removed ++= ((known -- seqUids) ++
+        (if (resync) state.knownUids else Set.empty)).toSeq.sorted
+      (seqUids.toSet -- known).toSeq.sorted.foreach { uid =>
+        val body = s.command(s"UID FETCH $uid (BODY[])")
+          .collectFirst { case RespLine(_, lit :: _) => lit }
+          .getOrElse(sys.error(s"FETCH $uid returned no literal"))
+        fetched += uid -> body
+      }
+
+      /** Fetch sequence range lo..hi by SEQUENCE number, appending
+        * (uid, body) pairs and growing the seq map. */
+      def fetchRange(lo: Int, hi: Int): Unit =
+        s.command(s"FETCH $lo:$hi (UID BODY[])").foreach {
+          case RespLine(text, lit :: _) =>
+            val uid = UidInFetch.findFirstMatchIn(text)
+              .getOrElse(sys.error(s"FETCH response without UID: $text"))
+              .group(1).toLong
+            seqUids += uid
+            fetched += uid -> lit
+          case r => sys.error(s"FETCH response without literal: ${r.text}")
+        }
+
+      var events = 0
+      var parked = true
+      s.socket.setSoTimeout(timeoutMillis)
+      while (parked && events < maxEvents) {
+        val tag = s.nextTag()
+        s.sendRaw(s"$tag IDLE\r\n")
+        val cont = s.readPhysical()
+        require(cont.startsWith("+"), s"IDLE not accepted: $cont")
+        // wait for one unsolicited line (or timeout)
+        val note =
+          try Some(s.readPhysical())
+          catch { case _: SocketTimeoutException => None }
+        s.sendRaw("DONE\r\n")
+        // notifications racing the DONE surface while draining; handle all
+        val pending = (note.toList ++ s.drainUntilOk(tag).map(_.text))
+        pending.foreach {
+          case ExistsLine(n) if n.toInt > seqUids.length =>
+            events += 1
+            fetchRange(seqUids.length + 1, n.toInt)
+          case ExpungeLine(n) =>
+            events += 1
+            val uid = seqUids.remove(n.toInt - 1)
+            removed += uid
+          case _ => () // EXISTS <= known count, RECENT, FLAGS chatter
+        }
+        if (note.isEmpty) parked = false // timed out: hand back the cursor
+      }
+      s.command("LOGOUT")
+      ImapDelta(fetched.toList, removed.toList,
+        ImapState(uidValidity, seqUids.toSet), resync)
+    } finally s.close()
   }
 }

@@ -19,6 +19,15 @@ class ImapSyncSpec extends SparkSpec {
     val mailbox = scala.collection.mutable.LinkedHashMap[Long, String]()
     var fetchedUids: List[Long] = Nil
     @volatile var lastLogin: String = null
+    @volatile var searches = 0
+    @volatile var idleCount = 0
+    @volatile private var idleOut: PrintStream = null
+    /** Push an unsolicited line to the client parked in IDLE. */
+    def push(line: String): Unit = {
+      val o = idleOut
+      require(o != null, "no client in IDLE")
+      o.print(line + "\r\n")
+    }
 
     private val server = new ServerSocket(0)
     def port: Int = server.getLocalPort
@@ -31,12 +40,24 @@ class ImapSyncSpec extends SparkSpec {
         val out = new PrintStream(s.getOutputStream, true, "UTF-8")
         out.print("* OK fake IMAP ready\r\n")
         var line = in.readLine()
+        var idleTag: String = null
         while (line != null) {
           val parts = line.split(" ", 3)
           val tag = parts(0)
           val cmd = (parts.lift(1).getOrElse("") + " " +
             parts.lift(2).getOrElse("")).trim.toUpperCase
-          if (cmd.startsWith("LOGIN")) {
+          if (line == "DONE" && idleTag != null) {
+            idleOut = null
+            out.print(s"$idleTag OK idle finished\r\n")
+            idleTag = null
+          }
+          else if (cmd.startsWith("IDLE")) {
+            out.print("+ idling\r\n")
+            idleTag = tag
+            idleOut = out
+            idleCount += 1
+          }
+          else if (cmd.startsWith("LOGIN")) {
             // accept `{n}` synchronizing literals: continue, read n chars
             // raw, splice them in as <LIT:…>, resume on the next line
             var logical = line
@@ -63,6 +84,7 @@ class ImapSyncSpec extends SparkSpec {
             out.print(s"* OK [UIDVALIDITY $uidValidity] UIDs valid\r\n")
             out.print(s"$tag OK [READ-ONLY] selected\r\n")
           } else if (cmd.startsWith("UID SEARCH")) {
+            searches += 1
             out.print("* SEARCH " + mailbox.keys.mkString(" ") + "\r\n")
             out.print(s"$tag OK search done\r\n")
           } else if (cmd.startsWith("UID FETCH")) {
@@ -71,6 +93,19 @@ class ImapSyncSpec extends SparkSpec {
             mailbox.get(uid).foreach { body =>
               val bytes = body.getBytes(StandardCharsets.UTF_8)
               out.print(s"* 1 FETCH (UID $uid BODY[] {${bytes.length}}\r\n")
+              out.write(bytes); out.flush()
+              out.print(")\r\n")
+            }
+            out.print(s"$tag OK fetch done\r\n")
+          } else if (cmd.startsWith("FETCH")) {
+            // sequence-range fetch (the IDLE client's no-search path)
+            val m = """FETCH (\d+):(\d+)""".r.findFirstMatchIn(cmd).get
+            val keys = mailbox.keys.toSeq
+            (m.group(1).toInt to m.group(2).toInt).foreach { seq =>
+              val uid = keys(seq - 1)
+              fetchedUids = fetchedUids :+ uid
+              val bytes = mailbox(uid).getBytes(StandardCharsets.UTF_8)
+              out.print(s"* $seq FETCH (UID $uid BODY[] {${bytes.length}}\r\n")
               out.write(bytes); out.flush()
               out.print(")\r\n")
             }
@@ -130,6 +165,53 @@ class ImapSyncSpec extends SparkSpec {
       d4.removed shouldBe d3.state.knownUids.toSeq.sorted
       d4.fetched.map(_._1) shouldBe Seq(102L, 103L)
       d4.state.uidValidity shouldBe 8L
+    } finally srv.stop()
+  }
+
+  it should "receive pushed EXISTS/EXPUNGE in IDLE without a search round" in {
+    val srv = new FakeImap
+    def await(label: String)(cond: => Boolean): Unit = {
+      val end = System.currentTimeMillis + 10000
+      while (!cond && System.currentTimeMillis < end) Thread.sleep(20)
+      withClue(label) { cond shouldBe true }
+    }
+    try {
+      srv.mailbox(101L) = msg("m1", "alice@example.com", "hello")
+      val result = new java.util.concurrent.atomic.AtomicReference[ImapSync.ImapDelta]()
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() =>
+        try result.set(ImapSync.idle("localhost", srv.port, "u", "p", "INBOX",
+          ImapSync.ImapState(), maxEvents = 2, timeoutMillis = 8000))
+        catch { case e: Throwable => failure.set(e) })
+      t.start()
+
+      // client parks in IDLE after its initial diff (one seeding search)
+      await("first IDLE")(srv.idleCount == 1)
+      val searchesAtPark = srv.searches
+
+      // push a new message: lands via sequence-range FETCH, no search
+      srv.mailbox(102L) = msg("m2", "bob@example.com", "re: hello")
+      srv.push("* 2 EXISTS")
+      await("re-IDLE after EXISTS")(srv.idleCount == 2)
+
+      // push an expunge of sequence 1 (uid 101)
+      srv.mailbox.remove(101L)
+      srv.push("* 1 EXPUNGE")
+      t.join(10000)
+      failure.get() shouldBe null
+      val d = result.get()
+      d should not be null
+
+      d.fetched.map(_._1) shouldBe Seq(101L, 102L) // initial + pushed
+      d.removed shouldBe Seq(101L)
+      d.state.knownUids shouldBe Set(102L)
+      d.state.uidValidity shouldBe 7L
+      srv.searches shouldBe searchesAtPark // no per-event UID SEARCH
+
+      // the cursor interoperates with the polling leg: nothing new
+      val d2 = ImapSync.sync("localhost", srv.port, "u", "p", "INBOX", d.state)
+      d2.fetched shouldBe empty
+      d2.removed shouldBe empty
     } finally srv.stop()
   }
 
