@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Cross-engine *stability* oracles for the implementation-defined
+  * queries the DuckDB gate can only row-count (q70 language-id, q145
+  * zlib compression): the exact sf0.001 output is pinned as a golden
+  * sha-256. There is no external engine that restates a trigram
+  * classifier or a DEFLATE ratio, so the contract is determinism — any
+  * engine change that shifts a single byte of output fails loudly here
+  * instead of sliding through a rows-only check.
+  *
+  * If this fails and you did NOT touch `text/TextAnalysis.langId` /
+  * `text/Compression`, suspect a driver-side testdata regeneration
+  * (see AllQueriesSpec scaladoc for the round-8 precedent) — recompute
+  * the goldens only after confirming the engine output is otherwise
+  * sane (TextAnalysisSpec fixture + CompressionSpec monotonicity stay
+  * the semantic anchors).
+  */
+class GoldenHashSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Canonical digest: rows rendered `a|b|c`, sorted lexicographically,
+    * newline-joined, sha-256 hex. Column order as selected; null → "". */
+  private def digest(df: DataFrame): String = {
+    val rows = df.collect()
+      .map(r => (0 until r.length)
+        .map(i => if (r.isNullAt(i)) "" else r.get(i).toString)
+        .mkString("|"))
+      .sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(rows.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  "q70_langid" should "reproduce its pinned sf0.001 output byte-exactly" in {
+    digest(SparkEntry.queries("q70_langid")(spark, dir)) shouldBe
+      "211a4d1c1047b85106eb27b868b3eee14b887414434f0de60bf964a27102af5c"
+  }
+
+  "q145_compression" should "reproduce its pinned sf0.001 output byte-exactly" in {
+    digest(SparkEntry.queries("q145_compression")(spark, dir)) shouldBe
+      "b024d2a588c58d61f1bc901a6d0bfa57ee8607fc670c8dcf860e08889a3659a3"
+  }
+}
