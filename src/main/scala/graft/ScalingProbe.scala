@@ -858,14 +858,19 @@ object ScalingProbe {
       out += "overlap500k" -> s"""{"sec":$tOv,"pairs":$nOv}"""
     }
 
-    // 36) distributed SCC (FB-coloring path FORCED via threshold=0) on
-    // ~4M edges: 150k rings of ~26 orders plus inter-ring DAG edges —
-    // the bow-tie-ish shape where trim peels tails and coloring peels
-    // ring layers
-    if (want("scc4M")) {
+    // 36) distributed SCC (DCSC path FORCED via threshold=0), ADVERSARIAL
+    // shape: ~10 chains each ~10k ring-SCCs deep (~1.6M edges) — the
+    // deep-condensation chain that made the round-8 coloring loop
+    // effectively non-terminating (it peeled only ~ln n prefix-minima
+    // SCCs per round). DCSC must finish in ~O(log #SCCs) rounds. The
+    // 100-rep variant (16M edges, 1M ring-SCCs) was run once round 9:
+    // monotone accelerating progress but >2h wall — beyond the probe
+    // budget; this 10-rep variant keeps the same depth-10k adversarial
+    // structure at a recordable size.
+    if (want("sccChain1M6")) {
       val o = Tables(spark, dir, "orders")
         .select(col("o_custkey").as("c"), col("o_orderkey").as("k"))
-      val big = o.crossJoin(spark.range(100).toDF("rep"))
+      val big = o.crossJoin(spark.range(10).toDF("rep"))
         .select((col("c") + col("rep") * 100000).as("c"),
           (col("k") + col("rep") * 10000000).as("k"))
       val w = org.apache.spark.sql.expressions.Window
@@ -886,11 +891,52 @@ object ScalingProbe {
             .select(col("c"), col("k").as("dst")), Seq("c"))
           .select(col("src"), col("dst")))
         .repartition(32).localCheckpoint()
+      var rounds = 0
       val (tScc, nScc) = time {
-        graft.graph.Scc.decompose(ring, smallGraphThreshold = 0)
+        graft.graph.Scc.decompose(ring, smallGraphThreshold = 0,
+            onRound = r => rounds = r)
           .groupBy("scc").count().count()
       }
-      out += "scc4M" -> s"""{"sec":$tScc,"sccs":$nScc}"""
+      out += "sccChain1M6" -> s"""{"sec":$tScc,"sccs":$nScc,"rounds":$rounds}"""
+    }
+
+    // 37) distributed SCC, REALISTIC bow-tie shape (~1M edges): a giant
+    // core ring of ~300k vertices (50% of the graph), ~20k IN rings
+    // (~10 vertices each) with an edge into the core, ~20k OUT rings fed
+    // from the core, plus acyclic tendrils. Trim absorbs the tendrils;
+    // the round-1 pivot is overwhelmingly likely to land in (or color
+    // against) the giant core; IN/OUT rings split off and resolve in
+    // parallel — rounds should stay single-digit-ish.
+    if (want("sccBowtie1M")) {
+      val core = spark.range(300000L).select(col("id").as("src"),
+        ((col("id") + 1) % 300000L).as("dst"))
+      // in-rings at ids 1e6 + r*10 .. +9, edge ring head -> core vertex r
+      val inR = spark.range(20000L).select(col("id").as("r"))
+        .crossJoin(spark.range(10L).toDF("i"))
+        .select((lit(1000000L) + col("r") * 10 + col("i")).as("src"),
+          (lit(1000000L) + col("r") * 10 + (col("i") + 1) % 10).as("dst"))
+      val inEdge = spark.range(20000L)
+        .select((lit(1000000L) + col("id") * 10).as("src"), (col("id") * 7 % 300000L).as("dst"))
+      val outR = spark.range(20000L).select(col("id").as("r"))
+        .crossJoin(spark.range(10L).toDF("i"))
+        .select((lit(2000000L) + col("r") * 10 + col("i")).as("src"),
+          (lit(2000000L) + col("r") * 10 + (col("i") + 1) % 10).as("dst"))
+      val outEdge = spark.range(20000L)
+        .select((col("id") * 11 % 300000L).as("src"), (lit(2000000L) + col("id") * 10).as("dst"))
+      // tendrils: 100k-vertex DAG chains hanging off the out rings
+      val tendril = spark.range(100000L)
+        .select((lit(3000000L) + col("id")).as("src"),
+          when(col("id") % 10 === 0, lit(2000000L) + (col("id") * 13 % 200000L))
+            .otherwise(lit(3000000L) + col("id") - 1).as("dst"))
+      val g = core.unionAll(inR).unionAll(inEdge).unionAll(outR)
+        .unionAll(outEdge).unionAll(tendril).repartition(32).localCheckpoint()
+      var rounds = 0
+      val (tScc, nScc) = time {
+        graft.graph.Scc.decompose(g, smallGraphThreshold = 0,
+            onRound = r => rounds = r)
+          .groupBy("scc").count().count()
+      }
+      out += "sccBowtie1M" -> s"""{"sec":$tScc,"sccs":$nScc,"rounds":$rounds}"""
     }
 
     println(out.map { case (k, v) => s""""$k":$v""" }

@@ -1,5 +1,6 @@
 package graft.enrich
 
+import org.apache.spark.sql.GraftSparkInternals.CappedCheckpoint
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -52,7 +53,7 @@ object Inference {
     * (tagged with [[InferredGraph]]). */
   def infer(quads: DataFrame, rules: Rules, maxIterations: Int = 30): DataFrame = {
     val spark = quads.sparkSession
-    val base = quads.select("s", "p", "o").distinct().localCheckpoint()
+    val base = quads.select("s", "p", "o").distinct().localCheckpointCapped
 
     // rdfs5/rdfs11 are plain transitivity of the two schema predicates
     val transitivePreds = rules.transitive ++
@@ -119,10 +120,10 @@ object Inference {
     while (!done && i < maxIterations) {
       val next = applyRules(frontier, all)
         .join(all, Seq("s", "p", "o"), "left_anti")
-        .localCheckpoint()
+        .localCheckpointCapped
       if (next.isEmpty) done = true
       else {
-        all = all.unionByName(next).localCheckpoint()
+        all = all.unionByName(next).localCheckpointCapped
         inferred = inferred.unionByName(next)
         frontier = next
       }

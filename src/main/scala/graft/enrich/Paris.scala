@@ -1,5 +1,6 @@
 package graft.enrich
 
+import org.apache.spark.sql.GraftSparkInternals.CappedCheckpoint
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -68,9 +69,9 @@ object Paris {
           .as("prob"))
     }
 
-    var eq = round(None).where(col("prob") >= threshold).localCheckpoint()
+    var eq = round(None).where(col("prob") >= threshold).localCheckpointCapped
     for (_ <- 2 to iterations) {
-      eq = round(Some(eq)).where(col("prob") >= threshold).localCheckpoint()
+      eq = round(Some(eq)).where(col("prob") >= threshold).localCheckpointCapped
     }
     eq
   }
@@ -122,7 +123,7 @@ object Paris {
       iterations: Int = 10,
       threshold: Double = 0.0): DataFrame = {
     val st = stmts.select(col("x"), col("p"), col("o"), col("oIsInstance"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointCapped
     val pr = broadcast(props.select(col("p"), col("fun"), col("inv_fun")))
 
     def symWithIdentity(eq: DataFrame, ids: DataFrame): DataFrame =
@@ -135,9 +136,9 @@ object Paris {
     val litEqFull = symWithIdentity(
       litEq, st.where(!col("oIsInstance")).select(col("o")).distinct())
       .withColumn("objIsInstance", lit(false))
-      .localCheckpoint()
+      .localCheckpointCapped
     val instIds = st.where(col("oIsInstance")).select(col("o")).distinct()
-      .localCheckpoint()
+      .localCheckpointCapped
 
     val a = st.alias("a")
     val b = st.alias("b")
@@ -169,7 +170,7 @@ object Paris {
         .join(pr, col("a.p") === pr("p"))
         .select(col("a.x").as("x1"), col("b.x").as("x2"), col("a.p").as("sp"),
           col("a.o").as("y"), col("fun"), col("inv_fun"), col("e.prob").as("eq"))
-        .localCheckpoint()
+        .localCheckpointCapped
       val cand = ev.where(col("fun") > 0 || col("inv_fun") > 0)
         .select(col("x1"), col("x2")).distinct()
       val posDf = ev.where(col("inv_fun") > 0)
@@ -193,7 +194,7 @@ object Paris {
           ((lit(1.0) - coalesce(col("pos"), lit(1.0))) *
             coalesce(col("neg"), lit(1.0))).as("prob"))
         .where(col("prob") > 0)
-        .localCheckpoint()
+        .localCheckpointCapped
     }
     instEq.where(col("prob") >= threshold)
   }

@@ -1,5 +1,6 @@
 package graft.graph
 
+import org.apache.spark.sql.GraftSparkInternals.CappedCheckpoint
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -28,20 +29,20 @@ object Bfs {
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointCapped
     var settled = sources.select(col("id").cast("long")).distinct()
-      .withColumn("dist", lit(0)).localCheckpoint()
+      .withColumn("dist", lit(0)).localCheckpointCapped
     var frontier = settled.select(col("id"))
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       val next = e.join(frontier.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id")).distinct()
         .join(settled.select(col("id")), Seq("id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpointCapped
       hop += 1
       settled = settled
         .unionByName(next.withColumn("dist", lit(hop)))
-        .localCheckpoint()
+        .localCheckpointCapped
       frontier = next
     }
     settled
@@ -58,9 +59,9 @@ object Bfs {
       maxRounds: Int): DataFrame = {
     require(maxRounds >= 0, "maxRounds must be >= 0")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
-      col("w").cast("long")).localCheckpoint()
+      col("w").cast("long")).localCheckpointCapped
     var dist = sources.select(col("id").cast("long")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).localCheckpointCapped
     var frontier = dist
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
@@ -70,11 +71,11 @@ object Bfs {
       val improved = cand.join(dist, Seq("id"), "left")
         .where(col("dist").isNull || col("nd") < col("dist"))
         .select(col("id"), col("nd").as("dist"))
-        .localCheckpoint()
+        .localCheckpointCapped
       dist = dist.withColumnRenamed("dist", "old")
         .join(improved, Seq("id"), "full_outer")
         .select(col("id"), coalesce(col("dist"), col("old")).as("dist"))
-        .localCheckpoint()
+        .localCheckpointCapped
       frontier = improved
       round += 1
     }

@@ -1,5 +1,6 @@
 package graft.graph
 
+import org.apache.spark.sql.GraftSparkInternals.CappedCheckpoint
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -58,7 +59,7 @@ object GraphOps {
       smallGraphThreshold: Long = 100000,
       maxPairs: Long = 50000000L,
       maxDriverBytes: Long = 256L << 20): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpointCapped
     // adaptive: small edge sets are solved exactly on the driver (the
     // reference's own regime — SURVEY G1: "for <=1e5 nodes, driver BFS is
     // acceptable and exact"); the distributed fixpoint pays ~0.5s of job
@@ -79,14 +80,14 @@ object GraphOps {
         .select(col("f.src").as("src"), col("e.dst").as("dst"))
         .distinct()
         .join(closure, Seq("src", "dst"), "left_anti")
-        .localCheckpoint()
+        .localCheckpointCapped
       val added = next.count()
       if (added == 0) done = true
       else {
         total += added
         // circuit breaker: fail fast before materializing a quadratic blowup
         if (total > maxPairs) throw new ClosureBudgetExceeded(total, maxPairs)
-        closure = refreshed(closure).union(refreshed(next)).localCheckpoint()
+        closure = refreshed(closure).union(refreshed(next)).localCheckpointCapped
         frontier = next
       }
       i += 1
@@ -159,13 +160,13 @@ object GraphOps {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpointCapped
     val edgeVerts = sym.select(col("src").as("id")).distinct()
     val allVerts = vertices
       .map(v => edgeVerts.union(v.select(col("id"))).distinct())
       .getOrElse(edgeVerts)
 
-    var labels = allVerts.withColumn("component", col("id")).localCheckpoint()
+    var labels = allVerts.withColumn("component", col("id")).localCheckpointCapped
     var changed = true
     var i = 0
     while (changed && i < maxIterations) {
@@ -188,7 +189,7 @@ object GraphOps {
       // two pointer-jump rounds (component := component-of-component) halve
       // long-path diameters faster; the carried `old` column makes the
       // convergence check a filter on the materialized result, not a join
-      val next = jump(jump(propagated)).localCheckpoint()
+      val next = jump(jump(propagated)).localCheckpointCapped
       changed = !next.where(col("component") =!= col("old")).isEmpty
       labels = next.select(col("id"), col("component"))
       i += 1

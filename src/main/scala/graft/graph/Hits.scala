@@ -1,5 +1,6 @@
 package graft.graph
 
+import org.apache.spark.sql.GraftSparkInternals.CappedCheckpoint
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,10 +37,10 @@ object Hits {
       scale: Long = 1000000L, checkpointEvery: Int = 4): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
+      .localCheckpointCapped
     val vertices = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointCapped
 
     // the score·scale product runs in decimal(38,0): a raw half-step sum
     // is bounded by in-degree·scale, so long arithmetic would wrap for
@@ -61,8 +62,8 @@ object Hits {
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
       hub = normalized(hRaw, "h")
       if ((i + 1) % checkpointEvery == 0 && i + 1 < iterations) {
-        auth = auth.localCheckpoint()
-        hub = hub.localCheckpoint()
+        auth = auth.localCheckpointCapped
+        hub = hub.localCheckpointCapped
       }
     }
     vertices

@@ -1,5 +1,6 @@
 package graft.graph
 
+import org.apache.spark.sql.GraftSparkInternals.CappedCheckpoint
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -43,7 +44,7 @@ object KCore {
     var e = undirected
       .select(col("u").as("src"), col("v").as("dst"))
       .unionByName(undirected.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint() // one directed row per (vertex, neighbor)
+      .localCheckpointCapped // one directed row per (vertex, neighbor)
 
     var round = 0
     var done = false
@@ -58,7 +59,7 @@ object KCore {
           .join(kept.withColumnRenamed("id", "dst"), "dst")
           .select(col("src"), col("dst"))
         e =
-          if ((round + 1) % checkpointEvery == 0) next.localCheckpoint()
+          if ((round + 1) % checkpointEvery == 0) next.localCheckpointCapped
           else next
       }
       round += 1

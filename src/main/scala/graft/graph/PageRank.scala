@@ -1,5 +1,6 @@
 package graft.graph
 
+import org.apache.spark.sql.GraftSparkInternals.CappedCheckpoint
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -44,7 +45,7 @@ object PageRank {
     require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0,1]")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(deg, "src").localCheckpoint()
+    val withDeg = e.join(deg, "src").localCheckpointCapped
     // single consumer (the final assignment join) — no checkpoint; a
     // materialization here would add a full job for a frame read once
     val vertices = e.select(col("src").as("id"))
@@ -80,7 +81,7 @@ object PageRank {
         (lit(base) + expr(s"($dampNum * m) div $dampDen")).as("rank"))
       ranks = Some(
         if ((i + 1) % checkpointEvery == 0 && i + 1 < iterations)
-          next.localCheckpoint()
+          next.localCheckpointCapped
         else next)
     }
     ranks match {

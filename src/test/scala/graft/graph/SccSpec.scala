@@ -49,6 +49,27 @@ class SccSpec extends SparkSpec {
     }
   }
 
+  it should "split a deep chain of ring-SCCs in logarithmic rounds" in {
+    // 12 rings of 4 vertices, ring i+1's head -> ring i's head: the deep
+    // condensation chain that defeats min-label coloring (Θ(n/ln n)
+    // rounds — the round-9 scc4M probe hang). DCSC's random pivots must
+    // both get it RIGHT and get it done in ~O(log #rings) rounds.
+    val edges = (0L until 12L).flatMap { ring =>
+      val base = ring * 4
+      val cycle = (0L until 4L).map(i => (base + i, base + (i + 1) % 4))
+      if (ring == 0) cycle else cycle :+ (base, base - 4)
+    }
+    val expect = Scc.tarjan(edges.toArray)
+    var rounds = 0
+    val got = Scc.decompose(edges.toDF("src", "dst"),
+      smallGraphThreshold = 0, onRound = r => rounds = r)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe expect
+    withClue(s"rounds=$rounds for 12 chained ring-SCCs") {
+      rounds should be < 12
+    }
+  }
+
   it should "handle a long trivial-SCC chain through trim" in {
     val edges = (1L until 60L).map(i => (i, i + 1))
     val got = drv(edges)
