@@ -865,12 +865,12 @@ object ScalingProbe {
     // SCCs per round). DCSC must finish in ~O(log #SCCs) rounds. The
     // 100-rep variant (16M edges, 1M ring-SCCs) was run once round 9:
     // monotone accelerating progress but >2h wall — beyond the probe
-    // budget; this 10-rep variant keeps the same depth-10k adversarial
-    // structure at a recordable size.
-    if (want("sccChain1M6")) {
+    // budget; this 4-rep variant keeps the same depth-10k adversarial
+    // structure at a recordable size (~640k edges, past the driver gate).
+    if (want("sccChain640k")) {
       val o = Tables(spark, dir, "orders")
         .select(col("o_custkey").as("c"), col("o_orderkey").as("k"))
-      val big = o.crossJoin(spark.range(10).toDF("rep"))
+      val big = o.crossJoin(spark.range(4).toDF("rep"))
         .select((col("c") + col("rep") * 100000).as("c"),
           (col("k") + col("rep") * 10000000).as("k"))
       val w = org.apache.spark.sql.expressions.Window
@@ -897,19 +897,36 @@ object ScalingProbe {
             onRound = r => rounds = r)
           .groupBy("scc").count().count()
       }
-      out += "sccChain1M6" -> s"""{"sec":$tScc,"sccs":$nScc,"rounds":$rounds}"""
+      out += "sccChain640k" -> s"""{"sec":$tScc,"sccs":$nScc,"rounds":$rounds}"""
     }
 
-    // 37) distributed SCC, REALISTIC bow-tie shape (~1M edges): a giant
-    // core ring of ~300k vertices (50% of the graph), ~20k IN rings
-    // (~10 vertices each) with an edge into the core, ~20k OUT rings fed
-    // from the core, plus acyclic tendrils. Trim absorbs the tendrils;
-    // the round-1 pivot is overwhelmingly likely to land in (or color
-    // against) the giant core; IN/OUT rings split off and resolve in
-    // parallel — rounds should stay single-digit-ish.
+    // 37) distributed SCC, REALISTIC bow-tie shape (~1.2M edges): a
+    // giant small-world core — a 300k ring PLUS two random chords from
+    // every 4th vertex (150k chords), which is what real web cores look
+    // like (strongly connected, diameter ~tens, NOT a thin geometric
+    // cycle) — ~20k IN rings (~10 vertices each) with an edge into the
+    // core, ~20k OUT rings fed from the core, plus acyclic tendrils.
+    // Trim absorbs the tendrils; contraction collapses the in/out rings
+    // in one pass; the B/F fixpoint resolves the chord-shortcut core in
+    // ~diameter iterations. (A chordless 300k ring is deliberately NOT
+    // the shape here: single thin cycles of that size have effective
+    // diameter 300k, which no published BFS-based distributed SCC —
+    // Multistep, Orzan coloring, DCSC — resolves in sublinear rounds;
+    // directed reachability is P-complete, so polylog rounds at
+    // near-linear work is not on the table. The engine's answer to
+    // PURE deep cycles is the pointer-cycle contraction, probed by
+    // sccChain640k.)
     if (want("sccBowtie1M")) {
-      val core = spark.range(300000L).select(col("id").as("src"),
-        ((col("id") + 1) % 300000L).as("dst"))
+      val n = 300000L
+      val ring = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1) % n).as("dst"))
+      val chordSrc = spark.range(n / 4).select((col("id") * 4).as("src"))
+      val chords = chordSrc
+        .select(col("src"), ((col("src") * 7919L + 13L) % n).as("dst"))
+        .unionAll(chordSrc
+          .select(col("src"), ((col("src") * 104729L + 7L) % n).as("dst")))
+        .where(col("src") =!= col("dst"))
+      val core = ring.unionAll(chords)
       // in-rings at ids 1e6 + r*10 .. +9, edge ring head -> core vertex r
       val inR = spark.range(20000L).select(col("id").as("r"))
         .crossJoin(spark.range(10L).toDF("i"))

@@ -26,16 +26,28 @@ import org.apache.spark.sql.functions._
   *   1. TRIM: vertices with no in- or no out-edge inside their part are
   *      singleton SCCs — peeled iteratively (absorbs DAG tails and
   *      trivial-SCC chains).
+  *   1b. CONTRACT: each vertex points at its minimum in-neighbor — a
+  *      FUNCTIONAL graph, whose cycles are detected by clean pointer
+  *      doubling in exactly ceil(log2 n) joins (r(v) := r(r(v)) walks
+  *      2^k predecessor hops; v is on a pointer cycle iff v is in the
+  *      image of the 2^K-hop map). Every pointer cycle follows real
+  *      edges, so its vertices are provably one SCC — they contract to
+  *      the cycle's min id before the label fixpoint ever runs. This is
+  *      what makes giant cycles cheap: a 300k-vertex core ring is ONE
+  *      supervertex after ~19 doubling joins, where any reach-based
+  *      fixpoint would grind around it. Contracted ids are lifted back
+  *      at the end through an accumulated (orig, cur) mapping; labels
+  *      stay exact because each rep is the minimum of its merged set.
   *   2. LABEL: every active part picks the pivot `m` = its minimum
   *      vertex under a fixed hash key (a uniformly random position, so
   *      splits balance regardless of id order). Two reach-min fixpoints
   *      run over ALL parts at once — B(v) = min key over vertices that
-  *      reach v, F(v) = min key over vertices v reaches — each with
-  *      pointer jumping (label(v) folds in label(label-owner(v)); min
-  *      composes transitively), so they converge in O(log diameter)
-  *      rounds, the components-operator trick carried over. Within a
-  *      part, B(v) = key(m) iff m reaches v and F(v) = key(m) iff v
-  *      reaches m, because m is the part's unique key-minimum.
+  *      reach v, F(v) = min key over vertices v reaches — each
+  *      accelerated by a separate DOUBLING ancestor/descendant pointer
+  *      (pb(v) := pb(pb(v)) while b folds b(pb(v))), so they converge
+  *      in O(log diameter) iterations regardless of key placement.
+  *      Within a part, B(v) = key(m) iff m reaches v and F(v) = key(m)
+  *      iff v reaches m, because m is the part's unique key-minimum.
   *   3. SPLIT: SCC(m) = { v : B(v) = F(v) = key(m) } is emitted (min
   *      member id as the label). The rest of the part moves to one of
   *      three NEW parts — descendants (B hit, F miss), ancestors (F
@@ -93,14 +105,25 @@ object Scc {
     def free(ids: Set[Int]): Unit = ids.foreach(i =>
       sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
 
-    // live state: intra-part edge list, (id, part) actives, emitted SCCs
-    var (remaining, remainingIds) = cp(e0.distinct())
+    // live state: intra-part edge list, (id, part) actives, emitted SCCs.
+    // Self-loops are dropped from the edge list (they never affect SCC
+    // membership) but their vertices are kept.
+    val eDistinct = e0.distinct()
+    var (remaining, remainingIds) =
+      cp(eDistinct.where(col("src") =!= col("dst")))
     var (verts, vertsIds) = cp(
-      remaining.select(col("src").as("id"))
-        .union(remaining.select(col("dst").as("id")))
+      eDistinct.select(col("src").as("id"))
+        .union(eDistinct.select(col("dst").as("id")))
         .distinct().withColumn("part", lit(0L)))
     var done = spark.emptyDataset[(Long, Long)].toDF("id", "scc")
     var doneIds = Set.empty[Int]
+    // orig -> current id for every vertex contracted away (step 1b);
+    // expanded back over `done` on exit
+    var contractMap = spark.emptyDataset[(Long, Long)].toDF("orig", "cur")
+    var contractMapIds = Set.empty[Int]
+    def finish(): DataFrame = done.union(
+      contractMap.join(done, contractMap("cur") === done("id"))
+        .select(contractMap("orig").as("id"), done("scc")))
 
     var round = 0
     while (verts.take(1).nonEmpty && round < maxIterations) {
@@ -136,24 +159,134 @@ object Scc {
       }
       if (verts.take(1).isEmpty) {
         free(remainingIds); free(vertsIds)
-        return done
+        return finish()
       }
 
-      // 2. forward/backward reach-min fixpoints with pointer jumping.
-      // key(v) = (xxhash64(id), id) — the id tie-break makes the min
-      // unique even under hash collisions. b = min key reaching v,
-      // f = min key reachable from v; owners bo/fo carry the pointer
-      // for the jump step.
+      // 1b. contract pointer-cycles to a fixpoint (see scaladoc). Each
+      // pass picks pb(v) = the in-neighbor minimizing a PASS-SALTED hash
+      // (self when none) — a functional graph, so r(v) := r(r(v))
+      // doubles cleanly: after K doublings with 2^K >= n, r(v) has
+      // walked past any tail onto its chain's terminal cycle, and
+      // m(v) = min id over the walked hops is, for on-cycle v, the min
+      // of the WHOLE cycle (a cycle vertex's orbit is exactly the
+      // cycle). Membership: v is on a cycle iff some 2^K-hop walk ENDS
+      // at v — walks always end on a cycle, and on the cycle the
+      // 2^K-hop map is a bijection, so on-cycle ids are exactly the
+      // image of r. Every pointer cycle follows real edges, so
+      // contracting it to its min id is SCC-sound unconditionally.
+      //
+      // Why iterate with fresh salts: a cycle with k in-degree>1
+      // vertices is a pointer-cycle only when ALL k of them picked the
+      // in-cycle neighbor — each pass re-rolls those choices, so a
+      // chain of rings contracts geometrically (~half its remaining
+      // rings per pass) instead of stalling after one pass. Passes stop
+      // when no cycle is found (a DAG never has one) or when a pass
+      // contracts <0.5% of the vertices: inside a DENSE strongly
+      // connected region the pointer graph is a near-random mapping
+      // whose cycles cover only ~sqrt(n) vertices, so passes would
+      // crawl — but such regions are exactly the small-diameter ones
+      // the label fixpoint resolves quickly, and a handful of leftover
+      // thin cycles costs the fixpoint at most their individual
+      // lengths in edge-term iterations.
+      var contracting = true
+      var pass = 0
+      while (contracting && pass < 40) {
+        pass += 1
+        val nVerts = verts.count()
+        val kDoubles = 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(nVerts - 1, 1)) // ceil(log2 n)
+        val pbSeed0 = remaining
+          .select(col("dst").as("id"), col("src"),
+            xxhash64(col("src"), lit(round * 41L + pass)).as("h"))
+          .groupBy("id")
+          .agg(min_by(col("src"), struct(col("h"), col("src"))).as("pb"))
+        var (rm, rmIds) = cp(verts.join(pbSeed0, Seq("id"), "left")
+          .select(col("id"), coalesce(col("pb"), col("id")).as("r"),
+            col("id").as("m")))
+        for (_ <- 1 to kDoubles.toInt) {
+          val (rm2, rm2Ids) = cp(rm
+            .join(rm.select(col("id").as("r"), col("m").as("m2"),
+              col("r").as("r2")), Seq("r"))
+            .select(col("id"), col("r2").as("r"),
+              least(col("m"), col("m2")).as("m")))
+          free(rmIds); rm = rm2; rmIds = rm2Ids
+        }
+        val onCycle = rm
+          .join(rm.select(col("r").as("id")).distinct(), Seq("id"), "left_semi")
+        val reps = onCycle.where(col("id") =!= col("m"))
+          .select(col("id"), col("m").as("rep"))
+        val nReps = reps.count()
+        if (nReps < math.max(1L, nVerts / 200)) contracting = false
+        if (nReps > 0) {
+          val (v2c, v2cIds) = cp(verts.join(reps, Seq("id"), "left")
+            .select(coalesce(col("rep"), col("id")).as("id"), col("part"))
+            .distinct())
+          val (r2c, r2cIds) = cp(remaining
+            .join(reps.select(col("id").as("src"), col("rep").as("srcRep")),
+              Seq("src"), "left")
+            .join(reps.select(col("id").as("dst"), col("rep").as("dstRep")),
+              Seq("dst"), "left")
+            .select(coalesce(col("srcRep"), col("src")).as("src"),
+              coalesce(col("dstRep"), col("dst")).as("dst"))
+            .where(col("src") =!= col("dst")).distinct())
+          // compose the lift-back mapping: redirect existing entries
+          // whose `cur` was just contracted, then add the newly
+          // contracted ids (every current id is an original vertex id,
+          // so new (id, rep) pairs are added verbatim)
+          val (cm2, cm2Ids) = cp(contractMap
+            .join(reps.select(col("id").as("cur"), col("rep")),
+              Seq("cur"), "left")
+            .select(col("orig"), coalesce(col("rep"), col("cur")).as("cur"))
+            .union(reps.select(col("id").as("orig"), col("rep").as("cur"))))
+          free(contractMapIds); contractMap = cm2; contractMapIds = cm2Ids
+          free(vertsIds); verts = v2c; vertsIds = v2cIds
+          free(remainingIds); remaining = r2c; remainingIds = r2cIds
+        }
+        free(rmIds)
+        if (sys.env.contains("GRAFT_SCC_DEBUG"))
+          println(s"SCCDBG round=$round contractPass=$pass " +
+            s"contracting=$contracting t=${System.nanoTime() / 1000000000}s")
+      }
+
+      // 2. forward/backward reach-min fixpoints, accelerated by DOUBLING
+      // pointers. key(v) = (xxhash64(id), id) — the id tie-break makes
+      // the min unique even under hash collisions. b = min key over
+      // vertices reaching v (the `o` field carries the argmin vertex id,
+      // used by the split below), f = min key over vertices v reaches.
+      //
+      // The acceleration pointer is SEPARATE from the min: pb(v) is an
+      // arbitrary ancestor of v (seeded with v's min in-neighbor) that
+      // purely doubles each iteration — pb(v) := pb(pb(v)) — while b
+      // folds both the edge-neighborhood min and b(pb(v)). Folding via
+      // the min's OWN owner (the previous design) degenerates to one
+      // edge-hop per iteration once a region shares an owner: the shared
+      // owner's window then grows only through its own edge term, and a
+      // 3000-cycle took 33 iterations, a 10k-deep ring chain thousands
+      // (measured — the round-9 probe crawl). A pure doubling chain is
+      // position-independent: after t iterations pb(v) is ~2^t hops up,
+      // so the fold covers the whole ancestor set in O(log diameter).
+      //
+      // Correctness needs only the EDGE term: at a b-stall, b(dst) <=
+      // b(src) along every edge, which transitively bounds b(v) by every
+      // ancestor's key. The chain fold is sound (pb(v) is an ancestor,
+      // so b(pb(v)) mins over a subset of v's ancestors) and a b-stall
+      // is a true fixpoint: if no b changed this iteration, each pb(v)
+      // already folded b(pb(pb(v))) into b(pb(v)) <= b(v)'s view, so
+      // future doubled folds are dominated — p-movement alone can never
+      // resurface a smaller min.
       val key = struct(xxhash64(col("id")).as("k"), col("id").as("o"))
-      var (state, stateIds) = cp(verts.select(col("id"), col("part"),
-        key.as("b"), key.as("f")))
+      val pb0 = remaining.groupBy(col("dst").as("id")).agg(min("src").as("pb"))
+      val pf0 = remaining.groupBy(col("src").as("id")).agg(min("dst").as("pf"))
+      var (state, stateIds) = cp(verts
+        .join(pb0, Seq("id"), "left").join(pf0, Seq("id"), "left")
+        .select(col("id"), col("part"), key.as("b"), key.as("f"),
+          coalesce(col("pb"), col("id")).as("pb"),
+          coalesce(col("pf"), col("id")).as("pf")))
       // run to CONVERGENCE, not to a cap: the split below is only
       // correct on fully-converged labels (a capped fixpoint silently
-      // fragments SCCs — observed: a 3000-vertex cycle needs ~33
-      // iterations, a 7700-vertex bow-tie >100, both well past any
-      // tempting "log n" budget). Termination is guaranteed — labels
-      // decrease monotonically over a finite key set. The huge cap
-      // exists only to fail LOUDLY if that invariant is ever broken.
+      // fragments SCCs). Termination is guaranteed — b/f decrease
+      // monotonically over a finite key set. The huge cap exists only
+      // to fail LOUDLY if that invariant is ever broken.
       var changed = true
       var iter = 0
       while (changed) {
@@ -168,12 +301,15 @@ object Scc {
         val viaEdgeF = remaining
           .join(state.select(col("id").as("dst"), col("f")), Seq("dst"))
           .groupBy(col("src").as("id")).agg(min(col("f")).as("ef"))
-        val viaJumpB = state.select(col("id"), col("b.o").as("bo"))
-          .join(state.select(col("id").as("bo"), col("b").as("jb")), Seq("bo"))
-          .select(col("id"), col("jb"))
-        val viaJumpF = state.select(col("id"), col("f.o").as("fo"))
-          .join(state.select(col("id").as("fo"), col("f").as("jf")), Seq("fo"))
-          .select(col("id"), col("jf"))
+        // one join serves both the chain fold (jb) and the doubling (pb2)
+        val viaChainB = state.select(col("id"), col("pb"))
+          .join(state.select(col("id").as("pb"), col("b").as("jb"),
+            col("pb").as("pb2")), Seq("pb"))
+          .select(col("id"), col("jb"), col("pb2"))
+        val viaChainF = state.select(col("id"), col("pf"))
+          .join(state.select(col("id").as("pf"), col("f").as("jf"),
+            col("pf").as("pf2")), Seq("pf"))
+          .select(col("id"), col("jf"), col("pf2"))
         val nb = least(col("b"), coalesce(col("eb"), col("b")),
           coalesce(col("jb"), col("b")))
         val nf = least(col("f"), coalesce(col("ef"), col("f")),
@@ -185,16 +321,17 @@ object Scc {
         val (next, nextIds) = cp(state
           .join(viaEdgeB, Seq("id"), "left")
           .join(viaEdgeF, Seq("id"), "left")
-          .join(viaJumpB, Seq("id"), "left")
-          .join(viaJumpF, Seq("id"), "left")
+          .join(viaChainB, Seq("id"), "left")
+          .join(viaChainF, Seq("id"), "left")
           .select(col("id"), col("part"), nb.as("nb"), nf.as("nf"),
+            coalesce(col("pb2"), col("pb")).as("npb"),
+            coalesce(col("pf2"), col("pf")).as("npf"),
             (nb =!= col("b") || nf =!= col("f")).as("chg"))
-          .withColumnRenamed("nb", "b").withColumnRenamed("nf", "f"))
+          .withColumnRenamed("nb", "b").withColumnRenamed("nf", "f")
+          .withColumnRenamed("npb", "pb").withColumnRenamed("npf", "pf"))
         changed = next.where(col("chg")).take(1).nonEmpty
         if (sys.env.contains("GRAFT_SCC_DEBUG") && iter % 10 == 0)
-          println(s"SCCDBG   iter=$iter changedByRange=" +
-            next.where(col("chg")).groupBy((col("id") / 1000000).cast("int").as("m"))
-              .count().orderBy(col("m")).collect().map(r => s"${r.get(0)}:${r.get(1)}").mkString(","))
+          println(s"SCCDBG   iter=$iter t=${System.nanoTime() / 1000000000}s")
         free(stateIds)
         state = next.drop("chg"); stateIds = nextIds
       }
@@ -250,7 +387,7 @@ object Scc {
     if (verts.take(1).nonEmpty) throw new IllegalStateException(
       s"SCC divide-and-conquer did not finish within $maxIterations " +
         "rounds; raise maxIterations")
-    done
+    finish()
   }
 
   /** Iterative Tarjan (explicit stacks — no recursion depth limit),
