@@ -1789,11 +1789,16 @@ object SparkEntry {
   /** J10: PPJoin-style prefix-filtered Jaccard join over document word
     * sets — the scale-correct threshold similarity join (rarity-ordered
     * prefixes bound candidates with no completeness-losing cap; length +
-    * positional filters prune inside the join; exact verify). The oracle
-    * states the brute-force all-pairs threshold join it must equal. */
+    * positional filters prune inside the join; native merge-scan verify
+    * with threshold early-exit). The oracle states the brute-force
+    * all-pairs threshold join it must equal. tau = 0.9, the realistic
+    * near-dup band: the prefix filter's candidate volume shrinks toward
+    * the true result as tau -> 1, and the driver corpus is near-dup
+    * saturated (J > 1/2 admits 8.6M of the 12.5M possible pairs at
+    * sf0.1 — output-bound by construction, no longer a join benchmark). */
   private def q133_setsim_join(s: SparkSession, dir: String): DataFrame =
     graft.operators.SetSimJoin.jaccardPairs(
-      t(s, dir, "documents"), "text", "doc_id", num = 1, den = 2)
+      t(s, dir, "documents"), "text", "doc_id", num = 9, den = 10)
 
   /** G12: per-vertex triangle counts on the part co-purchase graph
     * (edges = part pairs sharing ≥ 2 distinct orders), counted with
@@ -4457,7 +4462,7 @@ object SparkEntry {
         |    AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
     // q133: brute-force all-pairs Jaccard threshold join the prefix-
-    // filtered plan must exactly equal (distinct word sets, J > 1/2)
+    // filtered plan must exactly equal (distinct word sets, J > 9/10)
     "q133_setsim_join" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id,
@@ -4473,7 +4478,7 @@ object SparkEntry {
         |SELECT id1, id2, inter,
         |  CAST(sa.n + sb.n - inter AS BIGINT) AS uni
         |FROM ix JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
-        |WHERE 2 * inter > 1 * (sa.n + sb.n - inter)""".stripMargin,
+        |WHERE 10 * inter > 9 * (sa.n + sb.n - inter)""".stripMargin,
     // q134: triangles enumerated once as a<b<c over the canonical (u<v)
     // edge set; per-vertex counts by unnesting the three corners
     "q134_triangles" ->

@@ -79,13 +79,17 @@ object SetSimJoin {
       df: DataFrame, idCol: String, toksCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
+    // Tokenization (often a regex split upstream) and the explode run
+    // ONCE: the exploded (id, tok) stream feeds both the frequency count
+    // and the dictionary re-join from this checkpoint.
+    val exploded = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
       .where(size(col("toks")) > 0)
+      .select(col("id"), explode(col("toks")).as("tok"))
+      .localCheckpoint(false)
 
     // Global document frequency per token — the rarity order. One narrow
-    // explode + one count shuffle over (token) keys.
-    val freq = base.select(col("id"), explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // count shuffle over (token) keys.
+    val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
 
     // dense ids in (df, tok) order: range-partitioned sort + zipWithIndex
     // (deterministic — the order is total)
@@ -96,7 +100,7 @@ object SetSimJoin {
     // Rarity-sort each record's tokens: join the dictionary onto the
     // exploded tokens, regroup, sort the long ids. The regroup shuffles
     // (id, tid) pairs only.
-    base.select(col("id"), explode(col("toks")).as("tok"))
+    exploded
       .join(dict, "tok")
       .groupBy("id")
       .agg(array_sort(collect_list(col("tid"))).as("tids"))
@@ -169,26 +173,42 @@ object SetSimJoin {
       .distinct()
 
     val sets = sorted.select(col("id"), col("tids"), col("n"))
+    // den·i > num·n_small ⟺ i ≥ num·n_small div den + 1
+    val minInter = expr(s"(cast($num as bigint) * n_small) div $den + 1")
     cands
       .join(sets.select(col("id").as("id_small"), col("tids").as("t1"),
         col("n").as("n_small")), "id_small")
       .join(sets.select(col("id").as("id_big"), col("tids").as("t2")), "id_big")
       .select(col("id_small"), col("id_big"),
-        size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
+        call_function("sorted_intersect_size", col("t1"), col("t2"),
+          minInter).as("inter"),
         col("n_small"))
       .where(lit(den) * col("inter") > lit(num) * col("n_small"))
   }
 
   /** Exact verification: ship the two encoded arrays to each surviving
-    * candidate pair and intersect. Integer-exact threshold. */
+    * candidate pair and intersect. Integer-exact threshold.
+    *
+    * Intersection via the native `sorted_intersect_size` merge scan
+    * (the arrays are ascending dictionary ids by construction) with the
+    * pair's threshold bound passed down for early exit:
+    * den·i > num·(n1+n2−i) ⟺ i·(den+num) > num·(n1+n2) ⟺
+    * i ≥ num·(n1+n2) div (den+num) + 1 = minInter. The expression's
+    * count is exact for every pair that can reach minInter, so the
+    * filter is decision-identical to intersecting in full (generic
+    * `array_intersect` builds a hash set per pair and measured 2-4x
+    * slower on the q133 bench corpus). */
   private[graft] def verifyPairs(
       sorted: DataFrame, cands: DataFrame, num: Int, den: Int): DataFrame = {
     val sets = sorted.select(col("id"), col("tids"), col("n"))
+    val minInter = expr(
+      s"(cast($num as bigint) * (n1 + n2)) div ${den + num} + 1")
     cands
       .join(sets.select(col("id").as("id1"), col("tids").as("t1"), col("n").as("n1")), "id1")
       .join(sets.select(col("id").as("id2"), col("tids").as("t2"), col("n").as("n2")), "id2")
       .select(col("id1"), col("id2"),
-        size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
+        call_function("sorted_intersect_size", col("t1"), col("t2"),
+          minInter).as("inter"),
         col("n1"), col("n2"))
       .where(lit(den) * col("inter") > lit(num) * (col("n1") + col("n2") - col("inter")))
       .select(col("id1"), col("id2"), col("inter"),

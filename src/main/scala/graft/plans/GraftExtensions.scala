@@ -57,6 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.MinHashSigs(exprs(0),
         exprs(1).eval().asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[graft.functions.SortedIntersectSize].getName,
+        "sorted_intersect_size"),
+      (exprs: Seq[Expression]) => graft.functions.SortedIntersectSize(
+        exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[graft.functions.Md5SimHash].getName, "simhash_md5"),
       (exprs: Seq[Expression]) => graft.functions.Md5SimHash(exprs.head)))
