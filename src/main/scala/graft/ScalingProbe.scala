@@ -233,6 +233,36 @@ object ScalingProbe {
         s"""{"buildSec":$tBuild,"nlist":$nLists,"joinSec":$tJoin,"rows":$nRows,"recallAt10":${nHits.toDouble / nExact}}"""
     }
 
+    // 10b) the same 200k corpus-as-probes join with int8 (SQ) list
+    // payloads + distributed exact rerank — the shuffle-volume variant
+    // (1 B/dim routed codes vs 4 B floats); recall on the same
+    // 100-probe brute-force slice
+    if (want("knnJoinSq200k")) {
+      val emb500k = emb.crossJoin(spark.range(100).toDF("rep"))
+        .select((col("vec_id") + col("rep") * 1000000).as("vec_id"),
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x.cast("double") +
+              (pmod(col("rep") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.02)
+              .cast("float")).as("embedding"))
+        .localCheckpoint()
+      val index = graft.similarity.Ann.ivfBuild(emb500k, "vec_id", "embedding")
+      val (tJoin, nRows) = time {
+        graft.similarity.Quantized.knnJoinSq(index, emb500k, "vec_id",
+          "embedding", k = 10, nprobe = 4).count()
+      }
+      val slice = emb500k.where(col("vec_id") < 100)
+      val exactTop = graft.similarity.Ann.bruteForceTopK(
+          emb500k, slice, "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+      val nExact = exactTop.count()
+      val nHits = graft.similarity.Quantized.knnJoinSq(index, slice, "vec_id",
+          "embedding", k = 10, nprobe = 4)
+        .join(exactTop, Seq("probe_id", "neighbor_id"), "left_semi").count()
+      out += "knnJoinSq200k" ->
+        s"""{"joinSec":$tJoin,"rows":$nRows,"recallAt10":${nHits.toDouble / nExact}}"""
+    }
+
     // 10b) int8 scalar-quantized two-stage search at 500k vectors:
     // recall vs the exact float search + both timings
     if (want("sq500k")) {

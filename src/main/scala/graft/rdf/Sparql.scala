@@ -1661,12 +1661,16 @@ object Sparql {
       // 157k physical nodes and q93's dump was 850k lines). Truncating
       // per statement keeps planning O(statement) like the reference's
       // per-update store versions, at one bounded materialization each.
-      var snapshot = QuadStore.applyDiff(store, first).localCheckpoint()
+      // capped-stats checkpoints: statements join the snapshot with
+      // itself (ADD/COPY read it multiple times), so raw origin-stats
+      // inheritance would compound sizeInBytes per statement
+      import org.apache.spark.sql.GraftSparkInternals.CappedCheckpoint
+      var snapshot = QuadStore.applyDiff(store, first).localCheckpointCapped
       while (p.peek == ";") {
         p.next()
         if (p.peek.nonEmpty)
           snapshot = QuadStore.applyDiff(snapshot, singleUpdateDiff(snapshot, p))
-            .localCheckpoint()
+            .localCheckpointCapped
       }
       QuadStore.diff(store, snapshot)
     }

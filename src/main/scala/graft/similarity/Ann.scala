@@ -500,7 +500,9 @@ object Ann {
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
         .select(col("cent_id"),
           transform(col("pairs"), p => p.getField("m")).as("cent_vec"))
-      cents = means.localCheckpoint()
+      // capped stats: each iteration's means derive from a corpus x cents
+      // join, so raw origin-stats inheritance compounds per iteration
+      cents = org.apache.spark.sql.GraftSparkInternals.localCheckpointCapped(means)
     }
     cents
   }

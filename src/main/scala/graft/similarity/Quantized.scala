@@ -396,4 +396,118 @@ object Quantized {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** BATCH kNN join through the IVF index with int8 list payloads — the
+    * corpus-as-probes shape ([[graft.similarity.Ann.knnJoin]]) with the
+    * SQ memory/shuffle cut composed in: the routed corpus side ships
+    * 1 byte/dim codes instead of 4-byte floats, probes keep full
+    * precision (asymmetric scoring — corpus values are dequantized
+    * x̂ = lo + (q+128)·step, so ranking error is bounded by the
+    * quantization step), the per-probe pool keeps `rerank·k`
+    * candidates, and a DISTRIBUTED exact-rerank join on full floats
+    * bounds the loss — neither side is ever collected to the driver,
+    * unlike [[topK]]/[[pqTopK]], whose broadcast probes are the
+    * query-SERVING configuration. */
+  def knnJoinSq(index: Ann.IvfIndex, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+    require(k > 0 && nprobe > 0 && rerank >= 1)
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val corpusVecs = index.assigned.select(col("neighbor_id").cast("long"),
+      col("neighbor_id_vec").cast("array<float>").as("cvec"))
+    val scales = fitScales(corpusVecs, "cvec")
+    val scalesB = spark.sparkContext.broadcast(scales)
+
+    val routed = Ann.assignNearestK(probes, idCol, vecCol, index.centroids,
+      nprobe).as[(Long, Long, Array[Float], Double)]
+    val lists = index.assigned.select(col("cent_id").cast("long"),
+        col("neighbor_id").cast("long"),
+        col("neighbor_id_vec").cast("array<float>"))
+      .as[(Long, Long, Array[Float])]
+      .map { case (c, nid, v) => (c, nid, quantize(v, scalesB.value)) }
+
+    val poolSize = k * rerank
+    val worstFirst =
+      Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
+    val pool = routed.groupByKey(_._1).cogroup(lists.groupByKey(_._1)) {
+      (_, ps, cs) =>
+        val pb = ps.toArray
+        if (pb.isEmpty) Iterator.empty
+        else {
+          val sc = scalesB.value
+          val steps = sc.map { case (lo, hi) =>
+            if (hi <= lo) 0f else (hi - lo) / 255f }
+          val heaps = Array.fill(pb.length)(
+            new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+              worstFirst))
+          cs.foreach { case (_, nid, cq) =>
+            val deq = new Array[Double](cq.length)
+            var cn = 0.0
+            var d = 0
+            while (d < cq.length) {
+              deq(d) = sc(d)._1 + (cq(d) + 128) * steps(d)
+              cn += deq(d) * deq(d)
+              d += 1
+            }
+            val cNorm = math.sqrt(cn)
+            var j = 0
+            while (j < pb.length) {
+              val (_, pid, pv, pNorm) = pb(j)
+              if (pid != nid) {
+                require(pv.length == cq.length,
+                  s"embedding dim ${pv.length} != corpus dim ${cq.length}")
+                var dot = 0.0; var i = 0
+                while (i < pv.length) { dot += pv(i) * deq(i); i += 1 }
+                val sim = if (pNorm == 0 || cNorm == 0) 0.0
+                  else dot / (pNorm * cNorm)
+                val h = heaps(j)
+                if (h.size < poolSize) h.enqueue((sim, nid))
+                else {
+                  val (wSim, wId) = h.head
+                  if (sim > wSim || (sim == wSim && nid < wId)) {
+                    h.dequeue(); h.enqueue((sim, nid))
+                  }
+                }
+              }
+              j += 1
+            }
+          }
+          pb.indices.iterator.flatMap { j =>
+            val pid = pb(j)._2
+            heaps(j).iterator.map { case (_, nid) => (pid, nid) }
+          }
+        }
+    }.toDF("probe_id", "neighbor_id")
+
+    // distributed exact rerank: full-float vectors join in from both
+    // sides (no driver materialization), sims rounded like knnJoin's
+    // for deterministic tie-breaks
+    val exact = pool
+      .join(corpusVecs, "neighbor_id")
+      .join(probes.select(col(idCol).cast("long").as("probe_id"),
+        col(vecCol).cast("array<float>").as("pvec")), "probe_id")
+      .select(col("probe_id"), col("neighbor_id"), col("pvec"), col("cvec"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (pid, nid, pv, cv) =>
+        var dot = 0.0; var pn = 0.0; var cn = 0.0
+        var d = 0
+        while (d < pv.length) {
+          dot += pv(d).toDouble * cv(d).toDouble
+          pn += pv(d).toDouble * pv(d).toDouble
+          cn += cv(d).toDouble * cv(d).toDouble
+          d += 1
+        }
+        val raw = if (pn == 0 || cn == 0) 0.0
+          else dot / (math.sqrt(pn) * math.sqrt(cn))
+        val sim = BigDecimal(raw)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (pid, nid, sim)
+      }.toDF("probe_id", "neighbor_id", "sim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+  }
 }

@@ -130,4 +130,41 @@ class QuantizedSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
     ((exact & pq).size.toDouble / exact.size) should be >= 0.8
   }
+
+  "knnJoinSq" should "match the exact batch join under exhaustive routing + full pool" in {
+    val df = vecs(200, 10, 9).toDF("vec_id", "embedding")
+    val index = Ann.ivfBuild(df, "vec_id", "embedding", nlist = 4)
+    // exhaustive routing (nprobe = nlist) and a corpus-sized rerank pool:
+    // the SQ stage can only reorder WITHIN the pool, and the exact rerank
+    // restores the true order, so the result must equal the float join
+    val got = Quantized.knnJoinSq(index, df, "vec_id", "embedding",
+      k = 5, nprobe = 4, rerank = 40)
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val want = Ann.knnJoin(index, df, "vec_id", "embedding", k = 5, nprobe = 4)
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    got shouldBe want
+  }
+
+  it should "keep high recall with the default rerank pool, both sides distributed" in {
+    val df = vecs(300, 12, 10).toDF("vec_id", "embedding")
+    val index = Ann.ivfBuild(df, "vec_id", "embedding", nlist = 4)
+    val exact = Ann.knnJoin(index, df, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val sq = Quantized.knnJoinSq(index, df, "vec_id", "embedding",
+      k = 5, nprobe = 4, rerank = 4)
+    // the probe side must enter as a plan subtree (cogroup), never a
+    // driver collect — the batch contract. (BroadcastExchange may still
+    // appear: AQE broadcasts the small side of the RERANK joins at spec
+    // scale, which is a planner choice over plan subtrees, not a driver
+    // materialization — at corpus scale those sides exceed the
+    // threshold and sort-merge instead.)
+    val plan = sq.queryExecution.executedPlan.toString
+    plan should include("CoGroup")
+    val got = sq.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    recall should be >= 0.9
+  }
 }
