@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 
 /** Cross-engine *stability* oracles for the implementation-defined
   * queries the DuckDB gate can only row-count (q70 language-id, q145
-  * zlib compression): the exact sf0.001 output is pinned as a golden
+  * zlib compression, q76 image embeddings, q138 BPE merges, q50 IVF
+  * recall): the exact sf0.001 output is pinned as a golden
   * sha-256. There is no external engine that restates a trigram
   * classifier or a DEFLATE ratio, so the contract is determinism — any
   * engine change that shifts a single byte of output fails loudly here
@@ -42,5 +43,20 @@ class GoldenHashSpec extends SparkSpec {
   "q145_compression" should "reproduce its pinned sf0.001 output byte-exactly" in {
     digest(SparkEntry.queries("q145_compression")(spark, dir)) shouldBe
       "b024d2a588c58d61f1bc901a6d0bfa57ee8607fc670c8dcf860e08889a3659a3"
+  }
+
+  "q76_image_embed" should "reproduce its pinned sf0.001 output byte-exactly" in {
+    digest(SparkEntry.queries("q76_image_embed")(spark, dir)) shouldBe
+      "4019fc0e8ee3d13c554d846c74eedb59ebeae899c3a91e608187273f92adee18"
+  }
+
+  "q138_bpe_tokens" should "reproduce its pinned sf0.001 output byte-exactly" in {
+    digest(SparkEntry.queries("q138_bpe_tokens")(spark, dir)) shouldBe
+      "7c65f577e6610f06bade77a2a6248736ec75029a24608e23af40ced700fba1ca"
+  }
+
+  "q50_ann_ivf" should "reproduce its pinned sf0.001 output byte-exactly" in {
+    digest(SparkEntry.queries("q50_ann_ivf")(spark, dir)) shouldBe
+      "9cf5f3f1a7145dd738c3d401a82fff6e256f295eb2f55fceeebf331c47b8d4d8"
   }
 }
