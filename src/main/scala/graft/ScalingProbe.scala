@@ -14,13 +14,33 @@ import org.apache.spark.sql.functions._
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val only = args.toSet
-    def want(name: String): Boolean = only.isEmpty || only(name)
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
 
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder("graft-scaling")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    // Entering a probe releases everything the PREVIOUS probe left
+    // pinned (cached plans, localCheckpoint blocks) — the same hygiene
+    // the bench runner applies between queries, so a probe's number
+    // reflects the probe, not its predecessor's leftover block-manager
+    // footprint. (Residual sweep-vs-solo spread is JVM warmth and
+    // host variance: semanticDedup20k measures 23 s cold-JVM solo,
+    // 14 s warm, and bounced 40-133 s in loaded multi-probe runs
+    // before/after this cleanup — record idle-host solo numbers for
+    // comparisons, per the round-6 note.)
+    def want(name: String): Boolean = {
+      val selected = only.isEmpty || only(name)
+      if (selected) {
+        try {
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        } catch { case _: Throwable => () }
+      }
+      selected
+    }
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
