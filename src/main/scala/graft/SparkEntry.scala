@@ -2669,6 +2669,19 @@ object SparkEntry {
     Ann.knnJoin(index, emb, "vec_id", "embedding", k = 3, nprobe = 8)
   }
 
+  /** q200: leakage-safe train/val/test split — whole near-duplicate
+    * clusters (q101's components) assigned to splits so no cluster
+    * straddles a boundary; split key pinned to the cluster id modulus
+    * so the oracle restates it verbatim (production uses the avalanched
+    * hash default — see Sampling.leakageSafeSplit's scaladoc). */
+  private def q200_leakage_split(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.leakageSafeSplit(
+      graft.dedup.FuzzyClusters.minhashClusters(
+          t(s, dir, "documents"), "text", "doc_id",
+          k = 2, numHashes = 32, bands = 8, num = 1, den = 3)
+        .select(col("doc_id"), col("cluster_id").as("component")),
+      "component", Seq(7, 2, 1), splitKey = col("component"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_agg" -> (q01_agg _),
     "q02_filter" -> (q02_filter _),
@@ -2866,7 +2879,8 @@ object SparkEntry {
     "q196_trailing_window" -> (q196_trailing_window _),
     "q197_except_all" -> (q197_except_all _),
     "q198_scc" -> (q198_scc _),
-    "q199_knn_join" -> (q199_knn_join _)
+    "q199_knn_join" -> (q199_knn_join _),
+    "q200_leakage_split" -> (q200_leakage_split _)
   )
 
   val oracleSql: Map[String, String] = ListMap(
@@ -5701,7 +5715,47 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY a.vec_id
         |      ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) DESC, b.vec_id) AS INTEGER) AS rank
         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        |) WHERE rank <= 3""".stripMargin
+        |) WHERE rank <= 3""".stripMargin,
+    // q200: q101's recursive-CTE component closure, then the pinned
+    // cluster-id-modulus split (weights 7/2/1 over 10 cells) — the
+    // leakage guarantee is structural: split is a function of component
+    "q200_leakage_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'), x -> len(x) > 0) AS ts
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |  FROM toks WHERE len(ts) >= 2
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS shingle FROM idx
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |  WHERE 3 * inter > 1 * (sa.n + sb.n - inter)
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comp AS (
+        |  SELECT d.doc_id,
+        |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS component
+        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT doc_id, component,
+        |  CAST(CASE WHEN component % 10 < 7 THEN 0
+        |            WHEN component % 10 < 9 THEN 1
+        |            ELSE 2 END AS INT) AS split
+        |FROM comp""".stripMargin
   )
 
   /** Headline queries timed by [[Bench]] at sf0.1. */

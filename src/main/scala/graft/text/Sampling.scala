@@ -191,4 +191,39 @@ object Sampling {
       expr("CAST(round(1000000 * pw / z / (CAST(n_docs AS DOUBLE) / N)) AS BIGINT)")
         .as("rate_ppm"))
   }
+
+  /** Leakage-safe train/val/test split: assigns WHOLE near-duplicate
+    * clusters to splits, never individual documents. A document-level
+    * split leaks — a training document's near-duplicate landing in the
+    * eval split inflates every downstream benchmark (the reason
+    * dedup-then-split is curation doctrine; see the decontamination
+    * operators for the cross-corpus variant of the same failure).
+    * Compose with [[graft.dedup.FuzzyClusters.minhashClusters]] (or any
+    * clustering that emits a cluster id per document): every member of
+    * a cluster shares the cluster's key, so the whole family lands in
+    * one split by construction.
+    *
+    * `weights` are integer proportions (e.g. Seq(8, 1, 1)); the cluster
+    * key buckets into sum(weights) cells by `splitKey` (default: the
+    * avalanching [[draw]] hash of the cluster id — pass
+    * `pmod(col("cluster"), lit(n))` style keys only for differential
+    * tests, id-correlated keys bias real corpora). Output: input rows
+    * plus `split` (0-based index into weights). Map-only — no shuffle,
+    * no per-cluster state; the split decision is a pure function of the
+    * cluster id, so it is stable under re-runs and corpus growth
+    * (existing clusters never migrate when new documents arrive). */
+  def leakageSafeSplit(df: DataFrame, clusterCol: String, weights: Seq[Int],
+      splitKey: Column = null): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0),
+      s"weights must be positive, got $weights")
+    val total = weights.sum
+    val key = Option(splitKey).getOrElse(draw(col(clusterCol)))
+    val bucket = pmod(key.cast("long"), lit(total.toLong))
+    val bounds = weights.scanLeft(0)(_ + _).tail // cumulative upper bounds
+    val split = bounds.init.zipWithIndex.foldRight(
+      lit(weights.size - 1): Column) { case ((ub, i), els) =>
+      when(bucket < ub, lit(i)).otherwise(els)
+    }
+    df.withColumn("split", split.cast("int"))
+  }
 }

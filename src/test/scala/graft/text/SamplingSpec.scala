@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count_distinct}
 
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
@@ -49,7 +49,7 @@ class SamplingSpec extends SparkSpec {
   }
 
   "rateSample" should "keep rows whose draw clears the per-row clamped rate" in {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count_distinct}
     // rates: 2.0 clamps to 1 (always kept), -1.0 clamps to 0 (never),
     // 0.5 keeps iff draw < 2^31
     val df = Seq((1L, 2.0), (2L, -1.0), (3L, 0.5), (4L, 0.5), (5L, 0.5))
@@ -70,7 +70,7 @@ class SamplingSpec extends SparkSpec {
   }
 
   "capPerGroup" should "rank within groups and flag the first cap rows" in {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count_distinct}
     val df = Seq(
       ("a", 1L, 30L), ("a", 2L, 30L), ("a", 3L, 10L),
       ("b", 4L, 5L)).toDF("grp", "id", "len")
@@ -191,5 +191,42 @@ class SamplingSpec extends SparkSpec {
       math.abs(q - p) should be <= 1L   // q == p up to ppm rounding
       math.abs(rate - 1000000L) should be <= 1L
     }
+  }
+
+  "leakageSafeSplit" should "never let a cluster straddle a split boundary" in {
+    // 1000 docs in 200 clusters of 5
+    val docs = (0L until 1000L).map(i => (i, i / 5)).toDF("doc_id", "cluster")
+    val out = Sampling.leakageSafeSplit(docs, "cluster", Seq(8, 1, 1))
+    out.groupBy("cluster").agg(count_distinct(col("split")).as("k"))
+      .where(col("k") > 1).count() shouldBe 0L
+    // proportions approximate the weights (hash-bucketed over 200 clusters)
+    val bySplit = out.groupBy("split").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    bySplit.keySet.subsetOf(Set(0, 1, 2)) shouldBe true
+    bySplit(0).toDouble / 1000 should be > 0.6
+    bySplit.getOrElse(1, 0L).toDouble / 1000 should be < 0.3
+  }
+
+  it should "keep existing clusters' splits stable when the corpus grows" in {
+    val docs = (0L until 500L).map(i => (i, i % 50)).toDF("doc_id", "cluster")
+    val grown = (0L until 900L).map(i => (i, i % 90)).toDF("doc_id", "cluster")
+    val a = Sampling.leakageSafeSplit(docs, "cluster", Seq(8, 1, 1))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Sampling.leakageSafeSplit(grown, "cluster", Seq(8, 1, 1))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every doc present in both runs (clusters 0..49 kept their members
+    // 0..499 where i%50 == i%90... restrict to ids < 450 whose cluster id
+    // is unchanged between the two layouts)
+    (0L until 450L).filter(i => i % 50 == i % 90).foreach { i =>
+      b(i) shouldBe a(i)
+    }
+  }
+
+  it should "reject empty or non-positive weights" in {
+    val docs = Seq((1L, 1L)).toDF("doc_id", "cluster")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.leakageSafeSplit(docs, "cluster", Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.leakageSafeSplit(docs, "cluster", Seq(3, 0))
   }
 }
