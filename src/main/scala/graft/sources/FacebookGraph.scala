@@ -93,8 +93,10 @@ object FacebookGraph {
     val resp = client.send(
       HttpRequest.newBuilder(URI.create(url)).GET().build(),
       HttpResponse.BodyHandlers.ofString())
+    // Redact the query string on failure: the access token travels as a
+    // query parameter and must not reach logs or stack traces.
     require(resp.statusCode() == 200,
-      s"Graph API GET $url returned ${resp.statusCode()}")
+      s"Graph API GET ${URI.create(url).getPath} returned ${resp.statusCode()}")
     resp.body()
   }
 
@@ -201,7 +203,7 @@ object FacebookGraph {
         }
         if (Seq(street, city, zip, country, region).exists(_.isDefined)) {
           val key = Seq(street, city, region, zip, country)
-            .map(_.getOrElse("")).mkString(" ")
+            .map(_.getOrElse("")).mkString("\u0000")
           val addr = Iri.entity("address", key)
           out += quad(placeNode, schemaOrg + "address", addr, Quad.IRI, g)
           out += quad(addr, "rdf:type", schemaOrg + "PostalAddress", Quad.IRI, g)

@@ -263,17 +263,26 @@ object ImapSync {
         fetched += uid -> body
       }
 
+      // Notifications can surface anywhere — before the IDLE continuation,
+      // racing the DONE, or interleaved inside a FETCH response (all legal
+      // per RFC 3501 §7) — so every one funnels through a single queue
+      // processed in arrival order.
+      val pending = scala.collection.mutable.Queue[String]()
+
       /** Fetch sequence range lo..hi by SEQUENCE number, appending
-        * (uid, body) pairs and growing the seq map. */
+        * (uid, body) pairs and growing the seq map. Untagged non-FETCH
+        * chatter interleaved in the response feeds the pending queue. */
       def fetchRange(lo: Int, hi: Int): Unit =
         s.command(s"FETCH $lo:$hi (UID BODY[])").foreach {
-          case RespLine(text, lit :: _) =>
+          case RespLine(text, lit :: _) if text.contains("FETCH") =>
             val uid = UidInFetch.findFirstMatchIn(text)
               .getOrElse(sys.error(s"FETCH response without UID: $text"))
               .group(1).toLong
             seqUids += uid
             fetched += uid -> lit
-          case r => sys.error(s"FETCH response without literal: ${r.text}")
+          case RespLine(text, _) if text.contains("FETCH") =>
+            sys.error(s"FETCH response without literal: $text")
+          case r => pending += r.text // EXISTS/RECENT/FLAGS chatter
         }
 
       var events = 0
@@ -282,26 +291,38 @@ object ImapSync {
       while (parked && events < maxEvents) {
         val tag = s.nextTag()
         s.sendRaw(s"$tag IDLE\r\n")
-        val cont = s.readPhysical()
-        require(cont.startsWith("+"), s"IDLE not accepted: $cont")
-        // wait for one unsolicited line (or timeout)
-        val note =
-          try Some(s.readPhysical())
-          catch { case _: SocketTimeoutException => None }
-        s.sendRaw("DONE\r\n")
-        // notifications racing the DONE surface while draining; handle all
-        val pending = (note.toList ++ s.drainUntilOk(tag).map(_.text))
-        pending.foreach {
-          case ExistsLine(n) if n.toInt > seqUids.length =>
-            events += 1
-            fetchRange(seqUids.length + 1, n.toInt)
-          case ExpungeLine(n) =>
-            events += 1
-            val uid = seqUids.remove(n.toInt - 1)
-            removed += uid
-          case _ => () // EXISTS <= known count, RECENT, FLAGS chatter
+        // untagged responses may precede the '+' continuation — buffer
+        // them; only a tagged status line means IDLE was rejected
+        var cont = s.readPhysical()
+        while (!cont.startsWith("+")) {
+          require(cont.startsWith("*"), s"IDLE not accepted: $cont")
+          pending += cont
+          cont = s.readPhysical()
         }
-        if (note.isEmpty) parked = false // timed out: hand back the cursor
+        // park until one unsolicited line arrives (or timeout), unless
+        // notifications already queued up before the continuation
+        val note =
+          if (pending.nonEmpty) None
+          else
+            try Some(s.readPhysical())
+            catch { case _: SocketTimeoutException => None }
+        s.sendRaw("DONE\r\n")
+        // notifications racing the DONE surface while draining; queue all
+        pending ++= note.toList ++ s.drainUntilOk(tag).map(_.text)
+        val sawAny = pending.nonEmpty
+        while (pending.nonEmpty) {
+          pending.dequeue() match {
+            case ExistsLine(n) if n.toInt > seqUids.length =>
+              events += 1
+              fetchRange(seqUids.length + 1, n.toInt)
+            case ExpungeLine(n) =>
+              events += 1
+              val uid = seqUids.remove(n.toInt - 1)
+              removed += uid
+            case _ => () // EXISTS <= known count, RECENT, FLAGS chatter
+          }
+        }
+        if (!sawAny) parked = false // timed out: hand back the cursor
       }
       s.command("LOGOUT")
       ImapDelta(fetched.toList, removed.toList,

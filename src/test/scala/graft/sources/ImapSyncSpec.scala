@@ -21,6 +21,10 @@ class ImapSyncSpec extends SparkSpec {
     @volatile var lastLogin: String = null
     @volatile var searches = 0
     @volatile var idleCount = 0
+    /** One-shot: untagged line emitted BEFORE the next IDLE's `+`. */
+    @volatile var pushBeforeContinuation: String = null
+    /** One-shot: untagged chatter interleaved inside the next seq FETCH. */
+    @volatile var fetchChatter: String = null
     @volatile private var idleOut: PrintStream = null
     /** Push an unsolicited line to the client parked in IDLE. */
     def push(line: String): Unit = {
@@ -52,6 +56,8 @@ class ImapSyncSpec extends SparkSpec {
             idleTag = null
           }
           else if (cmd.startsWith("IDLE")) {
+            val pre = pushBeforeContinuation
+            if (pre != null) { pushBeforeContinuation = null; out.print(pre + "\r\n") }
             out.print("+ idling\r\n")
             idleTag = tag
             idleOut = out
@@ -100,6 +106,8 @@ class ImapSyncSpec extends SparkSpec {
           } else if (cmd.startsWith("FETCH")) {
             // sequence-range fetch (the IDLE client's no-search path)
             val m = """FETCH (\d+):(\d+)""".r.findFirstMatchIn(cmd).get
+            val chatter = fetchChatter
+            if (chatter != null) { fetchChatter = null; out.print(chatter + "\r\n") }
             val keys = mailbox.keys.toSeq
             (m.group(1).toInt to m.group(2).toInt).foreach { seq =>
               val uid = keys(seq - 1)
@@ -212,6 +220,42 @@ class ImapSyncSpec extends SparkSpec {
       val d2 = ImapSync.sync("localhost", srv.port, "u", "p", "INBOX", d.state)
       d2.fetched shouldBe empty
       d2.removed shouldBe empty
+    } finally srv.stop()
+  }
+
+  it should "tolerate notifications before the IDLE continuation and FETCH chatter" in {
+    val srv = new FakeImap
+    def await(label: String)(cond: => Boolean): Unit = {
+      val end = System.currentTimeMillis + 10000
+      while (!cond && System.currentTimeMillis < end) Thread.sleep(20)
+      withClue(label) { cond shouldBe true }
+    }
+    try {
+      srv.mailbox(101L) = msg("m1", "alice@example.com", "hello")
+      val result = new java.util.concurrent.atomic.AtomicReference[ImapSync.ImapDelta]()
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() =>
+        try result.set(ImapSync.idle("localhost", srv.port, "u", "p", "INBOX",
+          ImapSync.ImapState(), maxEvents = 2, timeoutMillis = 8000))
+        catch { case e: Throwable => failure.set(e) })
+      t.start()
+      await("first IDLE")(srv.idleCount == 1)
+
+      // two new messages; the first is announced with RFC-legal hostility:
+      // untagged RECENT chatter inside the FETCH response, and the second
+      // EXISTS arriving before the re-IDLE's '+' continuation
+      srv.mailbox(102L) = msg("m2", "bob@example.com", "re: hello")
+      srv.mailbox(103L) = msg("m3", "carol@example.com", "fwd: hello")
+      srv.fetchChatter = "* 1 RECENT"
+      srv.pushBeforeContinuation = "* 3 EXISTS"
+      srv.push("* 2 EXISTS")
+      t.join(10000)
+      failure.get() shouldBe null
+      val d = result.get()
+      d should not be null
+      d.fetched.map(_._1) shouldBe Seq(101L, 102L, 103L)
+      d.removed shouldBe empty
+      d.state.knownUids shouldBe Set(101L, 102L, 103L)
     } finally srv.stop()
   }
 
