@@ -283,6 +283,71 @@ object ScalingProbe {
         s"""{"joinSec":$tJoin,"rows":$nRows,"recallAt10":${nHits.toDouble / nExact}}"""
     }
 
+    // 10c) knnJoin under adversarial corpus skew: 80% of 60k vectors are
+    // ONE point (all k-means ties route the whole blob — probes AND list
+    // rows — to a single cent_id). Unsplit, that list's probes×rows land
+    // in one task (the straggler that runs for hours at 100 TB while the
+    // cluster idles); with the default task caps the hot list tiles into
+    // bounded probe-salt × corpus-salt chunks. Reports wall + max/median
+    // task duration of the heaviest stage for both paths.
+    if (want("knnJoinSkew60k")) {
+      val dim = 16
+      val corpus = spark.range(60000).toDF("vec_id")
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.transform(
+            sequence(lit(0), lit(dim - 1)),
+            i => when(col("vec_id") < 48000,
+                when(i === 0, 10.0).otherwise(0.0))
+              .otherwise(
+                when(i === (col("vec_id") % dim).cast("int"), 10.0)
+                  .otherwise(0.0) +
+                (pmod(col("vec_id") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.1)
+              .cast("float")).as("embedding"))
+        .localCheckpoint()
+      val index = graft.similarity.Ann.ivfBuild(corpus, "vec_id", "embedding")
+      val hotList = index.assigned.groupBy("cent_id").count()
+        .agg(max("count")).as[Long].head()
+
+      val stageDurs =
+        new scala.collection.concurrent.TrieMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          stageDurs.getOrElseUpdate(te.stageId,
+            scala.collection.mutable.ArrayBuffer[Long]()) += te.taskInfo.duration
+      }
+      /** (maxTaskSec, medianTaskSec) of the heaviest stage in `f`. */
+      def taskStats(f: => Long): (Double, Long, Double, Double) = {
+        stageDurs.clear()
+        spark.sparkContext.addSparkListener(listener)
+        val (sec, n) =
+          try time(f)
+          finally {
+            Thread.sleep(2000) // let the async listener bus drain
+            spark.sparkContext.removeSparkListener(listener)
+          }
+        val worst = stageDurs.values.filter(_.nonEmpty).maxBy(_.max)
+        val sorted = worst.sorted
+        (sec, n, sorted.last / 1e3, sorted(sorted.length / 2) / 1e3)
+      }
+
+      val (tSplit, nRows, maxT, medT) = taskStats {
+        graft.similarity.Ann.knnJoin(index, corpus, "vec_id", "embedding",
+          k = 10, nprobe = 4).count()
+      }
+      // the unsplit baseline: caps effectively off → the hot list is one task
+      val (tRaw, _, maxRawT, medRawT) = taskStats {
+        graft.similarity.Ann.knnJoin(index, corpus, "vec_id", "embedding",
+          k = 10, nprobe = 4, maxSim = Double.PositiveInfinity,
+          maxPairsPerTask = Long.MaxValue / 4,
+          maxProbesPerTask = Int.MaxValue).count()
+      }
+      out += "knnJoinSkew60k" ->
+        (s"""{"hotList":$hotList,"splitSec":$tSplit,"rows":$nRows,""" +
+          s""""maxTaskSec":$maxT,"medianTaskSec":$medT,""" +
+          s""""unsplitSec":$tRaw,"unsplitMaxTaskSec":$maxRawT,"unsplitMedianTaskSec":$medRawT}""")
+    }
+
     // 10b) int8 scalar-quantized two-stage search at 500k vectors:
     // recall vs the exact float search + both timings
     if (want("sq500k")) {

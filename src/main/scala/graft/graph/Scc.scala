@@ -58,6 +58,15 @@ import org.apache.spark.sql.functions._
   *
   * Every part loses at least its pivot's SCC per round, so termination
   * is unconditional; random pivots make the recursion quicksort-like.
+  * Each round also re-checks the driver gate against the REMAINING
+  * intra-part edge set (bytes only — `smallGraphThreshold = 0` still
+  * forces a distributed entry): rounds shrink the graph geometrically,
+  * and once the remainder fits one machine a single iterative-Tarjan
+  * pass finishes it exactly (edges are intra-part, so no SCC spans
+  * parts) instead of paying more distributed fixpoint rounds for the
+  * tail — the round-10 cutover that took the bow-tie probe from 162 s
+  * to the cost of its first round. `maxDriverBytes = 0` disables the
+  * driver entirely (the spec's pure-distributed differential knob).
   * Fixpoint tables are localCheckpointed per iteration (bounded
   * lineage) and the superseded checkpoint RDDs are unpersisted
   * immediately — a multi-hundred-iteration run holds O(1) generations
@@ -125,10 +134,40 @@ object Scc {
       contractMap.join(done, contractMap("cur") === done("id"))
         .select(contractMap("orig").as("id"), done("scc")))
 
+    // in-loop driver cutover gate: bytes only — smallGraphThreshold = 0
+    // (the probes' force-distributed knob) still guarantees a distributed
+    // ENTRY and at least one full round; maxDriverBytes = 0 disables the
+    // driver entirely (the pure-distributed differential configuration)
+    val cutL = math.min(Int.MaxValue.toLong - 2, maxDriverBytes / 128)
+
     var round = 0
     while (verts.take(1).nonEmpty && round < maxIterations) {
       round += 1
       onRound(round)
+
+      // 0. driver cutover: each round shrinks the graph (trim, cycle
+      // contraction, pivot-SCC removal, pair-splitting) — once the
+      // REMAINING intra-part edge set fits the same per-row byte budget
+      // as the entry gate, one iterative Tarjan pass finishes the whole
+      // remainder exactly: edges are intra-part by construction, so no
+      // SCC spans parts and the union is safe to solve in one pass.
+      // This is what caps the tail: the bow-tie probe's round-2 core
+      // (278k vertices) otherwise costs more distributed fixpoint
+      // rounds than the rest of the graph combined.
+      if (round > 1 && cutL > 0) {
+        val eProbe = remaining.take((cutL + 1).toInt)
+        if (eProbe.length <= cutL) {
+          val lbl = tarjan(eProbe.map(r => (r.getLong(0), r.getLong(1))))
+          val lblDf = spark.createDataFrame(lbl.toSeq).toDF("id", "scc")
+          // active vertices on no remaining edge are singleton SCCs
+          val singles = verts
+            .join(lblDf.select(col("id")), Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc"))
+          done = done.union(lblDf).union(singles)
+          free(remainingIds) // edge data now lives on the driver
+          return finish()
+        }
+      }
 
       // 1. trim loop: no-in or no-out vertices (within their part —
       // edges are already intra-part) are singleton SCCs. Trim is an

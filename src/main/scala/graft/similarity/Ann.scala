@@ -380,6 +380,25 @@ object Ann {
     * neighbor-id tiebreak — deterministic under any partitioning, same
     * rule as every other kNN kernel here.
     *
+    * HOT-LIST SPLITTING: per-list work is |probes routed to the list| ×
+    * |list|, and real embedding corpora are heavily clustered — without
+    * splitting, one dense region makes one straggler task that runs for
+    * hours while the rest of the cluster idles. Each list's work is
+    * therefore tiled: probes are salted into chunks of at most
+    * `maxProbesPerTask` (each probe lands in exactly ONE probe-salt),
+    * corpus rows into chunks such that no task scores more than
+    * `maxPairsPerTask` pairs (each corpus row in exactly ONE
+    * corpus-salt), and each side is replicated across the OTHER side's
+    * salts. Per-probe heaps are independent and the final cross-list
+    * top-k window merges salted partials exactly as it merges multi-list
+    * partials, so the result set is identical for any salt counts —
+    * unsplit lists (the common case) take the exact single-task path.
+    * A cheap gate (|probes| × |corpus| within the caps) skips the salt
+    * machinery entirely for small/serving-sized joins; past the gate,
+    * the per-list probe counts cost one extra narrow router pass, and
+    * unprobed lists are dropped before the shuffle (previously their
+    * corpus rows shuffled and were discarded in the cogroup).
+    *
     * Output: (probe_id, neighbor_id, rank 1..≤k). */
   def knnJoin(
       index: IvfIndex,
@@ -388,18 +407,84 @@ object Ann {
       vecCol: String,
       k: Int,
       nprobe: Int = 4,
-      maxSim: Double = Double.PositiveInfinity): DataFrame = {
+      maxSim: Double = Double.PositiveInfinity,
+      maxPairsPerTask: Long = DefaultMaxPairsPerTask,
+      maxProbesPerTask: Int = DefaultMaxProbesPerTask): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    require(maxPairsPerTask > 0 && maxProbesPerTask > 0,
+      "task-size caps must be positive")
     val spark = probes.sparkSession
     import spark.implicits._
     val routed = assignNearestK(probes, idCol, vecCol, index.centroids, nprobe)
       .as[(Long, Long, Array[Float], Double)]
     val lists = index.assigned.select(col("cent_id").cast("long"),
-        col("neighbor_id").cast("long"),
-        col("neighbor_id_vec").cast("array<float>"))
+      col("neighbor_id").cast("long"),
+      col("neighbor_id_vec").cast("array<float>"))
       .as[(Long, Long, Array[Float])]
-    val partial = routed.groupByKey(_._1).cogroup(lists.groupByKey(_._1)) {
-      (_, ps, cs) =>
+    // Cheap gate: if even (every probe × the whole corpus) fits the task
+    // caps, no list can overflow — take the zero-overhead path (constant
+    // salts, no counting jobs). Small/serving-sized joins land here.
+    val nP = probes.count()
+    val nC = index.assigned.count()
+    val splittable =
+      nP > maxProbesPerTask || (nP > 0 && nC > maxPairsPerTask / nP)
+    val (routedS, listsS) =
+      if (!splittable) {
+        (routed.map(r => (r._1, 0, 0, r._2, r._3, r._4)),
+          lists.map(l => (l._1, 0, 0, l._2, l._3)))
+      } else {
+        // Per-list salt counts: ≤ nlist rows of metadata, collected and
+        // broadcast exactly like the centroid table the router already
+        // carries. The probe-count pass re-runs the router kernel (an
+        // O(probes × nlist × dim) narrow pass — ~1/nprobe of the join's
+        // work, cheaper than caching the routed vectors); only
+        // (cent_id, count) shuffles, map-side combined. Caps:
+        //   probe chunk ≤ maxProbesPerTask (task memory: buffered probes)
+        //   probe-chunk × corpus-chunk ≤ maxPairsPerTask (task compute)
+        val saltMap: Map[Long, (Int, Int)] =
+          routed.groupBy("cent_id").agg(count(lit(1)).as("probe_n"))
+            .join(lists.groupBy("cent_id").agg(count(lit(1)).as("list_n")),
+              Seq("cent_id"))
+            .as[(Long, Long, Long)].collect()
+            .map { case (cid, pn, ln) =>
+              val chunkP = math.max(1L,
+                math.min(maxProbesPerTask.toLong, maxPairsPerTask / ln))
+              val chunkC = math.max(1L, maxPairsPerTask / chunkP)
+              cid -> (((pn + chunkP - 1) / chunkP).toInt,
+                ((ln + chunkC - 1) / chunkC).toInt)
+            }.toMap
+        val saltB = spark.sparkContext.broadcast(saltMap)
+        // each probe: ONE probe-salt, replicated across the corpus-salts
+        val rs = routed.mapPartitions { it =>
+          val m = saltB.value
+          it.flatMap { case (cid, id, v, norm) =>
+            m.get(cid) match {
+              // a k-means empty cluster: probes routed to a list with no
+              // corpus rows have no candidates there — drop pre-shuffle
+              case None => Iterator.empty
+              case Some((psalts, csalts)) =>
+                val psalt = math.floorMod(java.lang.Long.hashCode(id), psalts)
+                (0 until csalts).iterator.map(c => (cid, psalt, c, id, v, norm))
+            }
+          }
+        }
+        // each corpus row: ONE corpus-salt, replicated across the
+        // probe-salts; unprobed lists are dropped BEFORE the shuffle
+        val ls = lists.mapPartitions { it =>
+          val m = saltB.value
+          it.flatMap { case (cid, nid, nv) =>
+            m.get(cid) match {
+              case None => Iterator.empty
+              case Some((psalts, csalts)) =>
+                val csalt = math.floorMod(java.lang.Long.hashCode(nid), csalts)
+                (0 until psalts).iterator.map(p => (cid, p, csalt, nid, nv))
+            }
+          }
+        }
+        (rs, ls)
+      }
+    val partial = routedS.groupByKey(r => (r._1, r._2, r._3))
+      .cogroup(listsS.groupByKey(r => (r._1, r._2, r._3))) { (_, ps, cs) =>
         val pb = ps.toArray
         if (pb.isEmpty) Iterator.empty
         else {
@@ -410,13 +495,13 @@ object Ann {
           val heaps = Array.fill(pb.length)(
             new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
               worstFirst))
-          cs.foreach { case (_, nid, nv) =>
+          cs.foreach { case (_, _, _, nid, nv) =>
             var s = 0.0; var i = 0
             while (i < nv.length) { s += nv(i).toDouble * nv(i).toDouble; i += 1 }
             val nNorm = math.sqrt(s)
             var j = 0
             while (j < pb.length) {
-              val (_, pid, pv, pNorm) = pb(j)
+              val (_, _, _, pid, pv, pNorm) = pb(j)
               if (pid != nid) {
                 require(pv.length == nv.length,
                   s"embedding dim ${pv.length} != corpus dim ${nv.length}")
@@ -441,16 +526,24 @@ object Ann {
             }
           }
           pb.indices.iterator.flatMap { j =>
-            val pid = pb(j)._2
+            val pid = pb(j)._4
             heaps(j).iterator.map { case (sim, nid) => (pid, nid, sim) }
           }
         }
-    }.toDF("probe_id", "neighbor_id", "sim")
+      }.toDF("probe_id", "neighbor_id", "sim")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     partial.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** Default compute cap per knnJoin task: 2^26 probe×corpus pairs
+    * (~8.6 G multiply-adds at dim 128 — seconds, not hours). */
+  val DefaultMaxPairsPerTask: Long = 1L << 26
+
+  /** Default memory cap per knnJoin task: 2^17 buffered probe vectors
+    * (~67 MB at dim 128). Corpus rows stream; only probes are held. */
+  val DefaultMaxProbesPerTask: Int = 1 << 17
 
   /** [[knnJoin]] over an unindexed corpus: build the IVF index (nlist
     * defaults to [[autoNlist]]) and join through it. */

@@ -5,8 +5,11 @@ import graft.SparkSpec
 class SccSpec extends SparkSpec {
   import spark.implicits._
 
+  // maxDriverBytes = 0 disables BOTH the entry fast path and the
+  // per-round driver cutover: the pure-distributed differential
   private def dist(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Scc.decompose(edges.toDF("src", "dst"), smallGraphThreshold = 0)
+    Scc.decompose(edges.toDF("src", "dst"), smallGraphThreshold = 0,
+      maxDriverBytes = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   private def drv(edges: Seq[(Long, Long)]): Map[Long, Long] =
@@ -62,11 +65,32 @@ class SccSpec extends SparkSpec {
     val expect = Scc.tarjan(edges.toArray)
     var rounds = 0
     val got = Scc.decompose(edges.toDF("src", "dst"),
-      smallGraphThreshold = 0, onRound = r => rounds = r)
+      smallGraphThreshold = 0, maxDriverBytes = 0, onRound = r => rounds = r)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     got shouldBe expect
     withClue(s"rounds=$rounds for 12 chained ring-SCCs") {
       rounds should be < 12
+    }
+  }
+
+  it should "cut over to the driver once the remainder fits the gate" in {
+    // 24 chained ring-SCCs: distributed ENTRY forced, but the default
+    // byte gate lets round 2 collapse the whole remainder with one
+    // driver Tarjan pass — pure-distributed needs many more rounds for
+    // this depth, so rounds <= 3 proves the cutover actually fired.
+    val edges = (0L until 24L).flatMap { ring =>
+      val base = ring * 4
+      val cycle = (0L until 4L).map(i => (base + i, base + (i + 1) % 4))
+      if (ring == 0) cycle else cycle :+ (base, base - 4)
+    }
+    val expect = Scc.tarjan(edges.toArray)
+    var rounds = 0
+    val got = Scc.decompose(edges.toDF("src", "dst"),
+      smallGraphThreshold = 0, onRound = r => rounds = r)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe expect
+    withClue(s"rounds=$rounds for 24 chained ring-SCCs with the gate on") {
+      rounds should be <= 3
     }
   }
 

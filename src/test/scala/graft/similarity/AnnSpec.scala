@@ -181,6 +181,37 @@ class AnnSpec extends SparkSpec {
     got shouldBe Array(5L, 3L) // same as the serving hardNegatives kernel
   }
 
+  it should "return identical results under forced hot-list splitting" in {
+    // a skewed corpus: 150 of 200 vectors in one tight blob → one hot
+    // IVF list; tiny task caps force that list into probe-salt ×
+    // corpus-salt tiles (psalts > 1 AND csalts > 1). The result set must
+    // be bit-identical to the unsplit path for any salt counts.
+    val dim = 8
+    val corpus = spark.range(200).toDF("vec_id")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(dim - 1)),
+          i => (when(col("vec_id") < 150,
+              when(i === 0, 10.0).otherwise(0.0))
+            .otherwise(
+              when(i === (col("vec_id") % dim).cast("int"), 10.0).otherwise(0.0)) +
+            (pmod(col("vec_id") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.1)
+            .cast("float")).as("embedding"))
+      .localCheckpoint()
+    val index = Ann.ivfBuild(corpus, "vec_id", "embedding", nlist = 4)
+    val base = Ann.knnJoin(index, corpus, "vec_id", "embedding", k = 5,
+        nprobe = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    // maxPairsPerTask = 100 < |hot list| = 150 → corpus-salting kicks in
+    // (chunkP = 1, csalts ≥ 2) and every routed probe gets its own salt
+    val split = Ann.knnJoin(index, corpus, "vec_id", "embedding", k = 5,
+        nprobe = 4, maxSim = Double.PositiveInfinity,
+        maxPairsPerTask = 100, maxProbesPerTask = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    split shouldBe base
+    split.size shouldBe 200 * 5
+  }
+
   it should "co-partition through a cogroup with no probe-side collect" in {
     val dim = 8
     val corpus = spark.range(100).toDF("vec_id")
