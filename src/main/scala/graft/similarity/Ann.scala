@@ -753,19 +753,25 @@ object Ann {
       spark.read.parquet(s"$path/lists"),
       spark.read.parquet(s"$path/meta").head().getInt(0))
 
-  /** Incrementally extend an index with a new vector batch: route the
-    * batch against the EXISTING centroids (no refit — centroid drift is
-    * an offline rebuild decision, exactly as in FAISS `add`) and append
-    * to the lists. The streaming-ingest half of index maintenance. */
-  def ivfAppend(index: IvfIndex, batch: DataFrame, idCol: String,
-      vecCol: String): IvfIndex = {
-    val routed = assignNearest(batch, idCol, vecCol, index.centroids)
+  /** Route a new vector batch against an index's EXISTING centroids (no
+    * refit — centroid drift is an offline rebuild decision, exactly as
+    * in FAISS `add`) into list rows carrying ivfSave's layout columns.
+    * The shared kernel behind [[ivfAppend]] and the streaming ingest
+    * ([[graft.streaming.StreamingAnn.appendBatch]]). */
+  def routeForAppend(index: IvfIndex, batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    assignNearest(batch, idCol, vecCol, index.centroids)
       .select(col("id").as("neighbor_id"), col("v").as("neighbor_id_vec"),
         col("cent_id"),
         pmod(col("cent_id"), lit(index.numBuckets.toLong)).cast("int")
           .as("list_bucket"))
-    index.copy(assigned = index.assigned.unionByName(routed))
-  }
+
+  /** Incrementally extend an in-memory index with a new vector batch —
+    * the streaming-ingest half of index maintenance. */
+  def ivfAppend(index: IvfIndex, batch: DataFrame, idCol: String,
+      vecCol: String): IvfIndex =
+    index.copy(assigned =
+      index.assigned.unionByName(routeForAppend(index, batch, idCol, vecCol)))
 
   /** Query a prebuilt index: route probes to their nprobe lists, then the
     * (cent_id, list_bucket) equi-join — the partition key in the join

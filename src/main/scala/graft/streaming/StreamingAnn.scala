@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.similarity.Ann
+
+/** Streaming kNN serving over a PERSISTED IVF index — the ANN member of
+  * the streaming family (exact/fuzzy dedup, sessions, SCD2, sketches and
+  * drift all have streaming counterparts; this closes retrieval). Two
+  * halves, matching how a production vector service splits:
+  *
+  *   - [[appendBatch]]: corpus ingest — route a new vector batch against
+  *     the persisted index's centroids (no refit, FAISS `add` semantics,
+  *     the same contract as [[Ann.ivfAppend]]) and APPEND to the on-disk
+  *     list files, preserving [[Ann.ivfSave]]'s bucket partitioning and
+  *     per-file cent_id clustering so query-side directory/row-group
+  *     pruning keeps working on the grown index.
+  *   - [[start]]/[[knnBatch]]: probe serving — each micro-batch queries
+  *     the CURRENT on-disk index via [[Ann.ivfQuery]], the partition-
+  *     pruned serving kernel (a bounded probe batch touches at most its
+  *     probed list buckets at the file level, not the whole index). The
+  *     index is re-read per batch, so appends landing between batches
+  *     are picked up on the next trigger without restarting the query.
+  *
+  * Per-probe results are independent, so the union of per-batch outputs
+  * equals one batch [[Ann.knnJoin]] over the union of probes at equal
+  * nprobe (identical routing + tie rules) — the stream is cut-invariant:
+  * replaying the same probes under different batch boundaries yields the
+  * same rows (spec-asserted in StreamingAnnSpec).
+  */
+object StreamingAnn {
+
+  /** Ingest one corpus micro-batch into the persisted index at
+    * `indexPath`: rows routed against the existing centroids land as an
+    * APPEND into the bucket-partitioned list files (new parquet files
+    * inside the touched bucket directories, each internally clustered by
+    * cent_id for row-group pruning — the same layout rules as ivfSave). */
+  def appendBatch(spark: SparkSession, indexPath: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val index = Ann.ivfLoad(spark, indexPath)
+    Ann.routeForAppend(index, batch, idCol, vecCol)
+      .repartition(org.apache.spark.sql.functions.col("list_bucket"))
+      .sortWithinPartitions("list_bucket", "cent_id")
+      .write.mode("append").partitionBy("list_bucket")
+      .parquet(s"$indexPath/lists")
+  }
+
+  /** Batch kernel: serve one probe micro-batch against the index as it
+    * exists on disk RIGHT NOW. Output: (probe_id, neighbor_id, rank). */
+  def knnBatch(indexPath: String, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 4): DataFrame =
+    Ann.ivfQuery(Ann.ivfLoad(probes.sparkSession, indexPath), probes,
+      idCol, vecCol, k, nprobe)
+
+  /** Streaming wiring: each probe micro-batch is served against the
+    * current on-disk index and handed to `sink` with its batch id. */
+  def start(probes: DataFrame, indexPath: String, checkpointDir: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    probes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(knnBatch(indexPath, batch, idCol, vecCol, k, nprobe), batchId)
+      }
+      .start()
+}
