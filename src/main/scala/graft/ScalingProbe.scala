@@ -925,7 +925,7 @@ object ScalingProbe {
           col("source"))
       val bench = docs.where(col("doc_id") < 20)
         .select(col("doc_id"), col("text"))
-      val (_, _, audit) = graft.tools.Curate.run(big, bench)
+      val (_, _, _, audit) = graft.tools.Curate.run(big, bench)
       out += "curate500k" -> audit.json
     }
 

@@ -21,16 +21,29 @@ import graft.dedup.{Decontamination, FuzzyClusters}
   *   8. temperature mixing rates           (Sampling.temperatureWeights,
   *                                          report-only)
   *   9. sequence packing bookkeeping       (Packing.concatChunks)
+  *  10. leakage-safe train/val/test split  (Sampling.leakageSafeSplit —
+  *                                          80/10/10, whole near-dup
+  *                                          clusters per side)
+  *
+  * The split is a training-data tool's real output contract: it is a
+  * pure function of the stage-6 near-dup CLUSTER id and is assigned
+  * over the FULL membership (keepers AND the near-dups stage 6 drops),
+  * so every document's relatives — surviving or not — land on the same
+  * side of every boundary: a val/test row can never be a training row's
+  * near-clone, even measured against the raw pre-dedup corpus.
   *
   * Usage: `runMain graft.tools.Curate <sfDir> <outDir>`. Writes the
-  * curated corpus to `<outDir>/curated` (parquet), the per-source mixing
-  * table to `<outDir>/mix`, and prints ONE JSON audit line with
-  * per-stage survivor counts and wall time — the artifact a data-quality
-  * review reads. Every stage is deterministic, so two runs over the same
-  * input produce byte-identical curated sets.
+  * split-tagged curated corpus to `<outDir>/curated` (parquet), the
+  * per-source mixing table to `<outDir>/mix`, the full-membership split
+  * assignment to `<outDir>/splits`, and prints ONE JSON audit line with
+  * per-stage survivor counts, per-split sizes and wall time — the
+  * artifact a data-quality review reads. Every stage is deterministic,
+  * so two runs over the same input produce byte-identical curated sets.
   *
   * CuratePipelineSpec pins: monotone survivor counts, output/audit
-  * agreement, and run-to-run determinism at sf0.001.
+  * agreement, no-cluster-straddles-a-split (checked on the full
+  * membership, dropped near-dups included), and run-to-run determinism
+  * at sf0.001.
   */
 object Curate {
 
@@ -41,10 +54,11 @@ object Curate {
     }
   }
 
-  /** The pipeline body — returns (curated corpus, mixing table, audit).
-    * Split from main() so the spec can run it on any input. */
+  /** The pipeline body — returns (split-tagged curated corpus, mixing
+    * table, full-membership split assignment, audit). Split from main()
+    * so the spec can run it on any input. */
   def run(docs: DataFrame, benchmark: DataFrame,
-      capacity: Long = 512): (DataFrame, DataFrame, Audit) = {
+      capacity: Long = 512): (DataFrame, DataFrame, DataFrame, Audit) = {
     val t0 = System.nanoTime()
     val stages = Seq.newBuilder[(String, Long)]
     def stage(name: String, df: DataFrame): DataFrame = {
@@ -78,6 +92,7 @@ object Curate {
 
     // 6. fuzzy near-dup keep — star clustering (O(docs×bands) edges)
     val clusters = FuzzyClusters.lshStarClusters(exact, "text_clean", "doc_id")
+      .localCheckpoint() // read twice: keeper filter + split assignment
     val fuzzy = stage("fuzzy_dedup",
       exact.join(clusters.where(col("is_keeper") === 1)
         .select(col("doc_id")), Seq("doc_id")))
@@ -109,9 +124,25 @@ object Curate {
       .agg(max(col("last_chunk"))).collect()(0)
     val nChunks = if (chunks.isNullAt(0)) 0L else chunks.getLong(0) + 1
 
+    // 10. leakage-safe 80/10/10 split (q200's rule), assigned over the
+    // FULL stage-6 membership: split = f(cluster_id), so the near-dups
+    // dropped at stage 6 verifiably share their keeper's side
+    val splits = Sampling.leakageSafeSplit(
+        clusters.select(col("doc_id"), col("cluster_id")), "cluster_id",
+        Seq(8, 1, 1))
+      .localCheckpoint() // read twice: curated tag + the returned frame
     val curated = clean.select(
-      col("doc_id"), col("source"), col("lang_id"), col("text_clean"))
-    (curated, mix, Audit(stages.result(), nChunks, (System.nanoTime() - t0) / 1e9))
+        col("doc_id"), col("source"), col("lang_id"), col("text_clean"))
+      .join(splits.select(col("doc_id"), col("cluster_id"), col("split")),
+        Seq("doc_id"))
+      .localCheckpoint() // read twice: split audit + caller
+    val splitCounts = curated.groupBy("split").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Seq("train", "val", "test").zipWithIndex.foreach { case (n, i) =>
+      stages += s"split_$n" -> splitCounts.getOrElse(i, 0L)
+    }
+    (curated, mix, splits,
+      Audit(stages.result(), nChunks, (System.nanoTime() - t0) / 1e9))
   }
 
   def main(args: Array[String]): Unit = {
@@ -121,10 +152,11 @@ object Curate {
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables(spark, sfDir, "documents")
     // benchmark slice: the held-out eval documents (same rule as q79)
-    val (curated, mix, audit) = run(docs.where(col("doc_id") >= 20),
+    val (curated, mix, splits, audit) = run(docs.where(col("doc_id") >= 20),
       docs.where(col("doc_id") < 20))
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     mix.write.mode("overwrite").parquet(s"$outDir/mix")
+    splits.write.mode("overwrite").parquet(s"$outDir/splits")
     println(audit.json)
     spark.stop()
   }
