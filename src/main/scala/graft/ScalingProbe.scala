@@ -929,6 +929,26 @@ object ScalingProbe {
       out += "curate500k" -> audit.json
     }
 
+    // 33b) the same gauntlet at 5M docs (1000x replicas) — the next
+    // order of magnitude, where the star-cluster bucket index, the
+    // packing prefix-sum and the mixing-rate collect would hit their
+    // ceilings if any stage pulled O(corpus) to the driver. The audit's
+    // collected_rows field asserts that invariant directly (it counts
+    // every driver collect in the pipeline: per-source rates + the
+    // chunk max + 3 split sizes).
+    if (want("curate5M")) {
+      val big = docs.crossJoin(spark.range(1000).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"),
+          col("source"))
+      val bench = docs.where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val (_, _, _, audit) = graft.tools.Curate.run(big, bench)
+      require(audit.collectedRows < 1000,
+        s"driver collect grew with the corpus: ${audit.collectedRows} rows")
+      out += "curate5M" -> audit.json
+    }
+
     // 34) Z-order layout keys over 60M lineitem rows (100x replica,
     // shifted keys so the quantization span grows too): the map-only
     // rewrite cost a ZORDER BY table optimization would pay per file

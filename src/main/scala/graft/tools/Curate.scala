@@ -47,10 +47,18 @@ import graft.dedup.{Decontamination, FuzzyClusters}
   */
 object Curate {
 
-  final case class Audit(stages: Seq[(String, Long)], chunks: Long, sec: Double) {
+  /** `collectedRows` counts every row the pipeline pulls to the driver
+    * (mixing rates = one per source, the packed-chunk max = 1, the split
+    * sizes = 3): the scale invariant a probe asserts — it must stay
+    * O(sources), never O(corpus), at any input size. */
+  final case class Audit(stages: Seq[(String, Long)],
+      stageSecs: Seq[(String, Double)], chunks: Long, collectedRows: Long,
+      sec: Double) {
     def json: String = {
       val s = stages.map { case (n, c) => s""""$n":$c""" }.mkString(",")
-      f"""{"pipeline":"curate","stages":{$s},"packed_chunks":$chunks,"sec":$sec%.3f}"""
+      val t = stageSecs.map { case (n, v) => f""""$n":$v%.3f""" }.mkString(",")
+      f"""{"pipeline":"curate","stages":{$s},"stage_secs":{$t},""" +
+        f""""packed_chunks":$chunks,"collected_rows":$collectedRows,"sec":$sec%.3f}"""
     }
   }
 
@@ -61,9 +69,14 @@ object Curate {
       capacity: Long = 512): (DataFrame, DataFrame, DataFrame, Audit) = {
     val t0 = System.nanoTime()
     val stages = Seq.newBuilder[(String, Long)]
+    val stageSecs = Seq.newBuilder[(String, Double)]
+    var lastT = t0
     def stage(name: String, df: DataFrame): DataFrame = {
       val kept = df.localCheckpoint() // each stage read 2x: count + next
       stages += name -> kept.count()
+      val now = System.nanoTime()
+      stageSecs += name -> (now - lastT) / 1e9
+      lastT = now
       kept
     }
 
@@ -141,8 +154,13 @@ object Curate {
     Seq("train", "val", "test").zipWithIndex.foreach { case (n, i) =>
       stages += s"split_$n" -> splitCounts.getOrElse(i, 0L)
     }
+    stageSecs += "split" -> (System.nanoTime() - lastT) / 1e9
+    // every driver-side collect in the pipeline, accounted: the scale
+    // invariant is that this stays O(sources) at any corpus size
+    val collected = rates.size.toLong + 1L + splitCounts.size.toLong
     (curated, mix, splits,
-      Audit(stages.result(), nChunks, (System.nanoTime() - t0) / 1e9))
+      Audit(stages.result(), stageSecs.result(), nChunks, collected,
+        (System.nanoTime() - t0) / 1e9))
   }
 
   def main(args: Array[String]): Unit = {
