@@ -421,67 +421,41 @@ object Ann {
       col("neighbor_id").cast("long"),
       col("neighbor_id_vec").cast("array<float>"))
       .as[(Long, Long, Array[Float])]
-    // Cheap gate: if even (every probe × the whole corpus) fits the task
-    // caps, no list can overflow — take the zero-overhead path (constant
-    // salts, no counting jobs). Small/serving-sized joins land here.
-    val nP = probes.count()
-    val nC = index.assigned.count()
-    val splittable =
-      nP > maxProbesPerTask || (nP > 0 && nC > maxPairsPerTask / nP)
     val (routedS, listsS) =
-      if (!splittable) {
-        (routed.map(r => (r._1, 0, 0, r._2, r._3, r._4)),
-          lists.map(l => (l._1, 0, 0, l._2, l._3)))
-      } else {
-        // Per-list salt counts: ≤ nlist rows of metadata, collected and
-        // broadcast exactly like the centroid table the router already
-        // carries. The probe-count pass re-runs the router kernel (an
-        // O(probes × nlist × dim) narrow pass — ~1/nprobe of the join's
-        // work, cheaper than caching the routed vectors); only
-        // (cent_id, count) shuffles, map-side combined. Caps:
-        //   probe chunk ≤ maxProbesPerTask (task memory: buffered probes)
-        //   probe-chunk × corpus-chunk ≤ maxPairsPerTask (task compute)
-        val saltMap: Map[Long, (Int, Int)] =
-          routed.groupBy("cent_id").agg(count(lit(1)).as("probe_n"))
-            .join(lists.groupBy("cent_id").agg(count(lit(1)).as("list_n")),
-              Seq("cent_id"))
-            .as[(Long, Long, Long)].collect()
-            .map { case (cid, pn, ln) =>
-              val chunkP = math.max(1L,
-                math.min(maxProbesPerTask.toLong, maxPairsPerTask / ln))
-              val chunkC = math.max(1L, maxPairsPerTask / chunkP)
-              cid -> (((pn + chunkP - 1) / chunkP).toInt,
-                ((ln + chunkC - 1) / chunkC).toInt)
-            }.toMap
-        val saltB = spark.sparkContext.broadcast(saltMap)
-        // each probe: ONE probe-salt, replicated across the corpus-salts
-        val rs = routed.mapPartitions { it =>
-          val m = saltB.value
-          it.flatMap { case (cid, id, v, norm) =>
-            m.get(cid) match {
-              // a k-means empty cluster: probes routed to a list with no
-              // corpus rows have no candidates there — drop pre-shuffle
-              case None => Iterator.empty
-              case Some((psalts, csalts)) =>
-                val psalt = math.floorMod(java.lang.Long.hashCode(id), psalts)
-                (0 until csalts).iterator.map(c => (cid, psalt, c, id, v, norm))
+      hotListSalts(probes.count(), index.assigned.count(),
+        routed.toDF(), lists.toDF(), maxPairsPerTask, maxProbesPerTask) match {
+        case None =>
+          (routed.map(r => (r._1, 0, 0, r._2, r._3, r._4)),
+            lists.map(l => (l._1, 0, 0, l._2, l._3)))
+        case Some(saltB) =>
+          // each probe: ONE probe-salt, replicated across the corpus-salts
+          val rs = routed.mapPartitions { it =>
+            val m = saltB.value
+            it.flatMap { case (cid, id, v, norm) =>
+              m.get(cid) match {
+                // a k-means empty cluster: probes routed to a list with
+                // no corpus rows have no candidates there — drop here
+                case None => Iterator.empty
+                case Some((psalts, csalts)) =>
+                  val psalt = math.floorMod(java.lang.Long.hashCode(id), psalts)
+                  (0 until csalts).iterator.map(c => (cid, psalt, c, id, v, norm))
+              }
             }
           }
-        }
-        // each corpus row: ONE corpus-salt, replicated across the
-        // probe-salts; unprobed lists are dropped BEFORE the shuffle
-        val ls = lists.mapPartitions { it =>
-          val m = saltB.value
-          it.flatMap { case (cid, nid, nv) =>
-            m.get(cid) match {
-              case None => Iterator.empty
-              case Some((psalts, csalts)) =>
-                val csalt = math.floorMod(java.lang.Long.hashCode(nid), csalts)
-                (0 until psalts).iterator.map(p => (cid, p, csalt, nid, nv))
+          // each corpus row: ONE corpus-salt, replicated across the
+          // probe-salts; unprobed lists are dropped BEFORE the shuffle
+          val ls = lists.mapPartitions { it =>
+            val m = saltB.value
+            it.flatMap { case (cid, nid, nv) =>
+              m.get(cid) match {
+                case None => Iterator.empty
+                case Some((psalts, csalts)) =>
+                  val csalt = math.floorMod(java.lang.Long.hashCode(nid), csalts)
+                  (0 until psalts).iterator.map(p => (cid, p, csalt, nid, nv))
+              }
             }
           }
-        }
-        (rs, ls)
+          (rs, ls)
       }
     val partial = routedS.groupByKey(r => (r._1, r._2, r._3))
       .cogroup(listsS.groupByKey(r => (r._1, r._2, r._3))) { (_, ps, cs) =>
@@ -544,6 +518,51 @@ object Ann {
   /** Default memory cap per knnJoin task: 2^17 buffered probe vectors
     * (~67 MB at dim 128). Corpus rows stream; only probes are held. */
   val DefaultMaxProbesPerTask: Int = 1 << 17
+
+  /** Shared hot-list salt planner for the batch kNN cogroups
+    * ([[knnJoin]], [[Quantized.knnJoinSq]]). Returns None when the cheap
+    * |probes| × |corpus| gate proves no list can overflow the caps —
+    * the zero-overhead path for small/serving-sized joins. Past the
+    * gate, per-list (probe-salt count, corpus-salt count) pairs are
+    * computed from exact per-cent_id counts (≤ nlist rows of metadata,
+    * collected and broadcast exactly like the centroid table the router
+    * already carries; the probe-count pass re-runs the router kernel —
+    * an O(probes × nlist × dim) narrow pass, ~1/nprobe of the join's
+    * work, cheaper than caching the routed vectors — and only
+    * (cent_id, count) shuffles, map-side combined). Caps:
+    *   probe chunk ≤ maxProbesPerTask (task memory: buffered probes)
+    *   probe-chunk × corpus-chunk ≤ maxPairsPerTask (task compute) */
+  private[similarity] def hotListSalts(
+      nP: Long,
+      nC: Long,
+      probeCentIds: DataFrame,
+      listCentIds: DataFrame,
+      maxPairsPerTask: Long,
+      maxProbesPerTask: Int)
+      : Option[org.apache.spark.broadcast.Broadcast[Map[Long, (Int, Int)]]] = {
+    require(maxPairsPerTask > 0 && maxProbesPerTask > 0,
+      "task-size caps must be positive")
+    val splittable =
+      nP > maxProbesPerTask || (nP > 0 && nC > maxPairsPerTask / nP)
+    if (!splittable) None
+    else {
+      val spark = probeCentIds.sparkSession
+      import spark.implicits._
+      val saltMap: Map[Long, (Int, Int)] =
+        probeCentIds.groupBy("cent_id").agg(count(lit(1)).as("probe_n"))
+          .join(listCentIds.groupBy("cent_id").agg(count(lit(1)).as("list_n")),
+            Seq("cent_id"))
+          .as[(Long, Long, Long)].collect()
+          .map { case (cid, pn, ln) =>
+            val chunkP = math.max(1L,
+              math.min(maxProbesPerTask.toLong, maxPairsPerTask / ln))
+            val chunkC = math.max(1L, maxPairsPerTask / chunkP)
+            cid -> (((pn + chunkP - 1) / chunkP).toInt,
+              ((ln + chunkC - 1) / chunkC).toInt)
+          }.toMap
+      Some(spark.sparkContext.broadcast(saltMap))
+    }
+  }
 
   /** [[knnJoin]] over an unindexed corpus: build the IVF index (nlist
     * defaults to [[autoNlist]]) and join through it. */

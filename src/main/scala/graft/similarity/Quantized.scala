@@ -407,9 +407,18 @@ object Quantized {
     * candidates, and a DISTRIBUTED exact-rerank join on full floats
     * bounds the loss — neither side is ever collected to the driver,
     * unlike [[topK]]/[[pqTopK]], whose broadcast probes are the
-    * query-SERVING configuration. */
+    * query-SERVING configuration.
+    *
+    * Hot-list splitting: the same task caps as [[Ann.knnJoin]] (shared
+    * [[Ann.hotListSalts]] planner) tile an oversized list's work into
+    * bounded probe-salt × corpus-salt tasks; a per-(probe, list) pool
+    * trim across salts restores the single-heap pool semantics exactly,
+    * so results are identical for any salt counts. The |probes| ×
+    * |corpus| gate keeps small joins on the zero-overhead path. */
   def knnJoinSq(index: Ann.IvfIndex, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nprobe: Int = 4, rerank: Int = 4,
+      maxPairsPerTask: Long = Ann.DefaultMaxPairsPerTask,
+      maxProbesPerTask: Int = Ann.DefaultMaxProbesPerTask): DataFrame = {
     require(k > 0 && nprobe > 0 && rerank >= 1)
     val spark = probes.sparkSession
     import spark.implicits._
@@ -429,55 +438,108 @@ object Quantized {
     val poolSize = k * rerank
     val worstFirst =
       Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
-    val pool = routed.groupByKey(_._1).cogroup(lists.groupByKey(_._1)) {
-      (_, ps, cs) =>
-        val pb = ps.toArray
-        if (pb.isEmpty) Iterator.empty
-        else {
-          val sc = scalesB.value
-          val steps = sc.map { case (lo, hi) =>
-            if (hi <= lo) 0f else (hi - lo) / 255f }
-          val heaps = Array.fill(pb.length)(
-            new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-              worstFirst))
-          cs.foreach { case (_, nid, cq) =>
-            val deq = new Array[Double](cq.length)
-            var cn = 0.0
-            var d = 0
-            while (d < cq.length) {
-              deq(d) = sc(d)._1 + (cq(d) + 128) * steps(d)
-              cn += deq(d) * deq(d)
-              d += 1
-            }
-            val cNorm = math.sqrt(cn)
-            var j = 0
-            while (j < pb.length) {
-              val (_, pid, pv, pNorm) = pb(j)
-              if (pid != nid) {
-                require(pv.length == cq.length,
-                  s"embedding dim ${pv.length} != corpus dim ${cq.length}")
-                var dot = 0.0; var i = 0
-                while (i < pv.length) { dot += pv(i) * deq(i); i += 1 }
-                val sim = if (pNorm == 0 || cNorm == 0) 0.0
-                  else dot / (pNorm * cNorm)
-                val h = heaps(j)
-                if (h.size < poolSize) h.enqueue((sim, nid))
-                else {
-                  val (wSim, wId) = h.head
-                  if (sim > wSim || (sim == wSim && nid < wId)) {
-                    h.dequeue(); h.enqueue((sim, nid))
-                  }
+    // shared asymmetric-scoring kernel: per-probe bounded pool heaps over
+    // one stream of quantized corpus rows; emits (pid, nid, approx sim)
+    def poolHeaps(pb: Array[(Long, Array[Float], Double)],
+        cs: Iterator[(Long, Array[Byte])]): Iterator[(Long, Long, Double)] =
+      if (pb.isEmpty) Iterator.empty
+      else {
+        val sc = scalesB.value
+        val steps = sc.map { case (lo, hi) =>
+          if (hi <= lo) 0f else (hi - lo) / 255f }
+        val heaps = Array.fill(pb.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+            worstFirst))
+        cs.foreach { case (nid, cq) =>
+          val deq = new Array[Double](cq.length)
+          var cn = 0.0
+          var d = 0
+          while (d < cq.length) {
+            deq(d) = sc(d)._1 + (cq(d) + 128) * steps(d)
+            cn += deq(d) * deq(d)
+            d += 1
+          }
+          val cNorm = math.sqrt(cn)
+          var j = 0
+          while (j < pb.length) {
+            val (pid, pv, pNorm) = pb(j)
+            if (pid != nid) {
+              require(pv.length == cq.length,
+                s"embedding dim ${pv.length} != corpus dim ${cq.length}")
+              var dot = 0.0; var i = 0
+              while (i < pv.length) { dot += pv(i) * deq(i); i += 1 }
+              val sim = if (pNorm == 0 || cNorm == 0) 0.0
+                else dot / (pNorm * cNorm)
+              val h = heaps(j)
+              if (h.size < poolSize) h.enqueue((sim, nid))
+              else {
+                val (wSim, wId) = h.head
+                if (sim > wSim || (sim == wSim && nid < wId)) {
+                  h.dequeue(); h.enqueue((sim, nid))
                 }
               }
-              j += 1
             }
-          }
-          pb.indices.iterator.flatMap { j =>
-            val pid = pb(j)._2
-            heaps(j).iterator.map { case (_, nid) => (pid, nid) }
+            j += 1
           }
         }
-    }.toDF("probe_id", "neighbor_id")
+        pb.indices.iterator.flatMap { j =>
+          val pid = pb(j)._1
+          heaps(j).iterator.map { case (s, nid) => (pid, nid, s) }
+        }
+      }
+
+    val pool = Ann.hotListSalts(probes.count(), index.assigned.count(),
+      routed.toDF(),
+      index.assigned.select(col("cent_id").cast("long")).toDF("cent_id"),
+      maxPairsPerTask, maxProbesPerTask) match {
+      case None =>
+        routed.groupByKey(_._1).cogroup(lists.groupByKey(_._1)) {
+          (_, ps, cs) =>
+            poolHeaps(ps.map(p => (p._2, p._3, p._4)).toArray,
+              cs.map(c => (c._2, c._3)))
+        }.toDF("probe_id", "neighbor_id", "sim")
+          .select(col("probe_id"), col("neighbor_id"))
+      case Some(saltB) =>
+        val routedS = routed.mapPartitions { it =>
+          val m = saltB.value
+          it.flatMap { case (cid, id, v, norm) =>
+            m.get(cid) match {
+              case None => Iterator.empty
+              case Some((psalts, csalts)) =>
+                val psalt = math.floorMod(java.lang.Long.hashCode(id), psalts)
+                (0 until csalts).iterator.map(c => (cid, psalt, c, id, v, norm))
+            }
+          }
+        }
+        val listsS = lists.mapPartitions { it =>
+          val m = saltB.value
+          it.flatMap { case (cid, nid, cq) =>
+            m.get(cid) match {
+              case None => Iterator.empty
+              case Some((psalts, csalts)) =>
+                val csalt = math.floorMod(java.lang.Long.hashCode(nid), csalts)
+                (0 until psalts).iterator.map(p => (cid, p, csalt, nid, cq))
+            }
+          }
+        }
+        val partial = routedS.groupByKey(r => (r._1, r._2, r._3))
+          .cogroup(listsS.groupByKey(r => (r._1, r._2, r._3))) {
+            case ((cid, _, _), ps, cs) =>
+              poolHeaps(ps.map(p => (p._4, p._5, p._6)).toArray,
+                cs.map(c => (c._4, c._5)))
+                .map(t => (t._1, cid, t._2, t._3))
+          }.toDF("probe_id", "cent_id", "neighbor_id", "sim")
+        // pool trim: per (probe, list) keep poolSize across the salts —
+        // restores the single-heap pool semantics exactly (same
+        // sim-desc/nid-asc order the heap replacement rule encodes), so
+        // the rerank sees an identical candidate set for any salt counts
+        val wPool = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"), col("cent_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        partial.withColumn("pr", row_number().over(wPool))
+          .where(col("pr") <= poolSize)
+          .select(col("probe_id"), col("neighbor_id"))
+    }
 
     // distributed exact rerank: full-float vectors join in from both
     // sides (no driver materialization), sims rounded like knnJoin's

@@ -147,6 +147,22 @@ class QuantizedSpec extends SparkSpec {
     got shouldBe want
   }
 
+  it should "return identical results under forced hot-list splitting" in {
+    // same contract as Ann.knnJoin: the salted cogroup + per-(probe,
+    // list) pool trim must be bit-identical to the unsplit path for any
+    // salt counts (tiny caps force psalts > 1 and csalts > 1 here)
+    val df = vecs(200, 10, 9).toDF("vec_id", "embedding")
+    val index = Ann.ivfBuild(df, "vec_id", "embedding", nlist = 4)
+    val base = Quantized.knnJoinSq(index, df, "vec_id", "embedding",
+      k = 5, nprobe = 4, rerank = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val split = Quantized.knnJoinSq(index, df, "vec_id", "embedding",
+      k = 5, nprobe = 4, rerank = 4,
+      maxPairsPerTask = 30, maxProbesPerTask = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    split shouldBe base
+  }
+
   it should "keep high recall with the default rerank pool, both sides distributed" in {
     val df = vecs(300, 12, 10).toDF("vec_id", "embedding")
     val index = Ann.ivfBuild(df, "vec_id", "embedding", nlist = 4)
