@@ -326,9 +326,14 @@ object ScalingProbe {
             Thread.sleep(2000) // let the async listener bus drain
             spark.sparkContext.removeSparkListener(listener)
           }
-        val worst = stageDurs.values.filter(_.nonEmpty).maxBy(_.max)
-        val sorted = worst.sorted
-        (sec, n, sorted.last / 1e3, sorted(sorted.length / 2) / 1e3)
+        // the async bus can deliver late or drop under pressure: report
+        // sentinel stats rather than killing the whole probe run
+        stageDurs.values.filter(_.nonEmpty).toSeq match {
+          case Seq() => (sec, n, -1.0, -1.0)
+          case some =>
+            val sorted = some.maxBy(_.max).sorted
+            (sec, n, sorted.last / 1e3, sorted(sorted.length / 2) / 1e3)
+        }
       }
 
       val (tSplit, nRows, maxT, medT) = taskStats {

@@ -397,7 +397,10 @@ object Ann {
     * machinery entirely for small/serving-sized joins; past the gate,
     * the per-list probe counts cost one extra narrow router pass, and
     * unprobed lists are dropped before the shuffle (previously their
-    * corpus rows shuffled and were discarded in the cogroup).
+    * corpus rows shuffled and were discarded in the cogroup). NOTE the
+    * gate makes this method EAGER: two count jobs run at call time
+    * (like ivfBuild's checkpoints) — an O(rows) price against an
+    * O(rows × nprobe × list × dim) join.
     *
     * Output: (probe_id, neighbor_id, rank 1..≤k). */
   def knnJoin(
@@ -428,34 +431,10 @@ object Ann {
           (routed.map(r => (r._1, 0, 0, r._2, r._3, r._4)),
             lists.map(l => (l._1, 0, 0, l._2, l._3)))
         case Some(saltB) =>
-          // each probe: ONE probe-salt, replicated across the corpus-salts
-          val rs = routed.mapPartitions { it =>
-            val m = saltB.value
-            it.flatMap { case (cid, id, v, norm) =>
-              m.get(cid) match {
-                // a k-means empty cluster: probes routed to a list with
-                // no corpus rows have no candidates there — drop here
-                case None => Iterator.empty
-                case Some((psalts, csalts)) =>
-                  val psalt = math.floorMod(java.lang.Long.hashCode(id), psalts)
-                  (0 until csalts).iterator.map(c => (cid, psalt, c, id, v, norm))
-              }
-            }
-          }
-          // each corpus row: ONE corpus-salt, replicated across the
-          // probe-salts; unprobed lists are dropped BEFORE the shuffle
-          val ls = lists.mapPartitions { it =>
-            val m = saltB.value
-            it.flatMap { case (cid, nid, nv) =>
-              m.get(cid) match {
-                case None => Iterator.empty
-                case Some((psalts, csalts)) =>
-                  val csalt = math.floorMod(java.lang.Long.hashCode(nid), csalts)
-                  (0 until psalts).iterator.map(p => (cid, p, csalt, nid, nv))
-              }
-            }
-          }
-          (rs, ls)
+          (saltExpand(routed, saltB, probeSide = true)(_._1, _._2,
+            (r, p, c) => (r._1, p, c, r._2, r._3, r._4)),
+            saltExpand(lists, saltB, probeSide = false)(_._1, _._2,
+              (l, p, c) => (l._1, p, c, l._2, l._3)))
       }
     val partial = routedS.groupByKey(r => (r._1, r._2, r._3))
       .cogroup(listsS.groupByKey(r => (r._1, r._2, r._3))) { (_, ps, cs) =>
@@ -554,15 +533,64 @@ object Ann {
             Seq("cent_id"))
           .as[(Long, Long, Long)].collect()
           .map { case (cid, pn, ln) =>
-            val chunkP = math.max(1L,
-              math.min(maxProbesPerTask.toLong, maxPairsPerTask / ln))
-            val chunkC = math.max(1L, maxPairsPerTask / chunkP)
-            cid -> (((pn + chunkP - 1) / chunkP).toInt,
-              ((ln + chunkC - 1) / chunkC).toInt)
+            // Balanced tiles: corpus shuffle volume is ln × psalts =
+            // ln·pn/chunkP and probe volume pn × csalts = pn·ln/chunkC,
+            // so the √maxPairs square minimizes their sum under
+            // chunkP · chunkC ≤ maxPairs; each chunk is then clamped to
+            // its side's actual size (and the probe-memory cap) with the
+            // freed budget handed to the other side. A one-sided
+            // chunkP = maxPairs/ln formula would collapse to 1-probe
+            // chunks once ln > maxPairs — replicating the corpus side
+            // per PROBE (a cross-product through the shuffle) exactly in
+            // the giant-hot-list regime this planner exists for.
+            val sqrtCap =
+              math.max(1L, math.round(math.sqrt(maxPairsPerTask.toDouble)))
+            val chunkP0 =
+              Seq(sqrtCap, maxProbesPerTask.toLong, math.max(pn, 1L)).min
+            val chunkC = math.max(1L, math.min(ln, maxPairsPerTask / chunkP0))
+            val chunkP = Seq(maxProbesPerTask.toLong, math.max(pn, 1L),
+              math.max(chunkP0, maxPairsPerTask / chunkC)).min
+            // toIntExact: a salt count past Int range must fail loudly,
+            // not wrap negative and silently drop the list's rows
+            cid -> (math.toIntExact((pn + chunkP - 1) / chunkP),
+              math.toIntExact((ln + chunkC - 1) / chunkC))
           }.toMap
-      Some(spark.sparkContext.broadcast(saltMap))
+      // exact counts can prove what the coarse gate could not: if NO
+      // list actually overflows, hand back the unsplit plan — the
+      // identity fan-out plus (for the SQ kernel) its pool-trim window
+      // are pure overhead (measured 6× on a balanced 200k×200k join)
+      if (saltMap.values.forall(_ == ((1, 1)))) None
+      else Some(spark.sparkContext.broadcast(saltMap))
     }
   }
+
+  /** Shared salt fan-out for both batch kNN kernels: probe-side rows get
+    * ONE probe-salt (hash of their id) and replicate across the list's
+    * corpus-salts; corpus-side rows get ONE corpus-salt and replicate
+    * across the probe-salts. Rows of lists absent from the plan (k-means
+    * empty clusters / unprobed lists) drop before the shuffle. */
+  private[similarity] def saltExpand[T, U: org.apache.spark.sql.Encoder](
+      ds: org.apache.spark.sql.Dataset[T],
+      saltB: org.apache.spark.broadcast.Broadcast[Map[Long, (Int, Int)]],
+      probeSide: Boolean)(
+      cid: T => Long, id: T => Long, mk: (T, Int, Int) => U)
+      : org.apache.spark.sql.Dataset[U] =
+    ds.mapPartitions { it =>
+      val m = saltB.value
+      it.flatMap { t =>
+        m.get(cid(t)) match {
+          case None => Iterator.empty
+          case Some((psalts, csalts)) =>
+            if (probeSide) {
+              val p = math.floorMod(java.lang.Long.hashCode(id(t)), psalts)
+              (0 until csalts).iterator.map(c => mk(t, p, c))
+            } else {
+              val c = math.floorMod(java.lang.Long.hashCode(id(t)), csalts)
+              (0 until psalts).iterator.map(p => mk(t, p, c))
+            }
+        }
+      }
+    }
 
   /** [[knnJoin]] over an unindexed corpus: build the IVF index (nlist
     * defaults to [[autoNlist]]) and join through it. */

@@ -500,28 +500,10 @@ object Quantized {
         }.toDF("probe_id", "neighbor_id", "sim")
           .select(col("probe_id"), col("neighbor_id"))
       case Some(saltB) =>
-        val routedS = routed.mapPartitions { it =>
-          val m = saltB.value
-          it.flatMap { case (cid, id, v, norm) =>
-            m.get(cid) match {
-              case None => Iterator.empty
-              case Some((psalts, csalts)) =>
-                val psalt = math.floorMod(java.lang.Long.hashCode(id), psalts)
-                (0 until csalts).iterator.map(c => (cid, psalt, c, id, v, norm))
-            }
-          }
-        }
-        val listsS = lists.mapPartitions { it =>
-          val m = saltB.value
-          it.flatMap { case (cid, nid, cq) =>
-            m.get(cid) match {
-              case None => Iterator.empty
-              case Some((psalts, csalts)) =>
-                val csalt = math.floorMod(java.lang.Long.hashCode(nid), csalts)
-                (0 until psalts).iterator.map(p => (cid, p, csalt, nid, cq))
-            }
-          }
-        }
+        val routedS = Ann.saltExpand(routed, saltB, probeSide = true)(
+          _._1, _._2, (r, p, c) => (r._1, p, c, r._2, r._3, r._4))
+        val listsS = Ann.saltExpand(lists, saltB, probeSide = false)(
+          _._1, _._2, (l, p, c) => (l._1, p, c, l._2, l._3))
         val partial = routedS.groupByKey(r => (r._1, r._2, r._3))
           .cogroup(listsS.groupByKey(r => (r._1, r._2, r._3))) {
             case ((cid, _, _), ps, cs) =>

@@ -270,19 +270,22 @@ object ImapSync {
       val pending = scala.collection.mutable.Queue[String]()
 
       /** Fetch sequence range lo..hi by SEQUENCE number, appending
-        * (uid, body) pairs and growing the seq map. Untagged non-FETCH
-        * chatter interleaved in the response feeds the pending queue. */
+        * (uid, body) pairs and growing the seq map. Responses to OUR
+        * fetch carry a BODY[] literal; everything else interleaved in
+        * the round — EXISTS/RECENT lines AND unilateral flags-only
+        * `* n FETCH (FLAGS ...)` updates (RFC 3501 §7.4.2) — is chatter
+        * that feeds the pending queue instead of aborting the sync. */
       def fetchRange(lo: Int, hi: Int): Unit =
         s.command(s"FETCH $lo:$hi (UID BODY[])").foreach {
-          case RespLine(text, lit :: _) if text.contains("FETCH") =>
+          case RespLine(text, lit :: _) if text.contains("BODY[") =>
             val uid = UidInFetch.findFirstMatchIn(text)
               .getOrElse(sys.error(s"FETCH response without UID: $text"))
               .group(1).toLong
             seqUids += uid
             fetched += uid -> lit
-          case RespLine(text, _) if text.contains("FETCH") =>
+          case RespLine(text, _) if text.contains("BODY[") =>
             sys.error(s"FETCH response without literal: $text")
-          case r => pending += r.text // EXISTS/RECENT/FLAGS chatter
+          case r => pending += r.text // EXISTS/RECENT/flags-FETCH chatter
         }
 
       var events = 0

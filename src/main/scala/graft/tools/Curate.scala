@@ -136,6 +136,8 @@ object Curate {
     val chunks = Packing.concatChunks(withLen, "__ord", "n_tok", capacity)
       .agg(max(col("last_chunk"))).collect()(0)
     val nChunks = if (chunks.isNullAt(0)) 0L else chunks.getLong(0) + 1
+    stageSecs += "packing" -> (System.nanoTime() - lastT) / 1e9
+    lastT = System.nanoTime()
 
     // 10. leakage-safe 80/10/10 split (q200's rule), assigned over the
     // FULL stage-6 membership: split = f(cluster_id), so the near-dups

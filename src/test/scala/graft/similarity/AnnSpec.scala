@@ -202,8 +202,8 @@ class AnnSpec extends SparkSpec {
     val base = Ann.knnJoin(index, corpus, "vec_id", "embedding", k = 5,
         nprobe = 4)
       .as[(Long, Long, Int)].collect().toSet
-    // maxPairsPerTask = 100 < |hot list| = 150 → corpus-salting kicks in
-    // (chunkP = 1, csalts ≥ 2) and every routed probe gets its own salt
+    // maxPairsPerTask = 100 < |hot list| = 150 → balanced tiling engages
+    // on both axes (8-probe × 12-row chunks: psalts > 1 AND csalts > 1)
     val split = Ann.knnJoin(index, corpus, "vec_id", "embedding", k = 5,
         nprobe = 4, maxSim = Double.PositiveInfinity,
         maxPairsPerTask = 100, maxProbesPerTask = 8)

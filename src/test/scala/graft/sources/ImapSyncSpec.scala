@@ -242,11 +242,12 @@ class ImapSyncSpec extends SparkSpec {
       await("first IDLE")(srv.idleCount == 1)
 
       // two new messages; the first is announced with RFC-legal hostility:
-      // untagged RECENT chatter inside the FETCH response, and the second
-      // EXISTS arriving before the re-IDLE's '+' continuation
+      // a unilateral flags-only FETCH update (RFC 3501 §7.4.2) interleaved
+      // inside our FETCH response, and the second EXISTS arriving before
+      // the re-IDLE's '+' continuation
       srv.mailbox(102L) = msg("m2", "bob@example.com", "re: hello")
       srv.mailbox(103L) = msg("m3", "carol@example.com", "fwd: hello")
-      srv.fetchChatter = "* 1 RECENT"
+      srv.fetchChatter = "* 1 FETCH (FLAGS (\\Seen))"
       srv.pushBeforeContinuation = "* 3 EXISTS"
       srv.push("* 2 EXISTS")
       t.join(10000)
