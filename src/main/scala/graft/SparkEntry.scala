@@ -2669,6 +2669,22 @@ object SparkEntry {
     Ann.knnJoin(index, emb, "vec_id", "embedding", k = 3, nprobe = 8)
   }
 
+  /** q201: q199's exact batch kNN join FORCED through the hot-list
+    * splitting path (tiny task caps → probe-salt × corpus-salt tiles on
+    * every list). Salting is result-invariant by construction — each
+    * probe in ONE probe-salt per list, each corpus row in ONE
+    * corpus-salt, independent per-probe heaps, one cross-list/cross-salt
+    * top-k merge — so the SAME exhaustive-routing oracle as q199 must
+    * hash-match: the correctness gate itself pins the salted kernel,
+    * not just the spec. */
+  private def q201_knn_salted(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = Ann.ivfBuild(emb, "vec_id", "embedding", nlist = 8)
+    Ann.knnJoin(index, emb, "vec_id", "embedding", k = 3, nprobe = 8,
+      maxSim = Double.PositiveInfinity,
+      maxPairsPerTask = 3000, maxProbesPerTask = 64)
+  }
+
   /** q200: leakage-safe train/val/test split — whole near-duplicate
     * clusters (q101's components) assigned to splits so no cluster
     * straddles a boundary; split key pinned to the cluster id modulus
@@ -2880,6 +2896,7 @@ object SparkEntry {
     "q197_except_all" -> (q197_except_all _),
     "q198_scc" -> (q198_scc _),
     "q199_knn_join" -> (q199_knn_join _),
+    "q201_knn_salted" -> (q201_knn_salted _),
     "q200_leakage_split" -> (q200_leakage_split _)
   )
 
@@ -5710,6 +5727,15 @@ object SparkEntry {
     // q199: exhaustive routing (nprobe = nlist) makes the batch kNN join
     // exact — the oracle is the full corpus-as-probes self top-3
     "q199_knn_join" ->
+      """SELECT probe_id, neighbor_id, rank FROM (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) DESC, b.vec_id) AS INTEGER) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |) WHERE rank <= 3""".stripMargin,
+    // q201: the SAME oracle as q199 — the salted path must be
+    // result-identical to the unsplit exact join for any task caps
+    "q201_knn_salted" ->
       """SELECT probe_id, neighbor_id, rank FROM (
         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
         |    CAST(row_number() OVER (PARTITION BY a.vec_id
