@@ -3496,7 +3496,7 @@ object SparkEntry {
         |  CASE WHEN n_words >= 50 AND n_words <= 100000
         |    AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
         |    AND n_symbol_words * 10 <= n_words
-        |    AND n_bullet_lines * 10 <= n_lines
+        |    AND n_bullet_lines * 10 <= n_lines * 9
         |    AND n_ellipsis_lines * 10 <= n_lines * 3
         |    AND n_alpha_words * 5 >= n_words * 4
         |    AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS passes
@@ -3818,7 +3818,7 @@ object SparkEntry {
         |  regexp_replace(
         |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
         |      || regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
-        |    '/$', '') AS url_norm,
+        |    '^([^?]*)/$', '\1') AS url_norm,
         |  regexp_extract(lower(regexp_extract(url,
         |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
         |    '([^.]+\.[^.]+)$', 1) IN ('site7.com', 'site13.com') AS blocked
@@ -3851,7 +3851,7 @@ object SparkEntry {
         |    CASE WHEN n_words >= 50 AND n_words <= 100000
         |      AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
         |      AND n_symbol_words * 10 <= n_words
-        |      AND n_bullet_lines * 10 <= n_lines
+        |      AND n_bullet_lines * 10 <= n_lines * 9
         |      AND n_ellipsis_lines * 10 <= n_lines * 3
         |      AND n_alpha_words * 5 >= n_words * 4
         |      AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS passes
@@ -4168,7 +4168,8 @@ object SparkEntry {
         |  FROM documents
         |), b AS (
         |  SELECT doc_id, skey,
-        |    CAST((ascii(substr(skey, 1, 1)) * 131 + ascii(substr(skey, 2, 1)))
+        |    CAST((((ascii(substr(skey, 1, 1)) * 131 + ascii(substr(skey, 2, 1)))
+        |        * 131 + ascii(substr(skey, 3, 1))) * 131 + ascii(substr(skey, 4, 1)))
         |      % 8 AS BIGINT) AS bucket
         |  FROM s
         |)
@@ -4184,8 +4185,10 @@ object SparkEntry {
         |    list_transform(
         |      list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'),
         |        x -> len(x) > 0),
-        |      t -> (ascii(substr(md5(t), 1, 1)) * 131
-        |            + ascii(substr(md5(t), 2, 1))) % 64) AS bs
+        |      t -> (((ascii(substr(md5(t), 1, 1)) * 131
+        |            + ascii(substr(md5(t), 2, 1))) * 131
+        |            + ascii(substr(md5(t), 3, 1))) * 131
+        |            + ascii(substr(md5(t), 4, 1))) % 64) AS bs
         |  FROM documents
         |), sc AS (
         |  SELECT doc_id,
@@ -4667,7 +4670,7 @@ object SparkEntry {
         |SELECT expectation, col_name, violations, total,
         |  CAST((1000000 * violations) // total AS BIGINT) AS violation_ppm,
         |  CAST(0 AS BIGINT) AS budget_ppm,
-        |  ((1000000 * violations) // total) <= 0 AS passed
+        |  (1000000 * violations) <= 0 * total AS passed
         |FROM u""".stripMargin,
     // q144: the oracle aggregates the final row set directly —
     // (base \ deleted) ∪ inserted — proving delta-merge ≡ recompute
@@ -5359,8 +5362,10 @@ object SparkEntry {
         |    list_transform(
         |      list_filter(regexp_split_to_array(text, '[\s[:punct:]]+'),
         |        x -> len(x) > 0),
-        |      t -> (ascii(substr(md5(t), 1, 1)) * 131
-        |            + ascii(substr(md5(t), 2, 1))) % 64) AS bs
+        |      t -> (((ascii(substr(md5(t), 1, 1)) * 131
+        |            + ascii(substr(md5(t), 2, 1))) * 131
+        |            + ascii(substr(md5(t), 3, 1))) * 131
+        |            + ascii(substr(md5(t), 4, 1))) % 64) AS bs
         |  FROM documents
         |), sc AS (
         |  SELECT doc_id,

@@ -64,6 +64,10 @@ object Expectations {
     }
     agg.select(explode(array(rows: _*)).as("r"))
       .select(col("r.*"))
-      .withColumn("passed", col("violation_ppm") <= col("budget_ppm"))
+      // exact cross-multiplied verdict: comparing the TRUNCATED ppm
+      // would let a zero-budget expectation pass with up to total/1e6
+      // real violations (5 nulls in 10M rows truncate to 0 ppm)
+      .withColumn("passed",
+        col("violations") * 1000000L <= col("budget_ppm") * col("total"))
   }
 }

@@ -71,8 +71,12 @@ object FeaturePrep {
     // the target column is referenced through a renamed alias so the
     // expr() arithmetic never re-parses a caller-supplied name (a
     // hyphenated or keyword column would mis-parse as SQL)
+    // LEFT join: a null key never equi-matches its own group row, so an
+    // inner join would silently DROP every null-key input row; with the
+    // left join those rows get null __gn and fall through the when() to
+    // the global-prior branch — the standard unknown-category encoding
     df.withColumn("__x", col(targetCol))
-      .join(grp, Seq(keyCol)).crossJoin(broadcast(tot))
+      .join(grp, Seq(keyCol), "left").crossJoin(broadcast(tot))
       .withColumn("enc",
         when(col("__gn") > 1,
           expr(s"((__gs - __x) * $scale) div (__gn - 1)"))

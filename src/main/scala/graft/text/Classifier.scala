@@ -28,13 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
-  /** Engine-independent token -> bucket in [0, buckets): ascii arithmetic
-    * on the first two hex chars of md5(token). Use for oracle-checkable
-    * runs; md5 is a crypto hash (~30 s per 100 M tokens), so production
-    * scoring wants [[tokenBucketFast]]. */
+  /** Engine-independent token -> bucket in [0, buckets): a base-131
+    * polynomial over the first FOUR hex chars of md5(token) — 65 536
+    * distinct hex prefixes, so bucket counts up to 2^16 stay reachable
+    * (two chars, the round-9 shape, silently capped every model at 256
+    * live buckets). Use for oracle-checkable runs; md5 is a crypto hash
+    * (~30 s per 100 M tokens) and the cap is enforced loudly —
+    * production scoring and big vocabularies want [[tokenBucketFast]]
+    * (xxhash64, uncapped). */
   def tokenBucket(tok: Column, buckets: Int): Column = {
+    require(buckets <= 65536,
+      s"tokenBucket's 4-hex-char md5 prefix reaches at most 65536 " +
+        s"buckets, got $buckets — use tokenBucketFast for larger models")
     val h = md5(tok)
-    pmod(ascii(substring(h, 1, 1)) * lit(131) + ascii(substring(h, 2, 1)),
+    pmod(((ascii(substring(h, 1, 1)) * lit(131) + ascii(substring(h, 2, 1)))
+        * lit(131) + ascii(substring(h, 3, 1))) * lit(131)
+        + ascii(substring(h, 4, 1)),
       lit(buckets))
   }
 

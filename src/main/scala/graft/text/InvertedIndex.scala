@@ -60,6 +60,14 @@ object InvertedIndex {
     * spent most of its build materializing those). Stats and the terms
     * table both read the materialized postings. */
   def build(docs: DataFrame, idCol: String, textCol: String): Index = {
+    // an integral id is a CONTRACT, not a convenience cast: a string id
+    // would cast to null and every such document would merge into one
+    // id=null postings group (summed tf, inflated avgdl) with no error
+    val idType = docs.schema(idCol).dataType
+    require(Seq("long", "integer", "short", "byte")
+      .contains(idType.typeName),
+      s"InvertedIndex needs an integral id column; '$idCol' is $idType " +
+        "(map string ids to longs — e.g. xxhash64 — before indexing)")
     val toks = docs
       .select(col(idCol).cast("long").as("id"),
         TextAnalysis.tokens(col(textCol)).as("ts"))
@@ -193,9 +201,14 @@ object InvertedIndex {
           val ubCol = coalesce(stats.map { case (t, _, _, ub) =>
             when(col("tok") === t, lit(ub)) }: _*)
           // a doc can reach θ only if, for some matched posting, the
-          // exact weight plus the other terms' upper bounds does
+          // exact weight plus the other terms' upper bounds does. The
+          // 1e-6 margin covers the final round(·, 6): without it a doc
+          // whose exact total sits just under θ could still TIE a kept
+          // doc after rounding and win the id tiebreak — the pruned and
+          // unpruned top-k would then differ at the boundary
           val survivors = weighted
-            .where(col("w") + (lit(ubTotal) - ubCol.cast("double")) >= lit(theta))
+            .where(col("w") + (lit(ubTotal) - ubCol.cast("double")) >=
+              lit(theta - 1e-6))
             .select(col("id")).distinct()
           weighted.join(survivors, "id")
         }

@@ -29,7 +29,7 @@ object LangId {
       " da", "ten", "en ", "ich", " ic", "ver", "gen", " zu"),
     "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", "nt ", "et ",
       " et", "la ", " la", "ion", "on ", "re ", " pa", "que", " qu",
-      "ue ", "les", "des", " co", "ur ", " da", "ans", "dans"),
+      "ue ", "les", "des", " co", "ur ", " da", "ans", "ns "),
     "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "as ",
       "ión", "que", " qu", "ue ", "en ", " en", "ar ", " co", "es ",
       "los", " lo", "ado", " es", "sta", "nte", "con", " se"),
@@ -44,7 +44,7 @@ object LangId {
       " en", "ng ", "ing", " be", " ve", "ver", "den", "ten"),
     "sv" -> Seq("en ", " de", "et ", "ar ", " oc", "och", "ch ", " at",
       "att", "tt ", "för", " fö", "om ", "det", " ha", "an ", "som",
-      " so", "ill", "till", " ti", " är", "är ", "ng ", "den"))
+      " so", "ill", "ll ", " ti", " är", "är ", "ng ", "den"))
 
   private val Langs: Array[String] = Profiles.map(_._1).toArray
 

@@ -148,12 +148,18 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
       buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    require(buckets <= 65536,
+      s"deterministicShuffle's 4-hex-char key prefix reaches at most " +
+        s"65536 shards, got $buckets")
     val skey = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
-    // bucket from the key's first two hex chars: pure ascii arithmetic so
+    // bucket from the key's first FOUR hex chars (65 536 combos — two
+    // chars capped real shard counts at 256): pure ascii arithmetic so
     // any SQL engine restates it verbatim (no hash-function coupling)
     val bucket = pmod(
-      ascii(substring(col("skey"), 1, 1)) * lit(131) +
-        ascii(substring(col("skey"), 2, 1)), lit(buckets)).cast("long")
+      ((ascii(substring(col("skey"), 1, 1)) * lit(131) +
+        ascii(substring(col("skey"), 2, 1))) * lit(131) +
+        ascii(substring(col("skey"), 3, 1))) * lit(131) +
+        ascii(substring(col("skey"), 4, 1)), lit(buckets)).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("skey"))
     df.select(col(idCol), skey.as("skey"))
@@ -216,6 +222,15 @@ object Sampling {
       splitKey: Column = null): DataFrame = {
     require(weights.nonEmpty && weights.forall(_ > 0),
       s"weights must be positive, got $weights")
+    // an integral cluster id is a contract: a string id would cast to
+    // null inside the hash, null buckets fail every when(), and EVERY
+    // row would silently land in the last split (all-test, no train)
+    if (splitKey == null) {
+      val t = df.schema(clusterCol).dataType
+      require(Seq("long", "integer", "short", "byte").contains(t.typeName),
+        s"leakageSafeSplit needs an integral cluster column; '$clusterCol' " +
+          s"is $t (map string cluster ids to longs — e.g. xxhash64 — first)")
+    }
     val total = weights.sum
     val key = Option(splitKey).getOrElse(draw(col(clusterCol)))
     val bucket = pmod(key.cast("long"), lit(total.toLong))

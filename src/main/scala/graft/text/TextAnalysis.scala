@@ -234,7 +234,10 @@ object TextAnalysis {
       m("sum_word_len") >= m("n_words") * 3 &&
       m("sum_word_len") <= m("n_words") * 10 &&
       m("n_symbol_words") * 10 <= m("n_words") &&
-      m("n_bullet_lines") * 10 <= m("n_lines") &&
+      // Rae et al. 2021 Appendix A: remove when MORE THAN 90% of lines
+      // are bulleted (round 10 fixed an inverted <=10% reading that
+      // over-filtered ordinary list-bearing documents)
+      m("n_bullet_lines") * 10 <= m("n_lines") * 9 &&
       m("n_ellipsis_lines") * 10 <= m("n_lines") * 3 &&
       m("n_alpha_words") * 5 >= m("n_words") * 4 &&
       nStopHits >= 2).cast("int")

@@ -35,14 +35,17 @@ object Urls {
   }
 
   /** Normalized form: lower-cased scheme and host, fragment stripped,
-    * trailing slash on a bare path stripped. Query strings are KEPT
-    * (they distinguish content); use [[host]] for grouping. */
+    * trailing slash on the PATH stripped — but only when no query string
+    * is present ("^([^?]*)/$"): a '?q=a/' value is content, and eating
+    * its slash would conflate two genuinely different resources into one
+    * dedup key. Query strings are KEPT (they distinguish content); use
+    * [[host]] for grouping. */
   def normalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     // lower the scheme+authority prefix only (up to the first '/', '?')
     val prefix = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    regexp_replace(concat(lower(prefix), rest), "/$", "")
+    regexp_replace(concat(lower(prefix), rest), "^([^?]*)/$", "$1")
   }
 
   /** Add `host`/`domain`/`url_norm` columns and a `blocked` flag from a

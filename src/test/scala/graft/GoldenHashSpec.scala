@@ -37,7 +37,7 @@ class GoldenHashSpec extends SparkSpec {
 
   "q70_langid" should "reproduce its pinned sf0.001 output byte-exactly" in {
     digest(SparkEntry.queries("q70_langid")(spark, dir)) shouldBe
-      "211a4d1c1047b85106eb27b868b3eee14b887414434f0de60bf964a27102af5c"
+      "be9482bb4806a80a0ffd85206f3328a73c2b3c0f66240004fa487ff37c8965d4"
   }
 
   "q145_compression" should "reproduce its pinned sf0.001 output byte-exactly" in {

@@ -9,7 +9,8 @@ class ClassifierSpec extends SparkSpec {
   private def refBucket(tok: String, buckets: Int): Int = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    (hex(0).toInt * 131 + hex(1).toInt) % buckets
+    (((hex(0).toInt * 131 + hex(1).toInt) * 131 + hex(2).toInt) * 131 +
+      hex(3).toInt) % buckets
   }
 
   "hashedLinearScore" should "match a JVM reference over tokenized text" in {

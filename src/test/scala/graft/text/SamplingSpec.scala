@@ -112,7 +112,8 @@ class SamplingSpec extends SparkSpec {
     }
     out.foreach { case (id, skey, bucket, _) =>
       skey shouldBe ref(id)
-      bucket shouldBe (skey(0).toInt * 131 + skey(1).toInt) % 4
+      bucket shouldBe (((skey(0).toInt * 131 + skey(1).toInt) * 131 +
+        skey(2).toInt) * 131 + skey(3).toInt) % 4
     }
     // per-bucket positions are 1..n in skey order, every bucket non-empty
     out.groupBy(_._3).foreach { case (_, rows) =>
