@@ -776,14 +776,16 @@ object SparkEntry {
     * exact integer counts and an integer-arithmetic pass flag, fully
     * SQL-stateable. */
   private def q71_gopher_quality(s: SparkSession, dir: String): DataFrame = {
-    val m = TextAnalysis.gopherCounts(col("text")).toMap
-    val stops = TextAnalysis.stopwordCount(col("text"),
-      Seq("the", "a", "of", "and")).cast("long")
+    // all 9 outputs are getFields off ONE native gopher_stats evaluation
+    // (identical struct subtrees are subexpression-eliminated in codegen)
+    val g = TextAnalysis.gopherStats(col("text"), Seq("the", "a", "of", "and"))
     t(s, dir, "documents").select(
       (Seq(col("doc_id")) ++
-        TextAnalysis.gopherCounts(col("text")).map { case (n, c) => c.as(n) } ++
-        Seq(stops.as("n_stop_hits"),
-          TextAnalysis.gopherPasses(m, stops).as("passes"))): _*)
+        Seq("n_words", "sum_word_len", "n_alpha_words", "n_symbol_words",
+          "n_lines", "n_bullet_lines", "n_ellipsis_lines")
+          .map(f => g.getField(f).as(f)) ++
+        Seq(g.getField("n_stop_hits").as("n_stop_hits"),
+          g.getField("passes").as("passes"))): _*)
   }
 
   /** Language identification (trigram-profile classifier, LangId): language
@@ -1131,9 +1133,6 @@ object SparkEntry {
     * constituent is an existing oracle-checked operator; this entry
     * checks their COMPOSITION end-to-end. */
   private def q96_curation(s: SparkSession, dir: String): DataFrame = {
-    val m = TextAnalysis.gopherCounts(col("text")).toMap
-    val stops = TextAnalysis.stopwordCount(col("text"),
-      Seq("the", "a", "of", "and")).cast("long")
     // canonicalization key is sha2(text), NOT the text itself: the window
     // exchange then shuffles a 32-byte digest instead of writing every
     // full document into the shuffle as key AND payload (`text` is
@@ -1142,7 +1141,8 @@ object SparkEntry {
     val scored = t(s, dir, "documents").select(
       col("doc_id"), sha2(col("text"), 256).as("text_sha"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-      TextAnalysis.gopherPasses(m, stops).as("passes"))
+      TextAnalysis.gopherStats(col("text"), Seq("the", "a", "of", "and"))
+        .getField("passes").as("passes"))
     val byText = org.apache.spark.sql.expressions.Window.partitionBy(col("text_sha"))
     scored
       .withColumn("canonical", col("doc_id") === min(col("doc_id")).over(byText))

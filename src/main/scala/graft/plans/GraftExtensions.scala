@@ -122,6 +122,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.text.BlocklistHits(exprs(0), literalStrings(exprs(1)))))
     ext.injectFunction((
+      FunctionIdentifier("gopher_stats"),
+      new ExpressionInfo(classOf[graft.functions.GopherStats].getName, "gopher_stats"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.GopherStats(exprs(0), literalStrings(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("quality_stats"),
+      new ExpressionInfo(classOf[graft.functions.QualityStats].getName, "quality_stats"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.QualityStats(exprs(0), literalStrings(exprs(1)))))
+    ext.injectFunction((
       FunctionIdentifier("zorder_key"),
       new ExpressionInfo(classOf[graft.functions.ZOrderKey].getName, "zorder_key"),
       (exprs: Seq[Expression]) => graft.functions.ZOrderKey(exprs(0), exprs(1))))

@@ -140,8 +140,15 @@ object TextAnalysis {
 
   /** BPE-ish sub-word token count: words plus punctuation marks counted
     * separately, long words counted as ceil(len/4) pieces — a deterministic
-    * stand-in for a real tokenizer's piece count. */
+    * stand-in for a real tokenizer's piece count. Backed by the native
+    * single-pass `quality_stats` struct (requires the graft extensions);
+    * [[bpeishTokenCountCols]] is the column-built differential reference. */
   def bpeishTokenCount(text: Column): Column = {
+    val q = qualityStats(text, Nil)
+    q.getField("n_word_pieces") + q.getField("n_punct").cast("long")
+  }
+
+  private[graft] def bpeishTokenCountCols(text: Column): Column = {
     val words = tokens(text)
     val wordPieces = aggregate(
       transform(words, w => ceil(length(w).cast("double") / 4d).cast("long")),
@@ -157,10 +164,28 @@ object TextAnalysis {
     size(filter(tokens(lower(text)), t => array_contains(sw, t)))
   }
 
+  /** The native single-pass `quality_stats` struct (requires the graft
+    * extensions): every [[qualityMetrics]] count in ONE text scan. Use
+    * this (or the derived metrics below) on hot paths — each metric as a
+    * separate column re-runs the tokenize regex per metric, because
+    * Catalyst's subexpression elimination skips lambda-bearing trees
+    * (SPARK-35410). Identical struct subtrees ARE eliminated, so getField
+    * projections off one [[qualityStats]] call evaluate it once per row. */
+  def qualityStats(text: Column, stopwords: Seq[String]): Column =
+    call_function("quality_stats", text, array(stopwords.map(lit): _*))
+
   /** Document quality heuristics (exact integer counts so results are
     * stable across engines): chars, tokens, distinct tokens, stopword hits,
-    * punctuation chars, digit chars, max token length. */
-  def qualityMetrics(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = Seq(
+    * punctuation chars, digit chars, max token length. Backed by the
+    * native single-pass struct; [[qualityMetricsCols]] is the column-built
+    * differential reference. */
+  def qualityMetrics(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
+    val q = qualityStats(text, stopwords)
+    Seq("n_chars_measured", "n_tokens", "n_distinct_tokens", "n_stopwords",
+      "n_punct", "n_digits", "max_token_len").map(f => f -> q.getField(f))
+  }
+
+  private[graft] def qualityMetricsCols(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = Seq(
     "n_chars_measured" -> length(text),
     "n_tokens" -> tokenCount(text),
     "n_distinct_tokens" -> size(array_distinct(tokens(lower(text)))),
@@ -172,8 +197,18 @@ object TextAnalysis {
 
   /** Quality score in [0,1]: penalizes very short docs, low lexical
     * diversity, and stopword-free (likely non-linguistic) text. Ratios are
-    * computed per-row from exact ints (deterministic IEEE ops). */
+    * computed per-row from exact ints (deterministic IEEE ops), all read
+    * off ONE [[qualityStats]] evaluation. */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val q = qualityStats(text, stopwords)
+    val nTok = q.getField("n_tokens").cast("double")
+    val diversity = q.getField("n_distinct_tokens").cast("double") / greatest(nTok, lit(1d))
+    val stopRatio = q.getField("n_stopwords").cast("double") / greatest(nTok, lit(1d))
+    val lenOk = when(nTok >= 5, lit(1d)).otherwise(nTok / 5d)
+    round(lenOk * (lit(0.5) + lit(0.5) * diversity) * (lit(0.5) + least(stopRatio * 5d, lit(0.5))), 6)
+  }
+
+  private[graft] def qualityScoreCols(text: Column, stopwords: Seq[String]): Column = {
     val nTok = tokenCount(text).cast("double")
     val diversity = size(array_distinct(tokens(lower(text)))).cast("double") / greatest(nTok, lit(1d))
     val stopRatio = stopwordCount(text, stopwords).cast("double") / greatest(nTok, lit(1d))
@@ -207,6 +242,18 @@ object TextAnalysis {
     * band, etc.) and differential-testable against a SQL oracle.
     * Words are whitespace tokens (Gopher's definition), lines are
     * newline-separated. */
+  /** The native single-pass `gopher_stats` struct (requires the graft
+    * extensions): every [[gopherCounts]] signal, the stopword-hit count,
+    * and the [[gopherPasses]] decision (`passes`, int 1/0) in ONE text
+    * scan. This is the form a quality GATE must use: Catalyst inlines
+    * project aliases into pushed-down filters with no cost check, so a
+    * WHERE built from the per-signal columns re-runs the split regex once
+    * per signal — `gopherStats(c, stops).getField("passes") === 1` is a
+    * single-reference predicate, one evaluation per row wherever the
+    * filter lands. */
+  def gopherStats(text: Column, stopwords: Seq[String]): Column =
+    call_function("gopher_stats", text, array(stopwords.map(lit): _*))
+
   def gopherCounts(text: Column): Seq[(String, Column)] = {
     val words = filter(split(text, "\\s+"), w => length(w) > 0)
     val lines = split(text, "\n")

@@ -89,12 +89,14 @@ object Curate {
     // 3. PII redaction (rewrites text, keeps every row)
     val redacted = Pii.redact(normalized, "text_nfc", out = "text_clean")
 
-    // 4. Gopher quality gate
-    val m = TextAnalysis.gopherCounts(col("text_clean")).toMap
-    val stops = TextAnalysis.stopwordCount(col("text_clean"),
-      Seq("the", "a", "of", "and")).cast("long")
+    // 4. Gopher quality gate — the native single-pass struct's `passes`
+    // field, referenced ONCE: however Catalyst pushes this predicate, it
+    // stays one text scan per row (the per-signal column formulation
+    // re-ran the split regex once per signal after alias inlining, which
+    // made this gate 88% of the 5M-doc pipeline wall)
     val quality = stage("quality",
-      redacted.where(TextAnalysis.gopherPasses(m, stops) === 1))
+      redacted.where(TextAnalysis.gopherStats(col("text_clean"),
+        Seq("the", "a", "of", "and")).getField("passes") === 1))
 
     // 5. exact dedup: 32-byte content key, min-id keeper (the q96 rule)
     val keyed = quality.withColumn("__key", sha2(col("text_clean"), 256))

@@ -23,10 +23,8 @@ class StreamingCurationSpec extends SparkSpec {
   private def gates(df: DataFrame): DataFrame = {
     val normalized = Normalize.nfcCol(df, "text", "text_nfc")
     val redacted = Pii.redact(normalized, "text_nfc", out = "text_clean")
-    val m = TextAnalysis.gopherCounts(col("text_clean")).toMap
-    val stops = TextAnalysis.stopwordCount(col("text_clean"),
-      Seq("the", "a", "of", "and")).cast("long")
-    redacted.where(TextAnalysis.gopherPasses(m, stops) === 1)
+    redacted.where(TextAnalysis.gopherStats(col("text_clean"),
+        Seq("the", "a", "of", "and")).getField("passes") === 1)
       .select(col("doc_id"), col("text_clean"))
   }
 
