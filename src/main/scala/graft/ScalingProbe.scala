@@ -353,6 +353,74 @@ object ScalingProbe {
           s""""unsplitSec":$tRaw,"unsplitMaxTaskSec":$maxRawT,"unsplitMedianTaskSec":$medRawT}""")
     }
 
+    // 10e) hot-list tiling where the hot list ALONE exceeds any cache
+    // level: 500k vectors at dim 128, 80% (400k rows ≈ 200 MB of floats)
+    // in ONE identical blob — the regime the cache-resident 2048-probe
+    // chunk claim must hold in (the scoring loop re-walks the probe
+    // chunk per corpus row; if the chunk stopped fitting L2 here, the
+    // split path's throughput would collapse relative to a balanced
+    // join of the same shape). A balanced 500k control at the same
+    // corpus size/probe count/dim gives the per-pair throughput
+    // yardstick (the workloads differ 40x in pairs by construction —
+    // compare pairs/sec, not walls).
+    if (want("knnJoinSkew500k")) {
+      val dim = 128
+      def mkCorpus(skewed: Boolean) = spark.range(500000).toDF("vec_id")
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.transform(
+            sequence(lit(0), lit(dim - 1)),
+            i => when(lit(skewed) && col("vec_id") < 400000,
+                when(i === 0, 10.0).otherwise(0.0))
+              .otherwise(
+                when(i === (col("vec_id") % dim).cast("int"), 10.0)
+                  .otherwise(0.0) +
+                (pmod(col("vec_id") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.1)
+              .cast("float")).as("embedding"))
+        .localCheckpoint()
+      val stageDurs =
+        new scala.collection.concurrent.TrieMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          stageDurs.getOrElseUpdate(te.stageId,
+            scala.collection.mutable.ArrayBuffer[Long]()) += te.taskInfo.duration
+      }
+      def taskStats(f: => Long): (Double, Long, Double, Double) = {
+        stageDurs.clear()
+        spark.sparkContext.addSparkListener(listener)
+        val (sec, n) =
+          try time(f)
+          finally {
+            Thread.sleep(2000)
+            spark.sparkContext.removeSparkListener(listener)
+          }
+        stageDurs.values.filter(_.nonEmpty).toSeq match {
+          case Seq() => (sec, n, -1.0, -1.0)
+          case some =>
+            val sorted = some.maxBy(_.max).sorted
+            (sec, n, sorted.last / 1e3, sorted(sorted.length / 2) / 1e3)
+        }
+      }
+      def runCase(skewed: Boolean): String = {
+        val corpus = mkCorpus(skewed)
+        val probes = corpus.where(col("vec_id") % 25 === 0).localCheckpoint()
+        val index = graft.similarity.Ann.ivfBuild(corpus, "vec_id",
+          "embedding", nlist = 256)
+        val hot = index.assigned.groupBy("cent_id").count()
+          .agg(max("count")).as[Long].head()
+        val (sec, nRows, maxT, medT) = taskStats {
+          graft.similarity.Ann.knnJoin(index, probes, "vec_id", "embedding",
+            k = 10, nprobe = 4).count()
+        }
+        s"""{"hotList":$hot,"sec":$sec,"rows":$nRows,""" +
+          s""""maxTaskSec":$maxT,"medianTaskSec":$medT}"""
+      }
+      val skew = runCase(skewed = true)
+      val balanced = runCase(skewed = false)
+      out += "knnJoinSkew500k" ->
+        s"""{"skewed":$skew,"balanced":$balanced}"""
+    }
+
     // 10b) int8 scalar-quantized two-stage search at 500k vectors:
     // recall vs the exact float search + both timings
     if (want("sq500k")) {
@@ -951,7 +1019,139 @@ object ScalingProbe {
       val (_, _, _, audit) = graft.tools.Curate.run(big, bench)
       require(audit.collectedRows < 1000,
         s"driver collect grew with the corpus: ${audit.collectedRows} rows")
+      // the listener-side invariant (covers collects INSIDE invoked
+      // operators, which collectedRows can't see): mean task->driver
+      // result stays O(KB) — an O(corpus) collect inflates it 100-1000x
+      require(audit.meanTaskResultBytes < 256 * 1024,
+        s"mean task result ${audit.meanTaskResultBytes} B " +
+          "suggests an O(corpus) driver collect inside a stage")
       out += "curate5M" -> audit.json
+    }
+
+    // 33c) the two cheapest full-membership stages — exact dedup and the
+    // leakage-safe split-assignment join — at 20M docs (4000x replicas):
+    // one order past curate5M, where a super-linear bucket index or a
+    // split join that stopped being a plain shuffle would bend first.
+    // The listener asserts the no-O(corpus)-collect invariant directly.
+    if (want("curateStages20M")) {
+      val resultBytes = new java.util.concurrent.atomic.AtomicLong()
+      val taskCount = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            resultBytes.addAndGet(m.resultSize); taskCount.incrementAndGet()
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val big = docs.crossJoin(spark.range(4000).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000).as("doc_id"),
+          concat(col("text"), lit(" rep"), pmod(col("rep"), lit(100))).as("text"))
+        .localCheckpoint() // time the stages, not the replica synthesis
+      val (tExact, nExact) = time {
+        val keyed = big.withColumn("__key", sha2(col("text"), 256))
+        val minId = keyed.groupBy(col("__key"))
+          .agg(min(col("doc_id")).as("__keep"))
+        keyed.join(minId, Seq("__key"))
+          .where(col("doc_id") === col("__keep")).count()
+      }
+      // split assignment over the FULL 20M membership: cluster id =
+      // the exact-dup content key's group (the same (doc_id, cluster_id)
+      // shape stage 10 feeds leakageSafeSplit)
+      val members = big
+        .withColumn("cluster_id", xxhash64(sha2(col("text"), 256)))
+        .select(col("doc_id"), col("cluster_id"))
+      val (tSplit20, nSplit20) = time {
+        graft.text.Sampling.leakageSafeSplit(members, "cluster_id",
+          Seq(8, 1, 1)).count()
+      }
+      Thread.sleep(1000)
+      try spark.sparkContext.removeSparkListener(listener)
+      catch { case _: Throwable => () }
+      val mean =
+        if (taskCount.get() <= 0) -1L else resultBytes.get() / taskCount.get()
+      require(mean < 0 || mean < 256 * 1024,
+        s"mean task result $mean B suggests an O(corpus) driver collect")
+      out += "curateStages20M" ->
+        (s"""{"exact_dedup_sec":$tExact,"exact_survivors":$nExact,""" +
+          s""""split_sec":$tSplit20,"split_rows":$nSplit20,""" +
+          s""""mean_task_result_bytes":$mean,"tasks":${taskCount.get()}}""")
+    }
+
+    // 33d) streaming-index lifecycle: recall drift as appendBatch grows
+    // the index against FROZEN centroids (the retrain-threshold curve),
+    // then the compaction payoff — appends leave one fragment file per
+    // touched bucket per batch, serving cost tracks file count in the
+    // probed buckets, and compactGrownBuckets must restore the flat
+    // per-query scan set with bit-identical results.
+    if (want("annAppendRecall")) {
+      import graft.similarity.Ann
+      import graft.streaming.StreamingAnn
+      def jittered(repLo: Int, repHi: Int) =
+        emb.crossJoin(spark.range(repLo, repHi).toDF("rep"))
+          .select((col("vec_id") + col("rep") * 1000000).as("vec_id"),
+            zip_with(col("embedding"),
+              sequence(lit(0), size(col("embedding")) - 1),
+              (x, i) => (x.cast("double") +
+                (pmod(col("rep") * 31 + i * 7, lit(11)).cast("double") - 5) * 0.02)
+                .cast("float")).as("embedding"))
+      val base = jittered(0, 8).localCheckpoint() // 40k vectors
+      val idxDir =
+        java.nio.file.Files.createTempDirectory("ann-append-probe").toString
+      Ann.ivfSave(Ann.ivfBuild(base, "vec_id", "embedding", nlist = 0), idxDir)
+      var corpus = base
+      val curve = scala.collection.mutable.ArrayBuffer[String]()
+      def recallAt(tag: String): Unit = {
+        // probes: 50 from the original region + 50 from the latest
+        // appended region (where frozen-centroid routing is weakest)
+        val maxId = corpus.agg(max("vec_id")).as[Long].head()
+        val probes = corpus.where(col("vec_id") < 50 ||
+          (col("vec_id") > maxId - 1000000 && col("vec_id") % 20 === 0))
+          .limit(100).localCheckpoint()
+        val exact = Ann.bruteForceTopK(corpus, probes, "vec_id", "embedding",
+            k = 10)
+          .select(col("probe_id"), col("neighbor_id")).localCheckpoint()
+        val nExactR = exact.count()
+        val (tServe, nHit) = time {
+          Ann.ivfQuery(Ann.ivfLoad(spark, idxDir), probes, "vec_id",
+              "embedding", k = 10, nprobe = 8)
+            .join(exact, Seq("probe_id", "neighbor_id"), "left_semi").count()
+        }
+        val frac = StreamingAnn.appendedFraction(spark, idxDir)
+        curve += f""""$tag":{"appended_frac":$frac%.2f,""" +
+          f""""recallAt10":${nHit.toDouble / nExactR}%.4f,"serveSec":$tServe%.2f}"""
+      }
+      recallAt("step0")
+      (0 until 4).foreach { s =>
+        val inc = jittered(8 + 2 * s, 10 + 2 * s).localCheckpoint() // +25% each
+        StreamingAnn.appendBatch(spark, idxDir, inc, "vec_id", "embedding")
+        corpus = corpus.union(inc).localCheckpoint()
+        recallAt(s"step${s + 1}")
+      }
+      // compaction payoff on the fully-grown index: same final probe
+      // set, results must be bit-identical, serving re-timed
+      val maxId = corpus.agg(max("vec_id")).as[Long].head()
+      val probesF = corpus.where(col("vec_id") < 50 ||
+        (col("vec_id") > maxId - 1000000 && col("vec_id") % 20 === 0))
+        .limit(100).localCheckpoint()
+      def serveSet() = Ann.ivfQuery(Ann.ivfLoad(spark, idxDir), probesF,
+          "vec_id", "embedding", k = 10, nprobe = 8)
+        .as[(Long, Long, Int)].collect().toSet
+      val (tBefore, _) = time { serveSet().size.toLong }
+      val beforeSet = serveSet()
+      val report = StreamingAnn.compactGrownBuckets(spark, idxDir,
+        targetBytes = 128L << 20, minFiles = 2)
+      val (tAfter, _) = time { serveSet().size.toLong }
+      require(serveSet() == beforeSet, "compaction changed query results")
+      val filesBefore = report.map(_._2).sum
+      val filesAfter = report.map(_._3).sum
+      out += "annAppendRecall" -> (curve.mkString("{", ",", ",") +
+        s""""compaction":{"bucketsCompacted":${report.size},""" +
+        f""""filesBefore":$filesBefore,"filesAfter":$filesAfter,""" +
+        f""""serveSecBefore":$tBefore%.2f,"serveSecAfter":$tAfter%.2f,""" +
+        s""""identicalResults":true}}""")
     }
 
     // 34) Z-order layout keys over 60M lineitem rows (100x replica,
@@ -1094,6 +1294,56 @@ object ScalingProbe {
           .groupBy("scc").count().count()
       }
       out += "sccBowtie1M" -> s"""{"sec":$tScc,"sccs":$nScc,"rounds":$rounds}"""
+    }
+
+    // The PRODUCTION-path SCC number: an ~8M-edge bow-tie under DEFAULT
+    // knobs — genuinely past the 1M-edge driver entry gate, so the
+    // distributed loop runs for real (trim + contract + label fixpoint)
+    // and the in-loop cutover fires when the remainder fits 256 MB. The
+    // bowtie1M probe forces the distributed path on a graph the driver
+    // would normally take; this one measures what a realistic
+    // past-the-gate graph costs with no knobs touched.
+    if (want("sccDefault8M")) {
+      val n = 2400000L
+      val ring = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1) % n).as("dst"))
+      val chordSrc = spark.range(n / 4).select((col("id") * 4).as("src"))
+      val chords = chordSrc
+        .select(col("src"), ((col("src") * 7919L + 13L) % n).as("dst"))
+        .unionAll(chordSrc
+          .select(col("src"), ((col("src") * 104729L + 7L) % n).as("dst")))
+        .where(col("src") =!= col("dst"))
+      val core = ring.unionAll(chords)
+      val rings = 160000L
+      val inR = spark.range(rings).select(col("id").as("r"))
+        .crossJoin(spark.range(10L).toDF("i"))
+        .select((lit(10000000L) + col("r") * 10 + col("i")).as("src"),
+          (lit(10000000L) + col("r") * 10 + (col("i") + 1) % 10).as("dst"))
+      val inEdge = spark.range(rings)
+        .select((lit(10000000L) + col("id") * 10).as("src"),
+          (col("id") * 7 % n).as("dst"))
+      val outR = spark.range(rings).select(col("id").as("r"))
+        .crossJoin(spark.range(10L).toDF("i"))
+        .select((lit(20000000L) + col("r") * 10 + col("i")).as("src"),
+          (lit(20000000L) + col("r") * 10 + (col("i") + 1) % 10).as("dst"))
+      val outEdge = spark.range(rings)
+        .select((col("id") * 11 % n).as("src"),
+          (lit(20000000L) + col("id") * 10).as("dst"))
+      val tendril = spark.range(800000L)
+        .select((lit(30000000L) + col("id")).as("src"),
+          when(col("id") % 10 === 0,
+            lit(20000000L) + (col("id") * 13 % (rings * 10)))
+            .otherwise(lit(30000000L) + col("id") - 1).as("dst"))
+      val g = core.unionAll(inR).unionAll(inEdge).unionAll(outR)
+        .unionAll(outEdge).unionAll(tendril).repartition(32).localCheckpoint()
+      val nEdges = g.count()
+      var rounds = 0
+      val (tScc, nScc) = time {
+        graft.graph.Scc.decompose(g, onRound = r => rounds = r) // defaults
+          .groupBy("scc").count().count()
+      }
+      out += "sccDefault8M" ->
+        s"""{"sec":$tScc,"sccs":$nScc,"rounds":$rounds,"edges":$nEdges}"""
     }
 
     println(out.map { case (k, v) => s""""$k":$v""" }

@@ -394,13 +394,17 @@ object Ann {
     * partials, so the result set is identical for any salt counts —
     * unsplit lists (the common case) take the exact single-task path.
     * A cheap gate (|probes| × |corpus| within the caps) skips the salt
-    * machinery entirely for small/serving-sized joins; past the gate,
-    * the per-list probe counts cost one extra narrow router pass, and
-    * unprobed lists are dropped before the shuffle (previously their
-    * corpus rows shuffled and were discarded in the cogroup). NOTE the
-    * gate makes this method EAGER: two count jobs run at call time
-    * (like ivfBuild's checkpoints) — an O(rows) price against an
-    * O(rows × nprobe × list × dim) join.
+    * machinery entirely for small/serving-sized joins; past the gate
+    * the routed probes are localCheckpointed ONCE and both the per-list
+    * count pass and the join read that materialization (so the salt
+    * plan's coverage is exact even for nondeterministic probe sources,
+    * and an expensive probe pipeline runs at most twice: the gate's
+    * count + the routing). Unprobed lists are dropped before the
+    * shuffle (previously their corpus rows shuffled and were discarded
+    * in the cogroup). NOTE the gate makes this method EAGER: count jobs
+    * run at call time (like ivfBuild's checkpoints) — an O(rows) price
+    * against an O(rows × nprobe × list × dim) join; callers with an
+    * expensive probe pipeline should checkpoint it first.
     *
     * Output: (probe_id, neighbor_id, rank 1..≤k). */
   def knnJoin(
@@ -418,14 +422,27 @@ object Ann {
       "task-size caps must be positive")
     val spark = probes.sparkSession
     import spark.implicits._
-    val routed = assignNearestK(probes, idCol, vecCol, index.centroids, nprobe)
+    val splittable = saltGateTrips(probes.count(), index.assigned.count(),
+      maxPairsPerTask, maxProbesPerTask)
+    val routedRaw = assignNearestK(probes, idCol, vecCol, index.centroids, nprobe)
       .as[(Long, Long, Array[Float], Double)]
+    // Past the gate the routing is read twice (per-list counts + the
+    // join): pin ONE execution so both passes see identical cent_id
+    // assignments. Without this a nondeterministic probe source (rand(),
+    // sample, fresh monotonically_increasing_id) could route rows to
+    // lists absent from the salt plan between the passes — silently
+    // losing result rows — and an expensive uncached probe pipeline
+    // would re-execute per pass. Below the gate the single join
+    // execution needs no pin (callers with expensive probe pipelines
+    // still pay the gate's one probes.count() — checkpoint upstream if
+    // that pass is itself costly).
+    val routed = if (splittable) routedRaw.localCheckpoint() else routedRaw
     val lists = index.assigned.select(col("cent_id").cast("long"),
       col("neighbor_id").cast("long"),
       col("neighbor_id_vec").cast("array<float>"))
       .as[(Long, Long, Array[Float])]
     val (routedS, listsS) =
-      hotListSalts(probes.count(), index.assigned.count(),
+      hotListSalts(splittable,
         routed.toDF(), lists.toDF(), maxPairsPerTask, maxProbesPerTask) match {
         case None =>
           (routed.map(r => (r._1, 0, 0, r._2, r._3, r._4)),
@@ -504,22 +521,33 @@ object Ann {
     * tiles run the same pair count 2.3× faster than 8192-probe ones. */
   val ProbeChunkRows: Int = 2048
 
+  /** The cheap |probes| × |corpus| salt gate: true when some list COULD
+    * overflow the per-task caps, so the planner must count. Callers that
+    * pass the gate must pin (localCheckpoint) the routed probes before
+    * handing them to [[hotListSalts]] — the plan's coverage is exact
+    * only when the count pass and the join read one routing execution. */
+  private[similarity] def saltGateTrips(
+      nP: Long, nC: Long, maxPairsPerTask: Long, maxProbesPerTask: Int): Boolean = {
+    require(maxPairsPerTask > 0 && maxProbesPerTask > 0,
+      "task-size caps must be positive")
+    nP > maxProbesPerTask || (nP > 0 && nC > maxPairsPerTask / nP)
+  }
+
   /** Shared hot-list salt planner for the batch kNN cogroups
     * ([[knnJoin]], [[Quantized.knnJoinSq]]). Returns None when the cheap
-    * |probes| × |corpus| gate proves no list can overflow the caps —
-    * the zero-overhead path for small/serving-sized joins. Past the
-    * gate, per-list (probe-salt count, corpus-salt count) pairs are
-    * computed from exact per-cent_id counts (≤ nlist rows of metadata,
-    * collected and broadcast exactly like the centroid table the router
-    * already carries; the probe-count pass re-runs the router kernel —
-    * an O(probes × nlist × dim) narrow pass, ~1/nprobe of the join's
-    * work, cheaper than caching the routed vectors — and only
-    * (cent_id, count) shuffles, map-side combined). Caps:
+    * |probes| × |corpus| gate ([[saltGateTrips]], evaluated by the
+    * caller) proves no list can overflow the caps — the zero-overhead
+    * path for small/serving-sized joins. Past the gate, per-list
+    * (probe-salt count, corpus-salt count) pairs are computed from exact
+    * per-cent_id counts (≤ nlist rows of metadata, collected and
+    * broadcast exactly like the centroid table the router already
+    * carries; the caller pins the routed probes, so the count pass reads
+    * the SAME materialized routing the join will — one narrow
+    * (cent_id, count) aggregation, map-side combined). Caps:
     *   probe chunk ≤ maxProbesPerTask (task memory: buffered probes)
     *   probe-chunk × corpus-chunk ≤ maxPairsPerTask (task compute) */
   private[similarity] def hotListSalts(
-      nP: Long,
-      nC: Long,
+      splittable: Boolean,
       probeCentIds: DataFrame,
       listCentIds: DataFrame,
       maxPairsPerTask: Long,
@@ -527,8 +555,6 @@ object Ann {
       : Option[org.apache.spark.broadcast.Broadcast[Map[Long, (Int, Int)]]] = {
     require(maxPairsPerTask > 0 && maxProbesPerTask > 0,
       "task-size caps must be positive")
-    val splittable =
-      nP > maxProbesPerTask || (nP > 0 && nC > maxPairsPerTask / nP)
     if (!splittable) None
     else {
       val spark = probeCentIds.sparkSession
@@ -569,11 +595,31 @@ object Ann {
     }
   }
 
+  /** 64-bit finalizer mix (MurmurHash3 fmix64) before the salt mod:
+    * plain `Long.hashCode(id) % salts` sends ids that share low bits
+    * (sequential ids stepping by a multiple of `salts`, zero-padded key
+    * spaces) into ONE salt, re-creating the very straggler the split
+    * exists to kill and blowing the probe-buffer memory bound. The mix
+    * makes the per-salt size a balls-in-bins expectation for ANY id
+    * pattern; the cap is exact-in-expectation, ±O(√(n/salts)) tails. */
+  @inline private def mixSalt(id: Long, salts: Int): Int = {
+    var h = id
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    math.floorMod(h, salts.toLong).toInt
+  }
+
   /** Shared salt fan-out for both batch kNN kernels: probe-side rows get
-    * ONE probe-salt (hash of their id) and replicate across the list's
-    * corpus-salts; corpus-side rows get ONE corpus-salt and replicate
-    * across the probe-salts. Rows of lists absent from the plan (k-means
-    * empty clusters / unprobed lists) drop before the shuffle. */
+    * ONE probe-salt (mixed hash of their id) and replicate across the
+    * list's corpus-salts; corpus-side rows get ONE corpus-salt and
+    * replicate across the probe-salts. Rows of lists absent from the
+    * plan drop before the shuffle — exact, not a heuristic: the caller
+    * pins the routed probes before planning, so an absent cent_id is
+    * either an unprobed list (its corpus rows can't contribute) or a
+    * probed list with zero corpus rows (its probes can't score anything). */
   private[similarity] def saltExpand[T, U: org.apache.spark.sql.Encoder](
       ds: org.apache.spark.sql.Dataset[T],
       saltB: org.apache.spark.broadcast.Broadcast[Map[Long, (Int, Int)]],
@@ -587,10 +633,10 @@ object Ann {
           case None => Iterator.empty
           case Some((psalts, csalts)) =>
             if (probeSide) {
-              val p = math.floorMod(java.lang.Long.hashCode(id(t)), psalts)
+              val p = mixSalt(id(t), psalts)
               (0 until csalts).iterator.map(c => mk(t, p, c))
             } else {
-              val c = math.floorMod(java.lang.Long.hashCode(id(t)), csalts)
+              val c = mixSalt(id(t), csalts)
               (0 until psalts).iterator.map(p => mk(t, p, c))
             }
         }
@@ -797,6 +843,12 @@ object Ann {
       .parquet(s"$path/lists")
     Seq(index.numBuckets).toDF("num_buckets").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
+    // base row count at save time: appends against frozen centroids are
+    // recall debt, and the retrain decision needs the appended FRACTION
+    // — see StreamingAnn.appendedFraction (separate file, so meta's
+    // single-int contract and older readers stay untouched)
+    Seq(index.assigned.count()).toDF("base_rows").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/base_meta")
   }
 
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =

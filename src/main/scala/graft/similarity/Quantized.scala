@@ -427,8 +427,15 @@ object Quantized {
     val scales = fitScales(corpusVecs, "cvec")
     val scalesB = spark.sparkContext.broadcast(scales)
 
-    val routed = Ann.assignNearestK(probes, idCol, vecCol, index.centroids,
+    val splittable = Ann.saltGateTrips(probes.count(), index.assigned.count(),
+      maxPairsPerTask, maxProbesPerTask)
+    val routedRaw = Ann.assignNearestK(probes, idCol, vecCol, index.centroids,
       nprobe).as[(Long, Long, Array[Float], Double)]
+    // past the gate the routing is read twice (salt-plan counts + join):
+    // pin one execution — same rationale as Ann.knnJoin (exact plan
+    // coverage under nondeterministic probe sources, no per-pass
+    // re-execution of the probe pipeline)
+    val routed = if (splittable) routedRaw.localCheckpoint() else routedRaw
     val lists = index.assigned.select(col("cent_id").cast("long"),
         col("neighbor_id").cast("long"),
         col("neighbor_id_vec").cast("array<float>"))
@@ -488,7 +495,7 @@ object Quantized {
         }
       }
 
-    val pool = Ann.hotListSalts(probes.count(), index.assigned.count(),
+    val pool = Ann.hotListSalts(splittable,
       routed.toDF(),
       index.assigned.select(col("cent_id").cast("long")).toDF("cent_id"),
       maxPairsPerTask, maxProbesPerTask) match {

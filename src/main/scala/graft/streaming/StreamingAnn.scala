@@ -64,4 +64,66 @@ object StreamingAnn {
         sink(knnBatch(indexPath, batch, idCol, vecCol, k, nprobe), batchId)
       }
       .start()
+
+  /** Fraction of the index that arrived by [[appendBatch]] since the
+    * last full [[Ann.ivfSave]]: (current list rows − rows at save) /
+    * rows at save. Appends route against FROZEN centroids, so recall
+    * drifts as this grows — the measured curve (SCALING.md
+    * `annAppendRecall`) is the retrain policy's input; rebuild
+    * (ivfBuild + ivfSave) once the fraction crosses the documented
+    * threshold. */
+  def appendedFraction(spark: SparkSession, indexPath: String): Double = {
+    val base = spark.read.parquet(s"$indexPath/base_meta").head().getLong(0)
+    val cur = spark.read.parquet(s"$indexPath/lists").count()
+    require(base > 0, s"index at $indexPath saved with no rows")
+    (cur - base).toDouble / base
+  }
+
+  /** Compact the bucket directories [[appendBatch]] has grown: every
+    * `list_bucket=N` directory holding at least `minFiles` parquet
+    * fragments is rewritten into ⌈bytes/targetBytes⌉ files, each sorted
+    * by cent_id (ivfSave's row-group-pruning clustering), and swapped in
+    * with directory renames. Appends add one small file per touched
+    * bucket per batch — unbounded, the classic streaming-ingest
+    * small-file problem; serving cost tracks file count inside the
+    * probed buckets, so periodic compaction keeps the per-query scan
+    * set flat while query RESULTS are bit-identical (spec-pinned).
+    * Returns (bucket, filesBefore, filesAfter) per compacted bucket. */
+  def compactGrownBuckets(spark: SparkSession, indexPath: String,
+      targetBytes: Long = 128L << 20, minFiles: Int = 4): Seq[(Int, Int, Int)] = {
+    require(targetBytes > 0 && minFiles >= 2,
+      "targetBytes must be positive and minFiles >= 2")
+    import org.apache.hadoop.fs.Path
+    val listsDir = new Path(s"$indexPath/lists")
+    val fs = listsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")
+      }
+    val buckets = fs.listStatus(listsDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_bucket="))
+    buckets.flatMap { b =>
+      val files = dataFiles(b.getPath)
+      if (files.size < minFiles) None
+      else {
+        val bucket = b.getPath.getName.stripPrefix("list_bucket=").toInt
+        val bytes = files.map(_.getLen).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val tmpNew = new Path(s"$indexPath/.compact_new_$bucket")
+        val tmpOld = new Path(s"$indexPath/.compact_old_$bucket")
+        fs.delete(tmpNew, true); fs.delete(tmpOld, true)
+        spark.read.parquet(b.getPath.toString)
+          .repartition(nOut)
+          .sortWithinPartitions("cent_id")
+          .write.mode("overwrite").parquet(tmpNew.toString)
+        // swap: grown dir aside, compacted dir in, old fragments gone
+        require(fs.rename(b.getPath, tmpOld), s"could not move aside $b")
+        require(fs.rename(tmpNew, b.getPath), s"could not swap in $tmpNew")
+        fs.delete(tmpOld, true)
+        Some((bucket, files.size, dataFiles(b.getPath).size))
+      }
+    }
+  }
 }

@@ -101,6 +101,27 @@ object StreamingFuzzyDedup {
     out
   }
 
+  /** Leakage-safe split tag for an EMITTED keeper batch — stage 10 of
+    * the batch curation pipeline ([[graft.tools.Curate]]) as a streaming
+    * map. An emitted keeper IS its near-dup family's min-id root
+    * ([[dedupBatch]]'s keeper rule), and the batch pipeline's cluster id
+    * is the same min-label ([[graft.dedup.FuzzyClusters]] `assign`), so
+    * the keeper's cluster id equals its own id and the split is the
+    * pure function `f(cluster_id)` of [[graft.text.Sampling
+    * .leakageSafeSplit]] — no state, no shuffle, stable across batches
+    * and runs. Under monotone id arrival the tag matches a batch Curate
+    * run over the same corpus exactly: a later near-dup never emits here
+    * (first-seen-wins) and in batch inherits this keeper's cluster —
+    * hence this keeper's split (StreamingCurationSpec pins the
+    * equivalence). Output: the batch plus `cluster_id` and `split`. */
+  def splitTag(keepers: DataFrame, idCol: String,
+      weights: Seq[Int] = Seq(8, 1, 1)): DataFrame = {
+    requireIntegralId(keepers, idCol)
+    graft.text.Sampling.leakageSafeSplit(
+      keepers.withColumn("cluster_id", col(idCol).cast("long")),
+      "cluster_id", weights)
+  }
+
   /** Streaming wiring — identical contract to
     * [[StreamingExactDedup.start]] (checkpoint-derived runId). */
   def start(docs: DataFrame, textCol: String, idCol: String,

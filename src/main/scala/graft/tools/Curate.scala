@@ -47,19 +47,34 @@ import graft.dedup.{Decontamination, FuzzyClusters}
   */
 object Curate {
 
-  /** `collectedRows` counts every row the pipeline pulls to the driver
-    * (mixing rates = one per source, the packed-chunk max = 1, the split
-    * sizes = 3): the scale invariant a probe asserts — it must stay
-    * O(sources), never O(corpus), at any input size. */
+  /** `collectedRows` counts every row the pipeline's OWN code pulls to
+    * the driver (mixing rates = one per source, the packed-chunk max = 1,
+    * the split sizes = 3). That hand count cannot see a collect hidden
+    * inside an invoked operator, so the audit also carries an
+    * UNFALSIFIABLE listener-side measure: `driverResultBytes` sums
+    * `TaskMetrics.resultSize` — the bytes every task (of every job,
+    * every operator) actually serialized back to the driver during
+    * run() — over `listenerTasks` tasks. Per-task status/metrics overhead
+    * is a few KB; any O(corpus) collect inflates the mean by orders of
+    * magnitude, which is the scale invariant the probes assert
+    * (mean result size stays O(KB) at any input size). The listener bus
+    * is async and lossy under pressure: both fields are reported
+    * best-effort (-1 when the bus delivered nothing). */
   final case class Audit(stages: Seq[(String, Long)],
       stageSecs: Seq[(String, Double)], chunks: Long, collectedRows: Long,
-      sec: Double) {
+      driverResultBytes: Long, listenerTasks: Long, sec: Double) {
     def json: String = {
       val s = stages.map { case (n, c) => s""""$n":$c""" }.mkString(",")
       val t = stageSecs.map { case (n, v) => f""""$n":$v%.3f""" }.mkString(",")
       f"""{"pipeline":"curate","stages":{$s},"stage_secs":{$t},""" +
-        f""""packed_chunks":$chunks,"collected_rows":$collectedRows,"sec":$sec%.3f}"""
+        f""""packed_chunks":$chunks,"collected_rows":$collectedRows,""" +
+        f""""driver_result_bytes":$driverResultBytes,""" +
+        f""""listener_tasks":$listenerTasks,"sec":$sec%.3f}"""
     }
+    /** Mean bytes a task returned to the driver (-1 if the bus dropped
+      * everything): the O(corpus)-collect detector. */
+    def meanTaskResultBytes: Long =
+      if (listenerTasks <= 0) -1L else driverResultBytes / listenerTasks
   }
 
   /** The pipeline body — returns (split-tagged curated corpus, mixing
@@ -68,6 +83,23 @@ object Curate {
   def run(docs: DataFrame, benchmark: DataFrame,
       capacity: Long = 512): (DataFrame, DataFrame, DataFrame, Audit) = {
     val t0 = System.nanoTime()
+    // listener-side driver-collect accounting (see Audit): counts what
+    // EVERY task of every invoked operator ships back to the driver,
+    // including collects buried inside lshStarClusters/Decontamination/
+    // leakageSafeSplit that the hand-maintained collectedRows can't see
+    val resultBytes = new java.util.concurrent.atomic.AtomicLong()
+    val taskCount = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          resultBytes.addAndGet(m.resultSize)
+          taskCount.incrementAndGet()
+        }
+      }
+    }
+    docs.sparkSession.sparkContext.addSparkListener(listener)
     val stages = Seq.newBuilder[(String, Long)]
     val stageSecs = Seq.newBuilder[(String, Double)]
     var lastT = t0
@@ -162,8 +194,14 @@ object Curate {
     // every driver-side collect in the pipeline, accounted: the scale
     // invariant is that this stays O(sources) at any corpus size
     val collected = rates.size.toLong + 1L + splitCounts.size.toLong
+    // drain the async listener bus best-effort before reading the sums
+    try {
+      Thread.sleep(500)
+      docs.sparkSession.sparkContext.removeSparkListener(listener)
+    } catch { case _: Throwable => () }
     (curated, mix, splits,
       Audit(stages.result(), stageSecs.result(), nChunks, collected,
+        resultBytes.get(), taskCount.get(),
         (System.nanoTime() - t0) / 1e9))
   }
 

@@ -116,4 +116,34 @@ class StreamingAnnSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     perBatch(1) shouldBe grownExpect
   }
+
+  it should "compact grown buckets with bit-identical query results" in {
+    val corpus = mkCorpus(200, 16)
+    val indexPath = tmp("ann-idx-compact")
+    Ann.ivfSave(Ann.ivfBuild(corpus, "vec_id", "embedding", nlist = 8),
+      indexPath)
+    // five small append batches: each adds a fragment file per touched
+    // bucket — the unbounded small-file growth compaction exists for
+    (0 until 5).foreach { r =>
+      val batch = mkCorpus(200, 16).where(pmod(col("vec_id"), lit(5)) === r)
+        .select((col("vec_id") + 1000L * (r + 1)).as("vec_id"),
+          col("embedding"))
+      StreamingAnn.appendBatch(spark, indexPath, batch, "vec_id", "embedding")
+    }
+    // appended exactly one base-corpus-worth of rows
+    StreamingAnn.appendedFraction(spark, indexPath) shouldBe 1.0 +- 1e-9
+
+    val probes = corpus.where(col("vec_id") < 25)
+    def serve() = Ann.ivfQuery(Ann.ivfLoad(spark, indexPath), probes,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val before = serve()
+    val report = StreamingAnn.compactGrownBuckets(spark, indexPath,
+      targetBytes = 64L << 20, minFiles = 2)
+    report should not be empty
+    report.foreach { case (_, nb, na) => na should be < nb }
+    serve() shouldBe before // bit-identical results off the compacted files
+    // compaction rewrote files, not rows
+    StreamingAnn.appendedFraction(spark, indexPath) shouldBe 1.0 +- 1e-9
+  }
 }

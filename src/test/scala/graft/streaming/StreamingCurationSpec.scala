@@ -89,4 +89,59 @@ class StreamingCurationSpec extends SparkSpec {
     sunk.sorted.toList shouldBe List(1L)
   }
 
+  it should "split-tag the streamed corpus exactly like the batch pipeline" in {
+    implicit val sqlCtx = spark.sqlContext
+    // three families across two batches: A = {1, verbatim 4, near-dup 6},
+    // B = {2, near-dup 5}, C = {3} — monotone ids, so streamed keepers
+    // are the batch clustering's min-id roots
+    val textA = good
+    val textB = (("the calm river of the quiet and ancient valley " +
+      "walked the gentle dog of a warm day ") * 8).trim
+    val textC = (("the patient owl of a winter night watched " +
+      "the silver moon and the sleeping field ") * 8).trim
+    val corpus = Seq(
+      (1L, textA), (2L, textB), (3L, textC),
+      (4L, textA), (5L, textB + " with one extra closing sentence"),
+      (6L, textA + " and one more trailing thought"))
+
+    val tagged = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    val (indexDir, ckpt) = (tmp("curs-idx"), tmp("curs-ck"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingFuzzyDedup.start(
+      gates(stream.toDS().toDF("doc_id", "text")),
+      "text_clean", "doc_id", indexDir, ckpt) { batch =>
+      val withSplit = StreamingFuzzyDedup.splitTag(batch, "doc_id")
+      tagged.synchronized {
+        tagged ++= withSplit.select("doc_id", "cluster_id", "split")
+          .as[(Long, Long, Int)].collect()
+      }
+    }
+    try {
+      stream.addData(corpus.take(3): _*)
+      q.processAllAvailable()
+      stream.addData(corpus.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch pipeline over the same corpus: the full-membership split frame
+    val (_, _, splits, _) = graft.tools.Curate.run(
+      corpus.toDF("doc_id", "text")
+        .withColumn("source", lit("s")), // Curate expects a source column
+      Seq((99L, "benchmark text never colliding")).toDF("doc_id", "text"))
+    val batchSplit = splits.select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+
+    // streamed keepers carry the batch run's exact (cluster_id, split)
+    tagged should not be empty
+    tagged.foreach { case (id, cid, sp) =>
+      withClue(s"doc $id: ") { batchSplit(id) shouldBe ((cid, sp)) }
+    }
+    // and every batch-side family member (kept OR dropped) shares its
+    // streamed keeper's split — the leakage-safety contract end to end
+    val streamedSplit = tagged.map(t => t._2 -> t._3).toMap
+    batchSplit.foreach { case (_, (cid, sp)) =>
+      streamedSplit.get(cid).foreach(_ shouldBe sp)
+    }
+  }
+
 }
