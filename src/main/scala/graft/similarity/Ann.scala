@@ -422,28 +422,39 @@ object Ann {
       "task-size caps must be positive")
     val spark = probes.sparkSession
     import spark.implicits._
+    val dim = index.centroids.select(size(col("cent_vec"))).head().getInt(0)
+    val effPairs = effectivePairCap(maxPairsPerTask, dim)
     val splittable = saltGateTrips(probes.count(), index.assigned.count(),
-      maxPairsPerTask, maxProbesPerTask)
+      effPairs, maxProbesPerTask)
     val routedRaw = assignNearestK(probes, idCol, vecCol, index.centroids, nprobe)
       .as[(Long, Long, Array[Float], Double)]
-    // Past the gate the routing is read twice (per-list counts + the
-    // join): pin ONE execution so both passes see identical cent_id
-    // assignments. Without this a nondeterministic probe source (rand(),
-    // sample, fresh monotonically_increasing_id) could route rows to
-    // lists absent from the salt plan between the passes — silently
-    // losing result rows — and an expensive uncached probe pipeline
-    // would re-execute per pass. Below the gate the single join
-    // execution needs no pin (callers with expensive probe pipelines
-    // still pay the gate's one probes.count() — checkpoint upstream if
-    // that pass is itself costly).
-    val routed = if (splittable) routedRaw.localCheckpoint() else routedRaw
     val lists = index.assigned.select(col("cent_id").cast("long"),
       col("neighbor_id").cast("long"),
       col("neighbor_id_vec").cast("array<float>"))
       .as[(Long, Long, Array[Float])]
+    // When the exact counts produce a REAL salt plan, the plan filters
+    // rows by cent_id (saltExpand drops lists absent from it) — so the
+    // plan must be rebuilt from the SAME routing execution the join
+    // reads: pin the routing (localCheckpoint) and re-plan from the
+    // pinned frame. A nondeterministic probe source (rand(), sample,
+    // fresh monotonically_increasing_id) can otherwise route rows to
+    // unplanned lists between the passes, silently losing results.
+    // When the counts prove every list balanced (None), NO plan filter
+    // exists and the unsplit join is a single execution — correct for
+    // any source, so it keeps the verbatim r9 plan with no
+    // materialization (an unconditional checkpoint measured 4x on the
+    // balanced SQ 200k join: the cogroup lost its fused routing scan).
+    val (routed, plan) =
+      hotListSalts(splittable, routedRaw.toDF(), lists.toDF(),
+        effPairs, maxProbesPerTask) match {
+        case None => (routedRaw, None)
+        case Some(_) =>
+          val pinned = routedRaw.localCheckpoint()
+          (pinned, hotListSalts(splittable, pinned.toDF(), lists.toDF(),
+            effPairs, maxProbesPerTask))
+      }
     val (routedS, listsS) =
-      hotListSalts(splittable,
-        routed.toDF(), lists.toDF(), maxPairsPerTask, maxProbesPerTask) match {
+      plan match {
         case None =>
           (routed.map(r => (r._1, 0, 0, r._2, r._3, r._4)),
             lists.map(l => (l._1, 0, 0, l._2, l._3)))
@@ -507,9 +518,24 @@ object Ann {
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Default compute cap per knnJoin task: 2^26 probe×corpus pairs
-    * (~8.6 G multiply-adds at dim 128 — seconds, not hours). */
+  /** Default compute cap per knnJoin task: 2^26 probe×corpus pairs.
+    * Split tiles are additionally flop-normalized by [[effectivePairCap]]
+    * so a tile is ~1 GFLOP (≈ a second of one core) at ANY dimension —
+    * a fixed PAIR cap alone makes a dim-128 tile a ~10 s task, and
+    * coarse tiles bin-pack badly onto the reducer count (the
+    * knnJoinSkew500k probe measured max/median 1.87 from 104 tiles on
+    * 32 reducers; ~1500 fine tiles pack to ~1.3). */
   val DefaultMaxPairsPerTask: Long = 1L << 26
+
+  /** Flop-normalized per-task pair budget, applied ONLY at the default
+    * cap: pairs × dim ≲ 2^29 multiply-adds (dim floored at 64, so
+    * low-dim joins keep 2^23 pairs as the tile). An EXPLICIT cap — tiny
+    * (spec-forced splits) or huge (deliberately unsplit baselines) — is
+    * honored verbatim: the auto-normalization is a default-tuning rule,
+    * not an override of the caller's contract. */
+  private[similarity] def effectivePairCap(maxPairsPerTask: Long, dim: Int): Long =
+    if (maxPairsPerTask != DefaultMaxPairsPerTask) maxPairsPerTask
+    else math.max(1L, math.min(maxPairsPerTask, (1L << 29) / math.max(64, dim)))
 
   /** Default memory cap per knnJoin task: 2^17 buffered probe vectors
     * (~67 MB at dim 128). Corpus rows stream; only probes are held. */

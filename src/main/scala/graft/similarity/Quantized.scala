@@ -427,15 +427,14 @@ object Quantized {
     val scales = fitScales(corpusVecs, "cvec")
     val scalesB = spark.sparkContext.broadcast(scales)
 
+    val dim = index.centroids
+      .select(org.apache.spark.sql.functions.size(col("cent_vec")))
+      .head().getInt(0)
+    val effPairs = Ann.effectivePairCap(maxPairsPerTask, dim)
     val splittable = Ann.saltGateTrips(probes.count(), index.assigned.count(),
-      maxPairsPerTask, maxProbesPerTask)
+      effPairs, maxProbesPerTask)
     val routedRaw = Ann.assignNearestK(probes, idCol, vecCol, index.centroids,
       nprobe).as[(Long, Long, Array[Float], Double)]
-    // past the gate the routing is read twice (salt-plan counts + join):
-    // pin one execution — same rationale as Ann.knnJoin (exact plan
-    // coverage under nondeterministic probe sources, no per-pass
-    // re-execution of the probe pipeline)
-    val routed = if (splittable) routedRaw.localCheckpoint() else routedRaw
     val lists = index.assigned.select(col("cent_id").cast("long"),
         col("neighbor_id").cast("long"),
         col("neighbor_id_vec").cast("array<float>"))
@@ -495,10 +494,22 @@ object Quantized {
         }
       }
 
-    val pool = Ann.hotListSalts(splittable,
-      routed.toDF(),
-      index.assigned.select(col("cent_id").cast("long")).toDF("cent_id"),
-      maxPairsPerTask, maxProbesPerTask) match {
+    // plan from the raw routing; a REAL salt plan filters rows by
+    // cent_id, so it is rebuilt from a pinned (localCheckpoint) routing
+    // the join then reads — same contract and rationale as Ann.knnJoin
+    // (balanced joins keep the verbatim unpinned plan)
+    val centIdsOnly =
+      index.assigned.select(col("cent_id").cast("long")).toDF("cent_id")
+    val (routed, plan) =
+      Ann.hotListSalts(splittable, routedRaw.toDF(), centIdsOnly,
+        effPairs, maxProbesPerTask) match {
+        case None => (routedRaw, None)
+        case Some(_) =>
+          val pinned = routedRaw.localCheckpoint()
+          (pinned, Ann.hotListSalts(splittable, pinned.toDF(), centIdsOnly,
+            effPairs, maxProbesPerTask))
+      }
+    val pool = plan match {
       case None =>
         routed.groupByKey(_._1).cogroup(lists.groupByKey(_._1)) {
           (_, ps, cs) =>
