@@ -24,6 +24,26 @@ object Bench {
     val loadAtStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
+    // CPU-steal accounting (field 8 of /proc/stat's cpu line): this is a
+    // shared VM, and hypervisor steal is the one contention source the
+    // load average cannot see — identical builds measured 24s vs 61s
+    // repeat columns at "idle" load purely from steal windows. Recording
+    // the delta makes a receipt interpretable: high steal_pct = the
+    // HOST was contended, not the plan.
+    def stealTicks(): Long =
+      try {
+        val l = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+        l(8).toLong
+      } catch { case _: Throwable => -1L }
+    def totalTicks(): Long =
+      try {
+        val l = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+        l.drop(1).map(_.toLong).sum
+      } catch { case _: Throwable => -1L }
+    val (steal0, ticks0) = (stealTicks(), totalTicks())
+
     // warm up the JVM/codegen paths once with the smallest query
     try SparkEntry.queries("q01_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
@@ -71,8 +91,12 @@ object Bench {
     // BENCH_NOTES.md)
     val loadAtEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val (steal1, ticks1) = (stealTicks(), totalTicks())
+    val stealPct =
+      if (steal0 < 0 || steal1 < 0 || ticks1 <= ticks0) -1.0
+      else (steal1 - steal0) * 100.0 / (ticks1 - ticks0)
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(cold)},"total_repeat":$totalRepeat%.3f,"queries_repeat":${jmap(repeat)},"load_avg_start":$loadAtStart%.2f,"load_avg_end":$loadAtEnd%.2f,"cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(cold)},"total_repeat":$totalRepeat%.3f,"queries_repeat":${jmap(repeat)},"load_avg_start":$loadAtStart%.2f,"load_avg_end":$loadAtEnd%.2f,"steal_pct":$stealPct%.2f,"cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir"}"""
     println(json)
     // subset runs never clobber the committed full-run artifact
     if (only.isEmpty)

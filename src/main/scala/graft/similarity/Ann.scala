@@ -424,8 +424,13 @@ object Ann {
     import spark.implicits._
     val dim = index.centroids.select(size(col("cent_vec"))).head().getInt(0)
     val effPairs = effectivePairCap(maxPairsPerTask, dim)
+    // the GATE uses the caller's cap, not the finer tile budget: below
+    // it the single unsplit task is bounded by maxPairsPerTask anyway
+    // (seconds, the acceptable skip-the-counting ceiling), and
+    // serving-sized joins (q199's shape) must stay zero-overhead — a
+    // tile-budget gate made them pay the counting pass for nothing
     val splittable = saltGateTrips(probes.count(), index.assigned.count(),
-      effPairs, maxProbesPerTask)
+      maxPairsPerTask, maxProbesPerTask)
     val routedRaw = assignNearestK(probes, idCol, vecCol, index.centroids, nprobe)
       .as[(Long, Long, Array[Float], Double)]
     val lists = index.assigned.select(col("cent_id").cast("long"),

@@ -431,8 +431,10 @@ object Quantized {
       .select(org.apache.spark.sql.functions.size(col("cent_vec")))
       .head().getInt(0)
     val effPairs = Ann.effectivePairCap(maxPairsPerTask, dim)
+    // gate on the caller's cap; tiles on the flop-normalized budget
+    // (see Ann.knnJoin — serving-sized joins stay zero-overhead)
     val splittable = Ann.saltGateTrips(probes.count(), index.assigned.count(),
-      effPairs, maxProbesPerTask)
+      maxPairsPerTask, maxProbesPerTask)
     val routedRaw = Ann.assignNearestK(probes, idCol, vecCol, index.centroids,
       nprobe).as[(Long, Long, Array[Float], Double)]
     val lists = index.assigned.select(col("cent_id").cast("long"),
