@@ -243,16 +243,20 @@ object Exif {
       if (e.typ != 5 || e.count != 3) None
       else {
         val vals = (0 until 6).map(k => u32(e.valueAt + 4 * k))
-        // sanity bounds keep the common-denominator arithmetic in Long
+        // sanity bounds on every component (a u32 numerator times the
+        // 3.6e9 degree scale overflows Long, so the per-term products
+        // go through BigInt — truncating division per term, identical
+        // to the old Long arithmetic wherever that didn't overflow)
         if (vals.exists(_ < 0) || vals(1) == 0 || vals(3) == 0 || vals(5) == 0
-          || vals(0) / vals(1) > 360 || vals(2) / vals(3) > 60) None
+          || vals(0) / vals(1) > 360 || vals(2) / vals(3) > 60
+          || vals(4) / vals(5) > 60) None
         else {
           // sum in micro-degrees·3600 so deg + min + sec stay integral;
           // exact for the writer's (d,1)(m,1)(microsec,1e6) encoding
-          val scaled = vals(0) * 1000000L * 3600L / vals(1) +
-            vals(2) * 1000000L * 60L / vals(3) +
-            vals(4) * 1000000L / vals(5)
-          Some(scaled / 3600L)
+          val scaled = BigInt(vals(0)) * 3600000000L / vals(1) +
+            BigInt(vals(2)) * 60000000L / vals(3) +
+            BigInt(vals(4)) * 1000000L / vals(5)
+          Some((scaled / 3600L).toLong)
         }
       }
 

@@ -87,11 +87,21 @@ object ImageHeaders {
     else Some(ImageMeta("image/gif", u16le(b, 6), u16le(b, 8)))
   }
 
-  /** BMP: BITMAPINFOHEADER width/height (signed LE i32 at 18/22; height
-    * may be negative for top-down rows — magnitude is the pixel height). */
+  /** BMP: dispatch on the DIB header size at offset 14 — 12 is the OS/2
+    * BITMAPCOREHEADER (UNSIGNED LE u16 dims at 18/20), anything >= 40 is
+    * the BITMAPINFOHEADER family (signed LE i32 at 18/22; height may be
+    * negative for top-down rows — magnitude is the pixel height).
+    * Reading a COREHEADER file with the INFOHEADER layout would splice
+    * the height's low half onto the width — garbage dims, not None. */
   private def parseBmp(b: Array[Byte]): Option[ImageMeta] =
-    if (b.length < 26) None
-    else Some(ImageMeta("image/bmp", i32le(b, 18), math.abs(i32le(b, 22))))
+    if (b.length < 22) None
+    else i32le(b, 14) match {
+      case 12 =>
+        Some(ImageMeta("image/bmp", u16le(b, 18), u16le(b, 20)))
+      case sz if sz >= 40 && b.length >= 26 =>
+        Some(ImageMeta("image/bmp", i32le(b, 18), math.abs(i32le(b, 22))))
+      case _ => None
+    }
 
   // ------------------------------------------------------- synthesis ------
   // Deterministic minimal-but-spec-valid fixtures (used by tests and the

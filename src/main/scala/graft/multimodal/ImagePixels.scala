@@ -80,7 +80,11 @@ object ImagePixels {
     try {
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated
+        // n == 0 without finished() covers EVERY stall state — truncated
+        // input (needsInput) AND a preset-dictionary stream (FDICT set,
+        // needsDictionary), which previously looped forever on hostile
+        // bytes because neither exit condition could become true
+        if (n == 0 && !inflater.finished()) return None
         off += n
       }
     } catch { case _: Exception => return None } finally inflater.end()
@@ -175,12 +179,14 @@ object ImagePixels {
     val out = new Array[Float](gw * gh)
     var gy = 0
     while (gy < gh) {
-      val y0 = gy * g.height / gh
-      val y1 = math.max(y0 + 1, (gy + 1) * g.height / gh)
+      // long box arithmetic: gx * width overflows Int once the grid is
+      // wide and the source is large (prime dim -> gw = dim strips)
+      val y0 = (gy.toLong * g.height / gh).toInt
+      val y1 = math.max(y0 + 1, ((gy + 1).toLong * g.height / gh).toInt)
       var gx = 0
       while (gx < gw) {
-        val x0 = gx * g.width / gw
-        val x1 = math.max(x0 + 1, (gx + 1) * g.width / gw)
+        val x0 = (gx.toLong * g.width / gw).toInt
+        val x1 = math.max(x0 + 1, ((gx + 1).toLong * g.width / gw).toInt)
         var sum = 0f
         var y = y0
         while (y < y1) {

@@ -100,7 +100,9 @@ object Multimodal {
     * each — row-count partitioning is wrong when rows are megabytes. */
   def repartitionForMedia(df: DataFrame, bytesCol: String, targetBytes: Long): DataFrame = {
     val spark = df.sparkSession
-    val totalBytes = df.select(sum(length(col(bytesCol)).cast("long"))).head().getLong(0)
+    // coalesce: sum over zero rows (or all-null payloads) is null
+    val totalBytes = df.select(coalesce(sum(length(col(bytesCol)).cast("long")),
+      lit(0L))).head().getLong(0)
     val parts = math.max(1, math.min(200000, totalBytes / math.max(1, targetBytes))).toInt
     df.repartition(parts)
   }

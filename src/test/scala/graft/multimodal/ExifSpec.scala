@@ -51,6 +51,25 @@ class ExifSpec extends AnyFlatSpec with Matchers {
     Exif.parse(bad).make shouldBe None
   }
 
+  it should "keep u32-scale rationals exact instead of overflowing Long" in {
+    // deg = 0xFFFFFFFF/0xFFFFFFFF = 1 passes the ratio bound, but the old
+    // Long arithmetic (num * 3.6e9) wrapped negative — the coordinate came
+    // back as garbage instead of 1 degree
+    val jpeg = Exif.buildJpeg("X", "t", 1, 0L, 0L)
+    // writer layout: TIFF origin 12, lat DMS block at origin+126 (deg num,
+    // deg den, min num, min den, sec num, sec den — LE u32s)
+    val latAt = 12 + 126
+    jpeg.slice(latAt, latAt + 8).toSeq shouldBe
+      Seq[Byte](0, 0, 0, 0, 1, 0, 0, 0) // guard: 0/1 degrees as written
+    for (k <- 0 until 8) jpeg(latAt + k) = 0xff.toByte
+    Exif.parse(jpeg).latE6 shouldBe Some(1000000L)
+    // an unbounded seconds term is corruption, not a coordinate
+    val jpeg2 = Exif.buildJpeg("X", "t", 1, 0L, 0L)
+    jpeg2(latAt + 16) = 0xff.toByte // sec num = 255, sec den stays 1e6...
+    for (k <- 17 until 24) jpeg2(latAt + k) = 0.toByte // ...den = 0 -> None
+    Exif.parse(jpeg2).latE6 shouldBe None
+  }
+
   it should "parse a bare TIFF body (no JPEG wrapper)" in {
     val jpeg = Exif.buildJpeg("Bare", "t", 8, lat, lon)
     val tiff = jpeg.slice(12, jpeg.length - 2) // strip SOI+APP1 header+EOI

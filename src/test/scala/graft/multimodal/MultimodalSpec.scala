@@ -69,6 +69,21 @@ class MultimodalSpec extends SparkSpec {
       Some(ImageHeaders.ImageMeta("image/bmp", 12, 34))
   }
 
+  it should "parse OS/2 BITMAPCOREHEADER dims as u16 (not the v3 layout)" in {
+    // 12-byte DIB header: u16 dims at 18/20 — the INFOHEADER layout would
+    // splice height bits into the width
+    val core = new Array[Byte](26)
+    core(0) = 'B'; core(1) = 'M'
+    core(14) = 12 // DIB header size (LE i32)
+    core(18) = 0x05; core(19) = 0x00 // width 5
+    core(20) = 0x07; core(21) = 0x00 // height 7
+    ImageHeaders.parse(core) shouldBe
+      Some(ImageHeaders.ImageMeta("image/bmp", 5, 7))
+    // unknown DIB header size: None, not a guess
+    val odd = core.clone(); odd(14) = 27
+    ImageHeaders.parse(odd) shouldBe None
+  }
+
   // ---------------- round-3: REAL pixel decode + embedding kernel --------
 
   "ImagePixels" should "round-trip encodeGrayPng through the real decoder" in {
@@ -120,6 +135,27 @@ class MultimodalSpec extends SparkSpec {
     g.pix(1) shouldBe (200 / 255f) +- 1e-4f
     g.pix(2) shouldBe 0f +- 1e-4f // bottom-left black
     g.pix(3) shouldBe 1f +- 1e-4f
+  }
+
+  it should "return None (not hang) on a preset-dictionary zlib IDAT" in {
+    // zlib header 0x78 0x20 sets FDICT: Inflater stalls at
+    // needsDictionary — inflate() returns 0 with needsInput() false and
+    // finished() false forever, which the old loop condition never exited
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def w32(v: Int): Unit = { png.write(v >>> 24); png.write((v >>> 16) & 0xff)
+        png.write((v >>> 8) & 0xff); png.write(v & 0xff) }
+      w32(data.length); png.write(typ.getBytes("US-ASCII"))
+      png.write(data); w32(0) // decoder ignores chunk CRCs
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(2).putInt(2)
+    ihdr.put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", Array(0x78, 0x20, 0, 0, 0, 1, 7, 7, 7, 7).map(_.toByte))
+    chunk("IEND", Array.emptyByteArray)
+    ImagePixels.decode(png.toByteArray) shouldBe None
   }
 
   it should "hash duplicates equal and distinct patterns apart (dhash64)" in {
