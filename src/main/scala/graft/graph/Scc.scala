@@ -220,7 +220,7 @@ object Scc {
       // chain of rings contracts geometrically (~half its remaining
       // rings per pass) instead of stalling after one pass. Passes stop
       // when no cycle is found (a DAG never has one) or when a pass
-      // contracts <0.5% of the vertices: inside a DENSE strongly
+      // contracts <5% of the vertices: inside a DENSE strongly
       // connected region the pointer graph is a near-random mapping
       // whose cycles cover only ~sqrt(n) vertices, so passes would
       // crawl — but such regions are exactly the small-diameter ones
@@ -255,7 +255,16 @@ object Scc {
         val reps = onCycle.where(col("id") =!= col("m"))
           .select(col("id"), col("m").as("rep"))
         val nReps = reps.count()
-        if (nReps < math.max(1L, nVerts / 200)) contracting = false
+        // stop at <5% contracted: a pass costs ceil(log2 n) checkpointed
+        // doubling joins, and what a marginal pass leaves behind is
+        // absorbed by the label fixpoint at O(log diameter) — the
+        // position-independent doubling fold resolves an uncontracted
+        // ring of ANY length in log2(len) iterations, so trading a whole
+        // 20-join pass for a few fixpoint iterations is the wrong side
+        // of the ledger. Measured on the 1.2M-edge bow-tie probe: the
+        // old 0.5% floor ran NINE passes (~50% of round-1 wall) whose
+        // passes 2-8 each shaved only a few % of the dense core
+        if (nReps < math.max(1L, nVerts / 20)) contracting = false
         if (nReps > 0) {
           val (v2c, v2cIds) = cp(verts.join(reps, Seq("id"), "left")
             .select(coalesce(col("rep"), col("id")).as("id"), col("part"))
