@@ -242,13 +242,40 @@ object Scc {
         var (rm, rmIds) = cp(verts.join(pbSeed0, Seq("id"), "left")
           .select(col("id"), coalesce(col("pb"), col("id")).as("r"),
             col("id").as("m")))
-        for (_ <- 1 to kDoubles.toInt) {
+        // Doubling with an EXACT early stop: the image of r is monotone
+        // shrinking across doublings (off-cycle w is in the image of the
+        // 2^k-hop map iff its longest inverse pb-chain S(w) >= 2^k; cycle
+        // vertices are always in it), and a COUNT plateau between two
+        // consecutive doublings certifies the image is exactly the cycle
+        // set: if any off-cycle S >= 2^k survived, the minimal such S
+        // would have to lie in [2^k, 2^{k+1}) (walk one step down its
+        // longest chain — a smaller qualifying S, or a longer chain into
+        // the original vertex, contradiction either way), and that
+        // vertex would witness a count drop. So stopping at a plateau
+        // keeps onCycle membership exact. The m-fold may then cover only
+        // a PREFIX of a long cycle's orbit — still sound: for on-cycle v
+        // every prefix element is on v's own cycle (same SCC), m is
+        // monotone (m(v) <= id), and the cycle's true minimum M keeps
+        // m(M) = M, so M never contracts away — a partially-folded giant
+        // cycle contracts to its window-local minima and later passes /
+        // the label fixpoint absorb the shortened remainder. Payoff: the
+        // loop runs ~log2(longest pb-tail) joins instead of log2(n) —
+        // the salted pb choices make long tails exponentially unlikely,
+        // so this is most of the doublings on dense cores (tails
+        // ~sqrt(n)) and nearly all of them on ring-of-rings shapes.
+        var prevImage = -1L
+        var kd = 0
+        while (kd < kDoubles.toInt) {
+          kd += 1
           val (rm2, rm2Ids) = cp(rm
             .join(rm.select(col("id").as("r"), col("m").as("m2"),
               col("r").as("r2")), Seq("r"))
             .select(col("id"), col("r2").as("r"),
               least(col("m"), col("m2")).as("m")))
           free(rmIds); rm = rm2; rmIds = rm2Ids
+          val image = rm.select(countDistinct(col("r"))).head().getLong(0)
+          if (image == prevImage) kd = kDoubles.toInt // exact plateau: done
+          prevImage = image
         }
         val onCycle = rm
           .join(rm.select(col("r").as("id")).distinct(), Seq("id"), "left_semi")

@@ -94,6 +94,24 @@ class SccSpec extends SparkSpec {
     }
   }
 
+  it should "resolve a pure giant ring under the doubling early-stop" in {
+    // single thin cycle, no tails: the pointer-map image is the whole
+    // ring at EVERY doubling, so the plateau fires immediately and the
+    // contract pass sees only window-local minima — correctness must
+    // come from iterated passes + the label fixpoint, not from a full
+    // log2(n) doubling
+    val n = 241L
+    val ring = (0L until n).map(i => (i, (i + 1) % n))
+    dist(ring) shouldBe (0L until n).map(i => i -> 0L).toMap
+    // and a LONG TAIL into a small ring: the plateau may not fire until
+    // the doubling covers the tail, and every tail vertex must stay a
+    // singleton (never contracted as on-cycle)
+    val tail = (1001L until 1100L).map(i => (i, i - 1)) :+ (1000L, 4L)
+    val got = dist(ring.take(5).map { case (s, d) => (s, d % 5) } ++ tail)
+    (0L until 5L).foreach(i => got(i) shouldBe 0L)
+    (1000L until 1100L).foreach(i => got(i) shouldBe i)
+  }
+
   it should "handle a long trivial-SCC chain through trim" in {
     val edges = (1L until 60L).map(i => (i, i + 1))
     val got = drv(edges)
