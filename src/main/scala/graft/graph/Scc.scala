@@ -30,11 +30,13 @@ import org.apache.spark.sql.functions._
   *      FUNCTIONAL graph, whose cycles are detected by clean pointer
   *      doubling in exactly ceil(log2 n) joins (r(v) := r(r(v)) walks
   *      2^k predecessor hops; v is on a pointer cycle iff v is in the
-  *      image of the 2^K-hop map). Every pointer cycle follows real
-  *      edges, so its vertices are provably one SCC — they contract to
-  *      the cycle's min id before the label fixpoint ever runs. This is
-  *      what makes giant cycles cheap: a 300k-vertex core ring is ONE
-  *      supervertex after ~19 doubling joins, where any reach-based
+  *      image of the 2^K-hop map, and K stops early at an exact
+  *      image-count plateau — see the in-loop proof). Every pointer
+  *      cycle follows real edges, so its vertices are provably one
+  *      SCC — they contract to (window-local) cycle minima before the
+  *      label fixpoint ever runs. This is what makes giant cycles
+  *      cheap: a 300k-vertex core ring collapses through a few
+  *      256-hop-window passes (~99.6% per pass) where any reach-based
   *      fixpoint would grind around it. Contracted ids are lifted back
   *      at the end through an accumulated (orig, cur) mapping; labels
   *      stay exact because each rep is the minimum of its merged set.
@@ -263,6 +265,13 @@ object Scc {
         // the salted pb choices make long tails exponentially unlikely,
         // so this is most of the doublings on dense cores (tails
         // ~sqrt(n)) and nearly all of them on ring-of-rings shapes.
+        // A floor of 8 doublings (256-hop window) runs before the plateau
+        // may exit: a chordless giant ring plateaus at the SECOND doubling
+        // (its image is always the whole ring), and a 4-hop fold window
+        // would contract it by only ~20% per pass — the 256-hop window
+        // keeps one pass removing ~99.6% of a pure ring at 8 joins, while
+        // dense cores (plateau ~log2 sqrt(n) > 8) lose nothing.
+        val minDoubles = math.min(8, kDoubles.toInt)
         var prevImage = -1L
         var kd = 0
         while (kd < kDoubles.toInt) {
@@ -273,14 +282,28 @@ object Scc {
             .select(col("id"), col("r2").as("r"),
               least(col("m"), col("m2")).as("m")))
           free(rmIds); rm = rm2; rmIds = rm2Ids
-          val image = rm.select(countDistinct(col("r"))).head().getLong(0)
-          if (image == prevImage) kd = kDoubles.toInt // exact plateau: done
-          prevImage = image
+          if (kd >= minDoubles && kd < kDoubles.toInt) {
+            val image = rm.select(countDistinct(col("r"))).head().getLong(0)
+            if (image == prevImage) kd = kDoubles.toInt // exact plateau: done
+            prevImage = image
+          }
         }
         val onCycle = rm
           .join(rm.select(col("r").as("id")).distinct(), Seq("id"), "left_semi")
+        // CHAIN-FREE rep map: with a partially-folded m, v -> x and
+        // x -> y can both appear (x is a window-local min that itself
+        // sees a smaller one). Applying such a map one step would leave
+        // x BOTH contracted (a contractMap entry) and alive (as v's
+        // image), and finish() would emit x's rows twice — the one-step
+        // rewrites below are only sound on a map whose targets are all
+        // survivors. Dropping entries whose target is itself contracted
+        // restores that invariant (the dropped vertices contract next
+        // pass instead), and makes nReps the EXACT vertex-count
+        // reduction, so the <5% progress gate measures real shrinkage.
         val reps = onCycle.where(col("id") =!= col("m"))
           .select(col("id"), col("m").as("rep"))
+          .join(onCycle.where(col("id") =!= col("m"))
+            .select(col("id").as("rep")), Seq("rep"), "left_anti")
         val nReps = reps.count()
         // stop at <5% contracted: a pass costs ceil(log2 n) checkpointed
         // doubling joins, and what a marginal pass leaves behind is

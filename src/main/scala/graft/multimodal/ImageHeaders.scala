@@ -88,9 +88,10 @@ object ImageHeaders {
   }
 
   /** BMP: dispatch on the DIB header size at offset 14 — 12 is the OS/2
-    * BITMAPCOREHEADER (UNSIGNED LE u16 dims at 18/20), anything >= 40 is
-    * the BITMAPINFOHEADER family (signed LE i32 at 18/22; height may be
-    * negative for top-down rows — magnitude is the pixel height).
+    * BITMAPCOREHEADER (UNSIGNED LE u16 dims at 18/20); anything >= 16 is
+    * INFOHEADER-layout-compatible (OS/2 2.x headers are truncations or
+    * extensions of BITMAPINFOHEADER: signed LE i32 dims at 18/22; height
+    * may be negative for top-down rows — magnitude is the pixel height).
     * Reading a COREHEADER file with the INFOHEADER layout would splice
     * the height's low half onto the width — garbage dims, not None. */
   private def parseBmp(b: Array[Byte]): Option[ImageMeta] =
@@ -98,7 +99,7 @@ object ImageHeaders {
     else i32le(b, 14) match {
       case 12 =>
         Some(ImageMeta("image/bmp", u16le(b, 18), u16le(b, 20)))
-      case sz if sz >= 40 && b.length >= 26 =>
+      case sz if sz >= 16 && b.length >= 26 =>
         Some(ImageMeta("image/bmp", i32le(b, 18), math.abs(i32le(b, 22))))
       case _ => None
     }

@@ -7,10 +7,17 @@ class SccSpec extends SparkSpec {
 
   // maxDriverBytes = 0 disables BOTH the entry fast path and the
   // per-round driver cutover: the pure-distributed differential
-  private def dist(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Scc.decompose(edges.toDF("src", "dst"), smallGraphThreshold = 0,
-      maxDriverBytes = 0)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  private def dist(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val rows = Scc.decompose(edges.toDF("src", "dst"),
+      smallGraphThreshold = 0, maxDriverBytes = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // output contract: exactly ONE row per vertex (a .toMap alone would
+    // mask duplicated rows — the chained-contraction regression shape)
+    withClue(s"${rows.length} rows for ${rows.map(_._1).distinct.length} ids") {
+      rows.length shouldBe rows.map(_._1).distinct.length
+    }
+    rows.toMap
+  }
 
   private def drv(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Scc.decompose(edges.toDF("src", "dst"))

@@ -79,8 +79,9 @@ class MultimodalSpec extends SparkSpec {
     core(20) = 0x07; core(21) = 0x00 // height 7
     ImageHeaders.parse(core) shouldBe
       Some(ImageHeaders.ImageMeta("image/bmp", 5, 7))
-    // unknown DIB header size: None, not a guess
-    val odd = core.clone(); odd(14) = 27
+    // unknown DIB header size (below the 16-byte INFOHEADER-compatible
+    // floor, not the 12-byte COREHEADER): None, not a guess
+    val odd = core.clone(); odd(14) = 14
     ImageHeaders.parse(odd) shouldBe None
   }
 
