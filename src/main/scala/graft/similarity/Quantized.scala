@@ -167,7 +167,9 @@ object Quantized {
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iterations: Int = 2): Array[Array[Array[Double]]] = {
     require(m >= 1 && ksub >= 1 && ksub <= 256, "need 1 <= ksub <= 256")
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dimRow = corpus.select(size(col(vecCol))).take(1)
+    require(dimRow.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dim = dimRow(0).getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val dsub = dim / m
     (0 until m).map { j =>

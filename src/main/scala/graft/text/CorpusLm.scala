@@ -48,7 +48,9 @@ object CorpusLm {
       textCol: String,
       model: DataFrame,
       rareMax: Long): DataFrame = {
-    val total = model.agg(sum(col("cnt")).cast("double")).head().getDouble(0)
+    val total = model.agg(coalesce(sum(col("cnt")), lit(0L)).cast("double"))
+      .head().getDouble(0)
+    require(total > 0, "scoreDocs needs a non-empty trigram model")
     val occ = docs.select(col(idCol).as("doc_id"),
         explode(charTrigrams(col(textCol))).as("tri"))
     occ.join(model, Seq("tri"), "left_outer")
