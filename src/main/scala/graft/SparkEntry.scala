@@ -2658,6 +2658,36 @@ object SparkEntry {
       .select(col("id").as("o_orderkey"), col("scc"))
   }
 
+  /** q202: q198's SCC FORCED through the distributed divide-and-conquer
+    * path (`smallGraphThreshold = 0` disables the driver entry gate, so
+    * round 1 runs the full distributed trim + pointer-cycle contraction
+    * + B/F label fixpoint + pair split before the in-loop cutover may
+    * collapse the remainder). Labels are min-member-id on EITHER path
+    * and the output contract is one row per vertex, so the SAME
+    * recursive-closure oracle as q198 must hash-match — the correctness
+    * gate pins the distributed kernel itself (including the contraction
+    * lift-back, whose row cardinality a rep-chain bug once broke), not
+    * just the spec differential. */
+  private def q202_scc_dist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders").where(col("o_custkey") < 400)
+      .select(col("o_custkey").as("c"), col("o_orderkey").as("k"),
+        col("o_orderdate"))
+    val w = Window.partitionBy(col("c"))
+      .orderBy(col("o_orderdate"), col("k"))
+    val seq = o.withColumn("nxt", lead(col("k"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val chain = seq.where(col("nxt").isNotNull)
+      .select(col("k").as("src"), col("nxt").as("dst"))
+    val closing = seq.where(col("nxt").isNull && col("c") < 300)
+      .select(col("c"), col("k").as("src"))
+      .join(seq.where(col("rn") === 1).select(col("c"), col("k").as("dst")),
+        Seq("c"))
+      .select(col("src"), col("dst"))
+    graft.graph.Scc.decompose(chain.union(closing), smallGraphThreshold = 0)
+      .select(col("id").as("o_orderkey"), col("scc"))
+  }
+
   /** q199: distributed batch kNN join ([[Ann.knnJoin]]) with the probe
     * set = the FULL corpus — the corpus-as-probes shape the serving
     * kernels can't take. Routing is exhaustive here (nprobe = nlist), so
@@ -2897,6 +2927,7 @@ object SparkEntry {
     "q198_scc" -> (q198_scc _),
     "q199_knn_join" -> (q199_knn_join _),
     "q201_knn_salted" -> (q201_knn_salted _),
+    "q202_scc_dist" -> (q202_scc_dist _),
     "q200_leakage_split" -> (q200_leakage_split _)
   )
 
@@ -5695,6 +5726,43 @@ object SparkEntry {
     // q198: SCC = mutual reachability, stated as a recursive closure
     // joined with its own reverse; scc id = min mutual partner (or self)
     "q198_scc" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT o_custkey AS c, o_orderkey AS k,
+        |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS nxt,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders WHERE o_custkey < 400
+        |), chain AS (
+        |  SELECT k AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL
+        |), closing AS (
+        |  SELECT l.k AS src, f.k AS dst
+        |  FROM (SELECT c, k FROM seq WHERE nxt IS NULL) l
+        |  JOIN (SELECT c, k FROM seq WHERE rn = 1) f USING (c)
+        |  WHERE c < 300
+        |), e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM chain UNION ALL SELECT src, dst FROM closing)
+        |), verts AS (
+        |  -- explicit DISTINCT: under WITH RECURSIVE, DuckDB gives bare
+        |  -- UNION inside non-recursive CTEs append semantics
+        |  SELECT DISTINCT id FROM (
+        |    SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+        |), reach AS (
+        |  SELECT src AS s, dst AS d FROM e
+        |  UNION
+        |  SELECT r.s, e.dst FROM reach r JOIN e ON r.d = e.src
+        |), mutual AS (
+        |  SELECT r1.s AS v, min(r1.d) AS minw
+        |  FROM reach r1 JOIN reach r2 ON r1.d = r2.s AND r2.d = r1.s
+        |  GROUP BY r1.s
+        |)
+        |SELECT v.id AS o_orderkey,
+        |  CAST(least(v.id, coalesce(m.minw, v.id)) AS BIGINT) AS scc
+        |FROM verts v LEFT JOIN mutual m ON m.v = v.id""".stripMargin,
+    // q202: the SAME oracle as q198 — the distributed divide-and-conquer
+    // path must be row-for-row identical to the driver Tarjan path
+    "q202_scc_dist" ->
       """WITH RECURSIVE seq AS (
         |  SELECT o_custkey AS c, o_orderkey AS k,
         |    lead(o_orderkey) OVER (PARTITION BY o_custkey
