@@ -39,12 +39,17 @@ object Auc {
     val ranked = hist
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("rank2", (col("cum") - col("cnt")) * 2 + col("cnt") + 1)
+    // rank-sum and ppm products in DECIMAL(38,0): sum_rank2 ~ 2·n·n_pos
+    // and n_pos·n_neg both overflow Long in the ~1e9-row regime, where a
+    // wrapped value reads as a garbage AUC with no error
     ranked.agg(
       sum(col("cnt_pos")).as("n_pos"),
       (sum(col("cnt")) - sum(col("cnt_pos"))).as("n_neg"),
-      sum(col("cnt_pos") * col("rank2")).as("sum_rank2"))
+      sum(col("cnt_pos").cast("decimal(38,0)") * col("rank2"))
+        .as("sum_rank2"))
       .select(col("n_pos"), col("n_neg"),
-        expr("(1000000 * (sum_rank2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)")
-          .as("auc_ppm"))
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(sum_rank2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)").as("auc_ppm"))
   }
 }

@@ -41,12 +41,20 @@ object Drift {
     // totals are one broadcast row; the cross join never shuffles the
     // histogram
     val totals = hist.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    // the scaled-numerator products run in DECIMAL(38,0): cum·n is
+    // ~n1·n2, which overflows Long at ~3e9×3e9 samples and silently
+    // disabled the alarm (a wrapped-negative d_ppm never exceeds the
+    // threshold). Exactness is unchanged — decimal(38,0) holds the
+    // ≤1e30 intermediate exactly; the exported d_num column stays long
+    // (exact up to 9.2e18, null past it under the non-ANSI cast)
     cum.crossJoin(totals)
       .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
-        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
-          .as("d_num"))
-      .select(col("n1"), col("n2"), col("d_num"),
-        expr("(1000000 * d_num) div (n1 * n2)").as("d_ppm"))
+        max(abs(col("cum1").cast("decimal(38,0)") * col("n2") -
+          col("cum2").cast("decimal(38,0)") * col("n1")))
+          .as("d_num_dec"))
+      .select(col("n1"), col("n2"), col("d_num_dec").cast("long").as("d_num"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * d_num_dec) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2)").as("d_ppm"))
   }
 
   /** Total variation distance for CATEGORICAL columns — ½ Σ|p₁ − p₂|,
@@ -61,10 +69,14 @@ object Drift {
       .groupBy(col("v"))
       .agg(sum(col("s1")).as("c1"), (count(lit(1)) - sum(col("s1"))).as("c2"))
     val totals = hist.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    // same decimal treatment as ksPpm (c·n products overflow Long at
+    // ~3e9×3e9 samples)
     hist.crossJoin(totals)
       .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
-        sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("t_num"))
+        sum(abs(col("c1").cast("decimal(38,0)") * col("n2") -
+          col("c2").cast("decimal(38,0)") * col("n1"))).as("t_num"))
       .select(col("n1"), col("n2"),
-        expr("(1000000 * t_num) div (2 * n1 * n2)").as("tvd_ppm"))
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * t_num) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * n1 * n2)").as("tvd_ppm"))
   }
 }

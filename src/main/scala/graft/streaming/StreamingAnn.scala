@@ -102,6 +102,27 @@ object StreamingAnn {
         st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
           !n.startsWith(".")
       }
+    // crash recovery for a previously interrupted swap: a failure
+    // between the two renames leaves the bucket dir MISSING with the
+    // original data stranded in .compact_old_N — every query would then
+    // silently serve without that bucket's vectors, and a later
+    // compaction could fs.delete the stranded original. Restore first;
+    // orphaned .compact_new_N staging dirs are always safe to drop
+    // (they are rebuilt from the live bucket).
+    fs.listStatus(new Path(indexPath)).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".compact_old_"))
+      .foreach { o =>
+        val bucket = o.getPath.getName.stripPrefix(".compact_old_")
+        val live = new Path(s"$indexPath/lists/list_bucket=$bucket")
+        if (!fs.exists(live)) require(fs.rename(o.getPath, live),
+          s"could not restore interrupted compaction for bucket $bucket")
+        else fs.delete(o.getPath, true) // swap completed; stale backup
+      }
+    fs.listStatus(new Path(indexPath)).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".compact_new_"))
+      .foreach(n => fs.delete(n.getPath, true))
     val buckets = fs.listStatus(listsDir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("list_bucket="))
     buckets.flatMap { b =>

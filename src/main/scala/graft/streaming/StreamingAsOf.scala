@@ -64,7 +64,11 @@ object StreamingAsOf {
           val batch = rows.toArray.sortBy(e => (e.tsMicros, !e.isBuild))
           batch.foreach { e =>
             if (e.isBuild) {
-              // insert keeping sort; appends are O(1) for in-order arrivals
+              // insert keeping sort. NOTE this copies both state arrays
+              // per build row (O(n) each, n <= maxStatePerKey = bounded
+              // work) — correct and cap-bounded, not the O(1) append a
+              // growable buffer would give a hot in-order key; revisit
+              // if per-key build rates make the copies show up
               val at = floorIndex(times, e.tsMicros) + 1
               times = (times.take(at) :+ e.tsMicros) ++ times.drop(at)
               values = (values.take(at) :+ e.value) ++ values.drop(at)

@@ -33,7 +33,8 @@ object StreamingCms {
     val own = s"$indexDir/run=$runId/batch=$batchId"
     CmSketch.build(batch, keyCol, depth, width)
       .write.mode("overwrite").parquet(own)
-    val visible = DedupIndex.earlierPaths(indexDir, runId, batchId) :+ own
+    val visible = DedupIndex.earlierPaths(indexDir, runId, batchId,
+      spark.sparkContext.hadoopConfiguration) :+ own
     val cumulative = spark.read.parquet(visible: _*)
       .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
     CmSketch.estimate(cumulative, probes, keyCol, depth, width)

@@ -46,12 +46,17 @@ object StreamingDrift {
       .withColumn("cum1", sum(col("c1")).over(w))
       .withColumn("cum2", sum(col("c2")).over(w))
     val totals = merged.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    // DECIMAL(38,0) products, mirroring operators.Drift.ksPpm: the Long
+    // form overflowed at ~3e9×3e9 samples and a wrapped-negative d_ppm
+    // silently never fired the alarm
     cum.crossJoin(totals)
       .agg(first(col("n1")).as("n_batch"), first(col("n2")).as("n_ref"),
-        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+        max(abs(col("cum1").cast("decimal(38,0)") * col("n2") -
+          col("cum2").cast("decimal(38,0)") * col("n1")))
           .as("d_num"))
       .select(lit(batchId).as("batch_id"), col("n_batch"), col("n_ref"),
-        expr("(1000000 * d_num) div (n_batch * n_ref)").as("d_ppm"))
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * d_num) div " +
+          "(CAST(n_batch AS DECIMAL(38,0)) * n_ref)").as("d_ppm"))
       .withColumn("drifted", col("d_ppm") > alarmPpm)
   }
 

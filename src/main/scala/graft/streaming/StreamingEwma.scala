@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   * cross-batch late arrival folds in arrival order — the standard
   * streaming-EWMA compromise; route late data through an event-time
   * window upstream if that matters.
+  *
+  * KNOWN LIMIT — one fresh-checkpoint redeploy per state dir: the fold
+  * base is "my latest batch, else the highest batch id of any other
+  * run", which is correct for a single redeploy but ambiguous after
+  * TWO fresh-checkpoint redeploys whose batch counters overlap (the
+  * pick falls back to the globally highest batch id, which may belong
+  * to the older run). Start a fresh redeploy against a NEW stateDir,
+  * or keep the checkpoint so the runId (and fold chain) is preserved.
   */
 object StreamingEwma {
 
@@ -35,7 +43,8 @@ object StreamingEwma {
       .where(col("obs.v").isNotNull && col("obs.o").isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_new"), collect_list(col("obs")).as("arr"))
-    val prior = DedupIndex.earlierPaths(stateDir, runId, batchId)
+    val prior = DedupIndex.earlierPaths(stateDir, runId, batchId,
+      batch.sparkSession.sparkContext.hadoopConfiguration)
       // state is cumulative: only the latest earlier batch matters, and
       // THIS run's batches win over any other run's — after a
       // fresh-checkpoint redeploy (new runId, batch ids restart at 0)

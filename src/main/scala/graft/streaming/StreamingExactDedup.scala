@@ -41,8 +41,14 @@ object StreamingExactDedup {
   def dedupBatch(batch: DataFrame, textCol: String, idCol: String,
       indexDir: String, runId: String, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
+    // sha2(null) is null, and null never equi-joins: without the
+    // sentinel a null-text row would slip past the cross-batch anti-join
+    // EVERY batch forever (and pile null rows into the index). The
+    // sentinel groups null-text rows as mutual duplicates — the same
+    // grouping the batch pipeline's window partitionBy gives them
     val hashed = batch
-      .withColumn("__digest", sha2(col(textCol), 256))
+      .withColumn("__digest",
+        coalesce(sha2(col(textCol), 256), lit("__null_text__")))
     // within-batch canonicalization: min id per digest
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__digest"))
@@ -52,7 +58,8 @@ object StreamingExactDedup {
     // seen-set: all other runs in full + this run's batches strictly
     // before this one (replay safety — DedupIndex rules, shared with the
     // fuzzy sibling)
-    val earlier = DedupIndex.earlierPaths(indexDir, runId, batchId)
+    val earlier = DedupIndex.earlierPaths(indexDir, runId, batchId,
+      spark.sparkContext.hadoopConfiguration)
     val fresh =
       if (earlier.isEmpty) canon
       else canon.join(

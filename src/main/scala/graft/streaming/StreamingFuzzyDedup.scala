@@ -71,7 +71,8 @@ object StreamingFuzzyDedup {
       .localCheckpoint()
 
     // families with ANY member colliding with a seen bucket drop whole
-    val earlier = DedupIndex.earlierPaths(indexDir, runId, batchId)
+    val earlier = DedupIndex.earlierPaths(indexDir, runId, batchId,
+      spark.sparkContext.hadoopConfiguration)
     val dupFams =
       if (earlier.isEmpty) fam.limit(0).select(col("fam"))
       else banded

@@ -72,15 +72,25 @@ object SyncBridge {
       .sorted
     touched.foldLeft(state) { (st, href) =>
       val quads = store.where(col("g") === s"doc:$href").as[Quad].collect().toSeq
-      val body = serialize(quads)
-      val url = java.net.URI.create(collectionUrl).resolve(href).toString
-      val newEtag = graft.sources.DavSync.put(url, body, st.etags.get(href),
-        contentType = contentType, client = client)
-      newEtag match {
-        case Some(e) => st.copy(etags = st.etags + (href -> e))
-        // no etag in the PUT response: drop the stale one so the next
-        // sync round refetches and reconciles
-        case None => st.copy(etags = st.etags - href)
+      if (quads.isEmpty) {
+        // the document vanished from the store (its graph was cleared by
+        // the delta): do NOT PUT — serializing zero quads produces an
+        // empty body that would clobber the server copy with invalid
+        // content. Deletion is deliberately not propagated (parity with
+        // the read-mostly reference sync); dropping the etag makes the
+        // next sync round refetch and reconcile the server copy.
+        st.copy(etags = st.etags - href)
+      } else {
+        val body = serialize(quads)
+        val url = java.net.URI.create(collectionUrl).resolve(href).toString
+        val newEtag = graft.sources.DavSync.put(url, body, st.etags.get(href),
+          contentType = contentType, client = client)
+        newEtag match {
+          case Some(e) => st.copy(etags = st.etags + (href -> e))
+          // no etag in the PUT response: drop the stale one so the next
+          // sync round refetches and reconciles
+          case None => st.copy(etags = st.etags - href)
+        }
       }
     }
   }

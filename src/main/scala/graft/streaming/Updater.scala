@@ -21,7 +21,11 @@ object Updater {
   final case class UpdateResult(
       store: DataFrame, // store after the update
       negations: DataFrame, // new negation quads (for the J5 guard)
-      rejectedAdds: DataFrame) // additions neither writable nor user-graph
+      rejectedAdds: DataFrame) // structurally EMPTY: every non-writable
+      // addition is redirected to the user graph (the reference's
+      // "failures land in the user graph" rule), so nothing is ever
+      // rejected outright; the field keeps the three-way result shape
+      // for callers that distinguish redirection policies
 
   /** @param writableGraphs graphs whose owning source accepts writes; the
     *        reference's FileSynchronizer-style sources refuse
@@ -51,9 +55,14 @@ object Updater {
       .select(store.columns.map(col): _*)
     val applied = QuadStore.applyDiff(store,
       QuadDiff(adds.unionByName(negations), removable))
-    // suppressed immediately as well: negated statements leave the store
+    // suppressed immediately as well: negated statements leave the store.
+    // The probe side is DISTINCT on (s,p,o): `negations` dedupes on six
+    // columns, so two negation variants sharing (s,p,o) (different
+    // oLang/oDt) would otherwise fan the join out and duplicate every
+    // surviving NegationGraph row for that key on each update
     val guarded = applied.join(
-      negations.select(col("s"), col("p"), col("o")).withColumn("__neg", lit(1)),
+      negations.select(col("s"), col("p"), col("o")).distinct()
+        .withColumn("__neg", lit(1)),
       Seq("s", "p", "o"), "left_outer")
       .where(col("__neg").isNull || col("g") === NegationGraph)
       .drop("__neg")

@@ -70,4 +70,26 @@ class GeocodingUpdaterSpec extends SparkSpec {
     byGraph.get("doc:file") shouldBe None
     res.negations.select("s").as[String].collect().toSeq shouldBe Seq("b")
   }
+
+  it should "not duplicate store rows when negation variants share (s,p,o)" in {
+    // two read-only removals with the same (s,p,o) but different oLang:
+    // negations keeps both 6-column variants, and the suppression join's
+    // probe must still be DISTINCT on (s,p,o) — pre-fix each surviving
+    // NegationGraph row joined BOTH probe rows and came out twice
+    val langed = Seq(
+      ("b", "p", "2", 2.toByte, null: String, "en", "doc:file"),
+      ("b", "p", "2", 2.toByte, null: String, "fr", "doc:file"))
+      .toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+    val store = langed
+    val diff = QuadDiff(
+      added = langed.limit(0),
+      removed = langed)
+    val res = Updater.applyUpdate(store, diff, writableGraphs = Set.empty)
+    res.negations.count() shouldBe 2 // both variants recorded
+    val neg = res.store.where(col("g") === Updater.NegationGraph)
+      .select("s", "oLang").as[(String, String)].collect().toSeq
+    neg.sorted shouldBe Seq(("b", "en"), ("b", "fr")) // exactly once each
+    // one row per quad in the whole store, no join fan-out
+    res.store.count() shouldBe res.store.distinct().count()
+  }
 }

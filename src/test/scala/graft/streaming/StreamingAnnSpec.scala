@@ -145,5 +145,25 @@ class StreamingAnnSpec extends SparkSpec {
     serve() shouldBe before // bit-identical results off the compacted files
     // compaction rewrote files, not rows
     StreamingAnn.appendedFraction(spark, indexPath) shouldBe 1.0 +- 1e-9
+
+    // crash recovery: simulate a failure BETWEEN the two swap renames —
+    // bucket dir moved aside to .compact_old_N, compacted dir not yet in
+    // place. The next compaction call must restore the bucket (queries
+    // would otherwise silently serve without its vectors) and produce
+    // identical results.
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(new Path(s"$indexPath/lists")).toSeq
+      .filter(_.getPath.getName.startsWith("list_bucket=")).head.getPath
+    val bucketId = victim.getName.stripPrefix("list_bucket=")
+    fs.rename(victim, new Path(s"$indexPath/.compact_old_$bucketId")) shouldBe true
+    fs.mkdirs(new Path(s"$indexPath/.compact_new_$bucketId")) // orphan staging
+    StreamingAnn.compactGrownBuckets(spark, indexPath,
+      targetBytes = 64L << 20, minFiles = 2)
+    fs.exists(victim) shouldBe true
+    fs.exists(new Path(s"$indexPath/.compact_old_$bucketId")) shouldBe false
+    fs.exists(new Path(s"$indexPath/.compact_new_$bucketId")) shouldBe false
+    serve() shouldBe before
   }
 }

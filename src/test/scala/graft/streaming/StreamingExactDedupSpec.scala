@@ -86,4 +86,19 @@ class StreamingExactDedupSpec extends SparkSpec {
     // index unchanged in effect
     run(b1, 1) shouldBe Set((4L, "c"))
   }
+
+  it should "dedup null-text documents across batches like the batch window does" in {
+    // sha2(null) is null and null never equi-joins: pre-fix, a null-text
+    // row slipped past the cross-batch anti-join EVERY batch forever
+    val indexDir = tmp("dedup-idx5")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingExactDedup
+        .dedupBatch(df, "text", "doc_id", indexDir, "r1", id)
+        .as[(Long, String)].collect().toSet
+    val b0 = Seq((1L, null: String), (2L, "x")).toDF("doc_id", "text")
+    val b1 = Seq((3L, null: String), (4L, null: String)).toDF("doc_id", "text")
+    run(b0, 0) shouldBe Set((1L, null), (2L, "x"))
+    // later null-text rows are duplicates of the first-seen one
+    run(b1, 1) shouldBe Set.empty
+  }
 }
