@@ -81,12 +81,19 @@ object DavSync {
     val listXml = request(client, collectionUrl, "PROPFIND", Some("1"),
       """<?xml version="1.0"?><d:propfind xmlns:d="DAV:"><d:prop>
         |  <d:getetag/></d:prop></d:propfind>""".stripMargin)
+    // self-exclusion by PATH EQUALITY, not endsWith: the suffix test
+    // excluded EVERY entry for a root collection (everything ends with
+    // "") and permanently hid any element named like the collection's
+    // last segment — both read as a silent full-removal signal
+    val collPath = URI.create(collectionUrl).getPath.stripSuffix("/")
+    def hrefPath(h: String): String =
+      (try Option(URI.create(h).getPath).getOrElse(h)
+       catch { case _: IllegalArgumentException => h }).stripSuffix("/")
     val entries = tagContents(listXml, "response").flatMap { r =>
       for {
         href <- tagContents(r, "href").headOption.map(_.trim)
         etag <- tagContents(r, "getetag").headOption.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        if href.nonEmpty && !href.stripSuffix("/").endsWith(
-          URI.create(collectionUrl).getPath.stripSuffix("/"))
+        if href.nonEmpty && hrefPath(href) != collPath
       } yield href -> etag
     }.toMap
 

@@ -36,21 +36,30 @@ object FileIngest {
       .load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        if (path.toLowerCase.endsWith(".zip")) {
-          val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
-          Iterator.continually(zis.getNextEntry)
-            .takeWhile(_ != null)
-            .filterNot(_.isDirectory)
-            .map { entry =>
-              RawDoc(s"$path!${entry.getName}",
-                new String(zis.readAllBytes(), StandardCharsets.UTF_8))
-            }.toList
-        } else {
-          List(RawDoc(path, new String(bytes, StandardCharsets.UTF_8)))
-        }
-      }
+      .flatMap { case (path, bytes) => expandFile(path, bytes) }
   }
+
+  /** Per-file expansion shared by [[scan]] and [[streamScan]]: zips
+    * surface their entries (entry path appended as `zipPath!entryName`),
+    * everything else decodes as UTF-8 text. ONE definition so the batch
+    * and streaming paths cannot diverge — the streaming path previously
+    * read zips through the TEXT source, mangling the bytes into one
+    * garbage RawDoc whose "zip" extension matched no converter: mail
+    * dropped into the watch directory inside a zip was silently lost
+    * incrementally while the same file worked in batch. */
+  private def expandFile(path: String, bytes: Array[Byte]): List[RawDoc] =
+    if (path.toLowerCase.endsWith(".zip")) {
+      val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+      Iterator.continually(zis.getNextEntry)
+        .takeWhile(_ != null)
+        .filterNot(_.isDirectory)
+        .map { entry =>
+          RawDoc(s"$path!${entry.getName}",
+            new String(zis.readAllBytes(), StandardCharsets.UTF_8))
+        }.toList
+    } else {
+      List(RawDoc(path, new String(bytes, StandardCharsets.UTF_8)))
+    }
 
   /** Incremental file-drop source (the Spark analogue of the reference's
     * IMAP/DAV incremental synchronizers, SURVEY S6/S7: etag/UID change
@@ -65,15 +74,24 @@ object FileIngest {
       glob: String = "*",
       maxFilesPerTrigger: Int = 512): Dataset[RawDoc] = {
     import spark.implicits._
+    import org.apache.spark.sql.types._
+    // binaryFile (not text): byte-exact payloads so the zip expansion
+    // below matches the batch scan — see expandFile
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
     spark.readStream
-      .format("text")
-      .option("wholetext", "true")
+      .format("binaryFile")
+      .schema(schema)
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
-      .select(input_file_name().as("path"), col("value").as("content"))
-      .as[RawDoc]
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => expandFile(path, bytes) }
   }
 
   private def ext(path: String): String = {

@@ -290,8 +290,16 @@ object ImapSync {
 
       var events = 0
       var parked = true
-      s.socket.setSoTimeout(timeoutMillis)
-      while (parked && events < maxEvents) {
+      // absolute park deadline: each round's read timeout is the
+      // REMAINING budget, so non-event chatter (unilateral flags-only
+      // FETCH updates, RECENT) cannot re-arm the full timeout — pre-fix,
+      // a neighbor client toggling flags every few seconds kept sawAny
+      // true forever and idle() never returned to its caller
+      val idleDeadline = System.nanoTime() + timeoutMillis.toLong * 1000000L
+      while (parked && events < maxEvents &&
+          { val rem = ((idleDeadline - System.nanoTime()) / 1000000L).toInt
+            if (rem <= 0) { parked = false; false }
+            else { s.socket.setSoTimeout(math.max(1, rem)); true } }) {
         val tag = s.nextTag()
         s.sendRaw(s"$tag IDLE\r\n")
         // untagged responses may precede the '+' continuation — buffer

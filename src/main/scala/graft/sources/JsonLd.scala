@@ -65,12 +65,12 @@ object JsonLd {
       }
       if (p != curP) {
         if (curP != null) sink("]")
-        if (p == RdfType) sink(""","@type":[""")
+        if (p == RdfType || p == "rdf:type") sink(""","@type":[""")
         else sink(s""","${esc(p)}":[""")
         curP = p
       } else sink(",")
       // @type values are bare IRI strings per JSON-LD; others are objects
-      if (p == RdfType) sink(s""""${esc(o)}"""")
+      if (p == RdfType || p == "rdf:type") sink(s""""${esc(o)}"""")
       else sink(obj(o, oKind, oDt, oLang))
     }
     if (curS != null) sink("]}")
@@ -109,11 +109,16 @@ object JsonLd {
     val out = scala.collection.mutable.ListBuffer[Quad]()
     var bnodeN = 0
     // fresh labels must not collide with explicit "@id":"_:jbN" labels
-    // in the document (two distinct nodes would silently merge)
+    // in the document (two distinct nodes would silently merge). The
+    // used set is collected in ONE document scan — the per-label
+    // doc.contains rescan was quadratic on list-heavy documents
+    // (the Turtle tokenizer takes the same one-pass approach)
+    val usedLabels = "\"(_:jb[0-9]+)\"".r
+      .findAllMatchIn(doc).map(_.group(1)).toSet
     def freshB(): String = {
       bnodeN += 1
       var l = "_:jb" + bnodeN
-      while (doc.contains("\"" + l + "\"")) { bnodeN += 1; l = "_:jb" + bnodeN }
+      while (usedLabels(l)) { bnodeN += 1; l = "_:jb" + bnodeN }
       l
     }
 
@@ -178,6 +183,7 @@ object JsonLd {
           else (value.asText, Quad.Xsd.double)
         val lang = Option(v.get("@language")).map(_.asText).orNull
         val dt = Option(v.get("@type")).map(t => expand(t.asText, ctx))
+          .filter(_ != Quad.Xsd.string) // canonical form: no explicit xsd:string
           .getOrElse(dt0)
         (text, Quad.LITERAL, if (lang != null) null else dt, lang)
       } else if (v.isObject && v.has("@id") && v.size <= 1) {
@@ -204,12 +210,15 @@ object JsonLd {
           case "@graph" => // named-graph node: members land in graph s
             asSeq(e.getValue).foreach(m => node(m, s, ctx))
           case "@type" =>
+            // compact store form (see NTriples.normPred): type quads
+            // must be visible to the engine's "rdf:type"-keyed queries
             asSeq(e.getValue).foreach(t =>
-              out += Quad(s, RdfType, expand(t.asText, ctx), Quad.IRI, null, null, g))
+              out += Quad(s, "rdf:type", expand(t.asText, ctx), Quad.IRI,
+                null, null, g))
           case "@list" | "@container" | "@reverse" =>
             throw new IllegalArgumentException(s"JSON-LD ${e.getKey} not supported")
           case key =>
-            val p = expand(key, ctx)
+            val p = graft.sources.NTriples.normPred(expand(key, ctx))
             asSeq(e.getValue).foreach { v =>
               if (v.isNull) ()
               else {

@@ -29,10 +29,23 @@ object NTriples {
         else base
     }
 
+  /** The engine stores rdf:type as the COMPACT string "rdf:type"
+    * (every converter, `Sparql`'s `a`, `Views`); serializers expand it
+    * to the standard full IRI so external tools read valid RDF, and
+    * every parser normalizes the full IRI back in predicate position —
+    * round-trips are identity AND externally-authored `a`/@type
+    * statements become visible to the engine's type-keyed queries. */
+  private[sources] val RdfTypeIri =
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private[sources] def normPred(p: String): String =
+    if (p == RdfTypeIri) "rdf:type" else p
+  private[sources] def expandPred(p: String): String =
+    if (p == "rdf:type") RdfTypeIri else p
+
   /** One quad → one N-Quads line (the per-row kernel [[serialize]] maps). */
   private[sources] def serializeQuadLine(q: Quad): String = {
     val s = if (q.s.startsWith("_:")) q.s else s"<${q.s}>"
-    s"$s <${q.p}> ${fmtTerm(q.o, q.oKind, q.oDt, q.oLang)} <${q.g}> ."
+    s"$s <${expandPred(q.p)}> ${fmtTerm(q.o, q.oKind, q.oDt, q.oLang)} <${q.g}> ."
   }
 
   /** Serialize quads to N-Quads lines (graph as 4th term). */
@@ -44,8 +57,14 @@ object NTriples {
   def write(quads: Dataset[Quad], path: String): Unit =
     serialize(quads).write.mode("overwrite").text(path)
 
+  // the graph term may be an IRI or a blank node (N-Quads grammar);
+  // with only <...> accepted here, the lazy object group used to
+  // backtrack and swallow a blank-node graph label INTO the object
+  // (silent corruption, not a reject)
   private val Line =
-    """^(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.+?)\s+(?:<([^>]*)>\s+)?\.\s*$""".r
+    """^(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.+?)\s+(?:(<[^>]*>|_:\S+)\s+)?\.\s*$""".r
+  private val LiteralObj =
+    """^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$""".r
 
   // single left-to-right scan (shared with Turtle) — sequential
   // .replace corrupted escaped-backslash-then-letter sequences
@@ -56,18 +75,20 @@ object NTriples {
     line.trim match {
       case "" => None
       case l if l.startsWith("#") => None
-      case Line(subj, pred, objTerm, graph) =>
+      case Line(subj, pred0, objTerm, graphTerm) =>
         val s = if (subj.startsWith("<")) subj.substring(1, subj.length - 1) else subj
-        val g = Option(graph).getOrElse(defaultGraph)
+        val pred = normPred(pred0)
+        val g = Option(graphTerm)
+          .map(gt => if (gt.startsWith("<")) gt.substring(1, gt.length - 1) else gt)
+          .getOrElse(defaultGraph)
         val obj = objTerm.trim
         if (obj.startsWith("<"))
           Some(Quad(s, pred, obj.substring(1, obj.length - 1), Quad.IRI, null, null, g))
         else if (obj.startsWith("_:"))
           Some(Quad(s, pred, obj, Quad.BNODE, null, null, g))
         else {
-          val m = """^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$""".r
           obj match {
-            case m(lex, lang, dt) =>
+            case LiteralObj(lex, lang, dt) =>
               // canonical store form: plain and lang-tagged literals
               // carry NO datatype (matching every converter and the
               // Turtle parser — mixed-provenance quads must compare

@@ -81,7 +81,9 @@ object RdfXml {
         sink(s"  <rdf:Description $about>\n")
         curS = s
       }
-      val (ns, local) = splitQName(p)
+      // expand the engine's compact "rdf:type" to the full IRI so the
+      // emitted XML is standard (a colon'd local name is invalid XML)
+      val (ns, local) = splitQName(NTriples.expandPred(p))
       // a prefix bound to "" is illegal XML — namespace-less predicates
       // (test fixtures, urn fragments) emit as unprefixed local names
       val (open, close) =
@@ -153,7 +155,9 @@ object RdfXml {
       val s = subjectOf(n)
       // typed node element: the element name IS an rdf:type
       if (!(n.namespace == RdfNs && n.label == "Description"))
-        out += Quad(s, RdfNs + "type", Option(n.namespace).getOrElse("") + n.label,
+        // compact store form (see NTriples.normPred): type quads must be
+        // visible to the engine's "rdf:type"-keyed queries
+        out += Quad(s, "rdf:type", Option(n.namespace).getOrElse("") + n.label,
           Quad.IRI, null, null, defaultGraph)
       // property attributes (§2.5): prefixed non-rdf/xml attributes on a
       // node element are string-literal properties; rdf:type as an
@@ -162,7 +166,7 @@ object RdfXml {
         case a: scala.xml.PrefixedAttribute =>
           val ns = n.getNamespace(a.pre)
           if (ns == RdfNs && a.key == "type")
-            out += Quad(s, RdfNs + "type", a.value.text, Quad.IRI, null, null,
+            out += Quad(s, "rdf:type", a.value.text, Quad.IRI, null, null,
               defaultGraph)
           else if (ns != RdfNs && ns != "http://www.w3.org/XML/1998/namespace")
             out += Quad(s, ns + a.key, a.value.text, Quad.LITERAL, null, null,
@@ -175,7 +179,8 @@ object RdfXml {
 
     def propertyElements(s: String, parent: scala.xml.Node): Unit =
       parent.child.collect { case e: scala.xml.Elem => e }.foreach { pe =>
-        val p = Option(pe.namespace).getOrElse("") + pe.label
+        val p = graft.sources.NTriples.normPred(
+          Option(pe.namespace).getOrElse("") + pe.label)
         (rdfAttr(pe, "resource"), rdfAttr(pe, "parseType")) match {
           case (Some(r), _) => out += Quad(s, p, r, Quad.IRI, null, null, defaultGraph)
           case (None, Some("Resource")) =>
@@ -221,7 +226,9 @@ object RdfXml {
               } else {
                 val lang = pe.attribute("http://www.w3.org/XML/1998/namespace", "lang")
                   .map(_.text).orNull
-                val dt = rdfAttr(pe, "datatype").orNull
+                // canonical store form: explicit xsd:string normalizes away
+                val dt = rdfAttr(pe, "datatype")
+                  .filter(_ != graft.rdf.Quad.Xsd.string).orNull
                 out += Quad(s, p, pe.text, Quad.LITERAL, dt, lang, defaultGraph)
               }
           }

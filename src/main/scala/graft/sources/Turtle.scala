@@ -88,7 +88,10 @@ object Turtle {
   private val RdfRest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
   private val RdfNil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
   private def predicate(p: String, prefixes: Seq[(String, String)]): String =
-    if (p == RdfType) "a" else iri(p, prefixes)
+    // both the engine's compact store form and the full IRI write as `a`
+    // (previously a store-conventional "rdf:type" serialized as the
+    // non-standard relative IRI <rdf:type>)
+    if (p == RdfType || p == "rdf:type") "a" else iri(p, prefixes)
 
   /** TriG: Turtle wrapped in named-graph blocks — the provenance-keeping
     * serialization (each block is one `g` context, mirroring the
@@ -340,9 +343,14 @@ object Turtle {
         val value = unescape(t.substring(1, close))
         val suffix = t.substring(close + 1)
         if (suffix.startsWith("@")) (value, Quad.LITERAL, null, suffix.substring(1))
-        else if (suffix.startsWith("^^"))
-          (value, Quad.LITERAL, resolve(suffix.substring(2))._1, null)
-        else (value, Quad.LITERAL, null, null)
+        else if (suffix.startsWith("^^")) {
+          // explicit ^^xsd:string normalizes away — the canonical store
+          // form NTriples.parseLine documents and enforces (plain
+          // literals carry no datatype; mixed-provenance quads must
+          // compare equal)
+          val dt = resolve(suffix.substring(2))._1
+          (value, Quad.LITERAL, if (dt == Quad.Xsd.string) null else dt, null)
+        } else (value, Quad.LITERAL, null, null)
       } else if (t.head.isDigit || t.head == '-' || t.head == '+' ||
           (t.head == '.' && t.length > 1) || t == "true" || t == "false") {
         // bare numeric/boolean literals carry their implied XSD type:
@@ -402,7 +410,11 @@ object Turtle {
       var done = false
       while (!done) {
         require(tokens.nonEmpty, "statement ended before predicate")
-        val (p, _) = resolve(tokens.head)
+        // predicate position normalizes the full type IRI to the
+        // engine's compact "rdf:type" (see NTriples.normPred): without
+        // it, externally-authored `a`/rdf:type statements were invisible
+        // to every "rdf:type"-keyed query (Sparql's `a`, Views)
+        val p = NTriples.normPred(resolve(tokens.head)._1)
         tokens = tokens.tail
         var moreObjects = true
         while (moreObjects) {

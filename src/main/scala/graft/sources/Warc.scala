@@ -102,10 +102,22 @@ object Warc {
     b.length >= 2 && (b(0) & 0xFF) == 0x1F && (b(1) & 0xFF) == 0x8B
 
   /** Inflate all gzip members (JDK GZIPInputStream walks concatenated
-    * members); cap guards a zip bomb — inflation refuses past maxBytes. */
+    * members); cap guards a zip bomb — inflation refuses past maxBytes.
+    *
+    * Mid-file corruption guard: the JDK treats an unparseable NEXT
+    * member header as clean end-of-stream (no exception), which would
+    * silently truncate a multi-member .warc.gz to a valid-looking
+    * prefix — records after the corrupt member just vanish. The
+    * underlying stream is wrapped to count consumption; any unconsumed
+    * tail beyond the decoder's read-ahead buffer means a corrupt member
+    * boundary, and the file rejects loudly as the contract promises.
+    * (Residual: corruption inside the final ~512 bytes — the decoder's
+    * read-ahead — is indistinguishable from trailing junk it already
+    * swallowed; everything larger, i.e. any lost RECORD, is caught.) */
   def gunzip(bytes: Array[Byte], maxBytes: Int = 1 << 30): Option[Array[Byte]] =
     try {
-      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+      val bais = new ByteArrayInputStream(bytes)
+      val in = new GZIPInputStream(bais)
       val out = new ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
@@ -114,7 +126,8 @@ object Warc {
         out.write(buf, 0, n)
         n = in.read(buf)
       }
-      Some(out.toByteArray)
+      if (bais.available() > 0) None // unconsumed tail: corrupt member
+      else Some(out.toByteArray)
     } catch { case _: java.io.IOException => None }
 
   /** Find the next CRLF from `from`; -1 when absent. */
@@ -213,23 +226,29 @@ object Warc {
     * production-scale layout, since gzip members don't split. Malformed
     * files surface as a single audit row (`warc_type = null`, the path
     * kept) instead of vanishing. */
+  /** Shared per-file flattening for the batch and streaming readers —
+    * ONE definition so the two paths' schemas and malformed-file audit
+    * rows cannot silently diverge. */
+  private val RecordCols = Seq("path", "offset", "warc_type", "record_id",
+    "warc_date", "target_uri", "content_type", "content")
+  private def fileToRows(p: String, bytes: Array[Byte])
+      : Iterator[(String, Long, String, String, String, String, String, Array[Byte])] =
+    parse(bytes) match {
+      case Some(recs) => recs.iterator.map(r =>
+        (p, r.offset, r.warcType, r.recordId, r.date,
+          r.targetUri.orNull, r.contentType.orNull, r.content))
+      case None =>
+        Iterator.single((p, -1L, null: String, null: String, null: String,
+          null: String, null: String, null: Array[Byte]))
+    }
+
   def readFiles(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (p, bytes) =>
-        parse(bytes) match {
-          case Some(recs) => recs.iterator.map(r =>
-            (p, r.offset, r.warcType, r.recordId, r.date,
-              r.targetUri.orNull, r.contentType.orNull, r.content))
-          case None =>
-            Iterator.single((p, -1L, null: String, null: String, null: String,
-              null: String, null: String, null: Array[Byte]))
-        }
-      })
-      .toDF("path", "offset", "warc_type", "record_id", "warc_date",
-        "target_uri", "content_type", "content")
+      .mapPartitions(_.flatMap { case (p, bytes) => fileToRows(p, bytes) })
+      .toDF(RecordCols: _*)
   }
 
   /** Streaming variant of [[readFiles]]: continuous ingestion of a landing
@@ -254,17 +273,7 @@ object Warc {
     spark.readStream.format("binaryFile").schema(schema).load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (p, bytes) =>
-        parse(bytes) match {
-          case Some(recs) => recs.iterator.map(r =>
-            (p, r.offset, r.warcType, r.recordId, r.date,
-              r.targetUri.orNull, r.contentType.orNull, r.content))
-          case None =>
-            Iterator.single((p, -1L, null: String, null: String, null: String,
-              null: String, null: String, null: Array[Byte]))
-        }
-      })
-      .toDF("path", "offset", "warc_type", "record_id", "warc_date",
-        "target_uri", "content_type", "content")
+      .mapPartitions(_.flatMap { case (p, bytes) => fileToRows(p, bytes) })
+      .toDF(RecordCols: _*)
   }
 }

@@ -14,7 +14,7 @@ class JsonLdSpec extends SparkSpec {
     Quad("http://ex.org/alice", "http://schema.org/knows", "http://ex.org/carol",
       Quad.IRI, null, null, "g"),
     Quad("http://ex.org/alice",
-      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+      "rdf:type",
       "http://schema.org/Person", Quad.IRI, null, null, "g"),
     Quad("http://ex.org/bob", "http://schema.org/name", "Bob",
       Quad.LITERAL, null, "en", "g"),
@@ -62,7 +62,7 @@ class JsonLdSpec extends SparkSpec {
         | "schema:knows":{"@id":"http://ex.org/bob","name":"Bob"}}""".stripMargin
     val got = JsonLd.parse(doc, "g").toSet
     got should contain(Quad("http://ex.org/alice",
-      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+      "rdf:type",
       "http://schema.org/Person", Quad.IRI, null, null, "g"))
     got should contain(Quad("http://ex.org/alice", "http://schema.org/name",
       "Alice", Quad.LITERAL, null, null, "g"))

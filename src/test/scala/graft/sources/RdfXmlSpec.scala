@@ -47,7 +47,7 @@ class RdfXmlSpec extends SparkSpec {
         |  </s:Person>
         |</rdf:RDF>""".stripMargin
     RdfXml.parse(doc, "g").toSet shouldBe Set(
-      q("http://ex.org/carol", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+      q("http://ex.org/carol", "rdf:type",
         "http://schema.org/Person"),
       q("http://ex.org/carol", "http://schema.org/name", "Carol", Quad.LITERAL))
   }
@@ -109,7 +109,7 @@ class RdfXmlSpec extends SparkSpec {
         |  </rdf:Description>
         |</rdf:RDF>""".stripMargin
     val got = RdfXml.parse(doc, "g")
-    val ty = got.find(_.p == rdf + "type").get
+    val ty = got.find(_.p == "rdf:type").get
     ty.o shouldBe "http://ex.org/T"
     ty.oKind shouldBe Quad.IRI
     // the parseType=Resource bnode must not collide with authored genid1

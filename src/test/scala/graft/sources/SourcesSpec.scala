@@ -59,6 +59,25 @@ class SourcesSpec extends SparkSpec {
     NTriples.parseLine("", "dg") shouldBe None
   }
 
+  it should "parse a blank-node graph label instead of corrupting the object" in {
+    // pre-fix the lazy object group swallowed ` _:g1` into the IRI,
+    // yielding o = "http://o> _:g" with no error
+    val q = NTriples.parseLine("<http://s> <http://p> <http://o> _:g1 .", "dg").get
+    (q.o, q.oKind, q.g) shouldBe (("http://o", graft.rdf.Quad.IRI, "_:g1"))
+  }
+
+  it should "normalize the full rdf:type IRI to the engine's compact form" in {
+    NTriples.parseLine(
+      "<http://s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://T> .",
+      "dg").get.p shouldBe "rdf:type"
+    // and the writer expands it back: round-trip is identity, output is
+    // standard N-Quads (not the relative IRI <rdf:type>)
+    val line = NTriples.serializeQuadLine(graft.rdf.Quad(
+      "http://s", "rdf:type", "http://T", graft.rdf.Quad.IRI, null, null, "g"))
+    line should include("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>")
+    NTriples.parseLine(line, "dg").get.p shouldBe "rdf:type"
+  }
+
   "FileIngest.streamScan" should "ingest dropped files incrementally into quads" in {
     val dir = Files.createTempDirectory("graft-stream-in")
     val out = Files.createTempDirectory("graft-stream-out").resolve("quads").toString

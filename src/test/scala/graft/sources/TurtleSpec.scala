@@ -15,7 +15,7 @@ class TurtleSpec extends SparkSpec {
     q("http://ex.org/alice", "http://schema.org/knows", "http://ex.org/bob"),
     q("http://ex.org/alice", "http://schema.org/knows", "http://ex.org/carol"),
     q("http://ex.org/alice",
-      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+      "rdf:type",
       "http://schema.org/Person"),
     q("http://ex.org/bob", "http://schema.org/name", "Bob", Quad.LITERAL,
       lang = "en"),

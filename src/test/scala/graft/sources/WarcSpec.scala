@@ -49,6 +49,25 @@ class WarcSpec extends SparkSpec {
     norm(Warc.parse(Warc.gzip(plain)).get) shouldBe norm(Warc.parse(plain).get)
   }
 
+  it should "reject a corrupt gzip member mid-file instead of truncating" in {
+    // member-per-record .warc.gz with member 2's magic corrupted: the JDK
+    // decoder treats the unparseable next header as clean EOF, which
+    // pre-fix silently returned only member 1's records
+    // member 2 must exceed the decoder's ~512-byte read-ahead: smaller
+    // trailing corruption is the guard's documented residual (the JDK
+    // buffers it before deciding EOF, indistinguishable from junk it
+    // already swallowed); anything record-sized is caught
+    val rnd = new scala.util.Random(7)
+    val incompressible = Seq.fill(4096)(('a' + rnd.nextInt(26)).toChar).mkString
+    val m1 = Warc.gzip(Warc.writeFile(Seq(resp(1, "a"))))
+    val m2 = Warc.gzip(Warc.writeFile(Seq(resp(2, incompressible))))
+    val good = m1 ++ m2
+    Warc.parse(good).get should have size 2
+    val bad = good.clone()
+    bad(m1.length) = 0x00 // member 2's first magic byte
+    Warc.parse(bad) shouldBe None
+  }
+
   it should "reject structural corruption instead of resyncing" in {
     val good = resp(5, "payload")
     Warc.parse(good.dropRight(1)) shouldBe None // truncated terminator
