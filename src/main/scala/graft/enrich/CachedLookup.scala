@@ -36,9 +36,14 @@ object CachedLookup {
     import spark.implicits._
 
     val keyed = input.withColumnRenamed(keyCol, "key")
-    val withCache = keyed.join(broadcast(cache), Seq("key"), "left_outer")
-    val missKeys = withCache.where(col("value").isNull)
-      .select("key").distinct()
+    // a miss is a key ABSENT from the cache, not a null value: a
+    // persisted (key, null) row is a cached negative result and must
+    // never re-trigger the external call — value-null detection re-paid
+    // the lookup for no-result keys on every run (defeating the T8 cost
+    // bound) and, once both the null row and a fresh row existed,
+    // fanned the resolve join out into duplicates
+    val missKeys = keyed.select("key").distinct()
+      .join(broadcast(cache.select("key")), Seq("key"), "left_anti")
     // bounded-parallel external calls, one batch per partition (the
     // reference's mapAsync(parallelism); here: chunked parallel map)
     val missRows = missKeys.as[String].mapPartitions { keys =>

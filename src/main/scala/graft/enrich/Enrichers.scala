@@ -77,8 +77,12 @@ object Enrichers {
     graft.functions.GeoTimeFunctions.register(store.sparkSession)
     // events carry ISO xsd:dateTime (TZID-normalized converter output) or
     // the raw iCal basic form when unparseable — accept both
+    // X (zone-offset) parses the trailing Z as UTC; quoting it as a
+    // literal ('Z') read UTC basic-form times in the SESSION timezone —
+    // invisible at the harness's UTC default, a silent interval shift
+    // (and missed tookPlaceAt links) on any non-UTC deployment
     val parseTs = (c: Column) => coalesce(
-      try_to_timestamp(c, lit("yyyyMMdd'T'HHmmss'Z'")), try_to_timestamp(c))
+      try_to_timestamp(c, lit("yyyyMMdd'T'HHmmssX")), try_to_timestamp(c))
     val events = store.where(col("p") === (schemaPrefix + "startDate"))
       .select(col("s").as("ev"), parseTs(col("o")).as("e_start"))
       .join(store.where(col("p") === (schemaPrefix + "endDate"))
@@ -91,7 +95,7 @@ object Enrichers {
       .withColumnRenamed("ev", "event_id")
     val stays = store.where(col("g") === staysGraph && col("p") === "personal:start")
       .select(col("s").as("stay_id"), timestamp_millis(col("o").cast("long")).as("s_start"))
-      .join(store.where(col("p") === "personal:end")
+      .join(store.where(col("g") === staysGraph && col("p") === "personal:end")
         .select(col("s").as("stay_id"),
           timestamp_millis(col("o").cast("long")).as("s_end")), "stay_id")
       .join(store.where(col("g") === staysGraph && col("p") === "personal:geo")

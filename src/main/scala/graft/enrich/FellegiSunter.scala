@@ -44,12 +44,18 @@ object FellegiSunter {
       labelCol: String): DataFrame = {
     require(fields.nonEmpty, "need at least one comparison field")
     val lab = col(labelCol).cast("int")
+    // coalesce each sum: a labeled sample with only ONE class present
+    // makes the other class's sums NULL (not 0), which poisoned the
+    // weights into null and NPE'd score() — the half-offset clamp only
+    // keeps degenerate cases finite when the counts are actually zero
     val aggs = fields.flatMap { f =>
       Seq(
-        sum(when(lab === 1, col(f).cast("long"))).as(s"${f}_m_num"),
-        sum(when(lab === 1, lit(1L))).as(s"${f}_m_den"),
-        sum(when(lab === 0, col(f).cast("long"))).as(s"${f}_u_num"),
-        sum(when(lab === 0, lit(1L))).as(s"${f}_u_den"))
+        coalesce(sum(when(lab === 1, col(f).cast("long"))), lit(0L))
+          .as(s"${f}_m_num"),
+        coalesce(sum(when(lab === 1, lit(1L))), lit(0L)).as(s"${f}_m_den"),
+        coalesce(sum(when(lab === 0, col(f).cast("long"))), lit(0L))
+          .as(s"${f}_u_num"),
+        coalesce(sum(when(lab === 0, lit(1L))), lit(0L)).as(s"${f}_u_den"))
     }
     val row = labeled.agg(aggs.head, aggs.tail: _*)
     // unpivot to one row per field, then derive weights with the exact

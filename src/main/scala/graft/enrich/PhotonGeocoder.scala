@@ -127,7 +127,8 @@ final class PhotonGeocoder(baseUrl: String,
   }
 
   /** Cache-miss resolver for [[Geocoding.geocodePlaces]]: first feature
-    * (W4), serialized; null on no result (cached as a miss). */
+    * (W4), serialized; null on no result (the null row is cached,
+    * so a no-result key is never re-queried). */
   def lookupFn: String => String =
     q => direct(q).headOption.map(_.serialized).orNull
 

@@ -52,6 +52,18 @@ class FellegiSunterSpec extends SparkSpec {
     scored(12L) should be > scored(11L)
   }
 
+  it should "stay finite when the labeled sample has only one class" in {
+    // the other class's sums are NULL over zero rows; pre-fix the
+    // weights came out null and score() NPE'd
+    import spark.implicits._
+    val oneClass = Seq((1, 1), (1, 0)).toDF("is_match", "f")
+    val w = FellegiSunter.weights(oneClass, Seq("f"), "is_match").collect()(0)
+    w.getAs[Long]("u_den") shouldBe 0L
+    noException should be thrownBy
+      FellegiSunter.score(oneClass, FellegiSunter.weights(oneClass, Seq("f"),
+        "is_match"), Seq("f")).collect()
+  }
+
   it should "reject scoring against missing fields" in {
     val w = FellegiSunter.weights(labeled, Seq("f1"), "is_match")
     an[IllegalArgumentException] should be thrownBy

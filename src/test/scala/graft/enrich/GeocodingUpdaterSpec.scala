@@ -32,6 +32,21 @@ class GeocodingUpdaterSpec extends SparkSpec {
     newCache.count() shouldBe 0
   }
 
+  it should "treat a cached null (no-result) as a hit, never re-querying" in {
+    val quads = quadsDf(
+      ("pl1", "rdf:type", S + "Place", "doc"),
+      ("pl1", S + "name", "Atlantis", "doc"))
+    // pre-fix: value-null detection re-sent every no-result key to the
+    // external service on every run
+    val cache = Seq(("Atlantis", null: String)).toDF("key", "value")
+    var calls = 0
+    val (diff, newCache) = Geocoding.geocodePlaces(quads, cache,
+      _ => { calls += 1; null })
+    calls shouldBe 0
+    newCache.count() shouldBe 0
+    diff.added.count() shouldBe 0 // no address to add, and no fan-out
+  }
+
   it should "call the geocoder once per distinct miss and return cache rows" in {
     val quads = quadsDf(
       ("pl1", "rdf:type", S + "Place", "doc"),
