@@ -61,9 +61,19 @@ object Hungarian {
   }
 
   /** Similarity-oriented wrapper: maximize total similarity of a token
-    * assignment (pads to square internally). */
+    * assignment. Accepts ANY shape: a wide-vs-narrow matrix (more rows
+    * than columns) solves the transpose and inverts the map, leaving
+    * unassignable rows at -1 — the scaladoc used to claim internal
+    * padding that didn't exist, and rows > cols threw. */
   def maxSimilarityAssignment(sim: Array[Array[Double]]): (Array[Int], Double) = {
     if (sim.isEmpty) return (Array.empty, 0.0)
+    if (sim.length > sim(0).length) {
+      val t = Array.tabulate(sim(0).length, sim.length)((j, i) => sim(i)(j))
+      val (a, total) = maxSimilarityAssignment(t)
+      val out = Array.fill(sim.length)(-1)
+      a.zipWithIndex.foreach { case (i, j) => if (i >= 0) out(i) = j }
+      return (out, total)
+    }
     val maxV = sim.map(_.max).max
     val cost = sim.map(_.map(maxV - _))
     val (assign, _) = solve(cost)

@@ -2,11 +2,20 @@ package graft.algo
 
 import scala.collection.mutable
 
-/** Min-cost max-flow via successive shortest paths with potentials
-  * (Bellman-Ford init + Dijkstra rounds) — counterpart of the reference's
+/** Min-cost max-flow via successive shortest paths with potentials —
+  * counterpart of the reference's
   * `graph/src/main/com/thymeflow/graph/FlowAlgorithms.scala:24-106`, which
   * backs its term-to-text sequence alignment. Graphs are per-record and
   * tiny; invoked inside UDFs/per-group functions.
+  *
+  * Negative edge costs are handled by the LABEL-CORRECTING behavior of
+  * the path search (improved labels re-enqueue — there is no separate
+  * Bellman-Ford initialization), which is exact but can degrade beyond
+  * Dijkstra's bound on pathological negative-heavy graphs.
+  * PRECONDITION: no negative-cost cycle with residual capacity — the
+  * label correction would improve around it forever. The per-record
+  * alignment graphs this backs are DAG-shaped and satisfy it by
+  * construction.
   */
 object MinCostFlow {
 

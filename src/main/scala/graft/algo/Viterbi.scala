@@ -37,7 +37,10 @@ object Viterbi {
           if (s > best) { best = s; bestI = i }
         }
         cur(j) = best + emitScore(t, states(t)(j))
-        bp(j) = bestI
+        // all transitions forbidden (-Inf): pin a deterministic
+        // predecessor so the -Inf-scored path is still WELL-FORMED —
+        // bestI = -1 used to index back(t)(-1) in the traceback
+        bp(j) = if (bestI < 0) 0 else bestI
       }
       back(t) = bp
       prev = cur
@@ -53,6 +56,7 @@ object Viterbi {
     * node" frontiers, the reference's sessionization cut): each segment can
     * be decoded independently — this is what bounds memory per group. */
   def segmentAtSingletons[S](states: IndexedSeq[IndexedSeq[S]]): Seq[Range] = {
+    if (states.length <= 1) return Seq(states.indices) // 1-step trellis
     val cuts = states.indices.filter(i => states(i).size == 1)
     if (cuts.isEmpty) Seq(states.indices)
     else {

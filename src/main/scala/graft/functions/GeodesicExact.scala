@@ -165,6 +165,15 @@ object GeodesicExact {
     def solveBracket(lo0: Double, flo0: Double, hi0: Double, fhi0: Double): Double = {
       var lo = lo0; var hi = hi0
       var flo = flo0; var fhi = fhi0
+      // SIGN-AWARE endpoint update: the near-antipodal scan hands this
+      // both up-crossings (flo<0) and down-crossings (flo>0); the old
+      // `fm < 0 -> lo = mid` rule assumed increasing lambda12 and, on a
+      // down-crossing, moved lo PAST the root — refining to a non-root
+      // whose arc length then competed in the min. `mid` replaces the
+      // endpoint whose f shares its sign, which bisects correctly in
+      // either orientation (a zero flo at entry takes its implied sign
+      // from the opposite endpoint).
+      var loNeg = if (flo != 0) flo < 0 else fhi > 0
       var s1 = 0.0; var s2 = 0.0; var k2 = E2p
       var it = 0
       var converged = false
@@ -176,7 +185,7 @@ object GeodesicExact {
         val fm = lam - lam12
         s1 = ts1; s2 = ts2; k2 = tk2
         if (math.abs(fm) < 1e-14 || (hi - lo) < 1e-15) converged = true
-        else if (fm < 0) { lo = mid; flo = fm }
+        else if ((fm < 0) == loNeg) { lo = mid; flo = fm; loNeg = fm < 0 }
         else { hi = mid; fhi = fm }
         it += 1
       }

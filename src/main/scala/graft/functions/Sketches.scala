@@ -58,7 +58,11 @@ object Sketches {
     val rho = when(w === 0L, lit(HllW + 1))
       .otherwise(lit(HllW + 1) - length(bin(w)))
       .cast("int")
-    df.select(groupCols.map(col) :+ bucket :+ rho.as("rho"): _*)
+    // NULL keys drop out (standard distinct-count semantics): md5(null)
+    // is a null bucket whose register row would inflate n_present and
+    // skew zeros/est_raw with no element behind it
+    df.where(keyCol.isNotNull)
+      .select(groupCols.map(col) :+ bucket :+ rho.as("rho"): _*)
       .groupBy(groupCols.head, (groupCols.tail :+ "bucket"): _*)
       .agg(max(col("rho")).as("reg"))
   }
@@ -159,8 +163,13 @@ object Sketches {
       .select(col("key"),
         posexplode(array((0 until CmsD).map(r => cmsBucket(col("key"), r)): _*))
           .as(Seq("row", "bucket")))
-    keyed.join(broadcast(sketch), Seq("row", "bucket"))
+    // LEFT join + coalesce 0: the sketch stores only non-zero cells, and
+    // an inner join dropped a key's EMPTY cells from the min — a key the
+    // sketch never saw could return a positive estimate (or vanish
+    // entirely when all its cells were empty) instead of the true CMS
+    // min of 0
+    keyed.join(broadcast(sketch), Seq("row", "bucket"), "left_outer")
       .groupBy("key")
-      .agg(min(col("cnt")).as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 }

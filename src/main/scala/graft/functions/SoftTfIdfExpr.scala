@@ -68,15 +68,24 @@ object SoftTfIdfScore {
   /** Row kernel: ArrayData → primitive arrays → unboxed scorer. */
   def compute(t1: ArrayData, w1: ArrayData, t2: ArrayData, w2: ArrayData,
       simThreshold: Double, pruneBelow: Double): Double = {
-    val n1 = t1.numElements()
-    val n2 = t2.numElements()
-    val s1 = new Array[String](n1)
-    var i = 0
-    while (i < n1) { s1(i) = t1.getUTF8String(i).toString; i += 1 }
-    val s2 = new Array[String](n2)
-    i = 0
-    while (i < n2) { s2(i) = t2.getUTF8String(i).toString; i += 1 }
-    Similarity.softTfIdfArrays(s1, w1.toDoubleArray(), s2, w2.toDoubleArray(),
-      simThreshold, pruneBelow)
+    // the array type admits null elements (containsNull is data-shaped):
+    // a null token/weight pair is SKIPPED rather than NPE-ing the task
+    def pairs(t: ArrayData, w: ArrayData): (Array[String], Array[Double]) = {
+      val n = math.min(t.numElements(), w.numElements())
+      val ss = Array.newBuilder[String]
+      val ws = Array.newBuilder[Double]
+      var i = 0
+      while (i < n) {
+        if (!t.isNullAt(i) && !w.isNullAt(i)) {
+          ss += t.getUTF8String(i).toString
+          ws += w.getDouble(i)
+        }
+        i += 1
+      }
+      (ss.result(), ws.result())
+    }
+    val (s1, d1) = pairs(t1, w1)
+    val (s2, d2) = pairs(t2, w2)
+    Similarity.softTfIdfArrays(s1, d1, s2, d2, simThreshold, pruneBelow)
   }
 }

@@ -20,6 +20,7 @@ object TopK {
 
   final class TopKAggregator(k: Int)
       extends Aggregator[Entry, List[Entry], Seq[Entry]] {
+    require(k >= 1, s"topK needs k >= 1, got $k") // k=0 NPE'd in reduce
     override def zero: List[Entry] = Nil
 
     private def insert(buf: List[Entry], e: Entry): List[Entry] = {

@@ -53,11 +53,16 @@ object ZOrder {
   def scaled(c: Column, min: Long, max: Long): Column = {
     require(max > min, s"degenerate domain [$min, $max]")
     // (v-min) ≤ range and range·mask must fit a long: require range < 2^42
-    require(max - min < (1L << 42), "domain too wide for exact scaling")
+    // (subtractExact: a wide domain overflowed max - min into a NEGATIVE
+    // width that passed the check and poisoned the divisor)
+    val width =
+      try Math.subtractExact(max, min)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    require(width < (1L << 42), "domain too wide for exact scaling")
     // integral divide (`div`), NOT `/`: Spark's slash is true division to
     // double, whose rounding could mis-bucket at grid boundaries
     call_function("div",
-      (c.cast("long") - lit(min)) * lit(DimMask), lit(max - min))
+      (c.cast("long") - lit(min)) * lit(DimMask), lit(width))
   }
 
   /** Write-side recipe: range-partition + sort by the Morton key so each
