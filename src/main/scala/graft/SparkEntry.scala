@@ -2688,6 +2688,34 @@ object SparkEntry {
       .select(col("id").as("o_orderkey"), col("scc"))
   }
 
+  /** q203: PARIS with SPARSE entities — odd custkeys carry no `grp`
+    * statement, so the functional-property penalty must NOT fire for
+    * them (Suchanek §4 multiplies over statement pairs; silence is not
+    * counter-evidence — the round-12 [[graft.enrich.Paris.resolve]]
+    * semi-join guard). Closed form: both-even same-10-group pairs agree
+    * on both properties (0.625); both-even different-10-group pairs
+    * conflict on grp (0.25 · (1 − 0.5) = 0.125); any pair involving an
+    * odd key has no grp pair to judge (0.25). All dyadic → hash-exact. */
+  private def q203_paris_sparse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val par = cust.select(
+      concat(lit("c:"), col("c_custkey")).as("x"), lit("par").as("p"),
+      concat(lit("q"), expr("c_custkey div 20")).as("o"),
+      lit(false).as("oIsInstance"))
+    val grp = cust.where(col("c_custkey") % 2 === 0).select(
+      concat(lit("c:"), col("c_custkey")).as("x"), lit("grp").as("p"),
+      concat(lit("g"), expr("c_custkey div 10")).as("o"),
+      lit(false).as("oIsInstance"))
+    val props = Seq(("grp", 0.5, 0.5), ("par", 0.75, 0.25))
+      .toDF("p", "fun", "inv_fun")
+    val noLitEq = Seq.empty[(String, String, Double)].toDF("o1", "o2", "prob")
+    // literal-only fixture: the fixpoint is stable after round 1
+    graft.enrich.Paris.resolve(grp.union(par), noLitEq, props, iterations = 3)
+      .where(col("x1") < col("x2"))
+      .select(col("x1"), col("x2"), col("prob"))
+  }
+
   /** q199: distributed batch kNN join ([[Ann.knnJoin]]) with the probe
     * set = the FULL corpus — the corpus-as-probes shape the serving
     * kernels can't take. Routing is exhaustive here (nprobe = nlist), so
@@ -2928,6 +2956,7 @@ object SparkEntry {
     "q199_knn_join" -> (q199_knn_join _),
     "q201_knn_salted" -> (q201_knn_salted _),
     "q202_scc_dist" -> (q202_scc_dist _),
+    "q203_paris_sparse" -> (q203_paris_sparse _),
     "q200_leakage_split" -> (q200_leakage_split _)
   )
 
@@ -5797,6 +5826,19 @@ object SparkEntry {
         |SELECT v.id AS o_orderkey,
         |  CAST(least(v.id, coalesce(m.minw, v.id)) AS BIGINT) AS scc
         |FROM verts v LEFT JOIN mutual m ON m.v = v.id""".stripMargin,
+    // q203: sparse-entity PARIS — odd keys have no grp statement, so the
+    // functional penalty is skipped for any pair touching one (0.25);
+    // both-even pairs agree (0.625) or conflict (0.125) on grp
+    "q203_paris_sparse" ->
+      """SELECT 'c:' || a.c_custkey AS x1, 'c:' || b.c_custkey AS x2,
+        |  CAST(CASE
+        |    WHEN a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 0
+        |      AND a.c_custkey // 10 = b.c_custkey // 10 THEN 0.625
+        |    WHEN a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 0 THEN 0.125
+        |    ELSE 0.25 END AS DOUBLE) AS prob
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey // 20 = b.c_custkey // 20
+        |  AND 'c:' || a.c_custkey < 'c:' || b.c_custkey""".stripMargin,
     // q199: exhaustive routing (nprobe = nlist) makes the batch kNN join
     // exact — the oracle is the full corpus-as-probes self top-3
     "q199_knn_join" ->

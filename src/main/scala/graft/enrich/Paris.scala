@@ -95,7 +95,11 @@ object Paris {
     *  - negative evidence from FUNCTIONAL properties: if x' has values for
     *    a functional p but none equivalent to x's value, that argues
     *    against equality —
-    *    `P- = Π_{(x,p,y), fun(p)>0} (1 - fun(p)·Π_{(x',p,y')} (1 - P(y≈y')))`
+    *    `P- = Π_{(x,p,y), fun(p)>0, ∃(x',p,·)} (1 - fun(p)·Π_{(x',p,y')} (1 - P(y≈y')))`
+    *    — the product ranges only over properties x' actually has a
+    *    statement for (Suchanek §4 multiplies over statement PAIRS; an
+    *    entity silent on p contributes no factor, so sparse entities are
+    *    not penalized for missing data)
     *  - `P(x≡x') = P+ · P-`
     *
     * Object equivalence P(y≈y') is the literal-similarity table for
@@ -181,8 +185,19 @@ object Paris {
         .agg(prodExact(lit(1.0) - col("eq")).as("inner"))
       val funStmts = st.join(pr, Seq("p")).where(col("fun") > 0)
         .select(col("x").as("x1"), col("p").as("sp"), col("o").as("y"), col("fun"))
+      // Suchanek §4's disagreement penalty multiplies over pairs of
+      // statements (x,p,y), (x',p,y') — BOTH must exist. An x2 with no
+      // statement at all for p contributes no factor: silence is not
+      // counter-evidence (the common case for sparse personal-data
+      // entities). Note the reference's ParisEnricher.scala:257-270
+      // deviates from the paper here — its inner product over
+      // statementsFrom(xPrime, p) is an empty product (= 1) when xPrime
+      // is silent, firing the full (1 - fun) penalty; we follow the paper.
+      val x2Props = st.join(pr, Seq("p")).where(col("fun") > 0)
+        .select(col("x").as("x2"), col("p").as("sp")).distinct()
       val negDf = cand
         .join(funStmts, Seq("x1"))
+        .join(x2Props, Seq("x2", "sp"), "left_semi")
         .join(innerDf, Seq("x1", "x2", "sp", "y"), "left_outer")
         .groupBy(col("x1"), col("x2"))
         .agg(prodExact(

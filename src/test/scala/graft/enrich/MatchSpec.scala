@@ -101,6 +101,27 @@ class MatchSpec extends SparkSpec {
     res(("x3", "x1")) shouldBe 0.125
   }
 
+  it should "not penalize an entity silent on a functional property" in {
+    // x4 has NO grp statement at all. Suchanek §4's penalty multiplies
+    // over statement PAIRS — silence is not counter-evidence, so only
+    // the (agreeing) par factor applies:
+    //   pos(x1,x4) = (1-0.25) -> P+ = 0.25
+    //   neg(x1,x4) = (1-0.75*0) = 1      [grp skipped: x4 silent]
+    //   prob = 0.25 (the pre-fix code returned 0.125 = 0.25 * (1-0.5))
+    val stmts = Seq(
+      ("x1", "grp", "gA", false), ("x1", "par", "qA", false),
+      ("x4", "par", "qA", false))
+      .toDF("x", "p", "o", "oIsInstance")
+    val props = Seq(("grp", 0.5, 0.5), ("par", 0.75, 0.25))
+      .toDF("p", "fun", "inv_fun")
+    val noEq = Seq.empty[(String, String, Double)].toDF("o1", "o2", "prob")
+    val res = Paris.resolve(stmts, noEq, props, iterations = 10)
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, p) => ((a, b), p) }.toMap
+    res(("x1", "x4")) shouldBe 0.25
+    res(("x4", "x1")) shouldBe 0.25
+  }
+
   it should "propagate equality through instance-valued objects one hop per iteration" in {
     // b1 ≈ b2 via a shared inverse-functional email (round 1); a1 ≈ a2
     // only via the instance-valued spouse property, which needs b1 ≈ b2
