@@ -635,7 +635,11 @@ object SparkEntry {
     * per-site coordinates, 25 m sigma) the Hellinger clusterer provably
     * reduces to maximal same-site runs per user — which SQL states as a
     * gaps-and-islands query. The operator still runs the full
-    * repartition+sort+stateful-scan path. */
+    * repartition+sort+stateful-scan path. Scale note: same-site pairs
+    * have H = 0 and cross-site pairs H ≈ 1, so this closed form holds
+    * under both the pre-round-12 H² ≤ λ acceptance and the corrected
+    * reference scale H ≤ λ — the oracle did not move with that fix
+    * (StaySpec pins the scale on a trace where the two disagree). */
   private def q58_stays_oracle(s: SparkSession, dir: String): DataFrame =
     graft.spatial.StayExtraction.extractStaysDf(
         eventsAsObservations(s, dir), minStayMs = 10L * 60 * 1000)

@@ -25,7 +25,12 @@ object StayExtraction {
       lat: Double, lon: Double, n_obs: Int)
 
   /** Default thresholds from the reference (`LocationStayEnricher.scala:52-56`):
-    * min stay 15 min, Hellinger-squared acceptance λ = 0.95. */
+    * min stay 15 min, acceptance λ = 0.95 on the Hellinger DISTANCE H
+    * (`location/Clustering.scala:161` thresholds
+    * `HellingerDistance.normal`, the square root, ≤ λ — same scale as
+    * [[WindowedStays]]). Internally the greedy scan compares the cheaper
+    * H² ≤ λ², which is equivalent for H, λ ≥ 0 and skips a sqrt per
+    * observation. */
   val DefaultMinStayMs: Long = 15L * 60 * 1000
   val DefaultLambda: Double = 0.95
 
@@ -99,7 +104,7 @@ object StayExtraction {
           sorted.foreach { o =>
             current match {
               case Some(c) if Geo.hellingerSq(c.lat, c.lon, c.sigmaMeters,
-                  o.lat, o.lon, math.max(o.accuracy, 1.0)) <= lambda =>
+                  o.lat, o.lon, math.max(o.accuracy, 1.0)) <= lambda * lambda =>
                 current = Some(Geo.merge(c, o.lat, o.lon, o.accuracy, o.timeMs))
               case Some(c) =>
                 flush(c)
@@ -132,7 +137,7 @@ object StayExtraction {
         current match {
           case Some((u, c)) if u == o.user &&
               Geo.hellingerSq(c.lat, c.lon, c.sigmaMeters, o.lat, o.lon,
-                math.max(o.accuracy, 1.0)) <= lambda =>
+                math.max(o.accuracy, 1.0)) <= lambda * lambda =>
             current = Some((u, Geo.merge(c, o.lat, o.lon, o.accuracy, o.timeMs)))
           case Some((u, c)) =>
             flush(u, c)

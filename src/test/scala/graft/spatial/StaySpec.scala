@@ -116,6 +116,29 @@ class StaySpec extends SparkSpec {
     }
   }
 
+  it should "threshold the Hellinger DISTANCE like the reference (H ≤ λ, not H² ≤ λ)" in {
+    // Two 25 m-sigma points ~115.6 m apart: H² = 1 − exp(−d²/(8σ²))
+    // ≈ 0.931, so H ≈ 0.965. With λ = 0.95 the reference scale
+    // (H ≤ λ, `location/Clustering.scala:161`) REJECTS the merge while
+    // the pre-fix greedy scale (H² ≤ λ) accepted it — this trace pins
+    // the chosen semantics and keeps the two extractors on one scale.
+    val dLat = 0.00104 // ≈ 115.6 m at any longitude
+    val obs = Seq(
+      StayExtraction.Obs(1L, 0L, 40.0, -74.0, 25.0),
+      StayExtraction.Obs(1L, 60000L, 40.0 + dLat, -74.0, 25.0))
+    val h2 = Geo.hellingerSq(40.0, -74.0, 25.0, 40.0 + dLat, -74.0, 25.0)
+    h2 should be > (0.95 * 0.95) // λ² — new scale rejects...
+    h2 should be < 0.95 // ...old scale would have merged
+    val greedy = StayExtraction.extractStays(
+      spark.createDataset(obs), minStayMs = 0L).collect()
+    greedy.length shouldBe 2
+    greedy.foreach(_.n_obs shouldBe 1)
+    // (The windowed estimator merges this trace either way: its
+    // acceptance re-checks members against the MERGED cluster — each
+    // sits d/2 ≈ 58 m from the midpoint, H ≈ 0.70 ≤ λ — a structural
+    // difference fixture-tested in WindowedStaysSpec, not a λ-scale one.)
+  }
+
   "EventStayMatch" should "match only overlapping nearby pairs" in {
     import graft.enrich.EventStayMatch
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
