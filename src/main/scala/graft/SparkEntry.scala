@@ -1056,26 +1056,45 @@ object SparkEntry {
     * subclass edge). */
   private def q92_rdfs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.rdf.Quad
     val cust = t(s, dir, "customer")
+    def kinds(k: Byte, dt: Option[String]) = Seq(
+      lit(k).as("oKind"),
+      dt.map(lit(_)).getOrElse(lit(null)).cast("string").as("oDt"),
+      lit(null).cast("string").as("oLang"))
     val inst = cust.select(
-        concat(lit("c:"), col("c_custkey").cast("string")).as("s"),
-        lit("rdf:type").as("p"),
-        concat(lit("s:"), col("c_mktsegment")).as("o"))
+        concat(lit("c:"), col("c_custkey").cast("string")).as("s") +:
+        lit("rdf:type").as("p") +:
+        concat(lit("s:"), col("c_mktsegment")).as("o") +:
+        kinds(Quad.IRI, None): _*)
       .union(cust.select(
-        concat(lit("c:"), col("c_custkey").cast("string")).as("s"),
-        lit("nation").as("p"),
-        concat(lit("n:"), col("c_nationkey").cast("string")).as("o")))
+        concat(lit("c:"), col("c_custkey").cast("string")).as("s") +:
+        lit("nation").as("p") +:
+        concat(lit("n:"), col("c_nationkey").cast("string")).as("o") +:
+        kinds(Quad.IRI, None): _*))
+      // literal-valued statements: rdfs7 must carry kind + datatype into
+      // the derived (c label name) conclusions, and rdfs3's range typing
+      // must NOT fire a literal into subject position
+      .union(cust.select(
+        concat(lit("c:"), col("c_custkey").cast("string")).as("s") +:
+        lit("name").as("p") +: col("c_name").as("o") +:
+        kinds(Quad.LITERAL, Some("xsd:string")): _*))
     val schema = Seq(
       ("s:BUILDING", "rdfs:subClassOf", "s:Any"),
       ("s:AUTOMOBILE", "rdfs:subClassOf", "s:Vehicle"),
       ("s:Vehicle", "rdfs:subClassOf", "s:Any"),
       ("nation", "rdfs:subPropertyOf", "locatedIn"),
       ("nation", "rdfs:domain", "s:Agent"),
-      ("nation", "rdfs:range", "s:Place")).toDF("s", "p", "o")
+      ("nation", "rdfs:range", "s:Place"),
+      ("name", "rdfs:subPropertyOf", "label"),
+      ("name", "rdfs:range", "s:Name")).toDF("s", "p", "o")
+      .select(col("s") +: col("p") +: col("o") +: kinds(Quad.IRI, None): _*)
     graft.enrich.Inference.infer(inst.union(schema),
         graft.enrich.Inference.Rules(
           rdfs = Some(graft.enrich.Inference.RdfsVocab())))
-      .select(col("s"), col("p"), col("o"))
+      .select(col("s"), col("p"), col("o"),
+        col("oKind").cast("int").as("okind"),
+        coalesce(col("oDt"), lit("")).as("odt"))
   }
 
   /** Graph-management SPARQL UPDATE end-to-end (Q15 extension, round 6):
@@ -3806,20 +3825,30 @@ object SparkEntry {
     // the 1- and 2-level subclass chains (rdfs9+rdfs11), locatedIn via
     // subPropertyOf (rdfs7), domain/range typing (rdfs2/rdfs3), and the
     // single inferred transitive subclass edge.
+    // q92: okind 0 = IRI, 2 = literal; the label rows are the rdfs7
+    // literal-propagation case (kind + datatype must survive the
+    // fixpoint) and the absence of any (..., rdf:type, s:Name) row with
+    // a literal subject pins the rdfs3 resource-subject guard
     "q92_rdfs" ->
-      """SELECT 'c:' || c_custkey AS s, 'rdf:type' AS p, 's:Any' AS o
+      """SELECT 'c:' || c_custkey AS s, 'rdf:type' AS p, 's:Any' AS o,
+        |  0 AS okind, '' AS odt
         |FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
         |UNION
-        |SELECT 'c:' || c_custkey, 'rdf:type', 's:Vehicle'
+        |SELECT 'c:' || c_custkey, 'rdf:type', 's:Vehicle', 0, ''
         |FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         |UNION
-        |SELECT 'c:' || c_custkey, 'rdf:type', 's:Agent' FROM customer
+        |SELECT 'c:' || c_custkey, 'rdf:type', 's:Agent', 0, '' FROM customer
         |UNION
-        |SELECT 'c:' || c_custkey, 'locatedIn', 'n:' || c_nationkey FROM customer
+        |SELECT 'c:' || c_custkey, 'locatedIn', 'n:' || c_nationkey, 0, ''
+        |FROM customer
         |UNION
-        |SELECT DISTINCT 'n:' || c_nationkey, 'rdf:type', 's:Place' FROM customer
+        |SELECT DISTINCT 'n:' || c_nationkey, 'rdf:type', 's:Place', 0, ''
+        |FROM customer
         |UNION
-        |SELECT 's:AUTOMOBILE', 'rdfs:subClassOf', 's:Any'""".stripMargin,
+        |SELECT 's:AUTOMOBILE', 'rdfs:subClassOf', 's:Any', 0, ''
+        |UNION
+        |SELECT 'c:' || c_custkey, 'label', c_name, 2, 'xsd:string'
+        |FROM customer""".stripMargin,
     // q93: after CLEAR GRAPH <nation> ; INSERT, the only nation-graph row
     // is the inserted one; the customer graph is untouched. ADD copies
     // that row into <scratch> (source intact), MOVE relocates it to

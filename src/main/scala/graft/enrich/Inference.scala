@@ -1,7 +1,7 @@
 package graft.enrich
 
 import org.apache.spark.sql.GraftSparkInternals.CappedCheckpoint
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.rdf.QuadDiff
@@ -41,19 +41,46 @@ object Inference {
         * rdfs5/rdfs11 (subPropertyOf/subClassOf transitivity), rdfs7
         * (statement propagation through subPropertyOf), rdfs9 (membership
         * propagation through subClassOf), rdfs2/rdfs3 (domain/range
-        * typing). Schema triples are ordinary data in the quad set.
-        * Caveat: rdfs3 is applied without an object-kind check (the
-        * (s,p,o) projection carries no kind); declare ranges only on
-        * object properties. */
+        * typing). Schema triples are ordinary data in the quad set. */
       rdfs: Option[RdfsVocab] = None)
 
   val InferredGraph = "graft:inferred"
 
   /** Close `quads` under the rules; returns ONLY the newly inferred quads
-    * (tagged with [[InferredGraph]]). */
+    * (tagged with [[InferredGraph]]).
+    *
+    * Object kinds thread through the fixpoint: rdfs7 (and transitivity)
+    * carry the premise object's (oKind, oDt, oLang) into the conclusion,
+    * so a literal-valued statement propagated through subPropertyOf stays
+    * a typed literal downstream. Rules that promote an object to subject
+    * position (inverseOf, symmetric, transitive's inner join, rdfs3) fire
+    * only on resource objects — a literal can't be a subject. Inputs
+    * without kind columns (bare (s, p, o) triples) default every object
+    * to IRI except `_:`-prefixed terms, which keep the blank-node kind
+    * the N-Triples convention implies. */
   def infer(quads: DataFrame, rules: Rules, maxIterations: Int = 30): DataFrame = {
-    val spark = quads.sparkSession
-    val base = quads.select("s", "p", "o").distinct().localCheckpointCapped
+    val kindCols = Seq("oKind", "oDt", "oLang")
+    val cols = Seq("s", "p", "o") ++ kindCols
+    val withKinds =
+      if (quads.columns.contains("oKind"))
+        quads.select(cols.map(col): _*)
+      else quads.select(col("s"), col("p"), col("o"),
+        when(col("o").startsWith("_:"), lit(graft.rdf.Quad.BNODE))
+          .otherwise(lit(graft.rdf.Quad.IRI)).as("oKind"),
+        lit(null).cast("string").as("oDt"),
+        lit(null).cast("string").as("oLang"))
+    val base = withKinds.distinct().localCheckpointCapped
+
+    val isResource = col("oKind") =!= graft.rdf.Quad.LITERAL
+    // subjects are resources by construction; recover the bnode/IRI split
+    // from the `_:` label convention when one becomes an object
+    def subjectAsObject(s: Column): Seq[Column] = Seq(
+      when(s.startsWith("_:"), lit(graft.rdf.Quad.BNODE))
+        .otherwise(lit(graft.rdf.Quad.IRI)).as("oKind"),
+      lit(null).cast("string").as("oDt"),
+      lit(null).cast("string").as("oLang"))
+    def carry(prefix: String): Seq[Column] =
+      kindCols.map(c => col(s"$prefix.$c").as(c))
 
     // rdfs5/rdfs11 are plain transitivity of the two schema predicates
     val transitivePreds = rules.transitive ++
@@ -61,22 +88,26 @@ object Inference {
 
     def applyRules(frontier: DataFrame, all: DataFrame): DataFrame = {
       val inv = rules.inverseOf.toSeq.map { case (p, q) =>
-        frontier.where(col("p") === p)
-          .select(col("o").as("s"), lit(q).as("p"), col("s").as("o"))
+        frontier.where(col("p") === p && isResource)
+          .select(col("o").as("s") +: lit(q).as("p") +:
+            col("s").as("o") +: subjectAsObject(col("s")): _*)
       }
       val sym = rules.symmetric.toSeq.map { p =>
-        frontier.where(col("p") === p)
-          .select(col("o").as("s"), col("p"), col("s").as("o"))
+        frontier.where(col("p") === p && isResource)
+          .select(col("o").as("s") +: col("p") +:
+            col("s").as("o") +: subjectAsObject(col("s")): _*)
       }
-      // transitive: frontier ⋈ all (both directions through the frontier)
+      // transitive: frontier ⋈ all (both directions through the frontier);
+      // the left statement's object is a subject, so it must be a resource
       val trans = transitivePreds.toSeq.flatMap { p =>
         val f = frontier.where(col("p") === p)
         val a = all.where(col("p") === p)
-        Seq(
-          f.alias("x").join(a.alias("y"), col("x.o") === col("y.s"))
-            .select(col("x.s").as("s"), lit(p).as("p"), col("y.o").as("o")),
-          a.alias("x").join(f.alias("y"), col("x.o") === col("y.s"))
-            .select(col("x.s").as("s"), lit(p).as("p"), col("y.o").as("o")))
+        Seq((f, a), (a, f)).map { case (x, y) =>
+          x.where(isResource).alias("x")
+            .join(y.alias("y"), col("x.o") === col("y.s"))
+            .select(col("x.s").as("s") +: lit(p).as("p") +:
+              col("y.o").as("o") +: carry("y"): _*)
+        }
       }
       // RDFS schema-joins, semi-naive in both directions (a new schema
       // statement re-fires over old instance data and vice versa)
@@ -92,19 +123,26 @@ object Inference {
         // rdfs9: (x type c) ⋈ (c subClassOf d) -> (x type d)
         both(w => pick(w, Some(v.typ)), w => pick(w, Some(v.subClassOf)),
           (t, sc) => t.alias("t").join(sc.alias("sc"), col("t.o") === col("sc.s"))
-            .select(col("t.s").as("s"), lit(v.typ).as("p"), col("sc.o").as("o"))) ++
-        // rdfs7: (s p o) ⋈ (p subPropertyOf q) -> (s q o)
+            .select(col("t.s").as("s") +: lit(v.typ).as("p") +:
+              col("sc.o").as("o") +: carry("sc"): _*)) ++
+        // rdfs7: (s p o) ⋈ (p subPropertyOf q) -> (s q o) — the object
+        // rides along unchanged, literal kinds included
         both(w => pick(w, None), w => pick(w, Some(v.subPropertyOf)),
           (x, sp) => x.alias("x").join(sp.alias("sp"), col("x.p") === col("sp.s"))
-            .select(col("x.s").as("s"), col("sp.o").as("p"), col("x.o").as("o"))) ++
+            .select(col("x.s").as("s") +: col("sp.o").as("p") +:
+              col("x.o").as("o") +: carry("x"): _*)) ++
         // rdfs2: (p domain c) ⋈ (s p o) -> (s type c)
         both(w => pick(w, None), w => pick(w, Some(v.domain)),
           (x, d) => x.alias("x").join(d.alias("d"), col("x.p") === col("d.s"))
-            .select(col("x.s").as("s"), lit(v.typ).as("p"), col("d.o").as("o"))) ++
-        // rdfs3: (p range c) ⋈ (s p o) -> (o type c); see Rules.rdfs caveat
+            .select(col("x.s").as("s") +: lit(v.typ).as("p") +:
+              col("d.o").as("o") +: carry("d"): _*)) ++
+        // rdfs3: (p range c) ⋈ (s p o) -> (o type c) — only a resource
+        // object can take subject position
         both(w => pick(w, None), w => pick(w, Some(v.range)),
-          (x, r) => x.alias("x").join(r.alias("r"), col("x.p") === col("r.s"))
-            .select(col("x.o").as("s"), lit(v.typ).as("p"), col("r.o").as("o")))
+          (x, r) => x.alias("x").where(col("x.oKind") =!= graft.rdf.Quad.LITERAL)
+            .join(r.alias("r"), col("x.p") === col("r.s"))
+            .select(col("x.o").as("s") +: lit(v.typ).as("p") +:
+              col("r.o").as("o") +: carry("r"): _*))
       }
       val derived = (inv ++ sym ++ trans ++ rdfs).reduceOption(_ unionByName _)
         .getOrElse(frontier.limit(0))
@@ -118,8 +156,14 @@ object Inference {
     var i = 0
     var done = false
     while (!done && i < maxIterations) {
-      val next = applyRules(frontier, all)
-        .join(all, Seq("s", "p", "o"), "left_anti")
+      // null-safe anti-join: oDt/oLang are null for resources, and
+      // EqualTo never matches null = null — a plain using-columns anti
+      // join would re-derive every resource-valued quad forever
+      val derived = applyRules(frontier, all).alias("d")
+      val next = derived
+        .join(all.alias("k"),
+          cols.map(c => col(s"d.$c") <=> col(s"k.$c")).reduce(_ && _),
+          "left_anti")
         .localCheckpointCapped
       if (next.isEmpty) done = true
       else {
@@ -130,8 +174,7 @@ object Inference {
       i += 1
     }
     inferred.select(col("s"), col("p"), col("o"),
-      lit(graft.rdf.Quad.IRI).as("oKind"),
-      lit(null).cast("string").as("oDt"), lit(null).cast("string").as("oLang"),
+      col("oKind"), col("oDt"), col("oLang"),
       lit(InferredGraph).as("g"))
   }
 

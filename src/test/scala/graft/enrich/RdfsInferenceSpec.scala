@@ -81,6 +81,52 @@ class RdfsInferenceSpec extends SparkSpec {
     types.filter(_._1 == "y") shouldBe Set(("y", "C"), ("y", "A"))
   }
 
+  "literal object kinds" should "thread through rdfs7 and guard subject-position rules" in {
+    import graft.rdf.Quad
+    val quads = Seq(
+      ("a", "name", "Ada Lovelace", Quad.LITERAL, "xsd:string", null),
+      ("a", "knows", "b", Quad.IRI, null, null),
+      ("name", "rdfs:subPropertyOf", "label", Quad.IRI, null, null),
+      ("name", "rdfs:range", "Name", Quad.IRI, null, null),
+      ("knows", "rdfs:range", "Person", Quad.IRI, null, null))
+      .toDF("s", "p", "o", "oKind", "oDt", "oLang")
+    val got = Inference.infer(quads,
+        Inference.Rules(rdfs = Some(Inference.RdfsVocab())))
+      .select("s", "p", "o", "oKind", "oDt")
+      .as[(String, String, String, Byte, Option[String])].collect().toSet
+    got shouldBe Set(
+      // rdfs7 carries the literal kind AND datatype into the conclusion
+      ("a", "label", "Ada Lovelace", Quad.LITERAL, Some("xsd:string")),
+      // rdfs3 types the IRI object but must NOT put the literal "Ada
+      // Lovelace" in subject position despite name's declared range
+      ("b", "rdf:type", "Person", Quad.IRI, None))
+  }
+
+  "symmetric and inverse rules" should "not promote a literal object to subject position" in {
+    import graft.rdf.Quad
+    val quads = Seq(
+      ("a", "spouse", "b", Quad.IRI, null, null),
+      ("a", "spouse", "oops-a-literal", Quad.LITERAL, "xsd:string", null),
+      ("a", "owns", "thing", Quad.IRI, null, null),
+      ("a", "owns", "also-a-literal", Quad.LITERAL, null, null))
+      .toDF("s", "p", "o", "oKind", "oDt", "oLang")
+    val got = Inference.infer(quads,
+        Inference.Rules(symmetric = Set("spouse"),
+          inverseOf = Map("owns" -> "ownedBy")))
+      .select("s", "p", "o").as[(String, String, String)].collect().toSet
+    got shouldBe Set(("b", "spouse", "a"), ("thing", "ownedBy", "a"))
+  }
+
+  "bare (s, p, o) inputs" should "default to IRI kinds with the _: blank-node convention" in {
+    import graft.rdf.Quad
+    val got = Inference.infer(
+        Seq(("a", "spouse", "_:b1")).toDF("s", "p", "o"),
+        Inference.Rules(symmetric = Set("spouse")))
+      .select("s", "p", "o", "oKind")
+      .as[(String, String, String, Byte)].collect().toSet
+    got shouldBe Set(("_:b1", "spouse", "a", Quad.IRI))
+  }
+
   "OWL + RDFS" should "compose in one fixpoint" in {
     val got = Inference.infer(
       Seq(
