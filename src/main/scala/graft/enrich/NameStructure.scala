@@ -170,6 +170,20 @@ object NameStructure {
     var hits = qualified.limit(0).select(
       lit("").as("start"), col("node"), col("ptype")).limit(0).localCheckpoint()
     var active = starts.select(col("start"))
+    // distance 0: a start that is itself qualified — the same
+    // (agent, part) slot carries types in another aligned row — is its
+    // own minimal-level evidence, and the strongest (the reference
+    // counts the source label too, `AgentMatchEnricher.scala:497-512`).
+    // These starts retire before the first hop so no farther neighbor
+    // can dilute their distribution.
+    val selfHits = starts.select(col("start"), col("start").as("node"))
+      .join(qualified, Seq("node"))
+      .select(col("start"), col("node"), col("ptype"))
+      .localCheckpoint()
+    hits = hits.unionByName(selfHits)
+    active = active.join(selfHits.select(col("start")).distinct(),
+      Seq("start"), "left_anti").localCheckpoint()
+    frontier = frontier.join(active, Seq("start"), "left_semi").localCheckpoint()
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       val next = frontier.join(edges, frontier("node") === edges("src"))

@@ -194,6 +194,24 @@ class MatchSpec extends SparkSpec {
     inferred(("C", "smith")) shouldBe Map("familyName" -> 1.0)
   }
 
+  it should "count the start node's own qualified type (distance-0 self-hit)" in {
+    // The same (D, smith) slot is unqualified in one aligned row and
+    // typed familyName in another (two sources, one typed): its own
+    // label is distance-0 evidence and must win over the 2-hop
+    // domain-pattern neighbor (E, emma) = givenName, which the pre-fix
+    // BFS (visited initialized with the frontier, hits scanned from
+    // distance 1) returned instead.
+    val aligned = spark.createDataset(Seq(
+      NameStructure.AlignedSlot("D", "corp", "<v>", 0, "smith", Seq.empty),
+      NameStructure.AlignedSlot("D", "corp2", "<v>", 0, "smith", Seq("familyName")),
+      NameStructure.AlignedSlot("E", "corp", "<v>", 0, "emma", Seq("givenName"))))
+    val inferred = NameStructure.inferNamePartTypes(aligned)
+      .as[(String, String, String, Double)].collect()
+      .map { case (a, p, t, w) => ((a, p), (t, w)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toMap).toMap
+    inferred(("D", "smith")) shouldBe Map("familyName" -> 1.0)
+  }
+
   it should "skip public mailbox domains" in {
     val names = Seq(("A", "John", Seq("givenName")), ("B", "Jane", Seq.empty[String]))
       .toDF("agent", "part", "types")
