@@ -140,6 +140,31 @@ object ScalingProbe {
       out += "windowedStays6M" -> s"""{"sec":$tWindowed,"rows":$nWindowed}"""
     }
 
+    // 6b) AMBIGUOUS windowed stays: 200 users × 2,000 observations in
+    // 8-obs runs (16 min at 2-min spacing) alternating between two sites
+    // 300 m apart (cleanly separate clusters at 25 m sigma) — both
+    // clusters' Mov/Stat candidate states survive across the 120-min
+    // movement window, the trellis frontier stays wide (few singleton
+    // cuts), and segments span many layers. This is the shape where
+    // smooth()'s single-pass cost-map reuse halves the trellis work; the
+    // unambiguous 6M probe above cuts at almost every layer and shows no
+    // delta.
+    if (want("windowedStaysAmbiguous")) {
+      val bigAmb = spark.range(200L * 2000)
+        .select(
+          (col("id") % 200).as("user"),
+          (expr("id div 200") * 120000L).as("timeMs"),
+          (lit(40.0) + expr("id div 200 div 8 % 2").cast("double") * 0.0027)
+            .as("lat"),
+          lit(-74.0).as("lon"),
+          lit(25.0).as("accuracy"))
+        .as[graft.spatial.StayExtraction.Obs]
+      val (tAmb, nAmb) = time {
+        graft.spatial.WindowedStays.extractStays(bigAmb).count()
+      }
+      out += "windowedStaysAmbiguous" -> s"""{"sec":$tAmb,"rows":$nAmb}"""
+    }
+
     // 7) real PNG decode + embed over 500k images (documents replicated
     // 100x; 32x32 grayscale PNGs zlib-encoded then fully decoded and
     // embedded by the pure-JVM kernel) — the multimodal scan-speed claim

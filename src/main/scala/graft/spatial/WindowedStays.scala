@@ -338,26 +338,40 @@ object WindowedStays {
     val clusters: Int => ClusterObs = byId
     // forward frontier over the whole trace (= the reference's
     // findSingleNodes pass) to find singleton cut points
-    val (layerSeq, _) = forwardLayers(obs, assigned, clusters, movementMs, beam)
+    val (layerSeq, fullCosts) =
+      forwardLayers(obs, assigned, clusters, movementMs, beam)
     val segments = Viterbi.segmentAtSingletons(layerSeq)
     val kept = Vector.newBuilder[Int]
     kept += 0 // the global head anchors as Same (carried) by construction
     segments.foreach { seg =>
-      val segObs = seg.map(obs).toIndexedSeq
-      val segAssigned = seg.map(assigned).toIndexedSeq
-      // re-anchor the segment at Same, as the reference's estimate() does
-      // (`StateEstimator.scala:59`), then min-cost decode
-      val (segLayers, costs) =
-        forwardLayers(segObs, segAssigned, clusters, movementMs, beam)
+      // Segments must decode re-anchored at Same (the reference's
+      // estimate(), `StateEstimator.scala:59`). When the cut layer IS
+      // [Same] — the head of every trace, and every dead-frontier reset —
+      // the full-trace pass already explored exactly the re-anchored
+      // frontier sequence (a singleton start shifts every accumulator by
+      // one constant, so state sets, orderings, and beam truncation are
+      // identical), and its layers + transition costs are reused without
+      // a second forward pass. Only a non-Same singleton cut still needs
+      // the per-segment re-run, because re-anchoring genuinely changes
+      // which transitions leave the cut.
+      val reuse = layerSeq(seg.head) == IndexedSeq[TState](Same)
+      val (segLayers, costs, offset) =
+        if (reuse) (seg.map(layerSeq).toIndexedSeq, fullCosts, seg.head)
+        else {
+          val segObs = seg.map(obs).toIndexedSeq
+          val segAssigned = seg.map(assigned).toIndexedSeq
+          val (l, c) = forwardLayers(segObs, segAssigned, clusters, movementMs, beam)
+          (l, c, 0)
+        }
       val (path, _) = Viterbi.decode[TState](
         segLayers,
         emitScore = (_, _) => 0.0,
         transScore = (t2, from, to) =>
-          costs.get((t2, from, to)).map(-_).getOrElse(Double.NegativeInfinity))
+          costs.get((t2 + offset, from, to)).map(-_).getOrElse(Double.NegativeInfinity))
       // the segment head was decided by the previous segment (or is the
       // global head): keep indices 1.. of this segment
       var p = 1
-      while (p < segObs.length) {
+      while (p < seg.length) {
         segLayers(p)(path(p)) match {
           case Stat(_, _) => ()
           case _ => kept += seg(p)
