@@ -296,10 +296,17 @@ object ImapSync {
       // a neighbor client toggling flags every few seconds kept sawAny
       // true forever and idle() never returned to its caller
       val idleDeadline = System.nanoTime() + timeoutMillis.toLong * 1000000L
+      // don't start a round with less budget than a prompt protocol
+      // exchange needs: the remaining-budget soTimeout also governed the
+      // IDLE-continuation read and the post-DONE drain, and a 1 ms
+      // last-round timeout there threw SocketTimeoutException out of
+      // idle(), losing the round's already-accumulated fetched/removed
+      // events instead of returning the delta
+      val minRoundMs = 500
       while (parked && events < maxEvents &&
           { val rem = ((idleDeadline - System.nanoTime()) / 1000000L).toInt
-            if (rem <= 0) { parked = false; false }
-            else { s.socket.setSoTimeout(math.max(1, rem)); true } }) {
+            if (rem < minRoundMs) { parked = false; false }
+            else { s.socket.setSoTimeout(rem); true } }) {
         val tag = s.nextTag()
         s.sendRaw(s"$tag IDLE\r\n")
         // untagged responses may precede the '+' continuation — buffer
@@ -317,6 +324,12 @@ object ImapSync {
           else
             try Some(s.readPhysical())
             catch { case _: SocketTimeoutException => None }
+        // DONE-to-OK is a prompt exchange, not a budget-bounded park: give
+        // it a sane floor so a nearly-spent deadline can't starve the
+        // drain mid-round (the events gathered this round are already in
+        // `pending`/`fetched` and must reach the caller)
+        s.socket.setSoTimeout(math.max(
+          ((idleDeadline - System.nanoTime()) / 1000000L).toInt, minRoundMs))
         s.sendRaw("DONE\r\n")
         // notifications racing the DONE surface while draining; queue all
         pending ++= note.toList ++ s.drainUntilOk(tag).map(_.text)

@@ -33,14 +33,37 @@ private[streaming] object DedupIndex {
       }
   }
 
-  /** Stable run identity from the checkpoint path — the Hadoop Path URI,
-    * not File.getCanonicalPath: canonicalization resolves against the
-    * process CWD, so the SAME checkpoint restarted from a different
-    * working directory would silently become a "different run" and the
-    * replayed batch's keepers would all look like duplicates. */
-  def runIdFor(checkpointDir: String): String =
+  /** Stable run identity from the checkpoint path, FS-qualified before
+    * hashing: every spelling of the same directory — trailing slash,
+    * `file:///x` vs bare `/x`, scheme-default authority — must yield the
+    * same runId, or a crash-replayed batch restarted under a different
+    * spelling would treat its own prior index writes as another run's
+    * and suppress its keepers as duplicates. `fs.makeQualified` pins
+    * scheme + authority and resolves a relative path against the
+    * filesystem (a relative checkpoint genuinely is a different
+    * directory from a different CWD — unlike spelling variants, that
+    * SHOULD be a different run).
+    *
+    * Run-identity migration note: qualification changes the hash input
+    * once across this upgrade (e.g. `/x` now hashes as `file:/x`), so a
+    * LIVE checkpoint straddling it gets a fresh runId — its previous
+    * index runs become "another run's" content, which suppresses any
+    * keepers a mid-flight replayed batch had already written but not yet
+    * delivered. Let in-flight queries drain (or clear the index's
+    * `run=` dirs) before upgrading a live pipeline. */
+  def runIdFor(checkpointDir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val u = p.getFileSystem(conf).makeQualified(p).toUri
+    // render from components: `file:///x` keeps an EMPTY authority while
+    // a qualified bare `/x` has a null one — toString would differ
+    val path0 = u.getPath
+    val path = // Path normalizes, but belt-and-braces for odd URIs
+      if (path0.length > 1 && path0.endsWith("/")) path0.dropRight(1) else path0
+    val norm = s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}$path"
     java.security.MessageDigest.getInstance("SHA-1")
-      .digest(new org.apache.hadoop.fs.Path(checkpointDir).toUri.toString
-        .getBytes("UTF-8"))
+      .digest(norm.getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
+  }
 }

@@ -66,6 +66,23 @@ class SourcesSpec extends SparkSpec {
     (q.o, q.oKind, q.g) shouldBe (("http://o", graft.rdf.Quad.IRI, "_:g1"))
   }
 
+  it should "not mis-split a literal object ending in a bnode-looking token" in {
+    // `_:\S+` as the graph alternative matched `_:b1"` (quote is
+    // non-space), leaving objTerm=`"see` — LiteralObj failed and the
+    // quad was silently dropped; the label-restricted alternative
+    // backtracks and the full literal parses
+    val q = NTriples.parseLine("""<http://s> <http://p> "see _:b1" .""", "dg").get
+    (q.o, q.oKind, q.g) shouldBe (("see _:b1", graft.rdf.Quad.LITERAL, "dg"))
+    val lang = NTriples.parseLine("""<http://s> <http://p> "voir _:b1"@fr .""", "dg").get
+    (lang.o, lang.oLang) shouldBe (("voir _:b1", "fr"))
+    val typed = NTriples.parseLine(
+      """<http://s> <http://p> "x _:b1"^^<http://t> .""", "dg").get
+    (typed.o, typed.oDt) shouldBe (("x _:b1", "http://t"))
+    // real bnode graph labels still parse
+    NTriples.parseLine("""<http://s> <http://p> "lit" _:g.1-x .""", "dg")
+      .get.g shouldBe "_:g.1-x"
+  }
+
   it should "normalize the full rdf:type IRI to the engine's compact form" in {
     NTriples.parseLine(
       "<http://s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://T> .",

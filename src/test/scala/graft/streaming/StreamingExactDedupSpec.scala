@@ -101,4 +101,19 @@ class StreamingExactDedupSpec extends SparkSpec {
     // later null-text rows are duplicates of the first-seen one
     run(b1, 1) shouldBe Set.empty
   }
+
+  "DedupIndex.runIdFor" should "be invariant to checkpoint-path spelling" in {
+    // a crash-replayed batch restarted under a different spelling of the
+    // SAME directory must keep its runId, or its own prior index writes
+    // look like another run's and its keepers are suppressed
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = "/tmp/graft-runid-spelling"
+    val a = DedupIndex.runIdFor(base, conf)
+    DedupIndex.runIdFor(base + "/", conf) shouldBe a
+    DedupIndex.runIdFor("file:" + base, conf) shouldBe a
+    DedupIndex.runIdFor("file://" + base, conf) shouldBe a
+    DedupIndex.runIdFor("/tmp//graft-runid-spelling", conf) shouldBe a
+    // a different directory is a different run
+    DedupIndex.runIdFor(base + "2", conf) should not be a
+  }
 }
