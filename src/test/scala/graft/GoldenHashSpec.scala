@@ -40,6 +40,15 @@ class GoldenHashSpec extends SparkSpec {
       "be9482bb4806a80a0ffd85206f3328a73c2b3c0f66240004fa487ff37c8965d4"
   }
 
+  it should "reproduce its pinned sf0.01 output byte-exactly (second scale)" in {
+    // cheap insurance that the pinned golden covers the CURRENT model
+    // path: the sf0.001 hash above was pinned rounds ago; a kernel
+    // change that happens to preserve the 500-doc output could still
+    // shift the 5,000-doc one
+    digest(SparkEntry.queries("q70_langid")(spark, "/root/testdata/sf0.01")) shouldBe
+      "6774a5bbe73af77c7bf1f7ca393e3e433c1e5888cc676d0cd7592a15055667f5"
+  }
+
   "q145_compression" should "reproduce its pinned sf0.001 output byte-exactly" in {
     digest(SparkEntry.queries("q145_compression")(spark, dir)) shouldBe
       "b024d2a588c58d61f1bc901a6d0bfa57ee8607fc670c8dcf860e08889a3659a3"
