@@ -85,7 +85,22 @@ object Sparql {
         val sb = new StringBuilder("\"")
         i += 1
         while (i < n && q(i) != '"') {
-          if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 }
+          if (q(i) == '\\' && i + 1 < n) {
+            // SPARQL ECHAR + \uXXXX: decode to the actual character — the
+            // old `sb += q(i+1)` kept the raw letter, so "a\nb" parsed as
+            // the three-char literal "anb" instead of a newline
+            q(i + 1) match {
+              case 'n' => sb += '\n'; i += 2
+              case 't' => sb += '\t'; i += 2
+              case 'r' => sb += '\r'; i += 2
+              case 'b' => sb += '\b'; i += 2
+              case 'f' => sb += '\f'; i += 2
+              case 'u' if i + 5 < n =>
+                sb += Integer.parseInt(q.substring(i + 2, i + 6), 16).toChar
+                i += 6
+              case other => sb += other; i += 2 // \" \' \\
+            }
+          }
           else { sb += q(i); i += 1 }
         }
         out += sb.append('"').toString; i += 1
@@ -858,11 +873,25 @@ object Sparql {
       namedQuads: DataFrame = null): DataFrame = {
     val named = Option(namedQuads).getOrElse(quads)
     var current: Option[DataFrame] = None
+    // Term-metadata side columns (__dt_/__lang_/__kind_) must NEVER be
+    // join keys: dt/lang are null for plain literals and null = null is
+    // false under join equality, so two sub-groups both carrying metadata
+    // for a shared variable would silently drop every plain-literal
+    // solution. The first binding set to project a variable's metadata
+    // wins (the bgpMeta claimed-set convention, extended across groups);
+    // the right side's duplicates are dropped before the join.
+    def isMetaCol(c: String): Boolean =
+      c.startsWith("__dt_") || c.startsWith("__lang_") || c.startsWith("__kind_")
+    def dropDupMeta(acc: DataFrame, df: DataFrame): DataFrame = {
+      val dup = df.columns.filter(c => isMetaCol(c) && acc.columns.contains(c))
+      if (dup.isEmpty) df else df.drop(dup.toIndexedSeq: _*)
+    }
     def join(df: DataFrame): Unit = current = current match {
       case None => Some(df)
       case Some(acc) =>
-        val shared = acc.columns.intersect(df.columns).toSeq
-        Some(if (shared.nonEmpty) acc.join(df, shared) else acc.crossJoin(df))
+        val right = dropDupMeta(acc, df)
+        val shared = acc.columns.intersect(right.columns).toSeq
+        Some(if (shared.nonEmpty) acc.join(right, shared) else acc.crossJoin(right))
     }
     // triples first (they define bindings), then paths/graph/union/sub-
     // select groups, then OPTIONAL, then FILTER — SPARQL group semantics
@@ -880,7 +909,10 @@ object Sparql {
       case Exists(inner, negated, minus) =>
         val left = current.getOrElse(sys.error("FILTER EXISTS without preceding bindings"))
         val right = compileGroup(quads, inner, graph, metaVars, named)
-        val shared = left.columns.intersect(right.columns).toSeq
+        // metadata columns are not solution variables: semi/anti join on
+        // the shared VARIABLES only (see dropDupMeta note)
+        val shared = left.columns.intersect(right.columns)
+          .filterNot(isMetaCol).toSeq
         // Caveat: null bindings from OPTIONAL follow SQL join-key
         // semantics here (a null never matches), whereas SPARQL
         // compatibility treats an UNBOUND variable as compatible with
@@ -924,8 +956,9 @@ object Sparql {
         else {
           // general OPTIONAL group (e.g. a UNION inside OPTIONAL,
           // AgentMatchEnricher.scala:105-111): left-outer join on the
-          // shared variables
-          val right = compileGroup(quads, inner, graph, metaVars, named)
+          // shared variables (metadata side columns excluded — see
+          // dropDupMeta note)
+          val right = dropDupMeta(left, compileGroup(quads, inner, graph, metaVars, named))
           val shared = left.columns.intersect(right.columns).toSeq
           current = Some(left.join(right, shared, "left_outer"))
         }
@@ -1102,7 +1135,19 @@ object Sparql {
       url: String, silent: Boolean, rawTokens: List[String]): Option[DataFrame] =
     try {
       import spark.implicits._
-      val query = "SELECT * WHERE { " + rawTokens.mkString(" ") + " }"
+      // literal tokens hold DECODED text (the tokenizer resolves \n etc.);
+      // re-escape them so the shipped query is valid SPARQL again
+      def reescape(t: String): String =
+        if (!t.startsWith("\"")) t
+        else "\"" + t.substring(1, t.length - 1).flatMap {
+          case '\\' => "\\\\"
+          case '"' => "\\\""
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case ch => ch.toString
+        } + "\""
+      val query = "SELECT * WHERE { " + rawTokens.map(reescape).mkString(" ") + " }"
       val uri = java.net.URI.create(url +
         (if (url.contains("?")) "&" else "?") + "query=" +
         java.net.URLEncoder.encode(query, "UTF-8"))
@@ -1412,13 +1457,15 @@ object Sparql {
   val UserGraph = "graft:user"
   val ConstructedGraph = "graft:constructed"
 
-  /** Template/data quad: positions may be variables in templates; the
-    * graph is None for the default graph. */
+  /** Template/data quad: positions may be variables in templates — the
+    * GRAPH position included (`INSERT { GRAPH ?g { … } } WHERE …`); the
+    * graph holds the RAW token (`?g`, `<iri>`, bare) and is None for the
+    * default graph. */
   private type TemplQuad = (String, String, String, Option[String])
 
   private def templQuads(elems: List[Element]): List[TemplQuad] = elems.flatMap {
     case Triple(s, p, o) => List((s, p, o, None))
-    case Graphed(g, inner) => inner.collect { case Triple(s, p, o) => (s, p, o, Some(termValue(g))) }
+    case Graphed(g, inner) => inner.collect { case Triple(s, p, o) => (s, p, o, Some(g)) }
     case _ => sys.error("quad templates support triples and GRAPH blocks only")
   }
 
@@ -1471,8 +1518,11 @@ object Sparql {
           .cast("byte").as("__groundKind"),
         lit(gDt).cast("string").as("oDt"),
         lit(gLang).cast("string").as("oLang"),
-        lit(g.getOrElse(defaultGraph)).as("g"))
-    }.reduceLeft(_.unionByName(_)).na.drop(Seq("s", "p", "o"))
+        // GRAPH ?g templates bind the graph per solution (tExpr);
+        // unbound graph solutions are skipped by the na.drop like any
+        // other unbound template position
+        g.map(tExpr).getOrElse(lit(defaultGraph)).as("g"))
+    }.reduceLeft(_.unionByName(_)).na.drop(Seq("s", "p", "o", "g"))
     val needResolve = resolveKinds && templ.exists(_._3.startsWith("?"))
     val kinded =
       if (!needResolve)
@@ -1684,12 +1734,13 @@ object Sparql {
     def empty = store.limit(0)
     def ground(ts: List[TemplQuad]): DataFrame = {
       val qs = ts.map { case (s, p, o, g) =>
-        require(!s.startsWith("?") && !p.startsWith("?") && !o.startsWith("?"),
+        require(!s.startsWith("?") && !p.startsWith("?") && !o.startsWith("?") &&
+            !g.exists(_.startsWith("?")),
           "DATA blocks must be ground")
         val (ov, dt, lang) =
           if (o.startsWith("\"")) literalParts(o) else (termValue(o), null, null)
         Quad(termValue(s), termValue(p), ov, groundKind(o), dt, lang,
-          g.getOrElse(UserGraph))
+          g.map(termValue).getOrElse(UserGraph))
       }
       qs.toDF().select(storeCols: _*)
     }

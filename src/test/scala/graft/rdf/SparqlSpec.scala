@@ -311,6 +311,59 @@ class SparqlSpec extends SparkSpec {
       Seq(("alice", "Alice", Sparql.UserGraph))
   }
 
+  it should "bind a variable GRAPH position in INSERT/DELETE templates" in {
+    // INSERT { GRAPH ?g { … } }: the graph binds per solution — pre-fix
+    // the raw token "?g" became a literal graph NAMED "?g"
+    val s1 = Sparql.update(quads,
+      """INSERT { GRAPH ?g { ?x <hasName> ?n } }
+        |WHERE { GRAPH ?g { ?x <name> ?n } }""".stripMargin)
+    s1.where($"p" === "hasName").select("s", "o", "g")
+      .as[(String, String, String)].collect().toSet shouldBe Set(
+      ("alice", "Alice", "g1"), ("bob", "Bob", "g1"), ("carol", "Carol", "g2"))
+    s1.where($"g" === "?g").count() shouldBe 0
+    // and the matching variable-graph DELETE removes exactly those rows
+    val s2 = Sparql.update(s1,
+      """DELETE { GRAPH ?g { ?x <hasName> ?n } }
+        |WHERE { GRAPH ?g { ?x <hasName> ?n } }""".stripMargin)
+    s2.where($"p" === "hasName").count() shouldBe 0
+    s2.count() shouldBe quads.count()
+  }
+
+  it should "decode string escapes in literals (ECHAR + \\uXXXX)" in {
+    val s1 = Sparql.update(quads,
+      "INSERT DATA { <e> <note> \"line1\\nline2\\t\\u0041\" }")
+    s1.where($"p" === "note").select("o").as[String].head() shouldBe
+      "line1\nline2\tA"
+    // and FILTER comparisons see the decoded form
+    Sparql.select(s1,
+      "SELECT ?x WHERE { ?x <note> ?v . FILTER(CONTAINS(?v, \"\\n\")) }")
+      .as[String].collect().toSeq shouldBe Seq("e")
+  }
+
+  it should "not drop plain-literal solutions when two groups carry term metadata" in {
+    // both GRAPH groups bind ?n in object position while isLiteral(?n)
+    // forces metadata projection — pre-fix the __dt_n/__lang_n side
+    // columns (null for plain literals) joined as keys and null = null
+    // removed every solution
+    val rows = Sparql.select(quads,
+      """SELECT ?x ?y WHERE {
+        |  GRAPH <g1> { ?x <name> ?n }
+        |  GRAPH <g2> { ?y <name> ?m }
+        |  FILTER(isLiteral(?n) && isLiteral(?m))
+        |}""".stripMargin)
+      .as[(String, String)].collect().toSet
+    rows shouldBe Set(("alice", "carol"), ("bob", "carol"))
+    // same shape through FILTER EXISTS whose inner group rebinds the
+    // metadata-bearing variable: pre-fix the semi join keyed on the null
+    // __dt_n column and matched nothing
+    val ex = Sparql.select(quads,
+      """SELECT ?x WHERE {
+        |  ?x <name> ?n . FILTER(isLiteral(?n))
+        |  FILTER EXISTS { ?x <name> ?n }
+        |}""".stripMargin).as[String].collect().toSet
+    ex shouldBe Set("alice", "bob", "carol")
+  }
+
   it should "support the DELETE WHERE shorthand across graphs" in {
     val s1 = Sparql.update(quads, "DELETE WHERE { ?x <name> ?n }")
     // removes names in g1 AND g2 (union default graph)
