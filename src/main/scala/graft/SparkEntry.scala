@@ -2739,6 +2739,20 @@ object SparkEntry {
       .select(col("x1"), col("x2"), col("prob"))
   }
 
+  /** q204: SPARQL UPDATE with a VARIABLE GRAPH template position —
+    * `INSERT { GRAPH ?g { … } }` binds the target graph per solution
+    * (round-12 fix: the raw `?g` token used to become a literal graph
+    * named "?g"). The store-kind join-back must classify the copied
+    * segment literals as LITERAL (okind 2) and the nation IRIs the
+    * second template copies as IRI (okind 0). */
+  private def q204_update_graph_var(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.update(TpchQuads.quads(s, dir),
+      """INSERT { GRAPH ?g { ?c <flag> ?seg . ?c <flagNation> ?n } }
+        |WHERE { GRAPH ?g { ?c <segment> ?seg . ?c <nation> ?n } }""".stripMargin)
+      .where(col("p").isin("flag", "flagNation"))
+      .select(col("s"), col("p"), col("o"), col("g"),
+        col("oKind").cast("int").as("okind"))
+
   /** q199: distributed batch kNN join ([[Ann.knnJoin]]) with the probe
     * set = the FULL corpus — the corpus-as-probes shape the serving
     * kernels can't take. Routing is exhaustive here (nprobe = nlist), so
@@ -2980,6 +2994,7 @@ object SparkEntry {
     "q201_knn_salted" -> (q201_knn_salted _),
     "q202_scc_dist" -> (q202_scc_dist _),
     "q203_paris_sparse" -> (q203_paris_sparse _),
+    "q204_update_graph_var" -> (q204_update_graph_var _),
     "q200_leakage_split" -> (q200_leakage_split _)
   )
 
@@ -5872,6 +5887,16 @@ object SparkEntry {
         |FROM customer a JOIN customer b
         |  ON a.c_custkey // 20 = b.c_custkey // 20
         |  AND 'c:' || a.c_custkey < 'c:' || b.c_custkey""".stripMargin,
+    // q204: the variable-graph INSERT copies both statements of every
+    // customer into the graph that held them (the customer graph)
+    "q204_update_graph_var" ->
+      """SELECT 'c:' || c_custkey AS s, 'flag' AS p, c_mktsegment AS o,
+        |  'customer' AS g, 2 AS okind
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c:' || c_custkey, 'flagNation', 'n:' || c_nationkey,
+        |  'customer', 0
+        |FROM customer""".stripMargin,
     // q199: exhaustive routing (nprobe = nlist) makes the batch kNN join
     // exact — the oracle is the full corpus-as-probes self top-3
     "q199_knn_join" ->

@@ -485,9 +485,12 @@ object SparqlEndpoint {
         val kind = idx.get("oKind").map(row.getByte).getOrElse(Quad.LITERAL)
         def strCol(c: String): String =
           idx.get(c).map(i => if (row.isNullAt(i)) null else row.getString(i)).orNull
-        // shared N-Triples term rule: ^^datatype / @lang survive
+        // shared N-Triples term rule: ^^datatype / @lang survive;
+        // blank-node subjects/graphs keep their _: label (never <_:b>)
         val oTerm = graft.sources.NTriples.fmtTerm(o, kind, strCol("oDt"), strCol("oLang"))
-        w(s"<$s> <$p> $oTerm <$g> .\n")
+        val sTerm = if (s.startsWith("_:")) s else s"<$s>"
+        val gTerm = if (g.startsWith("_:")) g else s"<$g>"
+        w(s"$sTerm <$p> $oTerm $gTerm .\n")
       }
       out.flush()
     }
