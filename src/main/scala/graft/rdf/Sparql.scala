@@ -1180,6 +1180,19 @@ object Sparql {
       case e: Exception => throw e
     }
 
+  /** XPath/XQuery regex flags (SPARQL §17.4.3.14: `s m i x q`) → an
+    * embedded Java-regex flag group. `q` (literal pattern) has no inline
+    * flag, so the pattern is quoted instead; unknown flags fail loudly
+    * rather than silently changing match semantics. */
+  private def regexWithFlags(pattern: String, flags: String): String = {
+    val known = Set('s', 'm', 'i', 'x')
+    flags.foreach(f => require(known(f) || f == 'q', s"unsupported REGEX flag '$f'"))
+    val p =
+      if (flags.contains('q')) java.util.regex.Pattern.quote(pattern) else pattern
+    val inline = flags.filter(known)
+    if (inline.isEmpty) p else s"(?$inline)$p"
+  }
+
   private def metaCol(df: DataFrame, prefix: String, v: String, fn: String): Column = {
     require(df.columns.contains(s"__${prefix}_$v"),
       s"$fn(?$v): term metadata unavailable — ?$v is not bound by a triple object " +
@@ -1214,6 +1227,8 @@ object Sparql {
       case ("COALESCE", as) if as.nonEmpty => coalesce(as.map(ec(_)): _*)
       case ("BOUND", List(EVar(v))) => col(v).isNotNull
       case ("REGEX", List(a, p)) => ec(a).rlike(litArg(p, fn))
+      case ("REGEX", List(a, p, f)) =>
+        ec(a).rlike(regexWithFlags(litArg(p, fn), litArg(f, fn)))
       case ("STRSTARTS", List(a, b)) => ec(a).startsWith(ec(b))
       case ("STRENDS", List(a, b)) => ec(a).endsWith(ec(b))
       case ("CONTAINS", List(a, b)) => ec(a).contains(ec(b))
@@ -1229,6 +1244,9 @@ object Sparql {
         concat(as.map(ec(_).cast("string")): _*)
       case ("REPLACE", List(a, p, r)) =>
         regexp_replace(ec(a), litArg(p, fn), litArg(r, fn))
+      case ("REPLACE", List(a, p, r, f)) =>
+        regexp_replace(ec(a),
+          regexWithFlags(litArg(p, fn), litArg(f, fn)), litArg(r, fn))
       case ("ABS", List(a)) => abs(ec(a).cast("double"))
       case ("ROUND", List(a)) => round(ec(a).cast("double"), 0)
       case ("CEIL", List(a)) => ceil(ec(a).cast("double"))

@@ -364,6 +364,27 @@ class SparqlSpec extends SparkSpec {
     ex shouldBe Set("alice", "bob", "carol")
   }
 
+  it should "honor REGEX and REPLACE flag arguments (i, q)" in {
+    Sparql.select(quads,
+      """SELECT ?x WHERE { ?x <name> ?n . FILTER(REGEX(?n, "^alice$", "i")) }""")
+      .as[String].collect().toSeq shouldBe Seq("alice")
+    // q: literal-pattern match — the dot must not act as a wildcard
+    Sparql.select(quads,
+      """SELECT ?x WHERE { ?x <name> ?n . FILTER(REGEX(?n, "A.ice", "q")) }""")
+      .collect() shouldBe empty
+    val replaced = Sparql.select(quads,
+      """SELECT ?r WHERE {
+        |  ?x <name> ?n . FILTER(?x = "alice")
+        |  BIND(REPLACE(?n, "ALICE", "X", "i") AS ?r)
+        |}""".stripMargin).as[String].collect().toSeq
+    replaced shouldBe Seq("X")
+    intercept[Exception] {
+      Sparql.select(quads,
+        """SELECT ?x WHERE { ?x <name> ?n . FILTER(REGEX(?n, "a", "z")) }""")
+        .collect()
+    }
+  }
+
   it should "support the DELETE WHERE shorthand across graphs" in {
     val s1 = Sparql.update(quads, "DELETE WHERE { ?x <name> ?n }")
     // removes names in g1 AND g2 (union default graph)
