@@ -2753,6 +2753,19 @@ object SparkEntry {
       .select(col("s"), col("p"), col("o"), col("g"),
         col("oKind").cast("int").as("okind"))
 
+  /** q205: two GRAPH groups binding the SAME variable in object position
+    * under an isLiteral guard — the round-12 metadata-join-key fix in the
+    * gate. Both sub-groups project ?seg's (__kind/__dt/__lang) side
+    * columns; pre-fix those joined as keys and the null datatype matched
+    * nothing, so this exact shape returned EMPTY. */
+  private def q205_graph_meta(s: SparkSession, dir: String): DataFrame =
+    graft.rdf.Sparql.select(TpchQuads.quads(s, dir),
+      """SELECT ?c1 ?c2 ?seg WHERE {
+        |  GRAPH <customer> { ?c1 <segment> ?seg }
+        |  GRAPH <customer> { ?c2 <segment> ?seg . ?c2 <nation> <n:0> }
+        |  FILTER(isLiteral(?seg) && ?c1 != ?c2)
+        |}""".stripMargin)
+
   /** q199: distributed batch kNN join ([[Ann.knnJoin]]) with the probe
     * set = the FULL corpus — the corpus-as-probes shape the serving
     * kernels can't take. Routing is exhaustive here (nprobe = nlist), so
@@ -2995,6 +3008,7 @@ object SparkEntry {
     "q202_scc_dist" -> (q202_scc_dist _),
     "q203_paris_sparse" -> (q203_paris_sparse _),
     "q204_update_graph_var" -> (q204_update_graph_var _),
+    "q205_graph_meta" -> (q205_graph_meta _),
     "q200_leakage_split" -> (q200_leakage_split _)
   )
 
@@ -5897,6 +5911,12 @@ object SparkEntry {
         |SELECT 'c:' || c_custkey, 'flagNation', 'n:' || c_nationkey,
         |  'customer', 0
         |FROM customer""".stripMargin,
+    // q205: same-segment customer pairs with the right side in nation 0
+    "q205_graph_meta" ->
+      """SELECT 'c:' || a.c_custkey AS c1, 'c:' || b.c_custkey AS c2,
+        |  a.c_mktsegment AS seg
+        |FROM customer a JOIN customer b ON a.c_mktsegment = b.c_mktsegment
+        |WHERE b.c_nationkey = 0 AND a.c_custkey <> b.c_custkey""".stripMargin,
     // q199: exhaustive routing (nprobe = nlist) makes the batch kNN join
     // exact — the oracle is the full corpus-as-probes self top-3
     "q199_knn_join" ->
