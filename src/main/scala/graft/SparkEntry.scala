@@ -238,6 +238,14 @@ object SparkEntry {
   /** F8: Levenshtein distance pairs over nation names (exact ints). */
   private def q24_levenshtein(s: SparkSession, dir: String): DataFrame = {
     val n = t(s, dir, "nation")
+    // full self-cross, sound ONLY because nation is a fixed 25-row
+    // dimension table at every SF — gate it at runtime so a table swap
+    // can't silently turn this into the quadratic scale bug the scaladoc
+    // warns about (token-blocked J3 / SetSimJoin are the scale paths)
+    val rows = n.count()
+    require(rows <= 1000,
+      s"q24's exact cross join is a small-dimension baseline ($rows rows " +
+        "> 1000); use token blocking (Resolution) or SetSimJoin at scale")
     n.select(col("n_name").as("name1"))
       .crossJoin(n.select(col("n_name").as("name2")))
       .where(col("name1") < col("name2"))
@@ -854,21 +862,46 @@ object SparkEntry {
       .where(col("p").isin("segment", "bucket"))
       .select(col("s"), col("p"), col("o"), col("g"))
 
+  /** Where q76 emits its decoded-pixel oracle fixture: the PNG decode is
+    * the one step DuckDB cannot restate, so the query dumps the decoder's
+    * integer pixel grid (exact — gray decode is `v/255f`, and
+    * `round(lum*255)` recovers v bit-for-bit) and the oracle recomputes
+    * the ENTIRE embedding arithmetic (4x4 box means, mean-centering, L2
+    * normalization, cosine top-3) in SQL over it. */
+  val q76FixturePath = "/tmp/graft_fixtures/q76_pixels.parquet"
+
   /** Multimodal → ANN end-to-end: REAL grayscale PNGs (zlib-encoded pixel
     * patterns parameterized by doc_id) → [[graft.multimodal.ImagePixels]]
     * pixel decode → grid-luminance embeddings → IVF top-k neighbors.
-    * Kernel-defined output → rows-only check; the embedding geometry is
-    * pinned in MultimodalSpec. */
+    * Oracle-checked: the decoded pixel grid is emitted as a parquet
+    * fixture from the same kernel (geometry trusted via MultimodalSpec's
+    * synthetic round-trip) and the oracle SQL restates the grid-average
+    * embedding + exhaustive cosine top-3 over it. IVF-vs-exhaustive
+    * equality is guaranteed on this corpus: doc_ids congruent mod 77
+    * share (freq, phase) and hence bit-identical pixels/embeddings, so
+    * every probe's true top-3 are exact sim-1.0 ties resolved by the
+    * shared (sim DESC, neighbor_id) order, and tied vectors route to the
+    * probe's own IVF list by construction. */
   private def q76_image_embed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val imgs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    val imgsDs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
       .map { id =>
         val freq = (id % 7 + 1).toInt
         val phase = (id % 11).toInt
         (id, graft.multimodal.ImagePixels.encodeGrayPng(32, 32, (x, y) =>
           128 + (100 * math.sin((x + phase) * freq * 0.2) *
             math.cos(y * freq * 0.2)).toInt))
-      }.toDF("doc_id", "bytes")
+      }
+    // oracle fixture: the kernel's decoded integer pixel grid
+    imgsDs.flatMap { case (id, bytes) =>
+      val g = graft.multimodal.ImagePixels.decode(bytes).get
+      for {
+        y <- 0 until g.height
+        x <- 0 until g.width
+      } yield (id, y, x, math.round(g.pix(y * g.width + x) * 255f))
+    }.toDF("doc_id", "y", "x", "v")
+      .write.mode("overwrite").parquet(q76FixturePath)
+    val imgs = imgsDs.toDF("doc_id", "bytes")
     val emb = graft.multimodal.Multimodal.embedImages(imgs, "doc_id", "bytes", dim = 64)
       .select(col("doc_id").as("vec_id"), col("embedding"))
     Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
@@ -3629,6 +3662,37 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'c:' || c_custkey, 'bucket', c_mktsegment, 'graft:user'
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    // the PNG decode is fixtured (see q76FixturePath scaladoc); everything
+    // downstream of it — 4x4 box means, mean-centering, L2 norm, cosine
+    // top-3 — is restated here. round(sim, 6) absorbs float64-vs-float32
+    // noise: the true top-3 are EXACT mod-77 duplicates (sim 1.0 ties in
+    // both engines) resolved by the shared (sim DESC, neighbor_id) order,
+    // and the nearest non-duplicate sits far below 1 - 1e-6
+    "q76_image_embed" ->
+      s"""WITH px AS (
+        |  SELECT doc_id, y, x, v
+        |  FROM read_parquet('$q76FixturePath/*.parquet')
+        |), grid AS (
+        |  SELECT doc_id, (y // 4) * 8 + (x // 4) AS cell, avg(v / 255.0) AS g
+        |  FROM px GROUP BY 1, 2
+        |), cent AS (
+        |  SELECT doc_id, cell, g - avg(g) OVER (PARTITION BY doc_id) AS c
+        |  FROM grid
+        |), nrm AS (
+        |  SELECT doc_id, cell, c / sqrt(sum(c * c) OVER (PARTITION BY doc_id)) AS e
+        |  FROM cent
+        |), sims AS (
+        |  SELECT p.doc_id AS probe_id, n.doc_id AS neighbor_id,
+        |    round(sum(p.e * n.e), 6) AS sim
+        |  FROM nrm p JOIN nrm n ON p.cell = n.cell AND n.doc_id <> p.doc_id
+        |  WHERE p.doc_id < 10
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT probe_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM sims
+        |)
+        |SELECT probe_id, neighbor_id, rank FROM ranked WHERE rank <= 3""".stripMargin,
     "q77_lm_score" ->
       """WITH src AS (
         |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s

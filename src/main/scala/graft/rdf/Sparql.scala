@@ -65,6 +65,9 @@ object Sparql {
 
   // ------------------------------------------------------------- tokenizer
 
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   private def tokenize(q: String): List[String] = {
     val out = scala.collection.mutable.ListBuffer[String]()
     var i = 0
@@ -96,8 +99,20 @@ object Sparql {
               case 'b' => sb += '\b'; i += 2
               case 'f' => sb += '\f'; i += 2
               case 'u' if i + 5 < n =>
-                sb += Integer.parseInt(q.substring(i + 2, i + 6), 16).toChar
+                val hex = q.substring(i + 2, i + 6)
+                require(hex.forall(isHexDigit),
+                  s"malformed \\u escape '\\u$hex' in literal near ...${q.substring(i, math.min(n, i + 12))}")
+                sb += Integer.parseInt(hex, 16).toChar
                 i += 6
+              case 'U' if i + 9 < n =>
+                // SPARQL grammar UCHAR: \UXXXXXXXX (8 hex digits) for
+                // supplementary-plane code points — decodes to a surrogate
+                // pair via Character.toChars
+                val hex = q.substring(i + 2, i + 10)
+                require(hex.forall(isHexDigit),
+                  s"malformed \\U escape '\\U$hex' in literal near ...${q.substring(i, math.min(n, i + 16))}")
+                sb ++= new String(Character.toChars(Integer.parseInt(hex, 16)))
+                i += 10
               case other => sb += other; i += 2 // \" \' \\
             }
           }
@@ -1183,13 +1198,40 @@ object Sparql {
   /** XPath/XQuery regex flags (SPARQL §17.4.3.14: `s m i x q`) → an
     * embedded Java-regex flag group. `q` (literal pattern) has no inline
     * flag, so the pattern is quoted instead; unknown flags fail loudly
-    * rather than silently changing match semantics. */
+    * rather than silently changing match semantics.
+    *
+    * `x` is NOT mapped to Java's COMMENTS flag: XPath `x` only removes
+    * whitespace (#x9 #xA #xD #x20) from the pattern outside character
+    * classes, while COMMENTS additionally treats `#` as a
+    * comment-to-end-of-line — a pattern containing a literal `#` under
+    * `x` would silently change meaning. Whitespace is stripped here
+    * instead (escapes and `[...]` classes preserved, per XQuery F&O
+    * §5.6.1.1), and `x` never reaches the Java engine. */
   private def regexWithFlags(pattern: String, flags: String): String = {
     val known = Set('s', 'm', 'i', 'x')
     flags.foreach(f => require(known(f) || f == 'q', s"unsupported REGEX flag '$f'"))
+    val p0 =
+      if (!flags.contains('x') || flags.contains('q')) pattern
+      else {
+        val sb = new StringBuilder
+        var inClass = false
+        var i = 0
+        while (i < pattern.length) {
+          val c = pattern(i)
+          if (c == '\\' && i + 1 < pattern.length) {
+            sb += c; sb += pattern(i + 1); i += 2 // escaped char survives verbatim
+          } else {
+            if (c == '[') inClass = true
+            else if (c == ']') inClass = false
+            if (inClass || !(c == ' ' || c == '\t' || c == '\n' || c == '\r')) sb += c
+            i += 1
+          }
+        }
+        sb.toString
+      }
     val p =
-      if (flags.contains('q')) java.util.regex.Pattern.quote(pattern) else pattern
-    val inline = flags.filter(known)
+      if (flags.contains('q')) java.util.regex.Pattern.quote(p0) else p0
+    val inline = flags.filter(c => known(c) && c != 'x')
     if (inline.isEmpty) p else s"(?$inline)$p"
   }
 

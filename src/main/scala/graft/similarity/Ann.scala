@@ -133,12 +133,28 @@ object Ann {
 
   /** All pairs with cosine similarity above `threshold` — embedding-based
     * near-duplicate detection. Exact but O(n^2): use only at small n or
-    * after blocking; `lshPairs` is the scale path. Output: (id1, id2). */
+    * after blocking; `lshPairs` is the scale path. Output: (id1, id2).
+    *
+    * The O(n²) is gated at runtime, not just in scaladoc: corpora above
+    * `maxExactN` rows are refused with the scale path named in the
+    * message. The count is one narrow job before the join — negligible
+    * next to the n² work it authorizes, and it turns an
+    * accidentally-planetary cross join into an immediate, named error
+    * instead of a cluster-week. Raise the cap deliberately (blocking
+    * upstream, known-small slice) by passing it explicitly. */
   def thresholdPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxExactN: Long = 100000L): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxExactN,
+      s"thresholdPairs is the exact O(n^2) baseline and the corpus has " +
+        s"$n rows (> maxExactN=$maxExactN, ~${BigInt(n) * n / 2} candidate " +
+        s"pairs); use Ann.lshPairs (banded SRP) or operators.SetSimJoin " +
+        s"(prefix-filtered) as the scale path, or pass maxExactN " +
+        s"explicitly if this slice is deliberately small")
     val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"))
     val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"))
     a.join(b, col("id1") < col("id2"))

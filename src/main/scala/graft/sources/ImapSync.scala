@@ -303,10 +303,17 @@ object ImapSync {
       // idle(), losing the round's already-accumulated fetched/removed
       // events instead of returning the delta
       val minRoundMs = 500
+      // the 500 ms floor protects LATER rounds (whose accumulated events
+      // would be lost to a SocketTimeoutException mid-drain); on ENTRY
+      // there is nothing accumulated yet, so the first round always parks
+      // (soTimeout floored at 1 ms) — a caller with timeoutMillis < 500
+      // gets exactly one short park instead of silently never parking,
+      // even when the seeding diff already consumed most of the budget
+      var firstRound = true
       while (parked && events < maxEvents &&
           { val rem = ((idleDeadline - System.nanoTime()) / 1000000L).toInt
-            if (rem < minRoundMs) { parked = false; false }
-            else { s.socket.setSoTimeout(rem); true } }) {
+            if (!firstRound && rem < minRoundMs) { parked = false; false }
+            else { s.socket.setSoTimeout(math.max(rem, 1)); firstRound = false; true } }) {
         val tag = s.nextTag()
         s.sendRaw(s"$tag IDLE\r\n")
         // untagged responses may precede the '+' continuation — buffer

@@ -60,15 +60,17 @@ object NTriples {
   // the graph term may be an IRI or a blank node (N-Quads grammar);
   // with only <...> accepted here, the lazy object group used to
   // backtrack and swallow a blank-node graph label INTO the object
-  // (silent corruption, not a reject). The blank-node alternative is
-  // restricted to BLANK_NODE_LABEL characters (no quote, per the
-  // grammar): with `_:\S+` a literal object ending in a bnode-looking
-  // token — `<s> <p> "see _:b1" .` — matched with graph=`_:b1"` and
-  // objTerm=`"see`, which then failed LiteralObj and silently dropped
-  // the quad; excluding `"` makes the engine backtrack and parse the
-  // full literal as the object again.
+  // (silent corruption, not a reject). The blank-node alternative
+  // excludes exactly the quote character: with `_:\S+` a literal object
+  // ending in a bnode-looking token — `<s> <p> "see _:b1" .` — matched
+  // with graph=`_:b1"` and objTerm=`"see`, which then failed LiteralObj
+  // and silently dropped the quad; excluding `"` makes the engine
+  // backtrack and parse the full literal as the object again. No
+  // narrower class: BLANK_NODE_LABEL admits Unicode PN_CHARS, so an
+  // ASCII-only class would reject valid labels (e.g. `_:bé1`) and drop
+  // those quads the same silent way.
   private val Line =
-    """^(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.+?)\s+(?:(<[^>]*>|_:[A-Za-z0-9._-]+)\s+)?\.\s*$""".r
+    """^(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.+?)\s+(?:(<[^>]*>|_:[^"\s]+)\s+)?\.\s*$""".r
   private val LiteralObj =
     """^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$""".r
 

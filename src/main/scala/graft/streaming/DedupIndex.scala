@@ -44,13 +44,16 @@ private[streaming] object DedupIndex {
     * directory from a different CWD — unlike spelling variants, that
     * SHOULD be a different run).
     *
-    * Run-identity migration note: qualification changes the hash input
-    * once across this upgrade (e.g. `/x` now hashes as `file:/x`), so a
-    * LIVE checkpoint straddling it gets a fresh runId — its previous
-    * index runs become "another run's" content, which suppresses any
+    * Run-identity migration: qualification changed the hash input once
+    * across the round-12 upgrade (e.g. `/x` now hashes as `file:/x`), so
+    * a LIVE checkpoint straddling it would get a fresh runId — its
+    * previous index runs become "another run's" content, suppressing any
     * keepers a mid-flight replayed batch had already written but not yet
-    * delivered. Let in-flight queries drain (or clear the index's
-    * `run=` dirs) before upgrading a live pipeline. */
+    * delivered. [[runIdAt]] (the call sites' entry point) therefore
+    * probes the index for the LEGACY runId's `run=` dir and adopts it
+    * when the qualified id has no directory yet — the straddling
+    * checkpoint keeps its identity and replay stays idempotent with no
+    * operator action. */
   def runIdFor(checkpointDir: String,
       conf: org.apache.hadoop.conf.Configuration =
         new org.apache.hadoop.conf.Configuration()): String = {
@@ -62,8 +65,52 @@ private[streaming] object DedupIndex {
     val path = // Path normalizes, but belt-and-braces for odd URIs
       if (path0.length > 1 && path0.endsWith("/")) path0.dropRight(1) else path0
     val norm = s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}$path"
-    java.security.MessageDigest.getInstance("SHA-1")
-      .digest(norm.getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
+    sha6(norm)
   }
+
+  /** Run identity as the streaming dedup call sites resolve it: the
+    * FS-qualified [[runIdFor]] hash, UNLESS this index already holds a
+    * `run=` directory written under the pre-qualification id (rounds
+    * ≤ 11 hashed `File.getCanonicalPath`) and none under the qualified
+    * id — then the legacy id is adopted, so a live checkpoint straddling
+    * the upgrade keeps treating its own earlier batches as its own run
+    * (replayed batches stay idempotent instead of self-suppressing). */
+  def runIdAt(checkpointDir: String, indexDir: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val id = runIdFor(checkpointDir, conf)
+    val legacy = legacyRunIdFor(checkpointDir).filterNot(_ == id)
+    legacy match {
+      case None => id
+      case Some(old) =>
+        val root = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = root.getFileSystem(conf)
+        def hasRun(r: String): Boolean =
+          try fs.exists(new org.apache.hadoop.fs.Path(root, s"run=$r"))
+          catch { case _: Exception => false }
+        if (!hasRun(id) && hasRun(old)) {
+          System.err.println(s"[dedup-index] adopting pre-upgrade runId " +
+            s"$old for checkpoint $checkpointDir (legacy run= dir present " +
+            s"under $indexDir, none for qualified id $id)")
+          old
+        } else {
+          if (hasRun(id) && hasRun(old))
+            System.err.println(s"[dedup-index] WARNING: index $indexDir " +
+              s"holds run= dirs under BOTH the qualified id $id and the " +
+              s"legacy id $old for checkpoint $checkpointDir; using $id — " +
+              s"the legacy run's batches count as another run's seen-set")
+          id
+        }
+    }
+  }
+
+  /** The hash input rounds ≤ 11 used (java.io.File canonicalization);
+    * only consulted to recognize a pre-upgrade index directory. */
+  private def legacyRunIdFor(checkpointDir: String): Option[String] =
+    try Some(sha6(new java.io.File(checkpointDir).getCanonicalPath))
+    catch { case _: Exception => None }
+
+  private def sha6(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
 }

@@ -81,7 +81,7 @@ object StreamingExactDedup {
   def start(docs: DataFrame, textCol: String, idCol: String,
       indexDir: String, checkpointDir: String)(
       sink: DataFrame => Unit): StreamingQuery = {
-    val runId = DedupIndex.runIdFor(checkpointDir,
+    val runId = DedupIndex.runIdAt(checkpointDir, indexDir,
       docs.sparkSession.sparkContext.hadoopConfiguration)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)

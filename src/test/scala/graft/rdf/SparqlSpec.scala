@@ -340,6 +340,24 @@ class SparqlSpec extends SparkSpec {
       .as[String].collect().toSeq shouldBe Seq("e")
   }
 
+  it should "decode \\UXXXXXXXX escapes and reject malformed hex loudly" in {
+    // supplementary-plane code point (U+1F600) decodes to a surrogate pair
+    val s1 = Sparql.update(quads,
+      "INSERT DATA { <e> <note> \"pre\\U0001F600post\" }")
+    s1.where($"p" === "note").select("o").as[String].head() shouldBe
+      "pre" + new String(Character.toChars(0x1F600)) + "post"
+    // malformed hex names the offending literal instead of a bare
+    // NumberFormatException
+    val eU = intercept[IllegalArgumentException] {
+      Sparql.update(quads, "INSERT DATA { <e> <note> \"\\U0001FZ00\" }")
+    }
+    eU.getMessage should include ("\\U")
+    val eu = intercept[IllegalArgumentException] {
+      Sparql.update(quads, "INSERT DATA { <e> <note> \"\\uZZ41\" }")
+    }
+    eu.getMessage should include ("\\u")
+  }
+
   it should "not drop plain-literal solutions when two groups carry term metadata" in {
     // both GRAPH groups bind ?n in object position while isLiteral(?n)
     // forces metadata projection — pre-fix the __dt_n/__lang_n side
@@ -383,6 +401,28 @@ class SparqlSpec extends SparkSpec {
         """SELECT ?x WHERE { ?x <name> ?n . FILTER(REGEX(?n, "a", "z")) }""")
         .collect()
     }
+  }
+
+  it should "treat the x flag as XPath whitespace-stripping, not Java COMMENTS" in {
+    // whitespace in the pattern is removed: "^ A l i c e $" matches Alice
+    Sparql.select(quads,
+      """SELECT ?x WHERE { ?x <name> ?n . FILTER(REGEX(?n, "^ A l i c e $", "x")) }""")
+      .as[String].collect().toSeq shouldBe Seq("alice")
+    // a literal '#' stays a literal '#' under XPath x — Java's COMMENTS
+    // flag would truncate the pattern to "Alice" (rest = comment) and
+    // wrongly match; per XPath this is the seven-char regex "Alice#x"
+    Sparql.select(quads,
+      """SELECT ?x WHERE { ?x <name> ?n . FILTER(REGEX(?n, "Alice#x", "x")) }""")
+      .collect() shouldBe empty
+    // whitespace INSIDE a character class survives (XQuery F&O §5.6.1.1
+    // exception): "Bo[ ]b" requires a real space, which "Bob" lacks
+    Sparql.select(quads,
+      """SELECT ?x WHERE { ?x <name> ?n . FILTER(REGEX(?n, "Bo[ ]b", "x")) }""")
+      .collect() shouldBe empty
+    // and an escaped space survives stripping too
+    Sparql.select(quads,
+      """SELECT ?x WHERE { ?x <name> ?n . FILTER(REGEX(?n, "Bo\\ b", "x")) }""")
+      .collect() shouldBe empty
   }
 
   it should "support the DELETE WHERE shorthand across graphs" in {

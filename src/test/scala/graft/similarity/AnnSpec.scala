@@ -34,6 +34,20 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet shouldBe Set((1L, 2L))
   }
 
+  it should "refuse a corpus above maxExactN, naming the scale path" in {
+    // the scaladoc's "O(n^2), small n only" contract is enforced at
+    // runtime — an oversized corpus errors immediately instead of
+    // launching a quadratic join
+    val e = intercept[IllegalArgumentException] {
+      Ann.thresholdPairs(vecs, "vec_id", "embedding", 0.95, maxExactN = 2)
+    }
+    e.getMessage should include ("lshPairs")
+    e.getMessage should include ("SetSimJoin")
+    // an explicit cap authorizes the small slice
+    Ann.thresholdPairs(vecs, "vec_id", "embedding", 0.95, maxExactN = 10)
+      .as[(Long, Long)].collect().toSet shouldBe Set((1L, 2L))
+  }
+
   "lshPairs" should "recover the near-duplicate pair via bucketing" in {
     Ann.lshPairs(vecs, "vec_id", "embedding", 0.95, numPlanes = 8, tables = 4)
       .as[(Long, Long)].collect().toSet should contain((1L, 2L))

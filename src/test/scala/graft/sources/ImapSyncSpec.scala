@@ -223,6 +223,22 @@ class ImapSyncSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  it should "still park once when timeoutMillis is below the 500 ms round floor" in {
+    // pre-fix the entry check required rem >= 500, so a 200 ms caller
+    // never issued IDLE at all — a silent no-park return
+    val srv = new FakeImap
+    try {
+      srv.mailbox(101L) = msg("m1", "alice@example.com", "hello")
+      val t0 = System.nanoTime()
+      val d = ImapSync.idle("localhost", srv.port, "u", "p", "INBOX",
+        ImapSync.ImapState(), maxEvents = 2, timeoutMillis = 200)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      srv.idleCount shouldBe 1 // it DID park (one short round)
+      d.fetched.map(_._1) shouldBe Seq(101L) // seeding diff still delivered
+      elapsedMs should be < 5000L // and the short budget was honored
+    } finally srv.stop()
+  }
+
   it should "tolerate notifications before the IDLE continuation and FETCH chatter" in {
     val srv = new FakeImap
     def await(label: String)(cond: => Boolean): Unit = {

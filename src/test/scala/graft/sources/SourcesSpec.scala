@@ -81,6 +81,12 @@ class SourcesSpec extends SparkSpec {
     // real bnode graph labels still parse
     NTriples.parseLine("""<http://s> <http://p> "lit" _:g.1-x .""", "dg")
       .get.g shouldBe "_:g.1-x"
+    // BLANK_NODE_LABEL admits Unicode PN_CHARS — an ASCII-only class
+    // made this line fail the grammar entirely and silently drop the quad
+    val uni = NTriples.parseLine("""<http://s> <http://p> "lit" _:bé1 .""", "dg")
+    uni.map(_.g) shouldBe Some("_:bé1")
+    val uniIri = NTriples.parseLine("""<http://s> <http://p> <http://o> _:héllo_1 .""", "dg")
+    uniIri.map(q => (q.o, q.g)) shouldBe Some(("http://o", "_:héllo_1"))
   }
 
   it should "normalize the full rdf:type IRI to the engine's compact form" in {

@@ -116,4 +116,33 @@ class StreamingExactDedupSpec extends SparkSpec {
     // a different directory is a different run
     DedupIndex.runIdFor(base + "2", conf) should not be a
   }
+
+  "DedupIndex.runIdAt" should "adopt a pre-upgrade legacy run directory" in {
+    // rounds <= 11 hashed File.getCanonicalPath; a live checkpoint
+    // straddling the qualification upgrade must keep that identity when
+    // its index already holds run= dirs under the legacy id
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-legacy-ckpt").toString
+    val index = java.nio.file.Files
+      .createTempDirectory("graft-legacy-index").toString
+    val qualified = DedupIndex.runIdFor(ckpt, conf)
+    val legacy = { // the exact pre-upgrade hash input
+      val canon = new java.io.File(ckpt).getCanonicalPath
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(canon.getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+    }
+    legacy should not be qualified // the migration case is real on this FS
+    // empty index: no adoption, qualified id wins
+    DedupIndex.runIdAt(ckpt, index, conf) shouldBe qualified
+    // legacy run= dir present, qualified absent: adopt the legacy id
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(index, s"run=$legacy", "batch=0"))
+    DedupIndex.runIdAt(ckpt, index, conf) shouldBe legacy
+    // both present: the qualified id wins (post-migration state)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(index, s"run=$qualified", "batch=0"))
+    DedupIndex.runIdAt(ckpt, index, conf) shouldBe qualified
+  }
 }
