@@ -185,6 +185,9 @@ object Dedup {
       bands: Int = 8,
       num: Int = 1,
       den: Int = 3): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a remainder " +
+        "would silently drop the trailing signature hashes from banding")
     val rows = numHashes / bands
     val native = haveFn(df, "minhash_sigs")
     val sRaw = shingled(df, textCol, idCol, k)
@@ -235,6 +238,9 @@ object Dedup {
       k: Int = 2,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a remainder " +
+        "would silently drop the trailing signature hashes from banding")
     val rows = numHashes / bands
     val native = haveFn(df, "minhash_sigs")
     val sRaw = shingled(df, textCol, idCol, k)
@@ -274,9 +280,15 @@ object Dedup {
     *    substring span dedup; a 64-bit collision merges two counts with
     *    probability ~n²/2⁶⁴, which at worst drops an innocent segment —
     *    the same tolerance every hash-based dedup in this module accepts);
-    *  - the banned set (count > maxFreq) is small BY CONSTRUCTION — only
-    *    segments repeated corpus-wide survive the HAVING — so the
-    *    anti-join broadcasts it and the document side never shuffles;
+    *  - the banned set (count > maxFreq) is USUALLY small — only segments
+    *    repeated corpus-wide survive the HAVING — and AQE converts the
+    *    anti-join to a broadcast at runtime when it measures small, so
+    *    the document side never shuffles on the common path. The hint is
+    *    deliberately NOT forced: at a low maxFreq over a large corpus
+    *    (maxFreq = 1 bans every segment occurring twice) the banned set
+    *    is a large fraction of all distinct segments, and a pinned
+    *    broadcast would OOM the driver where the AQE plan degrades
+    *    gracefully to a shuffled anti-join;
     *  - reconstruction shuffles (id, pos, segment) once, partitioned by
     *    document id.
     *
@@ -297,7 +309,7 @@ object Dedup {
       .filter(col("c") > maxFreq)
       .select(col("seg_h"))
     val kept = segs.withColumn("seg_h", xxhash64(col("seg")))
-      .join(broadcast(banned), Seq("seg_h"), "left_anti")
+      .join(banned, Seq("seg_h"), "left_anti")
     val recon = kept.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_kept"),
       array_join(

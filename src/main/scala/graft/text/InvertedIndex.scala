@@ -241,6 +241,13 @@ object InvertedIndex {
       termsCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
+    // same contract as build()'s doc id: a string qid would cast to null
+    // and every query's results would merge into one qid=null ranking
+    // with no error
+    val qidType = queries.schema(qidCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(qidType.typeName),
+      s"topKBatch needs an integral query id column; '$qidCol' is $qidType " +
+        "(map string ids to longs — e.g. xxhash64 — first)")
     val avgdl = ix.avgdl
     // distinct terms per query: topK scores each distinct term once
     // (isin matching) — exploding duplicates would double-count a

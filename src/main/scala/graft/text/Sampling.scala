@@ -47,12 +47,16 @@ object Sampling {
     * by id, so the selected SET is engine-exact (ln parity at 6 places
     * — the q88 discipline). Scale shape: map-only priority + global
     * top-k = TakeOrderedAndProject (per-partition heaps of k, no global
-    * sort). Rows with weight <= 0 are excluded (never sampled). */
+    * sort). Rows with weight <= 0 OR NaN are excluded (never sampled):
+    * Spark's total ordering puts NaN above every number, so a NaN
+    * weight (a 0/0 quality ratio) would pass `> 0` AND its NaN priority
+    * would sort FIRST under desc — a single NaN row silently hijacking
+    * the sample. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val u = draw(col(idCol))
-    df.where(weightCol > 0)
+    df.where(weightCol > 0 && !isnan(weightCol))
       .withColumn("u", u)
       .withColumn("priority",
         round(log((col("u") + lit(1L)).cast("double") / lit(Modulus.toDouble))
@@ -68,9 +72,14 @@ object Sampling {
     * the rate COLUMN with the same IEEE-double ops any engine performs, so
     * differential oracles restate it exactly (`FLOOR(rate * 4294967296)`
     * — DuckDB's bare BIGINT cast rounds, floor first). Rates clamp to
-    * [0, 1]; shuffle-free. */
+    * [0, 1]; a NaN rate drops the row — Spark's NaN-largest ordering
+    * makes `least(greatest(NaN, 0), 1)` evaluate to 1.0, so without the
+    * explicit guard a NaN quality score (0/0 ratio) silently became
+    * keep-always, the OPPOSITE of "keep proportional to score".
+    * Shuffle-free. */
   def rateSample(df: DataFrame, idCol: String, rateCol: Column): DataFrame = {
-    val thr = floor(least(greatest(rateCol, lit(0.0)), lit(1.0)) *
+    val safe = when(isnan(rateCol), lit(0.0)).otherwise(rateCol)
+    val thr = floor(least(greatest(safe, lit(0.0)), lit(1.0)) *
       lit(Modulus.toDouble)).cast("long")
     df.withColumn("u", draw(col(idCol))).where(col("u") < thr)
   }

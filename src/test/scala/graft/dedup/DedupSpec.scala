@@ -91,6 +91,20 @@ class DedupSpec extends SparkSpec {
     exact shouldBe expected
   }
 
+  it should "reject a band count that does not divide numHashes" in {
+    // numHashes = 30, bands = 8 used to band only the first 24 hashes —
+    // silently weakened recall, no error
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, "text", "doc_id",
+        k = 2, numHashes = 30, bands = 8, num = 1, den = 3)
+    }
+    e.getMessage should include ("divide")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBandBuckets(docs, "text", "doc_id",
+        k = 2, numHashes = 30, bands = 8)
+    }
+  }
+
   "dedupSegments" should "drop corpus-frequent segments and rebuild in order" in {
     val lined = Seq(
       (1L, "COOKIE BANNER\nunique article one\nCOPYRIGHT FOOTER"),
@@ -105,6 +119,23 @@ class DedupSpec extends SparkSpec {
       2L -> (3L, 1L, "unique article two"),
       3L -> (3L, 1L, "unique article three"),
       4L -> (1L, 1L, "standalone page with no chrome"))
+  }
+
+  it should "not pin a broadcast hint on the banned-segment anti-join" in {
+    // "small by construction" fails at low maxFreq over a big corpus
+    // (maxFreq = 1 bans every segment occurring twice — a large fraction
+    // of all distinct segments); a pinned broadcast() would OOM the
+    // driver there, where the hint-free plan lets AQE broadcast at
+    // runtime only when the banned set measures small
+    val lined = Seq(
+      (1L, "dup line\nunique a"), (2L, "dup line\nunique b")).toDF("doc_id", "text")
+    val res = Dedup.dedupSegments(lined, "text", "doc_id", "\n", maxFreq = 1)
+    res.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    } shouldBe empty
+    res.as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap shouldBe Map(
+      1L -> ((2L, 1L, "unique a")), 2L -> ((2L, 1L, "unique b")))
   }
 
   it should "emit an empty reconstruction when every segment is banned" in {

@@ -491,6 +491,214 @@ class SparqlFuzzSpec extends SparkSpec {
     }
   }
 
+  // ---- term-metadata fuzzing over multi-group shapes ----
+  // q205's bug class: the __dt/__lang/__kind side columns carried for
+  // LANG/DATATYPE/isLiteral must NEVER act as join keys — when they did,
+  // the null-metadata (plain-literal) solutions vanished from every
+  // GRAPH+GRAPH / OPTIONAL / FILTER EXISTS shape with a shared
+  // literal-valued variable. This survived 11 rounds of fixed oracles
+  // because nothing generated those shapes; generate them. Metadata is
+  // DETERMINISTIC PER LEXICAL VALUE, so the reference evaluator can model
+  // the engine's documented lexical-value join semantics exactly and
+  // compute the metadata builtins from a value → (dt, lang) map.
+  private val metaLits = Vector("la", "lb", "lc", "ld")
+  private val litMeta: Map[String, (String, String)] = Map(
+    "la" -> ((null, null)), // plain literal: NULL dt and lang — the q205 case
+    "lb" -> ((null, "en")),
+    "lc" -> (("u:dt1", null)),
+    "ld" -> ((null, null)))
+  private val XsdStr = "http://www.w3.org/2001/XMLSchema#string"
+  private val RdfLangStr = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+  private def refIsLit(v: String): Boolean = !v.startsWith("u:")
+  private def refLang(v: String): String =
+    if (!refIsLit(v)) "" else Option(litMeta(v)._2).getOrElse("")
+  private def refDatatype(v: String): String =
+    if (!refIsLit(v)) null
+    else litMeta(v) match {
+      case (_, l) if l != null => RdfLangStr
+      case (d, _) if d != null => d
+      case _ => XsdStr
+    }
+
+  private def randomMetaStore(): Seq[QuadT] =
+    Seq.fill(25 + rnd.nextInt(15)) {
+      val o = if (rnd.nextBoolean()) subs(rnd.nextInt(subs.size))
+      else metaLits(rnd.nextInt(metaLits.size))
+      (subs(rnd.nextInt(subs.size)), preds(rnd.nextInt(preds.size)), o,
+        graphs(rnd.nextInt(graphs.size)))
+    }.distinct
+
+  private def toMetaQuadsDf(data: Seq[QuadT]) =
+    data.map { case (s, p, o, g) =>
+      val (dt, lang) =
+        if (o.startsWith("u:")) (null: String, null: String) else litMeta(o)
+      (s, p, o, (if (o.startsWith("u:")) 0 else 2).toByte, dt, lang, g)
+    }.toDF("s", "p", "o", "oKind", "oDt", "oLang", "g")
+
+  private def quadLeftJoin(left: Seq[Binding], data: Seq[QuadT],
+      opt: Seq[QPat]): Seq[Binding] =
+    left.flatMap { b =>
+      val ext = evalQuadBgp(data, opt, Seq(b))
+      if (ext.nonEmpty) ext else Seq(b)
+    }
+
+  "Sparql term metadata" should "never turn dt/lang/kind side columns into join keys" in {
+    for (_ <- 1 to 12) {
+      val data = randomMetaStore()
+      val quads = toMetaQuadsDf(data)
+      // group 1 always binds its first pattern's object to a var so a
+      // metadata builtin has a legal target
+      val v1 = varPool(rnd.nextInt(varPool.size))
+      val g1pats = Pat(
+        s = if (rnd.nextBoolean()) varPool(rnd.nextInt(varPool.size))
+            else subs(rnd.nextInt(subs.size)),
+        p = preds(rnd.nextInt(preds.size)), o = v1) +:
+        Seq.fill(rnd.nextInt(2))(randomPat(varPool))
+      val g2pats = Seq.fill(1 + rnd.nextInt(2))(randomPat(varPool))
+      val shape = rnd.nextInt(3) // 0 GRAPH+GRAPH, 1 OPTIONAL, 2 FILTER EXISTS
+      val metaFilter = rnd.nextInt(4) match {
+        case 0 => (s"isLiteral($v1)", (b: Binding) => refIsLit(b(v1)))
+        case 1 => (s"""LANG($v1) = "en"""", (b: Binding) => refLang(b(v1)) == "en")
+        case 2 => (s"DATATYPE($v1) = <u:dt1>",
+          (b: Binding) => refDatatype(b(v1)) == "u:dt1")
+        case _ => (s"DATATYPE($v1) = <$XsdStr>",
+          (b: Binding) => refDatatype(b(v1)) == XsdStr)
+      }
+      val (text, ref, inScope) = shape match {
+        case 0 =>
+          // two GRAPH groups (constant or shared/distinct variable terms)
+          val gt1 = if (rnd.nextBoolean()) graphs(rnd.nextInt(graphs.size)) else "?gv"
+          val gt2 = rnd.nextInt(3) match {
+            case 0 => graphs(rnd.nextInt(graphs.size))
+            case 1 => "?gv" // shared graph var
+            case _ => "?gw"
+          }
+          def rend(t: String) = if (t.startsWith("?")) t else s"<$t>"
+          val qpats = g1pats.map(p => QPat(p.s, p.p, p.o, Some(gt1))) ++
+            g2pats.map(p => QPat(p.s, p.p, p.o, Some(gt2)))
+          val ref0 = evalQuadBgp(data, qpats, Seq(Map.empty))
+            .filter(metaFilter._2)
+          (s"GRAPH ${rend(gt1)} { ${renderPats(g1pats)} } " +
+            s"GRAPH ${rend(gt2)} { ${renderPats(g2pats)} } " +
+            s"FILTER(${metaFilter._1})",
+            ref0,
+            (vorsOf(g1pats) ++ vorsOf(g2pats) ++
+              Seq(gt1, gt2).filter(_.startsWith("?"))).distinct)
+        case 1 =>
+          val req = g1pats.map(p => QPat(p.s, p.p, p.o, None))
+          val opt = g2pats.map(p => QPat(p.s, p.p, p.o, None))
+          val ref0 = quadLeftJoin(
+            evalQuadBgp(data, req, Seq(Map.empty)).filter(metaFilter._2),
+            data, opt)
+          (s"${renderPats(g1pats)} FILTER(${metaFilter._1}) " +
+            s"OPTIONAL { ${renderPats(g2pats)} }",
+            ref0, (vorsOf(g1pats) ++ vorsOf(g2pats)).distinct)
+        case _ =>
+          val req = g1pats.map(p => QPat(p.s, p.p, p.o, None))
+          val inner = g2pats.map(p => QPat(p.s, p.p, p.o, None))
+          val neg = rnd.nextBoolean()
+          val ref0 = evalQuadBgp(data, req, Seq(Map.empty))
+            .filter(metaFilter._2)
+            .filter(b => evalQuadBgp(data, inner, Seq(b)).nonEmpty != neg)
+          (s"${renderPats(g1pats)} FILTER(${metaFilter._1}) " +
+            s"FILTER ${if (neg) "NOT " else ""}EXISTS { ${renderPats(g2pats)} }",
+            ref0, vorsOf(g1pats).distinct)
+      }
+      val proj = rnd.shuffle(inScope).take(1 + rnd.nextInt(inScope.size))
+      val q = s"SELECT ${proj.mkString(" ")} WHERE { $text }"
+      val got = Sparql.select(quads, q).collect()
+        .map(r => proj.indices.map(i =>
+          Option(r.get(i)).map(_.toString).orNull).toList).toSeq
+      val want = ref.map(b => proj.map(v => b.getOrElse(v, null)).toList)
+      val sortKey = (row: List[String]) =>
+        row.map(v => if (v == null) " " else v).mkString("")
+      withClue(s"query: $q\nstore: ${data.sortBy(_.toString)}\n") {
+        got.sortBy(sortKey) shouldBe want.sortBy(sortKey)
+      }
+    }
+  }
+
+  // ---- string-escape round-trips ----
+  // r12's escape fix class: ECHAR decode keeping the raw letter ("a\nb"
+  // parsing as "anb"), and this round's \UXXXXXXXX support. Random
+  // strings over an escape-heavy alphabet go through INSERT DATA and must
+  // come back decoded — and FILTER equality must see the same decoding.
+  "Sparql string escapes" should "round-trip through INSERT DATA and FILTER" in {
+    val seed = Seq(("u:seed", "u:p0", "u:s0", 0.toByte,
+      null: String, null: String, "g")).toDF(
+      "s", "p", "o", "oKind", "oDt", "oLang", "g")
+    val pieces = Vector(
+      ("a", "a"), ("b", "b"), (" ", " "),
+      ("\\n", "\n"), ("\\t", "\t"), ("\\r", "\r"),
+      ("\\\"", "\""), ("\\\\", "\\"),
+      ("\\u00e9", "é"), ("é", "é"), // escaped and raw é
+      ("\\U0001F600", new String(Character.toChars(0x1F600))))
+    for (i <- 1 to 10) {
+      val n = 1 + rnd.nextInt(6)
+      val picked = Seq.fill(n)(pieces(rnd.nextInt(pieces.size)))
+      val (escaped, decoded) = (picked.map(_._1).mkString, picked.map(_._2).mkString)
+      val s1 = Sparql.update(seed,
+        s"""INSERT DATA { <u:e$i> <u:note> "$escaped" }""")
+      val back = s1.where($"p" === "u:note" && $"s" === s"u:e$i")
+        .select("o").as[String].head()
+      withClue(s"escaped form: [$escaped]\n") { back shouldBe decoded }
+      // FILTER equality decodes the comparison literal the same way
+      val hit = Sparql.select(s1,
+        s"""SELECT ?x WHERE { ?x <u:note> ?v . FILTER(?v = "$escaped") }""")
+        .as[String].collect().toSet
+      withClue(s"escaped form: [$escaped]\n") { hit should contain(s"u:e$i") }
+    }
+  }
+
+  // ---- UPDATE with variable GRAPH templates ----
+  // q204's bug class: INSERT/DELETE { GRAPH ?g { … } } binding the
+  // variable as the LITERAL graph name "?g". Differential against the
+  // quad evaluator: the final store (full 7-tuples, metadata included)
+  // must equal the reference's set arithmetic.
+  "Sparql UPDATE" should "route variable-GRAPH templates per solution binding" in {
+    for (_ <- 1 to 8) {
+      val data = randomMetaStore()
+      val quads = toMetaQuadsDf(data)
+      val p0 = preds(rnd.nextInt(preds.size))
+      val subjTerm = if (rnd.nextBoolean()) "?x" else subs(rnd.nextInt(subs.size))
+      def rendT(t: String) = if (t.startsWith("?")) t else s"<$t>"
+      val matched = data.filter { case (s, p, _, _) =>
+        p == p0 && (subjTerm == "?x" || subjTerm == s) }
+      val insert = rnd.nextBoolean()
+      val (update, wantSet) =
+        if (insert) {
+          val u = s"INSERT { GRAPH ?g { ${rendT(subjTerm)} <u:new> ?n } } " +
+            s"WHERE { GRAPH ?g { ${rendT(subjTerm)} <$p0> ?n } }"
+          val inserted = matched.map { case (s, _, o, g) =>
+            val (dt, lang) =
+              if (o.startsWith("u:")) (null: String, null: String) else litMeta(o)
+            (s, "u:new", o, (if (o.startsWith("u:")) 0 else 2).toByte, dt, lang, g)
+          }
+          (u, (data.map { case (s, p, o, g) =>
+            val (dt, lang) =
+              if (o.startsWith("u:")) (null: String, null: String) else litMeta(o)
+            (s, p, o, (if (o.startsWith("u:")) 0 else 2).toByte, dt, lang, g)
+          } ++ inserted).toSet)
+        } else {
+          val u = s"DELETE { GRAPH ?g { ${rendT(subjTerm)} <$p0> ?n } } " +
+            s"WHERE { GRAPH ?g { ${rendT(subjTerm)} <$p0> ?n } }"
+          val survivors = data.filterNot(q => matched.contains(q))
+          (u, survivors.map { case (s, p, o, g) =>
+            val (dt, lang) =
+              if (o.startsWith("u:")) (null: String, null: String) else litMeta(o)
+            (s, p, o, (if (o.startsWith("u:")) 0 else 2).toByte, dt, lang, g)
+          }.toSet)
+        }
+      val got = Sparql.update(quads, update).collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2), r.getByte(3),
+          r.getString(4), r.getString(5), r.getString(6))).toSet
+      withClue(s"update: $update\nstore: ${data.sortBy(_.toString)}\n") {
+        got shouldBe wantSet
+      }
+    }
+  }
+
   // ---- numeric aggregates: SUM / AVG / SUM(DISTINCT) over integer
   // lexical literals (Spark's sum casts the lexical form; the reference
   // computes in exact BigDecimal — numeric compare, not string compare)

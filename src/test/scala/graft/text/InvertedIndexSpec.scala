@@ -64,6 +64,18 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  it should "refuse a non-integral query id instead of merging all queries" in {
+    // a string qid cast to long nulls: pre-guard, every query's results
+    // silently merged into one qid=null ranking
+    val docs = corpus(50, 7)
+    val ix = InvertedIndex.build(docs, "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.topKBatch(
+        ix, Seq(("q1", Seq("alpha"))).toDF("qid", "terms"), "qid", "terms", k = 3)
+    }
+    e.getMessage should include ("integral")
+  }
+
   it should "return identical top-k with and without the rank-safe prune" in {
     for (seed <- 1 to 3) {
       val docs = corpus(500, seed)

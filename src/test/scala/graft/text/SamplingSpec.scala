@@ -166,6 +166,25 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq shouldBe Seq(3L)
   }
 
+  it should "never let a NaN weight hijack the sample" in {
+    // Spark's total ordering puts NaN above every double: pre-fix a NaN
+    // weight passed the > 0 gate AND its NaN priority sorted FIRST under
+    // desc, so the 0/0-quality rows displaced every legitimate row
+    val df = Seq((1L, Double.NaN), (2L, 1.0), (3L, Double.NaN), (4L, 2.0))
+      .toDF("id", "w")
+    Sampling.weightedSample(df, "id", col("w"), k = 2)
+      .select("id").as[Long].collect().toSet shouldBe Set(2L, 4L)
+  }
+
+  it should "drop NaN rates in rateSample instead of keeping everything" in {
+    // least(greatest(NaN, 0), 1) = 1.0 under NaN-largest ordering: a NaN
+    // quality score silently became keep-always pre-fix
+    val df = Seq((1L, Double.NaN), (2L, 1.0), (3L, Double.NaN))
+      .toDF("id", "rate")
+    Sampling.rateSample(df, "id", col("rate"))
+      .select("id").as[Long].collect().toSeq shouldBe Seq(2L)
+  }
+
   "temperatureWeights" should "flatten shares toward uniform and normalize to one" in {
     // 80 / 15 / 5 split: α=0.3 upsamples the tail, downsamples the head
     val rows = (1 to 80).map(i => (i.toLong, "big")) ++
