@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   *    SAME matched right row (filling columns independently could mix
   *    rows when a right field is legitimately null);
   *  - right rows sort BEFORE left rows at equal timestamps (side 0 < 1),
-  *    giving standard `right.ts <= left.ts` inclusive semantics.
+  *    giving standard `right.ts <= left.ts` inclusive semantics;
+  *  - right rows TIED on (key, ts) order by their payload struct, so the
+  *    match is the GREATEST payload among the ties — an arbitrary but
+  *    DETERMINISTIC rule (without it the pick followed shuffle arrival
+  *    order and two runs could disagree). Payload fields must therefore
+  *    be orderable types (maps are not; wrap them downstream).
   *
   * Skew: a hot key is bounded by sorting its own rows only (no candidate
   * pairs are ever materialized). An optional `tolerance` (max left.ts −
@@ -63,7 +68,7 @@ object AsOfJoin {
     }.select(lx.columns.map(col): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(side).asc)
+      .orderBy(col(ts).asc, col(side).asc, col(pay).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lx.unionByName(rAligned)
       .withColumn("__match", last(col(pay), ignoreNulls = true).over(w))

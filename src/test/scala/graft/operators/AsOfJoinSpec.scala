@@ -49,6 +49,23 @@ class AsOfJoinSpec extends SparkSpec {
     out.size shouldBe 6 // every left row retained
   }
 
+  it should "break right-row (key, ts) ties deterministically by payload" in {
+    // pre-fix the pick among tied right rows followed shuffle arrival
+    // order — two runs could return different payloads; the contract is
+    // now the GREATEST payload struct among the ties
+    val q = Seq(
+      ("A", ts(10), 1.0, "qa"),
+      ("A", ts(10), 3.0, "qc"),
+      ("A", ts(10), 2.0, "qb")).toDF("sym", "qts", "px", "qid")
+      .repartition(3) // spread the ties so arrival order would vary
+    val t = Seq(("A", ts(30), 1L)).toDF("sym", "tts", "tid")
+    for (_ <- 1 to 3) {
+      val out = AsOfJoin.backward(t, q, Seq("sym"), "tts", "qts", Seq("px", "qid"))
+        .select("px", "qid").as[(Double, String)].collect().head
+      out shouldBe ((3.0, "qc"))
+    }
+  }
+
   it should "take all payload fields from the same matched row even when one is null" in {
     val q = Seq(
       ("A", ts(10), Option(1.0), "old"),
