@@ -1450,6 +1450,22 @@ object SparkEntry {
         "doc_id", col("n_chars") / lit(800.0))
       .select(col("doc_id"), col("u"))
 
+  /** Gate query for the round-13 NaN-rate fix: every fifth doc's rate is
+    * NaN (the 0/0-quality-ratio class; stated as a literal because ANSI
+    * mode raises on an actual double 0/0) — pre-fix Spark's NaN-largest
+    * ordering made `least(greatest(NaN, 0), 1)` evaluate to 1.0 and
+    * those rows were ALWAYS kept; the contract is NaN = drop, and the
+    * oracle states it with an explicit isnan guard (cross-engine:
+    * DuckDB's NaN ordering differs from Spark's, so only the guarded
+    * form agrees). */
+  private def q206_nan_rate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val rate = when(col("doc_id") % 5 === 0, lit(Double.NaN))
+      .otherwise(col("n_chars") / lit(800.0))
+    graft.text.Sampling.rateSample(docs, "doc_id", rate)
+      .select(col("doc_id"), col("u"))
+  }
+
   /** RAG-style overlapping chunking: 64-token chunks at stride 40 over
     * every document; oracle restates the slice arithmetic with
     * generate_series and 1-based list slicing. */
@@ -3040,6 +3056,7 @@ object SparkEntry {
     "q201_knn_salted" -> (q201_knn_salted _),
     "q202_scc_dist" -> (q202_scc_dist _),
     "q203_paris_sparse" -> (q203_paris_sparse _),
+    "q206_nan_rate" -> (q206_nan_rate _),
     "q204_update_graph_var" -> (q204_update_graph_var _),
     "q205_graph_meta" -> (q205_graph_meta _),
     "q200_leakage_split" -> (q200_leakage_split _)
@@ -4213,6 +4230,19 @@ object SparkEntry {
         |WHERE (doc_id * 2654435761) % 4294967296 <
         |  CAST(FLOOR(LEAST(GREATEST(n_chars / 800.0, 0.0), 1.0) * 4294967296)
         |    AS BIGINT)""".stripMargin,
+    // NaN rates drop the row (isnan guard); every fifth doc carries a
+    // NaN rate, the rest q105's length-derived rate
+    "q206_nan_rate" ->
+      """WITH r AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS u,
+        |    CASE WHEN doc_id % 5 = 0 THEN CAST('nan' AS DOUBLE)
+        |         ELSE n_chars / 800.0 END AS rate
+        |  FROM documents
+        |)
+        |SELECT doc_id, u FROM r
+        |WHERE u < CAST(FLOOR(LEAST(GREATEST(
+        |    CASE WHEN isnan(rate) THEN 0.0 ELSE rate END, 0.0), 1.0)
+        |  * 4294967296) AS BIGINT)""".stripMargin,
     // q106: same tokenizer as q17/q19's oracles; DuckDB list slicing is
     // 1-based inclusive, so chunk i covers ts[i*40+1 : i*40+64]
     "q106_chunking" ->
