@@ -14,7 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
+  /** Cosine similarity of two float-array columns, computed in double.
+    * A zero-norm side yields 0.0 — the SAME rule every JVM kernel here
+    * applies ([[assignNearest]], the knnJoin cogroup): without the guard
+    * a degenerate all-zero embedding made this 0/0 — a silent null under
+    * legacy SQL mode, a job-killing DIVIDE_BY_ZERO under ANSI (the
+    * Spark 4 default), and in both cases a divergence from the kernels
+    * that broke the knnJoin ≡ bruteForceTopK exactness contract on
+    * corpora containing a zero vector. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0d), (acc, v) => acc + v)
@@ -22,7 +29,7 @@ object Ann {
       lit(0d), (acc, v) => acc + v))
     val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
       lit(0d), (acc, v) => acc + v))
-    dot / (na * nb)
+    when(na === 0d || nb === 0d, lit(0d)).otherwise(dot / (na * nb))
   }
 
   /** L2 norm of a float-array column (computed in double, one pass). */
@@ -122,8 +129,13 @@ object Ann {
             var dot = 0.0
             var d = 0
             while (d < pv.length) { dot += pv(d).toDouble * cv(d).toDouble; d += 1 }
+            // zero-norm guard BEFORE BigDecimal: a degenerate all-zero
+            // vector made this 0/0 = NaN, and BigDecimal(NaN) THROWS —
+            // one null embedding crashed the whole brute-force job
+            val raw = if (pNorms(j) == 0 || cNorm == 0) 0.0
+              else dot / (pNorms(j) * cNorm)
             (ps(j)._1, nid,
-              BigDecimal(dot / (pNorms(j) * cNorm))
+              BigDecimal(raw)
                 .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
           }
         }
@@ -1011,7 +1023,10 @@ object Ann {
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(sum(col("a.x").cast("double") * col("b.x").cast("double")).as("dot"),
         first(col("a.norm")).as("n1"), first(col("b.norm")).as("n2"))
-      .where(col("dot") / (col("n1") * col("n2")) > threshold)
+      // zero-norm guard: same kernel rule as cosine() — 0/0 would raise
+      // DIVIDE_BY_ZERO under ANSI on a degenerate all-zero embedding
+      .where(when(col("n1") * col("n2") === 0d, lit(0d))
+        .otherwise(col("dot") / (col("n1") * col("n2"))) > threshold)
       .select(col("id1"), col("id2"))
     graft.dedup.Dedup.representatives(assigned.select(col("id")), pairs)
       .join(assigned.select(col("id"), col("cent_id")), "id")

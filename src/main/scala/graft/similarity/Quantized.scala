@@ -106,7 +106,10 @@ object Quantized {
             dot += pv(d) * x; pn += pv(d).toDouble * pv(d).toDouble
             cn += x * x; d += 1
           }
-          (pid, nid, dot / (math.sqrt(pn) * math.sqrt(cn)))
+          // zero-norm → 0.0, the kernel-wide rule (a NaN qsim would sort
+          // FIRST under Spark's NaN-largest ordering and hijack the pool)
+          (pid, nid, if (pn == 0 || cn == 0) 0.0
+            else dot / (math.sqrt(pn) * math.sqrt(cn)))
         }
       }.toDF("probe_id", "neighbor_id", "qsim")
     val poolW = org.apache.spark.sql.expressions.Window
@@ -140,7 +143,8 @@ object Quantized {
           cn += cv(d).toDouble * cv(d).toDouble
           d += 1
         }
-        (pid, nid, dot / (math.sqrt(pn) * math.sqrt(cn)))
+        (pid, nid, if (pn == 0 || cn == 0) 0.0 // zero-norm kernel rule
+          else dot / (math.sqrt(pn) * math.sqrt(cn)))
       }.toDF("probe_id", "neighbor_id", "sim")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
@@ -297,7 +301,9 @@ object Quantized {
             var dot = 0.0
             var jj = 0
             while (jj < mm) { dot += tDot(jj)(code(jj) & 0xff); jj += 1 }
-            (pid, nid, if (cNorm == 0.0) 0.0 else dot / (pNorm * cNorm))
+            // guard BOTH norms (a zero-norm PROBE was still 0/0 = NaN)
+            (pid, nid, if (cNorm == 0.0 || pNorm == 0.0) 0.0
+              else dot / (pNorm * cNorm))
           }
         }
       }.toDF("probe_id", "neighbor_id", "qsim")
@@ -362,7 +368,8 @@ object Quantized {
               dot += pq(j) * deq(j); pn += pq(j).toDouble * pq(j).toDouble
               j += 1
             }
-            (pid, nid, dot / (math.sqrt(pn) * cNorm))
+            (pid, nid, if (pn == 0 || cNorm == 0) 0.0 // zero-norm rule
+              else dot / (math.sqrt(pn) * cNorm))
           }
         }
       }.toDF("probe_id", "neighbor_id", "qdot")
@@ -389,7 +396,8 @@ object Quantized {
           cn += cv(d).toDouble * cv(d).toDouble
           d += 1
         }
-        (pid, nid, dot / (math.sqrt(pn) * math.sqrt(cn)))
+        (pid, nid, if (pn == 0 || cn == 0) 0.0 // zero-norm kernel rule
+          else dot / (math.sqrt(pn) * math.sqrt(cn)))
       }.toDF("probe_id", "neighbor_id", "sim")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))

@@ -29,6 +29,34 @@ class AnnSpec extends SparkSpec {
     top2.head shouldBe 2L // cos(3,2) ≈ 0.11 is the only positive sim
   }
 
+  "zero-norm embeddings" should "score 0.0 everywhere instead of crashing or hijacking" in {
+    // one degenerate all-zero embedding in the corpus:
+    //  - pre-fix, scoredPairs computed 0/0 = NaN and BigDecimal(NaN)
+    //    THREW — one null embedding crashed the whole brute-force job;
+    //  - the column cosine was 0/0 too — a DIVIDE_BY_ZERO error under
+    //    Spark 4's ANSI default;
+    //  - the kernel-wide rule is norm == 0 → sim 0.0 (assignNearest,
+    //    the knnJoin cogroup), so all paths must agree on corpora
+    //    containing a zero vector.
+    val withZero = vecs.unionByName(
+      Seq((6L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    // column cosine: 0.0, no error
+    withZero.where($"vec_id" === 6)
+      .select(Ann.cosine($"embedding", $"embedding")).as[Double].head() shouldBe 0.0
+    // brute force neither crashes nor ranks the zero vector above real sims
+    val bf = Ann.bruteForceTopK(withZero, withZero.where($"vec_id" === 1),
+      "vec_id", "embedding", 6)
+      .orderBy("rank").select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    bf.head._1 shouldBe 2L // the real near neighbor still wins
+    bf.map(_._1) should contain(6L) // the zero vector ranks by sim 0.0
+    // exhaustive knnJoin stays row-identical to brute force on the same corpus
+    val viaJoin = Ann.knnJoin(withZero, withZero.where($"vec_id" === 1),
+        "vec_id", "embedding", k = 6, nlist = 2, nprobe = 2,
+        maxSim = Double.PositiveInfinity)
+      .orderBy("rank").select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    viaJoin shouldBe bf
+  }
+
   "thresholdPairs" should "find only the near-duplicate pair" in {
     Ann.thresholdPairs(vecs, "vec_id", "embedding", 0.95)
       .as[(Long, Long)].collect().toSet shouldBe Set((1L, 2L))
