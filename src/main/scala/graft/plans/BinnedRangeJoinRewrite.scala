@@ -93,7 +93,19 @@ object BinnedRangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val pointPlan = Project(pointSide.output :+ pb, pointSide)
 
       val ib = AttributeReference("__ib", LongType, nullable = true)()
-      val gen = Explode(Sequence(bucketOf(s), bucketOf(e), Some(Literal(1L)), tzId))
+      // inverted intervals (end before start — dirty data at scale) must
+      // generate NO buckets: the pre-rewrite theta join matched nothing
+      // for such a row, while a bare ascending Sequence RAISES "Illegal
+      // sequence boundaries" at runtime — the rewrite would turn a
+      // silently-unmatched row into a job failure. (Null bounds already
+      // behave: Sequence is null-intolerant → null array → Explode emits
+      // nothing, and a null If-predicate takes the empty branch.)
+      val bs = bucketOf(s)
+      val be = bucketOf(e)
+      val gen = Explode(If(LessThanOrEqual(bs, be),
+        Sequence(bs, be, Some(Literal(1L)), tzId),
+        Literal.create(Array.empty[Long],
+          org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))))
       val intervalPlan = Generate(gen, unrequiredChildIndex = Nil, outer = false,
         qualifier = None, generatorOutput = Seq(ib), child = intervalSide)
 

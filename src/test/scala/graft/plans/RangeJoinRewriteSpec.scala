@@ -37,6 +37,27 @@ class RangeJoinRewriteSpec extends SparkSpec {
     q.as[(Long, Long)].collect().toSet shouldBe expected
   }
 
+  it should "treat inverted and null-bounded intervals as matching nothing" in {
+    // pre-rewrite, a dirty interval row (end before start, or a null
+    // bound) simply matched no points; the bare ascending Sequence the
+    // rewrite used to emit RAISED "Illegal sequence boundaries" at
+    // runtime — a semantics-preserving rewrite must not turn unmatched
+    // rows into job failures
+    val points = Seq((1L, ts("2024-01-05 12:00:00"))).toDF("pid", "pt")
+    val intervals = Seq(
+      (10L, ts("2024-01-05 00:00:00"), ts("2024-01-05 23:59:59")), // valid
+      (11L, ts("2024-01-09 00:00:00"), ts("2024-01-02 00:00:00")), // inverted
+      (12L, null.asInstanceOf[java.sql.Timestamp],
+        ts("2024-01-05 23:59:59"))) // null start
+      .toDF("iid", "istart", "iend")
+    points.createOrReplaceTempView("pts2")
+    intervals.createOrReplaceTempView("ivs2")
+    val q = spark.sql(
+      "SELECT pid, iid FROM pts2 JOIN ivs2 ON pt >= istart AND pt <= iend")
+    q.queryExecution.executedPlan.toString should not include "BroadcastNestedLoopJoin"
+    q.as[(Long, Long)].collect().toSet shouldBe Set((1L, 10L))
+  }
+
   it should "leave equi-joins and non-range joins untouched" in {
     val a = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("id", "t")
     val b = Seq((1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")))
