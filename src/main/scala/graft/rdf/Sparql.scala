@@ -111,7 +111,19 @@ object Sparql {
                 val hex = q.substring(i + 2, i + 10)
                 require(hex.forall(isHexDigit),
                   s"malformed \\U escape '\\U$hex' in literal near ...${q.substring(i, math.min(n, i + 16))}")
-                sb ++= new String(Character.toChars(Integer.parseInt(hex, 16)))
+                // parse as Long: \UFFFFFFFF overflows Integer.parseInt, and
+                // a syntactically-valid but out-of-range code point (e.g.
+                // \U00110000) must fail with the same contextual message,
+                // not a bare exception from Character.toChars
+                // surrogate code points are rejected too: an 8-digit escape
+                // denotes a full scalar value (pair-encoding belongs to the
+                // two-\uXXXX form), and a lone surrogate is unencodable
+                val cp = java.lang.Long.parseLong(hex, 16)
+                require(cp <= Int.MaxValue && Character.isValidCodePoint(cp.toInt) &&
+                    !(cp >= 0xD800L && cp <= 0xDFFFL),
+                  s"out-of-range \\U escape '\\U$hex' (not a valid Unicode " +
+                    s"scalar value) in literal near ...${q.substring(i, math.min(n, i + 16))}")
+                sb ++= new String(Character.toChars(cp.toInt))
                 i += 10
               case other => sb += other; i += 2 // \" \' \\
             }

@@ -305,41 +305,61 @@ object ImapSync {
       val minRoundMs = 500
       // the 500 ms floor protects LATER rounds (whose accumulated events
       // would be lost to a SocketTimeoutException mid-drain); on ENTRY
-      // there is nothing accumulated yet, so the first round always parks
-      // (soTimeout floored at 1 ms) — a caller with timeoutMillis < 500
-      // gets exactly one short park instead of silently never parking,
-      // even when the seeding diff already consumed most of the budget
+      // there is nothing accumulated yet, so the first round always parks —
+      // its soTimeout is ALSO floored at minRoundMs (not 1 ms: a remaining
+      // budget shorter than the server's RTT would time out the
+      // IDLE-continuation read below and throw away the seeding diff).
+      // A caller with timeoutMillis < 500 gets exactly one short
+      // (~minRoundMs-bounded) park instead of silently never parking.
       var firstRound = true
       while (parked && events < maxEvents &&
           { val rem = ((idleDeadline - System.nanoTime()) / 1000000L).toInt
             if (!firstRound && rem < minRoundMs) { parked = false; false }
-            else { s.socket.setSoTimeout(math.max(rem, 1)); firstRound = false; true } }) {
+            else { s.socket.setSoTimeout(math.max(rem, minRoundMs)); firstRound = false; true } }) {
         val tag = s.nextTag()
         s.sendRaw(s"$tag IDLE\r\n")
         // untagged responses may precede the '+' continuation — buffer
-        // them; only a tagged status line means IDLE was rejected
-        var cont = s.readPhysical()
-        while (!cont.startsWith("+")) {
-          require(cont.startsWith("*"), s"IDLE not accepted: $cont")
-          pending += cont
-          cont = s.readPhysical()
-        }
+        // them; only a tagged status line means IDLE was rejected. The
+        // floor above makes a timeout here unlikely but not impossible
+        // (slow server): treat it like a timed-out park — best-effort
+        // DONE/drain, keep everything accumulated, return the delta —
+        // rather than letting the exception destroy the seeding diff.
+        val contOk =
+          try {
+            var cont = s.readPhysical()
+            while (!cont.startsWith("+")) {
+              require(cont.startsWith("*"), s"IDLE not accepted: $cont")
+              pending += cont
+              cont = s.readPhysical()
+            }
+            true
+          } catch {
+            case _: SocketTimeoutException =>
+              parked = false
+              s.sendRaw("DONE\r\n")
+              try pending ++= s.drainUntilOk(tag).map(_.text)
+              catch { case _: SocketTimeoutException => () }
+              false
+          }
         // park until one unsolicited line arrives (or timeout), unless
         // notifications already queued up before the continuation
         val note =
-          if (pending.nonEmpty) None
+          if (!contOk || pending.nonEmpty) None
           else
             try Some(s.readPhysical())
             catch { case _: SocketTimeoutException => None }
         // DONE-to-OK is a prompt exchange, not a budget-bounded park: give
         // it a sane floor so a nearly-spent deadline can't starve the
         // drain mid-round (the events gathered this round are already in
-        // `pending`/`fetched` and must reach the caller)
-        s.socket.setSoTimeout(math.max(
-          ((idleDeadline - System.nanoTime()) / 1000000L).toInt, minRoundMs))
-        s.sendRaw("DONE\r\n")
-        // notifications racing the DONE surface while draining; queue all
-        pending ++= note.toList ++ s.drainUntilOk(tag).map(_.text)
+        // `pending`/`fetched` and must reach the caller). The !contOk
+        // branch already sent its best-effort DONE and drained.
+        if (contOk) {
+          s.socket.setSoTimeout(math.max(
+            ((idleDeadline - System.nanoTime()) / 1000000L).toInt, minRoundMs))
+          s.sendRaw("DONE\r\n")
+          // notifications racing the DONE surface while draining; queue all
+          pending ++= note.toList ++ s.drainUntilOk(tag).map(_.text)
+        }
         val sawAny = pending.nonEmpty
         while (pending.nonEmpty) {
           pending.dequeue() match {

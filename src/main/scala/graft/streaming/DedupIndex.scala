@@ -84,9 +84,14 @@ private[streaming] object DedupIndex {
       case Some(old) =>
         val root = new org.apache.hadoop.fs.Path(indexDir)
         val fs = root.getFileSystem(conf)
+        // deliberately NOT exception-swallowing: a transient FS error here
+        // must abort the adoption decision loudly — mapping it to "absent"
+        // would make a straddling checkpoint adopt the fresh qualified id,
+        // orphan its legacy seen-set, and re-emit already-delivered keepers
+        // on replay (r13 ADVICE). Only fs.exists' own clean false (the
+        // directory is genuinely absent) may steer adoption.
         def hasRun(r: String): Boolean =
-          try fs.exists(new org.apache.hadoop.fs.Path(root, s"run=$r"))
-          catch { case _: Exception => false }
+          fs.exists(new org.apache.hadoop.fs.Path(root, s"run=$r"))
         if (!hasRun(id) && hasRun(old)) {
           System.err.println(s"[dedup-index] adopting pre-upgrade runId " +
             s"$old for checkpoint $checkpointDir (legacy run= dir present " +

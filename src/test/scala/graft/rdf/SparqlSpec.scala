@@ -356,6 +356,21 @@ class SparqlSpec extends SparkSpec {
       Sparql.update(quads, "INSERT DATA { <e> <note> \"\\uZZ41\" }")
     }
     eu.getMessage should include ("\\u")
+    // hex-valid but out-of-range code points (r13 ADVICE): beyond U+10FFFF
+    val eRange = intercept[IllegalArgumentException] {
+      Sparql.update(quads, "INSERT DATA { <e> <note> \"\\U00110000\" }")
+    }
+    eRange.getMessage should include ("out-of-range \\U")
+    // and \UFFFFFFFF, which overflowed Integer.parseInt pre-fix
+    val eOverflow = intercept[IllegalArgumentException] {
+      Sparql.update(quads, "INSERT DATA { <e> <note> \"\\UFFFFFFFF\" }")
+    }
+    eOverflow.getMessage should include ("out-of-range \\U")
+    // a surrogate code point is not a valid scalar value either
+    val eSurrogate = intercept[IllegalArgumentException] {
+      Sparql.update(quads, "INSERT DATA { <e> <note> \"\\U0000D800\" }")
+    }
+    eSurrogate.getMessage should include ("out-of-range \\U")
   }
 
   it should "not drop plain-literal solutions when two groups carry term metadata" in {

@@ -23,6 +23,9 @@ class ImapSyncSpec extends SparkSpec {
     @volatile var idleCount = 0
     /** One-shot: untagged line emitted BEFORE the next IDLE's `+`. */
     @volatile var pushBeforeContinuation: String = null
+    /** One-shot: swallow the next IDLE's `+` continuation entirely (the
+      * client must time out, DONE, and still deliver its delta). */
+    @volatile var muteNextIdleContinuation = false
     /** One-shot: untagged chatter interleaved inside the next seq FETCH. */
     @volatile var fetchChatter: String = null
     @volatile private var idleOut: PrintStream = null
@@ -58,7 +61,8 @@ class ImapSyncSpec extends SparkSpec {
           else if (cmd.startsWith("IDLE")) {
             val pre = pushBeforeContinuation
             if (pre != null) { pushBeforeContinuation = null; out.print(pre + "\r\n") }
-            out.print("+ idling\r\n")
+            if (muteNextIdleContinuation) muteNextIdleContinuation = false
+            else out.print("+ idling\r\n")
             idleTag = tag
             idleOut = out
             idleCount += 1
@@ -236,6 +240,25 @@ class ImapSyncSpec extends SparkSpec {
       srv.idleCount shouldBe 1 // it DID park (one short round)
       d.fetched.map(_._1) shouldBe Seq(101L) // seeding diff still delivered
       elapsedMs should be < 5000L // and the short budget was honored
+    } finally srv.stop()
+  }
+
+  it should "deliver the seeding diff when the IDLE continuation never arrives" in {
+    // regression (r13 ADVICE): a continuation read that times out — server
+    // slower than the remaining budget — must not throw the accumulated
+    // seeding-diff events away; it ends the park and returns the delta
+    val srv = new FakeImap
+    try {
+      srv.mailbox(101L) = msg("m1", "alice@example.com", "hello")
+      srv.muteNextIdleContinuation = true
+      val t0 = System.nanoTime()
+      val d = ImapSync.idle("localhost", srv.port, "u", "p", "INBOX",
+        ImapSync.ImapState(), maxEvents = 2, timeoutMillis = 800)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      srv.idleCount shouldBe 1 // IDLE was issued, continuation swallowed
+      d.fetched.map(_._1) shouldBe Seq(101L) // delta survives the timeout
+      d.state.knownUids shouldBe Set(101L)
+      elapsedMs should be < 8000L
     } finally srv.stop()
   }
 

@@ -145,4 +145,34 @@ class StreamingExactDedupSpec extends SparkSpec {
       java.nio.file.Paths.get(index, s"run=$qualified", "batch=0"))
     DedupIndex.runIdAt(ckpt, index, conf) shouldBe qualified
   }
+
+  it should "propagate index-probe I/O errors instead of adopting an id" in {
+    // regression (r13 ADVICE): a transient FS error while probing the
+    // legacy run= dir used to read as "absent", silently steering a
+    // straddling checkpoint onto the fresh qualified id and orphaning its
+    // legacy seen-set; the probe must fail loudly instead
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.setClass("fs.failingfs.impl", classOf[FailingFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    conf.setBoolean("fs.failingfs.impl.disable.cache", true)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-failfs-ckpt").toString
+    val ex = intercept[java.io.IOException] {
+      DedupIndex.runIdAt(ckpt, "failingfs:///idx", conf)
+    }
+    ex.getMessage should include("injected")
+  }
+}
+
+/** exists/getFileStatus throw — simulates a transient index-FS outage
+  * during [[DedupIndex.runIdAt]]'s legacy-run probe. */
+class FailingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("failingfs:///")
+  // RawLocalFileSystem overrides exists() directly (File.exists, not
+  // getFileStatus) — fail both entry points
+  override def exists(p: org.apache.hadoop.fs.Path): Boolean =
+    throw new java.io.IOException("injected index-FS outage: " + p)
+  override def getFileStatus(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus =
+    throw new java.io.IOException("injected index-FS outage: " + p)
 }
