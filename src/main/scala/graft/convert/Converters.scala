@@ -224,22 +224,51 @@ object Converters {
       .toList
   }
 
+  /** One content line → (NAME, params, value), quote-aware per RFC 5545
+    * §3.1-3.2 / RFC 6350 §3.3: a param value may be double-quoted and then
+    * legally contain ':', ';' and ',' (`ATTENDEE;CN="Doe, John":mailto:…`,
+    * `CN="http://x"`), so the name/value colon and the param semicolons
+    * must be found OUTSIDE quotes — the old `indexOf(':')`/`split(";")`
+    * cut such lines mid-param (r14 review pass). Surrounding quotes are
+    * stripped from param values (`TZID="America/New_York"` now resolves
+    * instead of falling back to UTC). */
   private def icalProps(block: String): Seq[(String, Map[String, String], String)] = {
     val unfolded = block.replaceAll("\r?\n[ \t]", "")
     unfolded.split("\r?\n").toSeq.flatMap { line =>
-      val idx = line.indexOf(':')
-      if (idx <= 0) None
+      var i = 0
+      var inQ = false
+      var colon = -1
+      while (i < line.length && colon < 0) {
+        val c = line.charAt(i)
+        if (c == '"') inQ = !inQ
+        else if (c == ':' && !inQ) colon = i
+        i += 1
+      }
+      if (colon <= 0) None
       else {
-        val lhs = line.substring(0, idx)
-        val value = line.substring(idx + 1)
-        val parts = lhs.split(";").toSeq
-        val params = parts.drop(1).flatMap { p =>
+        val lhs = line.substring(0, colon)
+        val value = line.substring(colon + 1)
+        val segs = scala.collection.mutable.ListBuffer[String]()
+        val sb = new StringBuilder
+        var q = false
+        lhs.foreach { c =>
+          if (c == '"') { q = !q; sb += c }
+          else if (c == ';' && !q) { segs += sb.toString; sb.clear() }
+          else sb += c
+        }
+        segs += sb.toString
+        val params = segs.drop(1).flatMap { p =>
           p.split("=", 2) match {
-            case Array(k, v) => Some(k.toUpperCase -> v)
+            case Array(k, v) =>
+              val unq =
+                if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\""))
+                  v.substring(1, v.length - 1)
+                else v
+              Some(k.toUpperCase -> unq)
             case _ => None
           }
         }.toMap
-        Some((parts.head.toUpperCase, params, value))
+        Some((segs.head.toUpperCase, params, value))
       }
     }
   }
@@ -253,6 +282,26 @@ object Converters {
     * point-of-use on display values (never on structured values like N,
     * whose `;` separators must split FIRST). The write-back serializers
     * ([[VcardWrite]], [[IcalWrite]]) escape symmetrically. */
+  /** Split a STRUCTURED value at unescaped ';' separators (RFC 6350 §3.3,
+    * e.g. the N property): a ';' separates components unless preceded by
+    * an ODD run of backslashes. The lookbehind `(?<!\\);` this replaces
+    * misread `\\;` — an escaped BACKSLASH followed by a real separator
+    * (family name ending in '\') — as an escaped ';', merging two
+    * components (r14 review pass; the converter fuzz suite pins it). */
+  private[convert] def splitStructured(v: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) { sb += c; sb += v.charAt(i + 1); i += 2 }
+      else if (c == ';') { out += sb.toString; sb.clear(); i += 1 }
+      else { sb += c; i += 1 }
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
   private[convert] def unescapeText(v: String): String = {
     val n = v.length
     val sb = new StringBuilder(n)
@@ -284,7 +333,10 @@ object Converters {
         val props = icalProps(m.group(1))
         def firstProp(name: String) = props.find(_._1 == name)
         def firstVal(name: String) = firstProp(name).map(_._3)
-        val uid = firstVal("UID").getOrElse(Iri.nameUuid(m.group(1)))
+        // UID is TEXT-valued: unescape it so the identity the write-back
+        // serializer regenerates (it RE-escapes on write) survives a
+        // parse→write→parse cycle for UIDs containing \; \, \\ or \N
+        val uid = firstVal("UID").map(unescapeText).getOrElse(Iri.nameUuid(m.group(1)))
         val startZ = firstProp("DTSTART").flatMap(p => parseIcalInstant(p._3, p._2))
         val endZ = firstProp("DTEND").flatMap(p => parseIcalInstant(p._3, p._2))
         val duration = firstVal("DURATION").flatMap(parseIcalDuration)
@@ -326,7 +378,14 @@ object Converters {
           val geo = firstVal("GEO").toSeq.flatMap { gv =>
             gv.split(";") match {
               case Array(lat, lon) =>
-                Seq(quad(ev, schemaOrg + "geo", Iri.geo(lat.toDouble, lon.toDouble), Quad.IRI, g))
+                // tolerant like every other field: a malformed GEO on one
+                // hostile document must drop the quad, not throw
+                // NumberFormatException out of an executor task
+                (lat.trim.toDoubleOption, lon.trim.toDoubleOption) match {
+                  case (Some(la), Some(lo)) =>
+                    Seq(quad(ev, schemaOrg + "geo", Iri.geo(la, lo), Quad.IRI, g))
+                  case _ => Nil
+                }
               case _ => Nil
             }
           }
@@ -410,13 +469,20 @@ object Converters {
       "(?s)BEGIN:VCARD(.*?)END:VCARD".r.findAllMatchIn(raw).toSeq.flatMap { m =>
         val props = icalProps(m.group(1)) // same prop grammar
         def firstVal(name: String) = props.find(_._1 == name).map(_._3)
-        val key = firstVal("UID").orElse(firstVal("FN")).getOrElse(Iri.nameUuid(m.group(1)))
+        // identity key on the UNESCAPED value: the write-back serializer
+        // re-escapes canonically, so keying on the raw form would mint a
+        // different agent IRI after a parse→write→parse cycle whenever the
+        // input used a non-canonical escape (e.g. \N for newline)
+        val key = firstVal("UID").map(unescapeText)
+          .orElse(firstVal("FN").map(unescapeText))
+          .getOrElse(Iri.nameUuid(m.group(1)))
         val agent = Iri.entity("agent", key)
         val base = Seq(
           Some(quad(agent, "rdf:type", "personal:Agent", Quad.IRI, g)),
           // UID rides along as a quad so the write-back serializer
           // ([[VcardWrite]]) can regenerate a stable vCard identity
-          firstVal("UID").map(v => quad(agent, "personal:uid", v, Quad.LITERAL, g)),
+          firstVal("UID").map(v =>
+            quad(agent, "personal:uid", unescapeText(v), Quad.LITERAL, g)),
           firstVal("FN").map(v =>
             quad(agent, schemaOrg + "name", unescapeText(v), Quad.LITERAL, g)),
           firstVal("ORG").map(v =>
@@ -425,7 +491,7 @@ object Converters {
         val n = firstVal("N").toSeq.flatMap { v =>
           // structural ';' split FIRST (escaped \; survives it), then
           // TEXT-unescape each component
-          val parts = v.split("(?<!\\\\);", -1).map(unescapeText)
+          val parts = splitStructured(v).map(unescapeText)
           val family = parts.lift(0).filter(_.nonEmpty)
           val given = parts.lift(1).filter(_.nonEmpty)
           family.map(f => quad(agent, schemaOrg + "familyName", f, Quad.LITERAL, g)).toSeq ++

@@ -22,8 +22,23 @@ object IcalWrite {
     .withZone(ZoneOffset.UTC)
 
   private def escape(v: String): String =
-    v.replace("\\", "\\\\").replace("\n", "\\n").replace(",", "\\,")
+    // CR first: RFC 5545 content never carries raw CR — a write-back value
+    // containing \r\n (e.g. from a SPARQL UPDATE literal) folds to the \n
+    // escape instead of corrupting the content line
+    v.replace("\r\n", "\n").replace("\r", "\n")
+      .replace("\\", "\\\\").replace("\n", "\\n").replace(",", "\\,")
       .replace(";", "\\;")
+
+  /** RFC 5545 §3.2 parameter value: quoted when it contains ':', ';' or
+    * ','; DQUOTE/CR/LF cannot appear in a param value at all (RFC 6868
+    * caret-escaping is not consumed by our reader) — mapped to safe
+    * characters. The unquoted-CN form this replaces corrupted the whole
+    * content line for a CN like `Doe, John` (r14 review pass). */
+  private def param(v: String): String = {
+    val clean = v.replace("\"", "'").replace("\r", " ").replace("\n", " ")
+    if (clean.exists(c => c == ':' || c == ';' || c == ',')) "\"" + clean + "\""
+    else clean
+  }
 
   private def icsInstant(iso: String, dt: String): String =
     if (dt == Quad.Xsd.dateTime) IcsUtc.format(Instant.parse(iso))
@@ -66,7 +81,7 @@ object IcalWrite {
           val agent = bySubject.getOrElse(pq.o, Nil)
           agent.find(_.p == schemaOrg + "email").foreach { em =>
             val cn = agent.find(_.p == schemaOrg + "name")
-              .map(n => s";CN=${n.o}").getOrElse("")
+              .map(n => s";CN=${param(n.o)}").getOrElse("")
             sb ++= s"$line$cn:${em.o}\r\n"
           }
         }

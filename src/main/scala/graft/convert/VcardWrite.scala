@@ -27,7 +27,10 @@ object VcardWrite {
     "personal:WorkAddress" -> "WORK")
 
   private def escape(v: String): String =
-    v.replace("\\", "\\\\").replace("\n", "\\n").replace(",", "\\,")
+    // CR first: vCard content never carries raw CR — a write-back value
+    // containing \r\n folds to the \n escape instead of corrupting the line
+    v.replace("\r\n", "\n").replace("\r", "\n")
+      .replace("\\", "\\\\").replace("\n", "\\n").replace(",", "\\,")
       .replace(";", "\\;")
 
   /** Serialize every `personal:Agent` in one document graph's quads to a

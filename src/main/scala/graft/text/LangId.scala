@@ -61,6 +61,20 @@ object LangId {
     m
   }
 
+  /** The compiled-in model as rows (trigram, lang, langRank, weight): the
+    * oracle fixture q70 emits, so the Cavnar-Trenkle rank-distance scoring
+    * can be restated independently in SQL over it. langRank is the
+    * language's index in [[Langs]] — [[detect]]'s argmax keeps the EARLIEST
+    * language on score ties, i.e. ties resolve to the lowest langRank. */
+  def profileTable: Seq[(String, String, Int, Int)] = {
+    import scala.jdk.CollectionConverters._
+    Table.asScala.toSeq.sortBy(_._1).flatMap { case (tri, arr) =>
+      arr.toSeq.zipWithIndex.collect {
+        case (w, li) if w > 0 => (tri, Langs(li), li, w)
+      }
+    }
+  }
+
   /** Best language of `text`, or "und" when no profile trigram occurs. */
   def detect(text: String): String = {
     if (text == null) return "und"

@@ -298,6 +298,56 @@ class ConvertersSpec extends SparkSpec {
     byPred("http://schema.org/telephone") shouldBe Set("tel:+15550001111")
   }
 
+  "ical/vcard property lines" should "honor quoted parameter values (r14 review)" in {
+    // RFC 5545 §3.2: a quoted param value may contain ':', ';' and ',' —
+    // pre-fix, indexOf(':') cut the line inside CN="http://…" and the
+    // param split broke CN="Doe, John" at the comma
+    val raw =
+      """BEGIN:VEVENT
+        |UID:qp1
+        |DTSTART;TZID="Europe/Paris":20240325T090000
+        |ATTENDEE;CN="Doe, John; Dr":mailto:jd@example.com
+        |ORGANIZER;CN="http://weird":mailto:org@example.com
+        |END:VEVENT""".stripMargin
+    val quads = Converters.ical(Seq(("qp", raw)).toDS()).collect()
+    // quoted TZID resolves (Paris is UTC+1 on Mar 25): 09:00 local = 08:00Z
+    quads.filter(_.p == "http://schema.org/startDate").map(_.o).toSet shouldBe
+      Set("2024-03-25T08:00:00Z")
+    val names = quads.filter(_.p == "http://schema.org/name").map(_.o).toSet
+    names should contain("Doe, John; Dr") // quotes stripped, commas kept
+    names should contain("http://weird")
+    quads.filter(_.p == "http://schema.org/attendee") should have length 1
+    quads.filter(_.p == "http://schema.org/organizer") should have length 1
+  }
+
+  it should "split N at a separator after an escaped backslash" in {
+    // `Smith\\;John` = family "Smith\" + given "John": the old lookbehind
+    // read the ';' as escaped and merged both components
+    val raw =
+      """BEGIN:VCARD
+        |VERSION:3.0
+        |UID:bs1
+        |FN:BS
+        |N:Smith\\;John;;;
+        |END:VCARD""".stripMargin
+    val quads = Converters.vcard(Seq(("bs", raw)).toDS()).collect()
+    val byPred = quads.groupBy(_.p).view.mapValues(_.map(_.o).toSet).toMap
+    byPred("http://schema.org/familyName") shouldBe Set("Smith\\")
+    byPred("http://schema.org/givenName") shouldBe Set("John")
+  }
+
+  it should "tolerate a malformed GEO instead of failing the task" in {
+    val raw =
+      """BEGIN:VEVENT
+        |UID:geo-bad
+        |SUMMARY:ok
+        |GEO:not-a-number;2.35
+        |END:VEVENT""".stripMargin
+    val quads = Converters.ical(Seq(("gb", raw)).toDS()).collect()
+    quads.filter(_.p == "http://schema.org/geo") shouldBe empty
+    quads.filter(_.p == "http://schema.org/name").map(_.o).toSet shouldBe Set("ok")
+  }
+
   "location history converter" should "scale E7 ints and group by day" in {
     val json =
       """{"locations":[
