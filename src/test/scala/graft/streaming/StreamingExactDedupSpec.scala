@@ -117,6 +117,37 @@ class StreamingExactDedupSpec extends SparkSpec {
     DedupIndex.runIdFor(base + "2", conf) should not be a
   }
 
+  it should "recover from a torn index write (killed between index write and checkpoint commit)" in {
+    // r14 verdict #6: the crash window the replay-idempotence specs never
+    // exercised — foreachBatch died AFTER starting the index parquet write
+    // but BEFORE the checkpoint committed, leaving run=<id>/batch=2 as a
+    // partially-written directory (dangling _temporary + a torn part
+    // file). Documented recovery: the replayed batch never READS its own
+    // torn dir (the seen-set is strictly-before) and OVERWRITES it.
+    val indexDir = tmp("dedup-torn-idx")
+    def batchDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Set[Long] =
+      StreamingExactDedup.dedupBatch(b, "text", "doc_id", indexDir, "r1", id)
+        .select("doc_id").as[Long].collect().toSet
+
+    run(batchDf((1L, "a"), (2L, "b")), 0L) shouldBe Set(1L, 2L)
+    run(batchDf((3L, "a"), (4L, "c")), 1L) shouldBe Set(4L)
+
+    val torn = java.nio.file.Paths.get(indexDir, "run=r1", "batch=2")
+    java.nio.file.Files.createDirectories(torn.resolve("_temporary"))
+    java.nio.file.Files.write(torn.resolve("part-00000-torn.snappy.parquet"),
+      "PAR1 this is not a parquet file".getBytes)
+
+    // recovery replays batch 2 with the same input: 'c' is still seen
+    // (batch 1), 'd' survives, and the torn content is gone
+    run(batchDf((5L, "c"), (6L, "d")), 2L) shouldBe Set(6L)
+    java.nio.file.Files.exists(
+      torn.resolve("part-00000-torn.snappy.parquet")) shouldBe false
+
+    // the NEXT batch reads the rewritten batch=2 cleanly: 'd' suppresses
+    run(batchDf((7L, "d"), (8L, "e")), 3L) shouldBe Set(8L)
+  }
+
   "DedupIndex.runIdAt" should "adopt a pre-upgrade legacy run directory" in {
     // rounds <= 11 hashed File.getCanonicalPath; a live checkpoint
     // straddling the qualification upgrade must keep that identity when

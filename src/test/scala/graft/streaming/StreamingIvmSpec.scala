@@ -46,6 +46,40 @@ class StreamingIvmSpec extends SparkSpec {
     view(viewDir) shouldBe Set((1L, 2L, 15L))
   }
 
+  it should "recover from a torn snapshot write (killed before _CURRENT and checkpoint)" in {
+    // r14 verdict #6: the batch died while writing v=2 (dangling
+    // _temporary + a torn part file), before bumping _CURRENT and before
+    // the checkpoint committed. Documented semantics: readers keep the
+    // committed snapshot (_CURRENT still names v=1), and the replayed
+    // batch rebases on the largest version STRICTLY below its id — the
+    // torn v=2 is never a base — then overwrites it.
+    val viewDir = tmp("ivm-torn")
+    def d(rows: (Long, Long, Long)*) = rows.toSeq.toDF("k", "sign", "v")
+    def apply(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingIvm.applyBatch(b, viewDir, id, Seq("k"), Seq("v"), "sign")
+    apply(d((1L, 1L, 10L)), 0L)
+    apply(d((2L, 1L, 5L)), 1L)
+    view(viewDir) shouldBe Set((1L, 1L, 10L), (2L, 1L, 5L))
+
+    val torn = java.nio.file.Paths.get(viewDir, "v=2")
+    java.nio.file.Files.createDirectories(torn.resolve("_temporary"))
+    java.nio.file.Files.write(torn.resolve("part-00000-torn.snappy.parquet"),
+      "garbage, not parquet".getBytes)
+
+    // reader isolation: _CURRENT was never bumped, the torn dir is invisible
+    view(viewDir) shouldBe Set((1L, 1L, 10L), (2L, 1L, 5L))
+
+    // recovery: replay batch 2 — rebases on v=1, overwrites the torn v=2,
+    // commits _CURRENT
+    apply(d((1L, 1L, 7L)), 2L)
+    view(viewDir) shouldBe Set((1L, 2L, 17L), (2L, 1L, 5L))
+    java.nio.file.Files.exists(
+      torn.resolve("part-00000-torn.snappy.parquet")) shouldBe false
+    // and a subsequent batch builds on the recovered snapshot
+    apply(d((3L, 1L, 1L)), 3L)
+    view(viewDir) shouldBe Set((1L, 2L, 17L), (2L, 1L, 5L), (3L, 1L, 1L))
+  }
+
   it should "start from an empty view on the first batch" in {
     val viewDir = tmp("ivm-view3")
     StreamingIvm.applyBatch(
