@@ -32,8 +32,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Fixture-path substitution (r14 ADVICE): the registry oracle SQL
+    // interpolates the sf0.01 fixture dir (the driver's verify SF) as a
+    // static default, but THIS run wrote its fixtures under
+    // fixtureDir(sfDir) — rewrite the emitted SQL to the actual dir so a
+    // verify at any SF hands DuckDB the fixture this run produced, never
+    // a missing path or a stale prior run's file. Both strings come from
+    // the same in-process fixtureDir (same runId), so the token matches
+    // the interpolation exactly; at sfDir == sf0.01 this is the identity.
+    val fixtureToken = graft.entry.EntryKit.fixtureDir("/root/testdata/sf0.01")
+    val fixtureActual = graft.entry.EntryKit.fixtureDir(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(fixtureToken, fixtureActual))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -232,6 +232,30 @@ object Converters {
     * cut such lines mid-param (r14 review pass). Surrounding quotes are
     * stripped from param values (`TZID="America/New_York"` now resolves
     * instead of falling back to UTC). */
+  /** RFC 6868 caret-escape decode for param values (`^^` → `^`, `^n` →
+    * newline, `^'` → DQUOTE), the symmetric inverse of the writers'
+    * encoding — a caret not starting a defined sequence is kept as-is,
+    * per §4's leniency rule. Applied after quote stripping: the escapes
+    * are defined for both quoted and unquoted param values. */
+  private def caretDecode(v: String): String =
+    if (v.indexOf('^') < 0) v
+    else {
+      val sb = new StringBuilder(v.length)
+      var i = 0
+      while (i < v.length) {
+        val c = v.charAt(i)
+        if (c == '^' && i + 1 < v.length) {
+          v.charAt(i + 1) match {
+            case '^' => sb += '^'; i += 2
+            case 'n' => sb += '\n'; i += 2
+            case '\'' => sb += '"'; i += 2
+            case _ => sb += '^'; i += 1
+          }
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
+    }
+
   private def icalProps(block: String): Seq[(String, Map[String, String], String)] = {
     val unfolded = block.replaceAll("\r?\n[ \t]", "")
     unfolded.split("\r?\n").toSeq.flatMap { line =>
@@ -264,7 +288,7 @@ object Converters {
                 if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\""))
                   v.substring(1, v.length - 1)
                 else v
-              Some(k.toUpperCase -> unq)
+              Some(k.toUpperCase -> caretDecode(unq))
             case _ => None
           }
         }.toMap

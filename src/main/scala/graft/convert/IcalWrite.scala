@@ -30,14 +30,19 @@ object IcalWrite {
       .replace(";", "\\;")
 
   /** RFC 5545 §3.2 parameter value: quoted when it contains ':', ';' or
-    * ','; DQUOTE/CR/LF cannot appear in a param value at all (RFC 6868
-    * caret-escaping is not consumed by our reader) — mapped to safe
-    * characters. The unquoted-CN form this replaces corrupted the whole
-    * content line for a CN like `Doe, John` (r14 review pass). */
+    * ','. DQUOTE/CR/LF cannot appear raw in a param value at all — they
+    * are caret-escaped per RFC 6868 (`^^` `^n` `^'`), which
+    * [[Converters]]' prop reader decodes symmetrically, so a CN carrying
+    * a double quote or newline now survives parse→write→parse
+    * graph-identically instead of being lossily sanitized (r14 ADVICE).
+    * The unquoted-CN form this replaces corrupted the whole content line
+    * for a CN like `Doe, John` (r14 review pass). */
   private def param(v: String): String = {
-    val clean = v.replace("\"", "'").replace("\r", " ").replace("\n", " ")
-    if (clean.exists(c => c == ':' || c == ';' || c == ',')) "\"" + clean + "\""
-    else clean
+    val enc = v.replace("^", "^^")
+      .replace("\r\n", "\n").replace("\r", "\n").replace("\n", "^n")
+      .replace("\"", "^'")
+    if (enc.exists(c => c == ':' || c == ';' || c == ',')) "\"" + enc + "\""
+    else enc
   }
 
   private def icsInstant(iso: String, dt: String): String =

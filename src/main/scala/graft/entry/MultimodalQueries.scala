@@ -65,9 +65,10 @@ private[graft] object MultimodalQueries {
   /** Multimodal → ANN end-to-end: REAL grayscale PNGs (zlib-encoded pixel
     * patterns parameterized by doc_id) → [[graft.multimodal.ImagePixels]]
     * pixel decode → grid-luminance embeddings → IVF top-k neighbors.
-    * Oracle-checked: the decoded pixel grid is emitted as a parquet
-    * fixture from the same kernel (geometry trusted via MultimodalSpec's
-    * synthetic round-trip) and the oracle SQL restates the grid-average
+    * Oracle-checked: the EXPECTED pixel grid is emitted as a parquet
+    * fixture computed from the generating formula itself (independent of
+    * the engine's PNG decoder — a decode bug goes hash-red rather than
+    * relocating the oracle) and the oracle SQL restates the grid-average
     * embedding + exhaustive cosine top-3 over it. IVF-vs-exhaustive
     * equality is guaranteed on this corpus: doc_ids congruent mod 77
     * share (freq, phase) and hence bit-identical pixels/embeddings, so
@@ -81,10 +82,15 @@ private[graft] object MultimodalQueries {
     // (sim-1.0 ties), which needs doc_ids up to at least 9 + 3*77. A
     // smaller/changed documents table must fail loudly here, not as a
     // float32-vs-float64 rank-flip oracle mismatch.
-    val maxId = t(s, dir, "documents")
-      .agg(max(col("doc_id").cast("long"))).head.getLong(0)
+    // r14 ADVICE: max() over an empty table is a NULL aggregate — read it
+    // null-safely so an empty documents table fails with this contextual
+    // message too, not an NPE ahead of it
+    val maxIdRow = t(s, dir, "documents")
+      .agg(max(col("doc_id").cast("long"))).head
+    val maxId = if (maxIdRow.isNullAt(0)) -1L else maxIdRow.getLong(0)
     require(maxId >= 241,
-      s"q76 oracle precondition violated: documents max doc_id $maxId < 241, " +
+      s"q76 oracle precondition violated: documents max doc_id " +
+        s"${if (maxId < 0) "NULL (empty table)" else maxId.toString} < 241, " +
         "so probes 0-9 lack 3 exact mod-77 duplicates and IVF-vs-exhaustive " +
         "tie-ranking agreement no longer holds")
     val imgsDs = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
@@ -95,14 +101,25 @@ private[graft] object MultimodalQueries {
           128 + (100 * math.sin((x + phase) * freq * 0.2) *
             math.cos(y * freq * 0.2)).toInt))
       }
-    // oracle fixture: the kernel's decoded integer pixel grid
-    imgsDs.flatMap { case (id, bytes) =>
-      val g = graft.multimodal.ImagePixels.decode(bytes).get
-      for {
-        y <- 0 until g.height
-        x <- 0 until g.width
-      } yield (id, y, x, math.round(g.pix(y * g.width + x) * 255f))
-    }.toDF("doc_id", "y", "x", "v")
+    // oracle fixture: the expected pixel grid from the GENERATING FORMULA
+    // directly — not from the engine's decoder (r14 verdict residue #3:
+    // the decode-derived fixture was self-referential in one direction; a
+    // decoder bug now surfaces as an embedding-vs-fixture hash mismatch
+    // instead of silently moving the oracle). encodeGrayPng writes
+    // f(x, y) & 0xff verbatim into the 8-bit gray plane and the formula's
+    // range is [28, 228], so the formula value IS the stored pixel byte
+    // the decoder must recover exactly (v/255f*255f rounds back to v).
+    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .flatMap { id =>
+        val freq = (id % 7 + 1).toInt
+        val phase = (id % 11).toInt
+        for {
+          y <- 0 until 32
+          x <- 0 until 32
+        } yield (id, y, x,
+          (128 + (100 * math.sin((x + phase) * freq * 0.2) *
+            math.cos(y * freq * 0.2)).toInt).toLong)
+      }.toDF("doc_id", "y", "x", "v")
       .write.mode("overwrite").parquet(
         EntryKit.fixtureDir(dir) + "/q76_pixels.parquet")
     val imgs = imgsDs.toDF("doc_id", "bytes")
@@ -226,8 +243,9 @@ private[graft] object MultimodalQueries {
     // noise: the true top-3 are EXACT mod-77 duplicates (sim 1.0 ties in
     // both engines) resolved by the shared (sim DESC, neighbor_id) order,
     // and the nearest non-duplicate sits far below 1 - 1e-6. The fixture
-    // path is the sf0.01 run's (the driver's verify SF): fixture dirs are
-    // per-dataset now, so runs at other SFs cannot clobber this input.
+    // path interpolates this run's sf0.01 dir as the static default;
+    // fixture dirs are per-run + per-dataset, and Verify rewrites the
+    // emitted SQL to the actual (runId, sfDir) path it wrote.
     "q76_image_embed" ->
       s"""WITH px AS (
         |  SELECT doc_id, y, x, v

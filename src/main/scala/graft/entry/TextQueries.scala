@@ -648,8 +648,9 @@ private[graft] object TextQueries {
     // the model (compiled-in ranked trigram profiles) is fixtured from the
     // same kernel; the SCORING — normalization, trigram windows, per-lang
     // weight sums, tie-to-lowest-rank argmax, 'und' fallback — is restated
-    // here end-to-end. Fixture path is the sf0.01 run's (driver verify SF;
-    // fixture dirs are per-dataset). The regex strips astral code points
+    // here end-to-end. The fixture path interpolates this run's sf0.01
+    // dir as the static default (fixture dirs are per-run + per-dataset;
+    // Verify rewrites the emitted SQL to the actual (runId, sfDir) path). The regex strips astral code points
     // explicitly because Java classes their surrogate halves as
     // non-letters; the corpus itself is ASCII, making lower() exact.
     "q70_langid" ->

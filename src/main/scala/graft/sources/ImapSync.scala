@@ -52,6 +52,10 @@ object ImapSync {
     def readLine(): String = {
       val sb = new java.lang.StringBuilder
       var c = in.read()
+      // EOF before any character = the peer closed the connection: an
+      // IOException like any other dropped-socket shape, NOT an empty
+      // line (which the protocol handlers would misparse as a response)
+      if (c == -1) throw new java.io.EOFException("IMAP connection closed")
       while (c != -1 && c != '\n') {
         if (c != '\r') sb.append(c.toChar)
         c = in.read()
@@ -104,18 +108,21 @@ object ImapSync {
       out.write(s.getBytes(StandardCharsets.UTF_8)); out.flush()
     }
 
+    // a gracefully-closed connection surfaces as EOFException from
+    // Lines.readLine (it previously returned "", which the IDLE loop
+    // misparsed as a malformed response instead of a dead socket)
     def readPhysical(): String = in.readLine()
 
     /** One logical response line: a physical line ending `{n}` is
       * followed by n raw bytes, then continues on the next line. */
     def readLogical(): RespLine = {
-      var frag = in.readLine()
+      var frag = readPhysical()
       val parts = new java.lang.StringBuilder(frag)
       val lits = scala.collection.mutable.ListBuffer[String]()
       var m = LiteralTail.findFirstMatchIn(frag)
       while (m.isDefined) {
         lits += in.readLiteral(m.get.group(1).toInt)
-        frag = in.readLine()
+        frag = readPhysical()
         parts.append(" ").append(frag)
         m = LiteralTail.findFirstMatchIn(frag)
       }
@@ -136,7 +143,7 @@ object ImapSync {
             // the server's `+` continuation, then send the raw bytes
             out.write(s"{${b.length}}\r\n".getBytes(StandardCharsets.UTF_8))
             out.flush()
-            val cont = in.readLine()
+            val cont = readPhysical()
             require(cont.startsWith("+"), s"expected continuation, got: $cont")
             out.write(b)
         }
@@ -324,6 +331,14 @@ object ImapSync {
         // (slow server): treat it like a timed-out park — best-effort
         // DONE/drain, keep everything accumulated, return the delta —
         // rather than letting the exception destroy the seeding diff.
+        // A DROPPED connection (plain IOException, not a timeout) anywhere
+        // mid-IDLE must also preserve the accumulated delta (r14 ADVICE:
+        // only SocketTimeoutException was caught, so a dead socket threw
+        // away the seeding diff this comment promises to keep). The
+        // socket is unusable then: skip the DONE/drain exchange entirely
+        // and fall through to the dequeue + return. Order matters in the
+        // catches — SocketTimeoutException IS an IOException.
+        var dead = false
         val contOk =
           try {
             var cont = s.readPhysical()
@@ -336,10 +351,17 @@ object ImapSync {
           } catch {
             case _: SocketTimeoutException =>
               parked = false
-              s.sendRaw("DONE\r\n")
-              try pending ++= s.drainUntilOk(tag).map(_.text)
-              catch { case _: SocketTimeoutException => () }
+              // timeout: the socket is alive, best-effort DONE + drain
+              try {
+                s.sendRaw("DONE\r\n")
+                pending ++= s.drainUntilOk(tag).map(_.text)
+              } catch {
+                case _: SocketTimeoutException => ()
+                case _: java.io.IOException => dead = true
+              }
               false
+            case _: java.io.IOException =>
+              parked = false; dead = true; false
           }
         // park until one unsolicited line arrives (or timeout), unless
         // notifications already queued up before the continuation
@@ -347,25 +369,44 @@ object ImapSync {
           if (!contOk || pending.nonEmpty) None
           else
             try Some(s.readPhysical())
-            catch { case _: SocketTimeoutException => None }
+            catch {
+              case _: SocketTimeoutException => None
+              case _: java.io.IOException =>
+                parked = false; dead = true; None
+            }
+        // note lines join `pending` BEFORE the drain attempt so a
+        // connection dying inside DONE/drain cannot drop them
+        pending ++= note.toList
         // DONE-to-OK is a prompt exchange, not a budget-bounded park: give
         // it a sane floor so a nearly-spent deadline can't starve the
         // drain mid-round (the events gathered this round are already in
         // `pending`/`fetched` and must reach the caller). The !contOk
         // branch already sent its best-effort DONE and drained.
-        if (contOk) {
-          s.socket.setSoTimeout(math.max(
-            ((idleDeadline - System.nanoTime()) / 1000000L).toInt, minRoundMs))
-          s.sendRaw("DONE\r\n")
-          // notifications racing the DONE surface while draining; queue all
-          pending ++= note.toList ++ s.drainUntilOk(tag).map(_.text)
+        if (contOk && !dead) {
+          try {
+            s.socket.setSoTimeout(math.max(
+              ((idleDeadline - System.nanoTime()) / 1000000L).toInt, minRoundMs))
+            s.sendRaw("DONE\r\n")
+            // notifications racing the DONE surface while draining; queue all
+            pending ++= s.drainUntilOk(tag).map(_.text)
+          } catch {
+            case _: SocketTimeoutException => parked = false
+            case _: java.io.IOException => parked = false; dead = true
+          }
         }
         val sawAny = pending.nonEmpty
         while (pending.nonEmpty) {
           pending.dequeue() match {
             case ExistsLine(n) if n.toInt > seqUids.length =>
               events += 1
-              fetchRange(seqUids.length + 1, n.toInt)
+              // on a dead connection the fetch cannot run; leaving the
+              // new sequence numbers out of the returned state makes the
+              // next sync's seeding diff pick the messages up
+              if (!dead)
+                try fetchRange(seqUids.length + 1, n.toInt)
+                catch {
+                  case _: java.io.IOException => dead = true; parked = false
+                }
             case ExpungeLine(n) =>
               events += 1
               val uid = seqUids.remove(n.toInt - 1)
@@ -375,7 +416,10 @@ object ImapSync {
         }
         if (!sawAny) parked = false // timed out: hand back the cursor
       }
-      s.command("LOGOUT")
+      // best-effort courtesy on a possibly-dead connection: the delta
+      // below must reach the caller even when LOGOUT cannot
+      try s.command("LOGOUT")
+      catch { case _: java.io.IOException => () }
       ImapDelta(fetched.toList, removed.toList,
         ImapState(uidValidity, seqUids.toSet), resync)
     } finally s.close()

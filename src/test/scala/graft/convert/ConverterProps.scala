@@ -25,7 +25,9 @@ class ConverterProps extends SparkSpec {
   private val ValueChars =
     "abcXYZ 019éüß中\\;,\n:'\"-.".toIndexedSeq
   /** Param-value alphabet (RFC 5545 §3.2: no DQUOTE, no line breaks). */
-  private val ParamChars = "abcXYZ 019éü中;,:'-.".toIndexedSeq
+  // includes DQUOTE, caret and newline: RFC 6868 caret-escaping must
+  // carry them through parse→write→parse graph-identically (r14 ADVICE)
+  private val ParamChars = "abcXYZ 019éü中;,:'-.\"^\n".toIndexedSeq
 
   private def rnd(r: Random, chars: IndexedSeq[Char], max: Int = 14): String =
     (0 until (1 + r.nextInt(max))).map(_ => chars(r.nextInt(chars.length))).mkString
@@ -36,9 +38,18 @@ class ConverterProps extends SparkSpec {
     v.replace("\\", "\\\\").replace("\n", "\\n").replace(",", "\\,")
       .replace(";", "\\;")
 
-  /** RFC 5545 §3.2 param value, quoted when it contains ':' ';' ','. */
-  private def param(v: String): String =
-    if (v.exists(c => c == ':' || c == ';' || c == ',')) "\"" + v + "\"" else v
+  /** RFC 5545 §3.2 param value — RFC 6868 caret-encoded (an independent
+    * restatement of the escaping, NOT a call into the writer under test),
+    * quoted when it contains ':' ';' ','. */
+  private def param(v: String): String = {
+    val enc = v.flatMap {
+      case '^' => "^^"
+      case '\n' => "^n"
+      case '"' => "^'"
+      case c => c.toString
+    }
+    if (enc.exists(c => c == ':' || c == ';' || c == ',')) "\"" + enc + "\"" else enc
+  }
 
   /** Random RFC folding: long content lines split with CRLF + space,
     * including mid-escape splits (legal: unfolding precedes parsing). */

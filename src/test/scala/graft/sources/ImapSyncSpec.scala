@@ -26,6 +26,9 @@ class ImapSyncSpec extends SparkSpec {
     /** One-shot: swallow the next IDLE's `+` continuation entirely (the
       * client must time out, DONE, and still deliver its delta). */
     @volatile var muteNextIdleContinuation = false
+    /** One-shot: close the connection on the next IDLE — the dropped-
+      * connection shape (EOF/IOException, not a timeout). */
+    @volatile var dropOnNextIdle = false
     /** One-shot: untagged chatter interleaved inside the next seq FETCH. */
     @volatile var fetchChatter: String = null
     @volatile private var idleOut: PrintStream = null
@@ -59,13 +62,21 @@ class ImapSyncSpec extends SparkSpec {
             idleTag = null
           }
           else if (cmd.startsWith("IDLE")) {
-            val pre = pushBeforeContinuation
-            if (pre != null) { pushBeforeContinuation = null; out.print(pre + "\r\n") }
-            if (muteNextIdleContinuation) muteNextIdleContinuation = false
-            else out.print("+ idling\r\n")
-            idleTag = tag
-            idleOut = out
             idleCount += 1
+            if (dropOnNextIdle) {
+              // dead-connection shape: close without any continuation —
+              // the client's next read sees EOF, a plain IOException
+              dropOnNextIdle = false
+              s.close()
+              line = null
+            } else {
+              val pre = pushBeforeContinuation
+              if (pre != null) { pushBeforeContinuation = null; out.print(pre + "\r\n") }
+              if (muteNextIdleContinuation) muteNextIdleContinuation = false
+              else out.print("+ idling\r\n")
+              idleTag = tag
+              idleOut = out
+            }
           }
           else if (cmd.startsWith("LOGIN")) {
             // accept `{n}` synchronizing literals: continue, read n chars
@@ -259,6 +270,24 @@ class ImapSyncSpec extends SparkSpec {
       d.fetched.map(_._1) shouldBe Seq(101L) // delta survives the timeout
       d.state.knownUids shouldBe Set(101L)
       elapsedMs should be < 8000L
+    } finally srv.stop()
+  }
+
+  it should "deliver the seeding diff when the connection drops mid-IDLE" in {
+    // regression (r14 ADVICE): only SocketTimeoutException was caught in
+    // the continuation recovery — a DROPPED connection (EOF / plain
+    // IOException) propagated out of idle() and discarded the already-
+    // accumulated seeding-diff events instead of returning the delta
+    val srv = new FakeImap
+    try {
+      srv.mailbox(101L) = msg("m1", "alice@example.com", "hello")
+      srv.dropOnNextIdle = true
+      val d = ImapSync.idle("localhost", srv.port, "u", "p", "INBOX",
+        ImapSync.ImapState(), maxEvents = 2, timeoutMillis = 8000)
+      srv.idleCount shouldBe 1 // IDLE was issued, then the socket died
+      d.fetched.map(_._1) shouldBe Seq(101L) // delta survives the drop
+      d.state.knownUids shouldBe Set(101L)
+      d.state.uidValidity shouldBe 7L
     } finally srv.stop()
   }
 
