@@ -598,6 +598,48 @@ object ScalingProbe {
           s""""query10Sec":$tQuery10,"hits10":$nHits10}""")
     }
 
+    // q207's bench configuration over the RAW embeddings table of
+    // SPARK_GRAFT_SF_DIR (so sf0.1 vs the 10x ScaleUp corpus gives the
+    // scale ratio): build+save the index, serve the FIXED 200-probe
+    // batch (k=10, nprobe=4, auto nlist), and measure recall@10 against
+    // the exact brute-force top-10 of the same probes — the committed
+    // recall receipt behind the q207 bench entry (recall is computed
+    // OUTSIDE the timed serve window).
+    if (want("ivfServe")) {
+      val dirIdx = java.nio.file.Files.createTempDirectory("ivfserve").toString
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dirIdx))
+      }
+      val corpus = emb.localCheckpoint()
+      val nCorpus = corpus.count()
+      val (tBuild, _) = time {
+        val idx = graft.similarity.Ann.ivfBuild(corpus, "vec_id", "embedding")
+        graft.similarity.Ann.ivfSave(idx, dirIdx)
+        idx.assigned.count()
+      }
+      val loaded = graft.similarity.Ann.ivfLoad(spark, dirIdx)
+      val probes = corpus.where(col("vec_id") < 200)
+      val (tServe, nHits) = time {
+        graft.similarity.Ann.ivfQuery(loaded, probes, "vec_id", "embedding",
+          k = 10, nprobe = 4).count()
+      }
+      val served = graft.similarity.Ann.ivfQuery(loaded, probes, "vec_id",
+          "embedding", k = 10, nprobe = 4)
+        .select(col("probe_id"), col("neighbor_id"))
+      val exact = graft.similarity.Ann.bruteForceTopK(corpus, probes,
+          "vec_id", "embedding", k = 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hit = served.intersect(exact).count()
+      val denom = exact.count()
+      val recall = if (denom == 0) 0.0 else hit.toDouble / denom
+      out += "ivfServe" ->
+        (s"""{"corpus":$nCorpus,"buildSec":$tBuild,"serveSec":$tServe,""" +
+          s""""hits":$nHits,"recall10":$recall}""")
+    }
+
     // 14) audio/video container kernels at 500k rows: real WAV (400
     // PCM-16 samples) and MP4 (600-byte mdat) bytes per row, material-
     // ized first so the probe times the chunk/box walk + sample kernels,

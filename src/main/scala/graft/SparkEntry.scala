@@ -67,5 +67,10 @@ object SparkEntry {
     // LLM-pipeline heavies, regression-tracked since round 9
     // (BENCH_NOTES.md records per-query targets)
     "q133_setsim_join", "q158_bm25_topk", "q159_heavy_hitters", "q174_dsir",
-    "q199_knn_join")
+    "q199_knn_join",
+    // the IVF serving route (nprobe << nlist over a persisted index) —
+    // the scale path that replaces q199's exact configuration at 100 TB;
+    // its repeat column times pure serving (cold includes the one-time
+    // index build). Recall floor vs exact: IvfServeSpec + SCALING.md.
+    "q207_ivf_serve")
 }

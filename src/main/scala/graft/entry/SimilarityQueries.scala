@@ -130,6 +130,41 @@ private[graft] object SimilarityQueries {
       maxPairsPerTask = 3000, maxProbesPerTask = 64)
   }
 
+  /** q207: the IVF SERVING route — the path a 100 TB deployment actually
+    * runs (r14 verdict #1: q199's exact-kNN bench entry is quadratic by
+    * configuration; this entry puts the scale-safe alternative under the
+    * same timed-receipt discipline). First call builds + persists the
+    * bucket-partitioned index ([[Ann.ivfBuild]]/[[Ann.ivfSave]] — the
+    * offline half, amortized over every later batch); subsequent calls
+    * [[Ann.ivfLoad]] and serve a FIXED 200-probe batch through
+    * [[Ann.ivfQuery]]'s literal-pushdown route (nprobe ≪ nlist, static
+    * partition + cent_id filters into the list scan). Bench's repeat
+    * column therefore times pure serving; the cold column includes the
+    * one-time build. Approximate by nature (no SQL oracle — same
+    * category as q50): the recall contract vs the exact top-k is a 0.90
+    * floor asserted in IvfServeSpec on a clustered corpus (the workload
+    * IVF assumes) and measured per-corpus by ScalingProbe `ivfServe` —
+    * 0.93 on the 10× ScaleUp corpus (clustered: 10 perturbation-copies
+    * per family), 0.32 on the driver's sf0.1 table, which is isotropic
+    * RANDOM (mean pairwise cosine ≈ 0, SCALING.md): there routing can
+    * only beat the scanned fraction (4/44 ≈ 9% → 3.5× lift), a data
+    * property every IVF shares, not an implementation defect. The auto
+    * nlist (√n) keeps list length √n, so serve cost grows ~√n while the
+    * probe batch stays fixed — the sublinear scale shape q199 cannot
+    * have (measured 1.3–1.7× serve at 10× data vs q199's ~7.7×). */
+  private def q207_ivf_serve(s: SparkSession, dir: String): DataFrame = {
+    val idxPath = EntryKit.fixtureDir(dir) + "/q207_ivf_index"
+    if (!new java.io.File(s"$idxPath/meta/_SUCCESS").exists()) {
+      val emb = t(s, dir, "embeddings")
+      Ann.ivfSave(Ann.ivfBuild(emb, "vec_id", "embedding"), idxPath)
+    }
+    val index = Ann.ivfLoad(s, idxPath)
+    val probes = t(s, dir, "embeddings").where(col("vec_id") < 200)
+    Ann.ivfQuery(index, probes, "vec_id", "embedding", k = 10, nprobe = 4)
+      .select(col("probe_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
   private[graft] val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q21_ann_top1" -> (q21_ann_top1 _),
     "q27_cosine_pairs" -> (q27_cosine_pairs _),
@@ -140,7 +175,8 @@ private[graft] object SimilarityQueries {
     "q184_filtered_ann" -> (q184_filtered_ann _),
     "q194_hard_negatives" -> (q194_hard_negatives _),
     "q199_knn_join" -> (q199_knn_join _),
-    "q201_knn_salted" -> (q201_knn_salted _))
+    "q201_knn_salted" -> (q201_knn_salted _),
+    "q207_ivf_serve" -> (q207_ivf_serve _))
 
   private[graft] val oracleSql: ListMap[String, String] = ListMap(
     "q21_ann_top1" ->
