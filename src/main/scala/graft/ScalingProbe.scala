@@ -1054,6 +1054,50 @@ object ScalingProbe {
       out += "streamFuzzy500k" -> s"""{"sec":$tSf,"kept":$nKept}"""
     }
 
+    // 32-bis) the streaming curation FRONT DOOR (the batch gates — NFC
+    // normalize → PII redact → Gopher quality — composed with the
+    // persisted exact-digest index and the fuzzy bucket index) over the
+    // ScaleUp corpus arriving as 5 micro-batches of 1M docs each:
+    // streamFuzzy500k's receipt at 10x the volume (r14 verdict #6).
+    // Per-batch wall and the index-size trajectory are the signal — the
+    // fuzzy index stores only SURVIVING families' buckets, so under
+    // heavy duplication it must flatten, not grow with arrivals. Run
+    // with SPARK_GRAFT_SF_DIR=/tmp/sf1 (50k salted docs x 20 reps per
+    // batch).
+    if (want("streamCurate5M")) {
+      import graft.text.{Normalize, Pii, TextAnalysis}
+      val exDir = java.nio.file.Files.createTempDirectory("cur-ex").toString
+      val fzDir = java.nio.file.Files.createTempDirectory("cur-fz").toString
+      def du(p: String): Long = {
+        def sz(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles).map(_.map(sz).sum).getOrElse(0L)
+          else f.length
+        sz(new java.io.File(p))
+      }
+      def gates(df: org.apache.spark.sql.DataFrame) = {
+        val normalized = Normalize.nfcCol(df, "text", "text_nfc")
+        val redacted = Pii.redact(normalized, "text_nfc", out = "text_clean")
+        redacted.where(TextAnalysis.gopherStats(col("text_clean"),
+            Seq("the", "a", "of", "and")).getField("passes") === 1)
+          .select(col("doc_id"), col("text_clean"))
+      }
+      val rows = (0 until 5).map { b =>
+        val batch = docs.crossJoin(
+            spark.range(b * 20, (b + 1) * 20).toDF("rep"))
+          .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+            concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        val (tB, kept) = time {
+          val afterExact = graft.streaming.StreamingExactDedup.dedupBatch(
+            gates(batch), "text_clean", "doc_id", exDir, "probe", b.toLong)
+          graft.streaming.StreamingFuzzyDedup.dedupBatch(
+            afterExact, "text_clean", "doc_id", fzDir, "probe", b.toLong)
+            .count()
+        }
+        s"""{"batch":$b,"sec":$tB,"kept":$kept,"idxMB":${(du(exDir) + du(fzDir)) / 1000000}}"""
+      }
+      out += "streamCurate5M" -> rows.mkString("[", ",", "]")
+    }
+
     // 33) the full curation pipeline (normalize → langid → PII →
     // quality → exact dedup → star fuzzy dedup → decontaminate → mix →
     // pack) over the 500k-doc adversarial corpus — the end-to-end
@@ -1067,6 +1111,19 @@ object ScalingProbe {
         .select(col("doc_id"), col("text"))
       val (_, _, _, audit) = graft.tools.Curate.run(big, bench)
       out += "curate500k" -> audit.json
+    }
+
+    // 33a-bis) the FULL curation pipeline over the raw documents table of
+    // SPARK_GRAFT_SF_DIR — run once at sf0.1 and once at the 10x ScaleUp
+    // corpus (salted copies, cross-copy Jaccard ~0.54) for the r15
+    // same-shape scale ratio: unlike curate500k's 100x replicas this
+    // corpus grows realistic near-dup structure, not one giant family.
+    if (want("curateScaleUp")) {
+      val bench = docs.where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val (_, _, _, audit) = graft.tools.Curate.run(
+        docs.select(col("doc_id"), col("text"), col("source")), bench)
+      out += "curateScaleUp" -> audit.json
     }
 
     // 33b) the same gauntlet at 5M docs (1000x replicas) — the next

@@ -42,10 +42,6 @@ private[graft] object ResolutionQueries {
     Resolution.tokenBlockingCandidatesFrac(t(s, dir, "part"), "p_name", "p_partkey",
       maxDocFreqFraction = 0.2, maxBlockSize = Some(100))
 
-
-  import graft.rdf.{Bgp, QuadStore, TpchQuads}
-  import graft.rdf.Bgp.Pattern
-
   /** J3+F9+F10+G6: full fuzzy agent matching over part names. At threshold
     * 0.999 only identical (lowercased) names survive: a pair differing in
     * one token scores at most idf_shared²/(idf²+idf_min²) — bounded well
@@ -69,9 +65,10 @@ private[graft] object ResolutionQueries {
       .select(col("s"), col("o"))
   }
 
-  /** G10/A7: PARIS alignment of the customer statement set against itself
-    * (functional name evidence dominates; rows-only check, semantics
-    * unit-tested). */
+  /** G10/A7: PARIS alignment on a dyadic-rational fixture — hash-exact
+    * against the closed-form SQL oracle since round 11 (the comment
+    * below states the construction; this line previously still said
+    * "rows-only", a pre-r11 leftover caught by the r15 registry review). */
   private def q52_paris(s: SparkSession, dir: String): DataFrame = {
     // Full PARIS fixpoint (inv-functionality priors, positive AND negative
     // evidence, 10 iterations) on a dyadic-rational fixture whose result is

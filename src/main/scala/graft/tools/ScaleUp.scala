@@ -34,12 +34,22 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  private def stride(df: DataFrame, col0: String): Long =
-    df.agg(max(col(col0).cast("long"))).head.getLong(0) + 1
+  private def stride(df: DataFrame, col0: String): Long = {
+    // max() over an empty table is a NULL aggregate — fail with a message,
+    // not an NPE (r15 review pass)
+    val row = df.agg(max(col(col0).cast("long"))).head
+    require(!row.isNullAt(0), s"cannot derive a copy stride: $col0 is empty")
+    row.getLong(0) + 1
+  }
 
-  def lineitem(src: DataFrame, copies: Int): DataFrame = {
+  /** `partStride` must be the PART table's stride, not max(l_partkey)+1:
+    * when the hottest part ids are not dense (some parts unreferenced),
+    * the two maxima diverge and copy k's lineitem foreign keys would
+    * land between part copies, silently breaking every lineitem⋈part
+    * join in the scaled corpus (r15 review pass — dormant at the driver
+    * SFs, where every part is referenced). */
+  def lineitem(src: DataFrame, copies: Int, partStride: Long): DataFrame = {
     val orderStride = stride(src, "l_orderkey")
-    val partStride = stride(src, "l_partkey")
     explodeCopies(src, copies)
       .withColumn("l_orderkey", col("l_orderkey") + col("__copy") * orderStride)
       .withColumn("l_partkey", col("l_partkey") + col("__copy") * partStride)
@@ -95,8 +105,9 @@ object ScaleUp {
     val spark: SparkSession = graft.GraftSession.builder("graft-scaleup")
     spark.sparkContext.setLogLevel("WARN")
     def tbl(n: String) = graft.Tables(spark, srcDir, n)
+    val partStride = stride(tbl("part"), "p_partkey")
     Seq(
-      "lineitem" -> lineitem(tbl("lineitem"), copies),
+      "lineitem" -> lineitem(tbl("lineitem"), copies, partStride),
       "part" -> part(tbl("part"), copies),
       "documents" -> documents(tbl("documents"), copies),
       "embeddings" -> embeddings(tbl("embeddings"), copies)
