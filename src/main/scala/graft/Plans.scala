@@ -13,7 +13,12 @@ object Plans {
     val out = new java.io.PrintStream(new java.io.FileOutputStream("/tmp/plans.txt"))
     val spark = GraftSession.builder("plans")
     spark.sparkContext.setLogLevel("ERROR")
-    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+    // optional: restrict the dump to the named queries (subset iteration
+    // during plan work; the full-board audit passes no names)
+    val only = args.drop(1).toSet
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    for (name <- names) {
       out.println(s"===== $name =====")
       out.println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
