@@ -45,7 +45,10 @@ object SetSimJoin {
       idCol: String,
       num: Int,
       den: Int): DataFrame = {
-    val toks = df.select(
+    // Widen before the tokenize: a one-row-group corpus would otherwise
+    // run the regex split serially on one task (guide §2.5 input skew);
+    // byte-gated, so corpus-scale inputs pass through unshuffled.
+    val toks = graft.plans.Widen(df, factor = 2).select(
       col(idCol).as("id"),
       array_distinct(filter(
         split(col(textCol), "[\\s\\p{Punct}]+"), t => length(t) > 0))

@@ -109,8 +109,12 @@ object Ann {
     val probeRows = probes.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val probeB = spark.sparkContext.broadcast(probeRows)
-    val scored = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .repartition(spark.sparkContext.defaultParallelism * 2)
+    // Widen, not an unconditional repartition: byte-gated, so a corpus
+    // that already scans wide pays NO pre-kernel shuffle (§2.4 — the
+    // keyless repartition was a full-corpus exchange at scale), while a
+    // one-row-group bench table still spreads across the cores.
+    val scored = graft.plans.Widen(
+        corpus.select(col(idCol).cast("long"), col(vecCol)), factor = 2)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val ps = probeB.value
@@ -207,8 +211,7 @@ object Ann {
       threshold: Double,
       numPlanes: Int = 12,
       tables: Int = 4): DataFrame = {
-    val withBuckets = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
+    val withBuckets = graft.plans.Widen(corpus, factor = 2)
       .select(
       col(idCol).as("id"), col(vecCol).as("vec"),
       posexplode(array((0 until tables).map(t =>
@@ -242,8 +245,7 @@ object Ann {
       threshold: Double,
       numPlanes: Int = 12,
       tables: Int = 4): DataFrame = {
-    val withBuckets = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
+    val withBuckets = graft.plans.Widen(corpus, factor = 2)
       .select(
         col(idCol).as("id"), col(vecCol).as("vec"),
         posexplode(array((0 until tables).map(t =>
@@ -296,9 +298,12 @@ object Ann {
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val centB = spark.sparkContext.broadcast(centRows)
     // cast up front so array<double> (or integer-typed) embedding columns
-    // work through the typed conversion instead of failing in the encoder
-    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .repartition(spark.sparkContext.defaultParallelism * 2)
+    // work through the typed conversion instead of failing in the encoder.
+    // Widen (byte-gated) instead of an unconditional repartition: no
+    // full-corpus pre-kernel shuffle once the scan splits wide (§2.4).
+    graft.plans.Widen(
+        corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<float>")),
+        factor = 2)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = centB.value
@@ -342,9 +347,21 @@ object Ann {
     import spark.implicits._
     val centRows = cents.select(col("cent_id").cast("long"), col("cent_vec"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
+    assignNearestK(df, idCol, vecCol, centRows, nprobe)
+  }
+
+  /** [[assignNearestK]] over an already-collected centroid table — lets
+    * a caller that needs the centroid matrix anyway (e.g. [[knnJoin]]'s
+    * dim lookup) pay the collect job once instead of twice. */
+  private[similarity] def assignNearestK(df: DataFrame, idCol: String,
+      vecCol: String, centRows: Array[(Long, Array[Double])],
+      nprobe: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val centB = spark.sparkContext.broadcast(centRows)
-    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .repartition(spark.sparkContext.defaultParallelism * 2)
+    graft.plans.Widen(
+        df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>")),
+        factor = 2)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = centB.value
@@ -450,16 +467,27 @@ object Ann {
       "task-size caps must be positive")
     val spark = probes.sparkSession
     import spark.implicits._
-    val dim = index.centroids.select(size(col("cent_vec"))).head().getInt(0)
+    // ONE collect serves both the dim lookup (was a separate head job)
+    // and the probe router's centroid broadcast (was a second collect)
+    val centRows = index.centroids
+      .select(col("cent_id").cast("long"), col("cent_vec"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(centRows.nonEmpty, "knnJoin needs a non-empty centroid table")
+    val dim = centRows.head._2.length
     val effPairs = effectivePairCap(maxPairsPerTask, dim)
     // the GATE uses the caller's cap, not the finer tile budget: below
     // it the single unsplit task is bounded by maxPairsPerTask anyway
     // (seconds, the acceptable skip-the-counting ceiling), and
     // serving-sized joins (q199's shape) must stay zero-overhead — a
-    // tile-budget gate made them pay the counting pass for nothing
-    val splittable = saltGateTrips(probes.count(), index.assigned.count(),
+    // tile-budget gate made them pay the counting pass for nothing.
+    // Both gate counts run in ONE tagged-union job instead of two
+    // driver round-trips.
+    val counts = probes.select(lit(0).as("k"), count(lit(1)).as("n"))
+      .unionAll(index.assigned.select(lit(1).as("k"), count(lit(1)).as("n")))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val splittable = saltGateTrips(counts(0), counts(1),
       maxPairsPerTask, maxProbesPerTask)
-    val routedRaw = assignNearestK(probes, idCol, vecCol, index.centroids, nprobe)
+    val routedRaw = assignNearestK(probes, idCol, vecCol, centRows, nprobe)
       .as[(Long, Long, Array[Float], Double)]
     val lists = index.assigned.select(col("cent_id").cast("long"),
       col("neighbor_id").cast("long"),
@@ -742,14 +770,50 @@ object Ann {
     for (_ <- 1 to iterations) {
       val assigned = assignNearest(corpus, idCol, vecCol, cents)
         .select(col("cent_id"), col("v"))
-      val means = assigned
-        .select(col("cent_id"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("cent_id"), col("i"))
-        .agg(avg(col("x").cast("double")).as("m"))
-        .groupBy(col("cent_id"))
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
-        .select(col("cent_id"),
-          transform(col("pairs"), p => p.getField("m")).as("cent_vec"))
+      // Per-list means via MAP-SIDE vector partial sums (guide §2.3
+      // "aggregate before you shuffle"): each task folds its rows into
+      // at most nlist (cent_id, count, sum-vector) partials, so the
+      // means shuffle carries ≤ tasks × nlist rows instead of the
+      // corpus × dim exploded rows the posexplode + groupBy(cent, i)
+      // formulation shipped (the dominant cost of every Lloyd round,
+      // both here and at corpus scale). Partials merge per list in
+      // PARTITION-ID order, so the double summation order — and hence
+      // the centroid bits — is deterministic for a fixed partitioning,
+      // matching the determinism contract of the old two-groupBy plan
+      // (exact float sums differ from it in final ulps; every consumer
+      // of centroid VALUES is approximate-by-contract: the exact kNN
+      // paths route exhaustively and are centroid-invariant).
+      val means = assigned.as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val partId = org.apache.spark.TaskContext.getPartitionId()
+          final class Acc(dim: Int) { val s = new Array[Double](dim); var c = 0L }
+          val sums = scala.collection.mutable.LongMap.empty[Acc]
+          it.foreach { case (cid, v) =>
+            val a = sums.getOrElseUpdate(cid, new Acc(v.length))
+            var i = 0
+            while (i < v.length) { a.s(i) += v(i).toDouble; i += 1 }
+            a.c += 1
+          }
+          sums.iterator.map { case (cid, a) => (cid, partId, a.c, a.s) }
+        }
+        .toDF("cent_id", "part_id", "cnt", "sum")
+        .as[(Long, Int, Long, Array[Double])]
+        .groupByKey(_._1)
+        .mapGroups { (cid, partials) =>
+          val ps = partials.toArray.sortBy(_._2)
+          val dim = ps.head._4.length
+          val tot = new Array[Double](dim)
+          var n = 0L
+          ps.foreach { case (_, _, c, s) =>
+            var i = 0
+            while (i < dim) { tot(i) += s(i); i += 1 }
+            n += c
+          }
+          var i = 0
+          while (i < dim) { tot(i) /= n.toDouble; i += 1 }
+          (cid, tot)
+        }
+        .toDF("cent_id", "cent_vec")
       // capped stats: each iteration's means derive from a corpus x cents
       // join, so raw origin-stats inheritance compounds per iteration
       cents = org.apache.spark.sql.GraftSparkInternals.localCheckpointCapped(means)
@@ -877,12 +941,15 @@ object Ann {
     // every bucket join downstream — fail loudly here instead
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val lists = if (nlist > 0) nlist else autoNlist(corpus.count())
+    // kmeansCentroids always RETURNS a checkpointed frame (the init
+    // sample and every Lloyd round are pinned) — re-checkpointing it
+    // here was one redundant materialization job per index build
     val cents = kmeansCentroids(corpus, idCol, vecCol, lists, kmeansIterations)
     val assigned = assignNearest(corpus, idCol, vecCol, cents)
       .select(col("id").as("neighbor_id"), col("v").as("neighbor_id_vec"),
         col("cent_id"),
         pmod(col("cent_id"), lit(numBuckets.toLong)).cast("int").as("list_bucket"))
-    IvfIndex(cents.localCheckpoint(), assigned.localCheckpoint(), numBuckets)
+    IvfIndex(cents, assigned.localCheckpoint(), numBuckets)
   }
 
   /** Persist an index: lists land partitioned by `list_bucket` so loads

@@ -68,7 +68,12 @@ object InvertedIndex {
       .contains(idType.typeName),
       s"InvertedIndex needs an integral id column; '$idCol' is $idType " +
         "(map string ids to longs — e.g. xxhash64 — before indexing)")
-    val toks = docs
+    // Widen before the tokenize: a small corpus often arrives as ONE
+    // parquet row group, serializing the regex tokenize+explode pass on
+    // a single task (guide §2.5 input skew — measured 1.3 s of the
+    // sf0.1 q158 build on one core). Byte-gated: corpus-scale inputs
+    // keep their scan partitioning, no full-corpus shuffle is added.
+    val toks = graft.plans.Widen(docs, factor = 2)
       .select(col(idCol).cast("long").as("id"),
         TextAnalysis.tokens(col(textCol)).as("ts"))
       .withColumn("dl", size(col("ts")).cast("long"))
