@@ -45,7 +45,11 @@ object PageRank {
     require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0,1]")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(deg, "src").localCheckpointCapped
+    // lazy: the final action materializes it on first use — the loop's
+    // iterations read it strictly downstream, so eagerness only added a
+    // serial driver job
+    val withDeg = org.apache.spark.sql.GraftSparkInternals
+      .localCheckpointCapped(e.join(deg, "src"), eager = false)
     // single consumer (the final assignment join) — no checkpoint; a
     // materialization here would add a full job for a frame read once
     val vertices = e.select(col("src").as("id"))

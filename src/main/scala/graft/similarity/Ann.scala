@@ -766,7 +766,7 @@ object Ann {
         xxhash64(col(idCol)).as("h"))
       .orderBy(col("h")).limit(nlist)
       .select(col("cent_id"), col("cent_vec"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: assignNearest's collect materializes
     for (_ <- 1 to iterations) {
       val assigned = assignNearest(corpus, idCol, vecCol, cents)
         .select(col("cent_id"), col("v"))
@@ -816,7 +816,10 @@ object Ann {
         .toDF("cent_id", "cent_vec")
       // capped stats: each iteration's means derive from a corpus x cents
       // join, so raw origin-stats inheritance compounds per iteration
-      cents = org.apache.spark.sql.GraftSparkInternals.localCheckpointCapped(means)
+      // lazy: the next consumer is always a centroid COLLECT (the next
+      // Lloyd round's kernel or the caller's router) — it materializes
+      cents = org.apache.spark.sql.GraftSparkInternals
+        .localCheckpointCapped(means, eager = false)
     }
     cents
   }
@@ -949,7 +952,9 @@ object Ann {
       .select(col("id").as("neighbor_id"), col("v").as("neighbor_id_vec"),
         col("cent_id"),
         pmod(col("cent_id"), lit(numBuckets.toLong)).cast("int").as("list_bucket"))
-    IvfIndex(cents, assigned.localCheckpoint(), numBuckets)
+    // lazy: the first consumer (the gate count / first list scan)
+    // materializes the assignment; eager here was one extra serial job
+    IvfIndex(cents, assigned.localCheckpoint(false), numBuckets)
   }
 
   /** Persist an index: lists land partitioned by `list_bucket` so loads
@@ -1033,7 +1038,7 @@ object Ann {
     val fewProbes = probes.select(col(idCol)).take(maxLiteralProbes + 1)
       .length <= maxLiteralProbes
     if (fewProbes) {
-      val probed = route(probes).localCheckpoint()
+      val probed = route(probes).localCheckpoint(false) // listIds collect materializes
       val listIds = probed.select(col("cent_id")).distinct()
         .collect().map(_.getLong(0))
       val assigned =

@@ -68,7 +68,7 @@ object Dsir {
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
       .select(col(idCol), col("is_tgt"),
         bucket(col("tok"), buckets, md5Oracle).as("b"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the per-bucket count materializes
 
     // one pass over the token stream: raw and target counts per bucket
     val perBucket = toks.groupBy(col("b")).agg(

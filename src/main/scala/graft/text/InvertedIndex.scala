@@ -44,6 +44,13 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
+  /** Below this many matched postings (Σ query-term df) [[topK]] skips
+    * the θ candidate cut: the cut's two serial driver jobs dominate the
+    * aggregation they would shrink. Scale-adaptive by construction — a
+    * 100 TB index's query terms match millions of postings and take the
+    * cut; a small index skips it. */
+  val ThetaCutMinPostings: Long = 100000L
+
   /** In-memory form of the index. `postings`: (tok, id, tf, dl);
     * `terms`: (tok, df, max_tf, min_dl); `n`/`sumDl` give exact avgdl.
     * `numBuckets` is set on a loaded index (its postings carry the
@@ -82,7 +89,9 @@ object InvertedIndex {
       .select(col("id"), col("dl"), explode(col("ts")).as("tok"))
       .groupBy(col("tok"), col("id"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      .localCheckpoint()
+      // lazy: the stats aggregation (the very next job) materializes it;
+      // an eager checkpoint here was one extra serial driver job
+      .localCheckpoint(false)
     // corpus stats read off the checkpointed index, not a second
     // tokenize scan: Σ_postings tf = Σ_docs dl (every token lands in
     // exactly one posting), and nDocs = distinct posting ids — so the
@@ -153,7 +162,7 @@ object InvertedIndex {
     // re-scanning the bucket files
     val matched = scan0.where(col("tok").isin(queryTerms: _*))
       .select(col("tok"), col("id"), col("tf"), col("dl"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the θ pass / final agg materializes
 
     // per-term scalars (≤ |queryTerms| rows — a driver-side literal table)
     val stats = ix.terms.where(col("tok").isin(queryTerms: _*))
@@ -188,8 +197,15 @@ object InvertedIndex {
       idfCol.cast("double") * (col("tf") * lit(k1 + 1)) /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
 
+    // the θ cut exists to shrink the PRE-aggregation volume at scale; its
+    // two extra driver jobs (θ ranking + the semi-join) cost more than
+    // they save when the matched postings are already small. The gate
+    // reads the ALREADY-collected per-term dfs — no extra job — and the
+    // cut is rank-safe, so skipping it is output-identical by
+    // construction (spec-enforced both ways).
+    val matchedPostings = stats.map(_._2).sum
     val candidates =
-      if (!prune || stats.length == 1) weighted
+      if (!prune || stats.length == 1 || matchedPostings <= ThetaCutMinPostings) weighted
       else {
         // θ: k-th best exact partial score on the rarest term's postings
         // (a valid lower bound on the k-th best total — partial ≤ total)

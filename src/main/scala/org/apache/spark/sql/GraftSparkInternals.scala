@@ -40,9 +40,13 @@ object GraftSparkInternals {
 
   /** `df.localCheckpoint()` with the origin-stats size estimate capped,
     * so iterative self-join loops can checkpoint every round without
-    * exponential stats compounding. */
-  def localCheckpointCapped(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint()
+    * exponential stats compounding. `eager = false` defers the
+    * materialization to the first consuming job (one fewer serial driver
+    * job; Spark backfills any partitions that job skipped) — right when
+    * the consumers are strictly downstream jobs, wrong when concurrent
+    * stages would race to compute the frame. */
+  def localCheckpointCapped(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val out = df.localCheckpoint(eager)
     out.queryExecution.analyzed match {
       case lr: LogicalRDD =>
         val stats = lr.computeStats()
