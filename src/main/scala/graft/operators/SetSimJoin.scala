@@ -112,7 +112,20 @@ object SetSimJoin {
 
   /** Candidate pairs from the rarity-ordered prefix equi-join; length and
     * positional filters applied inside the join so pruned pairs never
-    * leave it. */
+    * leave it.
+    *
+    * EXACTLY-ONCE emission (r15): a pair sharing m prefix tokens used to
+    * leave the join m times and pay a corpus-scale (id1, id2) distinct
+    * exchange (3.7M mention rows / 85 MB on the sf0.1 bench corpus, the
+    * query's dominant shuffle). Each prefix row now carries its record's
+    * (short — |prefix| ≈ n/den·(den−num)+1) prefix array, and the join
+    * keeps a mention only when the matched tid IS the minimum common
+    * prefix token, so every qualifying pair is emitted exactly once and
+    * the distinct disappears. Soundness: the min common tid has the
+    * EARLIEST positions on both sides (arrays ascend), so its positional
+    * bound is the loosest — if any mention of a pair passes the filters,
+    * the min-common mention does; the candidate set is identical to the
+    * any-mention-survives semantics of the old distinct. */
   private[graft] def candidatePairs(
       sorted: DataFrame, num: Int, den: Int): DataFrame = {
     // Prefix length for J > num/den: p = n − ⌈n·num/den⌉ + 1, with the
@@ -121,10 +134,12 @@ object SetSimJoin {
     // threshold.
     val p = (col("n") - expr(s"(n * $num + ${den - 1}) div $den") + lit(1))
       .cast("int")
-    val prefix = sorted.select(col("id"), col("n"),
-      posexplode(slice(col("tids"), lit(1), p)))
-      .select(col("id"), col("n"), col("col").as("tid"),
-        (col("pos") + 1).as("pos")) // 1-based position in the sorted set
+    val prefix = sorted
+      .select(col("id"), col("n"), slice(col("tids"), lit(1), p).as("prefix"))
+      .select(col("id"), col("n"), col("prefix"),
+        posexplode(col("prefix")).as(Seq("pos0", "tid")))
+      .select(col("id"), col("n"), col("prefix"), col("tid"),
+        (col("pos0") + 1).as("pos")) // 1-based position in the sorted set
       .repartition(par(sorted), col("tid"))
 
     val ub = lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
@@ -133,9 +148,10 @@ object SetSimJoin {
         col("a.tid") === col("b.tid") && col("a.id") < col("b.id") &&
           lit(den) * least(col("a.n"), col("b.n")) >
             lit(num) * greatest(col("a.n"), col("b.n")) &&
-          lit(den) * ub > lit(num) * (col("a.n") + col("b.n") - ub))
+          lit(den) * ub > lit(num) * (col("a.n") + col("b.n") - ub) &&
+          col("a.tid") ===
+            array_min(array_intersect(col("a.prefix"), col("b.prefix"))))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
   }
 
   /** Asymmetric CONTAINMENT join: pairs where |x ∩ y| / |x| exceeds

@@ -85,13 +85,39 @@ object StageProbe {
       cleanup()
 
       // repeat pass, instrumented
+      val compileN0 = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
       stages.clear(); jobWall.clear(); jobStart.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
       val tPlan = (System.nanoTime() - t0) / 1e9 // eager construction cost
       lastExecuted = ""
+      // poor-man's driver profiler: sample every thread's stacks during
+      // the action, histogram interesting frames (guide §7.3, headless)
+      val frameCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        val keys = Seq("RuleExecutor", "QueryExecution", "Analyzer",
+          "Optimizer", "CodeGenerator", "doCompile", "ClosureCleaner",
+          "DAGScheduler", "TaskSchedulerImpl", "buildHashedRelation",
+          "TorrentBroadcast", "zipWithIndex", "executeCollect", "JavaSerializer",
+          "KryoSerializer", "canonicalized", "sameResult", "TreeNode",
+          "QueryStageExec", "AdaptiveSparkPlanExec", "createQueryStages",
+          "SQLAppStatusListener", "CleanerImpl", "Janino")
+        while (sampling) {
+          import scala.jdk.CollectionConverters._
+          for ((t, st) <- Thread.getAllStackTraces.asScala
+               if t.getState == Thread.State.RUNNABLE; f <- keys
+               if st.exists(_.getClassName.contains(f)))
+            frameCounts.merge(f, 1, (a, b) => a + b)
+          Thread.sleep(25)
+        }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
       df.write.format("noop").mode("overwrite").save()
+      sampling = false
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.removeSparkListener(listener)
 
@@ -99,10 +125,15 @@ object StageProbe {
         new java.io.FileOutputStream(s"$outDir/$name.txt"))
       import scala.jdk.CollectionConverters._
       val jw = jobWall.asScala.toSeq.sortBy(_._1)
-      out.println(f"== $name: cold $cold%.3f s, repeat $dt%.3f s (construction $tPlan%.3f s), ${jw.size} jobs ==")
+      val compileN = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount - compileN0
+      out.println(f"== $name: cold $cold%.3f s, repeat $dt%.3f s (construction $tPlan%.3f s), ${jw.size} jobs, $compileN codegen compiles in repeat ==")
       out.println("job walls (s): " +
         jw.map { case (id, w) => f"$id:$w%.2f" }.mkString(" "))
       out.println(f"job wall total: ${jw.map(_._2).sum}%.2f s")
+      import scala.jdk.CollectionConverters._
+      out.println("driver frame samples (25ms): " + frameCounts.asScala.toSeq
+        .sortBy(-_._2).map { case (k, v) => s"$k=$v" }.mkString(" "))
       out.println()
       out.println(f"${"stage"}%6s ${"tasks"}%6s ${"taskSec"}%8s ${"shRdMB"}%8s ${"shWrMB"}%8s ${"inMB"}%8s  name")
       for (s <- stages.asScala.toSeq.sortBy(_.stage))
