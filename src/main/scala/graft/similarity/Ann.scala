@@ -824,19 +824,25 @@ object Ann {
     cents
   }
 
-  /** Probe-side routing: the `nprobe` nearest lists per probe vector
-    * (column formulation — the nprobe-list expansion is row-bounded). */
+  /** Probe-side routing: the `nprobe` nearest lists per probe vector.
+    *
+    * r15: delegates to the broadcast-centroid JVM kernel
+    * ([[assignNearestK]]) instead of the old
+    * `probes × broadcast(cents)` join + row_number window — that shape
+    * expanded every probe into nlist rows and paid a window shuffle
+    * just to keep nprobe of them. The kernel emits exactly nprobe rows
+    * per probe from one narrow pass, with bit-identical scores (same
+    * double dot/norm accumulation order, same zero-norm rule) and the
+    * same (sim desc, cent_id) tie rule, so routing — and therefore
+    * every IVF result — is unchanged. Probe vectors pass through the
+    * kernel's array<float> cast, the same representation the index
+    * stores ([[assignNearest]]); float inputs (every driver table and
+    * caller) are unaffected. */
   private[similarity] def probeLists(cents: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, nprobe: Int): DataFrame = {
-    val scored = probes
-      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_id_vec"))
-      .join(broadcast(cents))
-      .withColumn("csim", cosine(col("probe_id_vec"), col("cent_vec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id")).orderBy(col("csim").desc, col("cent_id"))
-    scored.withColumn("crank", row_number().over(w)).where(col("crank") <= nprobe)
-      .select(col("probe_id"), col("probe_id_vec"), col("cent_id"))
-  }
+      vecCol: String, nprobe: Int): DataFrame =
+    assignNearestK(probes, idCol, vecCol, cents, nprobe)
+      .select(col("id").as("probe_id"), col("v").as("probe_id_vec"),
+        col("cent_id"))
 
   /** Shared IVF tail: join probed lists to assigned lists on `joinKeys`,
     * score candidates, rank to top-k per probe. */
