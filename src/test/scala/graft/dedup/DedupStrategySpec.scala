@@ -41,6 +41,34 @@ class DedupStrategySpec extends SparkSpec {
     normAuto should not be empty
   }
 
+  // pins the r15 sparse bitmap kernel (nonzero-word merge scan + length
+  // filter + mirrored row pairing): the pair set must equal the join
+  // plan's at BOTH corpus-size parities — the mirror trick pairs row i
+  // with n−1−i, and an off-by-one at odd n would drop or double a row
+  it should "produce identical pairs on randomized corpora of both parities" in {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 60).map(i => s"w$i")
+    for (n <- Seq(41, 42)) {
+      val rows = (0 until n).map { i =>
+        val len = 4 + rnd.nextInt(10)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val d = rows.toDF("doc_id", "text")
+      val viaBitmap = Dedup.ngramJaccardPairs(d, "text", "doc_id", k = 2, num = 1, den = 3)
+        .as[(Long, Long)].collect().toSet
+      val strD = d.select(concat(lit("d"), col("doc_id")).as("doc_id"), col("text"))
+      val viaJoin = Dedup.ngramJaccardPairs(strD, "text", "doc_id", k = 2, num = 1, den = 3)
+        .as[(String, String)].collect()
+        .map { case (a, b) =>
+          val (x, y) = (a.drop(1).toLong, b.drop(1).toLong)
+          (math.min(x, y), math.max(x, y))
+        }.toSet
+      withClue(s"n=$n") {
+        viaBitmap.map { case (a, b) => (math.min(a, b), math.max(a, b)) } shouldBe viaJoin
+      }
+    }
+  }
+
   "minhash LSH pairs" should "be a subset of the exact Jaccard pairs" in {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 2, num = 1, den = 3)
       .as[(Long, Long)].collect().toSet

@@ -47,6 +47,28 @@ class SetSimJoinSpec extends SparkSpec {
       withClue(s"tau=$num/$den") { run(df, num, den) shouldBe brute(df, num, den) }
   }
 
+  // pins the r15 exactly-once candidate emission (min-common-prefix-token
+  // rule replacing the per-mention distinct): a qualifying pair that
+  // shares SEVERAL prefix tokens must still appear exactly once in the
+  // candidate stream, and the candidate set must cover the brute-force
+  // result (the verify step only ever shrinks it)
+  "candidatePairs" should "emit every candidate exactly once" in {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 30).map(i => s"t$i").toList
+    val docs = (0L until 50L).map { id =>
+      val n = 3 + rnd.nextInt(10)
+      (id, rnd.shuffle(vocab).take(n))
+    }
+    val df = docs.toDF("id", "toks")
+    for ((num, den) <- Seq((1, 2), (9, 10))) withClue(s"tau=$num/$den") {
+      val sorted = SetSimJoin.rankSorted(df, "id", "toks").localCheckpoint(false)
+      val cands = SetSimJoin.candidatePairs(sorted, num, den)
+        .as[(Long, Long)].collect()
+      cands.length shouldBe cands.toSet.size // exactly-once
+      brute(df, num, den).subsetOf(cands.toSet) shouldBe true // completeness
+    }
+  }
+
   it should "dedupe repeated input tokens before comparing" in {
     val df = Seq(
       (1L, Seq("a", "a", "b")), // distinct {a,b}

@@ -20,6 +20,47 @@ class AnnSpec extends SparkSpec {
     df.select(Ann.cosine($"a", $"c")).as[Double].head() shouldBe 0.0 +- 1e-12
   }
 
+  // pins the r15 map-side Lloyd means (per-task (cent, count, sum-vector)
+  // partials merged in partition-id order, replacing posexplode +
+  // groupBy(cent, dim)): centroids must equal the naive per-list
+  // element-wise means of the vectors assigned to the deterministic
+  // init sample
+  "kmeansCentroids" should "equal naive per-list means after one Lloyd round" in {
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 40L).map { id =>
+      (id, Array.fill(6)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val nlist = 4
+    val got = Ann.kmeansCentroids(df, "vec_id", "embedding", nlist, iterations = 1)
+      .as[(Long, Array[Double])].collect().toMap
+
+    // replicate the deterministic init sample and the assignment rule
+    val init = df.select($"vec_id".cast("long"), $"embedding",
+        xxhash64($"vec_id").as("h"))
+      .orderBy($"h").limit(nlist)
+      .as[(Long, Array[Float], Long)].collect()
+      .map { case (id, v, _) => (id, v.map(_.toDouble)) }.sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val assigned = rows.map { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      val best = init.minBy { case (cid, cv) => (-cos(vd, cv), cid) }._1
+      (best, vd)
+    }
+    val expect = assigned.groupBy(_._1).map { case (cid, grp) =>
+      val dim = grp.head._2.length
+      cid -> (0 until dim).map(d => grp.map(_._2(d)).sum / grp.size).toArray
+    }
+    got.keySet shouldBe expect.keySet
+    for ((cid, ev) <- expect; (g, e) <- got(cid).zip(ev))
+      withClue(s"list $cid") { g shouldBe e +- 1e-9 }
+  }
+
   "bruteForceTopK" should "rank the nearest vector first" in {
     val top1 = Ann.bruteForceTopK(vecs, vecs.where($"vec_id" === 1), "vec_id", "embedding", 1)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
