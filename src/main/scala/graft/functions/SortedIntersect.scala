@@ -55,6 +55,69 @@ case class SortedIntersectSize(a: Expression, b: Expression, minInter: Expressio
     copy(a = newFirst, b = newSecond, minInter = newThird)
 }
 
+/** TRUE when two SORTED distinct long arrays share NO common element
+  * strictly below `v` — one allocation-free merge scan that stops as
+  * soon as either array reaches `v`.
+  *
+  * The exactly-once candidate emission of [[graft.operators.SetSimJoin]]
+  * keeps a prefix-join mention only when the matched token is the pair's
+  * MINIMUM common prefix token; that is exactly "no common element below
+  * the matched tid". The generic `array_min(array_intersect(a, b))`
+  * formulation builds a hash set + result array PER MENTION (millions of
+  * allocations concentrated on the hot-token tasks — measured as a 2.3 s
+  * straggler stage on the sf0.1 q133 corpus); this scan does O(elements
+  * below v) 8-byte comparisons and allocates nothing.
+  *
+  * Preconditions as [[SortedIntersectSize]]: ascending, distinct,
+  * non-null elements. */
+case class SortedNoCommonBelow(a: Expression, b: Expression, v: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = v
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType, v.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sorted_no_common_below needs (array<bigint>, array<bigint>, bigint), got $other")
+    }
+
+  override protected def nullSafeEval(x: Any, y: Any, m: Any): Any =
+    SortedNoCommonBelow.compute(x.asInstanceOf[ArrayData],
+      y.asInstanceOf[ArrayData], m.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, m) =>
+      s"graft.functions.SortedNoCommonBelow.compute($x, $y, $m)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(a = newFirst, b = newSecond, v = newThird)
+}
+
+object SortedNoCommonBelow {
+  def compute(a: ArrayData, b: ArrayData, v: Long): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var ia = 0
+    var ib = 0
+    while (ia < na && ib < nb) {
+      val va = a.getLong(ia)
+      val vb = b.getLong(ib)
+      if (va >= v || vb >= v) return true
+      if (va == vb) return false
+      else if (va < vb) ia += 1
+      else ib += 1
+    }
+    true
+  }
+}
+
 object SortedIntersectSize {
   def compute(a: ArrayData, b: ArrayData, minInter: Long): Long = {
     val na = a.numElements()

@@ -134,23 +134,43 @@ object SetSimJoin {
     // threshold.
     val p = (col("n") - expr(s"(n * $num + ${den - 1}) div $den") + lit(1))
       .cast("int")
+    // No pinned repartition by tid (r15): hash(tid)-partitioning
+    // CONCENTRATED the join — near-dup families share their rare prefix
+    // tokens, so a handful of tid partitions evaluated nearly all
+    // mention rows (measured: the fused join stage ran 3.5 task-seconds
+    // on ~2 effective cores). Left on the sorted table's id-spread
+    // partitioning, the runtime broadcast join evaluates each pair's
+    // mentions where its a-side rows live — balanced by id hash; at
+    // scale the planner's own tid exchanges (sort-merge) reintroduce
+    // the skew only where AQE's skew-join splitting handles it.
     val prefix = sorted
       .select(col("id"), col("n"), slice(col("tids"), lit(1), p).as("prefix"))
       .select(col("id"), col("n"), col("prefix"),
         posexplode(col("prefix")).as(Seq("pos0", "tid")))
       .select(col("id"), col("n"), col("prefix"), col("tid"),
         (col("pos0") + 1).as("pos")) // 1-based position in the sorted set
-      .repartition(par(sorted), col("tid"))
 
     val ub = lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
-    prefix.alias("a")
+    // byte-gated round-robin widen of the STREAMED side only: on a small
+    // corpus the runtime broadcast join would otherwise fuse onto an
+    // AQE-coalesced single partition (all mention evaluation on one
+    // task); round-robin spreads mentions evenly — hash(tid) cannot, the
+    // hot prefix tokens ARE the skew. At scale the gate passes the frame
+    // through and the planner's own tid exchanges take over.
+    val streamed = graft.plans.Widen(prefix, factor = 2)
+    streamed.alias("a")
       .join(prefix.alias("b"),
         col("a.tid") === col("b.tid") && col("a.id") < col("b.id") &&
           lit(den) * least(col("a.n"), col("b.n")) >
             lit(num) * greatest(col("a.n"), col("b.n")) &&
           lit(den) * ub > lit(num) * (col("a.n") + col("b.n") - ub) &&
-          col("a.tid") ===
-            array_min(array_intersect(col("a.prefix"), col("b.prefix"))))
+          // "matched tid is the min common prefix token" ⟺ no common
+          // element below it: the native allocation-free merge scan —
+          // array_min(array_intersect(...)) built a hash set + result
+          // array per MENTION, millions of allocations concentrated on
+          // the hot-token tasks (a measured 2.3 s straggler stage)
+          call_function("sorted_no_common_below",
+            col("a.prefix"), col("b.prefix"), col("a.tid")))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
   }
 

@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.SortedIntersectSize(
         exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
+      FunctionIdentifier("sorted_no_common_below"),
+      new ExpressionInfo(classOf[graft.functions.SortedNoCommonBelow].getName,
+        "sorted_no_common_below"),
+      (exprs: Seq[Expression]) => graft.functions.SortedNoCommonBelow(
+        exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[graft.functions.Md5SimHash].getName, "simhash_md5"),
       (exprs: Seq[Expression]) => graft.functions.Md5SimHash(exprs.head)))

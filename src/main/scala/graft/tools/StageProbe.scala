@@ -43,7 +43,8 @@ object StageProbe {
     })
 
     final case class St(stage: Int, name: String, tasks: Int, taskMs: Long,
-        shufReadMB: Double, shufWriteMB: Double, inputMB: Double)
+        shufReadMB: Double, shufWriteMB: Double, inputMB: Double,
+        wallMs: Long)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val jobWall = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double)]()
@@ -55,7 +56,9 @@ object StageProbe {
           si.numTasks, m.executorRunTime,
           m.shuffleReadMetrics.totalBytesRead / 1e6,
           m.shuffleWriteMetrics.bytesWritten / 1e6,
-          m.inputMetrics.bytesRead / 1e6))
+          m.inputMetrics.bytesRead / 1e6,
+          (for (a <- si.completionTime; b <- si.submissionTime)
+            yield a - b).getOrElse(-1L)))
       }
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobStart.put(js.jobId, js.time)
@@ -135,9 +138,9 @@ object StageProbe {
       out.println("driver frame samples (25ms): " + frameCounts.asScala.toSeq
         .sortBy(-_._2).map { case (k, v) => s"$k=$v" }.mkString(" "))
       out.println()
-      out.println(f"${"stage"}%6s ${"tasks"}%6s ${"taskSec"}%8s ${"shRdMB"}%8s ${"shWrMB"}%8s ${"inMB"}%8s  name")
+      out.println(f"${"stage"}%6s ${"tasks"}%6s ${"taskSec"}%8s ${"wallS"}%7s ${"shRdMB"}%8s ${"shWrMB"}%8s ${"inMB"}%8s  name")
       for (s <- stages.asScala.toSeq.sortBy(_.stage))
-        out.println(f"${s.stage}%6d ${s.tasks}%6d ${s.taskMs / 1000.0}%8.2f ${s.shufReadMB}%8.2f ${s.shufWriteMB}%8.2f ${s.inputMB}%8.2f  ${s.name}")
+        out.println(f"${s.stage}%6d ${s.tasks}%6d ${s.taskMs / 1000.0}%8.2f ${s.wallMs / 1000.0}%7.2f ${s.shufReadMB}%8.2f ${s.shufWriteMB}%8.2f ${s.inputMB}%8.2f  ${s.name}")
       out.println()
       out.println("== final (post-execution) plan ==")
       // spin briefly: the execution listener fires asynchronously
