@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's one-line JSON contract: the forked process must write
+// straight to stdout, NOT through sbt's run logger, which decorates
+// every line with "[info] " — that prefix has made the driver's JSON
+// parse fail in every round to date (BENCH_r*.json: parsed null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

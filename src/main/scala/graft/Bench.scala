@@ -92,11 +92,16 @@ object Bench {
     val loadAtEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val (steal1, ticks1) = (stealTicks(), totalTicks())
+    // report the core count the session actually ran with (the driver
+    // benches at reduced SPARK_GRAFT_CPUS to measure scaling; printing
+    // availableProcessors() made those receipts unreadable)
+    val benchCpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     val stealPct =
       if (steal0 < 0 || steal1 < 0 || ticks1 <= ticks0) -1.0
       else (steal1 - steal0) * 100.0 / (ticks1 - ticks0)
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(cold)},"total_repeat":$totalRepeat%.3f,"queries_repeat":${jmap(repeat)},"load_avg_start":$loadAtStart%.2f,"load_avg_end":$loadAtEnd%.2f,"steal_pct":$stealPct%.2f,"cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(cold)},"total_repeat":$totalRepeat%.3f,"queries_repeat":${jmap(repeat)},"load_avg_start":$loadAtStart%.2f,"load_avg_end":$loadAtEnd%.2f,"steal_pct":$stealPct%.2f,"cpus":$benchCpus,"sf":"$sfDir"}"""
     println(json)
     // subset runs never clobber the committed full-run artifact
     if (only.isEmpty)
