@@ -92,15 +92,27 @@ object AgentMatch {
     val toksSized = if (small) broadcast(toks) else toks
     // Scoring is the one CPU-bound per-row stage of the pipeline, so it
     // runs as the native soft_tfidf expression ([[SoftTfIdfScore]] —
-    // reads ArrayData directly, no per-row converter boxing) pinned
-    // above an explicit round-robin exchange: AQE coalesces the tiny-
-    // in-bytes candidate shuffles to a handful of tasks, and scoring
-    // placed any lower would serialize on them. One cheap shuffle of
-    // (ids + token arrays) buys a full-width scoring stage.
-    candidates
+    // reads ArrayData directly, no per-row converter boxing) above a
+    // widened candidate stream: AQE coalesces the tiny-in-bytes
+    // candidate shuffles to a handful of tasks, and scoring placed on
+    // them would serialize. r16 moves the spread BEFORE the weight
+    // joins: the exchange now carries the bare (id1, id2) candidate
+    // rows instead of the post-join token/weight arrays (measured
+    // 2.4 MB vs 16.4 MB on q41 — guide §2.3 "project before the
+    // exchange"), and the broadcast joins plus scoring fuse into the
+    // widened stage. Gated on the SAME `small` input-stats gate as the
+    // broadcast decision: past it the weight joins are shuffled
+    // sort-merge and partition the candidates themselves — the old
+    // unconditional repartition re-shuffled the full array payloads
+    // there for nothing (guide §2.4 "remove shuffles outright").
+    val spread =
+      if (small)
+        candidates.repartition(
+          records.sparkSession.sparkContext.defaultParallelism)
+      else candidates
+    spread
       .join(toksSized.select(col("id").as("id1"), col("toks").as("t1"), col("ws").as("w1")), "id1")
       .join(toksSized.select(col("id").as("id2"), col("toks").as("t2"), col("ws").as("w2")), "id2")
-      .repartition(records.sparkSession.sparkContext.defaultParallelism)
       .withColumn("score", call_function("soft_tfidf",
         col("t1"), col("w1"), col("t2"), col("w2"),
         lit(simThreshold), lit(threshold)))

@@ -34,9 +34,6 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
-  private def par(df: DataFrame): Int =
-    df.sparkSession.sparkContext.defaultParallelism * 2
-
   /** Tokens = distinct non-empty `[\s[:punct:]]+`-separated words (the
     * q17/q19 tokenizer, restated verbatim by the DuckDB oracle). */
   def jaccardPairs(
@@ -56,7 +53,16 @@ object SetSimJoin {
     jaccardPairsTokens(toks, "id", "toks", num, den)
   }
 
-  /** Core join over a prepared (id, distinct-token-array) frame. */
+  /** Core join over a prepared (id, distinct-token-array) frame.
+    *
+    * PRECONDITION (ADVICE r15): token arrays must be DISTINCT per
+    * record — [[jaccardPairs]] guarantees it via array_distinct; a
+    * caller passing duplicate tokens gets duplicate tids in the encoded
+    * arrays, which breaks the exactly-once candidate emission (several
+    * mentions of a pair can then satisfy the min-common test) and
+    * inflates the intersection counts the threshold decides on. Both
+    * dictionary builds treat duplicates identically, so the failure
+    * mode is at least deterministic — but it is out of contract. */
   def jaccardPairsTokens(
       df: DataFrame,
       idCol: String,
@@ -71,22 +77,73 @@ object SetSimJoin {
     verifyPairs(sorted, candidatePairs(sorted, num, den), num, den)
   }
 
+  /** Input-stats gate for the broadcast-dictionary encode: below this
+    * the vocabulary is collected to the driver and token→tid mapping is
+    * one narrow pass; above it the distributed join path runs. 64 MB of
+    * raw text bounds the collected (token, df) table comfortably within
+    * driver memory — the same bounded-collect pattern as the dedup
+    * stats gate. */
+  private[graft] val DictBroadcastMaxBytes: Long = 1L << 26
+
   /** (id, tid-array sorted by global rarity, n): tokens dictionary-encoded
-    * to dense long ids ordered by (document frequency, token). The int
+    * to long ids ordered by (document frequency, token). The int
     * encoding is what keeps the verify join cheap — candidate pairs ship
     * two long-arrays, not two string-arrays, and intersection compares
-    * 8-byte words. The dictionary build is one vocabulary-sized
-    * range-sort + zipWithIndex — standard dictionary encoding, scales as
-    * the vocabulary (not the corpus). */
+    * 8-byte words. Two byte-gated builds of the SAME order: a broadcast
+    * dictionary for small inputs, a vocabulary-scaling sort + join past
+    * the gate. */
   private[graft] def rankSorted(
       df: DataFrame, idCol: String, toksCol: String): DataFrame = {
-    val spark = df.sparkSession
+    val recs = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
+      .where(size(col("toks")) > 0)
+    val stats = recs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (stats < DictBroadcastMaxBytes) rankSortedBroadcast(recs)
+    else rankSortedJoin(recs)
+  }
+
+  /** Small-input fast path: collect the (token, df) vocabulary, assign
+    * dense ids in (df, token) order on the driver — the IDENTICAL
+    * encoding the join path's sort produces — and map each record's
+    * tokens through the broadcast dictionary in one narrow pass. This
+    * removes the dictionary join and the (id, tid) regroup shuffle
+    * plus their serial AQE stages (guide §5: at bench scale q133's
+    * wall was ~75% driver latency across 11 jobs, ~0.6 s of task
+    * time). Byte-gated: corpus-scale inputs take [[rankSortedJoin]],
+    * whose dictionary build scales as the vocabulary. */
+  private[graft] def rankSortedBroadcast(recs: DataFrame): DataFrame = {
+    val spark = recs.sparkSession
     import spark.implicits._
+    // pin the tokenized records: the vocabulary collect below and the
+    // encode pass must read ONE evaluation (a nondeterministic upstream
+    // source would otherwise diverge between them), and the upstream
+    // tokenize runs once instead of twice
+    val pinned = recs.localCheckpoint(false)
+    val freq = pinned.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect()
+    // dense ids in (df, tok) order — same total order as the join path
+    val ordered = freq.sortBy { case (t, d) => (d, t) }
+    val dict = new java.util.HashMap[String, Long](ordered.length * 2)
+    var i = 0L
+    ordered.foreach { case (t, _) => dict.put(t, i); i += 1 }
+    val dictB = spark.sparkContext.broadcast(dict)
+    val encode = udf { toks: Seq[String] =>
+      val m = dictB.value
+      val arr = new Array[Long](toks.length)
+      var j = 0
+      toks.foreach { t => arr(j) = m.get(t); j += 1 }
+      java.util.Arrays.sort(arr)
+      arr
+    }
+    pinned.select(col("id"), encode(col("toks")).as("tids"))
+      .select(col("id"), col("tids"), size(col("tids")).as("n"))
+  }
+
+  private[graft] def rankSortedJoin(recs: DataFrame): DataFrame = {
     // Tokenization (often a regex split upstream) and the explode run
     // ONCE: the exploded (id, tok) stream feeds both the frequency count
     // and the dictionary re-join from this checkpoint.
-    val exploded = df.select(col(idCol).as("id"), col(toksCol).as("toks"))
-      .where(size(col("toks")) > 0)
+    val exploded = recs
       .select(col("id"), explode(col("toks")).as("tok"))
       .localCheckpoint(false)
 
@@ -94,11 +151,18 @@ object SetSimJoin {
     // count shuffle over (token) keys.
     val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
 
-    // dense ids in (df, tok) order: range-partitioned sort + zipWithIndex
-    // (deterministic — the order is total)
+    // Token ids in (df, tok) order: range-partitioned sort +
+    // monotonically_increasing_id. The ids are MONOTONE in the sorted
+    // order (partition-major: range partition i sorts wholly before
+    // i+1, and within a partition the counter follows the sorted rows)
+    // and injective — which is all any consumer needs: the prefix
+    // filter wants a consistent global rarity order, the merge-scan
+    // intersections want any consistent encoding, and no output column
+    // ever exposes a tid. DENSE ranks (the old rdd.zipWithIndex) bought
+    // nothing and cost an extra eager count job plus an RDD round-trip
+    // that broke the single-pass plan (guide §5: serial driver jobs).
     val dict = freq.orderBy(col("df"), col("tok")).select(col("tok"))
-      .as[String].rdd.zipWithIndex
-      .toDF("tok", "tid")
+      .withColumn("tid", monotonically_increasing_id())
 
     // Rarity-sort each record's tokens: join the dictionary onto the
     // exploded tokens, regroup, sort the long ids. The regroup shuffles
@@ -197,18 +261,43 @@ object SetSimJoin {
 
     val p = (col("n") - expr(s"(n * $num + ${den - 1}) div $den") + lit(1))
       .cast("int")
-    // contained side: prefix only; containing side: EVERY token (any of
-    // them can be the match that keeps x's overlap alive)
+    // contained side: prefix only, with its 1-based array position (the
+    // positional filter below needs it); containing side: EVERY token
+    // (any of them can be the match that keeps x's overlap alive).
+    // No pinned hash(tid) repartition (r16, mirroring the r15 jaccard
+    // fix): near-dup families share their rare prefix tokens, so pinning
+    // by tid concentrated the mention evaluation on a handful of
+    // partitions; the planner's own exchanges (AQE-coalescible,
+    // skew-splittable) take over at scale, and the byte-gated widen
+    // spreads the streamed side locally.
     val prefix = sorted.select(col("id"), col("n"),
-      explode(slice(col("tids"), lit(1), p)).as("tid"))
-      .repartition(par(sorted), col("tid"))
+      posexplode(slice(col("tids"), lit(1), p)).as(Seq("pos0", "tid")))
+      .select(col("id"), col("n"), col("tid"), (col("pos0") + 1).as("pos"))
     val full = sorted.select(col("id"), explode(col("tids")).as("tid"))
-      .repartition(par(sorted), col("tid"))
 
-    val cands = prefix.alias("a")
+    // Positional filter (r16, guide §2.3 "shuffle fewer bytes"): for the
+    // mention whose tid is the MIN common element of (prefix(x), y), no
+    // earlier prefix token of x is in y, so |x ∩ y| ≤ n − pos + 1. A
+    // qualifying pair (|x ∩ y| ≥ ⌊num·n/den⌋ + 1) therefore always keeps
+    // its min-common mention under the strict bound
+    // den·(n − pos + 1) > num·n — the filter can only drop mentions of
+    // pairs that were going to fail exact verification anyway, so the
+    // OUTPUT is provably unchanged while the candidate/distinct volume
+    // shrinks. (Full exactly-once emission — the r15 jaccard trick —
+    // does NOT port: the min-common test needs the CONTAINING side's
+    // whole token array on every exploded row, Σ|y|² shuffle bytes at
+    // scale, strictly worse than the distinct it would remove.)
+    val streamed = graft.plans.Widen(prefix, factor = 2)
+    val cands = streamed.alias("a")
       .join(full.alias("b"),
-        col("a.tid") === col("b.tid") && col("a.id") =!= col("b.id"))
+        col("a.tid") === col("b.tid") && col("a.id") =!= col("b.id") &&
+          lit(den) * (col("a.n") - col("a.pos") + lit(1)) >
+            lit(num) * col("a.n"))
       .select(col("a.id").as("id_small"), col("b.id").as("id_big"))
+      // one hash(id_small) exchange serves the dedup (clustering by a
+      // subset of the distinct keys still co-locates every group) AND
+      // the first verify join right after it (guide §2.4)
+      .repartition(col("id_small"))
       .distinct()
 
     val sets = sorted.select(col("id"), col("tids"), col("n"))

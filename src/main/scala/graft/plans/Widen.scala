@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Byte-gated input widening for CPU-heavy map passes.
   *
@@ -20,6 +21,23 @@ object Widen {
   /** Above this the scan's natural parallelism is assumed sufficient. */
   val DefaultMaxBytes: Long = 1L << 28 // 256 MB
 
+  /** True iff physical planning of `plan` cannot introduce an exchange:
+    * scans/checkpoints under narrow row-local operators only. The
+    * partition-count probe below reads `df.rdd`, which under AQE
+    * MATERIALIZES every query stage of the plan — a job, exactly what
+    * this helper promises never to run. Restricting the probe to
+    * provably exchange-free plans makes `df.rdd` a pure partition-count
+    * read (physical planning of a narrow chain, no stages to run). */
+  private def exchangeFree(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case n if !(n.isInstanceOf[LeafNode] || n.isInstanceOf[Project] ||
+        n.isInstanceOf[Filter] || n.isInstanceOf[Generate] ||
+        n.isInstanceOf[SubqueryAlias] || n.isInstanceOf[Union] ||
+        n.isInstanceOf[LocalLimit] || n.isInstanceOf[DeserializeToObject] ||
+        n.isInstanceOf[SerializeFromObject] || n.isInstanceOf[TypedFilter] ||
+        n.isInstanceOf[MapPartitions]) => n
+    }.isEmpty
+
   /** @param minBytes below this the input passes through untouched even
     *   when it sits on one partition: a serial map pass over a tiny
     *   input is cheaper than the round-robin exchange (callers whose
@@ -37,10 +55,14 @@ object Widen {
     // partitions (e.g. the stream side of a broadcast join inheriting a
     // one-row-group scan): the pass would run near-serial no matter its
     // size — that case needs the widen MOST. Physical partition count is
-    // read off the compiled plan (no job); at real scale scans split
-    // into thousands of partitions and both clauses are false, so no
-    // full-corpus shuffle is ever added.
-    lazy val fewParts = df.rdd.getNumPartitions < p
+    // read off the compiled plan, but ONLY when the plan is provably
+    // exchange-free (r16 hardening): on a plan with an exchange, `.rdd`
+    // under AQE would materialize the upstream stages — a full job — to
+    // learn a partition count the post-shuffle planner controls anyway.
+    // At real scale scans split into thousands of partitions and both
+    // clauses are false, so no full-corpus shuffle is ever added.
+    lazy val fewParts = exchangeFree(df.queryExecution.optimizedPlan) &&
+      df.rdd.getNumPartitions < p
     if (smallBytes || fewParts) df.repartition(p) else df
   }
 }

@@ -37,6 +37,53 @@ object Ann {
     sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0d), (acc, x) => acc + x))
 
+  /** The probe/corpus id contract (ADVICE r15): every kernel here casts
+    * the id column to long, so a non-integral id (e.g. string) would
+    * cast to null and the rows would silently vanish from results
+    * instead of failing loudly — same contract as InvertedIndex.build. */
+  private[similarity] def requireIntegralId(df: DataFrame, idCol: String,
+      ctx: String): Unit = {
+    val t = df.schema(idCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(t.typeName),
+      s"$ctx needs an integral id column; '$idCol' is $t " +
+        "(map string ids to longs — e.g. xxhash64 — first)")
+  }
+
+  /** HALF_UP rounding to 9 decimal places, bit-identical to
+    * `BigDecimal(raw).setScale(9, HALF_UP).toDouble` (the rule every
+    * similarity here ranks by, and what Catalyst's `round(col, 9)`
+    * computes) — without the per-pair BigDecimal allocation chain the
+    * kNN kernels used to pay: the q199 cogroup measured 4.2 task-seconds
+    * for 4M pairs, most of it decimal arithmetic, not dot products
+    * (guide §1.2 "per-task work").
+    *
+    * Fast path: with y = |raw|·1e9 and t = y + 0.5, the accumulated
+    * double error versus the exact decimal value is < 2e-7 (one
+    * multiplication and one addition at magnitude ≤ ~1e9), so whenever
+    * t sits ≥ 1e-4 away from an integer, n = ⌊t⌋ is provably the exact
+    * HALF_UP digit and n / 1e9 — an exact-operand IEEE division (both n
+    * and 1e9 are exactly representable) — is the correctly-rounded
+    * double of n·10⁻⁹, the same value BigDecimal's toDouble returns.
+    * Boundary-proximate values (~0.02% of uniform inputs) take the
+    * original BigDecimal path. Sign is split out first; HALF_UP is
+    * symmetric (away from zero), so rounding the magnitude is identical.
+    * Equality with the reference is spec-pinned across random sweeps and
+    * adversarial boundary values (Round9Spec). */
+  @inline private[similarity] def round9(raw: Double): Double = {
+    val neg = raw < 0
+    val a = if (neg) -raw else raw
+    val t = a * 1e9 + 0.5
+    val n = math.floor(t)
+    val d = t - n
+    if (d > 1e-4 && d < 1 - 1e-4 && t < 4.5e15) {
+      val r = n / 1e9
+      // BigDecimal has no negative zero: a negative value rounding to
+      // zero must come back as +0.0, not -0.0
+      if (neg && r != 0.0) -r else r
+    } else
+      BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Exact top-k cosine neighbors for each probe row. Ranking is on
     * similarity rounded to 9 places with id tiebreak, so results are
     * deterministic across engines.
@@ -138,9 +185,7 @@ object Ann {
             // one null embedding crashed the whole brute-force job
             val raw = if (pNorms(j) == 0 || cNorm == 0) 0.0
               else dot / (pNorms(j) * cNorm)
-            (ps(j)._1, nid,
-              BigDecimal(raw)
-                .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            (ps(j)._1, nid, round9(raw))
           }
         }
       }.toDF("probe_id", "neighbor_id", "sim")
@@ -292,10 +337,21 @@ object Ann {
     * (cent_id, id, v, norm). */
   private[similarity] def assignNearest(corpus: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame = {
+    val spark = cents.sparkSession
+    import spark.implicits._
+    assignNearest(corpus, idCol, vecCol,
+      cents.select(col("cent_id").cast("long"), col("cent_vec"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1))
+  }
+
+  /** [[assignNearest]] over an already-collected centroid table — same
+    * collect-sharing contract as the [[assignNearestK]] overload: a
+    * caller that needs the centroid matrix anyway pays the collect job
+    * once instead of twice (guide §5, serial driver jobs). */
+  private[similarity] def assignNearest(corpus: DataFrame, idCol: String,
+      vecCol: String, centRows: Array[(Long, Array[Double])]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centRows = cents.select(col("cent_id").cast("long"), col("cent_vec"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
     val centB = spark.sparkContext.broadcast(centRows)
     // cast up front so array<double> (or integer-typed) embedding columns
     // work through the typed conversion instead of failing in the encoder.
@@ -465,13 +521,13 @@ object Ann {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
     require(maxPairsPerTask > 0 && maxProbesPerTask > 0,
       "task-size caps must be positive")
+    requireIntegralId(probes, idCol, "knnJoin")
     val spark = probes.sparkSession
     import spark.implicits._
-    // ONE collect serves both the dim lookup (was a separate head job)
-    // and the probe router's centroid broadcast (was a second collect)
-    val centRows = index.centroids
-      .select(col("cent_id").cast("long"), col("cent_vec"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    // the index's shared centroid collect serves the dim lookup AND the
+    // probe router's broadcast — and a freshly built index already
+    // carries it (zero collect jobs here, was one)
+    val centRows = index.centRows
     require(centRows.nonEmpty, "knnJoin needs a non-empty centroid table")
     val dim = centRows.head._2.length
     val effPairs = effectivePairCap(maxPairsPerTask, dim)
@@ -551,8 +607,7 @@ object Ann {
                 while (d < pv.length) { dot += pv(d).toDouble * nv(d).toDouble; d += 1 }
                 val raw = if (pNorm == 0 || nNorm == 0) 0.0
                   else dot / (pNorm * nNorm)
-                val sim = BigDecimal(raw)
-                  .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+                val sim = round9(raw)
                 if (sim < maxSim) {
                   val h = heaps(j)
                   if (h.size < k) h.enqueue((sim, nid))
@@ -844,17 +899,46 @@ object Ann {
       .select(col("id").as("probe_id"), col("v").as("probe_id_vec"),
         col("cent_id"))
 
+  /** [[probeLists]] over an already-collected centroid table (the
+    * IvfIndex cache) — no per-call centroid collect job. */
+  private[similarity] def probeLists(centRows: Array[(Long, Array[Double])],
+      probes: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int): DataFrame =
+    assignNearestK(probes, idCol, vecCol, centRows, nprobe)
+      .select(col("id").as("probe_id"), col("v").as("probe_id_vec"),
+        col("cent_id"))
+
   /** Shared IVF tail: join probed lists to assigned lists on `joinKeys`,
     * score candidates, rank to top-k per probe. */
   private def rankCandidates(probed: DataFrame, assigned: DataFrame,
       joinKeys: Seq[String], k: Int): DataFrame = {
+    // Score FIRST, then project the vectors away, so the dedup exchange
+    // ships (probe_id, neighbor_id, sim) instead of two embedding
+    // payloads per candidate (guide §2.3 "shuffle keys and metadata
+    // instead of payloads" — the old dropDuplicates-then-score shape
+    // measured 20.3 MB on q207's dedup exchange, ~30× the metadata).
+    // Scoring before the dedup is output-identical: a (probe, neighbor)
+    // pair joins once per shared list and a neighbor sits in exactly one
+    // list per assigned row, so duplicates only arise from a duplicated
+    // neighbor id in the index — where the old arbitrary-row
+    // dropDuplicates was nondeterministic and max(sim) is strictly
+    // better defined.
     val scored = probed.join(assigned, joinKeys)
       .where(col("probe_id") =!= col("neighbor_id"))
-      .dropDuplicates("probe_id", "neighbor_id")
-      .withColumn("sim", round(cosine(col("probe_id_vec"), col("neighbor_id_vec")), 9))
+      .withColumn("sim",
+        round(cosine(col("probe_id_vec"), col("neighbor_id_vec")), 9))
+      .select(col("probe_id"), col("neighbor_id"), col("sim"))
+    // ONE hash(probe_id) exchange serves both the pair dedup (partition
+    // by a subset of the group keys still clusters every group) and the
+    // rank window right after it (guide §2.4 "two operations keyed the
+    // same way can share one exchange" — was dedup-by-pair + window-by-
+    // probe, two full candidate-volume exchanges).
+    val deduped = scored.repartition(col("probe_id"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    deduped.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rank"))
   }
 
@@ -918,13 +1002,18 @@ object Ann {
       kmeansIterations: Int = 1): DataFrame = {
     val lists = if (nlist > 0) nlist else autoNlist(corpus.count())
     val cents = kmeansCentroids(corpus, idCol, vecCol, lists, kmeansIterations)
-    // corpus side: single-list assignment through the broadcast JVM
-    // kernel (no interpreted per-(vector, centroid) lambdas); the probe
-    // side keeps the column formulation for its nprobe-list expansion
-    val assigned = assignNearest(corpus, idCol, vecCol, cents)
+    // ONE centroid collect shared by the corpus assignment kernel and
+    // the probe router (was one serial job each — guide §5)
+    val centRows = {
+      val spark = cents.sparkSession
+      import spark.implicits._
+      cents.select(col("cent_id").cast("long"), col("cent_vec"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+    }
+    val assigned = assignNearest(corpus, idCol, vecCol, centRows)
       .select(col("id").as("neighbor_id"), col("v").as("neighbor_id_vec"),
         col("cent_id"))
-    rankCandidates(probeLists(cents, probes, idCol, vecCol, nprobe),
+    rankCandidates(probeLists(centRows, probes, idCol, vecCol, nprobe),
       assigned, Seq("cent_id"), k)
   }
 
@@ -937,7 +1026,22 @@ object Ann {
     * numBuckets partition directories at the FILE level (no full-index
     * scan, the at-rest analogue of the routed shuffle). */
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame,
-      numBuckets: Int)
+      numBuckets: Int,
+      private val preCollected: Option[Array[(Long, Array[Double])]] = None) {
+    /** The collected (cent_id, cent_vec) matrix, sorted by id — shared
+      * by every consumer needing the centroids on the driver (probe
+      * routing, dim lookup): one serial collect job per index instance
+      * instead of one per consumer (guide §5). A built index carries
+      * the array it already collected for corpus assignment; a loaded
+      * index collects lazily on first use. */
+    @transient lazy val centRows: Array[(Long, Array[Double])] =
+      preCollected.getOrElse {
+        val spark = centroids.sparkSession
+        import spark.implicits._
+        centroids.select(col("cent_id").cast("long"), col("cent_vec"))
+          .as[(Long, Array[Double])].collect().sortBy(_._1)
+      }
+  }
 
   def ivfBuild(
       corpus: DataFrame,
@@ -954,13 +1058,24 @@ object Ann {
     // sample and every Lloyd round are pinned) — re-checkpointing it
     // here was one redundant materialization job per index build
     val cents = kmeansCentroids(corpus, idCol, vecCol, lists, kmeansIterations)
-    val assigned = assignNearest(corpus, idCol, vecCol, cents)
+    // ONE collect of the final centroids serves both the corpus
+    // assignment kernel here and the index's centroids frame consumers
+    // (guide §5: each collect of the same small table is a serial
+    // driver job)
+    val centRows = {
+      val spark = cents.sparkSession
+      import spark.implicits._
+      cents.select(col("cent_id").cast("long"), col("cent_vec"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+    }
+    val assigned = assignNearest(corpus, idCol, vecCol, centRows)
       .select(col("id").as("neighbor_id"), col("v").as("neighbor_id_vec"),
         col("cent_id"),
         pmod(col("cent_id"), lit(numBuckets.toLong)).cast("int").as("list_bucket"))
     // lazy: the first consumer (the gate count / first list scan)
     // materializes the assignment; eager here was one extra serial job
-    IvfIndex(cents, assigned.localCheckpoint(false), numBuckets)
+    IvfIndex(cents, assigned.localCheckpoint(false), numBuckets,
+      Some(centRows))
   }
 
   /** Persist an index: lists land partitioned by `list_bucket` so loads
@@ -1001,7 +1116,7 @@ object Ann {
     * ([[graft.streaming.StreamingAnn.appendBatch]]). */
   def routeForAppend(index: IvfIndex, batch: DataFrame, idCol: String,
       vecCol: String): DataFrame =
-    assignNearest(batch, idCol, vecCol, index.centroids)
+    assignNearest(batch, idCol, vecCol, index.centRows)
       .select(col("id").as("neighbor_id"), col("v").as("neighbor_id_vec"),
         col("cent_id"),
         pmod(col("cent_id"), lit(index.numBuckets.toLong)).cast("int")
@@ -1028,8 +1143,9 @@ object Ann {
       maxLiteralProbes: Int = 1024): DataFrame = {
     require(index.numBuckets > 0,
       s"index numBuckets must be positive, got ${index.numBuckets}")
+    requireIntegralId(probes, idCol, "ivfQuery")
     def route(df: DataFrame) =
-      probeLists(index.centroids, df, idCol, vecCol, nprobe)
+      probeLists(index.centRows, df, idCol, vecCol, nprobe)
         .withColumn("list_bucket",
           pmod(col("cent_id"), lit(index.numBuckets.toLong)).cast("int"))
     // bounded literal pushdown: for a SMALL probe batch (the serving

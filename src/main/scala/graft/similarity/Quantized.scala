@@ -573,9 +573,8 @@ object Quantized {
         }
         val raw = if (pn == 0 || cn == 0) 0.0
           else dot / (math.sqrt(pn) * math.sqrt(cn))
-        val sim = BigDecimal(raw)
-          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (pid, nid, sim)
+        // bit-identical HALF_UP without the per-pair BigDecimal chain
+        (pid, nid, Ann.round9(raw))
       }.toDF("probe_id", "neighbor_id", "sim")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))

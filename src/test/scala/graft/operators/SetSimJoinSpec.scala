@@ -132,6 +132,44 @@ class SetSimJoinSpec extends SparkSpec {
       }
   }
 
+  // pins the r16 byte-gated dictionary builds: the broadcast encode
+  // (driver-dense ranks) and the distributed sort + monotone-id join
+  // must induce the SAME global rarity order — i.e. the same candidate
+  // prefixes and the same join output — even though the tid VALUES
+  // differ (dense vs partition-major monotone)
+  "rankSorted" should "induce an identical rarity order on both builds" in {
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 60).map(i => s"w$i").toList
+    val docs = (0L until 60L).map { id =>
+      (id, rnd.shuffle(vocab).take(1 + rnd.nextInt(12)))
+    }
+    val df = docs.toDF("id", "toks")
+    val recs = df.select(col("id"), col("toks"))
+      .where(org.apache.spark.sql.functions.size(col("toks")) > 0)
+    def ranks(sorted: DataFrame): Map[Long, Seq[Long]] = {
+      val rows = sorted.select(col("id"), col("tids"))
+        .as[(Long, Seq[Long])].collect()
+      val order = rows.flatMap(_._2).distinct.sorted.zipWithIndex
+        .map { case (t, i) => (t, i.toLong) }.toMap
+      rows.map { case (id, ts) => id -> ts.map(order) }.toMap
+    }
+    ranks(SetSimJoin.rankSortedBroadcast(recs)) shouldBe
+      ranks(SetSimJoin.rankSortedJoin(recs))
+    // and the full join agrees between the builds across thresholds
+    for ((num, den) <- Seq((1, 2), (9, 10))) {
+      def out(sortedRaw: DataFrame) = {
+        val s = sortedRaw.localCheckpoint(false) // ONE materialization
+        SetSimJoin.verifyPairs(s,
+          SetSimJoin.candidatePairs(s, num, den), num, den)
+          .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+      }
+      withClue(s"tau=$num/$den") {
+        out(SetSimJoin.rankSortedBroadcast(recs)) shouldBe
+          out(SetSimJoin.rankSortedJoin(recs))
+      }
+    }
+  }
+
   "jaccardPairs" should "tokenize like the q17/q19 oracle tokenizer" in {
     val df = Seq(
       (1L, "the quick, brown fox!"),
