@@ -44,16 +44,19 @@ object PageRank {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0,1]")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    // Out-degree via a count window over src instead of groupBy + join:
-    // ONE shuffle of the edges replaces the old three-stage shape
-    // (degree aggregation, its serial final-agg/broadcast-build stage,
-    // the e ⋈ deg join — which at scale shuffles e by src anyway for
-    // the sort-merge). Same exact integer counts, one fewer exchange
-    // and two fewer serial AQE stages per invocation (guide §2.4).
-    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    // Degree via groupBy + join, NOT a count window over src: the probe
+    // data is decisive (pagerank600k 3.5 s join vs 7.2 s window). The
+    // join shape is planner-ADAPTIVE: a broadcastable degree table
+    // (even 100 TB of edges can have few vertices) joins with NO edge
+    // shuffle at all, and when degrees outgrow the broadcast threshold
+    // the sort-merge shuffles edges by src exactly like the window
+    // would. The window shape shuffles every edge unconditionally.
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // lazy: the final action materializes it on first use — the loop's
+    // iterations read it strictly downstream, so eagerness only added a
+    // serial driver job
     val withDeg = org.apache.spark.sql.GraftSparkInternals
-      .localCheckpointCapped(
-        e.withColumn("deg", count(lit(1)).over(bySrc)), eager = false)
+      .localCheckpointCapped(e.join(deg, "src"), eager = false)
     // single consumer (the final assignment join) — no checkpoint; a
     // materialization here would add a full job for a frame read once
     val vertices = e.select(col("src").as("id"))

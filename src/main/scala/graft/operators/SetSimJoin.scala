@@ -140,6 +140,8 @@ object SetSimJoin {
   }
 
   private[graft] def rankSortedJoin(recs: DataFrame): DataFrame = {
+    val spark = recs.sparkSession
+    import spark.implicits._
     // Tokenization (often a regex split upstream) and the explode run
     // ONCE: the exploded (id, tok) stream feeds both the frequency count
     // and the dictionary re-join from this checkpoint.
@@ -151,18 +153,21 @@ object SetSimJoin {
     // count shuffle over (token) keys.
     val freq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
 
-    // Token ids in (df, tok) order: range-partitioned sort +
-    // monotonically_increasing_id. The ids are MONOTONE in the sorted
-    // order (partition-major: range partition i sorts wholly before
-    // i+1, and within a partition the counter follows the sorted rows)
-    // and injective — which is all any consumer needs: the prefix
-    // filter wants a consistent global rarity order, the merge-scan
-    // intersections want any consistent encoding, and no output column
-    // ever exposes a tid. DENSE ranks (the old rdd.zipWithIndex) bought
-    // nothing and cost an extra eager count job plus an RDD round-trip
-    // that broke the single-pass plan (guide §5: serial driver jobs).
+    // DENSE ids in (df, tok) order: range-partitioned sort +
+    // zipWithIndex. An r16 A/B replaced this with
+    // monotonically_increasing_id (no count job, no RDD round-trip) and
+    // the setsim50k probe's VERIFY leg regressed multi-×: the verify
+    // joins ship two tid-arrays per candidate (31 M candidates at 50 k
+    // docs), and dense small longs compress ~8× under the shuffle codec
+    // where partition-major ids (high bits set by partitionId << 33)
+    // barely compress at all. zipWithIndex's vocabulary-scale count job
+    // is noise next to that at any corpus size — density IS the
+    // optimization on this path (guide §2.3 "narrower types"). Bench-
+    // sized inputs take [[rankSortedBroadcast]] (dense by construction,
+    // no sort/count/join at all).
     val dict = freq.orderBy(col("df"), col("tok")).select(col("tok"))
-      .withColumn("tid", monotonically_increasing_id())
+      .as[String].rdd.zipWithIndex
+      .toDF("tok", "tid")
 
     // Rarity-sort each record's tokens: join the dictionary onto the
     // exploded tokens, regroup, sort the long ids. The regroup shuffles
