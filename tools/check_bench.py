@@ -20,25 +20,25 @@ TARGETS = {
     "q14_components": 1.30,
     "q16_dedup_exact": 0.45,
     "q19_ngram_jaccard": 1.20,
-    "q21_ann_top1": 1.20,
+    "q21_ann_top1": 1.00,
     "q25_minhash_lsh": 1.20,
     "q26_simhash": 0.80,
     "q28_idf": 0.90,
     "q30_token_blocking": 1.20,
     "q39_stays": 0.60,
-    "q41_agent_match": 1.60,
+    "q41_agent_match": 1.55,
     "q49_multimodal": 0.35,
     "q82_span_dedup": 1.00,
     "q102_audio": 0.40,
     "q103_video": 0.60,
     "q120_asof_join": 0.80,
     "q121_pagerank": 2.60,
-    "q133_setsim_join": 4.50,
+    "q133_setsim_join": 3.20,
     "q158_bm25_topk": 2.00,
     "q159_heavy_hitters": 1.00,
     "q174_dsir": 1.50,
-    "q199_knn_join": 4.00,
-    "q207_ivf_serve": 2.50,
+    "q199_knn_join": 2.40,
+    "q207_ivf_serve": 1.80,
 }
 
 
